@@ -1,0 +1,15 @@
+"""Named query catalog: every entry pairs a Spark callable with a DuckDB
+oracle SQL string (or ``None`` for non-SQL-expressible operators)."""
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import (
+    QUERIES,
+    Query,
+    register,
+)
+
+# Importing the modules populates the registry.
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import (  # noqa: E402,F401
+    relational,
+)
+
+__all__ = ["QUERIES", "Query", "register"]

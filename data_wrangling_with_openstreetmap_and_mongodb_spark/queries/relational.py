@@ -1,0 +1,554 @@
+"""Core relational query catalog (SURVEY.md §2.2–§2.6) on the testdata tables.
+
+Each query transposes a reference query *shape* (cited per entry) onto the
+synthetic TPC-H-ish tables.  All are pure DataFrame plans — Catalyst supplies
+pushdown, pruning, partial aggregation, TakeOrderedAndProject, and broadcast
+joins; nothing here collects to the driver.
+
+Determinism notes (the oracle hash is order-insensitive but membership-
+sensitive): every LIMIT is preceded by a total order (tie-broken on a unique
+key), mirroring SURVEY.md §2.5's sort-tie caveat.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import (
+    events_with_time,
+    load_table,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Flagship: compound group-by aggregation (A1/A3/A4; $group with $sum/$avg —
+# 05-analyzing-data/avg_population.py:35-42 shape at TPC-H Q1 scale).
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity)                                      AS sum_qty,
+               SUM(l_extendedprice)                                 AS sum_base_price,
+               SUM(l_extendedprice * (1 - l_discount))              AS sum_disc_price,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               AVG(l_quantity)                                      AS avg_qty,
+               AVG(l_extendedprice)                                 AS avg_price,
+               AVG(l_discount)                                      AS avg_disc,
+               COUNT(*)                                             AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="$match+$group compound key w/ $sum/$avg (05/avg_population.py:35-42; README.md:1140-1144)",
+    tags=("agg", "flagship"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 + T1: group-count + sort desc + limit k ($sort/$limit top-k).
+# ---------------------------------------------------------------------------
+@register(
+    "top_event_types",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type ASC
+        LIMIT 3
+    """,
+    doc="$group/$sum:1 + $sort:-1 + $limit (05/tweet_apps.py:33-35)",
+    tags=("agg", "topk"),
+)
+def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1–P4: equality predicate + conjunction + projection.
+# ---------------------------------------------------------------------------
+@register(
+    "find_building_customers",
+    oracle="""
+        SELECT c_name, c_acctbal, c_nationkey
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+    """,
+    doc="find({'manufacturer':'Porsche', ...}, projection) (04/find_porsche.py:17; 04/find_cars.py:34)",
+    tags=("filter", "project"),
+)
+def find_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0)
+    ).select("c_name", "c_acctbal", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# P5: range predicate ($gte/$lte on datetime — 04/find_cities.py:18).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_in_range",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+    """,
+    doc="$gte/$lt datetime range (04/find_cities.py:18; 05/region_cities.py:30-31)",
+    tags=("filter", "agg"),
+)
+def orders_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7: $in membership.
+# ---------------------------------------------------------------------------
+@register(
+    "nations_in_set",
+    oracle="""
+        SELECT n_name, n_regionkey
+        FROM nation
+        WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_19')
+    """,
+    doc="$in membership (04/find_cars.py:16)",
+    tags=("filter",),
+)
+def nations_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.filter(F.col("n_name").isin("NATION_1", "NATION_7", "NATION_19")).select(
+        "n_name", "n_regionkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8/P9: $exists + nested-path predicate, on the JSON props column.
+# ---------------------------------------------------------------------------
+@register(
+    "events_with_large_k",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt, AVG(k) AS avg_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        WHERE k IS NOT NULL AND k > 50
+        GROUP BY event_type
+    """,
+    doc="$exists + dot-path predicate (05/most_common_city_name.py:39; 04/dot_find.py:18)",
+    tags=("filter", "json"),
+)
+def events_with_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") > 50))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.avg("k").alias("avg_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2: computed projection + rename ($project with field renames).
+# ---------------------------------------------------------------------------
+@register(
+    "project_rename",
+    oracle="""
+        SELECT c_name AS name,
+               c_acctbal AS balance,
+               c_acctbal * 1.1 AS adjusted
+        FROM customer
+        WHERE c_acctbal > 4900.0
+    """,
+    doc="$project rename + computed field (05/most_followed_brasilians.py:43-45)",
+    tags=("project",),
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_acctbal") > 4900.0).select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+        (F.col("c_acctbal") * 1.1).alias("adjusted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3: group-avg with compound key.
+# ---------------------------------------------------------------------------
+@register(
+    "avg_balance_by_nation_segment",
+    oracle="""
+        SELECT c_nationkey, c_mktsegment,
+               AVG(c_acctbal) AS avg_bal, COUNT(*) AS cnt
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="$group compound _id + $avg (05/avg_population.py:37-39)",
+    tags=("agg",),
+)
+def avg_balance_by_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.avg("c_acctbal").alias("avg_bal"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: two-level re-aggregation (avg of per-group avgs).
+# ---------------------------------------------------------------------------
+@register(
+    "avg_of_avgs_by_nation",
+    oracle="""
+        SELECT c_nationkey, AVG(avg_bal) AS avg_of_avgs
+        FROM (
+            SELECT c_nationkey, c_mktsegment, AVG(c_acctbal) AS avg_bal
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        )
+        GROUP BY c_nationkey
+    """,
+    doc="two-level $group re-aggregation (05/avg_population.py:35-42)",
+    tags=("agg",),
+)
+def avg_of_avgs_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    inner = c.groupBy("c_nationkey", "c_mktsegment").agg(F.avg("c_acctbal").alias("avg_bal"))
+    return inner.groupBy("c_nationkey").agg(F.avg("avg_bal").alias("avg_of_avgs"))
+
+
+# ---------------------------------------------------------------------------
+# A4: global aggregate (constant $group _id).
+# ---------------------------------------------------------------------------
+@register(
+    "global_order_stats",
+    oracle="""
+        SELECT COUNT(*) AS n_orders,
+               AVG(o_totalprice) AS avg_price,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+    """,
+    doc="global aggregate, _id: null (05/avg_city_pop_for_indian_regions.py:42-43)",
+    tags=("agg",),
+)
+def global_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.avg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7: $push / $addToSet accumulators (stringified for stable hashing).
+# ---------------------------------------------------------------------------
+@register(
+    "statuses_per_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+               COUNT(*) AS cnt
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="$addToSet accumulator (05/frequent_tweeters.py:3-4,36-38)",
+    tags=("agg", "array"),
+)
+def statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8/A9: distinct count + filtered count.
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_customers_with_orders",
+    oracle="""
+        SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderstatus = 'F'
+    """,
+    doc="distinct('created.user') + find(pred).count() (README.md:882,868)",
+    tags=("agg",),
+)
+def distinct_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13: group-first / dedupe-to-representative via window rank.
+# ---------------------------------------------------------------------------
+@register(
+    "top_order_per_priority",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn = 1
+    """,
+    doc="group-first representative doc (README.md:919-920,985-986)",
+    tags=("window", "topk"),
+)
+def top_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1: $unwind — explode document text into tokens, count (degree-count shape).
+# ---------------------------------------------------------------------------
+@register(
+    "top_tokens",
+    oracle="""
+        SELECT token, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY cnt DESC, token ASC
+        LIMIT 20
+    """,
+    doc="$unwind + $group + $sort + $limit (README.md:976-986 three-most-referenced-nodes)",
+    tags=("explode", "topk"),
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: enrichment join (small dims broadcast — customer→nation→region).
+# ---------------------------------------------------------------------------
+@register(
+    "customers_per_region",
+    oracle="""
+        SELECT r.r_name, COUNT(*) AS n_customers, AVG(c.c_acctbal) AS avg_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    doc="lookup/enrichment join (04/update.py:56-76 re-expressed as broadcast equi-join)",
+    tags=("join", "agg"),
+)
+def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.avg("c_acctbal").alias("avg_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: top-k-then-fetch (semi-join fan-in).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_of_top_customers",
+    oracle="""
+        WITH topc AS (
+            SELECT o_custkey, COUNT(*) AS cnt
+            FROM orders
+            GROUP BY o_custkey
+            ORDER BY cnt DESC, o_custkey ASC
+            LIMIT 5
+        )
+        SELECT o.o_custkey, COUNT(*) AS n_orders, SUM(o.o_totalprice) AS total_spent
+        FROM orders o
+        WHERE o.o_custkey IN (SELECT o_custkey FROM topc)
+        GROUP BY o.o_custkey
+    """,
+    doc="top-k agg then per-key find (README.md:911-920) as broadcast left-semi join",
+    tags=("join", "topk"),
+)
+def orders_of_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    topc = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("o_custkey"))
+        .limit(5)
+        .select("o_custkey")
+    )
+    return (
+        o.join(F.broadcast(topc), "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C13: $dayOfWeek histogram (1=Sunday..7=Saturday, Mongo & Spark convention;
+# DuckDB's dayofweek is 0=Sunday so the oracle adds 1).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_by_dayofweek",
+    oracle="""
+        SELECT dayofweek(o_orderdate) + 1 AS dow, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY dow
+        ORDER BY dow ASC
+    """,
+    doc="$dayOfWeek histogram, $sort _id:1 (README.md:1202-1211)",
+    tags=("datetime", "agg"),
+)
+def orders_by_dayofweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.dayofweek("o_orderdate").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.asc("dow"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C14: datetime subtract / divide → age in days (deterministic 'now' literal).
+# ---------------------------------------------------------------------------
+@register(
+    "order_age_days",
+    oracle="""
+        SELECT o_orderpriority,
+               AVG(date_diff('second', o_orderdate, TIMESTAMP '2002-01-01') / 86400.0)
+                   AS avg_age_days
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="$subtract datetimes → ms, $divide → ageInDays (README.md:1235-1242)",
+    tags=("datetime",),
+)
+def order_age_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    now = F.lit("2002-01-01").cast("timestamp_ntz")
+    age_days = (
+        F.unix_timestamp(now.cast("timestamp")) - F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    ) / 86400.0
+    return o.groupBy("o_orderpriority").agg(F.avg(age_days).alias("avg_age_days"))
+
+
+# ---------------------------------------------------------------------------
+# Batch time-bucketing on the events stream table (stretch per SURVEY.md §2.8;
+# integer hour buckets keep the value-hash engine-agnostic).
+# ---------------------------------------------------------------------------
+@register(
+    "hourly_event_rollup",
+    oracle="""
+        SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS epoch_hour,
+               event_type,
+               COUNT(*) AS cnt,
+               SUM(value) AS sum_value
+        FROM events
+        GROUP BY epoch_hour, event_type
+    """,
+    doc="batch time-bucketed rollup (window(ts, '1 hour') analogue; SURVEY.md §2.8)",
+    tags=("datetime", "agg", "streaming-analog"),
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir)
+    return ev.groupBy("epoch_hour", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3: full sort desc, no limit (ranked listing).
+# ---------------------------------------------------------------------------
+@register(
+    "nation_order_ranking",
+    oracle="""
+        SELECT n.n_name, COUNT(*) AS cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY cnt DESC, n_name ASC
+    """,
+    doc="full ranked listing $sort desc no limit (README.md:1056-1059,1101-1104)",
+    tags=("join", "sort"),
+)
+def nation_order_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("n_name"))
+    )
