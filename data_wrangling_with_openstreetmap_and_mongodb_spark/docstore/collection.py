@@ -1,0 +1,97 @@
+"""DocumentCollection: the reference's pymongo surface over a DataFrame.
+
+Covers every collection-level call the reference makes (SURVEY.md §3.3):
+``find`` / ``find_one`` / ``count`` / ``distinct`` / ``aggregate``, plus the
+client-side patterns it builds on top — enrichment-update (04/update.py:56-76)
+re-expressed as a broadcast join (DataFrames are immutable; Mongo's ``save()``
+upsert becomes join + recompute, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Row
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import (
+    FindCompiler,
+    compile_projection,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+
+class DocumentCollection:
+    def __init__(self, df: DataFrame, name: str = "collection"):
+        self.df = df
+        self.name = name
+
+    # -- find surface -------------------------------------------------------
+    def find(
+        self,
+        query: dict[str, Any] | None = None,
+        projection: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        out = self.df.filter(FindCompiler(self.df).compile(query)) if query else self.df
+        return compile_projection(out, projection)
+
+    def find_one(
+        self,
+        query: dict[str, Any] | None = None,
+        projection: dict[str, Any] | None = None,
+    ) -> Row | None:
+        rows = self.find(query, projection).limit(1).collect()
+        return rows[0] if rows else None
+
+    def count(self, query: dict[str, Any] | None = None) -> int:
+        return self.find(query).count()
+
+    def distinct(self, field: str) -> list[Any]:
+        return [
+            r[0] for r in self.df.select(F.col(field)).where(F.col(field).isNotNull()).distinct().collect()
+        ]
+
+    # -- aggregate surface --------------------------------------------------
+    def aggregate(self, pipeline: list[dict[str, Any]]) -> DataFrame:
+        return aggregate(self.df, pipeline)
+
+    # -- update-as-join (J1) ------------------------------------------------
+    def update_from(
+        self,
+        updates: DataFrame,
+        on: str,
+        set_map: dict[str, str],
+        broadcast: bool = True,
+    ) -> "DocumentCollection":
+        """Enrichment update: for rows matching ``on``, set ``set_map`` target
+        columns (dotted paths into structs supported) from the updates side.
+
+        Mirrors 04/update.py:56-76 (build {label → binomialAuthority}, then
+        per-key find_one + save) as one broadcast left join — the scalable
+        rendering of N point lookups.
+        """
+        right = F.broadcast(updates) if broadcast else updates
+        upd_cols = {c: f"__upd_{c}" for c in updates.columns if c != on}
+        renamed = right
+        for c, a in upd_cols.items():
+            renamed = renamed.withColumnRenamed(c, a)
+        joined = self.df.join(renamed, on=on, how="left")
+        out = joined
+        for target, src in set_map.items():
+            src_col = F.col(upd_cols.get(src, src))
+            if "." in target:
+                head, leaf = target.split(".", 1)
+                if "." in leaf:
+                    raise ValueError("only one level of struct nesting supported")
+                struct_t = out.schema[head].dataType
+                fields = [
+                    (F.coalesce(src_col, F.col(f"{head}.{f.name}")) if f.name == leaf else F.col(f"{head}.{f.name}")).alias(f.name)
+                    for f in struct_t.fields
+                ]
+                if leaf not in struct_t.fieldNames():
+                    fields.append(src_col.alias(leaf))
+                out = out.withColumn(head, F.struct(*fields))
+            else:
+                out = out.withColumn(target, F.coalesce(src_col, F.col(target)) if target in out.columns else src_col)
+        out = out.drop(*upd_cols.values())
+        return DocumentCollection(out, self.name)

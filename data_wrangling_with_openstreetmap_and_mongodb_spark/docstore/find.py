@@ -1,0 +1,182 @@
+"""Mongo find-query → Catalyst predicate compiler (SURVEY.md §3.3, P1–P11).
+
+A query document like ``{"manufacturer": "Porsche", "dimensions.width":
+{"$gt": 2.5}}`` compiles to a single Column predicate, so the filter reaches
+the parquet scan via normal Catalyst pushdown.
+
+Semantics decisions (documented in SURVEY.md §7 "hard parts"):
+
+- ``$exists: True`` → ``isNotNull`` (fixed schemas render Mongo's missing
+  fields as nulls); for MapType columns → ``map_contains_key``.
+- Equality / ``$in`` against an *array* column matches scalar-or-member,
+  like Mongo (04/find_cars.py:16 with the array-valued ``assembly``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import (
+    ExpressionCompiler,
+)
+
+_CMP = {"$gt", "$gte", "$lt", "$lte", "$ne", "$eq"}
+
+
+class FindCompiler:
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.exprs = ExpressionCompiler(df)
+
+    # ------------------------------------------------------------------
+    def _col(self, path: str) -> Column:
+        return F.col(path)
+
+    def _is_array_field(self, path: str) -> bool:
+        return isinstance(self.exprs.field_type(path), T.ArrayType)
+
+    def _is_map_parent(self, path: str) -> tuple[bool, str, str]:
+        """True if `path` addresses a key inside a MapType column."""
+        if "." in path:
+            head, tail = path.split(".", 1)
+            if isinstance(self.exprs.field_type(head), T.MapType):
+                return True, head, tail
+        return False, "", ""
+
+    # ------------------------------------------------------------------
+    def compile(self, query: dict[str, Any] | None) -> Column:
+        if not query:
+            return F.lit(True)
+        preds = [self._field_pred(k, v) for k, v in query.items()]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    def _field_pred(self, key: str, value: Any) -> Column:
+        if key == "$and":
+            return self._fold([self.compile(q) for q in value], "and")
+        if key == "$or":
+            return self._fold([self.compile(q) for q in value], "or")
+        if key == "$nor":
+            return ~self._fold([self.compile(q) for q in value], "or")
+        if key == "$expr":
+            return self.exprs.compile_bool(value)
+
+        col = self._col(key)
+        if isinstance(value, dict) and value and all(
+            isinstance(k, str) and k.startswith("$") for k in value
+        ):
+            preds = [self._op_pred(key, col, op, arg) for op, arg in value.items()]
+            return self._fold(preds, "and")
+        # bare value: equality (scalar-or-member for array fields, like Mongo)
+        if self._is_array_field(key):
+            return F.array_contains(col, F.lit(value))
+        return col == F.lit(value)
+
+    def _op_pred(self, path: str, col: Column, op: str, arg: Any) -> Column:
+        if op == "$eq":
+            if self._is_array_field(path):
+                return F.array_contains(col, F.lit(arg))
+            return col == F.lit(arg)
+        if op == "$ne":
+            return col != F.lit(arg)
+        if op == "$gt":
+            return col > F.lit(arg)
+        if op == "$gte":
+            return col >= F.lit(arg)
+        if op == "$lt":
+            return col < F.lit(arg)
+        if op == "$lte":
+            return col <= F.lit(arg)
+        if op == "$in":
+            if self._is_array_field(path):
+                return F.arrays_overlap(col, F.array(*[F.lit(a) for a in arg]))
+            return col.isin(list(arg))
+        if op == "$nin":
+            if self._is_array_field(path):
+                return ~F.arrays_overlap(col, F.array(*[F.lit(a) for a in arg]))
+            return ~col.isin(list(arg))
+        if op == "$exists":
+            is_map, head, tail = self._is_map_parent(path)
+            if is_map:
+                present = F.map_contains_key(F.col(head), F.lit(tail))
+            else:
+                present = col.isNotNull()
+            return present if arg else ~present
+        if op == "$regex":
+            return col.rlike(arg)
+        if op == "$not":
+            inner = (
+                self._fold(
+                    [self._op_pred(path, col, o, a) for o, a in arg.items()], "and"
+                )
+                if isinstance(arg, dict)
+                else (col == F.lit(arg))
+            )
+            return ~inner
+        if op == "$size":
+            return F.size(col) == int(arg)
+        if op == "$elemMatch":
+            sub = [self._op_pred(path, F.col("__e__"), o, a) for o, a in arg.items()]
+            lam = sub[0]
+            for s in sub[1:]:
+                lam = lam & s
+            # exists() with a lambda over the array elements
+            return F.exists(col, lambda e: self._elem_match(e, arg))
+        raise ValueError(f"unsupported find operator: {op}")
+
+    def _elem_match(self, e: Column, spec: dict[str, Any]) -> Column:
+        preds = []
+        for op, arg in spec.items():
+            if op == "$gt":
+                preds.append(e > F.lit(arg))
+            elif op == "$gte":
+                preds.append(e >= F.lit(arg))
+            elif op == "$lt":
+                preds.append(e < F.lit(arg))
+            elif op == "$lte":
+                preds.append(e <= F.lit(arg))
+            elif op == "$eq":
+                preds.append(e == F.lit(arg))
+            elif op == "$ne":
+                preds.append(e != F.lit(arg))
+            else:
+                raise ValueError(f"unsupported $elemMatch operator: {op}")
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    @staticmethod
+    def _fold(preds: list[Column], how: str) -> Column:
+        out = preds[0]
+        for p in preds[1:]:
+            out = (out & p) if how == "and" else (out | p)
+        return out
+
+
+def compile_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFrame:
+    """Mongo projection doc → select list.
+
+    ``{"name": 1, "manufacturer": 1, "_id": 0}`` (04/find_cars.py:34) →
+    include-mode select; ``{"x": 0}`` → exclude-mode drop.  Dotted include
+    paths surface the leaf field under its dotted name.
+    """
+    if not projection:
+        return df
+    includes = [k for k, v in projection.items() if v in (1, True)]
+    excludes = [k for k, v in projection.items() if v in (0, False)]
+    computed = {
+        k: v for k, v in projection.items() if not isinstance(v, (int, bool))
+    }
+    if includes or computed:
+        cols = [F.col(k).alias(k) for k in includes if k != "_id"]
+        ec = ExpressionCompiler(df)
+        cols += [ec.compile(v).alias(k) for k, v in computed.items()]
+        return df.select(*cols)
+    return df.drop(*[e for e in excludes if e != "_id"])

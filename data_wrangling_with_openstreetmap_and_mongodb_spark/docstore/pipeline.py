@@ -1,0 +1,137 @@
+"""Mongo aggregation-pipeline → DataFrame-plan compiler (SURVEY.md §3.2).
+
+Stages map 1:1 onto lazy DataFrame transformations, so the whole pipeline is
+one Catalyst logical plan: ``$match``→filter (pushes to the scan), ``$project``
+→select (prunes columns), ``$unwind``→explode, ``$group``→groupBy.agg (partial
++ final hash aggregation), ``$sort``+``$limit``→TakeOrderedAndProject.
+
+mongod executes stages strictly in order and relies on its own pipeline
+optimizer to reorder $match before $unwind (05/indian_regions_with_most_cities
+.py:34-35); here Catalyst performs the same reorderings on the logical plan.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import (
+    ExpressionCompiler,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import (
+    FindCompiler,
+    compile_projection,
+)
+
+# $group accumulators (05-analyzing-data/*.py).  $push → collect_list,
+# $addToSet → collect_set, per SURVEY.md §2.4 A6/A7.
+_ACCUMULATORS = {
+    "$sum",
+    "$avg",
+    "$min",
+    "$max",
+    "$push",
+    "$addToSet",
+    "$first",
+    "$last",
+    "$count",
+    "$stdDevPop",
+    "$stdDevSamp",
+}
+
+
+def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError(f"accumulator spec must be a single-op doc: {spec}")
+    op, arg = next(iter(spec.items()))
+    if op not in _ACCUMULATORS:
+        raise ValueError(f"unsupported $group accumulator: {op}")
+    if op == "$sum":
+        # {$sum: 1} is Mongo's idiom for count (05/tweet_apps.py:34)
+        if isinstance(arg, (int, float)) and arg == 1:
+            return F.count(F.lit(1)).alias(alias)
+        return F.sum(ec.compile(arg)).alias(alias)
+    if op == "$count":
+        return F.count(F.lit(1)).alias(alias)
+    col = ec.compile(arg)
+    return {
+        "$avg": F.avg,
+        "$min": F.min,
+        "$max": F.max,
+        "$push": F.collect_list,
+        "$addToSet": F.collect_set,
+        "$first": F.first,
+        "$last": F.last,
+        "$stdDevPop": F.stddev_pop,
+        "$stdDevSamp": F.stddev_samp,
+    }[op](col).alias(alias)
+
+
+def _apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    ec = ExpressionCompiler(df)
+    gid = spec["_id"]
+    if gid is None:
+        keys: list[Column] = []
+    elif isinstance(gid, dict) and not (len(gid) == 1 and next(iter(gid)).startswith("$")):
+        # compound key: {_id: {country: '$country', region: '$isPartOf'}}
+        keys = [ec.compile(v).alias(k) for k, v in gid.items()]
+    else:
+        keys = [ec.compile(gid).alias("_id")]
+    aggs = [_accumulator(ec, alias, s) for alias, s in spec.items() if alias != "_id"]
+    if not aggs:
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count")).drop("count")
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
+    """$unwind '$path' — Mongo 2.x drops docs with null/missing/empty arrays,
+    which is exactly `explode` (not `explode_outer`); SURVEY.md §7."""
+    if isinstance(spec, dict):
+        path = spec["path"]
+    else:
+        path = spec
+    if not path.startswith("$"):
+        raise ValueError("$unwind path must start with '$'")
+    field = path[1:]
+    if "." in field:
+        raise ValueError("unwind of nested paths: project the field first")
+    others = [c for c in df.columns if c != field]
+    return df.select(*others, F.explode(F.col(field)).alias(field))
+
+
+def _apply_sort(df: DataFrame, spec: dict[str, int]) -> DataFrame:
+    cols = [F.col(k).asc() if v >= 0 else F.col(k).desc() for k, v in spec.items()]
+    return df.orderBy(*cols)
+
+
+def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
+    """Compile a full pipeline into one lazy DataFrame plan."""
+    out = df
+    for stage in pipeline:
+        if len(stage) != 1:
+            raise ValueError(f"pipeline stage must have one operator: {stage}")
+        op, spec = next(iter(stage.items()))
+        if op == "$match":
+            out = out.filter(FindCompiler(out).compile(spec))
+        elif op == "$project":
+            out = compile_projection(out, spec)
+        elif op == "$unwind":
+            out = _apply_unwind(out, spec)
+        elif op == "$group":
+            out = _apply_group(out, spec)
+        elif op == "$sort":
+            out = _apply_sort(out, spec)
+        elif op == "$limit":
+            out = out.limit(int(spec))
+        elif op == "$skip":
+            out = out.offset(int(spec))
+        elif op == "$count":
+            out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$sample":
+            frac = min(1.0, int(spec["size"]) / max(out.count(), 1))
+            out = out.sample(fraction=frac, seed=42)
+        else:
+            raise ValueError(f"unsupported pipeline stage: {op}")
+    return out

@@ -9,6 +9,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import
 
 # Importing the modules populates the registry.
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import (  # noqa: E402,F401
+    docstore_queries,
     relational,
 )
 

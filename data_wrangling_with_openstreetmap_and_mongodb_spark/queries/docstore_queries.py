@@ -1,0 +1,196 @@
+"""Catalog queries expressed THROUGH the docstore compiler (find docs and
+aggregation pipelines), oracle-checked like every other entry.
+
+These prove the Mongo-surface → Catalyst compilation end-to-end on real data:
+the DataFrames returned here are built exclusively by
+``DocumentCollection.find`` / ``.aggregate``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
+
+
+def _coll(spark: SparkSession, sf_dir: str, name: str) -> DocumentCollection:
+    return DocumentCollection(load_table(spark, sf_dir, name), name)
+
+
+@register(
+    "ds_find_machinery_customers",
+    oracle="""
+        SELECT c_name, c_acctbal
+        FROM customer
+        WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 3000.0
+    """,
+    doc="find(query, projection) compiled to filter+select (04/find_cars.py:34)",
+    tags=("docstore", "filter"),
+)
+def ds_find_machinery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "customer").find(
+        {"c_mktsegment": "MACHINERY", "c_acctbal": {"$gt": 3000.0}},
+        {"c_name": 1, "c_acctbal": 1, "_id": 0},
+    )
+
+
+@register(
+    "ds_top_clickers",
+    oracle="""
+        SELECT user_id AS _id, COUNT(*) AS count
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY user_id
+        ORDER BY count DESC, _id ASC
+        LIMIT 10
+    """,
+    doc="$match+$group+$sort+$limit pipeline (05/tweet_apps.py:33-35 shape)",
+    tags=("docstore", "agg", "topk"),
+)
+def ds_top_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "events").aggregate(
+        [
+            {"$match": {"event_type": "click"}},
+            {"$group": {"_id": "$user_id", "count": {"$sum": 1}}},
+            {"$sort": {"count": -1, "_id": 1}},
+            {"$limit": 10},
+        ]
+    )
+
+
+@register(
+    "ds_value_stats_by_type",
+    oracle="""
+        SELECT event_type AS _id,
+               SUM(value) AS total,
+               AVG(value) AS mean,
+               MIN(value) AS lo,
+               MAX(value) AS hi,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="$group accumulators $sum/$avg/$min/$max (05/avg_city_pop_for_indian_regions.py:39-43)",
+    tags=("docstore", "agg"),
+)
+def ds_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "events").aggregate(
+        [
+            {
+                "$group": {
+                    "_id": "$event_type",
+                    "total": {"$sum": "$value"},
+                    "mean": {"$avg": "$value"},
+                    "lo": {"$min": "$value"},
+                    "hi": {"$max": "$value"},
+                    "n": {"$sum": 1},
+                }
+            }
+        ]
+    )
+
+
+@register(
+    "ds_unwind_token_counts",
+    oracle="""
+        SELECT token AS _id, COUNT(*) AS count
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+            WHERE lang = 'en'
+        )
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY count DESC, _id ASC
+        LIMIT 15
+    """,
+    doc="$project computed + $unwind + $group + $sort/$limit (05/region_cities.py:27-37)",
+    tags=("docstore", "explode", "topk"),
+)
+def ds_unwind_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "documents").aggregate(
+        [
+            {"$match": {"lang": "en"}},
+            {"$project": {"token": {"$split": ["$text", " "]}}},
+            {"$unwind": "$token"},
+            {"$match": {"token": {"$ne": ""}}},
+            {"$group": {"_id": "$token", "count": {"$sum": 1}}},
+            {"$sort": {"count": -1, "_id": 1}},
+            {"$limit": 15},
+        ]
+    )
+
+
+@register(
+    "ds_cond_price_buckets",
+    oracle="""
+        SELECT bucket AS _id, COUNT(*) AS count, SUM(o_totalprice) AS total
+        FROM (
+            SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                        WHEN o_totalprice >= 100000 THEN 'mid'
+                        ELSE 'low' END AS bucket,
+                   o_totalprice
+            FROM orders
+        )
+        GROUP BY bucket
+    """,
+    doc="$cond/$ifNull expression compilation inside $project (SURVEY.md §2.7 C17)",
+    tags=("docstore", "project"),
+)
+def ds_cond_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {
+                "$project": {
+                    "bucket": {
+                        "$cond": {
+                            "if": {"$gte": ["$o_totalprice", 300000]},
+                            "then": "high",
+                            "else": {
+                                "$cond": {
+                                    "if": {"$gte": ["$o_totalprice", 100000]},
+                                    "then": "mid",
+                                    "else": "low",
+                                }
+                            },
+                        }
+                    },
+                    "o_totalprice": "$o_totalprice",
+                }
+            },
+            {
+                "$group": {
+                    "_id": "$bucket",
+                    "count": {"$sum": 1},
+                    "total": {"$sum": "$o_totalprice"},
+                }
+            },
+        ]
+    )
+
+
+@register(
+    "ds_compound_group_key",
+    oracle="""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS count, AVG(o_totalprice) AS avg_price
+        FROM orders
+        GROUP BY status, priority
+    """,
+    doc="compound $group _id doc (05/avg_population.py:37-39)",
+    tags=("docstore", "agg"),
+)
+def ds_compound_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {
+                "$group": {
+                    "_id": {"status": "$o_orderstatus", "priority": "$o_orderpriority"},
+                    "count": {"$sum": 1},
+                    "avg_price": {"$avg": "$o_totalprice"},
+                }
+            }
+        ]
+    )

@@ -1,0 +1,241 @@
+"""Docstore (Mongo find/aggregate surface) tests on reference-shaped fixtures.
+
+Fixtures mirror FIXTURES.md §3–§5 (autos / cities / tweets); the queries are
+the reference's own (cited per test), re-run through the compiler.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+
+@pytest.fixture(scope="module")
+def autos(spark):
+    rows = [
+        ("Porsche 356", "Porsche", ["Germany"], {"width": 1.7, "length": 4.0}),
+        ("Porsche 911", "Porsche", ["Germany", "Finland"], {"width": 2.6, "length": 4.5}),
+        ("Ford Focus", "Ford Motor Company", ["United States"], {"width": 2.7, "length": 4.3}),
+        ("Mini", "BMW", ["United Kingdom"], {"width": 1.9, "length": 3.8}),
+        ("Civic", "Honda", ["Japan", "United States"], {"width": 2.4, "length": 4.4}),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, manufacturer string, assembly array<string>, dimensions struct<width:double,length:double>"
+    )
+    return DocumentCollection(df, "autos")
+
+
+@pytest.fixture(scope="module")
+def tweets(spark):
+    rows = [
+        ("hello", "web", ("alice", "Brasilia", 120, 1000)),
+        ("hi", "web", ("bob", "Brasilia", 80, 5000)),
+        ("yo", "Ubertwitter", ("alice", "Brasilia", 120, 1000)),
+        ("sup", "web", ("carol", None, 300, 17209)),
+        ("hey", "TweetDeck", ("dave", "Lisbon", 50, 10)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "text string, source string, user struct<screen_name:string,time_zone:string,statuses_count:int,followers_count:int>",
+    )
+    return DocumentCollection(df, "tweets")
+
+
+@pytest.fixture(scope="module")
+def cities(spark):
+    rows = [
+        ("Shahpur", "India", ["Uttar Pradesh"], 3000.0),
+        ("Shahpur", "India", ["Karnataka"], 10000.0),
+        ("Madrid", "Spain", ["Community of Madrid"], 320000.0),
+        ("Salem", "India", ["Tamil Nadu"], 82000.0),
+        ("Salem", "United States", ["Oregon"], 15000.0),
+        (None, "India", ["Tamil Nadu"], 1000.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, country string, isPartOf array<string>, population double"
+    )
+    return DocumentCollection(df, "cities")
+
+
+# -- find surface (04-working-with-mongodb) ---------------------------------
+def test_find_equality_projection(autos):
+    # find({'manufacturer':'Porsche'}, {'name':1,'_id':0}) — 04/find_porsche.py:17
+    got = {r["name"] for r in autos.find({"manufacturer": "Porsche"}, {"name": 1, "_id": 0}).collect()}
+    assert got == {"Porsche 356", "Porsche 911"}
+
+
+def test_find_in_array_semantics(autos):
+    # find({'assembly': {'$in': ['Germany','United Kingdom','Japan']}}) —
+    # 04/find_cars.py:16; assembly is an array → scalar-or-member match
+    got = {r["name"] for r in autos.find({"assembly": {"$in": ["Germany", "United Kingdom", "Japan"]}}).collect()}
+    assert got == {"Porsche 356", "Porsche 911", "Mini", "Civic"}
+
+
+def test_find_dot_path_gt(autos):
+    # find({'dimensions.width': {'$gt': 2.5}}) — 04/dot_find.py:18
+    got = {r["name"] for r in autos.find({"dimensions.width": {"$gt": 2.5}}).collect()}
+    assert got == {"Porsche 911", "Ford Focus"}
+
+
+def test_find_exists_and_count(cities):
+    # $exists guard — 05/most_common_city_name.py:39; count — README.md:868
+    assert cities.count({"name": {"$exists": True}}) == 5
+    assert cities.count({"name": {"$exists": False}}) == 1
+
+
+def test_find_one_and_distinct(tweets):
+    row = tweets.find_one({"source": "web", "user.followers_count": {"$gte": 17209}})
+    assert row is not None and row["user"]["screen_name"] == "carol"
+    assert sorted(tweets.distinct("source")) == ["TweetDeck", "Ubertwitter", "web"]
+
+
+def test_find_logical_and_regex(autos):
+    got = autos.find(
+        {"$or": [{"manufacturer": "BMW"}, {"name": {"$regex": "^Civ"}}]}
+    ).count()
+    assert got == 2
+    got2 = autos.find({"manufacturer": {"$ne": "Porsche"}, "dimensions.length": {"$lt": 4.35}}).count()
+    assert got2 == 2  # Ford Focus (4.3), Mini (3.8)
+
+
+# -- aggregate surface (05-analyzing-data) -----------------------------------
+def test_pipeline_tweet_sources(tweets):
+    # make_pipeline: [{$group: {_id:'$source', count:{$sum:1}}}, {$sort:...}] —
+    # 05/tweet_apps.py:33-35
+    out = tweets.aggregate(
+        [{"$group": {"_id": "$source", "count": {"$sum": 1}}}, {"$sort": {"count": -1}}, {"$limit": 1}]
+    ).collect()
+    assert out[0]["_id"] == "web" and out[0]["count"] == 3
+
+
+def test_pipeline_most_common_city_name(cities):
+    # 05/most_common_city_name.py:37-44 golden shape {'_id':'Shahpur','count':N}
+    out = cities.aggregate(
+        [
+            {"$match": {"name": {"$exists": True}}},
+            {"$group": {"_id": "$name", "count": {"$sum": 1}}},
+            {"$sort": {"count": -1}},
+            {"$limit": 1},
+        ]
+    ).collect()
+    assert out[0]["_id"] in ("Shahpur", "Salem") and out[0]["count"] == 2
+
+
+def test_pipeline_unwind_region(cities):
+    # 05/region_cities.py:27-37: $match India + $unwind isPartOf + $group
+    out = {
+        r["_id"]: r["count"]
+        for r in cities.aggregate(
+            [
+                {"$match": {"country": "India"}},
+                {"$unwind": "$isPartOf"},
+                {"$group": {"_id": "$isPartOf", "count": {"$sum": 1}}},
+            ]
+        ).collect()
+    }
+    assert out == {"Uttar Pradesh": 1, "Karnataka": 1, "Tamil Nadu": 2}
+
+
+def test_pipeline_two_level_avg(cities):
+    # 05/avg_population.py:35-42: avg of per-(country,region) avgs
+    out = cities.aggregate(
+        [
+            {"$unwind": "$isPartOf"},
+            {
+                "$group": {
+                    "_id": {"country": "$country", "region": "$isPartOf"},
+                    "avgCityPop": {"$avg": "$population"},
+                }
+            },
+            {
+                "$group": {
+                    "_id": "$country",
+                    "avgRegionalPop": {"$avg": "$avgCityPop"},
+                }
+            },
+        ]
+    ).collect()
+    got = {r["_id"]: r["avgRegionalPop"] for r in out}
+    # India: UP avg 3000, Karnataka 10000, Tamil Nadu (82000+1000)/2=41500 → 18166.66
+    assert abs(got["India"] - (3000 + 10000 + 41500) / 3) < 1e-8
+
+
+def test_pipeline_project_computed(tweets):
+    # $project rename from nested paths — 05/most_followed_brasilians.py:41-47
+    out = tweets.aggregate(
+        [
+            {"$match": {"user.time_zone": "Brasilia", "user.statuses_count": {"$gte": 100}}},
+            {
+                "$project": {
+                    "followers": "$user.followers_count",
+                    "screen_name": "$user.screen_name",
+                    "tweets": "$user.statuses_count",
+                }
+            },
+            {"$sort": {"followers": -1}},
+            {"$limit": 1},
+        ]
+    ).collect()
+    assert out[0].asDict() == {"followers": 1000, "screen_name": "alice", "tweets": 120}
+
+
+def test_pipeline_push_addtoset(tweets):
+    # $push tweet texts per user — 05/frequent_tweeters.py:36-40
+    out = tweets.aggregate(
+        [
+            {"$group": {"_id": "$user.screen_name", "count": {"$sum": 1}, "tweet_texts": {"$push": "$text"}}},
+            {"$sort": {"count": -1}},
+            {"$limit": 5},
+        ]
+    ).collect()
+    top = out[0]
+    assert top["_id"] == "alice" and sorted(top["tweet_texts"]) == ["hello", "yo"]
+
+
+def test_pipeline_dayofweek_and_datetime_subtract(spark):
+    # $dayOfWeek histogram + $subtract datetimes → ms (README.md:1202-1242)
+    df = spark.createDataFrame(
+        [(dt.datetime(2016, 1, 3),), (dt.datetime(2016, 1, 4),), (dt.datetime(2016, 1, 10),)],
+        "ts timestamp",
+    )
+    coll = DocumentCollection(df)
+    out = {
+        r["_id"]: r["count"]
+        for r in coll.aggregate(
+            [{"$group": {"_id": {"$dayOfWeek": "$ts"}, "count": {"$sum": 1}}}]
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1}  # two Sundays, one Monday
+    age = coll.aggregate(
+        [
+            {
+                "$project": {
+                    "ageMs": {"$subtract": [{"$literal": dt.datetime(2016, 1, 11)}, "$ts"]},
+                }
+            },
+            {"$group": {"_id": None, "maxAge": {"$max": "$ageMs"}}},
+        ]
+    ).collect()[0]
+    assert age["maxAge"] == 8 * 86400 * 1000  # 8 days in ms
+
+
+def test_update_from_enrichment_join(spark):
+    # 04/update.py:56-76: {label → binomialAuthority} dict applied as upsert
+    base = spark.createDataFrame(
+        [
+            ("Argiope", ("Araneidae", None)),
+            ("Lycosa", ("Lycosidae", "Latreille")),
+        ],
+        "label string, classification struct<family:string,binomialAuthority:string>",
+    )
+    updates = spark.createDataFrame(
+        [("Argiope", "Audouin")], "label string, binomialAuthority string"
+    )
+    coll = DocumentCollection(base).update_from(
+        updates, on="label", set_map={"classification.binomialAuthority": "binomialAuthority"}
+    )
+    got = {r["label"]: r["classification"]["binomialAuthority"] for r in coll.df.collect()}
+    assert got == {"Argiope": "Audouin", "Lycosa": "Latreille"}
