@@ -16,10 +16,12 @@ from typing import Any
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import (
     ExpressionCompiler,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import davg, dsum
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import (
     FindCompiler,
     compile_projection,
@@ -42,6 +44,14 @@ _ACCUMULATORS = {
 }
 
 
+def _is_floating(ec: ExpressionCompiler, col: Column) -> bool:
+    try:
+        dt = ec.df.select(col).schema.fields[0].dataType
+    except Exception:
+        return False
+    return isinstance(dt, (T.DoubleType, T.FloatType))
+
+
 def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
     if not isinstance(spec, dict) or len(spec) != 1:
         raise ValueError(f"accumulator spec must be a single-op doc: {spec}")
@@ -52,10 +62,15 @@ def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
         # {$sum: 1} is Mongo's idiom for count (05/tweet_apps.py:34)
         if isinstance(arg, (int, float)) and arg == 1:
             return F.count(F.lit(1)).alias(alias)
-        return F.sum(ec.compile(arg)).alias(alias)
+        col = ec.compile(arg)
+        # Floating sums accumulate via exact decimals (functions/detagg.py) so
+        # results are independent of partitioning/summation order.
+        return (dsum(col) if _is_floating(ec, col) else F.sum(col)).alias(alias)
     if op == "$count":
         return F.count(F.lit(1)).alias(alias)
     col = ec.compile(arg)
+    if op == "$avg" and _is_floating(ec, col):
+        return davg(col).alias(alias)
     return {
         "$avg": F.avg,
         "$min": F.min,

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import davg_sql, dsum_sql
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
 
 
@@ -62,10 +63,10 @@ def ds_top_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ds_value_stats_by_type",
-    oracle="""
+    oracle=f"""
         SELECT event_type AS _id,
-               SUM(value) AS total,
-               AVG(value) AS mean,
+               {dsum_sql("value")} AS total,
+               {davg_sql("value")} AS mean,
                MIN(value) AS lo,
                MAX(value) AS hi,
                COUNT(*) AS n
@@ -125,8 +126,8 @@ def ds_unwind_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ds_cond_price_buckets",
-    oracle="""
-        SELECT bucket AS _id, COUNT(*) AS count, SUM(o_totalprice) AS total
+    oracle=f"""
+        SELECT bucket AS _id, COUNT(*) AS count, {dsum_sql("o_totalprice")} AS total
         FROM (
             SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
                         WHEN o_totalprice >= 100000 THEN 'mid'
@@ -173,9 +174,9 @@ def ds_cond_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ds_compound_group_key",
-    oracle="""
+    oracle=f"""
         SELECT o_orderstatus AS status, o_orderpriority AS priority,
-               COUNT(*) AS count, AVG(o_totalprice) AS avg_price
+               COUNT(*) AS count, {davg_sql("o_totalprice")} AS avg_price
         FROM orders
         GROUP BY status, priority
     """,

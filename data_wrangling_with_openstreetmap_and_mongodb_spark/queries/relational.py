@@ -19,6 +19,12 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import (
     events_with_time,
     load_table,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
 
 
@@ -28,16 +34,16 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import
 # ---------------------------------------------------------------------------
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               SUM(l_quantity)                                      AS sum_qty,
-               SUM(l_extendedprice)                                 AS sum_base_price,
-               SUM(l_extendedprice * (1 - l_discount))              AS sum_disc_price,
-               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-               AVG(l_quantity)                                      AS avg_qty,
-               AVG(l_extendedprice)                                 AS avg_price,
-               AVG(l_discount)                                      AS avg_disc,
-               COUNT(*)                                             AS count_order
+               {dsum_sql("l_quantity")} AS sum_qty,
+               {dsum_sql("l_extendedprice")} AS sum_base_price,
+               {dsum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+               {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+               {davg_sql("l_quantity")} AS avg_qty,
+               {davg_sql("l_extendedprice")} AS avg_price,
+               {davg_sql("l_discount")} AS avg_disc,
+               COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
@@ -52,13 +58,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -214,9 +220,9 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "avg_balance_by_nation_segment",
-    oracle="""
+    oracle=f"""
         SELECT c_nationkey, c_mktsegment,
-               AVG(c_acctbal) AS avg_bal, COUNT(*) AS cnt
+               {davg_sql("c_acctbal")} AS avg_bal, COUNT(*) AS cnt
         FROM customer
         GROUP BY c_nationkey, c_mktsegment
     """,
@@ -226,7 +232,7 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 def avg_balance_by_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.avg("c_acctbal").alias("avg_bal"), F.count(F.lit(1)).alias("cnt")
+        davg("c_acctbal").alias("avg_bal"), F.count(F.lit(1)).alias("cnt")
     )
 
 
@@ -235,10 +241,10 @@ def avg_balance_by_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 @register(
     "avg_of_avgs_by_nation",
-    oracle="""
-        SELECT c_nationkey, AVG(avg_bal) AS avg_of_avgs
+    oracle=f"""
+        SELECT c_nationkey, {davg_sql("avg_bal")} AS avg_of_avgs
         FROM (
-            SELECT c_nationkey, c_mktsegment, AVG(c_acctbal) AS avg_bal
+            SELECT c_nationkey, c_mktsegment, {davg_sql("c_acctbal")} AS avg_bal
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
         )
@@ -249,8 +255,8 @@ def avg_balance_by_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def avg_of_avgs_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    inner = c.groupBy("c_nationkey", "c_mktsegment").agg(F.avg("c_acctbal").alias("avg_bal"))
-    return inner.groupBy("c_nationkey").agg(F.avg("avg_bal").alias("avg_of_avgs"))
+    inner = c.groupBy("c_nationkey", "c_mktsegment").agg(davg("c_acctbal").alias("avg_bal"))
+    return inner.groupBy("c_nationkey").agg(davg("avg_bal").alias("avg_of_avgs"))
 
 
 # ---------------------------------------------------------------------------
@@ -258,9 +264,9 @@ def avg_of_avgs_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "global_order_stats",
-    oracle="""
+    oracle=f"""
         SELECT COUNT(*) AS n_orders,
-               AVG(o_totalprice) AS avg_price,
+               {davg_sql("o_totalprice")} AS avg_price,
                MIN(o_totalprice) AS min_price,
                MAX(o_totalprice) AS max_price
         FROM orders
@@ -272,7 +278,7 @@ def global_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.avg("o_totalprice").alias("avg_price"),
+        davg("o_totalprice").alias("avg_price"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
@@ -391,8 +397,8 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "customers_per_region",
-    oracle="""
-        SELECT r.r_name, COUNT(*) AS n_customers, AVG(c.c_acctbal) AS avg_bal
+    oracle=f"""
+        SELECT r.r_name, COUNT(*) AS n_customers, {davg_sql("c.c_acctbal")} AS avg_bal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -409,7 +415,7 @@ def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), F.avg("c_acctbal").alias("avg_bal"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), davg("c_acctbal").alias("avg_bal"))
     )
 
 
@@ -418,7 +424,7 @@ def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "orders_of_top_customers",
-    oracle="""
+    oracle=f"""
         WITH topc AS (
             SELECT o_custkey, COUNT(*) AS cnt
             FROM orders
@@ -426,7 +432,7 @@ def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY cnt DESC, o_custkey ASC
             LIMIT 5
         )
-        SELECT o.o_custkey, COUNT(*) AS n_orders, SUM(o.o_totalprice) AS total_spent
+        SELECT o.o_custkey, COUNT(*) AS n_orders, {dsum_sql("o.o_totalprice")} AS total_spent
         FROM orders o
         WHERE o.o_custkey IN (SELECT o_custkey FROM topc)
         GROUP BY o.o_custkey
@@ -448,7 +454,7 @@ def orders_of_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("total_spent"),
+            dsum("o_totalprice").alias("total_spent"),
         )
     )
 
@@ -482,9 +488,9 @@ def orders_by_dayofweek(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "order_age_days",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
-               AVG(date_diff('second', o_orderdate, TIMESTAMP '2002-01-01') / 86400.0)
+               {davg_sql("date_diff('second', o_orderdate, TIMESTAMP '2002-01-01') / 86400.0")}
                    AS avg_age_days
         FROM orders
         GROUP BY o_orderpriority
@@ -498,7 +504,7 @@ def order_age_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     age_days = (
         F.unix_timestamp(now.cast("timestamp")) - F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
     ) / 86400.0
-    return o.groupBy("o_orderpriority").agg(F.avg(age_days).alias("avg_age_days"))
+    return o.groupBy("o_orderpriority").agg(davg(age_days).alias("avg_age_days"))
 
 
 # ---------------------------------------------------------------------------
@@ -507,11 +513,11 @@ def order_age_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "hourly_event_rollup",
-    oracle="""
+    oracle=f"""
         SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS epoch_hour,
                event_type,
                COUNT(*) AS cnt,
-               SUM(value) AS sum_value
+               {dsum_sql("value")} AS sum_value
         FROM events
         GROUP BY epoch_hour, event_type
     """,
@@ -521,7 +527,7 @@ def order_age_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_with_time(spark, sf_dir)
     return ev.groupBy("epoch_hour", "event_type").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+        F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value")
     )
 
 
