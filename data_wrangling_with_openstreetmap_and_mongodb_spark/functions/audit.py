@@ -1,0 +1,47 @@
+"""Audit operators (SURVEY.md §2.4 A12, §2.7 C19): schema-inference type
+audits and street-type frequency audits, as distributed aggregations.
+
+The reference walks files row-by-row accumulating Python sets
+(03-data-quality/audit.py:37-50; top-level audit.py:48-67); here each audit is
+one groupBy over a stacked long-form projection — a single shuffle regardless
+of column count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.cleaning import (
+    classify_value_type,
+)
+
+
+def audit_types(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-field set of observed value types (03/audit.py:37-59).
+
+    Returns ``(field, types)`` where types is the sorted comma-joined set of
+    {NoneType,list,int,float,str} tags.  Implemented as unpivot (stack) →
+    classify → groupBy, so the audit of N columns is one pass + one shuffle.
+    """
+    stacked = df.select(
+        *[F.col(c).cast("string").alias(c) for c in cols]
+    ).unpivot([], cols, "field", "value")
+    return (
+        stacked.withColumn("type_tag", classify_value_type(F.col("value")))
+        .groupBy("field")
+        .agg(F.array_join(F.sort_array(F.collect_set("type_tag")), ",").alias("types"))
+    )
+
+
+def audit_street_types(df: DataFrame, street_col: str, expected: list[str]) -> DataFrame:
+    """Street-type audit (top-level audit.py:18,48-67): extract the trailing
+    token of each street name, keep those not in the expected list, and count
+    occurrences per unexpected type."""
+    token = F.regexp_extract(F.col(street_col), r"\b(\S+?)\.?$", 1)
+    return (
+        df.select(token.alias("street_type"))
+        .filter(~F.col("street_type").isin(expected) & (F.col("street_type") != ""))
+        .groupBy("street_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,345 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (the 100 TB story):
+
+- **Exact**: one hash-aggregate on a 128-bit content fingerprint — never a
+  shuffle of full text.  AQE handles skew (empty docs etc.).
+- **N-gram Jaccard**: shingle-inverted-index self-join (blocking on shingle),
+  so only documents sharing ≥1 shingle ever meet; the candidate pair count,
+  not |D|², bounds the shuffle.
+- **MinHash+LSH**: per-band bucket join — the textbook sub-quadratic path;
+  signatures are built with ``xxhash64`` entirely JVM-side.
+- **SimHash**: explode-tokens → per-bit majority vote as one 64-expression
+  hash-aggregate (one shuffle), then Hamming-bucket candidate join.
+- **Embedding cosine**: brute-force rank for the oracle path; random-
+  hyperplane LSH bucketing for the scale path (see similarity.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+    fingerprint_md5,
+    shingles,
+    whitespace_tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates (by normalized-content fingerprint):
+    ``(fingerprint, keep_id, dup_count)`` with keep = min id."""
+    return (
+        df.select(fingerprint_md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact-content group, preserving
+    all columns.  Window over the fingerprint: one shuffle, no join."""
+    w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (blocked self-join — exact similarity, scalable blocking)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a, b), a<b, with shingle-set Jaccard ≥ threshold — exact.
+
+    Prefix-filtered inverted-index plan (PPJoin-style): order each document's
+    shingles by ascending global document-frequency; any pair with
+    Jaccard ≥ t must share a shingle among each side's first
+    ⌊(1-t)·|s|⌋+1 rarest shingles.  Blocking on *rare* shingles keeps the
+    candidate join sub-quadratic even when a few shingles occur in most
+    documents (naive shingle-blocking degenerates to |D|² exactly there).
+    Candidates are then verified with exact set Jaccard.  Returns
+    ``(id_a, id_b, jaccard)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = base.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    w = Window.partitionBy("id").orderBy(F.asc("df_cnt"), F.asc("shingle"))
+    prefix = (
+        ex.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.floor((1 - threshold) * F.col("n_sh")) + 1)
+        .select("id", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sha = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(text_col: Column, num_hashes: int = 64, n: int = 3) -> Column:
+    """MinHash signature as array<bigint>: for seed i, min over shingles of
+    xxhash64(i, shingle).  Entirely JVM-side (xxhash64 is a native expr)."""
+    sh = shingles(text_col, n)
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified with exact
+    shingle Jaccard.  ``(id_a, id_b, est_jaccard, jaccard)``.
+
+    bands×rows = num_hashes; a pair is a candidate if any band's row-slice
+    hashes equal.  The bucket join shuffles only (band, bucket) keys.
+    """
+    rows_per_band = num_hashes // bands
+    # One projection computes shingles once, then derives the signature from
+    # it; sh and sig both ride along to the join so candidates are verified
+    # without re-reading or re-shingling the input (no extra joins).
+    sh_col = shingles(F.col(text_col), n)
+    base = (
+        df.select(F.col(id_col).alias("id"), sh_col.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn(
+            "sig",
+            F.array(
+                *[
+                    F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(i), s)))
+                    for i in range(num_hashes)
+                ]
+            ),
+        )
+    )
+    band_rows = base.select(
+        "id",
+        "sh",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "sig", "bb.band", "bb.bucket")
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token hashes.
+
+    Plan: explode tokens → xxhash64 → one hash-aggregate computing all 64 bit
+    sums (single shuffle on id), then recombine bits driver-free.  Returns
+    ``(id, simhash)`` with simhash as bigint.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits - 1):  # top bit excluded to stay in signed-long range
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit signature into (max_hamming+1) chunks — by
+    pigeonhole, any pair within the distance shares at least one exact chunk;
+    join per chunk, then verify exact Hamming via bit_count(xor).
+    """
+    chunks = max_hamming + 1
+    chunk_bits = 64 // chunks
+    sh = simhash(df, text_col, id_col)
+    with_chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", "ck.chunk", "ck.key")
+    a = with_chunks.alias("a")
+    b = with_chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact; LSH variant in similarity.py)
+# ---------------------------------------------------------------------------
+def embedding_near_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Pairs of near-identical embeddings by cosine ≥ threshold — exact.
+
+    Block-matrix plan: the (id, vector) matrix is broadcast once; each
+    partition multiplies its row block against the full matrix with numpy
+    (Arrow-batched ``mapInPandas`` — the sanctioned Python path for dense
+    linear algebra that higher-order Column functions can't vectorize).
+    Work distributes over row blocks; the broadcast bounds this plan at
+    matrices that fit executor memory (~10⁷×64 floats ≈ 2.5 GB).  Beyond
+    that, use :func:`...similarity.lsh_near_pairs`, which never materializes
+    the matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+
+    def block_cosine(batches):
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["v"]), dtype=np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ all_mat.T  # (block, N) cosine matrix
+            # Quantize to 1e-6 with IEEE ops (matches functions/detagg.py) so
+            # values and threshold membership are independent of BLAS
+            # summation order and identical to the sequential-fold oracle.
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
+            block_ids = pdf["id"].to_numpy()
+            bi, aj = np.nonzero(sims >= threshold)
+            ia, ib = block_ids[bi], all_ids[aj]
+            keep = ia < ib
+            yield pd.DataFrame(
+                {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[bi, aj][keep]}
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        block_cosine, schema="id_a long, id_b long, cosine double"
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the engine's north star:
+
+- ``cosine_topk`` — exact brute-force top-k: one narrow projection computing
+  the dot product with a broadcast query vector, then TakeOrderedAndProject.
+  O(N·d) with zero shuffle of vectors; this is the correctness baseline and
+  is already the right plan for one-off queries at any N (it reads the
+  parquet once, no index build).
+- ``lsh_bucket_topk`` / ``lsh_near_pairs`` — random-hyperplane (sign) LSH:
+  deterministic seeded hyperplanes compiled as literal arrays, signature =
+  packed sign bits, bucket join.  The scale path for repeated queries /
+  all-pairs: candidates shrink by ~2^bits, vectors never shuffle globally.
+
+Dot products use native higher-order functions (``zip_with``/``aggregate``)
+in double precision — identical math to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
+    """Cosine similarity of each row's vector to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine: ``(id, cosine)``, ordered desc with id tiebreak
+    (Catalyst plans TakeOrderedAndProject — no full sort).  Scores are
+    quantized to 1e-6 so ranking and values are engine-independent."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            quantize6(cosine_to_query(F.col(vec_col), query)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (Box–Muller on a seeded PRNG) —
+    compiled into the plan as literals, broadcast with the task binary."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Pack sign(v·plane_i) into a bigint signature."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(_dot(vec_col, p) >= 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    bits: int = 12,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: restrict the exact rank to rows whose LSH signature is
+    within ``probe_hamming`` bits of the query's signature (multi-probe).
+
+    The signature filter is a cheap codegen'd predicate on a precomputable
+    column — at scale the signature would be materialized/partitioned at
+    ingest, turning this into partition pruning.
+    """
+    dim = len(query)
+    planes = _hyperplanes(dim, bits, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query, plane))
+        if dot >= 0:
+            qsig |= 1 << i
+    sig = signature_bits(F.col(vec_col), planes)
+    hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            hamming.alias("h"),
+        )
+        .filter(F.col("h") <= probe_hamming)
+        .select("id", quantize6(cosine_to_query(F.col("v"), query)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def lsh_near_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs near-dup via banded sign-LSH + exact cosine verification.
+
+    Signature splits into ``bands`` chunks; pairs sharing any chunk value are
+    candidates (bucket equi-join per band — the only shuffle is on (band,
+    chunk-value) keys), then exact cosine filters at ``threshold``.
+    """
+    sample = df.select(vec_col).first()
+    dim = len(sample[0])
+    planes = _hyperplanes(dim, bits, seed)
+    chunk_bits = bits // bands
+    sig = signature_bits(F.col(vec_col), planes)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig"))
+    banded = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "v", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            quantize6(dot / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json north
+star): token counting, quality scoring, language-ID heuristics, document
+fingerprinting.
+
+All hot-path expressions are native Column functions (JVM-side, codegen'd);
+nothing here crosses into Python per row, so every operator scales linearly
+with executors at the 100 TB design point.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# A BPE-ish word/punctuation tokenizer: word pieces OR single non-space
+# punctuation — the classic pre-tokenization regex shape.
+TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Minimal per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (language identification by closed-class word hits).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered (split artifacts)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(whitespace_tokens(col))
+
+
+def regex_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization via regexp_extract_all (native, vectorized)."""
+    return F.regexp_extract_all(col, F.lit(TOKEN_RE), 0)
+
+
+def regex_token_count(col: Column) -> Column:
+    return F.size(regex_tokens(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = whitespace_tokens(F.lower(col))
+    hits = F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+    return F.size(hits) / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = whitespace_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score from cheap surface statistics:
+    length band + low punctuation + plausible mean word length + stopword
+    presence.  Mirrors the usual pretraining quality-filter recipe."""
+    n_tok = token_count(col)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.25)
+    punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.5)
+    mwl = mean_word_length(col)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.5)
+    stop_ok = F.when(stopword_ratio(col) > 0.01, 1.0).otherwise(0.75)
+    return (length_ok * 0.4 + punct_ok * 0.2 + mwl_ok * 0.2 + stop_ok * 0.2)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID signal)."""
+    toks = whitespace_tokens(F.lower(col))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def detect_language(col: Column, default: str = "unknown") -> Column:
+    """Pick the language with the most stopword hits (ties → lexicographic
+    order of language code, deterministic)."""
+    scores = lang_scores(col)
+    out = F.lit(default)
+    # fold a when-chain: a language wins when it beats every other language
+    # (earlier codes win ties via >= vs >)
+    for lang in sorted(scores):
+        cond = scores[lang] > 0
+        for other in sorted(scores):
+            if other == lang:
+                continue
+            cmp = scores[lang] >= scores[other] if lang < other else scores[lang] > scores[other]
+            cond = cond & cmp
+        out = F.when(cond, lang).otherwise(out)
+    return out
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-content fingerprint: md5 of whitespace-normalized lowercase text
+    (identical in DuckDB: ``md5(...)``)."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the near-dup unit)."""
+    toks = whitespace_tokens(F.lower(col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingle_fingerprint(col: Column, n: int = 3) -> Column:
+    """Order-insensitive near-dup fingerprint: md5 over the sorted distinct
+    shingle set."""
+    return F.md5(F.array_join(F.array_sort(shingles(col, n)), ""))

@@ -9,8 +9,10 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import
 
 # Importing the modules populates the registry.
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import (  # noqa: E402,F401
+    cleaning_queries,
     docstore_queries,
     relational,
+    trainingdata_queries,
 )
 
 __all__ = ["QUERIES", "Query", "register"]

@@ -1,0 +1,98 @@
+"""Validate the LSH/approximate operators against their exact counterparts
+(the rows-only queries' real correctness check)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    lsh_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    rows = ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.8).collect()
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+
+
+def test_testdata_has_planted_near_dups(exact_pairs):
+    # the synthetic corpus plants near-duplicate docs; the exact operator
+    # must surface them (guards against a silently-empty dedup pipeline)
+    assert len(exact_pairs) >= 5
+    assert max(exact_pairs.values()) > 0.99
+
+
+def test_minhash_lsh_recall(docs, exact_pairs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=64, bands=16, n=2, threshold=0.8
+        ).collect()
+    }
+    # 16 bands × 4 rows: P(candidate | j=0.8) ≈ 0.9998 — expect near-total recall
+    recall = len(got & set(exact_pairs)) / len(exact_pairs)
+    assert recall >= 0.9
+    # verification step guarantees precision == 1 vs the exact operator
+    assert got <= set(exact_pairs)
+
+
+def test_simhash_finds_identical_token_docs(docs, exact_pairs):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    # docs with identical token multisets must collide at hamming 0
+    identical = [p for p, j in exact_pairs.items() if j == 1.0]
+    assert identical, "fixture should contain at least one jaccard-1.0 pair"
+    for p in identical:
+        assert p in got
+
+
+def test_dedup_exact_preserves_schema_and_rows(docs):
+    out = dedup_exact(docs, "text", "doc_id")
+    assert out.columns == docs.columns
+    # no exact duplicates in the synthetic corpus → row-preserving
+    assert out.count() == docs.count()
+
+
+def test_ann_lsh_agrees_with_bruteforce(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["id"] for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    approx = [
+        r["id"]
+        for r in lsh_bucket_topk(
+            emb, "embedding", "vec_id", q, k=10, bits=8, probe_hamming=3
+        ).collect()
+    ]
+    assert exact[0] == 0  # the query vector itself
+    assert approx[0] == 0  # hamming(q, q) = 0 → always probed
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_lsh_near_pairs_subset_of_exact(emb):
+    approx = lsh_near_pairs(emb, "embedding", "vec_id", threshold=0.3, bits=16, bands=4)
+    rows = approx.collect()
+    # verification filter bounds precision: every returned pair really has
+    # cosine >= threshold
+    assert all(r["cosine"] >= 0.3 for r in rows)
