@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A training-data engine at the 100 TB point carries image/audio/video as
+``binary`` columns with a typed metadata struct, decoding only inside
+Arrow-batched Python (``mapInPandas``) so bytes never round-trip through JVM
+row objects one at a time.  The container has no image/audio libraries, so
+the *decode* step is stubbed (``NotImplementedError`` for real codecs, a
+deterministic byte-level fake for tests) while everything Spark-side —
+schema, batching, partitioning, UDF signatures — is real and tested.
+
+Payloads here derive from the ``documents`` table (text encoded as UTF-8
+bytes): deterministic, driver-provided input, same plumbing as a real corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+PAYLOAD_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<format:string, n_bytes:long>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, fingerprint string, "
+    "n_frames long, features array<double>"
+)
+
+FRAME_BYTES = 64  # fixed "frame" size for the frame-sampling stub
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload + metadata struct to each document."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload(payload: bytes, fmt: str) -> dict:
+    """Real decoders (image/audio/video) are not available in this
+    environment — the dispatch is the extension point."""
+    if fmt == "text/plain":
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        f"no codec for {fmt!r}: install decoders and register them here"
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic byte-level 'decode' standing in for a codec: byte count,
+    md5 fingerprint, fixed-size frame count, and a tiny feature vector —
+    every value reproducible from the bytes alone."""
+    import hashlib
+
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "fingerprint": hashlib.md5(payload).hexdigest(),
+        "n_frames": (n + FRAME_BYTES - 1) // FRAME_BYTES,
+        "features": [
+            float(n % 256),
+            float(payload[0]) if n else 0.0,
+            float(payload[-1]) if n else 0.0,
+        ],
+    }
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The decode loop sees pandas batches of raw bytes — exactly the shape a
+    real image/audio featurizer needs (decode → ndarray → model) — and emits
+    typed columns."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                d = decode_payload(bytes(payload), meta["format"])
+                d["doc_id"] = doc_id
+                out.append(d)
+            if out:
+                yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -11,6 +11,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import (  # noqa: E402,F401
     cleaning_queries,
     docstore_queries,
+    etl_queries,
     relational,
     trainingdata_queries,
 )

@@ -1,0 +1,177 @@
+"""Catalog queries for the ETL-side operators: upsert join (J1), argmax/
+unpivot aggregates (A10/A11), multimodal payload features, and the
+Structured Streaming rollup — each oracle-checked on the driver tables."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+    extract_features,
+    with_binary_payload,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import merge_update
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.rollup import (
+    run_streaming_hourly_rollup,
+)
+
+
+# ---------------------------------------------------------------------------
+# J1: enrichment upsert — update supplier balances to their nation's customer
+# average where one exists, keep the original otherwise (04/update.py:56-76
+# re-expressed as broadcast left-join + coalesce).
+# ---------------------------------------------------------------------------
+@register(
+    "upsert_supplier_acctbal",
+    oracle=f"""
+        WITH upd AS (
+            SELECT c_nationkey AS s_nationkey, {davg_sql("c_acctbal")} AS nation_avg
+            FROM customer
+            GROUP BY c_nationkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               COALESCE(u.nation_avg, s.s_acctbal) AS s_acctbal
+        FROM supplier s
+        LEFT JOIN upd u ON s.s_nationkey = u.s_nationkey
+    """,
+    doc="find_one+set+save upsert loop as broadcast left-join + coalesce (04/update.py:56-76)",
+    tags=("join", "upsert"),
+)
+def upsert_supplier_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    updates = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("s_nationkey"))
+        .agg(davg("c_acctbal").alias("nation_avg"))
+    )
+    return merge_update(
+        s, updates, key="s_nationkey", set_map={"s_acctbal": "nation_avg"}
+    ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# A10: max/min + argmax/argmin (the ERCOT "max load and when" shape,
+# 01/ercot_coast_stats.py:33-41) — max_by/min_by with a unique tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "extreme_value_events",
+    oracle="""
+        SELECT event_type,
+               MAX(value) AS max_value,
+               arg_max(event_id, value) AS max_event_id,
+               MIN(value) AS min_value,
+               arg_min(event_id, value) AS min_event_id,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="max/min + time-of-occurrence argmax (01/ercot_coast_stats.py:33-41; A10). "
+    "Scalar max_by/min_by: group extremes are unique in the testdata (verified); "
+    "under ties both engines pick arbitrarily — add a window-rank tiebreak "
+    "(A13 shape) where uniqueness matters.",
+    tags=("agg", "argmax"),
+)
+def extreme_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max("value").alias("max_value"),
+        F.max_by("event_id", "value").alias("max_event_id"),
+        F.min("value").alias("min_value"),
+        F.min_by("event_id", "value").alias("min_event_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: wide→long unpivot then per-measure aggregate (01/excel_csv.py:34-44's
+# loop-over-region-columns, done as one melt + one aggregation).
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_measure_stats",
+    oracle=f"""
+        WITH long AS (
+            SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT measure, MIN(val) AS min_val, MAX(val) AS max_val,
+               {dsum_sql("val")} AS sum_val, COUNT(*) AS n
+        FROM long
+        GROUP BY measure
+    """,
+    doc="column-wise wide→long aggregation via unpivot (01/excel_csv.py:34-44; A11)",
+    tags=("agg", "unpivot"),
+)
+def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        dsum("val").alias("sum_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched feature extraction.  The fake
+# decode is byte-deterministic, so the whole pipeline oracle-checks (the
+# oracle recomputes the same features from the text the payload encodes).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_payload_features",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS fingerprint,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+               [CAST(octet_length(encode(text)) % 256 AS DOUBLE),
+                CAST(ascii(substring(text, 1, 1)) AS DOUBLE),
+                CAST(ascii(substring(text, -1, 1)) AS DOUBLE)] AS features
+        FROM documents
+    """,
+    doc="binary payload + metadata struct + mapInPandas feature extraction (stub codec)",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming rollup: same result as the batch hourly rollup, driven
+# through readStream → stateful agg → availableNow (SURVEY.md §2.8 stretch).
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_hourly_rollup",
+    oracle=f"""
+        SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS epoch_hour,
+               event_type,
+               COUNT(*) AS cnt,
+               {dsum_sql("value")} AS sum_value
+        FROM events
+        GROUP BY epoch_hour, event_type
+    """,
+    doc="Structured Streaming rollup (readStream → complete-mode agg → availableNow)",
+    tags=("streaming", "agg"),
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_hourly_rollup(spark, sf_dir)

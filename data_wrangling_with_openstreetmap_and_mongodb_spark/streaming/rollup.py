@@ -1,0 +1,71 @@
+"""Structured Streaming operators (SURVEY.md §2.8 stretch; engine north star).
+
+The reference is batch-only, but the engine exposes its time-bucketed rollup
+as a real Structured Streaming job: ``readStream`` over the events parquet →
+stateful streaming aggregation → memory sink, driven to completion with an
+``availableNow`` trigger.  The same logical plan serves a live stream — swap
+the source for Kafka/files-in-arrival and the trigger for a processing-time
+cadence; the aggregation state, output mode, and sink contract are already
+streaming-native.
+
+Determinism: the aggregate uses the engine's exact quantized sum
+(functions/detagg.py), so the streaming result is bit-identical to the batch
+rollup and to the DuckDB oracle regardless of micro-batch boundaries —
+streaming partial aggregation is just another summation order.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import NANOS_PER_HOUR
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import dsum
+
+_sink_counter = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table (schema pinned from a batch peek —
+    streaming sources require an explicit schema)."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The table may be a single parquet file; the file-stream source wants a
+    # directory basePath, so stream the parent with a glob filter.
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def hourly_rollup_plan(events: DataFrame) -> DataFrame:
+    """The streaming aggregation: integer hour bucket × event_type →
+    count + exact sum.  Identical logical shape to the batch rollup."""
+    return (
+        events.withColumn("epoch_hour", F.floor(F.col("ts") / F.lit(NANOS_PER_HOUR)))
+        .groupBy("epoch_hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+    )
+
+
+def run_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the streaming rollup to completion (availableNow) and return the
+    final result as a DataFrame.
+
+    ``complete`` output mode: every trigger emits full aggregation state —
+    the right mode for a bounded catch-up run and for dashboards; an
+    unbounded deployment would add a watermark + append mode."""
+    name = f"hourly_rollup_sink_{next(_sink_counter)}"
+    q = (
+        hourly_rollup_plan(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

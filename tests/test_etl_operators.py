@@ -1,0 +1,105 @@
+"""Unit tests: upsert join (J1), multimodal plumbing, streaming rollup."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+    decode_payload,
+    extract_features,
+    with_binary_payload,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+    merge_update,
+    merge_update_struct,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.relational import (
+    hourly_event_rollup,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.rollup import (
+    run_streaming_hourly_rollup,
+)
+
+
+class TestUpsert:
+    def test_merge_update_matched_and_unmatched(self, spark):
+        # update.py:56-76 semantics: matched rows take the update, others keep
+        target = spark.createDataFrame(
+            [("Argiope", None), ("Loxosceles", "old"), ("Latrodectus", "keep")],
+            ["label", "authority"],
+        )
+        updates = spark.createDataFrame(
+            [("Argiope", "Audouin"), ("Loxosceles", "Heineken & Lowe")],
+            ["label", "authority_new"],
+        )
+        out = merge_update(
+            target, updates, key="label", set_map={"authority": "authority_new"}
+        )
+        got = {r["label"]: r["authority"] for r in out.collect()}
+        assert got == {
+            "Argiope": "Audouin",
+            "Loxosceles": "Heineken & Lowe",
+            "Latrodectus": "keep",
+        }
+        assert set(out.columns) == {"label", "authority"}
+
+    def test_merge_update_struct_field(self, spark):
+        # classification.binomialAuthority merge (update.py:72-74)
+        target = spark.createDataFrame(
+            [("Argiope", ("Araneidae", None)), ("Other", ("Fam", "orig"))],
+            "label string, classification struct<family:string, binomialAuthority:string>",
+        )
+        updates = spark.createDataFrame(
+            [("Argiope", "Audouin")], ["label", "binomialAuthority"]
+        )
+        out = merge_update_struct(
+            target, updates, "label", "classification", "binomialAuthority",
+            src="binomialAuthority",
+        )
+        got = {
+            r["label"]: (
+                r["classification"]["family"],
+                r["classification"]["binomialAuthority"],
+            )
+            for r in out.collect()
+        }
+        assert got == {"Argiope": ("Araneidae", "Audouin"), "Other": ("Fam", "orig")}
+
+    def test_upsert_plan_broadcasts(self, spark, sf_dir):
+        s = load_table(spark, sf_dir, "supplier")
+        upd = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nationkey"), F.col("n_name")
+        )
+        out = merge_update(s, upd, "s_nationkey", {"s_name": "n_name"})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestMultimodal:
+    def test_payload_schema_and_features(self, spark):
+        docs = spark.createDataFrame([(1, "hello world"), (2, "a")], ["doc_id", "text"])
+        wp = with_binary_payload(docs)
+        assert dict(wp.dtypes)["payload"] == "binary"
+        feats = {r["doc_id"]: r for r in extract_features(wp).collect()}
+        assert feats[1]["n_bytes"] == 11
+        assert feats[1]["n_frames"] == 1
+        assert feats[1]["features"] == [11.0, float(ord("h")), float(ord("d"))]
+        import hashlib
+
+        assert feats[1]["fingerprint"] == hashlib.md5(b"hello world").hexdigest()
+
+    def test_unknown_codec_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x89PNG", "image/png")
+
+
+class TestStreamingRollup:
+    def test_stream_matches_batch(self, spark, sf_dir):
+        stream = run_streaming_hourly_rollup(spark, sf_dir)
+        batch = hourly_event_rollup(spark, sf_dir)
+        cols = ["epoch_hour", "event_type", "cnt", "sum_value"]
+        srows = sorted(tuple(r[c] for c in cols) for r in stream.collect())
+        brows = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+        assert srows == brows  # bit-identical thanks to quantized sums
