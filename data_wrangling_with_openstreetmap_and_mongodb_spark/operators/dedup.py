@@ -72,16 +72,30 @@ def ngram_jaccard_pairs(
     Candidates are then verified with exact set Jaccard.  Returns
     ``(id_a, id_b, jaccard)``.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # repartition = materialization barrier + ReuseExchange: the shingle
+    # array computes once and is shared by the inverted index, the prefix
+    # window, and both verification sides (see minhash_lsh_pairs note).
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .repartition("id")
+    )
     ex = base.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
     w = Window.partitionBy("id").orderBy(F.asc("df_cnt"), F.asc("shingle"))
+    # Sound prefix bound: J(a,b) ≥ t implies overlap ≥ ceil(t·|x|) on each
+    # side, so a shared shingle must appear within the first
+    # |x| − ceil(t·|x|) + 1 under any consistent global order.  The inner
+    # round() guards FP: t·|x| lands 1 ulp above/below an integer for |x|
+    # divisible by the threshold's denominator, and a naive floor/ceil then
+    # shortens the prefix below the bound and silently drops true pairs.
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9)) + 1
+    )
     prefix = (
         ex.join(freq, "shingle")
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.floor((1 - threshold) * F.col("n_sh")) + 1)
+        .filter(F.col("rn") <= prefix_len)
         .select("id", "shingle")
     )
     a = prefix.alias("a")
@@ -136,27 +150,36 @@ def minhash_lsh_pairs(
     hashes equal.  The bucket join shuffles only (band, bucket) keys.
     """
     rows_per_band = num_hashes // bands
-    # One projection computes shingles once, then derives the signature from
-    # it; sh and sig both ride along to the join so candidates are verified
-    # without re-reading or re-shingling the input (no extra joins).
     sh_col = shingles(F.col(text_col), n)
+    # Shuffle barrier + ReuseExchange: the shingle array computes once and is
+    # shared by the signature aggregation and both verification sides.
     base = (
         df.select(F.col(id_col).alias("id"), sh_col.alias("sh"))
         .filter(F.size("sh") > 0)
-        .withColumn(
-            "sig",
-            F.array(
-                *[
-                    F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(i), s)))
-                    for i in range(num_hashes)
-                ]
-            ),
-        )
+        .repartition("id")
     )
-    band_rows = base.select(
+    # Signature as explode → hash-aggregate with num_hashes min() buffers:
+    # a single giant array<transform<...>> projection exceeds what whole-stage
+    # codegen will compile (interpreted fallback, ~10×), while min-aggregate
+    # buffers codegen fine at any width.  The groupBy shuffles only
+    # (id, 64×8 bytes) partial states thanks to map-side combine.
+    ex = base.select("id", F.explode("sh").alias("shingle"))
+    sig_agg = ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    with_sig = sig_agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+    # The band explode and self-join carry ONLY (id, band, bucket): exploding
+    # the shingle/signature arrays 16× and shuffling them through the join
+    # costs far more than re-attaching them to the (small) candidate set via
+    # two id-equi-joins afterwards.
+    band_rows = with_sig.select(
         "id",
-        "sh",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -176,26 +199,30 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sides = with_sig.join(base, "id")
+    side_a = sides.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
+    )
+    side_b = sides.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b")
+    )
+    return (
+        cand.join(side_a, "id_a")
+        .join(side_b, "id_b")
         .withColumn(
             "est_jaccard",
             F.size(
