@@ -1,0 +1,98 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations the
+reference hand-rolls must actually fire in Catalyst — pushdown, pruning,
+broadcast, top-k, partial aggregation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import (
+    assert_plan,
+    has_pushed_filters,
+    has_top_k,
+    pushed_filters,
+    read_schema_columns,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
+
+
+def q(name, spark, sf_dir):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+class TestPushdownAndPruning:
+    def test_filter_reaches_parquet_scan(self, spark, sf_dir):
+        df = q("find_building_customers", spark, sf_dir)
+        # manual $match-first (05/most_common_city_name.py:12-14) is automatic
+        assert has_pushed_filters(df, "c_mktsegment", "c_acctbal")
+
+    def test_docstore_find_pushes_down(self, spark, sf_dir):
+        # the Mongo-surface compiler emits plain predicates → same pushdown
+        df = q("ds_find_machinery_customers", spark, sf_dir)
+        assert has_pushed_filters(df, "c_mktsegment", "c_acctbal")
+
+    def test_column_pruning_projection(self, spark, sf_dir):
+        df = q("project_rename", spark, sf_dir)
+        cols = read_schema_columns(df)
+        assert cols == {"c_name", "c_acctbal"}  # not the whole customer table
+
+    def test_agg_prunes_to_grouping_and_measure(self, spark, sf_dir):
+        df = q("avg_balance_by_nation_segment", spark, sf_dir)
+        assert read_schema_columns(df) == {"c_nationkey", "c_mktsegment", "c_acctbal"}
+
+    def test_date_range_pushdown(self, spark, sf_dir):
+        df = q("orders_in_range", spark, sf_dir)
+        assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+class TestJoinStrategies:
+    def test_dim_joins_broadcast(self, spark, sf_dir):
+        assert_plan(
+            q("customers_per_region", spark, sf_dir),
+            broadcast_join=True,
+            partial_aggregation=True,
+        )
+
+    def test_topk_semi_join_broadcasts(self, spark, sf_dir):
+        assert_plan(q("orders_of_top_customers", spark, sf_dir), broadcast_join=True)
+
+    def test_upsert_broadcasts_update_side(self, spark, sf_dir):
+        assert_plan(q("upsert_supplier_acctbal", spark, sf_dir), broadcast_join=True)
+
+
+class TestAggregationAndTopK:
+    def test_sort_limit_is_take_ordered(self, spark, sf_dir):
+        # $sort+$limit → TakeOrderedAndProject, no full sort (T1)
+        assert has_top_k(q("top_event_types", spark, sf_dir))
+        assert has_top_k(q("ds_top_clickers", spark, sf_dir))
+
+    def test_group_count_partial_agg(self, spark, sf_dir):
+        assert_plan(q("top_event_types", spark, sf_dir), partial_aggregation=True)
+
+    def test_quantized_sum_keeps_partial_agg(self, spark, sf_dir):
+        # detagg's decimal accumulation must not break map-side combine
+        assert_plan(q("pricing_summary", spark, sf_dir), partial_aggregation=True)
+
+    def test_exact_dedup_is_single_aggregate_no_join(self, spark, sf_dir):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("dedup_exact_groups", spark, sf_dir))
+        assert "Join" not in plan  # one hash-agg on the fingerprint
+
+
+class TestScanShapes:
+    def test_full_catalog_plans_are_not_rdd_backed(self, spark, sf_dir):
+        """Every catalog query is pure DataFrame algebra (or declared
+        pandas/streaming): no query silently degenerates to RDD scans."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        for name, entry in QUERIES.items():
+            if {"streaming", "pandas-udf", "lsh", "similarity"} & set(entry.tags):
+                continue
+            plan = executed_plan(entry.fn(spark, sf_dir))
+            assert "Scan ExistingRDD" not in plan, name
+
+    def test_events_json_extraction_prunes(self, spark, sf_dir):
+        df = q("events_with_large_k", spark, sf_dir)
+        assert read_schema_columns(df) == {"event_type", "props"}
