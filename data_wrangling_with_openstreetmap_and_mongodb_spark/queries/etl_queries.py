@@ -23,6 +23,12 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.rollup import (
     run_streaming_hourly_rollup,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.sessionize import (
+    sessionize_batch,
+    sessionize_batch_oracle_sql,
+)
+
+SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 h, ~median inter-event gap ×1.6
 
 
 # ---------------------------------------------------------------------------
@@ -175,3 +181,23 @@ def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_hourly_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (batch windows; the streaming stateful variant in
+# streaming/sessionize.py is equivalence-tested against this one).
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    oracle=sessionize_batch_oracle_sql(SESSION_GAP_US),
+    doc="gap sessionization: lag + running-sum windows then collapse "
+    "(window-function surface; streaming twin via applyInPandasWithState). "
+    "Microsecond resolution: DuckDB truncates nano-timestamps to micros, so "
+    "both engines sessionize the same integers (exact `div`, not fp division).",
+    tags=("window", "sessionization"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts")
+    )
+    return sessionize_batch(ev, SESSION_GAP_US)
