@@ -27,6 +27,12 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.jsonx import (
     read_json,
     write_jsonl,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.restx import (
+    download_to_file,
+    fetch_paged,
+    fetch_pages_distributed,
+    http_json_fetcher,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.osm import (
     element_tag_counts,
     process_map,
@@ -42,11 +48,15 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.xmlx import (
 
 __all__ = [
     "decode_serial_date_columns",
+    "download_to_file",
     "element_tag_counts",
     "excel_support",
+    "fetch_paged",
+    "fetch_pages_distributed",
     "file_key_columns",
     "find_one",
     "first_line_meta",
+    "http_json_fetcher",
     "process_map",
     "read_csv",
     "read_csv_positional",
