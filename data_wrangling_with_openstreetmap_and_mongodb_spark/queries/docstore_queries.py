@@ -173,6 +173,62 @@ def ds_cond_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_regex_find",
+    oracle="""
+        SELECT p_partkey, p_name, p_type
+        FROM part
+        WHERE regexp_matches(p_type, 'BRASS|COPPER$') AND p_size >= 30
+    """,
+    doc="$regex predicate → rlike pushF-compatible filter (SURVEY.md P10/C3 rlike surface)",
+    tags=("docstore", "filter", "regex"),
+)
+def ds_regex_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "part").find(
+        {"p_type": {"$regex": "BRASS|COPPER$"}, "p_size": {"$gte": 30}},
+        {"p_partkey": 1, "p_name": 1, "p_type": 1, "_id": 0},
+    )
+
+
+@register(
+    "ds_elem_match",
+    oracle="""
+        SELECT vec_id, label
+        FROM embeddings
+        WHERE len(list_filter(embedding, x -> x > 0.28)) > 0
+    """,
+    doc="$elemMatch over an array column → exists() higher-order predicate",
+    tags=("docstore", "filter", "array"),
+)
+def ds_elem_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "embeddings").find(
+        {"embedding": {"$elemMatch": {"$gt": 0.28}}},
+        {"vec_id": 1, "label": 1, "_id": 0},
+    )
+
+
+@register(
+    "ds_sort_skip_limit",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10 OFFSET 20
+    """,
+    doc="$sort + $skip + $limit paging (cursor .skip/.limit surface)",
+    tags=("docstore", "topk", "paging"),
+)
+def ds_sort_skip_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {"$project": {"o_orderkey": "$o_orderkey", "o_totalprice": "$o_totalprice"}},
+            {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+            {"$skip": 20},
+            {"$limit": 10},
+        ]
+    )
+
+
+@register(
     "ds_compound_group_key",
     oracle=f"""
         SELECT o_orderstatus AS status, o_orderpriority AS priority,

@@ -532,6 +532,40 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F4/F5: nest (struct/map construction) then unnest back to columns — the
+# shaped-document round-trip (created{}/address{} building, data.py:99-125,
+# inverse select(col("address.*"))).  Output is flat so the oracle hash is
+# engine-agnostic; the nesting happens mid-plan.
+# ---------------------------------------------------------------------------
+@register(
+    "nest_unnest_roundtrip",
+    oracle="""
+        SELECT c_custkey, c_name AS name, c_acctbal AS balance,
+               c_mktsegment AS segment
+        FROM customer
+        WHERE c_custkey <= 500
+    """,
+    doc="struct + map construction then flatten (F4/F5; data.py:99-125 shape)",
+    tags=("reshape",),
+)
+def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    nested = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"), F.col("c_acctbal").alias("balance")
+        ).alias("info"),
+        F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("tags"),
+    )
+    return nested.select(
+        "c_custkey",
+        F.col("info.name").alias("name"),
+        F.col("info.balance").alias("balance"),
+        F.col("tags")["segment"].alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # T3: full sort desc, no limit (ranked listing).
 # ---------------------------------------------------------------------------
 @register(
