@@ -1,0 +1,104 @@
+"""Scale-out primitives: skew salting, bucketed co-located joins, and
+partitioned sinks with pruning.
+
+None of these change results — they change *plans*.  They are the knobs a
+100 TB deployment turns when the defaults (AQE skew handling, shuffle hash
+join, flat parquet layout) stop being enough, packaged so the choice is one
+call instead of a hand-rolled pattern.  Each has a plan-level test pinning
+the behavior (tests/test_scale.py): salted joins keep result equality,
+bucketed joins produce no shuffle exchange, partitioned reads prune.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys: the big side gets a deterministic
+    salt derived from its partition-local row, the small side is replicated
+    ``salt_factor``× — so one hot key spreads over ``salt_factor`` reducers
+    instead of melting a single one.
+
+    Use when a handful of keys dominate (the Zipfian user, the null bucket)
+    and AQE's skew-join splitting isn't available (e.g. broadcast is too big
+    and the skew is in a sort-merge join).  Deterministic: the salt comes
+    from ``monotonically_increasing_id() % salt_factor``, not ``rand()``, so
+    retried tasks produce identical output.
+    """
+    big_salted = big.withColumn(
+        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(salt_factor)).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias(SALT_COL)
+    small_replicated = small.select("*", salts)
+    joined = big_salted.join(small_replicated, on=[key, SALT_COL], how=how)
+    return joined.drop(SALT_COL)
+
+
+def salted_count_distinct(
+    df: DataFrame, group_key: str, distinct_col: str, salt_factor: int = 16
+) -> DataFrame:
+    """Two-phase exact count-distinct for skewed group keys: first distinct
+    on (key, salt, value) spreads the hot key, then the final exact count
+    collapses.  Same result as ``countDistinct`` — different shuffle shape."""
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salt_factor)).cast("int")
+    )
+    partial = salted.select(group_key, SALT_COL, distinct_col).distinct()
+    return partial.groupBy(group_key).agg(
+        F.count(F.col(distinct_col)).alias("n_distinct")
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table: joins and
+    aggregations on ``key`` between co-bucketed tables need NO shuffle —
+    the exchange happened once, at write time.  This is the Spark rendering
+    of 'pre-partition your 100 TB fact table by join key'."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session may have left the managed location behind (the
+    # metastore is session-scoped in local deployments); saveAsTable refuses
+    # to reuse it, so clear the orphan directory
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if warehouse:
+        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-layout partitioned parquet sink: equality/range filters on the
+    partition columns prune whole directories at plan time (PartitionFilters
+    in the scan), the coarse-grained analogue of row-group pushdown."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def events_partitioned_by_day(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """Materialize events partitioned by epoch day — the layout a streaming
+    ingest would write — and return the partitioned reader."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_day", F.floor(F.col("ts") / F.lit(86_400_000_000_000)).cast("int")
+    )
+    write_partitioned(ev, path, ["epoch_day"])
+    return spark.read.parquet(path)

@@ -1,0 +1,87 @@
+"""Scale-primitive tests: results unchanged, plans changed as intended."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+    events_partitioned_by_day,
+    salted_count_distinct,
+    salted_join,
+    write_bucketed,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.plans.inspect import (
+    executed_plan,
+    formatted_explain,
+)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = (
+        orders.join(customer, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(orders, customer, "o_custkey", salt_factor=8)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_count_distinct_equals_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_count_distinct(ev, "event_type", "user_id").collect()
+    }
+    assert salted == exact
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    write_bucketed(orders, "orders_b", "o_custkey", buckets=8)
+    write_bucketed(customer, "customer_b", "o_custkey", buckets=8)
+    # merge hint: at test scale the dimension side would broadcast, which
+    # hides the property under test (shuffle-free sort-merge on bucket layout)
+    joined = spark.table("orders_b").hint("merge").join(
+        spark.table("customer_b").hint("merge"), "o_custkey"
+    )
+    plan = executed_plan(joined)
+    # co-bucketed tables: sort-merge join with zero Exchange operators
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert joined.count() == orders.join(customer, "o_custkey").count()
+
+
+def test_partitioned_read_prunes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_by_day")
+    ev = events_partitioned_by_day(spark, sf_dir, path)
+    one_day = ev.filter(F.col("epoch_day") == 19724).select("event_id")
+    plan = formatted_explain(one_day)
+    assert "PartitionFilters" in plan
+    # the scan must not read every partition: pruned plan lists the predicate
+    assert "epoch_day" in plan.split("PartitionFilters", 1)[1][:200]
+    # and pruning preserves correctness
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.floor(F.col("ts") / F.lit(86_400_000_000_000)) == 19724)
+        .count()
+    )
+    assert one_day.count() == expected
