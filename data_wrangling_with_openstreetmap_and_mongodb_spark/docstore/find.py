@@ -122,10 +122,6 @@ class FindCompiler:
         if op == "$size":
             return F.size(col) == int(arg)
         if op == "$elemMatch":
-            sub = [self._op_pred(path, F.col("__e__"), o, a) for o, a in arg.items()]
-            lam = sub[0]
-            for s in sub[1:]:
-                lam = lam & s
             # exists() with a lambda over the array elements
             return F.exists(col, lambda e: self._elem_match(e, arg))
         raise ValueError(f"unsupported find operator: {op}")

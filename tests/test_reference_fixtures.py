@@ -353,6 +353,58 @@ class TestArachnidProcessing:
 
 
 # ---------------------------------------------------------------------------
+# hourly_load (FIXTURES.md §6 — ERCOT wide time series, 01/excel_csv.py)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def hourly_load(spark):
+    base = datetime.datetime(2013, 1, 1)
+    rows = []
+    for h in range(48):
+        ts = base + datetime.timedelta(hours=h)
+        rows.append((ts, 10000.0 + h * 7, 5000.0 + ((h * 13) % 29) * 100))
+    # plant known maxima: COAST peaks at the last hour, EAST mid-series
+    rows[30] = (base + datetime.timedelta(hours=30), 10000.0 + 30 * 7, 9999.9)
+    return spark.createDataFrame(rows, "ts timestamp, COAST double, EAST double")
+
+
+class TestHourlyLoadWideSeries:
+    def test_unpivot_max_and_argmax_time(self, hourly_load):
+        # 01/excel_csv.py:34-44 loop-over-region-columns → melt + max/max_by;
+        # golden: per-region max load AND the hour it occurred (A10+A11)
+        long = hourly_load.unpivot(
+            ids=["ts"], values=["COAST", "EAST"],
+            variableColumnName="Station", valueColumnName="Load",
+        )
+        got = {
+            r["Station"]: (r["MaxLoad"], r["MaxTime"])
+            for r in long.groupBy("Station")
+            .agg(
+                F.max("Load").alias("MaxLoad"),
+                F.max_by("ts", "Load").alias("MaxTime"),
+            )
+            .collect()
+        }
+        assert got["COAST"][0] == pytest.approx(10000.0 + 47 * 7, abs=0.1)
+        assert got["COAST"][1] == datetime.datetime(2013, 1, 2, 23, 0)
+        assert got["EAST"][0] == 9999.9
+        assert got["EAST"][1] == datetime.datetime(2013, 1, 2, 6, 0)
+
+    def test_global_stats_with_argminmax(self, hourly_load):
+        # 01/ercot_coast_stats.py:22-81: min/max/avg + when they occurred
+        r = hourly_load.agg(
+            F.min("COAST").alias("lo"),
+            F.max("COAST").alias("hi"),
+            F.avg("COAST").alias("mean"),
+            F.min_by("ts", "COAST").alias("lo_at"),
+            F.max_by("ts", "COAST").alias("hi_at"),
+        ).first()
+        assert r["lo"] == 10000.0 and r["lo_at"] == datetime.datetime(2013, 1, 1)
+        assert r["hi_at"] == datetime.datetime(2013, 1, 2, 23, 0)
+        expected_mean = sum(10000.0 + h * 7 for h in range(48)) / 48
+        assert abs(r["mean"] - expected_mean) < 1e-8
+
+
+# ---------------------------------------------------------------------------
 # tweets (FIXTURES.md §5 — lesson-05 nested-doc queries)
 # ---------------------------------------------------------------------------
 @pytest.fixture(scope="module")
