@@ -121,6 +121,32 @@ def _apply_sort(df: DataFrame, spec: dict[str, int]) -> DataFrame:
     return df.orderBy(*cols)
 
 
+def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$lookup: left outer equi-join collecting matches into an array of
+    structs under ``as`` — Mongo 3.2's join stage (not in the 2.x-era
+    reference, provided for surface completeness).  Planned as join +
+    groupBy(collect_list); the foreign side should be the smaller one
+    (broadcast fires under the threshold)."""
+    from_df: DataFrame = spec["from"]
+    local, foreign, alias = spec["localField"], spec["foreignField"], spec["as"]
+    if not isinstance(from_df, DataFrame):
+        raise ValueError("$lookup 'from' must be a DataFrame (no shared catalog)")
+    matched = F.struct(*[F.col(f"__f__.{c}") for c in from_df.columns])
+    joined = df.join(
+        from_df.alias("__f__"),
+        F.col(local) == F.col(f"__f__.{foreign}"),
+        "left",
+    )
+    return (
+        joined.groupBy(*[F.col(c) for c in df.columns])
+        .agg(
+            F.collect_list(
+                F.when(F.col(f"__f__.{foreign}").isNotNull(), matched)
+            ).alias(alias)
+        )
+    )
+
+
 def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
     """Compile a full pipeline into one lazy DataFrame plan."""
     out = df
@@ -144,6 +170,8 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             out = out.offset(int(spec))
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$lookup":
+            out = _apply_lookup(out, spec)
         elif op == "$sample":
             frac = min(1.0, int(spec["size"]) / max(out.count(), 1))
             out = out.sample(fraction=frac, seed=42)

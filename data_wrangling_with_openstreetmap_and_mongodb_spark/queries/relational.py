@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import (
     events_with_time,
     load_table,
+    register_temp_views,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
     davg,
@@ -563,6 +564,39 @@ def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.balance").alias("balance"),
         F.col("tags")["segment"].alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry path: the same engine through spark.sql over registered views —
+# identical Catalyst plan as the DataFrame API, proving the declarative
+# surface is interchangeable (SURVEY.md §3.2 pipeline ≙ SQL ≙ DataFrame).
+# The quantized-sum fragment is dialect-shared between Spark SQL and DuckDB.
+# ---------------------------------------------------------------------------
+_REVENUE_SQL = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1e6 + 0.5)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_revenue_by_nation",
+    oracle=_REVENUE_SQL,
+    doc="spark.sql entry over registered views (TPC-H Q5 shape); same string "
+    "runs on both engines — one definition, two executors, one hash",
+    tags=("sql", "join", "agg"),
+)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_REVENUE_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -239,3 +239,31 @@ def test_update_from_enrichment_join(spark):
     )
     got = {r["label"]: r["classification"]["binomialAuthority"] for r in coll.df.collect()}
     assert got == {"Argiope": "Audouin", "Lycosa": "Latreille"}
+
+
+def test_pipeline_lookup_join(spark):
+    # $lookup (Mongo 3.2 join stage): matches collect into an array of
+    # structs; unmatched docs get an empty array
+    orders = DocumentCollection(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "order_id long, item string"
+        ),
+        "orders",
+    )
+    inventory = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "sku string, qty int"
+    )
+    out = orders.aggregate(
+        [
+            {
+                "$lookup": {
+                    "from": inventory,
+                    "localField": "item",
+                    "foreignField": "sku",
+                    "as": "stock",
+                }
+            }
+        ]
+    )
+    got = {r["order_id"]: sorted((s["sku"], s["qty"]) for s in r["stock"]) for r in out.collect()}
+    assert got == {1: [("a", 10), ("a", 20)], 2: [("b", 5)], 3: []}
