@@ -567,6 +567,52 @@ def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact percentiles (beyond the reference surface; both engines implement
+# R-7 linear interpolation on order statistics, so the doubles bit-match).
+# ---------------------------------------------------------------------------
+@register(
+    "value_percentiles",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="exact percentile/median per group (R-7 interpolation, bit-matched)",
+    tags=("agg", "percentile"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 scalable variant: HLL approximate distinct — engine-specific sketches
+# can't hash-match an oracle, so this registers rows-only; the accuracy bound
+# vs the exact count is asserted in tests/test_scale.py.
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    doc="approx_count_distinct (HLL++): the 100 TB path where exact distinct "
+    "would shuffle every key; ±5%% accuracy asserted against exact in tests",
+    tags=("agg", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL entry path: the same engine through spark.sql over registered views —
 # identical Catalyst plan as the DataFrame API, proving the declarative
 # surface is interchangeable (SURVEY.md §3.2 pipeline ≙ SQL ≙ DataFrame).

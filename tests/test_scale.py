@@ -36,6 +36,24 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_approx_distinct_within_rsd_bound(spark, sf_dir):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+
+
 def test_salted_count_distinct_equals_exact(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     exact = {
