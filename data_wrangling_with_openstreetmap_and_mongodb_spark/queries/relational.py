@@ -567,6 +567,27 @@ def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OLAP rollup (beyond the reference surface): hierarchical subtotals with
+# null markers for aggregated-out levels — identical semantics both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_customer_counts",
+    oracle="""
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        FROM customer
+        GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+    """,
+    doc="hierarchical rollup subtotals (nation → segment → grand total)",
+    tags=("agg", "rollup"),
+)
+def rollup_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.rollup("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles (beyond the reference surface; both engines implement
 # R-7 linear interpolation on order statistics, so the doubles bit-match).
 # ---------------------------------------------------------------------------

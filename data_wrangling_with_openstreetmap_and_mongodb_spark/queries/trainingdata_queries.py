@@ -33,10 +33,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
     STOPWORDS,
     detect_language,
     fingerprint_md5,
-    mean_word_length,
-    punct_ratio,
     quality_score,
-    stopword_ratio,
     token_count,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register

@@ -43,7 +43,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.cleaning import (
     PROBLEMCHARS_RE,
