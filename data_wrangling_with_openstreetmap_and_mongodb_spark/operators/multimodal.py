@@ -74,6 +74,39 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+FRAME_INDEX_SCHEMA = "doc_id long, frame_id int, frame_bytes int, frame_md5 string"
+
+
+def sample_frames(with_payload: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Frame sampling over binary payloads: one output row per fixed-size
+    frame — the video/audio 'decode → per-frame feature' shape, with the
+    codec stubbed to byte-slicing + fingerprint.  Demonstrates the 1→N
+    Arrow-batched mapInPandas contract a real frame extractor uses."""
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, max(len(b), 1), frame_bytes):
+                    chunk = b[i : i + frame_bytes]
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_id": i // frame_bytes,
+                            "frame_bytes": len(chunk),
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=FRAME_INDEX_SCHEMA)
+
+
 def extract_features(with_payload: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -16,6 +16,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
     extract_features,
+    sample_frames,
     with_binary_payload,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import merge_update
@@ -160,6 +161,34 @@ def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: 1→N Arrow-batched decode (the video/audio
+# per-frame shape).  ASCII text makes byte-slices == char-slices, so the
+# oracle reproduces every frame fingerprint via a lateral generate_series.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_index",
+    oracle="""
+        WITH frames AS (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_id,
+               CAST(least(64, length(text) - i * 64) AS INT) AS frame_bytes,
+               md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+        FROM frames
+    """,
+    doc="frame-sampled binary decode: one row per 64-byte frame with "
+    "fingerprint (stub codec; real extractor swaps into the same mapInPandas)",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(d))
 
 
 # ---------------------------------------------------------------------------
