@@ -588,6 +588,40 @@ def rollup_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pivot (long→wide): the inverse of A11's unpivot.  Pivot values are pinned
+# explicitly — dynamic value discovery would be nondeterministic schema.
+# ---------------------------------------------------------------------------
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@register(
+    "pivot_segment_counts",
+    oracle=f"""
+        SELECT c_nationkey,
+               {", ".join(
+                   f"COUNT(*) FILTER (WHERE c_mktsegment = '{s}') AS {s.lower()}"
+                   for s in _SEGMENTS
+               )}
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    doc="long→wide pivot with pinned values (inverse of A11 unpivot)",
+    tags=("reshape", "agg"),
+)
+def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    out = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "c_nationkey", *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS]
+    )
+    return renamed
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles (beyond the reference surface; both engines implement
 # R-7 linear interpolation on order statistics, so the doubles bit-match).
 # ---------------------------------------------------------------------------
