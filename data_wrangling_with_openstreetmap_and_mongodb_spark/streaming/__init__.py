@@ -12,6 +12,9 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.sessionize im
     sessionize_batch_oracle_sql,
     sessionize_stream,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.windowed import (
+    windowed_event_counts,
+)
 
 __all__ = [
     "hourly_rollup_plan",
@@ -20,4 +23,5 @@ __all__ = [
     "sessionize_batch_oracle_sql",
     "sessionize_stream",
     "stream_events",
+    "windowed_event_counts",
 ]
