@@ -170,6 +170,10 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             out = out.offset(int(spec))
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$addFields" or op == "$set":
+            ec = ExpressionCompiler(out)
+            for name, expr in spec.items():
+                out = out.withColumn(name, ec.compile(expr))
         elif op == "$lookup":
             out = _apply_lookup(out, spec)
         elif op == "$sample":

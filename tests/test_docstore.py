@@ -267,3 +267,20 @@ def test_pipeline_lookup_join(spark):
     )
     got = {r["order_id"]: sorted((s["sku"], s["qty"]) for s in r["stock"]) for r in out.collect()}
     assert got == {1: [("a", 10), ("a", 20)], 2: [("b", 5)], 3: []}
+
+
+def test_pipeline_add_fields(spark):
+    # $addFields/$set: computed columns join the document without a $project
+    coll = DocumentCollection(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, price double"),
+        "items",
+    )
+    out = coll.aggregate(
+        [
+            {"$addFields": {"taxed": {"$multiply": ["$price", 1.1]}}},
+            {"$match": {"taxed": {"$gt": 15.0}}},
+        ]
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 2
+    assert set(out.columns) == {"id", "price", "taxed"}
