@@ -34,6 +34,30 @@ def audit_types(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile: per column, row/null counts, exact distinct,
+    lexicographic min/max (string domain), and the observed-type set — the
+    lesson-03 quality audit generalized into a single long-form aggregation.
+
+    Plan: unpivot to (field, value) — rows scale as N·|cols| but the stacked
+    projection is narrow — then ONE hash aggregation per field computes every
+    statistic (count_distinct handled via the same aggregation's expand).
+    """
+    stacked = df.select(
+        *[F.col(c).cast("string").alias(c) for c in cols]
+    ).unpivot([], cols, "field", "value")
+    return stacked.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.array_join(
+            F.sort_array(F.collect_set(classify_value_type(F.col("value")))), ","
+        ).alias("types"),
+    )
+
+
 def audit_street_types(df: DataFrame, street_col: str, expected: list[str]) -> DataFrame:
     """Street-type audit (top-level audit.py:18,48-67): extract the trailing
     token of each street name, keep those not in the expected list, and count

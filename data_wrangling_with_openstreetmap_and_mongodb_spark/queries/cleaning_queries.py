@@ -8,7 +8,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions import lower_enum
-from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.audit import audit_types
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.audit import (
+    audit_types,
+    profile,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import davg, davg_sql
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
 
@@ -62,3 +65,41 @@ def clean_enum_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def type_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return audit_types(ev, ["props", "value", "event_type", "user_id"])
+
+
+@register(
+    "profile_orders",
+    oracle="""
+        WITH stacked AS (
+            SELECT 'o_orderstatus' AS field, CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        ), tagged AS (
+            SELECT field, value,
+                   CASE WHEN value IS NULL OR value IN ('NULL', '') THEN 'NoneType'
+                        WHEN starts_with(value, '{') THEN 'list'
+                        WHEN regexp_matches(value, '^-?[0-9]+$')
+                             AND TRY_CAST(value AS BIGINT) IS NOT NULL THEN 'int'
+                        WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL THEN 'float'
+                        ELSE 'str' END AS type_tag
+            FROM stacked
+        )
+        SELECT field,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               COUNT(DISTINCT value) AS n_distinct,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               array_to_string(list_sort(list(DISTINCT type_tag)), ',') AS types
+        FROM tagged
+        GROUP BY field
+    """,
+    doc="one-pass column profile: counts/nulls/distinct/min/max/type-set per "
+    "field (lesson-03 quality audit generalized; C19+A8+A12 in one shuffle)",
+    tags=("cleaning", "audit", "profile"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return profile(o, ["o_orderstatus", "o_orderpriority", "o_custkey"])
