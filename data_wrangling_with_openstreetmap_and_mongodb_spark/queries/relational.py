@@ -571,6 +571,23 @@ def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # null markers for aggregated-out levels — identical semantics both engines.
 # ---------------------------------------------------------------------------
 @register(
+    "cube_order_counts",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="cube: all grouping-set combinations with null markers",
+    tags=("agg", "cube"),
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
     "rollup_customer_counts",
     oracle="""
         SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
