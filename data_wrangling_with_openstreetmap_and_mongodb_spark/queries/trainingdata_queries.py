@@ -34,6 +34,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
     detect_language,
     fingerprint_md5,
     quality_score,
+    regex_token_count,
     token_count,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
@@ -54,18 +55,22 @@ def _sql_stop_list(lang: str) -> str:
     oracle=f"""
         SELECT lang,
                AVG(len({_SQL_TOKS})) AS avg_tokens,
+               AVG(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')))
+                   AS avg_bpe_tokens,
                AVG(n_chars) AS avg_chars,
                COUNT(*) AS n_docs
         FROM documents
         GROUP BY lang
     """,
-    doc="token counting over the documents table (training-data text op)",
+    doc="token counting, whitespace + BPE-ish regex pre-tokenization "
+    "(training-data text op; integer sums are exact so plain AVG hash-matches)",
     tags=("text", "agg"),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.avg(token_count(F.col("text"))).alias("avg_tokens"),
+        F.avg(regex_token_count(F.col("text"))).alias("avg_bpe_tokens"),
         F.avg("n_chars").alias("avg_chars"),
         F.count(F.lit(1)).alias("n_docs"),
     )
