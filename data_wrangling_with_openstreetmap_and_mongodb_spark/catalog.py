@@ -54,9 +54,11 @@ def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     int arithmetic inside whole-stage codegen).
     """
     ev = load_table(spark, sf_dir, "events")
+    # Exact integer division: ts nanos (~1.7e18) exceed 2^53, so fp division
+    # can round a boundary and shift the derived micros/hour by one.
     return ev.withColumn(
-        "ts_utc", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    ).withColumn("epoch_hour", F.floor(F.col("ts") / F.lit(NANOS_PER_HOUR)))
+        "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withColumn("epoch_hour", F.expr(f"ts div {NANOS_PER_HOUR}"))
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:

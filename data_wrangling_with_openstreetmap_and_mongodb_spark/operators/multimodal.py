@@ -26,7 +26,7 @@ PAYLOAD_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, fingerprint string, "
-    "n_frames long, features array<double>"
+    "n_frames long, f0 double, f1 double, f2 double"
 )
 
 FRAME_BYTES = 64  # fixed "frame" size for the frame-sampling stub
@@ -62,15 +62,15 @@ def _fake_decode(payload: bytes) -> dict:
     import hashlib
 
     n = len(payload)
+    # Feature vector flattened to scalar columns (f0..f2): array<double>
+    # outputs are unhashable for downstream pandas-based canonicalization.
     return {
         "n_bytes": n,
         "fingerprint": hashlib.md5(payload).hexdigest(),
         "n_frames": (n + FRAME_BYTES - 1) // FRAME_BYTES,
-        "features": [
-            float(n % 256),
-            float(payload[0]) if n else 0.0,
-            float(payload[-1]) if n else 0.0,
-        ],
+        "f0": float(n % 256),
+        "f1": float(payload[0]) if n else 0.0,
+        "f2": float(payload[-1]) if n else 0.0,
     }
 
 

@@ -88,7 +88,7 @@ def type_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT field,
                COUNT(*) AS n_rows,
-               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               COUNT(*) FILTER (WHERE value IS NULL) AS n_nulls,
                COUNT(DISTINCT value) AS n_distinct,
                MIN(value) AS min_value,
                MAX(value) AS max_value,

@@ -150,9 +150,9 @@ def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                octet_length(encode(text)) AS n_bytes,
                md5(text) AS fingerprint,
                CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
-               [CAST(octet_length(encode(text)) % 256 AS DOUBLE),
-                CAST(ascii(substring(text, 1, 1)) AS DOUBLE),
-                CAST(ascii(substring(text, -1, 1)) AS DOUBLE)] AS features
+               CAST(octet_length(encode(text)) % 256 AS DOUBLE) AS f0,
+               CAST(ascii(substring(text, 1, 1)) AS DOUBLE) AS f1,
+               CAST(ascii(substring(text, -1, 1)) AS DOUBLE) AS f2
         FROM documents
     """,
     doc="binary payload + metadata struct + mapInPandas feature extraction (stub codec)",
@@ -198,7 +198,7 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_hourly_rollup",
     oracle=f"""
-        SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS epoch_hour,
+        SELECT epoch_ns(ts) // 3600000000000 AS epoch_hour,
                event_type,
                COUNT(*) AS cnt,
                {dsum_sql("value")} AS sum_value

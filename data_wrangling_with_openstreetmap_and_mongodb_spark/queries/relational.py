@@ -515,7 +515,7 @@ def order_age_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hourly_event_rollup",
     oracle=f"""
-        SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS epoch_hour,
+        SELECT epoch_ns(ts) // 3600000000000 AS epoch_hour,
                event_type,
                COUNT(*) AS cnt,
                {dsum_sql("value")} AS sum_value

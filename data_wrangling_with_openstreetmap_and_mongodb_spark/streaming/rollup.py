@@ -45,7 +45,7 @@ def hourly_rollup_plan(events: DataFrame) -> DataFrame:
     """The streaming aggregation: integer hour bucket × event_type →
     count + exact sum.  Identical logical shape to the batch rollup."""
     return (
-        events.withColumn("epoch_hour", F.floor(F.col("ts") / F.lit(NANOS_PER_HOUR)))
+        events.withColumn("epoch_hour", F.expr(f"ts div {NANOS_PER_HOUR}"))
         .groupBy("epoch_hour", "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
     )

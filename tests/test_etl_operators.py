@@ -85,7 +85,11 @@ class TestMultimodal:
         feats = {r["doc_id"]: r for r in extract_features(wp).collect()}
         assert feats[1]["n_bytes"] == 11
         assert feats[1]["n_frames"] == 1
-        assert feats[1]["features"] == [11.0, float(ord("h")), float(ord("d"))]
+        assert (feats[1]["f0"], feats[1]["f1"], feats[1]["f2"]) == (
+            11.0,
+            float(ord("h")),
+            float(ord("d")),
+        )
         import hashlib
 
         assert feats[1]["fingerprint"] == hashlib.md5(b"hello world").hexdigest()
