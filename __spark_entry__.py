@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES, driver_catalog
 from data_wrangling_with_openstreetmap_and_mongodb_spark.session import ensure_runtime_confs
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -28,7 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Exposes the curated driver catalog (oracle-bearing queries first, capped at
+    the driver's correctness window); the full registry — including the hidden
+    near-duplicate shapes — stays under tests/test_oracle_parity.py.
+    """
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,9 +42,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(q.fn) for name, q in QUERIES.items()}
+    return {name: wrap(q.fn) for name, q in driver_catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted for non-SQL-expressible ops."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in driver_catalog().items() if q.oracle is not None
+    }

@@ -4,6 +4,7 @@ oracle SQL string (or ``None`` for non-SQL-expressible operators)."""
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import (
     QUERIES,
     Query,
+    driver_catalog,
     register,
 )
 
@@ -16,4 +17,4 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import (  # noq
     trainingdata_queries,
 )
 
-__all__ = ["QUERIES", "Query", "register"]
+__all__ = ["QUERIES", "Query", "driver_catalog", "register"]

@@ -177,14 +177,14 @@ def ds_cond_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_partkey, p_name, p_type
         FROM part
-        WHERE regexp_matches(p_type, 'BRASS|COPPER$') AND p_size >= 30
+        WHERE regexp_matches(p_type, '^ECO|MEDIUM$') AND p_size >= 30
     """,
     doc="$regex predicate → rlike pushF-compatible filter (SURVEY.md P10/C3 rlike surface)",
     tags=("docstore", "filter", "regex"),
 )
 def ds_regex_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "part").find(
-        {"p_type": {"$regex": "BRASS|COPPER$"}, "p_size": {"$gte": 30}},
+        {"p_type": {"$regex": "^ECO|MEDIUM$"}, "p_size": {"$gte": 30}},
         {"p_partkey": 1, "p_name": 1, "p_type": 1, "_id": 0},
     )
 
@@ -238,6 +238,7 @@ def ds_sort_skip_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="compound $group _id doc (05/avg_population.py:37-39)",
     tags=("docstore", "agg"),
+    driver_visible=False,
 )
 def ds_compound_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(

@@ -85,6 +85,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="$group/$sum:1 + $sort:-1 + $limit (05/tweet_apps.py:33-35)",
     tags=("agg", "topk"),
+    driver_visible=False,
 )
 def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -108,6 +109,7 @@ def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="find({'manufacturer':'Porsche', ...}, projection) (04/find_porsche.py:17; 04/find_cars.py:34)",
     tags=("filter", "project"),
+    driver_visible=False,
 )
 def find_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -155,6 +157,7 @@ def orders_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="$in membership (04/find_cars.py:16)",
     tags=("filter",),
+    driver_visible=False,
 )
 def nations_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
@@ -206,6 +209,7 @@ def events_with_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="$project rename + computed field (05/most_followed_brasilians.py:43-45)",
     tags=("project",),
+    driver_visible=False,
 )
 def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -274,6 +278,7 @@ def avg_of_avgs_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="global aggregate, _id: null (05/avg_city_pop_for_indian_regions.py:42-43)",
     tags=("agg",),
+    driver_visible=False,
 )
 def global_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -524,6 +529,7 @@ def order_age_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="batch time-bucketed rollup (window(ts, '1 hour') analogue; SURVEY.md §2.8)",
     tags=("datetime", "agg", "streaming-analog"),
+    driver_visible=False,
 )
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_with_time(spark, sf_dir)
