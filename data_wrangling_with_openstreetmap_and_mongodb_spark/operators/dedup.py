@@ -125,13 +125,44 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(text_col: Column, num_hashes: int = 64, n: int = 3) -> Column:
-    """MinHash signature as array<bigint>: for seed i, min over shingles of
-    xxhash64(i, shingle).  Entirely JVM-side (xxhash64 is a native expr)."""
+MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the universal-hash permutation
+    family h_i(x) = (a_i·x + b_i) mod (2⁶¹−1) — shared by the Spark plan and
+    the SQL oracle so both compute identical signatures."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE61), rng.randrange(0, MERSENNE61))
+        for _ in range(num_hashes)
+    ]
+
+
+def _perm_hash(a: int, b: int, h60: Column) -> Column:
+    """(a·h + b) mod 2⁶¹−1 in exact decimal(38,0) arithmetic (a·h can reach
+    ~2¹²¹, past bigint; 38-digit decimals hold it exactly and DuckDB's
+    HUGEINT reproduces it bit-for-bit)."""
+    dec = "decimal(38,0)"
+    return F.pmod(
+        F.lit(a).cast(dec) * h60.cast(dec) + F.lit(b).cast(dec),
+        F.lit(MERSENNE61).cast(dec),
+    ).cast("long")
+
+
+def minhash_signature(text_col: Column, num_hashes: int = 64, n: int = 3, seed: int = 42) -> Column:
+    """MinHash signature as array<bigint>: for permutation i, min over
+    shingles of (aᵢ·md5₆₀(shingle) + bᵢ) mod 2⁶¹−1.  Entirely JVM-side and
+    engine-agnostic (see :func:`...text.md5_hash60`)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import md5_hash60
+
     sh = shingles(text_col, n)
+    hashed = F.transform(sh, md5_hash60)
     sigs = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
+        F.array_min(F.transform(hashed, lambda h, a=a, b=b: _perm_hash(a, b, h)))
+        for a, b in minhash_perm_coeffs(num_hashes, seed)
     ]
     return F.array(*sigs)
 
@@ -144,14 +175,21 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.8,
+    seed: int = 42,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified with exact
     shingle Jaccard.  ``(id_a, id_b, est_jaccard, jaccard)``.
 
     bands×rows = num_hashes; a pair is a candidate if any band's row-slice
     hashes equal.  The bucket join shuffles only (band, bucket) keys.
+    Signatures use the md5-based engine-agnostic hash family, so the whole
+    pipeline — including which candidate pairs the bands surface — is
+    reproducible by the DuckDB oracle.
     """
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import md5_hash60
+
     rows_per_band = num_hashes // bands
+    coeffs = minhash_perm_coeffs(num_hashes, seed)
     sh_col = shingles(F.col(text_col), n)
     # Shuffle barrier + ReuseExchange: the shingle array computes once and is
     # shared by the signature aggregation and both verification sides.
@@ -164,12 +202,15 @@ def minhash_lsh_pairs(
     # a single giant array<transform<...>> projection exceeds what whole-stage
     # codegen will compile (interpreted fallback, ~10×), while min-aggregate
     # buffers codegen fine at any width.  The groupBy shuffles only
-    # (id, 64×8 bytes) partial states thanks to map-side combine.
-    ex = base.select("id", F.explode("sh").alias("shingle"))
+    # (id, 64×8 bytes) partial states thanks to map-side combine.  The base
+    # md5 hash computes once per shingle row and feeds all permutations.
+    ex = base.select("id", F.explode("sh").alias("shingle")).select(
+        "id", md5_hash60(F.col("shingle")).alias("h60")
+    )
     sig_agg = ex.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(_perm_hash(a, b, F.col("h60"))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
     with_sig = sig_agg.select(
@@ -179,7 +220,9 @@ def minhash_lsh_pairs(
     # The band explode and self-join carry ONLY (id, band, bucket): exploding
     # the shingle/signature arrays 16× and shuffling them through the join
     # costs far more than re-attaching them to the (small) candidate set via
-    # two id-equi-joins afterwards.
+    # two id-equi-joins afterwards.  The bucket key is the row-slice's
+    # joined-string form (engine-agnostic; at pure-Spark scale, wrap it in
+    # xxhash64 to shrink the shuffle key to 8 bytes).
     band_rows = with_sig.select(
         "id",
         F.explode(
@@ -187,14 +230,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -248,17 +289,23 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token hashes.
+SIMHASH_BITS = 60  # width of the md5-based engine-agnostic token hash
 
-    Plan: explode tokens → xxhash64 → one hash-aggregate computing all 64 bit
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash per document: per-bit majority vote over 60-bit token hashes.
+
+    Plan: explode tokens → md5_hash60 → one hash-aggregate computing all bit
     sums (single shuffle on id), then recombine bits driver-free.  Returns
-    ``(id, simhash)`` with simhash as bigint.
+    ``(id, simhash)`` with simhash as bigint.  The md5 basis makes the
+    signature reproducible in the DuckDB oracle bit-for-bit.
     """
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import md5_hash60
+
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", md5_hash60(F.col("tok")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -267,7 +314,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     ]
     agg = toks.groupBy("id").agg(*votes)
     sig = F.lit(0).cast("long")
-    for b in range(bits - 1):  # top bit excluded to stay in signed-long range
+    for b in range(bits):
         sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
     return agg.select("id", sig.alias("simhash"))
 
@@ -275,14 +322,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — EXACT with
+    respect to the signature: pigeonhole blocking has recall 1 (any pair
+    within the distance shares at least one of (max_hamming+1) exact chunks),
+    so the output equals the quadratic scan's, at sub-quadratic cost.
 
-    Blocking: split the 64-bit signature into (max_hamming+1) chunks — by
-    pigeonhole, any pair within the distance shares at least one exact chunk;
-    join per chunk, then verify exact Hamming via bit_count(xor).
+    Blocking: split the signature into (max_hamming+1) chunks; join per
+    chunk, then verify exact Hamming via bit_count(xor).
     """
     chunks = max_hamming + 1
-    chunk_bits = 64 // chunks
+    chunk_bits = SIMHASH_BITS // chunks
     sh = simhash(df, text_col, id_col)
     with_chunks = sh.select(
         "id",

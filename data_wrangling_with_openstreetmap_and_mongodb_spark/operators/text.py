@@ -102,6 +102,24 @@ def detect_language(col: Column, default: str = "unknown") -> Column:
     return out
 
 
+def md5_hash60(col: Column) -> Column:
+    """Engine-agnostic 60-bit integer hash: the first 15 hex chars of md5.
+
+    Reproducible bit-for-bit in DuckDB as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — the foundation that lets
+    MinHash/SimHash signatures be verified by an external SQL oracle
+    (``xxhash64`` is Spark-private).  Native JVM expression; md5 costs more
+    than xxhash64 per row — the price of engine-portable verification; swap
+    the hash in one place if portability is not needed.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash60_sql(expr: str) -> str:
+    """DuckDB fragment matching :func:`md5_hash60` bit-for-bit."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Exact-content fingerprint: md5 of whitespace-normalized lowercase text
     (identical in DuckDB: ``md5(...)``)."""

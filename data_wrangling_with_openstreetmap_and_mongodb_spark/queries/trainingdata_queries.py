@@ -1,10 +1,11 @@
 """Training-data pipeline queries (dedup / similarity / text analysis) wired
 into the driver's oracle gate.
 
-SQL-expressible operators get full DuckDB oracles (value-hash checked);
-hash-based LSH variants (engine-specific hash functions) register without an
-oracle → the driver records the weaker rows-only check, and the LSH result is
-instead validated in tests against the exact operator it approximates.
+EVERY entry here — including the MinHash/SimHash/sign-LSH variants — carries a
+full DuckDB oracle: signatures are built on the engine-agnostic md5-based
+60-bit hash (operators/text.py ``md5_hash60``) and deterministic seeded
+permutations/hyperplanes, so the SQL oracle reproduces the exact candidate
+generation, not just the verified tail.
 """
 
 from __future__ import annotations
@@ -19,16 +20,21 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import
     quantize6_sql,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+    MERSENNE61,
+    SIMHASH_BITS,
     embedding_near_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
+    minhash_perm_coeffs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+    _hyperplanes,
     cosine_topk,
     lsh_bucket_topk,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import md5_hash60_sql
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
     STOPWORDS,
     detect_language,
@@ -200,10 +206,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
 
 
+# Shared SQL fragment: the trigram shingle set, identical to the Spark
+# shingles() operator and the dedup_ngram_jaccard oracle.
+_SQL_SHINGLES = """
+        WITH toks AS (
+            SELECT doc_id, {ltoks} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_distinct([array_to_string(list_slice(t, i, i+2), ' ')
+                                      for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                   ELSE [] END AS s
+            FROM toks
+        )"""
+
+
+def _minhash_oracle_sql(
+    num_hashes: int, bands: int, threshold: float, seed: int = 42
+) -> str:
+    """DuckDB replica of the FULL banded-MinHash pipeline: same md5-based
+    permutation hashes, same band buckets, same candidate pairs, same
+    verification — bit-for-bit against operators/dedup.minhash_lsh_pairs."""
+    coeffs = minhash_perm_coeffs(num_hashes, seed)
+    rpb = num_hashes // bands
+    perm_values = ",\n                   ".join(
+        f"({i}, {a}::HUGEINT, {b}::HUGEINT)" for i, (a, b) in enumerate(coeffs)
+    )
+    jac = "len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))"
+    return f"""{_SQL_SHINGLES.format(ltoks=_SQL_LTOKS)},
+        ex AS (
+            SELECT doc_id, {md5_hash60_sql("shingle")}::HUGEINT AS h
+            FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0)
+        ),
+        perms(i, a, b) AS (VALUES {perm_values}),
+        sig AS (
+            SELECT doc_id, i, CAST(MIN((a * h + b) % {MERSENNE61}) AS BIGINT) AS mh
+            FROM ex CROSS JOIN perms
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // {rpb} AS band,
+                   string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+            FROM sig GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.id_a, c.id_b,
+                   COUNT(*) FILTER (WHERE sa.mh = sb.mh) / {float(num_hashes)} AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT e.id_a, e.id_b, e.est_jaccard, {jac} AS jaccard
+        FROM est e
+        JOIN sh x ON x.doc_id = e.id_a
+        JOIN sh y ON y.doc_id = e.id_b
+        WHERE {jac} >= {threshold}
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # engine-specific hash functions; validated vs exact Jaccard in tests
-    doc="MinHash+LSH banded near-dup candidates, Jaccard-verified",
+    oracle=_minhash_oracle_sql(num_hashes=64, bands=16, threshold=0.8),
+    doc="MinHash+LSH banded near-dup candidates, Jaccard-verified.  The "
+    "md5-based permutation family makes the whole pipeline (signatures, "
+    "band buckets, candidate set) oracle-reproducible in SQL.",
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,10 +283,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=64, bands=16, n=3, threshold=0.8)
 
 
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """DuckDB replica of the SimHash pipeline (pigeonhole blocking has recall
+    1 w.r.t. the signature, so a quadratic scan over signatures is the same
+    set — the signature construction is the part that must match)."""
+    sig_terms = "\n                 + ".join(
+        f"(CASE WHEN 2 * COUNT(*) FILTER (WHERE (h >> {b}) & 1 = 1) - COUNT(*) > 0"
+        f" THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT doc_id, {md5_hash60_sql("tok")} AS h
+            FROM (SELECT doc_id, unnest({_SQL_LTOKS}) AS tok FROM documents)
+        ),
+        sigs AS (
+            SELECT doc_id, {sig_terms} AS simhash
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sigs a, sigs b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # engine-specific hash functions
-    doc="SimHash Hamming-distance near-dup pairs with pigeonhole blocking",
+    oracle=_simhash_oracle_sql(max_hamming=3),
+    doc="SimHash Hamming-distance near-dup pairs with pigeonhole blocking "
+    "(md5-based bit votes; oracle-reproducible signature construction)",
     tags=("dedup", "lsh"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,10 +346,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
-    e = load_table(spark, sf_dir, "embeddings")
-    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
-    return [float(x) for x in row[0]]
+    """The query point (vec_id=0), cached per sf_dir: one single-row fetch
+    per dataset instead of one per query invocation."""
+    if sf_dir not in _QUERY_VEC_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+        _QUERY_VEC_CACHE[sf_dir] = [float(x) for x in row[0]]
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 @register(
@@ -275,10 +381,49 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10)
 
 
+def _ann_lsh_oracle_sql(
+    dim: int, bits: int, probe_hamming: int, k: int, seed: int = 42
+) -> str:
+    """DuckDB replica of the sign-LSH multi-probe ANN: the same seeded
+    hyperplanes are embedded as double literals, so signatures, the probe
+    set, and the final quantized ranking all reproduce exactly (the dot
+    products are sequential folds in both engines)."""
+    planes = _hyperplanes(dim, bits, seed)
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    sig_terms = "\n                 + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) >= 0"
+        f" THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(b.v, q.qv)"
+        " / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, v, {sig_terms} AS s
+            FROM base
+        ),
+        q AS (SELECT v AS qv, s AS qs FROM sig WHERE vec_id = 0)
+        SELECT b.vec_id AS id, {quantize6_sql(cos)} AS cosine
+        FROM sig b, q
+        WHERE bit_count(xor(b.s, q.qs)) <= {probe_hamming}
+        ORDER BY cosine DESC, id ASC
+        LIMIT {k}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate; recall vs brute force asserted in tests
-    doc="sign-LSH bucketed ANN top-k (multi-probe Hamming ≤ r)",
+    oracle=_ann_lsh_oracle_sql(dim=64, bits=8, probe_hamming=3, k=10),
+    doc="sign-LSH bucketed ANN top-k (multi-probe Hamming ≤ r); seeded "
+    "hyperplane literals make the probe set oracle-reproducible",
     tags=("similarity", "topk", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
