@@ -56,6 +56,34 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (blocked self-join — exact similarity, scalable blocking)
 # ---------------------------------------------------------------------------
+def _shingle_base(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, sh) with the shingle arrays materialized between two exchanges.
+
+    The pre-shuffle spreads documents across tasks BEFORE the (expensive)
+    shingle projection — a single-file local source otherwise computes every
+    shingle on one core.  The post-shuffle is the projection-collapse
+    barrier: downstream consumers (inverted index, prefix window, both
+    verification sides) reuse the computed arrays via ReuseExchange instead
+    of inlining the shingle expression into each of them (a real trap, hit
+    in round 1).  Both exchanges carry only (id, small array) rows; on a
+    many-split cluster scan the first is redundant but harmless — Catalyst
+    still plans one stage per exchange and the data is one row per document.
+
+    Partition counts are explicit (defaultParallelism): AQE's
+    coalescePartitions folds a few-MB shuffle back into ONE partition, which
+    would serialize the compute-heavy shingle projection — an explicit
+    ``repartition(n, col)`` is preserved by AQE.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(n_parts, "id")
+        .select("id", shingles(F.col("__text"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .repartition(n_parts, "id")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -74,14 +102,7 @@ def ngram_jaccard_pairs(
     Candidates are then verified with exact set Jaccard.  Returns
     ``(id_a, id_b, jaccard)``.
     """
-    # repartition = materialization barrier + ReuseExchange: the shingle
-    # array computes once and is shared by the inverted index, the prefix
-    # window, and both verification sides (see minhash_lsh_pairs note).
-    base = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .repartition("id")
-    )
+    base = _shingle_base(df, text_col, id_col, n)
     ex = base.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
     w = Window.partitionBy("id").orderBy(F.asc("df_cnt"), F.asc("shingle"))
@@ -131,35 +152,36 @@ MERSENNE61 = (1 << 61) - 1
 def minhash_perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for the universal-hash permutation
     family h_i(x) = (a_i·x + b_i) mod (2⁶¹−1) — shared by the Spark plan and
-    the SQL oracle so both compute identical signatures."""
+    the SQL oracle so both compute identical signatures.
+
+    Bounds keep every intermediate inside signed-64 against a 32-bit base
+    hash: a < 2³⁰ and x < 2³² give a·x < 2⁶², plus b < 2⁶¹ stays < 2⁶³ —
+    pure bigint math in both engines (DuckDB bigint arithmetic is
+    overflow-checked, so this is load-bearing, not a micro-optimization).
+    """
     import random
 
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, MERSENNE61), rng.randrange(0, MERSENNE61))
+        (rng.randrange(1, 1 << 30), rng.randrange(0, MERSENNE61))
         for _ in range(num_hashes)
     ]
 
 
-def _perm_hash(a: int, b: int, h60: Column) -> Column:
-    """(a·h + b) mod 2⁶¹−1 in exact decimal(38,0) arithmetic (a·h can reach
-    ~2¹²¹, past bigint; 38-digit decimals hold it exactly and DuckDB's
-    HUGEINT reproduces it bit-for-bit)."""
-    dec = "decimal(38,0)"
-    return F.pmod(
-        F.lit(a).cast(dec) * h60.cast(dec) + F.lit(b).cast(dec),
-        F.lit(MERSENNE61).cast(dec),
-    ).cast("long")
+def _perm_hash(a: int, b: int, h32: Column) -> Column:
+    """(a·h + b) mod 2⁶¹−1 in plain bigint arithmetic (see
+    :func:`minhash_perm_coeffs` for the no-overflow bounds)."""
+    return F.pmod(F.lit(a) * h32 + F.lit(b), F.lit(MERSENNE61))
 
 
 def minhash_signature(text_col: Column, num_hashes: int = 64, n: int = 3, seed: int = 42) -> Column:
     """MinHash signature as array<bigint>: for permutation i, min over
-    shingles of (aᵢ·md5₆₀(shingle) + bᵢ) mod 2⁶¹−1.  Entirely JVM-side and
-    engine-agnostic (see :func:`...text.md5_hash60`)."""
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import md5_hash60
+    shingles of (aᵢ·md5₃₂(shingle) + bᵢ) mod 2⁶¹−1.  Entirely JVM-side and
+    engine-agnostic (see :func:`...text.md5_hash32`)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import md5_hash32
 
     sh = shingles(text_col, n)
-    hashed = F.transform(sh, md5_hash60)
+    hashed = F.transform(sh, md5_hash32)
     sigs = [
         F.array_min(F.transform(hashed, lambda h, a=a, b=b: _perm_hash(a, b, h)))
         for a, b in minhash_perm_coeffs(num_hashes, seed)
@@ -186,18 +208,16 @@ def minhash_lsh_pairs(
     pipeline — including which candidate pairs the bands surface — is
     reproducible by the DuckDB oracle.
     """
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import md5_hash60
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        md5_hash32,
+        md5_hash60,
+    )
 
     rows_per_band = num_hashes // bands
     coeffs = minhash_perm_coeffs(num_hashes, seed)
-    sh_col = shingles(F.col(text_col), n)
-    # Shuffle barrier + ReuseExchange: the shingle array computes once and is
-    # shared by the signature aggregation and both verification sides.
-    base = (
-        df.select(F.col(id_col).alias("id"), sh_col.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .repartition("id")
-    )
+    # Parallelized + barriered shingle arrays, shared by the signature
+    # aggregation and both verification sides (see _shingle_base).
+    base = _shingle_base(df, text_col, id_col, n)
     # Signature as explode → hash-aggregate with num_hashes min() buffers:
     # a single giant array<transform<...>> projection exceeds what whole-stage
     # codegen will compile (interpreted fallback, ~10×), while min-aggregate
@@ -205,11 +225,11 @@ def minhash_lsh_pairs(
     # (id, 64×8 bytes) partial states thanks to map-side combine.  The base
     # md5 hash computes once per shingle row and feeds all permutations.
     ex = base.select("id", F.explode("sh").alias("shingle")).select(
-        "id", md5_hash60(F.col("shingle")).alias("h60")
+        "id", md5_hash32(F.col("shingle")).alias("h32")
     )
     sig_agg = ex.groupBy("id").agg(
         *[
-            F.min(_perm_hash(a, b, F.col("h60"))).alias(f"h{i}")
+            F.min(_perm_hash(a, b, F.col("h32"))).alias(f"h{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )
@@ -220,9 +240,9 @@ def minhash_lsh_pairs(
     # The band explode and self-join carry ONLY (id, band, bucket): exploding
     # the shingle/signature arrays 16× and shuffling them through the join
     # costs far more than re-attaching them to the (small) candidate set via
-    # two id-equi-joins afterwards.  The bucket key is the row-slice's
-    # joined-string form (engine-agnostic; at pure-Spark scale, wrap it in
-    # xxhash64 to shrink the shuffle key to 8 bytes).
+    # two id-equi-joins afterwards.  The bucket key is an 8-byte md5-based
+    # hash of the row-slice's joined-string form — engine-agnostic, so the
+    # SQL oracle reproduces the same buckets.
     band_rows = with_sig.select(
         "id",
         F.explode(
@@ -230,12 +250,14 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
+                        md5_hash60(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -302,10 +324,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS)
     """
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import md5_hash60
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", md5_hash60(F.col("tok")))
+    # Pre-shuffle on id so tokenize+hash parallelizes even from a one-split
+    # local source (same rationale and explicit-count AQE note as
+    # _shingle_base).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(n_parts, "id")
+        .select("id", F.explode(whitespace_tokens(F.lower(F.col("__text")))).alias("tok"))
+        .withColumn("h", md5_hash60(F.col("tok")))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -120,6 +120,19 @@ def md5_hash60_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def md5_hash32(col: Column) -> Column:
+    """32-bit variant (first 8 hex chars of md5) for hash *families* built on
+    top by modular arithmetic: a 32-bit base times a <2³⁰ coefficient plus a
+    <2⁶¹ offset stays inside signed-64 — pure bigint math on both engines,
+    no 128-bit intermediates."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_hash32_sql(expr: str) -> str:
+    """DuckDB fragment matching :func:`md5_hash32` bit-for-bit."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Exact-content fingerprint: md5 of whitespace-normalized lowercase text
     (identical in DuckDB: ``md5(...)``)."""

@@ -34,7 +34,10 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity im
     cosine_topk,
     lsh_bucket_topk,
 )
-from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import md5_hash60_sql
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+    md5_hash32_sql,
+    md5_hash60_sql,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
     STOPWORDS,
     detect_language,
@@ -230,23 +233,23 @@ def _minhash_oracle_sql(
     coeffs = minhash_perm_coeffs(num_hashes, seed)
     rpb = num_hashes // bands
     perm_values = ",\n                   ".join(
-        f"({i}, {a}::HUGEINT, {b}::HUGEINT)" for i, (a, b) in enumerate(coeffs)
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(coeffs)
     )
     jac = "len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))"
     return f"""{_SQL_SHINGLES.format(ltoks=_SQL_LTOKS)},
         ex AS (
-            SELECT doc_id, {md5_hash60_sql("shingle")}::HUGEINT AS h
+            SELECT doc_id, {md5_hash32_sql("shingle")} AS h
             FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0)
         ),
         perms(i, a, b) AS (VALUES {perm_values}),
         sig AS (
-            SELECT doc_id, i, CAST(MIN((a * h + b) % {MERSENNE61}) AS BIGINT) AS mh
+            SELECT doc_id, i, MIN((a * h + b) % {MERSENNE61}) AS mh
             FROM ex CROSS JOIN perms
             GROUP BY doc_id, i
         ),
         bands AS (
             SELECT doc_id, i // {rpb} AS band,
-                   string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+                   {md5_hash60_sql("string_agg(mh::VARCHAR, ',' ORDER BY i)")} AS bucket
             FROM sig GROUP BY doc_id, band
         ),
         cand AS (

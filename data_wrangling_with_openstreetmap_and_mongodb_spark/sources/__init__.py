@@ -37,6 +37,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.osm import (
     element_tag_counts,
     process_map,
     read_osm_elements,
+    read_osm_elements_split,
     shape_elements,
     tag_key_class_counts,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "read_file_contents",
     "read_json",
     "read_osm_elements",
+    "read_osm_elements_split",
     "read_xml_rows",
     "scrape_options",
     "scrape_tables",

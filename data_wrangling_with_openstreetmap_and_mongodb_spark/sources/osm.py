@@ -100,6 +100,95 @@ def read_osm_elements(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, schema=RAW_ELEMENT_SCHEMA)
 
 
+# Top-level OSM element-open tags.  `<nd` (way child) shares a prefix with
+# `<node`, so the match requires a following delimiter; XML escapes `<` in
+# text/attributes, so a raw byte match cannot false-positive inside content.
+_ELEMENT_OPEN_RE = rb"<(node|way|relation)[ \t\r\n/>]"
+
+
+def _read_fragment(path: str, start: int, end: int, size: int) -> bytes:
+    """Read the byte-range [start, end) of an OSM file, re-aligned to element
+    boundaries: the fragment contains exactly the top-level elements whose
+    opening ``<`` lies in [start, end).  An element straddling ``end`` is
+    completed by reading past the range; one straddling ``start`` is skipped
+    (the previous split owns it).  Constant memory: range + one element."""
+    import re
+
+    with open(path, "rb") as f:
+        f.seek(start)
+        buf = f.read(end - start)
+        # Extend until the first element-open at/after `end` (the crop point);
+        # everything before it — including an element that STARTED before
+        # `end` — belongs to this split.
+        crop = None
+        search_from = len(buf)
+        while crop is None:
+            m = re.search(_ELEMENT_OPEN_RE, buf[search_from:])
+            if m:
+                crop = search_from + m.start()
+                break
+            chunk = f.read(1 << 20)
+            if not chunk:
+                crop = len(buf)
+                break
+            # re-scan a small overlap so a tag straddling the chunk edge
+            # still matches ("<nod" + "e id=...")
+            search_from = max(len(buf) - 16, end - start)
+            buf += chunk
+    frag = buf[:crop]
+    # Crop the head to the first element-open in-range (skips the xml
+    # declaration + <osm> header on split 0, and any partial element owned
+    # by the previous split otherwise).
+    m = re.search(_ELEMENT_OPEN_RE, frag)
+    if not m:
+        return b""
+    frag = frag[m.start() :]
+    if end >= size:
+        tail = frag.rfind(b"</osm>")
+        if tail != -1:
+            frag = frag[:tail]
+    return frag
+
+
+def read_osm_elements_split(
+    spark: SparkSession, path: str, split_bytes: int = 64 << 20
+) -> DataFrame:
+    """Byte-range-parallel parse of ONE large OSM file (the planet-dump
+    shape: a single 100 GB+ XML file that ``binaryFile`` would hand to a
+    single task).
+
+    The file splits into ⌈size/split_bytes⌉ ranges; each task range-reads its
+    slice directly (shared filesystem / object-store range GET — the same
+    access pattern as a parquet split), re-aligns to element-open boundaries
+    (:func:`_read_fragment` — the contract osmosis/osmium use), and streams
+    the fragment through the same ``iterparse`` as the whole-file path.
+    Output is row-identical to :func:`read_osm_elements` (asserted in
+    tests/test_sources.py).
+    """
+    import math
+    import os
+
+    import pandas as pd
+
+    size = os.path.getsize(path)
+    nsplits = max(1, math.ceil(size / split_bytes))
+    ranges = spark.range(nsplits).repartition(nsplits)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in pdf["id"]:
+                start = int(i) * split_bytes
+                end = min(start + split_bytes, size)
+                frag = _read_fragment(path, start, end, size)
+                if not frag:
+                    continue
+                rows = list(_iterparse_rows(b"<osm>" + frag + b"</osm>"))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return ranges.mapInPandas(parse, schema=RAW_ELEMENT_SCHEMA)
+
+
 def element_tag_counts(raw: DataFrame) -> DataFrame:
     """Frequency of element tags (mapparser.py:16-21; SURVEY.md A12)."""
     return raw.groupBy("element_type").agg(F.count(F.lit(1)).alias("cnt"))

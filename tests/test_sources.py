@@ -19,6 +19,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.sources import (
     read_csv_with_prologue,
     read_json,
     read_osm_elements,
+    read_osm_elements_split,
     read_xml_rows,
     scrape_options,
     scrape_tables,
@@ -91,6 +92,38 @@ def osm_shaped(osm_raw):
 
 
 class TestOsmSource:
+    def test_byte_split_parse_identical(self, spark, tmp_path):
+        # One big file parsed whole (binaryFile, 1 task) vs byte-range-split
+        # (element-aligned fragments) must produce identical element rows —
+        # including split sizes that land mid-tag and mid-element.
+        inner = OSM_XML.split(">", 2)[2].rsplit("</osm>", 1)[0]
+        big = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">'
+            + inner * 120
+            + "</osm>"
+        )
+        p = tmp_path / "big.osm"
+        p.write_text(big)
+
+        def key(r):
+            return (
+                r["element_type"],
+                tuple(sorted(r["attrs"].items())),
+                tuple(sorted(r["tags"].items())),
+                tuple(r["node_refs"] or []),
+            )
+
+        whole = sorted(key(r) for r in read_osm_elements(spark, str(p)).collect())
+        assert len(whole) == 7 * 120
+        for split_bytes in (257, 4096):
+            split = sorted(
+                key(r)
+                for r in read_osm_elements_split(
+                    spark, str(p), split_bytes=split_bytes
+                ).collect()
+            )
+            assert split == whole
+
     def test_element_tag_counts(self, osm_raw):
         # mapparser.py:29-36 golden-dict style
         counts = {r["element_type"]: r["cnt"] for r in element_tag_counts(osm_raw).collect()}
