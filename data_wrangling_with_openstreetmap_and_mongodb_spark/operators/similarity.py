@@ -119,6 +119,64 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_flat_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-flat ANN top-k: coarse-quantize rows to their nearest centroid,
+    probe only the ``nprobe`` centroids nearest the query, exact-rank inside
+    the probed cells.
+
+    Centroids here are a deterministic sample (the vectors with the
+    ``n_centroids`` lowest ids) — a production deployment trains k-means and
+    *persists* the assignment as a partition column, turning the probe filter
+    into partition pruning at read time; the assignment/probe/rank plan below
+    is exactly that query path.  Everything is DataFrame algebra: centroid
+    sides broadcast, no driver-side materialization, assignments shuffle only
+    (id, cluster).  Scores and assignments use quantized cosine with an id
+    tie-break, so cell membership and ranking are engine-deterministic.
+    """
+    cents = df.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).orderBy(F.asc("c_id")).limit(n_centroids)
+
+    qcos_cent = quantize6(
+        _dot(F.col(vec_col), F.col("c_vec"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("c_vec")))
+    )
+    # nearest centroid per row: max_by over (score, -c_id) — deterministic
+    assigned = (
+        df.join(F.broadcast(cents))
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.max_by(
+                "c_id", F.struct(qcos_cent, (-F.col("c_id")).cast("double"))
+            ).alias("cluster"),
+            F.any_value(F.col(vec_col)).alias("v"),
+        )
+    )
+    probed = (
+        cents.select(
+            "c_id", quantize6(cosine_to_query(F.col("c_vec"), query)).alias("qc")
+        )
+        .orderBy(F.desc("qc"), F.asc("c_id"))
+        .limit(nprobe)
+    )
+    return (
+        assigned.join(
+            F.broadcast(probed), assigned["cluster"] == probed["c_id"], "left_semi"
+        )
+        .select("id", quantize6(cosine_to_query(F.col("v"), query)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def lsh_near_pairs(
     df: DataFrame,
     vec_col: str,

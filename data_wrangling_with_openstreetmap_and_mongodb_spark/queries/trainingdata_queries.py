@@ -32,6 +32,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk,
+    ivf_flat_topk,
     lsh_bucket_topk,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
@@ -433,6 +434,62 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_bucket_topk(
         e, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10, bits=8, probe_hamming=3
+    )
+
+
+def _ann_ivf_oracle_sql(n_centroids: int, nprobe: int, k: int) -> str:
+    """DuckDB replica of the IVF-flat probe path: same deterministic
+    centroids, same quantized assignment with id tie-break, same probe set."""
+    qcos = lambda a, b: quantize6_sql(  # noqa: E731 - local SQL builder
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS c_id, v AS c_vec FROM base ORDER BY vec_id LIMIT {n_centroids}
+        ),
+        q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+        assigned AS (
+            SELECT id, cluster FROM (
+                SELECT b.vec_id AS id, c.c_id AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY {qcos("b.v", "c.c_vec")} DESC, c.c_id ASC
+                       ) AS rn
+                FROM base b CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        probed AS (
+            SELECT c.c_id FROM cents c, q
+            ORDER BY {qcos("c.c_vec", "q.qv")} DESC, c.c_id ASC
+            LIMIT {nprobe}
+        )
+        SELECT a.id, {qcos("b.v", "q.qv")} AS cosine
+        FROM assigned a
+        JOIN probed p ON a.cluster = p.c_id
+        JOIN base b ON b.vec_id = a.id
+        CROSS JOIN q
+        ORDER BY cosine DESC, id ASC
+        LIMIT {k}
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ann_ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
+    doc="IVF-flat ANN top-k: sampled coarse centroids, quantized nearest-"
+    "centroid assignment, nprobe cells probed, exact rank inside.  Held out "
+    "of the driver window (full); bit-parity asserted by the local gate.",
+    tags=("similarity", "topk", "ivf"),
+    driver_visible=False,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_flat_topk(
+        e, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10, n_centroids=8, nprobe=3
     )
 
 
