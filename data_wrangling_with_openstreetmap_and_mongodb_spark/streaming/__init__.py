@@ -1,7 +1,11 @@
 """Structured Streaming operators: the hourly rollup (readStream → stateful
-agg → availableNow, bit-identical to batch) and gap sessionization as a
-custom stateful operator (applyInPandasWithState)."""
+agg → availableNow, bit-identical to batch), gap sessionization as a custom
+stateful operator (applyInPandasWithState), watermarked event-time windows,
+and watermark-bounded streaming exact dedup."""
 
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.dedup_stream import (
+    dedup_stream,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.rollup import (
     hourly_rollup_plan,
     run_streaming_hourly_rollup,
@@ -17,6 +21,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.windowed impo
 )
 
 __all__ = [
+    "dedup_stream",
     "hourly_rollup_plan",
     "run_streaming_hourly_rollup",
     "sessionize_batch",

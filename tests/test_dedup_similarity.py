@@ -20,6 +20,40 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity im
 )
 
 
+def test_md5_hash_family_matches_duckdb(spark, duck):
+    """The engine-agnostic hash primitives under MinHash/SimHash signatures:
+    Spark and DuckDB must agree bit-for-bit, including the permutation
+    arithmetic staying inside signed-64 (DuckDB errors on bigint overflow)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+        MERSENNE61,
+        _perm_hash,
+        minhash_perm_coeffs,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        md5_hash32,
+        md5_hash32_sql,
+        md5_hash60,
+        md5_hash60_sql,
+    )
+
+    words = ["", "a", "hello world", "the quick brown fox", "x" * 500]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    a, b = minhash_perm_coeffs(1, seed=7)[0]
+    srows = df.select(
+        "w",
+        md5_hash60(F.col("w")).alias("h60"),
+        md5_hash32(F.col("w")).alias("h32"),
+        _perm_hash(a, b, md5_hash32(F.col("w"))).alias("p"),
+    ).collect()
+    for r in srows:
+        d60, d32, dp = duck.execute(
+            f"SELECT {md5_hash60_sql('?')}, {md5_hash32_sql('?')},"
+            f" ({a} * {md5_hash32_sql('?')} + {b}) % {MERSENNE61}",
+            [r["w"]] * 3,
+        ).fetchone()
+        assert (r["h60"], r["h32"], r["p"]) == (d60, d32, dp), r["w"][:20]
+
+
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")

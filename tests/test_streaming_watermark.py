@@ -72,6 +72,50 @@ def stream_result(spark, tmp_path):
     }
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: first arrival wins, duplicates inside
+    the watermark window are suppressed, and a re-arrival AFTER state
+    eviction is emitted again (the bounded-state contract)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    h = datetime.timedelta(hours=1)
+    # batch 0: two keys arrive (A twice in-batch → one survivor)
+    _write_batch(src, 0, [(T0, "A", 1.0), (T0, "A", 1.5), (T0 + h, "B", 2.0)])
+    # batch 1: duplicate of A while its state is live → dropped
+    _write_batch(src, 1, [(T0 + h, "A", 3.0)])
+    # batch 2: jump far ahead — the watermark will advance past A's state
+    _write_batch(src, 2, [(T0 + 10 * h, "C", 4.0)])
+    # batch 3: spacer processed under the advanced watermark → A's state
+    # evicts (watermark updates and eviction both lag one batch)
+    _write_batch(src, 3, [(T0 + 10 * h, "D", 6.0)])
+    # batch 4: A re-arrives after eviction → emitted again
+    _write_batch(src, 4, [(T0 + 11 * h, "A", 5.0)])
+
+    stream = (
+        spark.readStream.schema("ts_utc timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stream(stream, ["event_type"], "ts_utc", "2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["event_type"], r["value"]) for r in spark.table("dedup_out").collect()
+    )
+    # A once per watermark epoch (1.0 then 5.0), B/C/D once; 3.0 dropped
+    assert rows == [("A", 1.0), ("A", 5.0), ("B", 2.0), ("C", 4.0), ("D", 6.0)]
+
+
 def test_watermark_finalizes_and_drops_late(stream_result):
     got = stream_result
     # hour-0 and hour-1 windows finalized with ONLY the on-time events:
