@@ -31,12 +31,14 @@ def salted_join(
 
     Use when a handful of keys dominate (the Zipfian user, the null bucket)
     and AQE's skew-join splitting isn't available (e.g. broadcast is too big
-    and the skew is in a sort-merge join).  Deterministic: the salt comes
-    from ``monotonically_increasing_id() % salt_factor``, not ``rand()``, so
-    retried tasks produce identical output.
+    and the skew is in a sort-merge join).  Deterministic AND lineage-stable:
+    the salt is a content hash of the whole row (``xxhash64(*columns)``), so
+    a retried or re-partitioned task salts each row identically —
+    ``monotonically_increasing_id``/``rand`` would not — while rows sharing
+    a hot key still spread across ``salt_factor`` reducers.
     """
     big_salted = big.withColumn(
-        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(salt_factor)).cast("int")
+        SALT_COL, F.pmod(F.xxhash64(*big.columns), F.lit(salt_factor)).cast("int")
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias(SALT_COL)
     small_replicated = small.select("*", salts)
@@ -98,7 +100,7 @@ def events_partitioned_by_day(
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "epoch_day", F.floor(F.col("ts") / F.lit(86_400_000_000_000)).cast("int")
+        "epoch_day", F.expr("ts div 86400000000000").cast("int")
     )
     write_partitioned(ev, path, ["epoch_day"])
     return spark.read.parquet(path)

@@ -81,6 +81,43 @@ class TestAggregationAndTopK:
         assert "Join" not in plan  # one hash-agg on the fingerprint
 
 
+class TestTrainingDataPlans:
+    def test_ivf_broadcasts_centroids_and_takes_ordered(self, spark, sf_dir):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ann_ivf_topk", spark, sf_dir))
+        assert "Broadcast" in plan  # centroid sides never shuffle the corpus
+        assert has_top_k(q("ann_ivf_topk", spark, sf_dir))
+
+    def test_embedding_near_pairs_has_no_driver_materialization(self, spark, sf_dir):
+        # the block-matrix plan keeps everything executor-side: block packing
+        # (one aggregate), a triangular block-pair join, mapInPandas — the
+        # round-1 driver-side collect() is structurally impossible to
+        # reintroduce without this failing
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("dedup_embedding_cosine", spark, sf_dir))
+        assert "MapInPandas" in plan
+        assert "CollectLimit" not in plan
+
+    def test_minhash_shingles_materialize_once(self, spark, sf_dir):
+        # the repartition barrier must let AQE reuse the materialized shingle
+        # exchange across its consumers (signature agg + both verification
+        # sides) instead of recomputing the arrays per consumer — the
+        # round-1 projection-collapse trap.  Only the executed final plan
+        # shows reuse (logical plans print shared subtrees repeatedly).
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        out = minhash_lsh_pairs(d, "text", "doc_id")
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("ReusedExchange") >= 1
+
+
 class TestScanShapes:
     def test_full_catalog_plans_are_not_rdd_backed(self, spark, sf_dir):
         """Every catalog query is pure DataFrame algebra (or declared
