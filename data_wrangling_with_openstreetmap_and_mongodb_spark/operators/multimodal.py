@@ -107,6 +107,47 @@ def sample_frames(with_payload: DataFrame, frame_bytes: int = FRAME_BYTES) -> Da
     return with_payload.mapInPandas(run, schema=FRAME_INDEX_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<format:string, n_bytes:long>, resized_md5 string"
+)
+
+
+def resize_payloads(with_payload: DataFrame, target_bytes: int = 128) -> DataFrame:
+    """Resize/transcode stub over binary payloads: emits a new payload of
+    exactly ``target_bytes`` (truncate or zero-pad — the deterministic fake
+    standing in for an image resize/audio resample) plus its fingerprint.
+
+    The Spark-side contract is the real thing a codec-backed resize uses:
+    binary in → binary out through Arrow batches, metadata struct updated to
+    the post-transform size, 1→1 row mapping.  Swap ``_fake_resize`` for a
+    PIL/ffmpeg call and nothing else changes."""
+    import hashlib
+
+    import pandas as pd
+
+    def _fake_resize(b: bytes) -> bytes:
+        return b[:target_bytes].ljust(target_bytes, b"\x00")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                resized = _fake_resize(bytes(payload))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": resized,
+                        "meta": {"format": meta["format"], "n_bytes": len(resized)},
+                        "resized_md5": hashlib.md5(resized).hexdigest(),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def extract_features(with_payload: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
