@@ -19,7 +19,9 @@ in double precision — identical math to the DuckDB oracle.
 from __future__ import annotations
 
 import math
+import operator
 import random
+from functools import reduce
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -28,6 +30,10 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product via higher-order functions — works for any
+    runtime dim, but HOFs evaluate interpreted (outside codegen).  Prefer the
+    unrolled variants below when the dim is statically known (it always is
+    once a query vector or hyperplane is in hand)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -41,11 +47,34 @@ def _norm(a: Column) -> Column:
     )
 
 
+# Unrolled (codegen-friendly) variants: a left-associated chain of
+# multiply-adds starting from 0.0 evaluates the EXACT same IEEE operation
+# sequence as the sequential fold (and DuckDB's list_dot_product), while
+# staying inside whole-stage codegen — ~10× over interpreted HOF evaluation.
+def _dot_lit(vec: Column, values: list[float]) -> Column:
+    terms = (
+        vec.getItem(i).cast("double") * F.lit(float(v)) for i, v in enumerate(values)
+    )
+    return reduce(operator.add, terms, F.lit(0.0))
+
+
+def _pair_dot(a: Column, b: Column, dim: int) -> Column:
+    terms = (
+        a.getItem(i).cast("double") * b.getItem(i).cast("double") for i in range(dim)
+    )
+    return reduce(operator.add, terms, F.lit(0.0))
+
+
+def _norm_unrolled(vec: Column, dim: int) -> Column:
+    return F.sqrt(_pair_dot(vec, vec, dim))
+
+
 def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
     """Cosine similarity of each row's vector to a constant query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query])
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
-    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+    return _dot_lit(vec_col, query) / (
+        _norm_unrolled(vec_col, len(query)) * F.lit(qn)
+    )
 
 
 def cosine_topk(
@@ -75,8 +104,9 @@ def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
     """Pack sign(v·plane_i) into a bigint signature."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        sig = sig + F.when(_dot(vec_col, p) >= 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
+        sig = sig + F.when(
+            _dot_lit(vec_col, plane) >= 0, F.lit(1).cast("long") * (2**i)
+        ).otherwise(0)
     return sig
 
 
@@ -145,9 +175,13 @@ def ivf_flat_topk(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     ).orderBy(F.asc("c_id")).limit(n_centroids)
 
+    dim = len(query)
     qcos_cent = quantize6(
-        _dot(F.col(vec_col), F.col("c_vec"))
-        / (_norm(F.col(vec_col)) * _norm(F.col("c_vec")))
+        _pair_dot(F.col(vec_col), F.col("c_vec"), dim)
+        / (
+            _norm_unrolled(F.col(vec_col), dim)
+            * _norm_unrolled(F.col("c_vec"), dim)
+        )
     )
     # nearest centroid per row: max_by over (score, -c_id) — deterministic
     assigned = (
@@ -217,11 +251,7 @@ def lsh_near_pairs(
     ).select("id", "v", "bk.band", "bk.key")
     a = banded.alias("a")
     b = banded.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _pair_dot(F.col("a.v"), F.col("b.v"), dim)
     return (
         a.join(
             b,
@@ -232,7 +262,13 @@ def lsh_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            quantize6(dot / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cosine"),
+            quantize6(
+                dot
+                / (
+                    _norm_unrolled(F.col("a.v"), dim)
+                    * _norm_unrolled(F.col("b.v"), dim)
+                )
+            ).alias("cosine"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
