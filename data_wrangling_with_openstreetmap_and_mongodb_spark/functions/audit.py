@@ -35,21 +35,25 @@ def audit_types(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def profile(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One-pass column profile: per column, row/null counts, exact distinct,
+    """Column profile: per column, row/null counts, exact distinct,
     lexicographic min/max (string domain), and the observed-type set — the
-    lesson-03 quality audit generalized into a single long-form aggregation.
+    lesson-03 quality audit generalized.
 
-    Plan: unpivot to (field, value) — rows scale as N·|cols| but the stacked
-    projection is narrow — then ONE hash aggregation per field computes every
-    statistic (count_distinct handled via the same aggregation's expand).
+    Plan: unpivot to (field, value), pre-aggregate to (field, value, cnt) —
+    map-side combine collapses the bulk before any wide shuffle — then a
+    second aggregation over the (small) distinct domain computes every
+    statistic.  Two narrow shuffles instead of one Expand-doubled pass
+    (``countDistinct`` + other aggs forces Expand ×2 over N·|cols| rows), and
+    the type-classification regex runs once per DISTINCT value, not per row.
     """
     stacked = df.select(
         *[F.col(c).cast("string").alias(c) for c in cols]
     ).unpivot([], cols, "field", "value")
-    return stacked.groupBy("field").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_nulls"),
-        F.countDistinct("value").alias("n_distinct"),
+    per_value = stacked.groupBy("field", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_value.groupBy("field").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0)).alias("n_nulls"),
+        F.count("value").alias("n_distinct"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.array_join(
