@@ -22,13 +22,16 @@ def audit_types(df: DataFrame, cols: list[str]) -> DataFrame:
 
     Returns ``(field, types)`` where types is the sorted comma-joined set of
     {NoneType,list,int,float,str} tags.  Implemented as unpivot (stack) →
-    classify → groupBy, so the audit of N columns is one pass + one shuffle.
+    distinct per field (map-side combine collapses the bulk) → classify the
+    distinct domain → set-agg, so the classification regexes run once per
+    distinct value, not once per row.
     """
     stacked = df.select(
         *[F.col(c).cast("string").alias(c) for c in cols]
     ).unpivot([], cols, "field", "value")
     return (
-        stacked.withColumn("type_tag", classify_value_type(F.col("value")))
+        stacked.distinct()
+        .withColumn("type_tag", classify_value_type(F.col("value")))
         .groupBy("field")
         .agg(F.array_join(F.sort_array(F.collect_set("type_tag")), ",").alias("types"))
     )
