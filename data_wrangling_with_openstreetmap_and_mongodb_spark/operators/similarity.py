@@ -47,17 +47,13 @@ def _norm(a: Column) -> Column:
     )
 
 
-# Unrolled (codegen-friendly) variants: a left-associated chain of
-# multiply-adds starting from 0.0 evaluates the EXACT same IEEE operation
-# sequence as the sequential fold (and DuckDB's list_dot_product), while
-# staying inside whole-stage codegen — ~10× over interpreted HOF evaluation.
-def _dot_lit(vec: Column, values: list[float]) -> Column:
-    terms = (
-        vec.getItem(i).cast("double") * F.lit(float(v)) for i, v in enumerate(values)
-    )
-    return reduce(operator.add, terms, F.lit(0.0))
-
-
+# Unrolled variant: a left-associated chain of multiply-adds starting from
+# 0.0 evaluates the EXACT same IEEE operation sequence as the sequential fold
+# (and DuckDB's list_dot_product), while staying inside whole-stage codegen.
+# Trade-off measured on this corpus: construction costs ~2 py4j calls per
+# term on the DRIVER, so unrolling only pays where the expression evaluates
+# per CANDIDATE PAIR (the blocked near-pair join); per-row scoring against
+# one query vector is faster end-to-end with the HOF fold.
 def _pair_dot(a: Column, b: Column, dim: int) -> Column:
     terms = (
         a.getItem(i).cast("double") * b.getItem(i).cast("double") for i in range(dim)
@@ -71,10 +67,9 @@ def _norm_unrolled(vec: Column, dim: int) -> Column:
 
 def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
     """Cosine similarity of each row's vector to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
-    return _dot_lit(vec_col, query) / (
-        _norm_unrolled(vec_col, len(query)) * F.lit(qn)
-    )
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
 
 
 def cosine_topk(
@@ -101,12 +96,16 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Pack sign(v·plane_i) into a bigint signature."""
+    """Pack sign(v·plane_i) into a bigint signature.
+
+    Uses the HOF fold, not the unrolled chain: bits×dim unrolled terms (e.g.
+    8×64=512 Add nodes) balloon the expression tree and Catalyst spends
+    seconds of driver time per plan — measured 6.5s/run vs 1.5s with the
+    fold.  Unrolling pays only for single-vector-sized expressions."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        sig = sig + F.when(
-            _dot_lit(vec_col, plane) >= 0, F.lit(1).cast("long") * (2**i)
-        ).otherwise(0)
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(_dot(vec_col, p) >= 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
     return sig
 
 
@@ -175,13 +174,12 @@ def ivf_flat_topk(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     ).orderBy(F.asc("c_id")).limit(n_centroids)
 
-    dim = len(query)
+    # HOF fold here: the assignment cosine evaluates once per (row, centroid)
+    # pair inside an aggregate — unrolling it n_centroids× bloats the plan
+    # tree past what Catalyst handles cheaply (see signature_bits note).
     qcos_cent = quantize6(
-        _pair_dot(F.col(vec_col), F.col("c_vec"), dim)
-        / (
-            _norm_unrolled(F.col(vec_col), dim)
-            * _norm_unrolled(F.col("c_vec"), dim)
-        )
+        _dot(F.col(vec_col), F.col("c_vec"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("c_vec")))
     )
     # nearest centroid per row: max_by over (score, -c_id) — deterministic
     assigned = (

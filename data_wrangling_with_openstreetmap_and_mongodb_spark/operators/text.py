@@ -156,3 +156,30 @@ def shingle_fingerprint(col: Column, n: int = 3) -> Column:
     """Order-insensitive near-dup fingerprint: md5 over the sorted distinct
     shingle set."""
     return F.md5(F.array_join(F.array_sort(shingles(col, n)), ""))
+
+
+def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    character k-gram, slide a window of ``window`` hashes, keep each
+    window's minimum — the distinct minima are the fingerprint set.
+
+    Guarantee: any shared substring of length ≥ k+window-1 between two
+    documents contributes at least one shared fingerprint, so partial-copy
+    detection needs only an equi-join on the fingerprint column —
+    sub-quadratic at corpus scale, the same blocking shape as shingle dedup.
+    The per-gram hash is :func:`md5_hash32` (positionally identical output
+    to a Rabin-Karp rolling hash; the "rolling" recurrence is a per-row CPU
+    optimization a native JVM expression doesn't need) — engine-agnostic,
+    so the whole selection pipeline SQL-oracles exactly.
+    """
+    n_grams = F.greatest(F.length(col) - k, F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_grams),
+        lambda i: md5_hash32(col.substr(i + 1, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(hashes) - window, F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j + 1, window)),
+    )
+    return F.array_distinct(mins)

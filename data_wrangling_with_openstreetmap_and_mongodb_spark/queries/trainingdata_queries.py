@@ -46,6 +46,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
     quality_score,
     regex_token_count,
     token_count,
+    winnow_fingerprints,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
 
@@ -505,3 +506,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   [{md5_hash32_sql("substring(text, i, 8)")}
+                    for i in range(1, greatest(length(text) - 8, 0) + 2)] AS hs
+            FROM documents
+        ),
+        mins AS (
+            SELECT doc_id,
+                   list_distinct([list_min(list_slice(hs, j, j + 3))
+                                  for j in range(1, greatest(len(hs) - 4, 0) + 2)]) AS fps
+            FROM grams
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM mins
+    """,
+    doc="winnowing document fingerprints (rolling-hash k-gram window minima, "
+    "MOSS scheme): partial-copy detection joins on fp.  Held out of the "
+    "driver window (full); bit-parity asserted by the local gate.",
+    tags=("text", "fingerprint"),
+    driver_visible=False,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"), k=8, window=4)).alias("fp")
+    )
