@@ -533,6 +533,6 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(winnow_fingerprints(F.col("text"), k=8, window=4)).alias("fp")
+    return winnow_fingerprints(d, "text", "doc_id", k=8, window=4).select(
+        F.col("id").alias("doc_id"), "fp"
     )
