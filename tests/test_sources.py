@@ -332,3 +332,81 @@ class TestHtmlSources:
         opts = scrape_options(spark, str(p), "CarrierList")
         vals = {r["value"] for r in opts.filter(~F.col("value").startswith("All")).collect()}
         assert vals == {"FL", "DL"}  # 02/carriers.py:47-51 membership style
+
+
+class TestXlsxMinimalReader:
+    @staticmethod
+    def _write_xlsx(path, header, rows):
+        """Minimal valid .xlsx written with stdlib zipfile: shared strings
+        for the header, numeric cells for the data (the fixture shape of
+        01/2013_Max_Loads / ercot_coast_stats)."""
+        import zipfile
+
+        ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        shared = "".join(f"<si><t>{h}</t></si>" for h in header)
+        sheet_rows = [
+            "<row r=\"1\">"
+            + "".join(
+                f'<c r="{chr(65 + i)}1" t="s"><v>{i}</v></c>'
+                for i in range(len(header))
+            )
+            + "</row>"
+        ]
+        for rn, row in enumerate(rows, start=2):
+            cells = "".join(
+                f'<c r="{chr(65 + i)}{rn}"><v>{v}</v></c>'
+                for i, v in enumerate(row)
+                if v is not None
+            )
+            sheet_rows.append(f'<row r="{rn}">{cells}</row>')
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr(
+                "[Content_Types].xml",
+                '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+                '<Default Extension="xml" ContentType="application/xml"/></Types>',
+            )
+            z.writestr(
+                "xl/sharedStrings.xml",
+                f'<?xml version="1.0"?><sst xmlns="{ns}">{shared}</sst>',
+            )
+            z.writestr(
+                "xl/worksheets/sheet1.xml",
+                f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+                f"<sheetData>{''.join(sheet_rows)}</sheetData></worksheet>",
+            )
+
+    def test_xlsx_ercot_shape_end_to_end(self, spark, tmp_path):
+        # serial-date column + two region load columns; a sparse cell (None)
+        # exercises A1-ref-based placement
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.excelx import (
+            decode_serial_date_columns,
+            read_xlsx,
+        )
+
+        p = tmp_path / "loads.xlsx"
+        self._write_xlsx(
+            p,
+            ["Hour_End", "COAST", "NORTH"],
+            [
+                [41275.0, 10.5, 7.25],
+                [41275.5, 12.75, None],
+                [41276.0, 11.0, 9.5],
+            ],
+        )
+        df = read_xlsx(spark, str(p))
+        assert df.columns == ["Hour_End", "COAST", "NORTH"]
+        typed = decode_serial_date_columns(df, ["Hour_End"]).select(
+            "Hour_End",
+            F.col("COAST").cast("double"),
+            F.col("NORTH").cast("double"),
+        )
+        rows = typed.collect()
+        assert rows[0]["Hour_End"].year == 2013  # serial 41275 = 2013-01-01
+        assert rows[1]["NORTH"] is None  # sparse cell survives as null
+        # the ERCOT question: max load and when (A10 argmax composition)
+        got = typed.agg(
+            F.max("COAST").alias("max_coast"),
+            F.max_by("Hour_End", "COAST").alias("when"),
+        ).first()
+        assert got["max_coast"] == 12.75
+        assert (got["when"].day, got["when"].hour) == (1, 12)
