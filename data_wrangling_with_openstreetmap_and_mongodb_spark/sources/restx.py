@@ -91,15 +91,33 @@ def fetch_pages_distributed(
     return offsets.mapInPandas(run, schema=schema)
 
 
-def download_to_file(url: str, path: str, chunk_size: int = 1024) -> None:
-    """S16: chunked streaming download (README.md:55-64) — a driver-side
-    pre-step, not a Spark op."""
+ChunkStream = Callable[[str, int], Iterator[bytes]]
+"""(url, chunk_size) → iterator of byte chunks (the injectable transport)."""
+
+
+def _http_chunk_stream(url: str, chunk_size: int) -> Iterator[bytes]:
     try:
         import requests
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise ImportError("download needs the requests library") from exc
     with requests.get(url, stream=True, timeout=60) as r:
         r.raise_for_status()
-        with open(path, "wb") as f:
-            for chunk in r.iter_content(chunk_size):
-                f.write(chunk)
+        yield from r.iter_content(chunk_size)
+
+
+def download_to_file(
+    url: str,
+    path: str,
+    chunk_size: int = 1024,
+    transport: ChunkStream = _http_chunk_stream,
+) -> int:
+    """S16: chunked streaming download (README.md:55-64) — a driver-side
+    pre-step, not a Spark op.  Constant memory: one chunk in flight.  The
+    transport is injectable (same pattern as the page fetcher), so the
+    chunk-loop contract tests without a network; returns bytes written."""
+    written = 0
+    with open(path, "wb") as f:
+        for chunk in transport(url, chunk_size):
+            f.write(chunk)
+            written += len(chunk)
+    return written

@@ -38,3 +38,29 @@ def test_distributed_pages_cover_all(spark):
     )
     got = sorted(r["rec_id"] for r in df.collect())
     assert got == list(range(TOTAL))
+
+
+def test_download_to_file_streams_chunks(tmp_path):
+    """S16 chunk-loop contract via injected transport: chunked writes
+    reassemble exactly, chunk size is honored, byte count returned."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.restx import (
+        download_to_file,
+    )
+
+    payload = bytes(range(256)) * 10
+    seen_sizes = []
+
+    def fake_transport(url, chunk_size):
+        assert url == "http://example.invalid/data.bin"
+        for i in range(0, len(payload), chunk_size):
+            chunk = payload[i : i + chunk_size]
+            seen_sizes.append(len(chunk))
+            yield chunk
+
+    out = tmp_path / "data.bin"
+    n = download_to_file(
+        "http://example.invalid/data.bin", str(out), chunk_size=100, transport=fake_transport
+    )
+    assert n == len(payload)
+    assert out.read_bytes() == payload
+    assert set(seen_sizes[:-1]) == {100}  # all full chunks except the tail
