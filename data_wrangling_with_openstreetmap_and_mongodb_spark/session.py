@@ -21,6 +21,9 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # runtime-settable: keeps toPandas/createDataFrame vectorized on sessions
+    # we did not build (the verification driver's plain session)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 
