@@ -133,3 +133,16 @@ class TestScanShapes:
     def test_events_json_extraction_prunes(self, spark, sf_dir):
         df = q("events_with_large_k", spark, sf_dir)
         assert read_schema_columns(df) == {"event_type", "props"}
+
+    def test_no_cartesian_products_anywhere(self, spark, sf_dir):
+        """No catalog query may plan an unconstrained CartesianProduct — the
+        all-pairs shapes must go through broadcast/bucketed joins or blocked
+        mapInPandas (a cartesian over two big sides is the one join Catalyst
+        can't save at 100 TB)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        for name, entry in QUERIES.items():
+            if "streaming" in entry.tags:
+                continue
+            plan = executed_plan(entry.fn(spark, sf_dir))
+            assert "CartesianProduct" not in plan, name
