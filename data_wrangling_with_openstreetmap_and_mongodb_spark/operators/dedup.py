@@ -56,32 +56,57 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (blocked self-join — exact similarity, scalable blocking)
 # ---------------------------------------------------------------------------
-def _shingle_base(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, sh) with the shingle arrays materialized between two exchanges.
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct word-n-gram rows ``(id, n_sh, shingle)`` — the shared front
+    end of the shingle-based dedup family.
 
-    The pre-shuffle spreads documents across tasks BEFORE the (expensive)
-    shingle projection — a single-file local source otherwise computes every
-    shingle on one core.  The post-shuffle is the projection-collapse
-    barrier: downstream consumers (inverted index, prefix window, both
-    verification sides) reuse the computed arrays via ReuseExchange instead
-    of inlining the shingle expression into each of them (a real trap, hit
-    in round 1).  Both exchanges carry only (id, small array) rows; on a
-    many-split cluster scan the first is redundant but harmless — Catalyst
-    still plans one stage per exchange and the data is one row per document.
+    Construction is all JVM-native relational algebra: posexplode tokens →
+    window ``lead`` to stitch each n-gram → dropDuplicates.  The equivalent
+    array expression (``transform`` over ``slice``+``array_join``) evaluates
+    its lambda interpreted per position and dominated dedup runtime (~4s of
+    a 7.5s query at sf0.1); window lead/concat are native expressions.
+    Output shingle STRINGS are identical to operators/text.shingles (token
+    n-grams joined by one space, distinct per document).
 
-    Partition counts are explicit (defaultParallelism): AQE's
-    coalescePartitions folds a few-MB shuffle back into ONE partition, which
-    would serialize the compute-heavy shingle projection — an explicit
-    ``repartition(n, col)`` is preserved by AQE.
+    The pre-shuffle spreads documents across tasks even from a one-split
+    local scan; its partition count is explicit because AQE's
+    coalescePartitions would fold a few-MB plain repartition back into ONE
+    partition.  ``n_sh`` (distinct shingle count, the prefix-filter bound)
+    rides along via a window count, so downstream consumers need no extra
+    join.
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
+    toks = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .repartition(n_parts, "id")
-        .select("id", shingles(F.col("__text"), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .repartition(n_parts, "id")
+        .select(
+            "id",
+            F.posexplode(whitespace_tokens(F.lower(F.col("__text")))).alias(
+                "pos", "tok"
+            ),
+        )
     )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        "id",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("tok", n - 1).over(w).alias("__last"),
+    ).filter(
+        # concat_ws skips NULLs, so tail positions would yield short grams —
+        # requiring the last token keeps exactly the full n-grams
+        F.col("__last").isNotNull()
+    )
+    distinct_rows = grams.select("id", "shingle").dropDuplicates(["id", "shingle"])
+    return distinct_rows.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+
+
+def _shingle_arrays(rows: DataFrame) -> DataFrame:
+    """(id, sh) arrays for set-verification joins, built from the distinct
+    shingle rows (order irrelevant: only intersection/union SIZES are used)."""
+    return rows.groupBy("id").agg(F.collect_list("shingle").alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -102,8 +127,7 @@ def ngram_jaccard_pairs(
     Candidates are then verified with exact set Jaccard.  Returns
     ``(id_a, id_b, jaccard)``.
     """
-    base = _shingle_base(df, text_col, id_col, n)
-    ex = base.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    ex = _shingle_rows(df, text_col, id_col, n)
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
     w = Window.partitionBy("id").orderBy(F.asc("df_cnt"), F.asc("shingle"))
     # Sound prefix bound: J(a,b) ≥ t implies overlap ≥ ceil(t·|x|) on each
@@ -128,8 +152,9 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sha = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    arrays = _shingle_arrays(ex)
+    sha = arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = arrays.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         cand.join(sha, "id_a")
         .join(shb, "id_b")
@@ -215,18 +240,16 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_hashes // bands
     coeffs = minhash_perm_coeffs(num_hashes, seed)
-    # Parallelized + barriered shingle arrays, shared by the signature
-    # aggregation and both verification sides (see _shingle_base).
-    base = _shingle_base(df, text_col, id_col, n)
-    # Signature as explode → hash-aggregate with num_hashes min() buffers:
-    # a single giant array<transform<...>> projection exceeds what whole-stage
+    # Shared JVM-native shingle rows (see _shingle_rows), consumed by the
+    # signature aggregation and (as arrays) both verification sides.
+    shingle_rows = _shingle_rows(df, text_col, id_col, n)
+    # Signature as hash-aggregate with num_hashes min() buffers: a single
+    # giant array<transform<...>> projection exceeds what whole-stage
     # codegen will compile (interpreted fallback, ~10×), while min-aggregate
     # buffers codegen fine at any width.  The groupBy shuffles only
     # (id, 64×8 bytes) partial states thanks to map-side combine.  The base
     # md5 hash computes once per shingle row and feeds all permutations.
-    ex = base.select("id", F.explode("sh").alias("shingle")).select(
-        "id", md5_hash32(F.col("shingle")).alias("h32")
-    )
+    ex = shingle_rows.select("id", md5_hash32(F.col("shingle")).alias("h32"))
     sig_agg = ex.groupBy("id").agg(
         *[
             F.min(_perm_hash(a, b, F.col("h32"))).alias(f"h{i}")
@@ -278,7 +301,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sides = with_sig.join(base, "id")
+    sides = with_sig.join(_shingle_arrays(shingle_rows), "id")
     side_a = sides.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
     )
@@ -326,7 +349,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS)
 
     # Pre-shuffle on id so tokenize+hash parallelizes even from a one-split
     # local source (same rationale and explicit-count AQE note as
-    # _shingle_base).
+    # _shingle_rows).
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
