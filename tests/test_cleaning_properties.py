@@ -100,3 +100,37 @@ def test_comma_int_inverts_grouping(spark, batch):
     raws = [f"{n:,}" for n in batch]  # 1,234,567-style grouped rendering
     got = _run_batch(spark, raws, comma_int)
     assert got == batch
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_shingle_rows_agree_with_column_shingles(spark, texts):
+    """The JVM-native row-based shingle builder (posexplode + window lead,
+    operators/dedup._shingle_rows) must produce exactly the distinct shingle
+    sets of the Column-expression operators/text.shingles on arbitrary
+    texts — including short docs, repeated tokens, and empty strings."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+        _shingle_rows,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import shingles
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    via_column = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select("doc_id", shingles(F.lower(F.col("text")), 3).alias("sh")).collect()
+        if r["sh"]
+    }
+    rows = _shingle_rows(df, "text", "doc_id", 3).collect()
+    via_rows: dict[int, set] = {}
+    for r in rows:
+        via_rows.setdefault(r["id"], set()).add(r["shingle"])
+    assert via_rows == via_column
+    # n_sh must equal the distinct set size on every row
+    for r in rows:
+        assert r["n_sh"] == len(via_rows[r["id"]])
