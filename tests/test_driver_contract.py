@@ -1,0 +1,52 @@
+"""Driver-contract invariants: the external verifier hash-checks at most the
+first DRIVER_WINDOW queries of __spark_entry__.queries(), crashes on
+non-scalar output columns, and needs matching column names between Spark and
+oracle sides.  These tests keep the catalog shaped so every exposed query
+actually receives a correctness row (the round-1 failure mode: 7 queries
+past the window got none)."""
+
+from __future__ import annotations
+
+import re
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import (
+    DRIVER_WINDOW,
+    driver_catalog,
+)
+
+
+def test_driver_catalog_fits_window_oracles_first():
+    dc = driver_catalog()
+    assert len(dc) <= DRIVER_WINDOW
+    kinds = [q.oracle is not None for q in dc.values()]
+    # all oracle-bearing queries precede every rows-only query
+    assert kinds == sorted(kinds, reverse=True)
+
+
+def test_every_registered_query_is_verified_somewhere():
+    # driver-hidden queries must still carry an oracle for the local gate
+    # (rows-only is allowed only for engine-private sketches, and only in
+    # the driver catalog where it at least gets a rows check)
+    for q in QUERIES.values():
+        if q.oracle is None:
+            assert q.driver_visible, (
+                f"{q.name}: rows-only AND driver-hidden = completely unverified"
+            )
+
+
+def test_oracle_sql_references_known_tables_only():
+    tables = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    for q in QUERIES.values():
+        if q.oracle is None:
+            continue
+        for m in re.finditer(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b", q.oracle):
+            name = m.group(1)
+            # anything not a pre-registered view must be a CTE defined inline
+            if name not in tables:
+                assert re.search(rf"\b{name}\s*(?:\([^)]*\))?\s+AS\s*\(", q.oracle, re.I), (
+                    f"{q.name}: oracle references unknown relation {name!r}"
+                )
