@@ -177,8 +177,17 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
         elif op == "$lookup":
             out = _apply_lookup(out, spec)
         elif op == "$sample":
-            frac = min(1.0, int(spec["size"]) / max(out.count(), 1))
-            out = out.sample(fraction=frac, seed=42)
+            # Exactly `size` pseudo-random docs without an eager count():
+            # rank by a seeded rand() and keep the lowest `size`.  Catalyst
+            # plans TakeOrderedAndProject — each partition keeps a size-k
+            # heap, no full sort, no extra job at compile time (the old
+            # fraction-based form ran a count() per compile).
+            out = (
+                out.withColumn("__sample_r", F.rand(seed=42))
+                .orderBy("__sample_r")
+                .limit(int(spec["size"]))
+                .drop("__sample_r")
+            )
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return out

@@ -430,15 +430,29 @@ def embedding_near_pairs(
     threshold: float = 0.95,
     max_exact_rows: int = 1_000_000,
     block_target: int = 2048,
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs of near-identical embeddings by cosine ≥ threshold — exact.
 
     Block-nested-loop matrix plan, fully executor-side (no driver collect, no
-    broadcast): rows hash into ⌈n/block_target⌉ blocks, each block packs its
-    (id, vector) rows once via ``collect_list``, block *pairs* meet in a
-    triangular self-join, and each Arrow batch multiplies one block against
-    another in numpy.  Work and memory distribute over block pairs; a block
-    is ~``block_target``×d doubles (a few MB), never the whole matrix.
+    broadcast of vector data): rows hash into ⌈n/block_target⌉ blocks, each
+    block packs its (id, vector) rows once via ``collect_list``, the
+    nb·(nb+1)/2 triangular block-index pairs are enumerated as a *tiny*
+    literal table and the heavy packed rows attach via two **equi-joins** on
+    the block id (Catalyst broadcasts only the index table; the packed rows
+    move through hash joins, never a nested-loop broadcast).  Each Arrow
+    batch multiplies one block against another in numpy.  Work and memory
+    distribute over block pairs; a block is ~``block_target``×d doubles (a
+    few MB), never the whole matrix.
+
+    Pair completeness: blocks partition the ids, so an unordered pair {x, y}
+    lands in exactly one (blk_a ≤ blk_b) block pair.  On the diagonal
+    (blk_a == blk_b) the ``id_a < id_b`` mask drops self-pairs and mirror
+    duplicates; off the diagonal *every* above-threshold cell is kept and the
+    ids are canonicalized (min, max) — filtering off-diagonal cells by
+    ``id_a < id_b`` would silently drop the pairs whose smaller id hashed
+    into the b-side block.
 
     Bit parity: the dot/norm accumulation is vectorized over *pairs* but
     sequential over *dims* — per-element operation order identical to a
@@ -446,11 +460,18 @@ def embedding_near_pairs(
     ``list_dot_product`` (BLAS ``matmul`` is NOT: measured 64% of pairs
     differ in the last ulp, enough to flip a 1e-6 quantization bucket).
     Quantization mirrors functions/detagg.py: floor(x*1e6+0.5)/1e6 in IEEE
-    doubles.
+    doubles.  Dot and norms commute under id canonicalization (a·b ≡ b·a
+    per element), so swapped blocks yield bit-identical cosines.
 
     Scale guard: exact all-pairs is O(n²) compute by definition; above
     ``max_exact_rows`` this fails over to the sub-quadratic banded sign-LSH
     plan (:func:`...similarity.lsh_near_pairs`) — the 100 TB path.
+
+    ``n_rows``: caller-supplied row count (e.g. from parquet footer stats or
+    a table catalog) so plan construction stays action-free; when omitted a
+    one-off ``df.count()`` runs — fine interactively, avoid in pipelines.
+    ``dim`` is forwarded to the LSH failover (which needs it to compile
+    hyperplane literals).
     """
     import numpy as np
     import pandas as pd
@@ -459,11 +480,11 @@ def embedding_near_pairs(
         lsh_near_pairs,
     )
 
-    n = df.count()
+    n = n_rows if n_rows is not None else df.count()
     if n > max_exact_rows:
-        return lsh_near_pairs(df, vec_col, id_col, threshold=threshold).select(
-            "id_a", "id_b", "cosine"
-        )
+        return lsh_near_pairs(
+            df, vec_col, id_col, threshold=threshold, dim=dim
+        ).select("id_a", "id_b", "cosine")
     nblocks = max(1, min(128, -(-n // block_target)))
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -473,11 +494,26 @@ def embedding_near_pairs(
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
     )
+    # Triangular block-pair index as a literal table: nb ≤ 128 → ≤ 8256 tiny
+    # rows.  Equi-joining the heavy packed rows onto it keeps Catalyst on
+    # hash joins (broadcast of the INDEX side only); the old non-equi
+    # blk_a <= blk_b self-join could only plan as BroadcastNestedLoopJoin,
+    # which ships the whole packed matrix to every task.
+    idx = df.sparkSession.createDataFrame(
+        [(a, b) for a in range(nblocks) for b in range(a, nblocks)],
+        "blk_a int, blk_b int",
+    )
     pairs = (
-        packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+        F.broadcast(idx)
         .join(
-            packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")),
-            F.col("blk_a") <= F.col("blk_b"),
+            packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")),
+            "blk_a",
+        )
+        .join(
+            packed.select(
+                F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+            ).hint("shuffle_hash"),
+            "blk_b",
         )
         .repartition("blk_a", "blk_b")
     )
@@ -495,7 +531,9 @@ def embedding_near_pairs(
 
     def cross_blocks(batches):
         for pdf in batches:
-            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
                 ids_a, mat_a = _unpack(rows_a)
                 ids_b, mat_b = _unpack(rows_b)
                 # dims-sequential accumulation == scalar left fold per pair
@@ -504,10 +542,20 @@ def embedding_near_pairs(
                     acc = acc + np.multiply.outer(mat_a[:, d], mat_b[:, d])
                 cos = acc / np.multiply.outer(_seq_norm(mat_a), _seq_norm(mat_b))
                 cos = np.floor(cos * 1e6 + 0.5) / 1e6
-                ai, bi = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+                hit = cos >= threshold
+                if blk_a == blk_b:
+                    # same id set on both axes: keep one orientation, no self
+                    ai, bi = np.nonzero(hit & (ids_a[:, None] < ids_b[None, :]))
+                    lo, hi = ids_a[ai], ids_b[bi]
+                else:
+                    # disjoint id sets: every hit is a distinct unordered
+                    # pair — canonicalize instead of filtering
+                    ai, bi = np.nonzero(hit)
+                    lo = np.minimum(ids_a[ai], ids_b[bi])
+                    hi = np.maximum(ids_a[ai], ids_b[bi])
                 if len(ai):
                     yield pd.DataFrame(
-                        {"id_a": ids_a[ai], "id_b": ids_b[bi], "cosine": cos[ai, bi]}
+                        {"id_a": lo, "id_b": hi, "cosine": cos[ai, bi]}
                     )
 
     return pairs.mapInPandas(cross_blocks, schema="id_a long, id_b long, cosine double")

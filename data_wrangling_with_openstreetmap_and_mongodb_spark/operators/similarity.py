@@ -217,15 +217,21 @@ def lsh_near_pairs(
     bits: int = 16,
     bands: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs near-dup via banded sign-LSH + exact cosine verification.
 
     Signature splits into ``bands`` chunks; pairs sharing any chunk value are
     candidates (bucket equi-join per band — the only shuffle is on (band,
     chunk-value) keys), then exact cosine filters at ``threshold``.
+
+    ``dim`` (the embedding dimensionality) is needed at plan-build time to
+    compile the hyperplane literals; supply it from the table catalog or
+    parquet footer stats.  When omitted, a one-row ``first()`` infers it —
+    an eager action, acceptable interactively but avoid inside pipelines.
     """
-    sample = df.select(vec_col).first()
-    dim = len(sample[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, seed)
     chunk_bits = bits // bands
     sig = signature_bits(F.col(vec_col), planes)

@@ -53,6 +53,27 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 _SQL_LTOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _parquet_row_count(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata (pyarrow, driver-side file
+    read) — the 'reuse catalog stats' path: no Spark job, cached per table.
+    On a real deployment this is a metastore / Delta-log statistics lookup."""
+    key = (sf_dir, table)
+    if key not in _ROWCOUNT_CACHE:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        files = [path] if os.path.isfile(path) else sorted(
+            glob.glob(os.path.join(path, "*.parquet"))
+        )
+        _ROWCOUNT_CACHE[key] = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return _ROWCOUNT_CACHE[key]
+
 
 def _sql_stop_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
@@ -345,7 +366,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_pairs(e, "embedding", "vec_id", threshold=0.3)
+    return embedding_near_pairs(
+        e,
+        "embedding",
+        "vec_id",
+        threshold=0.3,
+        n_rows=_parquet_row_count(sf_dir, "embeddings"),
+    )
 
 
 # ---------------------------------------------------------------------------

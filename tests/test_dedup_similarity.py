@@ -146,8 +146,68 @@ def test_embedding_near_pairs_guard_fails_over_to_lsh(emb):
 
 
 def test_lsh_near_pairs_subset_of_exact(emb):
-    approx = lsh_near_pairs(emb, "embedding", "vec_id", threshold=0.3, bits=16, bands=4)
+    approx = lsh_near_pairs(
+        emb, "embedding", "vec_id", threshold=0.3, bits=16, bands=4, dim=64
+    )
     rows = approx.collect()
     # verification filter bounds precision: every returned pair really has
     # cosine >= threshold
     assert all(r["cosine"] >= 0.3 for r in rows)
+
+
+def test_embedding_near_pairs_multiblock_equals_singleblock(spark):
+    """Cross-block completeness: with many blocks, every unordered pair must
+    still surface exactly once (regression for the off-diagonal mask that
+    dropped pairs whose smaller id hashed into the b-side block)."""
+    import itertools
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+        embedding_near_pairs,
+    )
+
+    n = 40
+    clones = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs(
+            clones, "embedding", "vec_id", threshold=0.99, block_target=10, n_rows=n
+        ).collect()
+    }
+    want = set(itertools.combinations(range(n), 2))
+    assert got == want  # full C(40,2) = 780, no loss, no dupes
+
+    # and a non-degenerate corpus: multi-block output == single-block output
+    rng_rows = [
+        (i, [float((i * 7 + d * 13) % 11 - 5) for d in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    multi = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_pairs(
+            df, "embedding", "vec_id", threshold=0.5, block_target=7, n_rows=60
+        ).collect()
+    }
+    single = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_pairs(
+            df, "embedding", "vec_id", threshold=0.5, block_target=4096, n_rows=60
+        ).collect()
+    }
+    assert multi == single and len(single) > 0
+
+
+def test_embedding_near_pairs_plans_no_nested_loop_join(emb):
+    """The block-pair attach must be hash joins (index side broadcast), never
+    a BroadcastNestedLoopJoin/CartesianProduct shipping packed matrices."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+        embedding_near_pairs,
+    )
+
+    plan = embedding_near_pairs(
+        emb, "embedding", "vec_id", threshold=0.3, block_target=100, n_rows=500
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

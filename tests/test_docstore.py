@@ -284,3 +284,19 @@ def test_pipeline_add_fields(spark):
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["id"] == 2
     assert set(out.columns) == {"id", "price", "taxed"}
+
+
+def test_pipeline_sample_exact_size_and_lazy(spark):
+    # $sample must return exactly `size` docs (rand-rank + limit, not a
+    # fraction sample) and compile without running any job
+    coll = DocumentCollection(
+        spark.createDataFrame([(i,) for i in range(100)], "id long"), "nums"
+    )
+    out = coll.aggregate([{"$sample": {"size": 7}}])
+    assert out.columns == ["id"]  # helper column dropped
+    rows = out.collect()
+    assert len(rows) == 7
+    assert len({r["id"] for r in rows}) == 7  # no replacement
+    # deterministic under the fixed seed
+    again = coll.aggregate([{"$sample": {"size": 7}}]).collect()
+    assert {r["id"] for r in rows} == {r["id"] for r in again}
