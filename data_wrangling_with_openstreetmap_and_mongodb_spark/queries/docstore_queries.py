@@ -214,8 +214,11 @@ def ds_elem_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 10 OFFSET 20
     """,
-    doc="$sort + $skip + $limit paging (cursor .skip/.limit surface)",
+    doc="$sort + $skip + $limit paging (cursor .skip/.limit surface).  Hidden "
+    "from the driver window (r3): its operators are covered by ds_top_clickers "
+    "+ the T1 sort/limit oracles; the slot goes to a distinct operator family.",
     tags=("docstore", "topk", "paging"),
+    driver_visible=False,
 )
 def ds_sort_skip_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(

@@ -63,9 +63,20 @@ def register(
 
 def driver_catalog() -> dict[str, Query]:
     """The ≤DRIVER_WINDOW queries exposed to the external driver, oracle-bearing
-    first so every hash-checkable query lands inside the correctness window."""
+    first so every hash-checkable query lands inside the correctness window.
+
+    Raises rather than truncates when more than DRIVER_WINDOW queries are
+    marked visible: a silent cut would push the tail queries out of the
+    correctness window, leaving them registered-but-never-verified.
+    """
     visible = [q for q in QUERIES.values() if q.driver_visible]
+    if len(visible) > DRIVER_WINDOW:
+        over = [q.name for q in visible[DRIVER_WINDOW:]]
+        raise ValueError(
+            f"{len(visible)} driver_visible queries exceed DRIVER_WINDOW="
+            f"{DRIVER_WINDOW}; hide {len(over)} (would be evicted: {over})"
+        )
     ordered = [q for q in visible if q.oracle is not None] + [
         q for q in visible if q.oracle is None
     ]
-    return {q.name: q for q in ordered[:DRIVER_WINDOW]}
+    return {q.name: q for q in ordered}

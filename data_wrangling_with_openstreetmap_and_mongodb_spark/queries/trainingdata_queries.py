@@ -509,10 +509,8 @@ def _ann_ivf_oracle_sql(n_centroids: int, nprobe: int, k: int) -> str:
     "ann_ivf_topk",
     oracle=_ann_ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
     doc="IVF-flat ANN top-k: sampled coarse centroids, quantized nearest-"
-    "centroid assignment, nprobe cells probed, exact rank inside.  Held out "
-    "of the driver window (full); bit-parity asserted by the local gate.",
+    "centroid assignment, nprobe cells probed, exact rank inside.",
     tags=("similarity", "topk", "ivf"),
-    driver_visible=False,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -527,8 +525,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents
     """,
-    doc="per-document content fingerprint (md5 of normalized text)",
+    doc="per-document content fingerprint (md5 of normalized text).  Hidden "
+    "from the driver window (r3): strict subset of dedup_exact_groups; the "
+    "slot goes to a distinct operator family.",
     tags=("text",),
+    driver_visible=False,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -553,10 +554,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(fps) AS fp FROM mins
     """,
     doc="winnowing document fingerprints (rolling-hash k-gram window minima, "
-    "MOSS scheme): partial-copy detection joins on fp.  Held out of the "
-    "driver window (full); bit-parity asserted by the local gate.",
+    "MOSS scheme): partial-copy detection joins on fp.",
     tags=("text", "fingerprint"),
-    driver_visible=False,
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

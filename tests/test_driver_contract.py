@@ -22,6 +22,20 @@ def test_driver_catalog_fits_window_oracles_first():
     kinds = [q.oracle is not None for q in dc.values()]
     # all oracle-bearing queries precede every rows-only query
     assert kinds == sorted(kinds, reverse=True)
+    # no silent truncation: every driver_visible query actually made the
+    # catalog (driver_catalog raises past the window, but pin it here too)
+    visible = {q.name for q in QUERIES.values() if q.driver_visible}
+    assert visible == set(dc), visible.symmetric_difference(dc)
+
+
+def test_novel_operator_families_are_driver_visible():
+    # r2 verdict: ann_ivf_topk + winnowing_fingerprints are distinct operator
+    # families and must hold driver slots; their evicted near-duplicates are
+    # covered by other visible oracles
+    dc = driver_catalog()
+    assert "ann_ivf_topk" in dc and "winnowing_fingerprints" in dc
+    assert not QUERIES["doc_fingerprints"].driver_visible
+    assert not QUERIES["ds_sort_skip_limit"].driver_visible
 
 
 def test_every_registered_query_is_verified_somewhere():
