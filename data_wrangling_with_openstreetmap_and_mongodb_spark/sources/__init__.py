@@ -16,6 +16,8 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.excelx import (
     decode_serial_date_columns,
     excel_support,
     read_excel,
+    read_xls,
+    read_xlsx,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.htmlx import (
     file_key_columns,
@@ -67,6 +69,8 @@ __all__ = [
     "read_json",
     "read_osm_elements",
     "read_osm_elements_split",
+    "read_xls",
+    "read_xlsx",
     "read_xml_rows",
     "scrape_options",
     "scrape_tables",

@@ -410,3 +410,232 @@ class TestXlsxMinimalReader:
         ).first()
         assert got["max_coast"] == 12.75
         assert (got["when"].day, got["when"].hour) == (1, 12)
+
+
+class TestXlsMinimalReader:
+    """Legacy .xls (OLE2 + BIFF8) read end-to-end, engine-free — the
+    reference's actual artifact format (01/excel_csv.py:21-46 reads
+    2013_ERCOT_Hourly_Load_Data.xls via xlrd).  The fixture writer emits a
+    real OLE2 container + BIFF8 record stream so the parser is tested
+    against honest bytes, including a CONTINUE-split SST, RK/MULRK cells,
+    and both the FAT and ministream layouts."""
+
+    @staticmethod
+    def _rec(op, payload):
+        import struct
+
+        return struct.pack("<HH", op, len(payload)) + payload
+
+    @classmethod
+    def _workbook_stream(cls, header, rows, split_sst=False):
+        """BIFF8 Workbook stream: globals (BOF, SST, BOUNDSHEET, EOF) +
+        one worksheet substream.  Header cells are LABELSST; data cells are
+        NUMBER except: row 1 col 1 goes out as RK (integer-encodable) and,
+        when a row has >= 3 numeric cells, the tail cells ship as one MULRK."""
+        import struct
+
+        rec = cls._rec
+        sheet = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        for c in range(len(header)):
+            sheet += rec(0x00FD, struct.pack("<HHHI", 0, c, 15, c))
+        for r, row in enumerate(rows, start=1):
+            mulrk_tail = []
+            for c, v in enumerate(row):
+                if v is None:
+                    continue
+                if r == 1 and c == 1 and float(v).is_integer() and abs(v) < 2**29:
+                    rk = ((int(v) << 2) | 2) & 0xFFFFFFFF
+                    sheet += rec(0x027E, struct.pack("<HHHI", r, c, 15, rk))
+                elif c >= 2 and len(row) >= 3 and _rk_double_encodable(v):
+                    mulrk_tail.append((c, v))
+                else:
+                    sheet += rec(0x0203, struct.pack("<HHHd", r, c, 15, v))
+            if mulrk_tail:
+                body = struct.pack("<HH", r, mulrk_tail[0][0])
+                for c, v in mulrk_tail:
+                    hi = struct.unpack("<Q", struct.pack("<d", v))[0] >> 32
+                    body += struct.pack("<HI", 15, hi & 0xFFFFFFFC)
+                body += struct.pack("<H", mulrk_tail[-1][0])
+                sheet += rec(0x00BD, body)
+        sheet += rec(0x000A, b"")
+
+        # globals; BOUNDSHEET needs the sheet BOF offset = len(globals)
+        def globals_bytes(lbplypos):
+            g = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+            n = len(header)
+            if split_sst and n >= 2:
+                # break inside string 1's character data: SST carries string 0
+                # + string 1's header and first char; CONTINUE restarts with a
+                # fresh grbit byte before the remaining chars + later strings
+                s0, s1 = header[0], header[1]
+                p1 = struct.pack("<II", n, n)
+                p1 += struct.pack("<HB", len(s0), 0) + s0.encode("latin-1")
+                p1 += struct.pack("<HB", len(s1), 0) + s1.encode("latin-1")[:1]
+                p2 = b"\x00" + s1.encode("latin-1")[1:]
+                for s in header[2:]:
+                    p2 += struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+                g += rec(0x00FC, p1) + rec(0x003C, p2)
+            else:
+                p = struct.pack("<II", n, n)
+                for s in header:
+                    p += struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+                g += rec(0x00FC, p)
+            name = b"Sheet1"
+            g += rec(
+                0x0085,
+                struct.pack("<IBB", lbplypos, 0, 0)
+                + struct.pack("<BB", len(name), 0)
+                + name,
+            )
+            return g + rec(0x000A, b"")
+
+        glen = len(globals_bytes(0))
+        return globals_bytes(glen) + sheet
+
+    @staticmethod
+    def _ole2(stream, force_fat=False):
+        """Wrap `stream` as the 'Workbook' stream of a minimal valid OLE2
+        v3 compound file.  Streams under the 4096 mini-cutoff go through the
+        ministream (miniFAT + 64-byte sectors inside the root storage) as
+        the spec requires; force_fat pads the stream to the cutoff first."""
+        import struct
+
+        SEC = 512
+        END, FREE, FATSECT = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD
+        if force_fat and len(stream) < 4096:
+            stream = stream + b"\x00" * (4096 - len(stream))
+        size = len(stream)
+
+        def dirent(name, typ, start, sz, child=FREE):
+            nm = name.encode("utf-16-le")
+            e = nm + b"\x00" * (64 - len(nm))
+            e += struct.pack("<HBB", len(nm) + 2, typ, 1)
+            e += struct.pack("<III", FREE, FREE, child)
+            e += b"\x00" * 16 + b"\x00" * 4 + b"\x00" * 16
+            e += struct.pack("<IQ", start, sz)
+            return e
+
+        if size >= 4096:
+            data = stream + b"\x00" * (-size % SEC)
+            nsec = len(data) // SEC
+            fat = [FATSECT, END] + [2 + i + 1 for i in range(nsec - 1)] + [END]
+            fat += [FREE] * (128 - len(fat))
+            root = dirent("Root Entry", 5, END, 0, child=1)
+            wb = dirent("Workbook", 2, 2, size)
+            directory = root + wb + b"\x00" * 256
+            body = struct.pack("<128I", *fat) + directory + data
+            first_minifat, n_minifat = END, 0
+        else:
+            mini = stream + b"\x00" * (-size % 64)
+            n_mini = len(mini) // 64
+            rootdata = mini + b"\x00" * (-len(mini) % SEC)
+            n_root = len(rootdata) // SEC
+            minifat = [i + 1 for i in range(n_mini - 1)] + [END]
+            minifat += [FREE] * (128 - len(minifat))
+            # sectors: 0 FAT, 1 dir, 2 miniFAT, 3.. root storage stream
+            fat = [FATSECT, END, END] + [3 + i + 1 for i in range(n_root - 1)] + [END]
+            fat += [FREE] * (128 - len(fat))
+            root = dirent("Root Entry", 5, 3, len(mini), child=1)
+            wb = dirent("Workbook", 2, 0, size)
+            directory = root + wb + b"\x00" * 256
+            body = (
+                struct.pack("<128I", *fat)
+                + directory
+                + struct.pack("<128I", *minifat)
+                + rootdata
+            )
+            first_minifat, n_minifat = 2, 1
+
+        hdr = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
+        hdr += struct.pack("<HHH", 0x003E, 0x0003, 0xFFFE)
+        hdr += struct.pack("<HH", 9, 6) + b"\x00" * 6
+        hdr += struct.pack("<IIII", 0, 1, 1, 0)  # ndir(v4), nfat, firstdir, txn
+        hdr += struct.pack("<III", 4096, first_minifat, n_minifat)
+        hdr += struct.pack("<II", END, 0)  # first DIFAT, num DIFAT
+        hdr += struct.pack("<109I", *([0] + [FREE] * 108))
+        assert len(hdr) == 512
+        return hdr + body
+
+    def _write(self, path, header, rows, **kw):
+        force_fat = kw.pop("force_fat", False)
+        path.write_bytes(
+            self._ole2(self._workbook_stream(header, rows, **kw), force_fat=force_fat)
+        )
+
+    def test_xls_ercot_golden(self, spark, tmp_path):
+        """The reference's own golden (01/excel_csv.py:57-97): per-region max
+        load + when it happened, FAR_WEST at 2281.2722140000024 on
+        2013-06-26 17:00, Max Load compared at 0.1 tolerance."""
+        from datetime import datetime
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.excelx import (
+            decode_serial_date_columns,
+            read_xls,
+        )
+
+        def serial(y, mo, d, h):
+            return (datetime(y, mo, d, h) - datetime(1899, 12, 30)).total_seconds() / 86400.0
+
+        header = ["Hour_End", "COAST", "FAR_WEST", "WEST"]
+        rows = [
+            [serial(2013, 1, 1, 1), 7606.0, 1073.5, 1062.0],
+            [serial(2013, 6, 26, 17), 15022.5, 2281.2722140000024, 1301.25],
+            [serial(2013, 8, 8, 17), 16050.75, 2201.0, 1309.5],
+            [serial(2013, 12, 25, 9), 9400.0, 1500.0, None],
+        ]
+        p = tmp_path / "ercot.xls"
+        self._write(p, header, rows, force_fat=True)
+
+        df = read_xls(spark, str(p))
+        assert df.columns == header
+        typed = decode_serial_date_columns(df, ["Hour_End"])
+        regions = header[1:]
+        long = typed.selectExpr(
+            "Hour_End",
+            "stack({}, {}) as (Station, Load)".format(
+                len(regions), ", ".join(f"'{r}', double(`{r}`)" for r in regions)
+            ),
+        ).where(F.col("Load").isNotNull())
+        got = (
+            long.groupBy("Station")
+            .agg(
+                F.max("Load").alias("max_load"),
+                F.max_by("Hour_End", "Load").alias("when"),
+            )
+            .collect()
+        )
+        by_station = {r["Station"]: r for r in got}
+        assert set(by_station) == set(regions)  # station-name golden
+        fw = by_station["FAR_WEST"]
+        assert round(fw["max_load"], 1) == round(2281.2722140000024, 1)
+        w = fw["when"]
+        assert (w.year, w.month, w.day, w.hour) == (2013, 6, 26, 17)
+
+    def test_xls_ministream_continue_sst_and_rk(self, spark, tmp_path):
+        """Small workbook exercises the ministream layout (stream < 4096 →
+        miniFAT + 64-byte sectors), a CONTINUE record splitting an SST string
+        mid-characters, the RK integer cell, and the MULRK run."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.excelx import (
+            read_xls,
+        )
+
+        header = ["Hour_End", "COUNT", "A_LOAD", "B_LOAD"]
+        rows = [[41275.0, 100.0, 2.5, 3.25]]  # 2.5/3.25: RK-double encodable
+        p = tmp_path / "mini.xls"
+        self._write(p, header, rows, split_sst=True)
+        assert len(p.read_bytes()) < 8192  # really took the small path
+
+        df = read_xls(spark, str(p))
+        assert df.columns == header  # split SST reassembled
+        r = df.collect()[0]
+        assert float(r["COUNT"]) == 100.0  # RK integer path
+        assert (float(r["A_LOAD"]), float(r["B_LOAD"])) == (2.5, 3.25)  # MULRK
+        assert float(r["Hour_End"]) == 41275.0
+
+
+def _rk_double_encodable(v):
+    """True when float v survives the RK 30-significant-bit truncation."""
+    import struct
+
+    bits = struct.unpack("<Q", struct.pack("<d", float(v)))[0]
+    return (bits & 0x00000003FFFFFFFF) == 0
