@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.cleaning import (
     classify_value_type,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import spread
 
 
 def audit_types(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -26,8 +27,8 @@ def audit_types(df: DataFrame, cols: list[str]) -> DataFrame:
     distinct domain → set-agg, so the classification regexes run once per
     distinct value, not once per row.
     """
-    stacked = df.select(
-        *[F.col(c).cast("string").alias(c) for c in cols]
+    stacked = spread(
+        df.select(*[F.col(c).cast("string").alias(c) for c in cols])
     ).unpivot([], cols, "field", "value")
     return (
         stacked.distinct()
@@ -49,6 +50,10 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     (``countDistinct`` + other aggs forces Expand ×2 over N·|cols| rows), and
     the type-classification regex runs once per DISTINCT value, not per row.
     """
+    # no spread() here: per-value pre-aggregation map-side-combines off the
+    # scan; an up-front shuffle of the raw rows regressed the A/B (0.62s →
+    # 1.28s at sf0.1) because the heavy classify runs on the distinct
+    # domain AFTER the shuffle either way
     stacked = df.select(
         *[F.col(c).cast("string").alias(c) for c in cols]
     ).unpivot([], cols, "field", "value")

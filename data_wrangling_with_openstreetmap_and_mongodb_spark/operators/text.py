@@ -32,7 +32,10 @@ def whitespace_tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.size(whitespace_tokens(col))
+    """Number of whitespace tokens — counted as ``\\S+`` matches in a single
+    codegen'd regex pass (identical to ``size(whitespace_tokens(...))``, which
+    materializes the array and falls out of whole-stage codegen)."""
+    return F.regexp_count(col, F.lit(r"\S+"))
 
 
 def regex_tokens(col: Column) -> Column:
@@ -41,7 +44,8 @@ def regex_tokens(col: Column) -> Column:
 
 
 def regex_token_count(col: Column) -> Column:
-    return F.size(regex_tokens(col))
+    """Count of BPE-ish pre-tokens without materializing the token array."""
+    return F.regexp_count(col, F.lit(TOKEN_RE))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -51,15 +55,21 @@ def punct_ratio(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Stopword-token fraction.  The membership filter needs the token array
+    (one split + one filter pass); the denominator reuses the codegen'd
+    ``\\S+`` count, which equals ``size(tokens)`` exactly."""
     toks = whitespace_tokens(F.lower(col))
     hits = F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
-    return F.size(hits) / F.greatest(F.size(toks), F.lit(1))
+    return F.size(hits) / F.greatest(token_count(col), F.lit(1))
 
 
 def mean_word_length(col: Column) -> Column:
-    toks = whitespace_tokens(col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total / F.greatest(F.size(toks), F.lit(1))
+    """Mean token length = non-whitespace character count / token count —
+    two codegen'd regex passes, no array materialization or interpreted
+    fold.  Integer-identical to summing per-token lengths: stripping ``\\s``
+    leaves exactly the characters the tokens are made of."""
+    total = F.length(F.regexp_replace(col, r"\s", ""))
+    return total / F.greatest(token_count(col), F.lit(1))
 
 
 def quality_score(col: Column) -> Column:
@@ -84,10 +94,9 @@ def lang_scores(col: Column) -> dict[str, Column]:
     }
 
 
-def detect_language(col: Column, default: str = "unknown") -> Column:
-    """Pick the language with the most stopword hits (ties → lexicographic
-    order of language code, deterministic)."""
-    scores = lang_scores(col)
+def detect_from_scores(scores: dict[str, Column], default: str = "unknown") -> Column:
+    """Language decision from per-language hit-count columns: most hits wins,
+    ties → lexicographic order of language code, deterministic."""
     out = F.lit(default)
     # fold a when-chain: a language wins when it beats every other language
     # (earlier codes win ties via >= vs >)
@@ -100,6 +109,43 @@ def detect_language(col: Column, default: str = "unknown") -> Column:
             cond = cond & cmp
         out = F.when(cond, lang).otherwise(out)
     return out
+
+
+def detect_language(col: Column, default: str = "unknown") -> Column:
+    """Per-row language ID — convenient for single expressions, but every
+    score reference in the when-chain re-evaluates its interpreted
+    filter+split subtree (~#langs² passes/row).  In hot aggregation paths
+    prefer :func:`detect_language_agg`, which tokenizes once and keeps the
+    counting inside codegen'd aggregate buffers."""
+    return detect_from_scores(lang_scores(col), default)
+
+
+def detect_language_agg(
+    df, text_col: str, keep: list[str], default: str = "unknown"
+):
+    """Language-ID as a distributed plan: explode lowercase tokens once, count
+    per-language stopword hits in one hash-aggregate (#langs codegen'd count
+    buffers keyed by the ``keep`` columns — include the row's unique id), then
+    decide from the materialized counters.  The when-chain references real
+    attributes post-aggregation, so nothing re-evaluates.
+
+    Returns ``df[keep] + detected`` with one row per input row."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import spread
+
+    toks = spread(df, *keep[:1]).select(
+        *keep, F.explode_outer(whitespace_tokens(F.lower(F.col(text_col)))).alias("__tok")
+    )
+    score_cols = {
+        lang: F.count(F.when(F.col("__tok").isin(*words), True)).alias(f"__s_{lang}")
+        for lang, words in STOPWORDS.items()
+    }
+    scored = toks.groupBy(*keep).agg(*score_cols.values())
+    return scored.select(
+        *keep,
+        detect_from_scores(
+            {lang: F.col(f"__s_{lang}") for lang in STOPWORDS}, default
+        ).alias("detected"),
+    )
 
 
 def md5_hash60(col: Column) -> Column:
