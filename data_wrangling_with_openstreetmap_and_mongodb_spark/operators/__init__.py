@@ -19,17 +19,25 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import 
     events_partitioned_by_day,
     salted_count_distinct,
     salted_join,
+    spread,
     write_bucketed,
     write_partitioned,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
     cosine_to_query,
     cosine_topk,
+    ivf_flat_topk,
+    ivf_flat_topk_trained,
+    ivf_probe_partitioned,
+    ivf_write_index,
+    kmeans_centroids,
     lsh_bucket_topk,
     lsh_near_pairs,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
     detect_language,
+    detect_language_agg,
+    detect_from_scores,
     fingerprint_md5,
     quality_score,
     regex_token_count,
@@ -45,12 +53,19 @@ __all__ = [
     "cosine_to_query",
     "cosine_topk",
     "dedup_exact",
+    "detect_from_scores",
     "detect_language",
+    "detect_language_agg",
     "embedding_near_pairs",
     "events_partitioned_by_day",
     "exact_duplicates",
     "extract_features",
     "fingerprint_md5",
+    "ivf_flat_topk",
+    "ivf_flat_topk_trained",
+    "ivf_probe_partitioned",
+    "ivf_write_index",
+    "kmeans_centroids",
     "lsh_bucket_topk",
     "lsh_near_pairs",
     "merge_update",
@@ -61,6 +76,7 @@ __all__ = [
     "regex_token_count",
     "salted_count_distinct",
     "salted_join",
+    "spread",
     "shingles",
     "simhash",
     "simhash_near_pairs",

@@ -26,7 +26,7 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import davg, quantize6
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -148,6 +148,54 @@ def lsh_bucket_topk(
     )
 
 
+def _assign_to_centroids(
+    df: DataFrame, vec_col: str, id_col: str, cents: DataFrame
+) -> DataFrame:
+    """``(id, cluster, v)``: each row labeled with its nearest centroid by
+    quantized cosine, lowest ``c_id`` on ties — deterministic on any engine.
+
+    HOF fold for the cosine: the assignment score evaluates once per
+    (row, centroid) pair inside an aggregate — unrolling it n_centroids×
+    bloats the plan tree past what Catalyst handles cheaply (see
+    signature_bits note).  The centroid side broadcasts; rows never shuffle
+    (partial max_by per partition, merge on id)."""
+    qcos_cent = quantize6(
+        _dot(F.col(vec_col), F.col("c_vec"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("c_vec")))
+    )
+    return (
+        df.join(F.broadcast(cents))
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.max_by(
+                "c_id", F.struct(qcos_cent, (-F.col("c_id")).cast("double"))
+            ).alias("cluster"),
+            F.any_value(F.col(vec_col)).alias("v"),
+        )
+    )
+
+
+def _probe_rank(
+    assigned: DataFrame, cents: DataFrame, query: list[float], k: int, nprobe: int
+) -> DataFrame:
+    """Probe the ``nprobe`` cells nearest the query, exact-rank inside."""
+    probed = (
+        cents.select(
+            "c_id", quantize6(cosine_to_query(F.col("c_vec"), query)).alias("qc")
+        )
+        .orderBy(F.desc("qc"), F.asc("c_id"))
+        .limit(nprobe)
+    )
+    return (
+        assigned.join(
+            F.broadcast(probed), assigned["cluster"] == probed["c_id"], "left_semi"
+        )
+        .select("id", quantize6(cosine_to_query(F.col("v"), query)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ivf_flat_topk(
     df: DataFrame,
     vec_col: str,
@@ -162,47 +210,131 @@ def ivf_flat_topk(
     the probed cells.
 
     Centroids here are a deterministic sample (the vectors with the
-    ``n_centroids`` lowest ids) — a production deployment trains k-means and
-    *persists* the assignment as a partition column, turning the probe filter
-    into partition pruning at read time; the assignment/probe/rank plan below
-    is exactly that query path.  Everything is DataFrame algebra: centroid
-    sides broadcast, no driver-side materialization, assignments shuffle only
-    (id, cluster).  Scores and assignments use quantized cosine with an id
-    tie-break, so cell membership and ranking are engine-deterministic.
+    ``n_centroids`` lowest ids); :func:`ivf_flat_topk_trained` upgrades them
+    with k-means iterations, and :func:`ivf_write_index` /
+    :func:`ivf_probe_partitioned` persist the assignment as a partition
+    column, turning the probe filter into partition pruning at read time.
+    Everything is DataFrame algebra: centroid sides broadcast, no driver-side
+    materialization, assignments shuffle only (id, cluster).  Scores and
+    assignments use quantized cosine with an id tie-break, so cell membership
+    and ranking are engine-deterministic.
     """
     cents = df.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     ).orderBy(F.asc("c_id")).limit(n_centroids)
+    assigned = _assign_to_centroids(df, vec_col, id_col, cents)
+    return _probe_rank(assigned, cents, query, k, nprobe)
 
-    # HOF fold here: the assignment cosine evaluates once per (row, centroid)
-    # pair inside an aggregate — unrolling it n_centroids× bloats the plan
-    # tree past what Catalyst handles cheaply (see signature_bits note).
-    qcos_cent = quantize6(
-        _dot(F.col(vec_col), F.col("c_vec"))
-        / (_norm(F.col(vec_col)) * _norm(F.col("c_vec")))
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (cosine assignment, per-dimension mean update) in
+    DataFrame algebra.
+
+    Per iteration: one broadcast-assign aggregation, one posexplode →
+    (cluster, dim) hash-aggregate — the driver collects exactly the
+    k·dim centroid components, never row data.  Updates use the
+    order-independent :func:`...detagg.davg`, and assignment uses quantized
+    cosine with the lowest-id tiebreak, so the whole training trajectory —
+    not just the final query — is engine-deterministic and reproducible by
+    the DuckDB oracle (unrolled one CTE block per iteration).  Clusters that
+    lose all members keep their previous centroid.
+
+    Iteration count is a small constant (ANN coarse quantizers converge in a
+    few passes and need "good", not "optimal", centroids) — so the total
+    cost is iters × 2 linear scans at any data size."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    # nearest centroid per row: max_by over (score, -c_id) — deterministic
-    assigned = (
-        df.join(F.broadcast(cents))
-        .groupBy(F.col(id_col).alias("id"))
-        .agg(
-            F.max_by(
-                "c_id", F.struct(qcos_cent, (-F.col("c_id")).cast("double"))
-            ).alias("cluster"),
-            F.any_value(F.col(vec_col)).alias("v"),
+    cents = [
+        (r["id"], list(r["v"]))
+        for r in base.orderBy(F.asc("id")).limit(n_centroids).collect()
+    ]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        cdf = df.sparkSession.createDataFrame(cents, "c_id bigint, c_vec array<double>")
+        assigned = _assign_to_centroids(base, "v", "id", cdf)
+        comp = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(davg("val").alias("comp"))
         )
-    )
-    probed = (
-        cents.select(
-            "c_id", quantize6(cosine_to_query(F.col("c_vec"), query)).alias("qc")
-        )
-        .orderBy(F.desc("qc"), F.asc("c_id"))
-        .limit(nprobe)
-    )
+        upd: dict[int, dict[int, float]] = {}
+        for r in comp.collect():  # k·dim tiny rows — the only driver data
+            upd.setdefault(r["cluster"], {})[r["pos"]] = r["comp"]
+        cents = [
+            (cid, [upd[cid][p] for p in range(dim)]) if cid in upd else (cid, old)
+            for cid, old in cents
+        ]
+    return cents
+
+
+def ivf_flat_topk_trained(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-flat top-k over k-means-trained centroids (see
+    :func:`kmeans_centroids`): same probe/rank plan as :func:`ivf_flat_topk`,
+    better cell balance → better recall at equal nprobe."""
+    cents = kmeans_centroids(df, vec_col, id_col, n_centroids, iters)
+    cdf = df.sparkSession.createDataFrame(cents, "c_id bigint, c_vec array<double>")
+    assigned = _assign_to_centroids(df, vec_col, id_col, F.broadcast(cdf))
+    return _probe_rank(assigned, cdf, query, k, nprobe)
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> None:
+    """Persist the IVF assignment as a ``cluster=``-partitioned parquet
+    layout: the production index build.  Reads of ``nprobe`` cells then prune
+    at the file listing (PartitionFilters), touching only probed data — the
+    100 TB probe path (:func:`ivf_probe_partitioned`)."""
+    cdf = df.sparkSession.createDataFrame(centroids, "c_id bigint, c_vec array<double>")
+    assigned = _assign_to_centroids(df, vec_col, id_col, cdf)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_probe_partitioned(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Query a persisted IVF index: pick the ``nprobe`` nearest centroids
+    driver-side (k tiny vectors, no Spark job), scan ONLY those partitions
+    (the ``cluster IN (...)`` predicate prunes at file listing), exact-rank
+    inside."""
+
+    def qcos(vec: list[float]) -> float:
+        dot = sum(float(a) * float(b) for a, b in zip(vec, query))
+        na = math.sqrt(sum(float(a) * float(a) for a in vec))
+        nb = math.sqrt(sum(float(b) * float(b) for b in query))
+        return math.floor(dot / (na * nb) * 1e6 + 0.5) / 1e6
+
+    probed = [
+        cid
+        for cid, _ in sorted(centroids, key=lambda cv: (-qcos(cv[1]), cv[0]))[:nprobe]
+    ]
     return (
-        assigned.join(
-            F.broadcast(probed), assigned["cluster"] == probed["c_id"], "left_semi"
-        )
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probed))
         .select("id", quantize6(cosine_to_query(F.col("v"), query)).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)

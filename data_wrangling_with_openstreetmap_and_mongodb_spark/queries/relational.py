@@ -600,8 +600,12 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
         GROUP BY ROLLUP(c_nationkey, c_mktsegment)
     """,
-    doc="hierarchical rollup subtotals (nation → segment → grand total)",
+    doc="hierarchical rollup subtotals (nation → segment → grand total).  "
+    "Hidden from the driver window (r3): the Expand+aggregate grouping-sets "
+    "plan is covered by cube_order_counts (cube ⊃ rollup); the slot goes to "
+    "ann_ivf_kmeans_topk.",
     tags=("agg", "rollup"),
+    driver_visible=False,
 )
 def rollup_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -662,6 +666,8 @@ def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile"),
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread(): percentile buffers merge once either way; the extra
+    # shuffle lost the A/B at sf0.1 (0.63s vs 0.70s)
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("p50"),

@@ -33,6 +33,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity im
     _hyperplanes,
     cosine_topk,
     ivf_flat_topk,
+    ivf_flat_topk_trained,
     lsh_bucket_topk,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
@@ -41,13 +42,14 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
     STOPWORDS,
-    detect_language,
+    detect_language_agg,
     fingerprint_md5,
     quality_score,
     regex_token_count,
     token_count,
     winnow_fingerprints,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import spread
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
 
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -99,7 +101,7 @@ def _sql_stop_list(lang: str) -> str:
     tags=("text", "agg"),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return d.groupBy("lang").agg(
         F.avg(token_count(F.col("text"))).alias("avg_tokens"),
         F.avg(regex_token_count(F.col("text"))).alias("avg_bpe_tokens"),
@@ -135,7 +137,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "agg"),
 )
 def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return d.groupBy("source").agg(
         davg(quality_score(F.col("text"))).alias("avg_quality"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -173,7 +175,7 @@ def _sql_lang_score(lang: str) -> str:
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("lang", detect_language(F.col("text")).alias("detected"))
+        detect_language_agg(d, "text", keep=["doc_id", "lang"])
         .groupBy("lang", "detected")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -516,6 +518,112 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_flat_topk(
         e, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10, n_centroids=8, nprobe=3
+    )
+
+
+def _ann_ivf_kmeans_oracle_sql(
+    n_centroids: int, nprobe: int, k: int, iters: int
+) -> str:
+    """DuckDB replica of the k-means-trained IVF path: reproduces the FULL
+    training trajectory (one CTE block per iteration — quantized cosine
+    assignment with lowest-id tiebreak, davg per-dimension centroid update,
+    empty clusters keep their previous centroid) plus the probe/rank tail,
+    bit-for-bit against operators/similarity.kmeans_centroids +
+    ivf_flat_topk_trained."""
+    qcos = lambda a, b: quantize6_sql(  # noqa: E731 - local SQL builder
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    blocks = [
+        f"""base AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT id AS c_id, v AS c_vec FROM base ORDER BY id LIMIT {n_centroids}
+        )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        blocks.append(
+            f"""a{it} AS (
+            SELECT id, cluster FROM (
+                SELECT b.id, c.c_id AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.id
+                           ORDER BY {qcos("b.v", "c.c_vec")} DESC, c.c_id ASC
+                       ) AS rn
+                FROM base b CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        e{it} AS (
+            SELECT a.cluster AS c_id,
+                   unnest([{{'pos': i, 'val': b.v[i]}} for i in range(1, len(b.v) + 1)]) AS u
+            FROM base b JOIN a{it} a ON b.id = a.id
+        ),
+        comp{it} AS (
+            SELECT c_id, u.pos AS pos, {davg_sql("u.val")} AS comp
+            FROM e{it} GROUP BY c_id, u.pos
+        ),
+        cn{it} AS (
+            SELECT c_id, list(comp ORDER BY pos) AS c_vec FROM comp{it} GROUP BY c_id
+        ),
+        c{it} AS (
+            SELECT p.c_id, COALESCE(n.c_vec, p.c_vec) AS c_vec
+            FROM {prev} p LEFT JOIN cn{it} n USING (c_id)
+        )"""
+        )
+        prev = f"c{it}"
+    blocks.append(
+        f"""q AS (SELECT v AS qv FROM base WHERE vec_id_is_query),
+        af AS (
+            SELECT id, cluster FROM (
+                SELECT b.id, c.c_id AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.id
+                           ORDER BY {qcos("b.v", "c.c_vec")} DESC, c.c_id ASC
+                       ) AS rn
+                FROM base b CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        probed AS (
+            SELECT c.c_id FROM {prev} c, q
+            ORDER BY {qcos("c.c_vec", "q.qv")} DESC, c.c_id ASC
+            LIMIT {nprobe}
+        )"""
+    )
+    body = ",\n        ".join(blocks)
+    return f"""
+        WITH {body}
+        SELECT a.id AS id, {qcos("b.v", "q.qv")} AS cosine
+        FROM af a
+        JOIN probed p ON a.cluster = p.c_id
+        JOIN base b ON b.id = a.id
+        CROSS JOIN q
+        ORDER BY cosine DESC, a.id ASC
+        LIMIT {k}
+    """.replace("vec_id_is_query", "id = 0")
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=_ann_ivf_kmeans_oracle_sql(n_centroids=8, nprobe=3, k=10, iters=2),
+    doc="IVF-flat ANN top-k over k-means-TRAINED centroids: the oracle "
+    "replays the full deterministic training trajectory (davg centroid "
+    "updates, quantized assignment) before the probe — verifying the "
+    "iterative algorithm, not just the final ranking.",
+    tags=("similarity", "topk", "ivf", "kmeans"),
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_flat_topk_trained(
+        e,
+        "embedding",
+        "vec_id",
+        _query_vector(spark, sf_dir),
+        k=10,
+        n_centroids=8,
+        nprobe=3,
+        iters=2,
     )
 
 
