@@ -15,6 +15,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.sessionize im
     sessionize_batch,
     sessionize_batch_oracle_sql,
     sessionize_stream,
+    sessionize_stream_flushing,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.windowed import (
     windowed_event_counts,
@@ -27,6 +28,7 @@ __all__ = [
     "sessionize_batch",
     "sessionize_batch_oracle_sql",
     "sessionize_stream",
+    "sessionize_stream_flushing",
     "stream_events",
     "windowed_event_counts",
 ]

@@ -136,3 +136,75 @@ def sessionize_stream(events: DataFrame, gap_ns: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stream_flushing(
+    events: DataFrame, gap_ns: int, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """:func:`sessionize_stream` + event-time timeout: idle sessions flush.
+
+    The no-timeout operator only emits a user's session when a *later* event
+    for the same user arrives — a user who stops producing events holds an
+    open session (and its state) forever.  Here the stream carries a
+    watermark (``ts`` nanos → a real timestamp column) and each group arms an
+    event-time timeout at ``last_event + gap``: once the watermark — driven
+    by the whole stream, not that user — passes it, the open session emits
+    and its state is freed.  Session *boundaries* are identical to the batch
+    operator's; the timeout changes liveness (when open sessions surface)
+    and bounds state size, which is what an unbounded 100 TB/day deployment
+    needs.
+
+    ``watermark_delay`` is the usual lateness allowance: larger values delay
+    flushes but tolerate more cross-user disorder.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    with_time = events.withColumn(
+        "__event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withWatermark("__event_time", watermark_delay)
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ns, last_ns, cnt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start_ns, last_ns, cnt)],
+                columns=["user_id", "start_ns", "end_ns", "n_events"],
+            )
+            return
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf["ts"])
+        ts_all.sort()
+        if state.exists:
+            start_ns, last_ns, cnt = state.get
+        else:
+            start_ns = last_ns = cnt = None
+        closed = []
+        for t in ts_all:
+            if start_ns is None:
+                start_ns, last_ns, cnt = t, t, 1
+            elif t - last_ns > gap_ns:
+                closed.append((user_id, start_ns, last_ns, cnt))
+                start_ns, last_ns, cnt = t, t, 1
+            else:
+                last_ns, cnt = t, cnt + 1
+        state.update((start_ns, last_ns, cnt))
+        # flush once the stream-wide watermark passes this session's gap
+        # horizon; must arm strictly past the current watermark
+        flush_ms = (last_ns + gap_ns) // 1_000_000
+        state.setTimeoutTimestamp(max(flush_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "start_ns", "end_ns", "n_events"]
+            )
+
+    return with_time.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_STREAM_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

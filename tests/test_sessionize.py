@@ -79,3 +79,61 @@ def test_stream_equals_batch_minus_open_sessions(spark, sf_dir, tmp_path):
     }
     assert streamed == expected
     assert len(expected) > 0  # fixture produces closed sessions
+
+
+def test_stream_flushing_emits_idle_sessions_after_watermark(spark, tmp_path):
+    """Event-time timeout closes the docstring's named gap: a user who stops
+    producing events still gets their open session emitted once OTHER users'
+    events push the watermark past last+gap — and session boundaries stay
+    identical to the batch operator's."""
+    import os
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.sessionize import (
+        sessionize_stream_flushing,
+    )
+
+    SEC = 1_000_000_000
+    B = 1_600_000_000 * SEC  # keep event times above the initial watermark
+    gap_ns = 100 * SEC
+    # file 0: user 1's whole (short) life + user 2's first event
+    # file 1: user 2 at t=B+1000s -> watermark B+1000s after this batch
+    # file 2: user 2 at t=B+2000s -> during it, user 1 (idle since B+50s,
+    #         timeout armed at B+150s) times out and flushes
+    batches = [
+        [(1, B), (1, B + 50 * SEC), (2, B)],
+        [(2, B + 1000 * SEC)],
+        [(2, B + 2000 * SEC)],
+    ]
+    src = tmp_path / "flush_stream"
+    src.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        path = src / f"batch_{i:03d}.parquet"
+        spark.createDataFrame(rows, "user_id long, ts long").toPandas().to_parquet(path)
+        os.utime(path, (base + i * 10, base + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream_flushing(stream, gap_ns)
+        .writeStream.format("memory")
+        .queryName("flush_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["start_ns"], r["end_ns"], r["n_events"])
+        for r in spark.table("flush_out").collect()
+    }
+    # user 1's open session flushed by timeout (the no-timeout operator
+    # would never emit it); user 2's arrival-closed sessions unchanged;
+    # user 2's final session stays open (watermark never passes 2000s+gap)
+    assert (1, B, B + 50 * SEC, 2) in got
+    assert (2, B, B, 1) in got
+    assert (2, B + 1000 * SEC, B + 1000 * SEC, 1) in got
+    assert not any(u == 2 and s == B + 2000 * SEC for (u, s, _e, _n) in got)
