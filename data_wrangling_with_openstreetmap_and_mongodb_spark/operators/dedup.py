@@ -109,25 +109,17 @@ def _shingle_arrays(rows: DataFrame) -> DataFrame:
     return rows.groupBy("id").agg(F.collect_list("shingle").alias("sh"))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    threshold: float = 0.8,
-) -> DataFrame:
-    """All pairs (a, b), a<b, with shingle-set Jaccard ≥ threshold — exact.
+def prefix_candidates(ex: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin-style candidate pairs ``(id_a, id_b)`` from distinct shingle
+    rows ``(id, n_sh, shingle)``: block only on each document's
+    ⌊(1−t)·|s|⌋+1 globally-RAREST shingles.
 
-    Prefix-filtered inverted-index plan (PPJoin-style): order each document's
-    shingles by ascending global document-frequency; any pair with
-    Jaccard ≥ t must share a shingle among each side's first
-    ⌊(1-t)·|s|⌋+1 rarest shingles.  Blocking on *rare* shingles keeps the
-    candidate join sub-quadratic even when a few shingles occur in most
-    documents (naive shingle-blocking degenerates to |D|² exactly there).
-    Candidates are then verified with exact set Jaccard.  Returns
-    ``(id_a, id_b, jaccard)``.
-    """
-    ex = _shingle_rows(df, text_col, id_col, n)
+    This is the skew defense: a stop-shingle occurring in half the corpus
+    sits at the END of the document-frequency order, so it never enters any
+    prefix and never forms a |D|²-sized bucket — candidate count is bounded
+    by Σ_over-prefix-shingles C(df_prefix, 2), not by the frequency of the
+    most common shingle (asserted under a planted 50%-stop-shingle corpus in
+    tests/test_dedup_similarity.py)."""
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
     w = Window.partitionBy("id").orderBy(F.asc("df_cnt"), F.asc("shingle"))
     # Sound prefix bound: J(a,b) ≥ t implies overlap ≥ ceil(t·|x|) on each
@@ -147,11 +139,33 @@ def ngram_jaccard_pairs(
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a, b), a<b, with shingle-set Jaccard ≥ threshold — exact.
+
+    Prefix-filtered inverted-index plan (PPJoin-style): order each document's
+    shingles by ascending global document-frequency; any pair with
+    Jaccard ≥ t must share a shingle among each side's first
+    ⌊(1-t)·|s|⌋+1 rarest shingles.  Blocking on *rare* shingles keeps the
+    candidate join sub-quadratic even when a few shingles occur in most
+    documents (naive shingle-blocking degenerates to |D|² exactly there).
+    Candidates are then verified with exact set Jaccard.  Returns
+    ``(id_a, id_b, jaccard)``.
+    """
+    ex = _shingle_rows(df, text_col, id_col, n)
+    cand = prefix_candidates(ex, threshold)
     arrays = _shingle_arrays(ex)
     sha = arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     shb = arrays.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

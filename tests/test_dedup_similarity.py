@@ -290,3 +290,46 @@ class TestIvfTrained:
         assert [(r["id"], r["cosine"]) for r in probe.collect()] == [
             (r["id"], r["cosine"]) for r in mem
         ]
+
+
+class TestSkewedBlocking:
+    """The degenerate case the PPJoin prefix filter exists for: a
+    stop-shingle present in half the corpus.  Naive shingle-blocking pairs
+    every two docs that share any shingle — C(n/2, 2) from the stop-shingle
+    alone; the prefix filter must keep candidates near-linear."""
+
+    def test_stop_shingle_corpus_stays_subquadratic(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            _shingle_rows,
+            ngram_jaccard_pairs,
+            prefix_candidates,
+        )
+
+        n = 400
+        stop = "the quick brown fox jumps"  # 3 shared trigram shingles
+        rows = [
+            (
+                i,
+                (stop + " " if i % 2 == 0 else "")
+                + " ".join(f"u{i}w{j}" for j in range(8)),
+            )
+            for i in range(n)
+        ]
+        # planted near-identical pair rides on top of the skew
+        rows.append((1000, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"))
+        rows.append((1001, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        ex = _shingle_rows(docs, "text", "doc_id", n=3)
+        n_cand = prefix_candidates(ex, threshold=0.8).count()
+        naive_floor = (n // 2) * (n // 2 - 1) // 2  # stop-shingle bucket alone
+        # prefixes hold each doc's ~20% RAREST shingles — the 50%-frequency
+        # stop shingles never enter one, so candidates stay near-linear
+        assert n_cand < n  # measured: just the planted pair; allow slack
+        assert n_cand * 20 < naive_floor  # orders of magnitude under |D|²/4
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+        }
+        assert got == {(1000, 1001): 1.0}  # recall intact under skew
