@@ -113,10 +113,15 @@ def events_partitioned_by_day(
 ) -> DataFrame:
     """Materialize events partitioned by epoch day — the layout a streaming
     ingest would write — and return the partitioned reader."""
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
-
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "epoch_day", F.expr("ts div 86400000000000").cast("int")
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import (
+        MICROS_PER_DAY,
+        load_table,
+        ts_micros,
     )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev)).withColumn(
+        "epoch_day", F.expr(f"ts_us div {MICROS_PER_DAY}").cast("int")
+    ).drop("ts_us")
     write_partitioned(ev, path, ["epoch_day"])
     return spark.read.parquet(path)

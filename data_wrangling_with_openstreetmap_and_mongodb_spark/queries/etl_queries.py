@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table, ts_micros
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
     davg,
     davg_sql,
@@ -229,7 +229,6 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "sessionization"),
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000").alias("ts")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", ts_micros(ev).alias("ts"))
     return sessionize_batch(ev, SESSION_GAP_US)

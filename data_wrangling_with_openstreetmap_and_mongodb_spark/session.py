@@ -12,12 +12,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-# The driver's testdata stores event timestamps as parquet TIMESTAMP(NANOS),
-# which Spark only reads via this legacy flag (as raw nanosecond longs).
-# It is a runtime-settable SQL conf; `ensure_runtime_confs` applies it to
+# All confs here are runtime-settable; `ensure_runtime_confs` applies them to
 # sessions we did not build (e.g. the verification driver's own session).
+# nanosAsLong: some testdata generations ship events.ts as parquet
+# TIMESTAMP(NANOS), which Spark only reads via this legacy flag (as raw
+# nanosecond longs); catalog.ts_micros adapts to whichever encoding arrives.
+# session.timeZone pinned UTC: TIMESTAMP_NTZ→TIMESTAMP casts and epoch
+# extraction must be wall-clock-identity regardless of host timezone.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -21,7 +21,10 @@ import itertools
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import NANOS_PER_HOUR
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import (
+    MICROS_PER_HOUR,
+    ts_micros,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import dsum
 
 _sink_counter = itertools.count()
@@ -45,7 +48,8 @@ def hourly_rollup_plan(events: DataFrame) -> DataFrame:
     """The streaming aggregation: integer hour bucket × event_type →
     count + exact sum.  Identical logical shape to the batch rollup."""
     return (
-        events.withColumn("epoch_hour", F.expr(f"ts div {NANOS_PER_HOUR}"))
+        events.withColumn("ts_us", ts_micros(events))
+        .withColumn("epoch_hour", F.expr(f"ts_us div {MICROS_PER_HOUR}"))
         .groupBy("epoch_hour", "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
     )

@@ -5,7 +5,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table, ts_micros
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
     events_partitioned_by_day,
     salted_count_distinct,
@@ -97,9 +97,10 @@ def test_partitioned_read_prunes(spark, sf_dir, tmp_path):
     # the scan must not read every partition: pruned plan lists the predicate
     assert "epoch_day" in plan.split("PartitionFilters", 1)[1][:200]
     # and pruning preserves correctness
+    ev = load_table(spark, sf_dir, "events")
     expected = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.floor(F.col("ts") / F.lit(86_400_000_000_000)) == 19724)
+        ev.withColumn("ts_us", ts_micros(ev))
+        .filter(F.expr("ts_us div 86400000000") == 19724)
         .count()
     )
     assert one_day.count() == expected

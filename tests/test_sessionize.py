@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table, ts_micros
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.sessionize import (
     sessionize_batch,
     sessionize_stream,
@@ -30,8 +30,9 @@ def test_batch_sessionize_boundaries(spark):
 def test_stream_equals_batch_minus_open_sessions(spark, sf_dir, tmp_path):
     import os
 
-    gap_ns = 12 * 3600 * 1_000_000_000
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    gap_us = 12 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", ts_micros(ev).alias("ts"))
 
     # several time-contiguous files → several micro-batches, honoring the
     # operator's ordered-arrival contract (file source picks older
@@ -55,7 +56,7 @@ def test_stream_equals_batch_minus_open_sessions(spark, sf_dir, tmp_path):
         .parquet(str(src))
     )
     q = (
-        sessionize_stream(stream, gap_ns)
+        sessionize_stream(stream, gap_us)
         .writeStream.format("memory")
         .queryName("sessions_out")
         .outputMode("append")
@@ -68,7 +69,7 @@ def test_stream_equals_batch_minus_open_sessions(spark, sf_dir, tmp_path):
         for r in spark.table("sessions_out").collect()
     }
 
-    batch = sessionize_batch(ev, gap_ns)
+    batch = sessionize_batch(ev, gap_us)
     last_seq = batch.groupBy("user_id").agg(F.max("session_seq").alias("last_seq"))
     closed = batch.join(last_seq, "user_id").filter(
         F.col("session_seq") != F.col("last_seq")
