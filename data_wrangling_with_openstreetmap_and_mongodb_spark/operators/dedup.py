@@ -135,12 +135,38 @@ def prefix_candidates(ex: DataFrame, threshold: float) -> DataFrame:
         ex.join(freq, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("id", "shingle")
+        .select("id", "shingle", "n_sh", "rn")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    t = float(threshold)
+    # PPJoin length filter: J ≥ t forces t·|a| ≤ |b| ≤ |a|/t (both
+    # directions since id-ordering is not size-ordering); same round() guard
+    # as the prefix bound against t·|s| landing 1 ulp off an integer.
+    len_ok = (
+        F.col("b.n_sh") >= F.ceil(F.round(F.lit(t) * F.col("a.n_sh"), 9))
+    ) & (F.col("a.n_sh") >= F.ceil(F.round(F.lit(t) * F.col("b.n_sh"), 9)))
+    # PPJoin positional filter: for the EARLIEST shared prefix shingle (at
+    # 1-based in-document positions rn under the global order) every shared
+    # shingle sits at ≥ those positions, so overlap ≤ 1 + min(|a|−rn_a,
+    # |b|−rn_b); J ≥ t needs overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉.  Rows for later
+    # shared shingles may under-bound and drop out, but a true pair always
+    # keeps its earliest matching row, so the pair set is unchanged — this
+    # only thins the candidate multi-rows before the dedup.
+    alpha = F.ceil(
+        F.round(F.lit(t / (1.0 + t)) * (F.col("a.n_sh") + F.col("b.n_sh")), 9)
+    )
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
+    )
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & len_ok
+            & (ubound >= alpha),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -163,8 +189,17 @@ def ngram_jaccard_pairs(
     documents (naive shingle-blocking degenerates to |D|² exactly there).
     Candidates are then verified with exact set Jaccard.  Returns
     ``(id_a, id_b, jaccard)``.
+
+    The shingle table is persisted (memory-and-disk): three consumers read
+    it — the global df ranking, the prefix rows, and the verification
+    arrays — and recomputing the tokenize/explode/window front-end per
+    consumer dominated runtime on low-vocabulary corpora where the prefix
+    filter passes many candidates.  The 100 TB analogue is materializing
+    the inverted index once (a bucketed table keyed on shingle) and running
+    candidate generation + verification against that, exactly as PPJoin
+    implementations do.
     """
-    ex = _shingle_rows(df, text_col, id_col, n)
+    ex = _shingle_rows(df, text_col, id_col, n).persist()
     cand = prefix_candidates(ex, threshold)
     arrays = _shingle_arrays(ex)
     sha = arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -255,8 +290,11 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     coeffs = minhash_perm_coeffs(num_hashes, seed)
     # Shared JVM-native shingle rows (see _shingle_rows), consumed by the
-    # signature aggregation and (as arrays) both verification sides.
-    shingle_rows = _shingle_rows(df, text_col, id_col, n)
+    # signature aggregation and (as arrays) both verification sides —
+    # persisted so neither consumer recomputes the explode/window front-end
+    # (AQE exchange reuse covered this on some data shapes but is a
+    # heuristic; the cache makes the reuse structural).
+    shingle_rows = _shingle_rows(df, text_col, id_col, n).persist()
     # Signature as hash-aggregate with num_hashes min() buffers: a single
     # giant array<transform<...>> projection exceeds what whole-stage
     # codegen will compile (interpreted fallback, ~10×), while min-aggregate
@@ -270,9 +308,12 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(coeffs)
         ]
     )
+    # persisted: the signature table feeds the band self-join (twice) and
+    # both verification sides; the 64-buffer aggregation is the pipeline's
+    # most expensive stage and must run once
     with_sig = sig_agg.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    ).persist()
 
     # The band explode and self-join carry ONLY (id, band, bucket): exploding
     # the shingle/signature arrays 16× and shuffling them through the join

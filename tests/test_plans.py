@@ -101,11 +101,12 @@ class TestTrainingDataPlans:
         assert "CollectLimit" not in plan
 
     def test_minhash_shingles_materialize_once(self, spark, sf_dir):
-        # the repartition barrier must let AQE reuse the materialized shingle
-        # exchange across its consumers (signature agg + both verification
-        # sides) instead of recomputing the arrays per consumer — the
-        # round-1 projection-collapse trap.  Only the executed final plan
-        # shows reuse (logical plans print shared subtrees repeatedly).
+        # the shared shingle/signature front-end must materialize once and be
+        # re-read by its consumers (signature agg + band self-join + both
+        # verification sides) instead of recomputing per consumer — the
+        # round-1 projection-collapse trap.  Reuse is structural now (the
+        # operator persists the shared tables), so the executed plan must
+        # read the cache at least twice; AQE ReusedExchange also counts.
         from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
             minhash_lsh_pairs,
         )
@@ -115,7 +116,8 @@ class TestTrainingDataPlans:
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
-        assert plan.count("ReusedExchange") >= 1
+        cache_reads = plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage")
+        assert cache_reads >= 2 or plan.count("ReusedExchange") >= 1, plan[:2000]
 
 
 class TestScanShapes:
