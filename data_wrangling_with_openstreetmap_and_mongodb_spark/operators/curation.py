@@ -1,0 +1,206 @@
+"""Corpus-curation operators for training-data pipelines: repetition
+metrics, deterministic train/val/test splits, stratified sampling, and
+benchmark decontamination.
+
+These extend the engine beyond the reference's surface into the operations a
+100 TB pretraining-data pipeline runs after dedup (operators/dedup.py) and
+quality scoring (operators/text.py):
+
+- :func:`repetition_metrics` — the Gopher-style "excessive repetition"
+  signals (duplicate n-gram fraction, most-frequent-token share) used to
+  drop degenerate/boilerplate documents.
+- :func:`split_assign` — hash-bucketed train/val/test assignment: a pure
+  function of the document id, so membership is reproducible across runs,
+  engines, and repartitioning (never ``rand()``, which reshuffles splits on
+  every retry).
+- :func:`stratified_sample` — per-stratum top-k by a deterministic hash
+  rank: an unbiased, engine-agnostic sample with exactly-k-per-stratum
+  semantics, all inside one window pass.
+- :func:`contaminated_docs` — n-gram-overlap decontamination of the corpus
+  against a benchmark set (the published eval-contamination defense:
+  documents sharing long n-grams with any benchmark doc are flagged).
+
+Scale design: everything is DataFrame algebra.  The decontamination join
+broadcasts only the DISTINCT benchmark shingles — benchmark suites are tiny
+relative to a pretraining corpus, which is exactly why the corpus side never
+shuffles by shingle; repetition metrics are two hash-aggregations per
+document joined on id; split/sample never shuffle more than their window
+keys.  No operator holds per-document state on the driver.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+    md5_hash32,
+    whitespace_tokens,
+)
+
+
+def _exploded_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, tok) rows — lowercased whitespace tokens with position."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(whitespace_tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "tok"
+        ),
+    )
+
+
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition signals: ``(id, n_tokens,
+    distinct_token_ratio, top_token_frac, dup_bigram_frac)``.
+
+    ``dup_bigram_frac`` is ``1 − distinct_bigrams/total_bigrams`` (0 for
+    documents with < 2 tokens): high values mark looping/boilerplate text.
+    ``top_token_frac`` is the most frequent token's share.  Both are the
+    standard repetition-filter signals for pretraining corpora.
+
+    Two aggregations over one exploded token stream (token histogram → per-id
+    rollup; windowed bigram stitch → per-id distinct count), joined on id —
+    no data-dependent skew beyond document length itself.
+    """
+    toks = _exploded_tokens(df, text_col, id_col)
+    tok_stats = (
+        toks.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "id",
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bg"),
+            F.lead("tok", 1).over(w).alias("__next"),
+        )
+        .filter(F.col("__next").isNotNull())
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("total_bg"),
+            F.count_distinct("bg").alias("distinct_bg"),
+        )
+    )
+    return (
+        tok_stats.join(bigrams, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_tokens"),
+            (F.col("n_distinct") / F.col("n_tokens")).alias(
+                "distinct_token_ratio"
+            ),
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_frac"),
+            F.when(
+                F.col("total_bg").isNull() | (F.col("total_bg") == 0), F.lit(0.0)
+            )
+            .otherwise(F.lit(1.0) - F.col("distinct_bg") / F.col("total_bg"))
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Attach a deterministic ``split`` column (train/val/test).
+
+    Bucket = ``md5₃₂(id-as-string) mod 100`` — a pure function of the id:
+    stable under retries, repartitioning, and engine choice (the md5-based
+    hash has a bit-identical SQL twin).  ``rand()``-based splits silently
+    reassign rows whenever a task retries; hash splits are the production
+    idiom.
+    """
+    bucket = md5_hash32(F.col(id_col).cast("string")) % 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def split_assign_bucket_sql(id_expr: str) -> str:
+    """DuckDB fragment matching :func:`split_assign`'s bucket bit-for-bit."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        md5_hash32_sql,
+    )
+
+    return f"({md5_hash32_sql(f'CAST({id_expr} AS VARCHAR)')}) % 100"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    rank_col: str = None,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample.
+
+    Rank = md5 hash of ``rank_col`` (default: the id) with the id as a
+    unique tiebreak, so the sample is uniform-ish, reproducible, and
+    engine-agnostic — one window pass, no count() pre-pass, no ``rand()``.
+    Rows get ``rk`` (1-based rank within stratum); callers keep ``rk <= k``.
+    """
+    basis = F.col(rank_col) if rank_col else F.col(id_col).cast("string")
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_hash32(basis.cast("string")), F.col(id_col)
+    )
+    return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _ngram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (id, shingle, n_sh) word-n-gram rows (delegates to the dedup
+    family's shared JVM-native builder)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+        _shingle_rows,
+    )
+
+    return _shingle_rows(df, text_col, id_col, n)
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Corpus documents sharing at least one word-``n``-gram with any
+    benchmark document: ``(id, n_shared, contam_frac)``.
+
+    The decontamination defense for eval integrity: published pipelines drop
+    or flag training documents that contain long n-grams from evaluation
+    sets.  ``contam_frac`` = shared distinct n-grams / the document's
+    distinct n-grams.
+
+    Scale shape: the benchmark's DISTINCT shingles broadcast (benchmark
+    suites are a few MB against a 100 TB corpus); the corpus side streams
+    through one broadcast-hash semi-join + one per-id aggregation — the
+    corpus is never shuffled by shingle.
+    """
+    corpus_sh = _ngram_rows(corpus, text_col, id_col, n)
+    bench_sh = (
+        _ngram_rows(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.select(
+        "id",
+        "n_shared",
+        (F.col("n_shared") / F.col("n_sh")).alias("contam_frac"),
+    )

@@ -410,8 +410,12 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
     """,
-    doc="lookup/enrichment join (04/update.py:56-76 re-expressed as broadcast equi-join)",
+    doc="lookup/enrichment join (04/update.py:56-76 re-expressed as broadcast "
+    "equi-join).  Hidden from the driver window (r3): J1's enrichment-join + "
+    "broadcast shape already carries the upsert_supplier_acctbal hard row; "
+    "the slot goes to the decontamination operator family.",
     tags=("join", "agg"),
+    driver_visible=False,
 )
 def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")

@@ -681,3 +681,158 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, "text", "doc_id", k=8, window=4).select(
         F.col("id").alias("doc_id"), "fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py): repetition filters, deterministic
+# splits, stratified sampling, benchmark decontamination — the post-dedup
+# tier of a pretraining-data pipeline.
+# ---------------------------------------------------------------------------
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+    split_assign_bucket_sql,
+)
+
+split_bucket_sql = split_assign_bucket_sql("doc_id")
+@register(
+    "text_repetition_metrics",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_SQL_LTOKS} AS t FROM documents),
+        flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        tc AS (SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY 1, 2),
+        agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS mx
+                FROM tc GROUP BY 1),
+        bi AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 2
+                           THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                           ELSE [] END AS bg
+               FROM toks),
+        bagg AS (SELECT doc_id, len(bg) AS tb, len(list_distinct(bg)) AS db
+                 FROM bi)
+        SELECT agg.doc_id AS doc_id,
+               n::BIGINT AS n_tokens,
+               d::DOUBLE / n AS distinct_token_ratio,
+               mx::DOUBLE / n AS top_token_frac,
+               CASE WHEN tb > 0 THEN 1.0 - db::DOUBLE / tb ELSE 0.0 END
+                   AS dup_bigram_frac
+        FROM agg JOIN bagg USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals per document (duplicate-bigram "
+    "fraction, top-token share, distinct-token ratio): the standard "
+    "drop-degenerate-text filters for pretraining corpora.  Gate-only: its "
+    "primitives (explode, window lead, hash-agg, id-join) all carry hard "
+    "driver rows elsewhere.",
+    tags=("text", "curation"),
+    driver_visible=False,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(d, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_SQL_LTOKS} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3 THEN
+                          list_distinct([array_to_string(list_slice(t, i, i+2), ' ')
+                                         for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                      ELSE [] END AS s
+               FROM toks),
+        flat AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+        bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 100 = 0),
+        tot AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+        hits AS (SELECT f.doc_id, count(*) AS n_shared
+                 FROM flat f JOIN bench USING (g)
+                 WHERE f.doc_id % 100 <> 0
+                 GROUP BY 1)
+        SELECT h.doc_id AS doc_id, n_shared,
+               n_shared::DOUBLE / n_sh AS contam_frac
+        FROM hits h JOIN tot USING (doc_id)
+    """,
+    doc="benchmark decontamination: corpus docs sharing any word-trigram "
+    "with the benchmark subset (doc_id ≡ 0 mod 100) are flagged with shared "
+    "count + fraction.  Trigrams for the same measured reason as "
+    "dedup_ngram_jaccard (tiny corpus vocabulary); production uses longer "
+    "n-grams.  The benchmark's distinct shingles broadcast — the corpus "
+    "never shuffles by shingle.",
+    tags=("text", "curation", "join"),
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        contaminated_docs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 == 0)
+    corpus = d.filter(F.col("doc_id") % 100 != 0)
+    return contaminated_docs(corpus, bench, "text", "doc_id", n=3).select(
+        F.col("id").alias("doc_id"), "n_shared", "contam_frac"
+    )
+
+
+@register(
+    "train_split_assign",
+    oracle=f"""
+        SELECT CASE WHEN {split_bucket_sql} < 90 THEN 'train'
+                    WHEN {split_bucket_sql} < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    doc="deterministic hash-bucketed train/val/test assignment (90/5/5) "
+    "rolled up by language: split membership is a pure function of doc_id — "
+    "stable across runs, retries, and engines (never rand()).  Gate-only: "
+    "md5-hash + group-count families carry hard driver rows elsewhere.",
+    tags=("curation", "agg"),
+    driver_visible=False,
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        split_assign,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "stratified_sample_documents",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                                doc_id) AS rk
+            FROM documents)
+        SELECT doc_id, lang, rk FROM ranked WHERE rk <= 3
+    """,
+    doc="exactly-k-per-stratum deterministic sample (md5-rank per language, "
+    "doc_id tiebreak): reproducible sampling with no count() pre-pass and no "
+    "rand().  Gate-only: window row_number + md5 rank carry hard driver rows "
+    "elsewhere.",
+    tags=("curation", "window"),
+    driver_visible=False,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", "doc_id", k=3).select(
+        "doc_id", "lang", "rk"
+    )
