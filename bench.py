@@ -58,6 +58,15 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = None  # null in JSON (NaN is invalid strict JSON)
             continue
+        finally:
+            # per-query isolation: operators that persist shared front-ends
+            # (dedup shingle/signature tables) register a NEW cache entry per
+            # call; dropping them between queries keeps later measurements
+            # free of accumulated executor-memory pressure
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(t for t in timings.values() if t is not None), 4)

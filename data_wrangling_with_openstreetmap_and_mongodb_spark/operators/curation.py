@@ -40,12 +40,24 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
 
 
 def _exploded_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, tok) rows — lowercased whitespace tokens with position."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(whitespace_tokens(F.lower(F.col(text_col)))).alias(
-            "pos", "tok"
-        ),
+    """(id, pos, tok) rows — lowercased whitespace tokens with position.
+
+    Pre-shuffled by id with an explicit partition count: a single-row-group
+    parquet scan is ONE task, which would serialize the downstream windows
+    and aggregations; AQE's coalescePartitions folds a plain few-MB
+    repartition back to one partition, hence the explicit count (same
+    regime note as dedup._shingle_rows).
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(n_parts, "id")
+        .select(
+            "id",
+            F.posexplode(whitespace_tokens(F.lower(F.col("__text")))).alias(
+                "pos", "tok"
+            ),
+        )
     )
 
 

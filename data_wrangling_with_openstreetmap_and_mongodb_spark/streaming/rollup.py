@@ -55,21 +55,38 @@ def hourly_rollup_plan(events: DataFrame) -> DataFrame:
     )
 
 
-def run_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_streaming_hourly_rollup(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
     """Drive the streaming rollup to completion (availableNow) and return the
     final result as a DataFrame.
 
     ``complete`` output mode: every trigger emits full aggregation state —
     the right mode for a bounded catch-up run and for dashboards; an
-    unbounded deployment would add a watermark + append mode."""
+    unbounded deployment would add a watermark + append mode.
+
+    ``state_partitions`` sizes the streaming state store: each state
+    partition carries an HDFS-backed provider with snapshot/maintenance
+    overhead, so it should track the AGGREGATE's key cardinality (a few
+    thousand hour×type groups here), not the batch shuffle default —
+    measured on local[32]: 64 state partitions run 2–9 s erratic (provider
+    maintenance dominates), 8 run a stable ~1 s.  The conf only takes
+    effect at stream start, so it is set for the query and restored after
+    (state partitioning is fixed for a streaming query's lifetime anyway).
+    """
     name = f"hourly_rollup_sink_{next(_sink_counter)}"
-    q = (
-        hourly_rollup_plan(stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            hourly_rollup_plan(stream_events(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
