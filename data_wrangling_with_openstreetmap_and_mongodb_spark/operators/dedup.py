@@ -438,7 +438,10 @@ def simhash_near_pairs(
     """
     chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // chunks
-    sh = simhash(df, text_col, id_col)
+    # persisted: one (id, simhash) row per document, read by both sides of
+    # the chunk self-join — without it the 60-buffer vote aggregation runs
+    # twice (same structural-reuse rationale as minhash_lsh_pairs)
+    sh = simhash(df, text_col, id_col).persist()
     with_chunks = sh.select(
         "id",
         "simhash",
