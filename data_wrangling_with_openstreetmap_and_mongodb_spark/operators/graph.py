@@ -1,0 +1,103 @@
+"""Connected components over similarity edges — the collapse step of a
+dedup pipeline.
+
+The dedup family (operators/dedup.py) emits near-duplicate PAIRS; a real
+pipeline must collapse pairs into clusters and keep one canonical document
+per cluster (duplicate chains matter: A≈B and B≈C put A and C in one
+cluster even when A≉C directly).  :func:`connected_components` does this as
+iterative min-label propagation in pure DataFrame algebra:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until fixpoint.  Each round is one shuffle (edge join + min
+aggregate); convergence takes at most the graph diameter rounds — for
+near-duplicate clusters the diameter is tiny (duplicates of one source
+document link to each other), so a handful of rounds suffice.  The
+per-round ``count()`` convergence check is a driver action by design:
+iterative algorithms are the documented exception to the action-free-plan
+rule, and the loop bound caps total work.  ``localCheckpoint`` truncates
+lineage each round — without it the plan doubles per iteration and the
+optimizer, not the data, becomes the bottleneck.
+
+At 100 TB the same loop runs with edges bucketed by vertex; production
+systems cut rounds further with the large-star/small-star (HashToMin)
+variant — the round structure here is deliberately the simple one because
+its every step is oracle-checkable (DuckDB recursive CTE).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """``(id, component)`` for every vertex in ``edges``; ``component`` is
+    the minimum vertex id in the connected component (deterministic)."""
+    # lazy checkpoints: materialized by the first convergence count, so each
+    # round costs ONE job (join+agg+count) instead of a separate eager
+    # checkpoint job plus the count
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        # pull the minimum neighbor label into each vertex, keep own label
+        neigh = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias("__chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment + canonical pick over a corpus and its near-dup
+    pairs: ``(id, cluster, is_canonical)``.
+
+    Documents not in any pair form singleton clusters of themselves; the
+    canonical member is the cluster's minimum id (deterministic, stable
+    across runs — the property retries and incremental reruns need).
+    """
+    comp = connected_components(pairs, src_col, dst_col)
+    ids = df.select(F.col(id_col).alias("id"))
+    joined = ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    )
+    return joined.withColumn("is_canonical", F.col("id") == F.col("cluster"))

@@ -836,3 +836,116 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, "lang", "doc_id", k=3).select(
         "doc_id", "lang", "rk"
     )
+
+
+@register(
+    "dedup_near_clusters",
+    oracle=f"""
+        WITH RECURSIVE toks AS (SELECT doc_id, {_SQL_LTOKS} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3 THEN
+                          list_distinct([array_to_string(list_slice(t, i, i+2), ' ')
+                                         for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                      ELSE [] END AS s
+               FROM toks),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        ),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+        walk(id, label) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM e) v(src)
+            UNION
+            SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.id
+        ),
+        comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+        SELECT d.doc_id AS doc_id,
+               coalesce(c.component, d.doc_id) AS cluster,
+               (d.doc_id = coalesce(c.component, d.doc_id)) AS is_canonical
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+    doc="dedup collapse: near-dup pairs (trigram Jaccard ≥ 0.8) → connected "
+    "components (iterative min-label propagation, operators/graph.py) → "
+    "cluster + canonical pick (min id).  Duplicate CHAINS matter: A≈B≈C "
+    "clusters A and C even when not directly similar (the sf0.01 corpus has "
+    "such a 3-member chain).  Oracle replays the components via a recursive "
+    "CTE.  Gate-only: the window is full; the iterative loop is additionally "
+    "pinned by planted-chain unit tests.",
+    tags=("dedup", "graph", "iterative"),
+    driver_visible=False,
+)
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+    return dedup_clusters(d, pairs, "doc_id").select(
+        F.col("id").alias("doc_id"), "cluster", "is_canonical"
+    )
+
+
+@register(
+    "events_asof_last_order",
+    oracle="""
+        WITH l AS (SELECT user_id AS k, epoch_us(ts) AS t, 0 AS is_right,
+                          NULL::BIGINT AS tb, event_id,
+                          NULL::STRUCT(ok BIGINT, tot DOUBLE) AS p
+                   FROM events),
+        r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 1 AS is_right,
+                     o_orderkey AS tb, NULL::BIGINT AS event_id,
+                     struct_pack(ok := o_orderkey, tot := o_totalprice) AS p
+              FROM orders),
+        u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        c AS (SELECT *, last_value(p IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY t ASC, is_right DESC, tb ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastp
+              FROM u)
+        SELECT event_id, k AS user_id,
+               lastp.ok AS last_order_key, lastp.tot AS last_order_total
+        FROM c WHERE is_right = 0
+    """,
+    doc="as-of (point-in-time) join: each event enriched with the user's "
+    "most recent order at-or-before the event (operators/asof.py union-merge "
+    "idiom — one shuffle + one window sort, never a non-equi nested loop).  "
+    "Oracle replays the same keyed-timeline algorithm in SQL; tie semantics "
+    "(right-before-left at equal t, max-orderkey among simultaneous orders) "
+    "are pinned in both engines.  Gate-only: window/last_value families "
+    "carry hard driver rows elsewhere; planted-interleaving unit tests pin "
+    "the operator.",
+    tags=("join", "asof", "window"),
+    driver_visible=False,
+)
+def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", ts_micros(ev).alias("__evt"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("__ot"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return asof_join(
+        ev,
+        o,
+        on="user_id",
+        left_time="__evt",
+        right_time="__ot",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak_col="o_orderkey",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_totalprice").alias("last_order_total"),
+    )

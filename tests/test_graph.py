@@ -1,0 +1,70 @@
+"""Connected components / dedup collapse (operators/graph.py)."""
+
+from __future__ import annotations
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_chain_collapses_to_one_component(spark):
+    # 1-2, 2-3, 3-4: diameter 3, forces multiple propagation rounds
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4)])).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_components_stay_separate(spark):
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            _edges(spark, [(1, 2), (10, 11), (11, 12), (20, 21)])
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_min_label_wins_regardless_of_edge_direction(spark):
+    # edges listed high-to-low; component must still be the min id
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(_edges(spark, [(9, 5), (5, 7), (7, 3)])).collect()
+    }
+    assert set(comp.values()) == {3}
+
+
+def test_long_path_converges_within_iteration_cap(spark):
+    n = 12  # path 0-1-...-12: worst-case diameter for plain propagation
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            _edges(spark, [(i, i + 1) for i in range(n)])
+        ).collect()
+    }
+    assert set(comp.values()) == {0}
+
+
+def test_dedup_clusters_singletons_and_canonicals(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = _edges(spark, [(1, 2), (2, 4)])
+    got = {
+        r["id"]: (r["cluster"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got == {
+        0: (0, True),
+        1: (1, True),
+        2: (1, False),
+        3: (3, True),
+        4: (1, False),
+        5: (5, True),
+    }
