@@ -79,3 +79,63 @@ def asof_join(
         *left_cols,
         *[F.col("__last")[c].alias(c) for c in payload_cols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Pairs where ``right_time − left_time ∈ [lo, hi]`` and keys match:
+    every left column prefixed ``l_``, every right column prefixed ``r_``.
+
+    The scalable range-join pattern: expressing the band directly gives
+    Catalyst a non-equi condition it can only nested-loop.  Instead both
+    sides bin their (integer) timestamps at width ``hi − lo``; a window of
+    that length spans at most TWO bins, so each left row emits its two
+    candidate bins and the band becomes an equi-join on ``(key, bin)``
+    followed by the exact filter.  Candidate volume is bounded by
+    2 × (per-key rows per bin window) — never the per-key cross product.
+
+    Bins use exact integer floor division (pmod-based, negative-safe);
+    ``lo``/``hi``/timestamps must share one integer unit (e.g. epoch µs).
+    """
+    if hi <= lo:
+        raise ValueError(f"empty interval [lo={lo}, hi={hi}]")
+    w = hi - lo
+
+    def ibin(col: F.Column) -> F.Column:
+        # exact floor(col / w) on bigints: fp division can misround a
+        # boundary at epoch-microsecond magnitudes
+        return ((col - F.pmod(col, F.lit(w))) / w).cast("long")
+
+    l = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__lt"),
+    ).withColumn(
+        "__bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    ibin(F.col("__lt") + F.lit(lo)),
+                    ibin(F.col("__lt") + F.lit(hi)),
+                )
+            )
+        ),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        F.col(on).alias("__rk"),
+        F.col(right_time).alias("__rt"),
+    ).withColumn("__bin", ibin(F.col("__rt")))
+    d = F.col("__rt") - F.col("__lt")
+    return (
+        l.join(r, (F.col("__k") == F.col("__rk")) & (l["__bin"] == r["__bin"]))
+        .filter((d >= lo) & (d <= hi))
+        .drop("__k", "__rk", "__bin", "__lt", "__rt")
+    )

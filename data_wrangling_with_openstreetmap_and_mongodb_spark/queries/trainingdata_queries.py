@@ -949,3 +949,43 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_order_key"),
         F.col("o_totalprice").alias("last_order_total"),
     )
+
+
+@register(
+    "event_pairs_within_30min",
+    oracle="""
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30*60*1000000
+    """,
+    doc="banded range self-join: same-user event pairs within ±30 minutes "
+    "(operators/asof.py::interval_join).  The band becomes an equi-join on "
+    "(key, time-bin) — a window of length hi−lo spans ≤2 bins — plus an "
+    "exact filter; candidates are bounded by per-key bin density, never the "
+    "per-key cross product Catalyst would nested-loop for the raw non-equi "
+    "condition.  Oracle is the quadratic ground truth.  Gate-only: window "
+    "is full; bin soundness additionally property-tested.",
+    tags=("join", "range", "window"),
+    driver_visible=False,
+)
+def event_pairs_within_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.asof import (
+        interval_join,
+    )
+
+    HALF_HOUR_US = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", ts_micros(ev).alias("t"))
+    pairs = interval_join(
+        ev, ev, on="user_id", left_time="t", right_time="t",
+        lo=-HALF_HOUR_US, hi=HALF_HOUR_US,
+    )
+    return pairs.filter(F.col("l_event_id") < F.col("r_event_id")).select(
+        F.col("l_event_id").alias("id_a"),
+        F.col("r_event_id").alias("id_b"),
+        (F.col("r_t") - F.col("l_t")).alias("delta_us"),
+    )

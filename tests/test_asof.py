@@ -76,3 +76,62 @@ def test_result_invariant_under_repartition(spark):
         left.repartition(13), right.repartition(3), "k", "lt", "rt", ["rid", "val"], "rid"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# interval_join (banded range join)
+# ---------------------------------------------------------------------------
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.asof import (  # noqa: E402
+    interval_join,
+)
+
+
+def _pairs(spark, left_rows, right_rows, lo, hi):
+    left = spark.createDataFrame(left_rows, "k long, t long, lid long")
+    right = spark.createDataFrame(right_rows, "k long, t long, rid long")
+    out = interval_join(left, right, "k", "t", "t", lo, hi)
+    return {(r["l_lid"], r["r_rid"]) for r in out.collect()}
+
+
+def test_band_inclusive_bounds(spark):
+    got = _pairs(
+        spark,
+        [(1, 100, 0)],
+        [(1, 90, 1), (1, 100, 2), (1, 110, 3), (1, 89, 4), (1, 111, 5)],
+        -10, 10,
+    )
+    assert got == {(0, 1), (0, 2), (0, 3)}  # 89 and 111 fall outside
+
+
+def test_bin_boundary_pairs_not_lost(spark):
+    # right rows straddling a bin edge (w = 20 -> bins at multiples of 20):
+    # left at t=19 with [lo,hi]=[-10,10] covers 9..29, i.e. bins 0 and 1
+    got = _pairs(spark, [(1, 19, 0)], [(1, 9, 1), (1, 20, 2), (1, 29, 3)], -10, 10)
+    assert got == {(0, 1), (0, 2), (0, 3)}
+
+
+def test_negative_times_floor_correctly(spark):
+    got = _pairs(spark, [(1, -5, 0)], [(1, -14, 1), (1, 4, 2), (1, -16, 3)], -10, 10)
+    assert got == {(0, 1), (0, 2)}
+
+
+def test_keys_partition_the_band(spark):
+    got = _pairs(spark, [(1, 100, 0), (2, 100, 9)], [(1, 100, 1), (2, 105, 2)], -10, 10)
+    assert got == {(0, 1), (9, 2)}
+
+
+def test_equals_quadratic_ground_truth(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    lrows = [(rng.randrange(3), rng.randrange(0, 1000), i) for i in range(60)]
+    rrows = [(rng.randrange(3), rng.randrange(0, 1000), i) for i in range(60)]
+    lo, hi = -37, 53
+    got = _pairs(spark, lrows, rrows, lo, hi)
+    want = {
+        (l[2], r[2])
+        for l, r in itertools.product(lrows, rrows)
+        if l[0] == r[0] and lo <= r[1] - l[1] <= hi
+    }
+    assert got == want
