@@ -127,7 +127,12 @@ class TestScanShapes:
         from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
 
         for name, entry in QUERIES.items():
-            if {"streaming", "pandas-udf", "lsh", "similarity"} & set(entry.tags):
+            # "iterative" = label-propagation loops whose localCheckpoint
+            # (lineage truncation, the documented exception) surfaces as an
+            # RDD-backed scan by construction
+            if {"streaming", "pandas-udf", "lsh", "similarity", "iterative"} & set(
+                entry.tags
+            ):
                 continue
             plan = executed_plan(entry.fn(spark, sf_dir))
             assert "Scan ExistingRDD" not in plan, name
