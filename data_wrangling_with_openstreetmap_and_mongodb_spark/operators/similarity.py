@@ -409,3 +409,64 @@ def lsh_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (the 4x memory lever for 100 TB vector corpora)
+# ---------------------------------------------------------------------------
+def quantize_int8(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``(id, scale, qvec)`` with
+    ``qvec[i] = clamp(round(v[i] / scale), -127, 127)`` and
+    ``scale = max(|v|) / 127`` (the maxabs scheme every vector store uses).
+
+    Cuts embedding storage and shuffle width 4x (float32 -> int8) at a
+    bounded reconstruction error of ``scale / 2`` per element — the standard
+    trade for 100 TB-scale ANN tiers, where the quantized corpus is scanned
+    and only the short-listed candidates are re-scored in full precision.
+
+    All-Column implementation (``transform`` over a 64-wide array is a cheap
+    interpreted island inside one projection — no shuffle, no Python).  The
+    arithmetic is plain IEEE double ``/ floor + clamp``, so the DuckDB twin
+    (:func:`quantize_int8_sql`) reproduces ``qvec`` element-for-element;
+    an all-zero vector quantizes to all zeros (scale 0 guard).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(
+        amax == F.lit(0.0),
+        F.transform(v, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)).cast("int"),
+                ),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"), scale, q.alias("qvec")
+    )
+
+
+def quantize_int8_sql(table: str, vec_expr: str, id_expr: str) -> str:
+    """DuckDB oracle reproducing :func:`quantize_int8` element-for-element."""
+    v = f"list_transform({vec_expr}, x -> CAST(x AS DOUBLE))"
+    amax = f"list_max(list_transform({v}, x -> abs(x)))"
+    return f"""
+        SELECT {id_expr} AS id,
+               {amax} / 127.0 AS scale,
+               CASE WHEN {amax} = 0.0
+                    THEN list_transform({v}, x -> 0)
+                    ELSE list_transform({v}, x ->
+                         CAST(GREATEST(-127, LEAST(127,
+                              FLOOR(x / ({amax} / 127.0) + 0.5))) AS INT))
+               END AS qvec
+        FROM {table}
+    """

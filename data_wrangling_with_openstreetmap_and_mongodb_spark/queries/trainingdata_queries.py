@@ -989,3 +989,186 @@ def event_pairs_within_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("id_b"),
         (F.col("r_t") - F.col("l_t")).alias("delta_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII audit / search / LM scoring / quantization (corpus-curation tier)
+# ---------------------------------------------------------------------------
+def _pii_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.privacy import (
+        PII_PATTERNS,
+        pii_count_sql,
+        redact_pii_sql,
+    )
+
+    count_cols = ",\n               ".join(
+        f"SUM({pii_count_sql('s_name', name)}) AS n_{name}"
+        for name in PII_PATTERNS
+    )
+    return f"""
+        SELECT n_name, COUNT(*) AS n_rows,
+               {count_cols},
+               SUM(length(s_name) - length({redact_pii_sql('s_name')}))
+                   AS chars_removed
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+
+@register(
+    "pii_redaction_audit",
+    oracle=_pii_oracle(),
+    doc="pattern-based PII audit (operators/privacy.py): per-nation counts "
+    "of email/ipv4/phone/long-digit-id matches in supplier names plus the "
+    "characters redaction removes — the corpus privacy-scrub step, one "
+    "codegen'd scan + hash-agg, every aggregate integer-exact.  The "
+    "supplier digit-run ids make the id_number pattern fire on every row "
+    "(non-degenerate); planted email/phone/IP fixtures pin the other "
+    "patterns in test_privacy.  Gate-only: the driver window is full.",
+    tags=("privacy", "text", "agg"),
+    driver_visible=False,
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.privacy import (
+        pii_profile,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    joined = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_name", "n_name")
+    return pii_profile(joined, "s_name", "n_name")
+
+
+def _bm25_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bm25_topk_sql,
+    )
+
+    inner = bm25_topk_sql(
+        "documents", "text", "doc_id", terms=["spark", "window", "join"], k=10
+    )
+    return f"SELECT id AS doc_id, score, n_terms_hit FROM ({inner})"
+
+
+@register(
+    "bm25_keyword_topk",
+    oracle=_bm25_oracle(),
+    doc="Okapi BM25 keyword ranking over the documents corpus "
+    "(operators/search.py::bm25_topk): top-10 for {spark, window, join}.  "
+    "Corpus stats (per-term DF, avgdl) reduce to broadcast-size tables; the "
+    "scoring sum is the quantized order-independent dsum, so ranking and "
+    "the oracle hash-match at any parallelism; final top-k is "
+    "TakeOrderedAndProject.  Gate-only: the driver window is full.",
+    tags=("search", "text", "topk"),
+    driver_visible=False,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bm25_topk,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        d, "text", "doc_id", terms=["spark", "window", "join"], k=10
+    ).select(F.col("id").alias("doc_id"), "score", "n_terms_hit")
+
+
+def _unigram_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        unigram_logprob_sql,
+    )
+
+    inner = unigram_logprob_sql("documents", "text", "doc_id")
+    return f"""
+        WITH perdoc AS ({inner})
+        SELECT source, COUNT(*) AS n_docs, {davg_sql('avg_logprob')} AS avg_lp
+        FROM documents JOIN perdoc ON documents.doc_id = perdoc.id
+        GROUP BY source
+    """
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=_unigram_oracle(),
+    doc="per-source mean unigram log-probability "
+    "(operators/search.py::unigram_logprob): each document scored under the "
+    "corpus's own token distribution — the train-nothing perplexity filter. "
+    "Two hash-aggregates + one token join (AQE broadcasts the vocab); both "
+    "averaging levels use the quantized deterministic davg and ln is "
+    "bit-identical across engines, so the oracle hash-matches.  Gate-only: "
+    "the driver window is full.",
+    tags=("text", "quality", "agg"),
+    driver_visible=False,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        unigram_logprob,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    perdoc = unigram_logprob(d, "text", "doc_id")
+    return (
+        d.select(F.col("doc_id").alias("id"), "source")
+        .join(perdoc, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("avg_logprob").alias("avg_lp"),
+        )
+    )
+
+
+def _int8_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        quantize_int8_sql,
+    )
+
+    inner = quantize_int8_sql("embeddings", "embedding", "vec_id")
+    return f"""
+        WITH q AS ({inner})
+        SELECT label, COUNT(*) AS n_vecs, {davg_sql('scale')} AS avg_scale,
+               CAST(SUM(CAST(list_sum(list_transform(qvec,
+                        x -> CAST(x AS BIGINT) * x)) AS BIGINT)) AS BIGINT)
+                   AS total_q2,
+               CAST(SUM(len(list_filter(qvec, x -> abs(x) = 127))) AS BIGINT)
+                   AS n_saturated
+        FROM q JOIN embeddings e ON q.id = e.vec_id
+        GROUP BY label
+    """
+
+
+@register(
+    "embedding_int8_stats",
+    oracle=_int8_oracle(),
+    doc="symmetric int8 embedding quantization "
+    "(operators/similarity.py::quantize_int8): per-label vector counts, "
+    "deterministic mean scale, exact integer sum of squared quantized "
+    "coefficients (pins every qvec element), and saturation counts — the "
+    "4x-memory compression tier for 100 TB vector corpora.  Oracle replays "
+    "the quantizer element-for-element in SQL.  Gate-only: the driver "
+    "window is full.",
+    tags=("similarity", "quantization"),
+    driver_visible=False,
+)
+def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e, "embedding", "vec_id")
+    j = q.join(e.select(F.col("vec_id").alias("id"), "label"), "id")
+    q2 = F.aggregate(
+        F.col("qvec"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (x.cast("long") * x),
+    )
+    sat = F.size(F.filter(F.col("qvec"), lambda x: F.abs(x) == F.lit(127)))
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        davg("scale").alias("avg_scale"),
+        F.sum(q2).alias("total_q2"),
+        F.sum(sat).cast("long").alias("n_saturated"),
+    )

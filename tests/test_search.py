@@ -1,0 +1,121 @@
+"""Tests for BM25 ranking, unigram-LM scoring (operators/search.py), and
+int8 embedding quantization (operators/similarity.py::quantize_int8)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+    bm25_topk,
+    unigram_logprob,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+    quantize_int8,
+)
+
+DOCS = [
+    (1, "spark spark spark join"),
+    (2, "spark join window group"),
+    (3, "window window window window window window"),
+    (4, "filter scan shuffle sort"),
+    (5, "join"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _bm25_reference(terms, k1=1.2, b=0.75):
+    """Driver-side reference implementation over DOCS."""
+    toks = {i: t.split() for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    scores = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            contrib = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            s += math.floor(contrib * 1e6 + 0.5) / 1e6
+        if s:
+            scores[i] = s
+    return scores
+
+
+def test_bm25_scores_and_order_match_reference(docs):
+    got = bm25_topk(docs, "text", "doc_id", terms=["spark", "join"], k=10).collect()
+    ref = _bm25_reference(["spark", "join"])
+    assert [r.id for r in got] == sorted(ref, key=lambda i: (-ref[i], i))
+    for r in got:
+        assert r.score == pytest.approx(ref[r.id], rel=1e-9)
+    # docs without any term never appear
+    assert {r.id for r in got} == set(ref)
+
+
+def test_bm25_k_truncates_with_id_tiebreak(docs):
+    got = bm25_topk(docs, "text", "doc_id", terms=["spark", "join"], k=2).collect()
+    assert len(got) == 2
+    ref = _bm25_reference(["spark", "join"])
+    assert [r.id for r in got] == sorted(ref, key=lambda i: (-ref[i], i))[:2]
+
+
+def test_bm25_plans_top_k_not_full_sort(docs):
+    plan = (
+        bm25_topk(docs, "text", "doc_id", terms=["spark"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b"), (3, "")], "doc_id long, text string"
+    )
+    # corpus: a:2, b:2, total 4 -> p(a)=p(b)=0.5
+    rows = {r.id: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+    lp = math.floor(math.log(0.5) * 1e6 + 0.5) / 1e6
+    assert rows[1].n_tokens == 3 and rows[1].avg_logprob == pytest.approx(lp)
+    assert rows[2].n_tokens == 1 and rows[2].avg_logprob == pytest.approx(lp)
+    assert 3 not in rows  # zero-token doc has no score
+
+
+def test_unigram_logprob_flags_rare_token_docs(spark):
+    corpus = [(i, "common common common") for i in range(20)] + [(99, "zzzz")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {r.id: r.avg_logprob for r in unigram_logprob(df, "text", "doc_id").collect()}
+    assert rows[99] < rows[0] < 0  # rare-token doc scores far lower
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.001, 0.002, -0.003, 0.004])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.id: r for r in quantize_int8(df, "embedding", "vec_id").collect()}
+    for vid, vec in [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.001, 0.002, -0.003, 0.004])]:
+        r = rows[vid]
+        assert max(abs(q) for q in r.qvec) == 127  # max element saturates
+        for orig, q in zip(vec, r.qvec):
+            assert abs(q) <= 127
+            assert abs(q * r.scale - orig) <= r.scale / 2 + 1e-12
+
+
+def test_quantize_int8_zero_vector_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = quantize_int8(df, "embedding", "vec_id").collect()[0]
+    assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
