@@ -216,3 +216,127 @@ def contaminated_docs(
         "n_shared",
         (F.col("n_shared") / F.col("n_sh")).alias("contam_frac"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences (the packing
+    step before writing pretraining shards): ``(id, n_tok, shard, bin,
+    tok_offset)`` where ``bin`` is the sequence index within the shard and
+    ``tok_offset`` the document's token start position inside that sequence.
+
+    Packing is contiguous-fill in deterministic id order: a document starts
+    at the running token total of its predecessors in the shard and belongs
+    to ``bin = tok_offset // budget``.  Documents longer than the budget keep a
+    single row (their bin is where they start; the writer decides whether to
+    split or truncate — that policy is downstream of assignment).
+
+    Scale shape: a GLOBAL running sum would serialize on one reducer, so
+    documents first hash into ``n_shards`` independent shards (pure md5 of
+    the id — reproducible across runs and engines) and the cumulative sum
+    runs per shard: ``n_shards``-way parallel, one window pass, no driver
+    state.  Real shard writers do exactly this — each output file packs
+    independently.
+    """
+    n_tok = F.regexp_count(F.col(text_col), F.lit(r"\S+")).alias("n_tok")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_tok,
+        (md5_hash32(F.col(id_col).cast("string")) % n_shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("tok_offset")
+    return base.select(
+        "id",
+        "n_tok",
+        "shard",
+        F.floor(offset / F.lit(budget)).cast("long").alias("bin"),
+        offset,
+    )
+
+
+def pack_sequences_sql(
+    table: str, text_expr: str, id_expr: str, budget: int, n_shards: int = 64
+) -> str:
+    """DuckDB oracle reproducing :func:`pack_sequences` row-for-row."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        md5_hash32_sql,
+    )
+
+    shard = f"({md5_hash32_sql(f'CAST({id_expr} AS VARCHAR)')}) % {n_shards}"
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS id,
+                   len(regexp_extract_all({text_expr}, '\\S+')) AS n_tok,
+                   {shard} AS shard
+            FROM {table}
+        ),
+        cum AS (
+            SELECT id, n_tok, shard,
+                   SUM(n_tok) OVER (PARTITION BY shard ORDER BY id
+                       ROWS UNBOUNDED PRECEDING) - n_tok AS tok_offset
+            FROM base
+        )
+        SELECT id, n_tok, shard,
+               CAST(FLOOR(tok_offset / {budget}) AS BIGINT) AS bin, tok_offset
+        FROM cum
+    """
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-domain thinning toward a target corpus mixture:
+    keep a row iff ``md5₃₂(id) % 1_000_000 < rate(domain) · 1_000_000``.
+
+    The domain-mixture knob of a pretraining pipeline (down-weight crawl,
+    keep all of books/code, ...) as a pure function of the id: membership is
+    reproducible across runs, retries, engines, and repartitioning — never
+    ``rand()``, which resamples on every task retry — and composable with
+    :func:`split_assign` (independent hash domains: the sample hash salts
+    the id with a fixed tag).  Rates are per-PPM, so engines compare the
+    same integers; one codegen'd filter, no shuffle, no driver state.
+    """
+    bucket = md5_hash32(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))) % 1_000_000
+    rate_col = F.lit(int(default_rate * 1_000_000))
+    for dom, r in sorted(rates.items()):
+        rate_col = F.when(
+            F.col(domain_col) == dom, F.lit(int(r * 1_000_000))
+        ).otherwise(rate_col)
+    return df.filter(bucket < rate_col)
+
+
+def mixture_sample_sql(
+    table_or_subquery: str,
+    domain_expr: str,
+    id_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> str:
+    """DuckDB oracle fragment: ``SELECT * FROM t WHERE <same condition>``."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        md5_hash32_sql,
+    )
+
+    salted = f"'mix:' || CAST({id_expr} AS VARCHAR)"
+    bucket = f"({md5_hash32_sql(salted)}) % 1000000"
+    rate = f"{int(default_rate * 1_000_000)}"
+    for dom, r in sorted(rates.items(), reverse=True):
+        rate = (
+            f"CASE WHEN {domain_expr} = '{dom}' THEN {int(r * 1_000_000)} "
+            f"ELSE {rate} END"
+        )
+    return f"SELECT * FROM {table_or_subquery} WHERE {bucket} < {rate}"

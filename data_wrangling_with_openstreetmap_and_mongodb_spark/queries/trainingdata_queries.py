@@ -1172,3 +1172,73 @@ def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q2).alias("total_q2"),
         F.sum(sat).cast("long").alias("n_saturated"),
     )
+
+
+def _pack_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        pack_sequences_sql,
+    )
+
+    return pack_sequences_sql("documents", "text", "doc_id", budget=256, n_shards=8)
+
+
+@register(
+    "pack_training_sequences",
+    oracle=_pack_oracle(),
+    doc="sequence packing (operators/curation.py::pack_sequences): every "
+    "document assigned a (shard, bin, offset) inside fixed 256-token "
+    "training sequences — contiguous fill in deterministic id order, "
+    "hash-sharded so the running sum parallelizes instead of serializing "
+    "on one global window.  Integer-exact output pins the whole "
+    "assignment row-for-row.  Gate-only: the driver window is full.",
+    tags=("curation", "window"),
+    driver_visible=False,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "text", "doc_id", budget=256, n_shards=8)
+
+
+_MIX_RATES = {"src0": 0.5, "src1": 0.25}
+
+
+def _mixture_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        mixture_sample_sql,
+    )
+
+    inner = mixture_sample_sql(
+        "documents", "source", "doc_id", _MIX_RATES, default_rate=1.0
+    )
+    return f"""
+        SELECT source, COUNT(*) AS n_kept FROM ({inner}) GROUP BY source
+    """
+
+
+@register(
+    "mixture_sampled_counts",
+    oracle=_mixture_oracle(),
+    doc="deterministic domain-mixture sampling "
+    "(operators/curation.py::mixture_sample): src0 thinned to 50%, src1 to "
+    "25%, everything else kept — membership a pure salted-hash function of "
+    "the id (stable under retries/repartitioning/engines, never rand()), "
+    "one codegen'd filter.  Per-source kept counts are integer-exact.  "
+    "Gate-only: the driver window is full.",
+    tags=("curation", "sampling"),
+    driver_visible=False,
+)
+def mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(d, "source", "doc_id", _MIX_RATES, default_rate=1.0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )

@@ -118,3 +118,109 @@ class TestDecontamination:
         corpus = _docs(spark, [(i, f"tok{i} a b c d") for i in range(50)])
         plan = executed_plan(contaminated_docs(corpus, bench, "text", "doc_id"))
         assert "BroadcastHashJoin" in plan
+
+
+class TestPackSequences:
+    def test_single_shard_contiguous_fill(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            pack_sequences,
+        )
+
+        # token counts: 3, 2, 4, 1 in id order; budget 5, one shard
+        docs = _docs(
+            spark, [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, "j")]
+        )
+        got = {
+            r.id: (r.n_tok, r.bin, r.tok_offset)
+            for r in pack_sequences(
+                docs, "text", "doc_id", budget=5, n_shards=1
+            ).collect()
+        }
+        # offsets: 0, 3, 5, 9 -> bins 0, 0, 1, 1
+        assert got == {1: (3, 0, 0), 2: (2, 0, 3), 3: (4, 1, 5), 4: (1, 1, 9)}
+
+    def test_oversize_document_keeps_one_row(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            pack_sequences,
+        )
+
+        docs = _docs(spark, [(1, "t " * 20), (2, "x y")])
+        got = {
+            r.id: (r.bin, r.tok_offset)
+            for r in pack_sequences(
+                docs, "text", "doc_id", budget=8, n_shards=1
+            ).collect()
+        }
+        assert got == {1: (0, 0), 2: (2, 20)}  # doc2 starts past the long doc
+
+    def test_sharding_is_hash_deterministic_and_repartition_invariant(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            pack_sequences,
+        )
+
+        docs = _docs(spark, [(i, "w " * (i % 7 + 1)) for i in range(60)])
+        a = sorted(
+            map(tuple, pack_sequences(docs, "text", "doc_id", 16, 8).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                pack_sequences(
+                    docs.repartition(13), "text", "doc_id", 16, 8
+                ).collect(),
+            )
+        )
+        assert a == b
+        shards = {t[2] for t in a}
+        assert len(shards) > 1  # really spreads over shards
+
+
+class TestMixtureSample:
+    def test_rates_zero_and_one(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            mixture_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "keep" if i % 2 else "drop") for i in range(100)],
+            "doc_id long, source string",
+        )
+        kept = mixture_sample(
+            df, "source", "doc_id", {"drop": 0.0, "keep": 1.0}
+        ).collect()
+        assert {r.source for r in kept} == {"keep"}
+        assert len(kept) == 50
+
+    def test_monotone_and_deterministic(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            mixture_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(400)], "doc_id long, source string"
+        )
+        low = {r.doc_id for r in mixture_sample(df, "source", "doc_id", {"s": 0.2}).collect()}
+        high = {r.doc_id for r in mixture_sample(df, "source", "doc_id", {"s": 0.6}).collect()}
+        again = {r.doc_id for r in mixture_sample(df, "source", "doc_id", {"s": 0.2}).collect()}
+        assert low == again  # deterministic
+        assert low <= high  # monotone nesting: raising the rate only adds rows
+        assert 0.10 <= len(low) / 400 <= 0.30  # near the target rate
+        assert 0.45 <= len(high) / 400 <= 0.75
+
+    def test_salted_hash_independent_of_split_assign(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            mixture_sample,
+            split_assign,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(1000)], "doc_id long, source string"
+        )
+        sampled = mixture_sample(df, "source", "doc_id", {"s": 0.5})
+        splits = split_assign(sampled, "doc_id", train_pct=50, val_pct=25)
+        frac_train = (
+            splits.filter(F.col("split") == "train").count() / splits.count()
+        )
+        # if the two hashes were correlated the sampled half would skew its
+        # split distribution; salted domains keep it near 50%
+        assert 0.4 <= frac_train <= 0.6
