@@ -1,0 +1,169 @@
+"""Event-sequence analytics: ordered funnels and time-bucket (OHLC)
+resampling.
+
+Both are pure DataFrame aggregation pipelines over an event stream:
+
+- :func:`funnel_stages` — the classic product-analytics funnel: how many
+  users performed stage 1, then stage 2 strictly after it, then stage 3
+  strictly after that, each stage anchored at the EARLIEST qualifying
+  occurrence (the standard strict-order semantics).  One filtered
+  aggregation + one equi-join per stage: shuffles are bounded by the number
+  of stages (a constant), never by the funnel depth of any one user, and
+  each join key is the user id — the natural pre-partitioning key of an
+  event store, so at scale these joins co-locate for free.
+- :func:`ohlc_resample` — downsample to fixed time buckets with
+  open/high/low/close/volume per bucket: one hash-aggregate keyed by the
+  integer bucket.  Open/close use ``min_by``/``max_by`` on a zero-padded
+  (time, id) string key, which gives deterministic first/last semantics
+  under ties AND is reproducible in DuckDB (``arg_min``/``arg_max`` on the
+  same key) — no window sort, no shuffle beyond the one aggregation.
+
+Engine-parity notes: bucket indices and stage timestamps are integer
+microseconds (exact); the volume sum uses the quantized order-independent
+``dsum`` so float totals hash-match at any parallelism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import dsum
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Strict-order funnel counts: ``(stage, stage_name, n_users)`` — one
+    row per stage, ``n_users`` = users whose earliest qualifying event for
+    every prior stage precedes (strictly) an event of this stage.
+
+    ``ts_col`` must be an integer/long timestamp column (e.g. epoch micros);
+    stage anchoring is min-based, so results are deterministic regardless of
+    event-arrival or partition order.
+    """
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for stage in stages:
+        ev = df.filter(F.col(type_col) == stage).select(
+            F.col(user_col).alias("user"), F.col(ts_col).alias("ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("user").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select("user", F.col("t").alias("t_prev")), "user")
+                .filter(F.col("ts") > F.col("t_prev"))
+                .groupBy("user")
+                .agg(F.min("ts").alias("t"))
+            )
+        reached.append(cur)
+        prev = cur
+    counts = None
+    for i, (stage, cur) in enumerate(zip(stages, reached)):
+        row = cur.agg(
+            F.lit(i + 1).alias("stage"),
+            F.lit(stage).alias("stage_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    return counts
+
+
+def funnel_stages_sql(
+    table: str, user_expr: str, ts_expr: str, type_expr: str, stages: list[str]
+) -> str:
+    """DuckDB oracle reproducing :func:`funnel_stages` value-for-value."""
+    ctes = []
+    selects = []
+    for i, stage in enumerate(stages):
+        name = f"s{i + 1}"
+        if i == 0:
+            ctes.append(
+                f"{name} AS (SELECT {user_expr} AS u, MIN({ts_expr}) AS t"
+                f" FROM {table} WHERE {type_expr} = '{stage}' GROUP BY u)"
+            )
+        else:
+            prev = f"s{i}"
+            ctes.append(
+                f"{name} AS (SELECT e.{user_expr} AS u, MIN({ts_expr}) AS t"
+                f" FROM {table} e JOIN {prev} p ON e.{user_expr} = p.u"
+                f" WHERE e.{type_expr} = '{stage}' AND {ts_expr} > p.t"
+                f" GROUP BY e.{user_expr})"
+            )
+        selects.append(
+            f"SELECT {i + 1} AS stage, '{stage}' AS stage_name,"
+            f" COUNT(*) AS n_users FROM s{i + 1}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _order_key(ts_col: Column, id_col: Column) -> Column:
+    """Zero-padded (time, id) string — a total order both engines sort
+    identically (non-negative integer inputs)."""
+    return F.concat(
+        F.lpad(ts_col.cast("string"), 20, "0"), F.lpad(id_col.cast("string"), 12, "0")
+    )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Fixed-bucket OHLC downsample: ``(bucket, n_events, open_v, high_v,
+    low_v, close_v, volume)``; ``bucket = ts // bucket_us`` (integer
+    microseconds), open/close anchored by the (time, id) total order.
+
+    One hash-aggregate; min/max are order-independent, open/close are
+    ``min_by``/``max_by`` over the deterministic key, volume is the
+    quantized order-independent sum.
+    """
+    key = _order_key(F.col(ts_col), F.col(id_col))
+    return (
+        df.select(
+            F.floor(F.col(ts_col) / F.lit(bucket_us)).cast("long").alias("bucket"),
+            F.col(value_col).alias("v"),
+            key.alias("k"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("v", "k").alias("open_v"),
+            F.max("v").alias("high_v"),
+            F.min("v").alias("low_v"),
+            F.max_by("v", "k").alias("close_v"),
+            dsum("v").alias("volume"),
+        )
+    )
+
+
+def ohlc_resample_sql(
+    table: str, ts_expr: str, id_expr: str, value_expr: str, bucket_us: int
+) -> str:
+    """DuckDB oracle reproducing :func:`ohlc_resample` value-for-value."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+        dsum_sql,
+    )
+
+    key = (
+        f"lpad(CAST({ts_expr} AS VARCHAR), 20, '0') ||"
+        f" lpad(CAST({id_expr} AS VARCHAR), 12, '0')"
+    )
+    return f"""
+        SELECT CAST(FLOOR({ts_expr} / {bucket_us}) AS BIGINT) AS bucket,
+               COUNT(*) AS n_events,
+               arg_min({value_expr}, {key}) AS open_v,
+               MAX({value_expr}) AS high_v,
+               MIN({value_expr}) AS low_v,
+               arg_max({value_expr}, {key}) AS close_v,
+               {dsum_sql(value_expr)} AS volume
+        FROM {table}
+        GROUP BY bucket
+    """

@@ -232,3 +232,78 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select("user_id", ts_micros(ev).alias("ts"))
     return sessionize_batch(ev, SESSION_GAP_US)
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: strict-order funnel + OHLC resampling
+# ---------------------------------------------------------------------------
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def _funnel_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        funnel_stages_sql,
+    )
+
+    return funnel_stages_sql(
+        "events", "user_id", "epoch_us(ts)", "event_type", _FUNNEL_STAGES
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle=_funnel_oracle(),
+    doc="strict-order funnel (operators/events.py::funnel_stages): users "
+    "who viewed, then clicked strictly after their first view, then "
+    "purchased strictly after that — each stage anchored at the earliest "
+    "qualifying event, so counts are deterministic under any partition "
+    "order.  One filtered agg + one user-keyed equi-join per stage "
+    "(shuffles bounded by stage count; co-located on a user-partitioned "
+    "event store).  Gate-only: the driver window is full.",
+    tags=("events", "funnel", "join"),
+    driver_visible=False,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        funnel_stages,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_type", ts_micros(ev).alias("t"))
+    return funnel_stages(ev, "user_id", "t", "event_type", _FUNNEL_STAGES)
+
+
+_OHLC_BUCKET_US = 15 * 60 * 1_000_000  # 15-minute bars
+
+
+def _ohlc_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        ohlc_resample_sql,
+    )
+
+    return ohlc_resample_sql(
+        "events", "epoch_us(ts)", "event_id", "value", _OHLC_BUCKET_US
+    )
+
+
+@register(
+    "events_ohlc_15min",
+    oracle=_ohlc_oracle(),
+    doc="fixed-bucket OHLC downsample (operators/events.py::ohlc_resample): "
+    "15-minute open/high/low/close/volume bars over the event stream in "
+    "ONE hash-aggregate — open/close anchored by a zero-padded (time, id) "
+    "total order (min_by/max_by ↔ arg_min/arg_max), volume via the "
+    "quantized order-independent sum.  The time-series resampling "
+    "primitive at any scale: no window sort, no shuffle beyond the "
+    "aggregation.  Gate-only: the driver window is full.",
+    tags=("events", "timeseries", "agg"),
+    driver_visible=False,
+)
+def events_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        ohlc_resample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "value", ts_micros(ev).alias("t"))
+    return ohlc_resample(ev, "t", "event_id", "value", _OHLC_BUCKET_US)

@@ -1,0 +1,98 @@
+"""Planted-fixture tests for event-sequence analytics
+(operators/events.py): strict-order funnel and OHLC resampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+    funnel_stages,
+    ohlc_resample,
+)
+
+# (user, ts, type)
+FUNNEL_EVENTS = [
+    # u1: full strict-order funnel
+    (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+    # u2: clicked BEFORE first view -> stops at view
+    (2, 100, "click"), (2, 200, "view"),
+    # u3: view then click, purchase missing
+    (3, 10, "view"), (3, 20, "click"),
+    # u4: purchase only -> reaches nothing
+    (4, 50, "purchase"),
+    # u5: view@100, click@100 (same instant, NOT strictly after) -> view only
+    (5, 100, "view"), (5, 100, "click"),
+    # u6: two views; click after the FIRST view counts
+    (6, 10, "view"), (6, 500, "view"), (6, 20, "click"), (6, 30, "purchase"),
+]
+
+
+@pytest.fixture()
+def funnel_df(spark):
+    return spark.createDataFrame(
+        FUNNEL_EVENTS, "user long, t long, etype string"
+    )
+
+
+def test_funnel_strict_order_semantics(funnel_df):
+    got = {
+        r.stage_name: r.n_users
+        for r in funnel_stages(
+            funnel_df, "user", "t", "etype", ["view", "click", "purchase"]
+        ).collect()
+    }
+    # view: u1,u2,u3,u5,u6; click strictly after first view: u1,u3,u6;
+    # purchase strictly after that click: u1,u6
+    assert got == {"view": 5, "click": 3, "purchase": 2}
+
+
+def test_funnel_stage_indices_and_monotonicity(funnel_df):
+    rows = sorted(
+        funnel_stages(
+            funnel_df, "user", "t", "etype", ["view", "click", "purchase"]
+        ).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.stage for r in rows] == [1, 2, 3]
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)  # funnels only narrow
+
+
+OHLC_EVENTS = [
+    # bucket 0 (ts 0..99): open=5.0 (earliest), close=1.0 (latest),
+    # high=9.0, low=1.0; tie at ts 10 broken by id
+    (1, 10, 5.0), (2, 10, 9.0), (3, 50, 2.5), (4, 90, 1.0),
+    # bucket 2 (ts 200..299): single event
+    (5, 250, 7.0),
+]
+
+
+@pytest.fixture()
+def ohlc_df(spark):
+    return spark.createDataFrame(OHLC_EVENTS, "event_id long, t long, value double")
+
+
+def test_ohlc_buckets_and_anchors(ohlc_df):
+    got = {r.bucket: r for r in ohlc_resample(ohlc_df, "t", "event_id", "value", 100).collect()}
+    assert set(got) == {0, 2}
+    b0 = got[0]
+    assert b0.n_events == 4
+    assert b0.open_v == 5.0  # ts tie at 10: event_id 1 < 2
+    assert b0.high_v == 9.0 and b0.low_v == 1.0
+    assert b0.close_v == 1.0
+    assert b0.volume == pytest.approx(17.5)
+    b2 = got[2]
+    assert (b2.open_v, b2.high_v, b2.low_v, b2.close_v) == (7.0, 7.0, 7.0, 7.0)
+
+
+def test_ohlc_repartition_invariant(ohlc_df):
+    a = sorted(map(tuple, ohlc_resample(ohlc_df, "t", "event_id", "value", 100).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ohlc_resample(
+                ohlc_df.repartition(7), "t", "event_id", "value", 100
+            ).collect(),
+        )
+    )
+    assert a == b
