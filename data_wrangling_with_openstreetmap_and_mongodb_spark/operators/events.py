@@ -167,3 +167,51 @@ def ohlc_resample_sql(
         FROM {table}
         GROUP BY bucket
     """
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_us: int,
+) -> DataFrame:
+    """Cohort retention triangle: ``(cohort, offset, n_users)`` — users are
+    cohorted by the period of their FIRST event; ``n_users`` counts distinct
+    users of cohort ``c`` active again ``offset`` periods later (offset 0 is
+    the cohort size itself).
+
+    Two hash-aggregates and one user-keyed equi-join: first-seen period per
+    user (min over an integer bucket), then distinct (cohort, offset) pairs
+    from the user's activity periods.  ``ts_col`` is integer microseconds;
+    every derived value is integer-exact, so the result hash-matches any
+    engine.  At scale both aggregations key on the user id / cohort pair —
+    the same co-location story as :func:`funnel_stages`.
+    """
+    period = F.floor(F.col(ts_col) / F.lit(period_us)).cast("long")
+    activity = df.select(
+        F.col(user_col).alias("user"), period.alias("p")
+    ).distinct()
+    first_seen = activity.groupBy("user").agg(F.min("p").alias("cohort"))
+    return (
+        activity.join(first_seen, "user")
+        .select("user", "cohort", (F.col("p") - F.col("cohort")).alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct("user").alias("n_users"))
+    )
+
+
+def retention_cohorts_sql(
+    table: str, user_expr: str, ts_expr: str, period_us: int
+) -> str:
+    """DuckDB oracle reproducing :func:`retention_cohorts` value-for-value."""
+    return f"""
+        WITH activity AS (
+            SELECT DISTINCT {user_expr} AS u,
+                   CAST(FLOOR({ts_expr} / {period_us}) AS BIGINT) AS p
+            FROM {table}
+        ),
+        first_seen AS (SELECT u, MIN(p) AS cohort FROM activity GROUP BY u)
+        SELECT cohort, p - cohort AS "offset", COUNT(DISTINCT u) AS n_users
+        FROM activity JOIN first_seen USING (u)
+        GROUP BY cohort, "offset"
+    """

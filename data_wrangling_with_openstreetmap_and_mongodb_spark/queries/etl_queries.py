@@ -307,3 +307,36 @@ def events_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select("event_id", "value", ts_micros(ev).alias("t"))
     return ohlc_resample(ev, "t", "event_id", "value", _OHLC_BUCKET_US)
+
+
+_RETENTION_PERIOD_US = 7 * 24 * 3600 * 1_000_000  # weekly cohorts
+
+
+def _retention_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        retention_cohorts_sql,
+    )
+
+    return retention_cohorts_sql(
+        "events", "user_id", "epoch_us(ts)", _RETENTION_PERIOD_US
+    )
+
+
+@register(
+    "weekly_retention_cohorts",
+    oracle=_retention_oracle(),
+    doc="cohort retention triangle (operators/events.py::retention_cohorts): "
+    "users cohorted by first-seen week, distinct-user counts per (cohort, "
+    "week offset) — two hash-aggs + one user-keyed equi-join, every value "
+    "integer-exact.  Gate-only: the driver window is full.",
+    tags=("events", "retention", "agg"),
+    driver_visible=False,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", ts_micros(ev).alias("t"))
+    return retention_cohorts(ev, "user_id", "t", _RETENTION_PERIOD_US)

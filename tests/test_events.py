@@ -96,3 +96,27 @@ def test_ohlc_repartition_invariant(ohlc_df):
         )
     )
     assert a == b
+
+
+def test_retention_cohorts_triangle(spark):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    events = [
+        # u1 first in period 0, active 0,1,2 ; u2 first in 0, active 0,2
+        (1, 5), (1, 15), (1, 25), (2, 7), (2, 22),
+        # u3 first in period 1, active 1 only; duplicate events collapse
+        (3, 12), (3, 13),
+    ]
+    df = spark.createDataFrame(events, "user long, t long")
+    got = {
+        (r.cohort, r.offset): r.n_users
+        for r in retention_cohorts(df, "user", "t", 10).collect()
+    }
+    assert got == {
+        (0, 0): 2,  # u1, u2
+        (0, 1): 1,  # u1
+        (0, 2): 2,  # u1, u2
+        (1, 0): 1,  # u3
+    }
