@@ -186,8 +186,12 @@ def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM frames
     """,
     doc="frame-sampled binary decode: one row per 64-byte frame with "
-    "fingerprint (stub codec; real extractor swaps into the same mapInPandas)",
+    "fingerprint (stub codec; real extractor swaps into the same mapInPandas). "
+    "Gate-only since round 3's second rotation: the multimodal Arrow-decode "
+    "family keeps its hard row via multimodal_payload_features; this slot "
+    "went to a novel operator family.",
     tags=("multimodal", "pandas-udf"),
+    driver_visible=False,
 )
 def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

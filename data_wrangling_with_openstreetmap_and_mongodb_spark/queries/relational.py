@@ -383,8 +383,13 @@ def top_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cnt DESC, token ASC
         LIMIT 20
     """,
-    doc="$unwind + $group + $sort + $limit (README.md:976-986 three-most-referenced-nodes)",
+    doc="$unwind + $group + $sort + $limit (README.md:976-986 "
+    "three-most-referenced-nodes). Gate-only since round 3's second "
+    "rotation: the explode+count+topk family keeps its hard row via "
+    "ds_unwind_token_counts (same shape through the docstore pipeline "
+    "compiler); this slot went to a novel operator family.",
     tags=("explode", "topk"),
+    driver_visible=False,
 )
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -511,8 +511,12 @@ def _ann_ivf_oracle_sql(n_centroids: int, nprobe: int, k: int) -> str:
     "ann_ivf_topk",
     oracle=_ann_ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
     doc="IVF-flat ANN top-k: sampled coarse centroids, quantized nearest-"
-    "centroid assignment, nprobe cells probed, exact rank inside.",
+    "centroid assignment, nprobe cells probed, exact rank inside. "
+    "Gate-only since round 3's second rotation: the IVF probe family keeps "
+    "its hard row via ann_ivf_kmeans_topk (same probe path plus the full "
+    "training trajectory); this slot went to a novel operator family.",
     tags=("similarity", "topk", "ivf"),
+    driver_visible=False,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1024,9 +1028,9 @@ def _pii_oracle() -> str:
     "codegen'd scan + hash-agg, every aggregate integer-exact.  The "
     "supplier digit-run ids make the id_number pattern fire on every row "
     "(non-degenerate); planted email/phone/IP fixtures pin the other "
-    "patterns in test_privacy.  Gate-only: the driver window is full.",
+    "patterns in test_privacy.  Driver-visible since round 3's second "
+    "rotation (novel privacy family).",
     tags=("privacy", "text", "agg"),
-    driver_visible=False,
 )
 def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.privacy import (
@@ -1060,9 +1064,9 @@ def _bm25_oracle() -> str:
     "Corpus stats (per-term DF, avgdl) reduce to broadcast-size tables; the "
     "scoring sum is the quantized order-independent dsum, so ranking and "
     "the oracle hash-match at any parallelism; final top-k is "
-    "TakeOrderedAndProject.  Gate-only: the driver window is full.",
+    "TakeOrderedAndProject.  Driver-visible since round 3's second "
+    "rotation (novel search family).",
     tags=("search", "text", "topk"),
-    driver_visible=False,
 )
 def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
@@ -1190,9 +1194,9 @@ def _pack_oracle() -> str:
     "training sequences — contiguous fill in deterministic id order, "
     "hash-sharded so the running sum parallelizes instead of serializing "
     "on one global window.  Integer-exact output pins the whole "
-    "assignment row-for-row.  Gate-only: the driver window is full.",
+    "assignment row-for-row.  Driver-visible since round 3's second "
+    "rotation (novel packing family).",
     tags=("curation", "window"),
-    driver_visible=False,
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (

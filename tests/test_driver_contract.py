@@ -29,13 +29,31 @@ def test_driver_catalog_fits_window_oracles_first():
 
 
 def test_novel_operator_families_are_driver_visible():
-    # r2 verdict: ann_ivf_topk + winnowing_fingerprints are distinct operator
-    # families and must hold driver slots; their evicted near-duplicates are
-    # covered by other visible oracles
+    # r2 verdict principle: every distinct operator family holds a driver
+    # slot; near-duplicate shapes are hidden (each covered by a visible
+    # oracle of the same family).  Round 3's second rotation gave the three
+    # most novel new families hard rows; the IVF family keeps its row via
+    # the kmeans-trained variant (probe path + full training trajectory),
+    # the multimodal family via payload_features, explode+topk via
+    # ds_unwind_token_counts.
     dc = driver_catalog()
-    assert "ann_ivf_topk" in dc and "winnowing_fingerprints" in dc
-    assert not QUERIES["doc_fingerprints"].driver_visible
-    assert not QUERIES["ds_sort_skip_limit"].driver_visible
+    for novel in (
+        "winnowing_fingerprints",
+        "ann_ivf_kmeans_topk",
+        "decontaminate_ngrams",
+        "pii_redaction_audit",
+        "bm25_keyword_topk",
+        "pack_training_sequences",
+    ):
+        assert novel in dc, novel
+    for hidden in (
+        "doc_fingerprints",
+        "ds_sort_skip_limit",
+        "top_tokens",
+        "multimodal_frame_index",
+        "ann_ivf_topk",
+    ):
+        assert not QUERIES[hidden].driver_visible, hidden
 
 
 def test_every_registered_query_is_verified_somewhere():
