@@ -176,8 +176,12 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Documents with zero tokens are absent from the output (no tokens — no
     distribution to score under).
     """
-    toks = _exploded_tokens(df, text_col, id_col)
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    # persisted: the token stream feeds the vocab aggregate AND the scoring
+    # join (and the vocab feeds the total) — without it the explode runs
+    # three times in one job (same structural-reuse rationale as the dedup
+    # shingle front-ends)
+    toks = _exploded_tokens(df, text_col, id_col).persist()
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t")).persist()
     total = vocab.agg(F.sum("c_t").cast("double").alias("t_total"))
     scored = (
         toks.join(vocab, "tok")
