@@ -61,3 +61,70 @@ def merge_update_struct(
     return joined.withColumn(struct_col, merged).select(
         *[c for c in joined.columns if c in keep]
     )
+
+
+def scd2_from_changes(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log:
+    ``(key, value, valid_from, valid_to, is_current)`` — one row per value
+    EPISODE, consecutive repeats collapsed, ``valid_to`` exclusive and NULL
+    on the open (current) episode.
+
+    The warehouse-standard historization of an event stream (account
+    status, price, assignment): two window passes over the same (key,
+    time, tiebreak) ordering — a null-safe ``lag`` marks episode starts,
+    a ``lead`` over the surviving rows closes each interval — so the whole
+    dimension builds in ONE shuffle (both windows share the partitioning)
+    with no self-join.  The explicit ``tiebreak_col`` makes same-timestamp
+    changes deterministic; timestamps are integers, so results hash-match
+    across engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(value_col).over(w)
+    prev_exists = F.lag(F.lit(1)).over(w)
+    episodes = df.select(
+        key_col, ts_col, value_col, tiebreak_col
+    ).withColumn(
+        "__start",
+        prev_exists.isNull() | ~F.col(value_col).eqNullSafe(prev),
+    ).filter(F.col("__start"))
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return episodes.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_from_changes_sql(
+    table: str, key_expr: str, ts_expr: str, value_expr: str, tiebreak_expr: str
+) -> str:
+    """DuckDB oracle reproducing :func:`scd2_from_changes` row-for-row."""
+    return f"""
+        WITH ordered AS (
+            SELECT {key_expr} AS k, {ts_expr} AS t, {value_expr} AS v,
+                   {tiebreak_expr} AS tb,
+                   LAG({value_expr}) OVER w AS prev_v,
+                   LAG(1) OVER w AS prev_exists
+            FROM {table}
+            WINDOW w AS (PARTITION BY {key_expr} ORDER BY {ts_expr}, {tiebreak_expr})
+        ),
+        episodes AS (
+            SELECT k, t, v, tb FROM ordered
+            WHERE prev_exists IS NULL OR v IS DISTINCT FROM prev_v
+        )
+        SELECT k AS key, v AS value, t AS valid_from,
+               LEAD(t) OVER w2 AS valid_to,
+               LEAD(t) OVER w2 IS NULL AS is_current
+        FROM episodes
+        WINDOW w2 AS (PARTITION BY k ORDER BY t, tb)
+    """

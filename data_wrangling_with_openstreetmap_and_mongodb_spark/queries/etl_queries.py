@@ -344,3 +344,34 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select("user_id", ts_micros(ev).alias("t"))
     return retention_cohorts(ev, "user_id", "t", _RETENTION_PERIOD_US)
+
+
+def _scd2_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+        scd2_from_changes_sql,
+    )
+
+    return scd2_from_changes_sql(
+        "events", "user_id", "epoch_us(ts)", "event_type", "event_id"
+    )
+
+
+@register(
+    "scd2_user_event_state",
+    oracle=_scd2_oracle(),
+    doc="type-2 slowly-changing dimension from a change log "
+    "(operators/upsert.py::scd2_from_changes): each user's event-type "
+    "episodes with exclusive validity intervals, consecutive repeats "
+    "collapsed, open episode flagged current — two window passes sharing "
+    "ONE shuffle, no self-join.  Gate-only: the driver window is full.",
+    tags=("upsert", "scd2", "window"),
+    driver_visible=False,
+)
+def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+        scd2_from_changes,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_id", "event_type", ts_micros(ev).alias("t"))
+    return scd2_from_changes(ev, "user_id", "t", "event_type", "event_id")

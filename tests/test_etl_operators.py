@@ -129,3 +129,53 @@ class TestStreamingRollup:
         srows = sorted(tuple(r[c] for c in cols) for r in stream.collect())
         brows = sorted(tuple(r[c] for c in cols) for r in batch.collect())
         assert srows == brows  # bit-identical thanks to quantized sums
+
+
+class TestScd2FromChanges:
+    def test_episodes_collapse_and_intervals(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+            scd2_from_changes,
+        )
+
+        # user 1: A@10, A@20 (repeat -> collapsed), B@30, A@40 (reopens A)
+        # user 2: X@5 only
+        rows = [
+            (1, 10, "A", 100), (1, 20, "A", 101), (1, 30, "B", 102), (1, 40, "A", 103),
+            (2, 5, "X", 104),
+        ]
+        df = spark.createDataFrame(rows, "user long, t long, state string, eid long")
+        got = sorted(
+            map(tuple, scd2_from_changes(df, "user", "t", "state", "eid").collect())
+        )
+        assert got == [
+            (1, "A", 10, 30, False),
+            (1, "A", 40, None, True),
+            (1, "B", 30, 40, False),
+            (2, "X", 5, None, True),
+        ]
+
+    def test_same_timestamp_tiebreak_deterministic(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+            scd2_from_changes,
+        )
+
+        rows = [(1, 10, "A", 1), (1, 10, "B", 2)]  # same ts: eid orders A then B
+        df = spark.createDataFrame(rows, "user long, t long, state string, eid long")
+        got = sorted(
+            map(tuple, scd2_from_changes(df, "user", "t", "state", "eid").collect())
+        )
+        assert got == [(1, "A", 10, 10, False), (1, "B", 10, None, True)]
+
+    def test_null_values_are_episodes_too(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+            scd2_from_changes,
+        )
+
+        rows = [(1, 10, None, 1), (1, 20, None, 2), (1, 30, "A", 3)]
+        df = spark.createDataFrame(rows, "user long, t long, state string, eid long")
+        got = sorted(
+            map(tuple, scd2_from_changes(df, "user", "t", "state", "eid").collect()),
+            key=lambda r: r[2],
+        )
+        # null-safe compare: consecutive NULLs collapse into one episode
+        assert got == [(1, None, 10, 30, False), (1, "A", 30, None, True)]
