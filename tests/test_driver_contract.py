@@ -75,7 +75,10 @@ def test_oracle_sql_references_known_tables_only():
     for q in QUERIES.values():
         if q.oracle is None:
             continue
-        for m in re.finditer(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b", q.oracle):
+        # (?<!DISTINCT\s): `x IS DISTINCT FROM y` is an operator, not a scan
+        for m in re.finditer(
+            r"\b(?:(?<!DISTINCT\s)FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b", q.oracle
+        ):
             name = m.group(1)
             # anything not a pre-registered view must be a CTE defined inline
             if name not in tables:
