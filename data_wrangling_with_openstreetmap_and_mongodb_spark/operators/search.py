@@ -67,12 +67,28 @@ def bm25_topk(
     engine-stable.  Final top-k is TakeOrderedAndProject.
     """
     lower_terms = [t.lower() for t in terms]
-    toks = _exploded_tokens(df, text_col, id_col)
-    tf = (
-        toks.filter(F.col("tok").isin(lower_terms))
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # Term filter INSIDE the token array, before any explode: the row stream
+    # entering the shuffle carries only query-term hits (a handful per
+    # document) instead of every token — at corpus scale the full-token
+    # explode, not the scoring, is the bottleneck.  The spread keeps the
+    # tokenize+filter pass parallel off few-split scans.
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+        spread,
     )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    hits = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id").select(
+        "id",
+        F.explode(
+            F.filter(
+                whitespace_tokens(F.lower(F.col("__text"))),
+                lambda t: t.isin(*lower_terms),
+            )
+        ).alias("tok"),
+    )
+    tf = hits.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     dl = df.select(
         F.col(id_col).alias("id"),
