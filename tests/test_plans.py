@@ -153,3 +153,21 @@ class TestScanShapes:
                 continue
             plan = executed_plan(entry.fn(spark, sf_dir))
             assert "CartesianProduct" not in plan, name
+
+
+class TestPromotedQueryPruning:
+    """The round-3 promoted driver queries must push column pruning to the
+    scan: an audit that reads every supplier column for a name-only
+    redaction (or a packer reading more than id+text) is wrong at 100 TB."""
+
+    def test_pii_audit_reads_only_name_and_join_key(self, spark, sf_dir):
+        df = q("pii_redaction_audit", spark, sf_dir)
+        assert read_schema_columns(df) <= {"s_name", "s_nationkey", "n_name", "n_nationkey"}
+
+    def test_pack_sequences_reads_only_id_and_text(self, spark, sf_dir):
+        df = q("pack_training_sequences", spark, sf_dir)
+        assert read_schema_columns(df) == {"doc_id", "text"}
+
+    def test_bm25_reads_only_id_and_text(self, spark, sf_dir):
+        df = q("bm25_keyword_topk", spark, sf_dir)
+        assert read_schema_columns(df) == {"doc_id", "text"}
