@@ -59,23 +59,29 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iters):
+    def propagate(lbls):
         # pull the minimum neighbor label into each vertex, keep own label
         neigh = (
-            sym.join(labels, sym.src == labels.id)
+            sym.join(lbls, sym.src == lbls.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        updated = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                    "label"
-                ),
-                (F.coalesce("nlabel", "label") < F.col("label")).alias("__chg"),
-            )
-            .localCheckpoint(eager=False)
+        return lbls.join(neigh, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            (F.coalesce("nlabel", "label") < F.col("label")).alias("__chg"),
+        )
+
+    # Two propagation rounds per materialization+convergence check: each
+    # driver sync (checkpoint job + count) costs a scheduling barrier, and
+    # near-dup clusters have tiny diameters — composing rounds pairwise
+    # usually converges in ONE sync instead of two.  Checking only the
+    # SECOND round's change flag is sound: propagation is deterministic and
+    # monotone, so a round with zero changes means fixpoint regardless of
+    # what the round before it did.
+    for _ in range((max_iters + 1) // 2):
+        updated = propagate(propagate(labels).drop("__chg")).localCheckpoint(
+            eager=False
         )
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
