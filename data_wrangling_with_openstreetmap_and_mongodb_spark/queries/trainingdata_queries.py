@@ -1246,3 +1246,53 @@ def mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+@register(
+    "unicode_normalization_audit",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
+                   AS n_changed_nfc,
+               SUM(CASE WHEN nfc_normalize(strip_accents(text)) <> text
+                        THEN 1 ELSE 0 END) AS n_changed_stripped
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Unicode normalization audit (operators/normalize.py::normalize_text "
+    "— Arrow-batched unicodedata NFC/strip-accents, the one corpus-prep op "
+    "Spark has no builtin for): per-lang counts of documents NFC or "
+    "accent-stripping would change.  The ASCII corpus is a fixed point "
+    "(both counts 0 — asserted against the DuckDB nfc_normalize/"
+    "strip_accents twins); planted accented/decomposed fixtures pin the "
+    "interesting cases in test_normalize.  Gate-only: the driver window "
+    "is full.",
+    tags=("text", "normalize", "pandas-udf"),
+    driver_visible=False,
+)
+def unicode_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.normalize import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    nfc = normalize_text(d, "text").select(
+        "doc_id", F.col("text").alias("__nfc")
+    )
+    stripped = normalize_text(d, "text", strip_accents=True).select(
+        "doc_id", F.col("text").alias("__stripped")
+    )
+    return (
+        d.join(nfc, "doc_id")
+        .join(stripped, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("__nfc") != F.col("text"), 1).otherwise(0)
+            ).alias("n_changed_nfc"),
+            F.sum(
+                F.when(F.col("__stripped") != F.col("text"), 1).otherwise(0)
+            ).alias("n_changed_stripped"),
+        )
+    )
