@@ -263,44 +263,35 @@ def minhash_signature(text_col: Column, num_hashes: int = 64, n: int = 3, seed: 
     return F.array(*sigs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    n: int = 3,
-    threshold: float = 0.8,
-    seed: int = 42,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH, verified with exact
-    shingle Jaccard.  ``(id_a, id_b, est_jaccard, jaccard)``.
+def _sig_and_bands(
+    shingle_rows: DataFrame, num_hashes: int, bands: int, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash machinery: ``(with_sig, band_rows)`` from (id, shingle)
+    rows — ``with_sig`` = (id, sig array), ``band_rows`` = (id, band, bucket).
 
-    bands×rows = num_hashes; a pair is a candidate if any band's row-slice
-    hashes equal.  The bucket join shuffles only (band, bucket) keys.
-    Signatures use the md5-based engine-agnostic hash family, so the whole
-    pipeline — including which candidate pairs the bands surface — is
-    reproducible by the DuckDB oracle.
+    Signature as hash-aggregate with ``num_hashes`` min() buffers: a single
+    giant array<transform<...>> projection exceeds what whole-stage codegen
+    will compile (interpreted fallback, ~10×), while min-aggregate buffers
+    codegen fine at any width.  The groupBy shuffles only (id, 64×8 bytes)
+    partial states thanks to map-side combine; the base md5 hash computes
+    once per shingle row and feeds all permutations.  ``with_sig`` is
+    persisted — it feeds band construction plus every downstream consumer
+    (self-join sides, verification, index storage) and the 64-buffer
+    aggregation is the pipeline's most expensive stage.
+
+    Band rows carry ONLY (id, band, bucket): exploding the signature arrays
+    ``bands``× and shuffling them through joins costs far more than
+    re-attaching arrays to the (small) candidate set by id afterwards.  The
+    bucket key is an 8-byte md5-based hash of the row-slice's joined-string
+    form — engine-agnostic, so SQL oracles reproduce the same buckets.
     """
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
         md5_hash32,
         md5_hash60,
     )
 
-    rows_per_band = num_hashes // bands
     coeffs = minhash_perm_coeffs(num_hashes, seed)
-    # Shared JVM-native shingle rows (see _shingle_rows), consumed by the
-    # signature aggregation and (as arrays) both verification sides —
-    # persisted so neither consumer recomputes the explode/window front-end
-    # (AQE exchange reuse covered this on some data shapes but is a
-    # heuristic; the cache makes the reuse structural).
-    shingle_rows = _shingle_rows(df, text_col, id_col, n).persist()
-    # Signature as hash-aggregate with num_hashes min() buffers: a single
-    # giant array<transform<...>> projection exceeds what whole-stage
-    # codegen will compile (interpreted fallback, ~10×), while min-aggregate
-    # buffers codegen fine at any width.  The groupBy shuffles only
-    # (id, 64×8 bytes) partial states thanks to map-side combine.  The base
-    # md5 hash computes once per shingle row and feeds all permutations.
+    rows_per_band = num_hashes // bands
     ex = shingle_rows.select("id", md5_hash32(F.col("shingle")).alias("h32"))
     sig_agg = ex.groupBy("id").agg(
         *[
@@ -308,19 +299,9 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(coeffs)
         ]
     )
-    # persisted: the signature table feeds the band self-join (twice) and
-    # both verification sides; the 64-buffer aggregation is the pipeline's
-    # most expensive stage and must run once
     with_sig = sig_agg.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     ).persist()
-
-    # The band explode and self-join carry ONLY (id, band, bucket): exploding
-    # the shingle/signature arrays 16× and shuffling them through the join
-    # costs far more than re-attaching them to the (small) candidate set via
-    # two id-equi-joins afterwards.  The bucket key is an 8-byte md5-based
-    # hash of the row-slice's joined-string form — engine-agnostic, so the
-    # SQL oracle reproduces the same buckets.
     band_rows = with_sig.select(
         "id",
         F.explode(
@@ -343,6 +324,37 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    return with_sig, band_rows
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified with exact
+    shingle Jaccard.  ``(id_a, id_b, est_jaccard, jaccard)``.
+
+    bands×rows = num_hashes; a pair is a candidate if any band's row-slice
+    hashes equal.  The bucket join shuffles only (band, bucket) keys.
+    Signatures use the md5-based engine-agnostic hash family, so the whole
+    pipeline — including which candidate pairs the bands surface — is
+    reproducible by the DuckDB oracle.
+    """
+    # Shared JVM-native shingle rows (see _shingle_rows), consumed by the
+    # signature aggregation and (as arrays) both verification sides —
+    # persisted so neither consumer recomputes the explode/window front-end
+    # (AQE exchange reuse covered this on some data shapes but is a
+    # heuristic; the cache makes the reuse structural).
+    shingle_rows = _shingle_rows(df, text_col, id_col, n).persist()
+    with_sig, band_rows = _sig_and_bands(
+        shingle_rows, num_hashes, bands, seed
+    )
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -383,6 +395,92 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The PERSISTED incremental-dedup index: ``(id, band, bucket, sig)``
+    rows — what a production pipeline writes once per corpus so that daily
+    increments dedup against it WITHOUT rescanning corpus text.
+
+    ``bands`` rows per document, each carrying the full signature
+    (``num_hashes``×8 bytes): the band/bucket columns drive the probe's
+    equi-join, the signature column lets the probe estimate Jaccard without
+    touching corpus text.  Write it partitioned/bucketed by ``(band,
+    bucket)`` (operators/scale.py) and probes become co-located joins.
+    """
+    shingle_rows = _shingle_rows(df, text_col, id_col, n).persist()
+    with_sig, band_rows = _sig_and_bands(shingle_rows, num_hashes, bands, seed)
+    return band_rows.join(with_sig, "id").select("id", "band", "bucket", "sig")
+
+
+def minhash_probe_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup detection: new documents probed against a
+    prebuilt :func:`minhash_band_index` — ``(new_id, corpus_id,
+    est_jaccard)`` for signature-estimated Jaccard ≥ ``threshold``.
+
+    The production shape of dedup at corpus scale: the corpus is indexed
+    ONCE; each increment computes its own signatures (linear in the
+    increment, not the corpus), joins band/bucket keys against the index,
+    and verifies candidates by signature agreement — corpus TEXT is never
+    read again, which is exactly what makes daily increments O(increment).
+    Verification is therefore the estimator, not exact Jaccard (the
+    standard trade for index-only probes; run the exact check on the tiny
+    candidate set downstream if the index retains text pointers).
+
+    Same engine-agnostic hash family as :func:`minhash_lsh_pairs`, so the
+    whole probe — candidates and estimates — SQL-oracles exactly.
+    """
+    shingle_rows = _shingle_rows(new_df, text_col, id_col, n).persist()
+    with_sig, band_rows = _sig_and_bands(shingle_rows, num_hashes, bands, seed)
+    cand = (
+        band_rows.alias("p")
+        .join(
+            index.select(
+                F.col("id").alias("corpus_id"), "band", "bucket", "sig"
+            ).alias("x"),
+            (F.col("p.band") == F.col("x.band"))
+            & (F.col("p.bucket") == F.col("x.bucket")),
+        )
+        .select(
+            F.col("p.id").alias("new_id"),
+            F.col("corpus_id"),
+            F.col("x.sig").alias("sig_corpus"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    probed = cand.join(
+        with_sig.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_new")),
+        "new_id",
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_new", "sig_corpus", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        probed.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
     )
 
 

@@ -333,3 +333,89 @@ class TestSkewedBlocking:
             for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()
         }
         assert got == {(1000, 1001): 1.0}  # recall intact under skew
+
+
+class TestIncrementalMinhash:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def test_probe_finds_cross_corpus_duplicate_only(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            minhash_band_index,
+            minhash_probe_index,
+        )
+
+        corpus = self._docs(
+            spark,
+            [(1, self.BASE), (2, "completely different words about spark plans")],
+        )
+        increment = self._docs(
+            spark,
+            [
+                (100, self.BASE),  # exact dup of corpus doc 1
+                (101, "unrelated fresh content with novel tokens"),
+                (102, self.BASE),  # dup of 1 AND of 100 (increment-internal)
+            ],
+        )
+        index = minhash_band_index(corpus, "text", "doc_id")
+        got = {
+            (r.new_id, r.corpus_id): r.est_jaccard
+            for r in minhash_probe_index(
+                increment, index, "text", "doc_id", threshold=0.8
+            ).collect()
+        }
+        # both increment copies match corpus doc 1 with perfect signatures;
+        # the increment-internal pair (100,102) is NOT the probe's job
+        assert set(got) == {(100, 1), (102, 1)}
+        assert all(v == 1.0 for v in got.values())
+
+    def test_probe_agrees_with_full_pairwise_on_crossing_pairs(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            minhash_band_index,
+            minhash_lsh_pairs,
+            minhash_probe_index,
+        )
+
+        rows = [
+            (i, f"shared prefix tokens run long enough for shingles {i % 3}")
+            for i in range(12)
+        ]
+        df = self._docs(spark, rows)
+        corpus = df.filter("doc_id % 2 = 0")
+        increment = df.filter("doc_id % 2 = 1")
+        probe = {
+            (r.new_id, r.corpus_id)
+            for r in minhash_probe_index(
+                increment, minhash_band_index(corpus, "text", "doc_id"),
+                "text", "doc_id", threshold=0.99,
+            ).collect()
+        }
+        full = {
+            (max(r.id_a, r.id_b), min(r.id_a, r.id_b))
+            if r.id_a % 2 == 0
+            else (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                df, "text", "doc_id", threshold=0.99
+            ).collect()
+            if (r.id_a % 2) != (r.id_b % 2)  # crossing pairs only
+        }
+        # normalize full pairs to (odd new_id, even corpus_id)
+        full = {
+            (a, b) if a % 2 == 1 else (b, a) for a, b in full
+        }
+        assert probe == full
+
+    def test_index_carries_band_bucket_sig(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            minhash_band_index,
+        )
+
+        idx = minhash_band_index(
+            self._docs(spark, [(1, self.BASE)]), "text", "doc_id"
+        )
+        assert set(idx.columns) == {"id", "band", "bucket", "sig"}
+        rows = idx.collect()
+        assert len(rows) == 16  # one row per band
+        assert all(len(r.sig) == 64 for r in rows)
