@@ -54,6 +54,101 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Span / paragraph dedup (corpus-wide duplicate-span removal + reassembly)
+# ---------------------------------------------------------------------------
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 16,
+    sep: str | None = None,
+) -> DataFrame:
+    """Corpus-wide duplicate-span removal with document reconstruction:
+    ``(id, clean_text, n_spans, n_dropped)``.
+
+    The C4/RefinedWeb curation step: every span (paragraph, or fixed
+    token-count chunk) is kept only at its FIRST corpus occurrence — later
+    repetitions (mirrored pages, boilerplate headers, quoted reposts) are
+    cut out of the documents that repeat them, and the survivors are
+    stitched back together in original order.
+
+    Two span definitions share one core:
+
+    - ``sep`` given → true paragraph mode: the document splits on the
+      literal separator (e.g. ``"\\n\\n"``) and survivors rejoin with it.
+    - ``sep=None`` → fixed-span mode: whitespace tokens group into
+      disjoint ``span_tokens``-token chunks (span-granular exact-substring
+      dedup — the tractable approximation of suffix-array substring dedup).
+
+    "First occurrence" is the global ``(id, pos)`` minimum — deterministic,
+    retry-stable, engine-reproducible (the SQL twin ranks identically).
+
+    Scale shape: full span TEXT never shuffles by content — the winner per
+    span is ``min(struct(id, pos))`` hash-aggregated over ``(md5(span), id,
+    pos)`` rows (hash + two ints; partial aggregation collapses each
+    partition to one candidate per distinct hash BEFORE the shuffle — a
+    window ``row_number`` would shuffle and sort every span row instead);
+    the surviving ``(id, pos)`` pairs equi-join back against the span
+    table, which is already partitioned by id, and reassembly is one
+    ordered ``collect_list`` per document.  The span table persists across
+    its three consumers (dedup rank, survivor join, per-doc totals) so the
+    tokenize/chunk pass runs once.  A 128-bit collision merging two
+    distinct spans is ~2⁻⁶⁴-improbable; acceptable for corpus curation.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")).repartition(
+        n_parts, "id"
+    )
+    if sep is not None:
+        parts = F.split(F.col("__text"), F.lit(sep), -1)
+        join_sep = sep
+    else:
+        toks = whitespace_tokens(F.col("__text"))
+        # disjoint span_tokens-sized chunks: slice is 1-based
+        parts = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int") - 1, F.lit(0)
+                ),
+            ),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ),
+        )
+        join_sep = " "
+    spans = (
+        base.select("id", F.posexplode(parts).alias("pos", "span"))
+        .filter(F.col("span") != "")
+        .persist()
+    )
+    winners = (
+        spans.select(F.md5(F.col("span")).alias("h"), "id", "pos")
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    )
+    kept = spans.join(winners, ["id", "pos"])
+    kept_agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(kept_agg, "id", "left").select(
+        "id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_spans",
+        (F.col("n_spans") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # N-gram Jaccard (blocked self-join — exact similarity, scalable blocking)
 # ---------------------------------------------------------------------------
 def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

@@ -85,6 +85,47 @@ def quality_score(col: Column) -> Column:
     return (length_ok * 0.4 + punct_ok * 0.2 + mwl_ok * 0.2 + stop_ok * 0.2)
 
 
+def c4_rule_flags(
+    col: Column, min_tokens: int = 10, max_tokens: int = 100_000
+) -> dict[str, Column]:
+    """Per-document boolean drop-reason flags — the C4/Gopher-style RULE
+    filter, as opposed to :func:`quality_score`'s soft composite: production
+    curation pipelines keep/drop on individual rules and log WHICH rule
+    fired, because the reason histogram is how you audit a filter against a
+    new corpus before trusting it.
+
+    All flags are single codegen'd expressions over one scan; no arrays
+    materialize except the stopword membership filter.
+    """
+    n_tok = token_count(col)
+    mwl = mean_word_length(col)
+    return {
+        "too_short": n_tok < min_tokens,
+        "too_long": n_tok > max_tokens,
+        "word_length_out": (mwl < 2.0) | (mwl > 12.0),
+        "high_punct": punct_ratio(col) >= 0.2,
+        "no_stopwords": stopword_ratio(col) <= 0.01,
+        "has_brace": col.contains("{") | col.contains("}"),
+        "has_lorem": F.lower(col).contains("lorem ipsum"),
+    }
+
+
+def rule_filter_audit(df, text_col: str, *group_cols: str):
+    """Per-group rule-filter audit: one count column per drop reason plus
+    ``n_keep`` (documents no rule fired on) and ``n_docs``.  Integer-exact
+    (hash-reproducible across engines); one scan, one hash-aggregate."""
+    flags = c4_rule_flags(F.col(text_col))
+    aggs = [
+        F.sum(flag.cast("long")).alias(f"n_{name}") for name, flag in flags.items()
+    ]
+    keep = F.lit(True)
+    for flag in flags.values():
+        keep = keep & ~flag
+    aggs.append(F.sum(keep.cast("long")).alias("n_keep"))
+    aggs.append(F.count(F.lit(1)).alias("n_docs"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     """Per-language stopword-hit counts (the language-ID signal)."""
     toks = whitespace_tokens(F.lower(col))

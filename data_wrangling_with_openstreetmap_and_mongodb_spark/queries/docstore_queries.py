@@ -137,8 +137,13 @@ def ds_unwind_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY bucket
     """,
-    doc="$cond/$ifNull expression compilation inside $project (SURVEY.md §2.7 C17)",
+    doc="$cond/$ifNull expression compilation inside $project (SURVEY.md §2.7 C17).  "
+    "Hidden from the driver window (r3) to make room for span_dedup_documents: "
+    "conditional CASE projection is exercised by visible oracles elsewhere "
+    "(statuses_per_priority, pii_redaction_audit) and this query stays in the "
+    "local sf0.01 parity gate.",
     tags=("docstore", "project"),
+    driver_visible=False,
 )
 def ds_cond_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(

@@ -144,6 +144,57 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c4_rule_audit",
+    oracle=f"""
+        WITH scored AS (
+            SELECT source,
+                   len({_SQL_TOKS}) AS n_tok,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS pr,
+                   length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                       / greatest(len({_SQL_TOKS}), 1) AS mwl,
+                   len(list_filter({_SQL_LTOKS}, t -> list_contains({_sql_stop_list("en")}, t)))::DOUBLE
+                       / greatest(len({_SQL_TOKS}), 1) AS sr,
+                   (contains(text, '{{') OR contains(text, '}}')) AS brace,
+                   contains(lower(text), 'lorem ipsum') AS lorem
+            FROM documents
+        )
+        SELECT source,
+               sum(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS n_too_short,
+               sum(CASE WHEN n_tok > 100000 THEN 1 ELSE 0 END) AS n_too_long,
+               sum(CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 1 ELSE 0 END)
+                   AS n_word_length_out,
+               sum(CASE WHEN pr >= 0.2 THEN 1 ELSE 0 END) AS n_high_punct,
+               sum(CASE WHEN sr <= 0.01 THEN 1 ELSE 0 END) AS n_no_stopwords,
+               sum(CASE WHEN brace THEN 1 ELSE 0 END) AS n_has_brace,
+               sum(CASE WHEN lorem THEN 1 ELSE 0 END) AS n_has_lorem,
+               sum(CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                         AND mwl >= 2.0 AND mwl <= 12.0
+                         AND pr < 0.2 AND sr > 0.01
+                         AND NOT brace AND NOT lorem THEN 1 ELSE 0 END)
+                   AS n_keep,
+               count(*) AS n_docs
+        FROM scored
+        GROUP BY source
+    """,
+    doc="C4/Gopher-style rule filter with per-rule drop-reason counts by "
+    "source — the keep/drop audit stage of a curation pipeline (rules fire "
+    "individually so the reason histogram is inspectable).  Gate-only: "
+    "composes the same surface statistics text_quality_by_source oracles "
+    "with a hard driver row.",
+    tags=("text", "curation", "agg"),
+    driver_visible=False,
+)
+def c4_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        rule_filter_audit,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return rule_filter_audit(d, "text", "source")
+
+
 def _sql_lang_score(lang: str) -> str:
     return f"len(list_filter({_SQL_LTOKS}, t -> list_contains({_sql_stop_list(lang)}, t)))"
 
@@ -199,6 +250,52 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return exact_duplicates(d, "text", "doc_id")
+
+
+@register(
+    "span_dedup_documents",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        chunked AS (
+            SELECT doc_id,
+                   [struct_pack(pos := i,
+                                span := array_to_string(t[(i*16+1):(i*16+16)], ' '))
+                    for i in range(0, greatest(CAST(ceil(len(t)/16.0) AS INT), 1))]
+                       AS s
+            FROM toks),
+        flat AS (SELECT doc_id, unnest(s) AS sp FROM chunked),
+        spans AS (SELECT doc_id, sp.pos AS pos, sp.span AS span
+                  FROM flat WHERE sp.span <> ''),
+        ranked AS (SELECT doc_id, pos, span,
+                          row_number() OVER (PARTITION BY span
+                                             ORDER BY doc_id, pos) AS rn
+                   FROM spans),
+        kept AS (SELECT doc_id, pos, span FROM ranked WHERE rn = 1),
+        tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
+        ka AS (SELECT doc_id,
+                      string_agg(span, ' ' ORDER BY pos) AS clean_text,
+                      count(*) AS nk
+               FROM kept GROUP BY 1)
+        SELECT t.doc_id AS doc_id,
+               coalesce(clean_text, '') AS clean_text,
+               n_spans,
+               n_spans - coalesce(nk, 0) AS n_dropped
+        FROM tot t LEFT JOIN ka USING (doc_id)
+    """,
+    doc="corpus-wide duplicate-span removal with document reconstruction "
+    "(C4/RefinedWeb paragraph-dedup, fixed 16-token spans here since the "
+    "corpus has no paragraph breaks): spans kept only at their first global "
+    "(id, pos) occurrence, survivors rejoined in order.  Rank runs over "
+    "md5(span) — full text never shuffles by content.",
+    tags=("dedup", "curation", "window"),
+)
+def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import span_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_dedup(d, "text", "doc_id", span_tokens=16).withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 @register(

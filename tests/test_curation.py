@@ -224,3 +224,46 @@ class TestMixtureSample:
         # if the two hashes were correlated the sampled half would skew its
         # split distribution; salted domains keep it near 50%
         assert 0.4 <= frac_train <= 0.6
+
+
+class TestRuleFilterAudit:
+    """c4_rule_flags / rule_filter_audit: rule filter with reason counts."""
+
+    def test_planted_rule_hits(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+            rule_filter_audit,
+        )
+
+        good = "the quick brown fox jumps over a lazy dog near the old river bank"
+        rows = [
+            (1, "web", good),
+            (2, "web", "tiny doc"),  # too_short (<10 tokens)
+            (3, "web", "{ config } " + good),  # has_brace
+            (4, "web", "Lorem Ipsum dolor sit amet " + good),  # has_lorem
+            (5, "web", " ".join(["pneumonoultramicroscopic"] * 12)),  # wl_out+no_stop
+            (6, "pdf", good),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r.source: r for r in rule_filter_audit(df, "text", "source").collect()}
+        web = out["web"]
+        assert web.n_docs == 5
+        assert web.n_too_short == 1
+        assert web.n_has_brace == 1
+        assert web.n_has_lorem == 1
+        assert web.n_word_length_out == 1
+        assert web.n_no_stopwords == 2  # doc 5, plus "tiny doc" has none either
+        assert web.n_keep == 1  # only doc 1 trips no rule
+        assert out["pdf"].n_keep == 1 and out["pdf"].n_docs == 1
+
+    def test_keep_counts_no_rule_fired(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+            rule_filter_audit,
+        )
+
+        good = "she said the answer was hidden in a book on the high shelf"
+        df = spark.createDataFrame(
+            [(i, "s", good + f" variant {i}") for i in range(4)],
+            "doc_id long, source string, text string",
+        )
+        row = rule_filter_audit(df, "text", "source").collect()[0]
+        assert row.n_keep == 4 and row.n_docs == 4

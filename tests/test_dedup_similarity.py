@@ -419,3 +419,77 @@ class TestIncrementalMinhash:
         rows = idx.collect()
         assert len(rows) == 16  # one row per band
         assert all(len(r.sig) == 64 for r in rows)
+
+
+class TestSpanDedup:
+    """span_dedup: corpus-wide duplicate-span removal + reconstruction."""
+
+    @staticmethod
+    def _docs(spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_paragraph_mode_drops_later_occurrences(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import span_dedup
+
+        boiler = "subscribe to our newsletter"
+        df = self._docs(
+            spark,
+            [
+                (1, f"alpha body one\n\n{boiler}"),
+                (2, f"{boiler}\n\nbeta body two"),
+                (3, "gamma body three"),
+            ],
+        )
+        out = {
+            r.id: r
+            for r in span_dedup(df, "text", "doc_id", sep="\n\n").collect()
+        }
+        # doc 1 owns the first (id, pos) occurrence of the boilerplate
+        assert out[1].clean_text == f"alpha body one\n\n{boiler}"
+        assert out[1].n_dropped == 0
+        # doc 2 repeats it -> the span is cut, survivors rejoin with the sep
+        assert out[2].clean_text == "beta body two"
+        assert out[2].n_spans == 2 and out[2].n_dropped == 1
+        assert out[3].clean_text == "gamma body three"
+
+    def test_within_document_repeat_is_cut(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import span_dedup
+
+        df = self._docs(spark, [(1, "loop\n\nloop\n\nloop\n\ntail")])
+        row = span_dedup(df, "text", "doc_id", sep="\n\n").collect()[0]
+        assert row.clean_text == "loop\n\ntail"
+        assert row.n_spans == 4 and row.n_dropped == 2
+
+    def test_full_duplicate_doc_empties_in_chunk_mode(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import span_dedup
+
+        words = " ".join(f"w{i}" for i in range(32))  # exactly 2 spans of 16
+        df = self._docs(spark, [(1, words), (2, words), (3, "short tail doc")])
+        out = {
+            r.id: r
+            for r in span_dedup(df, "text", "doc_id", span_tokens=16).collect()
+        }
+        assert out[1].clean_text == words and out[1].n_dropped == 0
+        assert out[2].clean_text == "" and out[2].n_dropped == 2
+        assert out[3].clean_text == "short tail doc"
+
+    def test_chunk_mode_repartition_invariance(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import span_dedup
+
+        rows = [
+            (i, " ".join(f"t{(i * 7 + j) % 40}" for j in range(37)))
+            for i in range(30)
+        ]
+        df = self._docs(spark, rows)
+        a = sorted(
+            map(tuple, span_dedup(df, "text", "doc_id", span_tokens=8).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                span_dedup(
+                    df.repartition(13), "text", "doc_id", span_tokens=8
+                ).collect(),
+            )
+        )
+        assert a == b
