@@ -184,8 +184,14 @@ def ds_cond_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
         WHERE regexp_matches(p_type, '^ECO|MEDIUM$') AND p_size >= 30
     """,
-    doc="$regex predicate → rlike pushF-compatible filter (SURVEY.md P10/C3 rlike surface)",
+    doc="$regex predicate → rlike pushF-compatible filter (SURVEY.md P10/C3 "
+    "rlike surface).  Hidden from the driver window (r3) to make room for "
+    "ann_pq_topk: the regex surface keeps visible coverage via "
+    "pii_redaction_audit and the docstore filter compiler via "
+    "ds_find_machinery_customers/ds_elem_match; this query stays in the "
+    "local sf0.01 parity gate.",
     tags=("docstore", "filter", "regex"),
+    driver_visible=False,
 )
 def ds_regex_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "part").find(

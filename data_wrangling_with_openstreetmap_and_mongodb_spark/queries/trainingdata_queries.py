@@ -17,6 +17,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_tab
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
     davg,
     davg_sql,
+    dsum_sql,
     quantize6_sql,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
@@ -737,6 +738,136 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = _assign_to_centroids(e, "embedding", "vec_id", F.broadcast(cdf))
     return _probe_rank(assigned, cdf, _query_vector(spark, sf_dir), k=10, nprobe=3)
+
+
+def _ann_pq_oracle_sql(dim: int, m: int, n_codes: int, iters: int, k: int) -> str:
+    """DuckDB replica of the PQ/ADC path: reproduces the FULL per-subspace
+    codebook training trajectory (quantized L2 assignment with lowest-code
+    tiebreak, davg updates, empty codewords keep their previous centroid),
+    the encode pass, the query distance table, and the dsum ADC ranking —
+    bit-for-bit against operators/similarity.pq_train_codebooks +
+    pq_adc_topk."""
+    dsub = dim // m
+
+    def ql2(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+            for i in range(1, dsub + 1)
+        )
+        return quantize6_sql(terms)
+
+    slices = (
+        "[{'sub': j, 'sv': v[(j*%d+1):(j*%d+%d)]} for j in range(0, %d)]"
+        % (dsub, dsub, dsub, m)
+    )
+    blocks = [
+        f"""base AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        subx AS (SELECT id, unnest({slices}) AS u FROM base),
+        subr AS (SELECT id, u.sub AS sub, u.sv AS sv FROM subx),
+        seeds AS (SELECT id FROM base ORDER BY id LIMIT {n_codes}),
+        c0 AS (
+            SELECT s.sub, s.id AS c_id, s.sv AS c_vec
+            FROM subr s JOIN seeds USING (id)
+        )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        blocks.append(
+            f"""a{it} AS (
+            SELECT id, sub, cluster FROM (
+                SELECT s.id, s.sub, c.c_id AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.id, s.sub
+                           ORDER BY {ql2("s.sv", "c.c_vec")} ASC, c.c_id ASC
+                       ) AS rn
+                FROM subr s JOIN {prev} c ON s.sub = c.sub
+            ) WHERE rn = 1
+        ),
+        e{it} AS (
+            SELECT s.sub AS sub, a.cluster AS c_id,
+                   unnest([{{'pos': i, 'val': s.sv[i]}}
+                           for i in range(1, len(s.sv) + 1)]) AS u
+            FROM subr s JOIN a{it} a ON s.id = a.id AND s.sub = a.sub
+        ),
+        comp{it} AS (
+            SELECT sub, c_id, u.pos AS pos, {davg_sql("u.val")} AS comp
+            FROM e{it} GROUP BY sub, c_id, u.pos
+        ),
+        cn{it} AS (
+            SELECT sub, c_id, list(comp ORDER BY pos) AS c_vec
+            FROM comp{it} GROUP BY sub, c_id
+        ),
+        c{it} AS (
+            SELECT p.sub, p.c_id, COALESCE(n.c_vec, p.c_vec) AS c_vec
+            FROM {prev} p LEFT JOIN cn{it} n USING (sub, c_id)
+        )"""
+        )
+        prev = f"c{it}"
+    blocks.append(
+        f"""af AS (
+            SELECT id, sub, cluster FROM (
+                SELECT s.id, s.sub, c.c_id AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.id, s.sub
+                           ORDER BY {ql2("s.sv", "c.c_vec")} ASC, c.c_id ASC
+                       ) AS rn
+                FROM subr s JOIN {prev} c ON s.sub = c.sub
+            ) WHERE rn = 1
+        ),
+        qsr AS (SELECT sub, sv FROM subr WHERE id = 0),
+        tab AS (
+            SELECT c.sub, c.c_id, {ql2("c.c_vec", "s.sv")} AS qd
+            FROM {prev} c JOIN qsr s ON c.sub = s.sub
+        )"""
+    )
+    body = ",\n        ".join(blocks)
+    return f"""
+        WITH {body}
+        SELECT af.id AS id, {dsum_sql("t.qd")} AS approx_dist
+        FROM af JOIN tab t ON af.sub = t.sub AND af.cluster = t.c_id
+        GROUP BY af.id
+        ORDER BY approx_dist ASC, id ASC
+        LIMIT {k}
+    """
+
+
+_PQ_CODEBOOK_CACHE: dict[tuple[str, int, int, int], list[tuple[int, int, list[float]]]] = {}
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_ann_pq_oracle_sql(dim=64, m=8, n_codes=16, iters=2, k=10),
+    doc="Product-quantization ADC top-k: per-subspace L2 codebooks trained "
+    "by k-means (all m subspaces in one pass per iteration), vectors "
+    "encoded to m codes, query ranked via a broadcast distance table over "
+    "codes only — the compressed-corpus half of an IVF-PQ index.  The "
+    "oracle replays the full training trajectory, encode, and dsum ADC "
+    "ranking.",
+    tags=("similarity", "topk", "pq", "kmeans"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, 8, 16, 2)
+    if key not in _PQ_CODEBOOK_CACHE:
+        _PQ_CODEBOOK_CACHE[key] = pq_train_codebooks(
+            e, "embedding", "vec_id", dim=64, m=8, n_codes=16, iters=2
+        )
+    return pq_adc_topk(
+        e,
+        "embedding",
+        "vec_id",
+        _query_vector(spark, sf_dir),
+        _PQ_CODEBOOK_CACHE[key],
+        k=10,
+        m=8,
+    )
 
 
 @register(

@@ -493,3 +493,61 @@ class TestSpanDedup:
             )
         )
         assert a == b
+
+
+class TestProductQuantization:
+    """PQ codebooks + ADC: training determinism, encode shape, rank quality."""
+
+    def test_codebooks_deterministic_and_shaped(self, emb):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            pq_train_codebooks,
+        )
+
+        c1 = pq_train_codebooks(emb, "embedding", "vec_id", dim=64, m=8, n_codes=4, iters=2)
+        c2 = pq_train_codebooks(emb, "embedding", "vec_id", dim=64, m=8, n_codes=4, iters=2)
+        assert c1 == c2  # davg updates + quantized assignment -> bit-identical
+        assert len(c1) == 8 * 4
+        assert all(len(vec) == 8 for _, _, vec in c1)
+        assert {sub for sub, _, _ in c1} == set(range(8))
+
+    def test_encode_one_code_per_subspace(self, emb):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        cb = pq_train_codebooks(emb, "embedding", "vec_id", dim=64, m=8, n_codes=4, iters=1)
+        codes = pq_encode(emb, "embedding", "vec_id", cb, dim=64, m=8)
+        n = emb.count()
+        assert codes.count() == n * 8
+        assert codes.groupBy("id").count().filter("count <> 8").count() == 0
+        valid = {(s, c) for s, c, _ in cb}
+        assert all((r.sub, r.code) in valid for r in codes.collect())
+
+    def test_adc_ranks_query_like_neighbors_first(self, spark, emb):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            cosine_topk,
+            pq_adc_topk,
+            pq_train_codebooks,
+        )
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.trainingdata_queries import (
+            _query_vector,
+        )
+
+        import os
+
+        sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+        q = _query_vector(spark, sf)
+        cb = pq_train_codebooks(emb, "embedding", "vec_id", dim=64, m=8, n_codes=16, iters=2)
+        got = pq_adc_topk(emb, "embedding", "vec_id", q, cb, k=10, m=8).collect()
+        ids = [r.id for r in got]
+        # ascending distance, deterministic tiebreak
+        dists = [r.approx_dist for r in got]
+        assert dists == sorted(dists)
+        # the query vector itself (vec_id 0) quantizes closest to its own
+        # codewords — it must appear in the ADC top-10
+        assert 0 in ids
+        # compressed-domain ranking is approximate; against 64-dim random
+        # vectors expect some exact-top-10 overlap, not none
+        exact = {r["id"] for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()}
+        assert len(set(ids) & exact) >= 1
