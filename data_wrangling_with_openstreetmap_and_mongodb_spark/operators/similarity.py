@@ -655,3 +655,96 @@ def pq_adc_topk(
         .orderBy(F.asc("approx_dist"), F.asc("id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding curation: cluster-balanced diversity sampling + SemDeDup-style
+# semantic dedup (cluster, then exact cosine within cluster).
+# ---------------------------------------------------------------------------
+def diversity_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+    k_per_cluster: int,
+) -> DataFrame:
+    """Cluster-balanced sample: assign rows to their nearest (cosine)
+    centroid, keep exactly ``k_per_cluster`` per cluster by deterministic
+    md5 rank — ``(id, cluster, rk)``.
+
+    The diversity-sampling stage of embedding curation: a uniform sample
+    over-represents dense regions of embedding space; sampling a fixed
+    budget per k-means cell flattens the density, which is how pretraining
+    pipelines keep rare domains represented.  Deterministic end-to-end
+    (quantized assignment, hash rank — no ``rand()``), so the cell
+    membership AND the sample replay on any engine.
+
+    One broadcast-assign aggregation + one per-cluster window; rows shuffle
+    once by cluster.
+    """
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    cdf = df.sparkSession.createDataFrame(
+        centroids, "c_id bigint, c_vec array<double>"
+    )
+    assigned = _assign_to_centroids(df, vec_col, id_col, cdf).select("id", "cluster")
+    return stratified_sample(assigned, "cluster", "id", k_per_cluster).select(
+        "id", "cluster", "rk"
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs: cluster by nearest centroid,
+    compare pairs ONLY within a cluster, keep quantized cosine ≥ threshold —
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+
+    This is the modern embedding-dedup recipe at corpus scale (SemDeDup,
+    Abbas et al. 2023): k-means cells act as semantic blocks, so the
+    quadratic comparison runs per cell (≈ (n/k)² each) instead of globally
+    (n²).  Restricting pairs to same-cell membership is the algorithm's
+    DEFINITION, not an approximation bug — cross-cell near-dups are
+    intentionally out of contract, which is what makes the SQL oracle exact.
+
+    Plan shape: one broadcast-assign aggregation, then a self-equi-join on
+    the cluster id (shuffled hash join — both sides partition by cluster;
+    no broadcast of row vectors, no cartesian).  The cosine evaluates on
+    join output rows only.  Cell-size skew is the known failure mode at
+    scale; cap it upstream by raising k (cells shrink as k grows) or
+    sub-blocking hot cells with the hash-block trick from
+    ``dedup.embedding_near_pairs``.
+    """
+    cdf = df.sparkSession.createDataFrame(
+        centroids, "c_id bigint, c_vec array<double>"
+    )
+    assigned = _assign_to_centroids(df, vec_col, id_col, cdf)
+    d = dim if dim is not None else len(centroids[0][1])
+    left = assigned.select(
+        F.col("cluster"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        _norm_unrolled(F.col("v"), d).alias("na"),
+    )
+    right = assigned.select(
+        F.col("cluster"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        _norm_unrolled(F.col("v"), d).alias("nb"),
+    )
+    cos = quantize6(
+        _pair_dot(F.col("va"), F.col("vb"), d) / (F.col("na") * F.col("nb"))
+    )
+    return (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

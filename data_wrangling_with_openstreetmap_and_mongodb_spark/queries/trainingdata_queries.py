@@ -833,6 +833,161 @@ def _ann_pq_oracle_sql(dim: int, m: int, n_codes: int, iters: int, k: int) -> st
     """
 
 
+def _kmeans_blocks_sql(n_centroids: int, iters: int) -> tuple[str, str]:
+    """Shared SQL prefix replaying the spherical-k-means training trajectory
+    of operators/similarity.kmeans_centroids (same blocks as the
+    ann_ivf_kmeans_topk oracle), plus a final assignment CTE ``af`` carrying
+    ``(id, cluster, v)``.  Returns ``(with_blocks, 'af')`` for oracles that
+    consume trained cluster assignments (diversity sampling, SemDeDup)."""
+    qcos = lambda a, b: quantize6_sql(  # noqa: E731 - local SQL builder
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    blocks = [
+        f"""base AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT id AS c_id, v AS c_vec FROM base ORDER BY id LIMIT {n_centroids}
+        )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        blocks.append(
+            f"""a{it} AS (
+            SELECT id, cluster FROM (
+                SELECT b.id, c.c_id AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.id
+                           ORDER BY {qcos("b.v", "c.c_vec")} DESC, c.c_id ASC
+                       ) AS rn
+                FROM base b CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        e{it} AS (
+            SELECT a.cluster AS c_id,
+                   unnest([{{'pos': i, 'val': b.v[i]}} for i in range(1, len(b.v) + 1)]) AS u
+            FROM base b JOIN a{it} a ON b.id = a.id
+        ),
+        comp{it} AS (
+            SELECT c_id, u.pos AS pos, {davg_sql("u.val")} AS comp
+            FROM e{it} GROUP BY c_id, u.pos
+        ),
+        cn{it} AS (
+            SELECT c_id, list(comp ORDER BY pos) AS c_vec FROM comp{it} GROUP BY c_id
+        ),
+        c{it} AS (
+            SELECT p.c_id, COALESCE(n.c_vec, p.c_vec) AS c_vec
+            FROM {prev} p LEFT JOIN cn{it} n USING (c_id)
+        )"""
+        )
+        prev = f"c{it}"
+    blocks.append(
+        f"""af AS (
+            SELECT id, cluster, v FROM (
+                SELECT b.id, c.c_id AS cluster, b.v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.id
+                           ORDER BY {qcos("b.v", "c.c_vec")} DESC, c.c_id ASC
+                       ) AS rn
+                FROM base b CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        )"""
+    )
+    return ",\n        ".join(blocks), "af"
+
+
+def _diversity_sample_oracle_sql(n_centroids: int, iters: int, k: int) -> str:
+    blocks, af = _kmeans_blocks_sql(n_centroids, iters)
+    rank = md5_hash32_sql("CAST(CAST(id AS VARCHAR) AS VARCHAR)")
+    return f"""
+        WITH {blocks}
+        SELECT id, cluster, rk FROM (
+            SELECT id, cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster ORDER BY {rank}, id
+                   ) AS rk
+            FROM {af}
+        ) WHERE rk <= {k}
+    """
+
+
+def _semantic_dedup_oracle_sql(n_centroids: int, iters: int, threshold: float) -> str:
+    blocks, af = _kmeans_blocks_sql(n_centroids, iters)
+    cos = quantize6_sql(
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+        WITH {blocks}
+        SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
+        FROM {af} a JOIN {af} b ON a.cluster = b.cluster AND a.id < b.id
+        WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "diversity_sampled_embeddings",
+    oracle=_diversity_sample_oracle_sql(n_centroids=8, iters=2, k=4),
+    doc="cluster-balanced diversity sample: k-means cells flatten embedding-"
+    "space density, exactly-k-per-cell by deterministic md5 rank — the "
+    "rare-domain-preserving sampling stage of embedding curation.  "
+    "Gate-only: its primitives (k-means trajectory, stratified window "
+    "rank) carry hard driver rows via ann_ivf_kmeans_topk and "
+    "top_order_per_priority.",
+    tags=("similarity", "curation", "kmeans"),
+    driver_visible=False,
+)
+def diversity_sampled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        diversity_sample,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return diversity_sample(
+        e, "embedding", "vec_id", _trained_centroids(spark, sf_dir), k_per_cluster=4
+    )
+
+
+@register(
+    "semantic_dedup_embeddings",
+    oracle=_semantic_dedup_oracle_sql(n_centroids=8, iters=2, threshold=0.5),
+    doc="SemDeDup-style semantic dedup: k-means cells as semantic blocks, "
+    "exact quantized cosine within each cell only (per the algorithm's "
+    "definition) — the modern sub-quadratic embedding dedup.  Gate-only: "
+    "the trajectory + pairwise-cosine primitives carry hard driver rows "
+    "via ann_ivf_kmeans_topk and dedup_embedding_cosine.",
+    tags=("similarity", "dedup", "kmeans"),
+    driver_visible=False,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        e, "embedding", "vec_id", _trained_centroids(spark, sf_dir), threshold=0.5, dim=64
+    )
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The (8-centroid, 2-iter) k-means shared across the embedding-curation
+    queries — same cache as ann_ivf_kmeans_topk (training is deterministic,
+    so caching cannot change results)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, 8, 2)
+    if key not in _KMEANS_CENTROID_CACHE:
+        _KMEANS_CENTROID_CACHE[key] = kmeans_centroids(
+            e, "embedding", "vec_id", n_centroids=8, iters=2
+        )
+    return _KMEANS_CENTROID_CACHE[key]
+
+
 _PQ_CODEBOOK_CACHE: dict[tuple[str, int, int, int], list[tuple[int, int, list[float]]]] = {}
 
 

@@ -551,3 +551,69 @@ class TestProductQuantization:
         # vectors expect some exact-top-10 overlap, not none
         exact = {r["id"] for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()}
         assert len(set(ids) & exact) >= 1
+
+
+class TestEmbeddingCuration:
+    """diversity_sample + semantic_dedup_pairs over trained k-means cells."""
+
+    @staticmethod
+    def _cents(emb):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+
+        return kmeans_centroids(emb, "embedding", "vec_id", n_centroids=4, iters=1)
+
+    def test_diversity_sample_exactly_k_per_cell(self, emb):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            diversity_sample,
+        )
+
+        cents = self._cents(emb)
+        out = diversity_sample(emb, "embedding", "vec_id", cents, k_per_cluster=3)
+        per = {r["cluster"]: r["count"] for r in out.groupBy("cluster").count().collect()}
+        n = emb.count()
+        assert all(c <= 3 for c in per.values())
+        # every populated cell contributes (4 cells over >=12 rows -> all full)
+        if n >= 50:
+            assert set(per.values()) == {3}
+        # deterministic under repartition
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(
+            map(
+                tuple,
+                diversity_sample(
+                    emb.repartition(7), "embedding", "vec_id", cents, k_per_cluster=3
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_semantic_dedup_finds_same_cell_duplicates_only(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            kmeans_centroids,
+            semantic_dedup_pairs,
+        )
+
+        # two well-separated groups; the two lowest ids (the k-means seeds)
+        # come from OPPOSITE groups so both cells stay populated; ids 10/11
+        # identical (same cell), 10/20 opposite (different cells)
+        base_a = [1.0, 0.0, 0.0, 0.0]
+        base_b = [-1.0, 0.0, 0.0, 0.0]
+        rows = (
+            [(1, base_a), (2, base_b)]
+            + [(10, base_a), (11, base_a), (12, [0.9, 0.1, 0.0, 0.0])]
+            + [(20, base_b), (21, base_b), (22, [-0.9, -0.1, 0.0, 0.0])]
+        )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_centroids(df, "embedding", "vec_id", n_centroids=2, iters=2)
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in semantic_dedup_pairs(
+                df, "embedding", "vec_id", cents, threshold=0.99, dim=4
+            ).collect()
+        }
+        assert (10, 11) in got and got[(10, 11)] == 1.0
+        assert (20, 21) in got and got[(20, 21)] == 1.0
+        assert all(a < b for a, b in got)
+        assert not any({a, b} == {10, 20} for a, b in got)
