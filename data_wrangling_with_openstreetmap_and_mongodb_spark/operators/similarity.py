@@ -748,3 +748,93 @@ def semantic_dedup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + residual product quantization + per-cell ADC —
+# the production ANN index layout at corpus scale.
+# ---------------------------------------------------------------------------
+def ivfpq_residuals(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    coarse: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """``(id, cluster, rv)``: each vector's coarse-cell assignment and its
+    residual ``v − centroid`` — the quantity IVF-PQ encodes (residuals are
+    far more compressible than raw vectors because the coarse quantizer has
+    already removed the cell mean).  Plain elementwise IEEE subtraction, so
+    the SQL twin is exact."""
+    cdf = df.sparkSession.createDataFrame(coarse, "c_id bigint, c_vec array<double>")
+    assigned = _assign_to_centroids(df, vec_col, id_col, cdf)
+    return assigned.join(
+        F.broadcast(cdf), assigned["cluster"] == cdf["c_id"]
+    ).select(
+        "id",
+        "cluster",
+        F.zip_with(
+            "v", "c_vec", lambda a, b: a.cast("double") - b
+        ).alias("rv"),
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    coarse: list[tuple[int, list[float]]],
+    pq_codebooks: list[tuple[int, int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    m: int = 8,
+) -> DataFrame:
+    """IVF-PQ ADC top-k: ``(id, approx_dist)`` ascending (approximate
+    squared L2 in the residual domain), id tiebreak.
+
+    The full production ANN read path: the query picks its ``nprobe``
+    nearest coarse cells driver-side (k tiny centroid vectors, no Spark
+    job), per-cell query residuals build an (nprobe·m·n_codes) distance
+    table that broadcasts, and ranking scans ONLY the (id, cluster, sub,
+    code) table — rows outside probed cells drop at the equi-join, raw
+    vectors are never reread.  Persist the code table partitioned by
+    ``cluster`` (operators/scale.write_partitioned) and the probe prunes at
+    file listing, same as :func:`ivf_probe_partitioned`.
+
+    Deterministic end-to-end (quantized cosine probe selection with id
+    tiebreak, quantized-L2 codes, dsum ranking): the DuckDB oracle replays
+    coarse training, residual PQ training, encode, and ADC bit-for-bit.
+    """
+    dim = len(query)
+    dsub = dim // m
+
+    def qcos(vec: list[float]) -> float:
+        dot = sum(float(a) * float(b) for a, b in zip(vec, query))
+        na = math.sqrt(sum(float(a) * float(a) for a in vec))
+        nb = math.sqrt(sum(float(b) * float(b) for b in query))
+        return math.floor(dot / (na * nb) * 1e6 + 0.5) / 1e6
+
+    probed = sorted(coarse, key=lambda cv: (-qcos(cv[1]), cv[0]))[:nprobe]
+    # one (cluster, sub, code, qd) row per probed cell × codeword
+    tab = [
+        (cid, sub, code, _py_sub_l2(
+            [query[sub * dsub + i] - cvec[sub * dsub + i] for i in range(dsub)],
+            vec,
+        ))
+        for cid, cvec in probed
+        for sub, code, vec in pq_codebooks
+    ]
+    tdf = df.sparkSession.createDataFrame(
+        tab, "cluster bigint, sub int, code bigint, qd double"
+    )
+    resid = ivfpq_residuals(df, vec_col, id_col, coarse)
+    codes = pq_encode(resid, "rv", "id", pq_codebooks, dim, m).join(
+        resid.select("id", "cluster"), "id"
+    )
+    return (
+        codes.join(F.broadcast(tdf), ["cluster", "sub", "code"])
+        .groupBy("id")
+        .agg(dsum("qd").alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc("id"))
+        .limit(k)
+    )

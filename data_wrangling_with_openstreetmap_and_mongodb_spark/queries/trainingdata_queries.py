@@ -833,11 +833,157 @@ def _ann_pq_oracle_sql(dim: int, m: int, n_codes: int, iters: int, k: int) -> st
     """
 
 
-def _kmeans_blocks_sql(n_centroids: int, iters: int) -> tuple[str, str]:
+def _pq_blocks_sql(
+    src: str, vexpr: str, dim: int, m: int, n_codes: int, iters: int, p: str
+) -> tuple[str, str, str]:
+    """Parameterized SQL blocks replaying the PQ codebook training trajectory
+    of operators/similarity.pq_train_codebooks over ``src(id, {vexpr})``,
+    with every CTE name prefixed ``{p}_`` so multiple trainings compose in
+    one WITH clause.  Returns ``(blocks, '{p}_af', '{p}_c{iters}')`` — the
+    final encode CTE (id, sub, cluster) and the final codebook CTE."""
+    dsub = dim // m
+
+    def ql2(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+            for i in range(1, dsub + 1)
+        )
+        return quantize6_sql(terms)
+
+    slices = (
+        "[{'sub': j, 'sv': %s[(j*%d+1):(j*%d+%d)]} for j in range(0, %d)]"
+        % (vexpr, dsub, dsub, dsub, m)
+    )
+    blocks = [
+        f"""{p}_subx AS (SELECT id, unnest({slices}) AS u FROM {src}),
+        {p}_subr AS (SELECT id, u.sub AS sub, u.sv AS sv FROM {p}_subx),
+        {p}_seeds AS (SELECT id FROM {src} ORDER BY id LIMIT {n_codes}),
+        {p}_c0 AS (
+            SELECT s.sub, s.id AS c_id, s.sv AS c_vec
+            FROM {p}_subr s JOIN {p}_seeds USING (id)
+        )"""
+    ]
+    prev = f"{p}_c0"
+    for it in range(1, iters + 1):
+        blocks.append(
+            f"""{p}_a{it} AS (
+            SELECT id, sub, cluster FROM (
+                SELECT s.id, s.sub, c.c_id AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.id, s.sub
+                           ORDER BY {ql2("s.sv", "c.c_vec")} ASC, c.c_id ASC
+                       ) AS rn
+                FROM {p}_subr s JOIN {prev} c ON s.sub = c.sub
+            ) WHERE rn = 1
+        ),
+        {p}_e{it} AS (
+            SELECT s.sub AS sub, a.cluster AS c_id,
+                   unnest([{{'pos': i, 'val': s.sv[i]}}
+                           for i in range(1, len(s.sv) + 1)]) AS u
+            FROM {p}_subr s JOIN {p}_a{it} a ON s.id = a.id AND s.sub = a.sub
+        ),
+        {p}_comp{it} AS (
+            SELECT sub, c_id, u.pos AS pos, {davg_sql("u.val")} AS comp
+            FROM {p}_e{it} GROUP BY sub, c_id, u.pos
+        ),
+        {p}_cn{it} AS (
+            SELECT sub, c_id, list(comp ORDER BY pos) AS c_vec
+            FROM {p}_comp{it} GROUP BY sub, c_id
+        ),
+        {p}_c{it} AS (
+            SELECT q.sub, q.c_id, COALESCE(n.c_vec, q.c_vec) AS c_vec
+            FROM {prev} q LEFT JOIN {p}_cn{it} n USING (sub, c_id)
+        )"""
+        )
+        prev = f"{p}_c{it}"
+    blocks.append(
+        f"""{p}_af AS (
+            SELECT id, sub, cluster FROM (
+                SELECT s.id, s.sub, c.c_id AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.id, s.sub
+                           ORDER BY {ql2("s.sv", "c.c_vec")} ASC, c.c_id ASC
+                       ) AS rn
+                FROM {p}_subr s JOIN {prev} c ON s.sub = c.sub
+            ) WHERE rn = 1
+        )"""
+    )
+    return ",\n        ".join(blocks), f"{p}_af", prev
+
+
+def _ann_ivfpq_oracle_sql(
+    dim: int, n_cells: int, coarse_iters: int, m: int, n_codes: int,
+    pq_iters: int, nprobe: int, k: int
+) -> str:
+    """DuckDB replica of the full IVF-PQ read path: coarse k-means
+    trajectory, residual computation, residual PQ codebook trajectory,
+    encode, probe selection, per-cell query-residual distance table, and
+    dsum ADC ranking — bit-for-bit against operators/similarity.ivfpq_topk."""
+    dsub = dim // m
+
+    def ql2(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+            for i in range(1, dsub + 1)
+        )
+        return quantize6_sql(terms)
+
+    qcos = lambda a, b: quantize6_sql(  # noqa: E731 - local SQL builder
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    coarse_blocks, af, cfinal = _kmeans_blocks_sql(n_cells, coarse_iters)
+    pq_blocks, pq_af, pq_cb = _pq_blocks_sql(
+        "resid", "rv", dim, m, n_codes, pq_iters, "p"
+    )
+    qslices = (
+        "[{'sub': j, 'sv': rv[(j*%d+1):(j*%d+%d)]} for j in range(0, %d)]"
+        % (dsub, dsub, dsub, m)
+    )
+    return f"""
+        WITH {coarse_blocks},
+        resid AS (
+            SELECT a.id, a.cluster,
+                   [a.v[i] - c.c_vec[i] for i in range(1, len(a.v) + 1)] AS rv
+            FROM {af} a JOIN {cfinal} c ON a.cluster = c.c_id
+        ),
+        {pq_blocks},
+        codes AS (
+            SELECT r.cluster, e.id, e.sub, e.cluster AS code
+            FROM {pq_af} e JOIN resid r ON e.id = r.id
+        ),
+        q AS (SELECT v AS qv FROM base WHERE id = 0),
+        probed AS (
+            SELECT c.c_id, c.c_vec FROM {cfinal} c, q
+            ORDER BY {qcos("c.c_vec", "q.qv")} DESC, c.c_id ASC
+            LIMIT {nprobe}
+        ),
+        qres AS (
+            SELECT p.c_id AS cluster,
+                   [q.qv[i] - p.c_vec[i] for i in range(1, len(q.qv) + 1)] AS rv
+            FROM probed p, q
+        ),
+        qsx AS (SELECT cluster, unnest({qslices}) AS u FROM qres),
+        qsr AS (SELECT cluster, u.sub AS sub, u.sv AS sv FROM qsx),
+        tab AS (
+            SELECT s.cluster, cb.sub, cb.c_id AS code,
+                   {ql2("s.sv", "cb.c_vec")} AS qd
+            FROM {pq_cb} cb JOIN qsr s ON cb.sub = s.sub
+        )
+        SELECT c.id AS id, {dsum_sql("t.qd")} AS approx_dist
+        FROM codes c
+        JOIN tab t ON c.cluster = t.cluster AND c.sub = t.sub AND c.code = t.code
+        GROUP BY c.id
+        ORDER BY approx_dist ASC, id ASC
+        LIMIT {k}
+    """
+
+
+def _kmeans_blocks_sql(n_centroids: int, iters: int) -> tuple[str, str, str]:
     """Shared SQL prefix replaying the spherical-k-means training trajectory
     of operators/similarity.kmeans_centroids (same blocks as the
     ann_ivf_kmeans_topk oracle), plus a final assignment CTE ``af`` carrying
-    ``(id, cluster, v)``.  Returns ``(with_blocks, 'af')`` for oracles that
+    ``(id, cluster, v)``.  Returns ``(with_blocks, 'af', 'c{iters}')`` for oracles that
     consume trained cluster assignments (diversity sampling, SemDeDup)."""
     qcos = lambda a, b: quantize6_sql(  # noqa: E731 - local SQL builder
         f"list_dot_product({a}, {b})"
@@ -894,11 +1040,11 @@ def _kmeans_blocks_sql(n_centroids: int, iters: int) -> tuple[str, str]:
             ) WHERE rn = 1
         )"""
     )
-    return ",\n        ".join(blocks), "af"
+    return ",\n        ".join(blocks), "af", f"c{iters}"
 
 
 def _diversity_sample_oracle_sql(n_centroids: int, iters: int, k: int) -> str:
-    blocks, af = _kmeans_blocks_sql(n_centroids, iters)
+    blocks, af, _ = _kmeans_blocks_sql(n_centroids, iters)
     rank = md5_hash32_sql("CAST(CAST(id AS VARCHAR) AS VARCHAR)")
     return f"""
         WITH {blocks}
@@ -913,7 +1059,7 @@ def _diversity_sample_oracle_sql(n_centroids: int, iters: int, k: int) -> str:
 
 
 def _semantic_dedup_oracle_sql(n_centroids: int, iters: int, threshold: float) -> str:
-    blocks, af = _kmeans_blocks_sql(n_centroids, iters)
+    blocks, af, _ = _kmeans_blocks_sql(n_centroids, iters)
     cos = quantize6_sql(
         "list_dot_product(a.v, b.v)"
         " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -999,8 +1145,11 @@ _PQ_CODEBOOK_CACHE: dict[tuple[str, int, int, int], list[tuple[int, int, list[fl
     "encoded to m codes, query ranked via a broadcast distance table over "
     "codes only — the compressed-corpus half of an IVF-PQ index.  The "
     "oracle replays the full training trajectory, encode, and dsum ADC "
-    "ranking.",
+    "ranking.  Gate-only since ann_ivfpq_topk landed: the combined index "
+    "strictly supersedes flat PQ (same trajectory machinery plus coarse "
+    "cells and residuals) and holds the family's hard driver row.",
     tags=("similarity", "topk", "pq", "kmeans"),
+    driver_visible=False,
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
@@ -1021,6 +1170,49 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _query_vector(spark, sf_dir),
         _PQ_CODEBOOK_CACHE[key],
         k=10,
+        m=8,
+    )
+
+
+_IVFPQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ann_ivfpq_oracle_sql(
+        dim=64, n_cells=8, coarse_iters=2, m=8, n_codes=16, pq_iters=2,
+        nprobe=3, k=10,
+    ),
+    doc="IVF-PQ ADC top-k — the production corpus-scale ANN layout: coarse "
+    "k-means cells, product-quantized RESIDUALS (v − centroid), and "
+    "per-cell asymmetric-distance ranking over codes only.  The oracle "
+    "replays coarse training, residual computation, residual PQ training, "
+    "encode, probe selection, and the dsum ADC ranking bit-for-bit.",
+    tags=("similarity", "topk", "ivf", "pq", "kmeans"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        ivfpq_residuals,
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    coarse = _trained_centroids(spark, sf_dir)
+    if sf_dir not in _IVFPQ_CODEBOOK_CACHE:
+        resid = ivfpq_residuals(e, "embedding", "vec_id", coarse)
+        _IVFPQ_CODEBOOK_CACHE[sf_dir] = pq_train_codebooks(
+            resid, "rv", "id", dim=64, m=8, n_codes=16, iters=2
+        )
+    return ivfpq_topk(
+        e,
+        "embedding",
+        "vec_id",
+        _query_vector(spark, sf_dir),
+        coarse,
+        _IVFPQ_CODEBOOK_CACHE[sf_dir],
+        k=10,
+        nprobe=3,
         m=8,
     )
 

@@ -617,3 +617,84 @@ class TestEmbeddingCuration:
         assert (20, 21) in got and got[(20, 21)] == 1.0
         assert all(a < b for a, b in got)
         assert not any({a, b} == {10, 20} for a, b in got)
+
+
+class TestIvfPq:
+    """IVF-PQ: residuals, probe pruning, ADC ranking quality."""
+
+    @staticmethod
+    def _index(spark, emb, sf):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            ivfpq_residuals,
+            kmeans_centroids,
+            pq_train_codebooks,
+        )
+
+        coarse = kmeans_centroids(emb, "embedding", "vec_id", n_centroids=8, iters=2)
+        resid = ivfpq_residuals(emb, "embedding", "vec_id", coarse)
+        cb = pq_train_codebooks(resid, "rv", "id", dim=64, m=8, n_codes=16, iters=1)
+        return coarse, cb
+
+    def test_residuals_reconstruct_vectors(self, spark, emb):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            ivfpq_residuals,
+            kmeans_centroids,
+        )
+
+        coarse = kmeans_centroids(emb, "embedding", "vec_id", n_centroids=4, iters=1)
+        cents = dict(coarse)
+        resid = ivfpq_residuals(emb, "embedding", "vec_id", coarse)
+        orig = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+        for r in resid.limit(20).collect():
+            c = cents[r["cluster"]]
+            rebuilt = [rv + cv for rv, cv in zip(r["rv"], c)]
+            assert all(abs(a - b) < 1e-9 for a, b in zip(rebuilt, orig[r["id"]]))
+
+    def test_adc_restricted_to_probed_cells(self, spark, emb):
+        import os
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            _assign_to_centroids,
+            ivfpq_topk,
+        )
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.trainingdata_queries import (
+            _query_vector,
+        )
+
+        sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+        q = _query_vector(spark, sf)
+        coarse, cb = self._index(spark, emb, sf)
+        cdf = emb.sparkSession.createDataFrame(coarse, "c_id bigint, c_vec array<double>")
+        cells = {
+            r["id"]: r["cluster"]
+            for r in _assign_to_centroids(emb, "embedding", "vec_id", cdf).collect()
+        }
+        out = ivfpq_topk(
+            emb, "embedding", "vec_id", q, coarse, cb, k=50, nprobe=2, m=8
+        ).collect()
+        probed_cells = {cells[r["id"]] for r in out}
+        assert len(probed_cells) <= 2  # results only from probed cells
+        dists = [r["approx_dist"] for r in out]
+        assert dists == sorted(dists)
+
+    def test_adc_deterministic_and_query_found(self, spark, emb):
+        import os
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.trainingdata_queries import (
+            _query_vector,
+        )
+
+        sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+        q = _query_vector(spark, sf)
+        coarse, cb = self._index(spark, emb, sf)
+        a = [tuple(r) for r in ivfpq_topk(emb, "embedding", "vec_id", q, coarse, cb, k=10).collect()]
+        b = [tuple(r) for r in ivfpq_topk(
+            emb.repartition(9), "embedding", "vec_id", q, coarse, cb, k=10
+        ).collect()]
+        assert a == b
+        # vec_id 0 IS the query: its cell is always the nearest probed cell
+        # and its codes minimize the table by construction -> top-10 member
+        assert 0 in {r[0] for r in a}
