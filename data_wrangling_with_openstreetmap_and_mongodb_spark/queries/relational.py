@@ -255,8 +255,13 @@ def avg_balance_by_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         GROUP BY c_nationkey
     """,
-    doc="two-level $group re-aggregation (05/avg_population.py:35-42)",
+    doc="two-level $group re-aggregation (05/avg_population.py:35-42).  "
+    "Hidden from the driver window (r3) to give dedup_near_clusters a hard "
+    "row: chained hash-agg shape keeps visible coverage via "
+    "avg_balance_by_nation_segment + ds_value_stats_by_type; stays in the "
+    "local sf0.01 parity gate.",
     tags=("agg",),
+    driver_visible=False,
 )
 def avg_of_avgs_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -510,8 +515,13 @@ def orders_by_dayofweek(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY o_orderpriority
     """,
-    doc="$subtract datetimes → ms, $divide → ageInDays (README.md:1235-1242)",
+    doc="$subtract datetimes → ms, $divide → ageInDays (README.md:1235-1242).  "
+    "Hidden from the driver window (r3) to give events_asof_last_order a "
+    "hard row: datetime arithmetic keeps visible coverage via "
+    "orders_by_dayofweek and the streaming/sessionize families; stays in "
+    "the local sf0.01 parity gate.",
     tags=("datetime",),
+    driver_visible=False,
 )
 def order_age_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -1452,10 +1452,10 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster + canonical pick (min id).  Duplicate CHAINS matter: A≈B≈C "
     "clusters A and C even when not directly similar (the sf0.01 corpus has "
     "such a 3-member chain).  Oracle replays the components via a recursive "
-    "CTE.  Gate-only: the window is full; the iterative loop is additionally "
-    "pinned by planted-chain unit tests.",
+    "CTE.  Driver-visible since r3's final rotation (novel iterative family "
+    "deserves a hard row; avg_of_avgs_by_nation rotated to the gate); the "
+    "loop is additionally pinned by planted-chain unit tests.",
     tags=("dedup", "graph", "iterative"),
-    driver_visible=False,
 )
 def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
@@ -1494,11 +1494,10 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idiom — one shuffle + one window sort, never a non-equi nested loop).  "
     "Oracle replays the same keyed-timeline algorithm in SQL; tie semantics "
     "(right-before-left at equal t, max-orderkey among simultaneous orders) "
-    "are pinned in both engines.  Gate-only: window/last_value families "
-    "carry hard driver rows elsewhere; planted-interleaving unit tests pin "
-    "the operator.",
+    "are pinned in both engines.  Driver-visible since r3's final rotation "
+    "(the as-of family deserves a hard row; order_age_days rotated to the "
+    "gate); planted-interleaving unit tests pin the operator.",
     tags=("join", "asof", "window"),
-    driver_visible=False,
 )
 def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
