@@ -725,7 +725,10 @@ def semantic_dedup_pairs(
     cdf = df.sparkSession.createDataFrame(
         centroids, "c_id bigint, c_vec array<double>"
     )
-    assigned = _assign_to_centroids(df, vec_col, id_col, cdf)
+    # persisted: both sides of the cluster self-join read the assignment;
+    # without it the HOF-cosine aggregation runs twice (same pattern as the
+    # SimHash signature table)
+    assigned = _assign_to_centroids(df, vec_col, id_col, cdf).persist()
     d = dim if dim is not None else len(centroids[0][1])
     left = assigned.select(
         F.col("cluster"),
