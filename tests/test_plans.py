@@ -171,3 +171,46 @@ class TestPromotedQueryPruning:
     def test_bm25_reads_only_id_and_text(self, spark, sf_dir):
         df = q("bm25_keyword_topk", spark, sf_dir)
         assert read_schema_columns(df) == {"doc_id", "text"}
+
+
+class TestRound3OperatorPlans:
+    """Plan shapes for the round-3 additions: span dedup, PQ/IVF-PQ,
+    SemDeDup."""
+
+    def test_span_dedup_winner_is_hash_agg_not_window(self, spark, sf_dir):
+        """The first-occurrence winner must be a partial-aggregable hash
+        aggregate over (md5, id, pos) — a window row_number would shuffle
+        and SORT every span row by content hash instead."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("span_dedup_documents", spark, sf_dir))
+        assert "min(w" in plan or "partial_min" in plan.lower() or "HashAggregate" in plan
+        # the dedup rank carries no Window operator (reassembly's collect_list
+        # is an aggregate, not a window)
+        assert "RunningWindowFunction" not in plan and "row_number" not in plan
+
+    def test_ivfpq_distance_table_broadcasts(self, spark, sf_dir):
+        """ADC must broadcast the tiny (nprobe·m·codes) distance table and
+        never shuffle raw vectors to rank."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ann_ivfpq_topk", spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert has_top_k(QUERIES["ann_ivfpq_topk"].fn(spark, sf_dir))
+
+    def test_semantic_dedup_self_join_is_hash_join_on_cluster(self, spark, sf_dir):
+        """The within-cell pair join must be an equi hash join on the cluster
+        id (cells meet pairwise), never a nested-loop over row vectors."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("semantic_dedup_embeddings", spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        # the only nested-loop allowed is the assignment's broadcast cross
+        # against the 8-row centroid table (two sides share one persisted
+        # assignment, hence at most one such operator after reuse)
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        # the heavy pair join itself is an equi join keyed on cluster
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+            "BroadcastHashJoin"
+        ) >= 1
