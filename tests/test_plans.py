@@ -207,9 +207,11 @@ class TestRound3OperatorPlans:
         plan = executed_plan(q("semantic_dedup_embeddings", spark, sf_dir))
         assert "CartesianProduct" not in plan
         # the only nested-loop allowed is the assignment's broadcast cross
-        # against the 8-row centroid table (two sides share one persisted
-        # assignment, hence at most one such operator after reuse)
-        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        # against the 8-row centroid table, which both sides read from ONE
+        # persisted table — each textual occurrence must sit inside the
+        # cached subtree (the plan string reprints it per InMemoryTableScan)
+        assert plan.count("BroadcastNestedLoopJoin") <= plan.count("InMemoryRelation")
+        assert plan.count("InMemoryTableScan") >= 2  # both sides hit the cache
         # the heavy pair join itself is an equi join keyed on cluster
         assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
             "BroadcastHashJoin"
