@@ -110,3 +110,71 @@ def dedup_clusters(
         "id", F.coalesce("component", F.col("id")).alias("cluster")
     )
     return joined.withColumn("is_canonical", F.col("id") == F.col("cluster"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Damped PageRank by a fixed number of power iterations — ``(id, pr)``.
+
+    The textbook simplified formulation (no dangling-mass redistribution:
+    sinks leak rank, which the damping floor replenishes — the standard
+    entity-importance score for link/citation/reference graphs in corpus
+    curation, e.g. harvesting per-domain quality priors):
+
+        pr₀(v)   = 1/N
+        prₜ₊₁(v) = (1−d)/N + d · Σ_{u→v} prₜ(u)/outdeg(u)
+
+    Every step is deterministic DataFrame algebra: N comes from a one-row
+    count aggregate cross-joined in (no driver action, no collected scalar),
+    contributions accumulate with order-independent :func:`...detagg.dsum`,
+    and the affine update keeps the exact same IEEE expression shape as the
+    DuckDB oracle — so the whole trajectory, not just the ranking, replays
+    bit-for-bit.  A fixed small ``iters`` is the production idiom for
+    curation-grade ranks (convergence to "good" beats convergence to 1e-12).
+
+    Per iteration: one (src) hash join + one (dst) hash aggregate + one
+    left join back to the node set — all equi-joins on vertex ids, the same
+    bucketing a 100 TB deployment would pre-partition edges by.  The plan
+    grows linearly in ``iters`` (no lineage loop — iters is a literal
+    constant, so no checkpoint needed at single-digit depths).
+    """
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import dsum
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    od = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    d = F.lit(damping)
+    for _ in range(iters):
+        contrib = (
+            e.join(r, e["src"] == r["id"])
+            .join(od, "src")
+            .groupBy("dst")
+            .agg(dsum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    (F.lit(1.0) - d) / F.col("n")
+                    + d * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return r

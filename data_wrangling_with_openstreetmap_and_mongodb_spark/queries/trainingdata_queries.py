@@ -1174,6 +1174,66 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(iters: int, damping: float) -> str:
+    """DuckDB replica of operators/graph.pagerank over the supplier→customer
+    shipment graph: one CTE pair (contrib, rank) per iteration, dsum
+    contributions, identical IEEE affine update."""
+    blocks = [
+        """e AS (
+            SELECT DISTINCT 1000000 + l_suppkey AS src, o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+        od AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM e GROUP BY src),
+        r0 AS (SELECT id, 1.0 / n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    prev = "r0"
+    d = damping
+    for it in range(1, iters + 1):
+        blocks.append(
+            f"""ct{it} AS (
+            SELECT e.dst AS id, {dsum_sql("r.pr / od.deg")} AS c
+            FROM e JOIN {prev} r ON e.src = r.id JOIN od ON e.src = od.src
+            GROUP BY e.dst
+        ),
+        r{it} AS (
+            SELECT nd.id, (1.0 - {d}) / nn.n + {d} * COALESCE(c.c, 0.0) AS pr
+            FROM nodes nd CROSS JOIN nn LEFT JOIN ct{it} c ON nd.id = c.id
+        )"""
+        )
+        prev = f"r{it}"
+    body = ",\n        ".join(blocks)
+    return f"""
+        WITH {body}
+        SELECT id, pr FROM {prev}
+    """
+
+
+@register(
+    "supplier_customer_pagerank",
+    oracle=_pagerank_oracle_sql(iters=3, damping=0.85),
+    doc="damped PageRank (3 power iterations) over the supplier→customer "
+    "shipment graph — entity-importance scoring in pure DataFrame algebra: "
+    "N via a cross-joined count row (no driver action), dsum contributions, "
+    "fixed-depth unrolled trajectory the oracle replays exactly.  "
+    "Gate-only: iterative-graph family holds its hard row via "
+    "dedup_near_clusters.",
+    tags=("graph", "iterative-unrolled", "agg"),
+    driver_visible=False,
+)
+def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
+        F.col("o_custkey").alias("dst"),
+    )
+    return pagerank(edges, "src", "dst", iters=3, damping=0.85)
+
+
 _IVFPQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
 
 

@@ -68,3 +68,28 @@ def test_dedup_clusters_singletons_and_canonicals(spark):
         4: (1, False),
         5: (5, True),
     }
+
+
+class TestPageRank:
+    def test_star_graph_center_ranks_highest(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import pagerank
+
+        # spokes 1..5 all point at hub 0; hub points at 1
+        edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        pr = {r["id"]: r["pr"] for r in pagerank(df, iters=5).collect()}
+        assert max(pr, key=pr.get) == 0
+        assert pr[1] > pr[2]  # spoke 1 gets the hub's whole out-mass
+        assert pr[2] == pr[3] == pr[4] == pr[5]
+
+    def test_mass_conservation_bound_and_determinism(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import pagerank
+
+        edges = [(i, (i * 3 + 1) % 17) for i in range(40)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = sorted(map(tuple, pagerank(df, iters=3).collect()))
+        b = sorted(map(tuple, pagerank(df.repartition(11), iters=3).collect()))
+        assert a == b  # dsum + pure algebra -> bit-identical
+        total = sum(pr for _, pr in a)
+        # simplified formulation leaks sink mass but never exceeds 1
+        assert 0.2 < total <= 1.0 + 1e-9
