@@ -1174,6 +1174,77 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_integrity_audit",
+    oracle="""
+        WITH r1 AS (
+            SELECT 'orders_null_or_blank_priority' AS rule,
+                   COUNT(*) FILTER (o_orderpriority IS NULL
+                                    OR CAST(o_orderpriority AS VARCHAR) = '')
+                       AS violations
+            FROM orders
+        ),
+        r2 AS (
+            SELECT 'orders_duplicate_orderkey' AS rule,
+                   COALESCE(SUM(c), 0) AS violations
+            FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+                  HAVING COUNT(*) > 1)
+        ),
+        r3 AS (
+            SELECT 'orders_orphan_custkey' AS rule, COUNT(*) AS violations
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+        ),
+        r4 AS (
+            SELECT 'lineitem_orphan_orderkey' AS rule, COUNT(*) AS violations
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+        )
+        SELECT rule, CAST(violations AS BIGINT) AS violations FROM r1
+        UNION ALL SELECT rule, CAST(violations AS BIGINT) FROM r2
+        UNION ALL SELECT rule, CAST(violations AS BIGINT) FROM r3
+        UNION ALL SELECT rule, CAST(violations AS BIGINT) FROM r4
+    """,
+    doc="data-quality expectations report: null/blank rate, key uniqueness, "
+    "and referential integrity (orders→customer, lineitem→orders) as one "
+    "integer-exact rule table — the publish-gate audit of a production "
+    "table pipeline.  FK checks are left-anti joins (broadcast parent "
+    "keys).  Gate-only: its primitives (hash-agg, anti-join) carry hard "
+    "rows elsewhere.",
+    tags=("quality", "audit", "join"),
+    driver_visible=False,
+)
+def orders_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.quality import (
+        duplicate_keys,
+        expectations_report,
+        fk_orphans,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_prio = o.filter(
+        F.col("o_orderpriority").isNull()
+        | (F.col("o_orderpriority").cast("string") == "")
+    )
+    # duplicate-key VIOLATION count = sum of occurrences over offending keys
+    dup_rows = (
+        duplicate_keys(o, "o_orderkey")
+        .select(F.explode(F.sequence(F.lit(1), F.col("occurrences"))).alias("x"))
+    )
+    return expectations_report(
+        [
+            ("orders_null_or_blank_priority", bad_prio),
+            ("orders_duplicate_orderkey", dup_rows),
+            ("orders_orphan_custkey", fk_orphans(o, "o_custkey", c, "c_custkey")),
+            ("lineitem_orphan_orderkey", fk_orphans(li, "l_orderkey", o, "o_orderkey")),
+        ]
+    )
+
+
 def _pagerank_oracle_sql(iters: int, damping: float) -> str:
     """DuckDB replica of operators/graph.pagerank over the supplier→customer
     shipment graph: one CTE pair (contrib, rank) per iteration, dsum
