@@ -1174,6 +1174,94 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+    split_assign_bucket_sql as _split_bucket_sql_fn,
+)
+
+_pipeline_split_bucket = _split_bucket_sql_fn("doc_id")
+
+
+@register(
+    "corpus_pipeline_audit",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, text, lang,
+                   len({_SQL_TOKS}) AS n_tok,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS pr,
+                   length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                       / greatest(len({_SQL_TOKS}), 1) AS mwl,
+                   len(list_filter({_SQL_LTOKS}, t -> list_contains({_sql_stop_list("en")}, t)))::DOUBLE
+                       / greatest(len({_SQL_TOKS}), 1) AS sr
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE n_tok >= 10 AND n_tok <= 100000
+              AND mwl >= 2.0 AND mwl <= 12.0
+              AND pr < 0.2 AND sr > 0.01
+              AND NOT (contains(text, '{{') OR contains(text, '}}'))
+              AND NOT contains(lower(text), 'lorem ipsum')
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                    ORDER BY doc_id
+                ) AS rn FROM kept
+            ) WHERE rn = 1
+        ),
+        split AS (
+            SELECT *,
+                   CASE WHEN ({_pipeline_split_bucket}) < 90 THEN 'train'
+                        WHEN ({_pipeline_split_bucket}) < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM deduped
+        )
+        SELECT split, lang,
+               COUNT(*) AS n_docs,
+               SUM(n_tok) AS total_tokens,
+               {davg_sql('''(CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.4
+                  + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+                  + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                  + (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.75 END) * 0.2''')} AS avg_quality
+        FROM split
+        GROUP BY split, lang
+    """,
+    doc="the curation pipeline END-TO-END in one DAG: C4-rule filter → "
+    "corpus-wide exact dedup (first-occurrence keep) → deterministic "
+    "train/val/test split → per-(split, lang) audit of doc counts, token "
+    "totals, and quality — the publishable corpus datasheet.  Composes "
+    "rule_filter flags, dedup_exact, split_assign, quality_score, "
+    "token_count; the oracle replays every stage.  Gate-only: each stage "
+    "holds its own hard row.",
+    tags=("curation", "pipeline", "agg"),
+    driver_visible=False,
+)
+def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        split_assign,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import dedup_exact
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        c4_rule_flags,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    flags = c4_rule_flags(F.col("text"))
+    keep = F.lit(True)
+    for flag in flags.values():
+        keep = keep & ~flag
+    kept = d.filter(keep)
+    deduped = dedup_exact(kept, "text", "doc_id")
+    split = split_assign(deduped, "doc_id")
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        davg(quality_score(F.col("text"))).alias("avg_quality"),
+    )
+
+
 @register(
     "orders_integrity_audit",
     oracle="""
