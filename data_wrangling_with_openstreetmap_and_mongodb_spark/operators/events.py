@@ -26,7 +26,7 @@ microseconds (exact); the volume sum uses the quantized order-independent
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import dsum
 
@@ -215,3 +215,47 @@ def retention_cohorts_sql(
         FROM activity JOIN first_seen USING (u)
         GROUP BY cohort, "offset"
     """
+
+
+def rolling_avg(
+    df: DataFrame,
+    ts_us_col: Column,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    window_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Trailing time-RANGE moving average per key: ``(id, key, ts_us,
+    avg_trailing)`` — each event's value averaged with every same-key event
+    in the preceding ``window_us`` microseconds (inclusive of peers at the
+    same instant, per the SQL-standard RANGE frame, so tie order can't
+    change the result).
+
+    The frame is a true time RANGE, not N-rows: irregular event spacing
+    means row frames measure the wrong thing.  The average uses the
+    quantize-to-int exact accumulation of functions/detagg inside the
+    window, so the trailing mean is order-independent and engine-identical.
+    One shuffle (by key) + one ordered frame scan per partition; at scale
+    the sort is per key-partition and AQE handles hot keys.
+    """
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+        _quantized,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        ts_us_col.alias("ts_us"),
+        F.col(value_col).alias("__v"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts_us"))
+        .rangeBetween(-window_us, 0)
+    )
+    avg = (
+        F.sum(_quantized(F.col("__v"))).over(w).cast("double")
+        / F.lit(1e6)
+        / F.count("__v").over(w)
+    )
+    return base.select("id", "key", "ts_us", avg.alias("avg_trailing"))

@@ -231,3 +231,49 @@ def unigram_logprob_sql(table: str, text_expr: str, id_expr: str) -> str:
         SELECT id, COUNT(*) AS n_tokens, {davg_sql('lp')} AS avg_logprob
         FROM scored GROUP BY id
     """
+
+
+# ---------------------------------------------------------------------------
+# Positional index + phrase search
+# ---------------------------------------------------------------------------
+def positional_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(tok, id, pos)`` positional inverted index — the build side of
+    phrase/proximity search.  At corpus scale this is written ONCE
+    partitioned/bucketed by ``tok`` so phrase probes touch only their
+    terms' postings; here it's the same rows produced on the fly."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(n_parts, "id")
+        .select(
+            "id",
+            F.posexplode(
+                F.filter(F.split(F.lower(F.col("__text")), r"\s+"), lambda t: t != "")
+            ).alias("pos", "tok"),
+        )
+    )
+
+
+def phrase_match_counts(
+    index: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """Documents containing the exact token ``phrase`` (consecutive
+    positions): ``(id, n_matches)``, one row per matching document.
+
+    The classic positional-postings intersection: each phrase term's
+    postings are anchored to ``pos − offset`` and equi-joined on
+    ``(id, anchor)`` — a match survives all k joins exactly when the terms
+    appear consecutively.  Join keys are (tok-filtered) postings only, so
+    the work is bounded by the RAREST term's postings after the first
+    join — the reason search engines process phrases by ascending document
+    frequency.  Duplicate phrase terms are handled naturally (each slot
+    filters independently)."""
+    terms = [t.lower() for t in phrase]
+    out = None
+    for i, term in enumerate(terms):
+        side = (
+            index.filter(F.col("tok") == term)
+            .select("id", (F.col("pos") - F.lit(i)).alias("anchor"))
+        )
+        out = side if out is None else out.join(side, ["id", "anchor"])
+    return out.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))

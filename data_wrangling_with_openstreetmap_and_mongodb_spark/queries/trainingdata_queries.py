@@ -1263,6 +1263,73 @@ def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trailing_avg_1h",
+    oracle="""
+        SELECT event_id AS id, event_type AS key, epoch_us(ts) AS ts_us,
+               (CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS DECIMAL(38,0)))
+                         OVER w AS DOUBLE) / 1e6)
+                   / COUNT(value) OVER w AS avg_trailing
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="trailing 1-hour moving average of event values per type — a true "
+    "time-RANGE window frame (irregular spacing makes N-row frames measure "
+    "the wrong thing); SQL-standard peer semantics at equal timestamps + "
+    "quantized in-window accumulation make it order-independent and "
+    "engine-identical.  Gate-only: window-frame families carry hard rows "
+    "via sessionize_events and top_order_per_priority.",
+    tags=("window", "datetime", "events"),
+    driver_visible=False,
+)
+def events_trailing_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        rolling_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_avg(
+        ev, ts_micros(ev), "event_type", "value", "event_id", window_us=3_600_000_000
+    )
+
+
+@register(
+    "phrase_search_docs",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_SQL_LTOKS} AS t FROM documents),
+        bi AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 2
+                           THEN [array_to_string(t[i:i+1], ' ')
+                                 for i in range(1, len(t))]
+                           ELSE [] END AS g
+               FROM toks),
+        f AS (SELECT doc_id, unnest(g) AS ph FROM bi)
+        SELECT doc_id AS id, COUNT(*) AS n_matches
+        FROM f WHERE ph = 'table value'
+        GROUP BY doc_id
+    """,
+    doc="exact phrase search over a positional inverted index: each phrase "
+    "term's postings anchor to pos−offset and intersect by (id, anchor) "
+    "equi-joins — work bounded by the rarest term's postings, the classic "
+    "search-engine phrase plan.  Oracle counts consecutive-bigram ground "
+    "truth.  Gate-only: postings explode + equi-join families carry hard "
+    "rows via bm25_keyword_topk and ds_unwind_token_counts.",
+    tags=("search", "text", "join"),
+    driver_visible=False,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        phrase_match_counts,
+        positional_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = positional_index(d, "text", "doc_id")
+    return phrase_match_counts(idx, ["table", "value"])
+
+
+@register(
     "orders_integrity_audit",
     oracle="""
         WITH r1 AS (

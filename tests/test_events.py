@@ -120,3 +120,46 @@ def test_retention_cohorts_triangle(spark):
         (0, 2): 2,  # u1, u2
         (1, 0): 1,  # u3
     }
+
+
+class TestRollingAvg:
+    def test_time_range_frame_and_tie_peers(self, spark):
+        import pyspark.sql.functions as F
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+            rolling_avg,
+        )
+
+        H = 3_600_000_000
+        rows = [
+            (1, "a", 0, 10.0),
+            (2, "a", H // 2, 20.0),      # within 1h of id 1
+            (3, "a", H * 2, 40.0),       # alone (1h window passed)
+            (4, "a", H * 2, 60.0),       # same instant as id 3 -> peers
+            (5, "b", 0, 100.0),          # other key isolated
+        ]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, t long, value double")
+        out = {
+            r.id: r.avg_trailing
+            for r in rolling_avg(
+                df, F.col("t"), "event_type", "value", "event_id", window_us=H
+            ).collect()
+        }
+        assert out[1] == 10.0
+        assert out[2] == 15.0
+        # RANGE ... CURRENT ROW includes same-instant peers on BOTH rows
+        assert out[3] == 50.0 and out[4] == 50.0
+        assert out[5] == 100.0
+
+    def test_repartition_invariance(self, spark):
+        import pyspark.sql.functions as F
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+            rolling_avg,
+        )
+
+        rows = [(i, f"k{i % 3}", (i * 7919) % 100_000_000, float(i % 13) / 7) for i in range(200)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, t long, value double")
+        a = sorted(map(tuple, rolling_avg(df, F.col("t"), "event_type", "value", "event_id").collect()))
+        b = sorted(map(tuple, rolling_avg(df.repartition(17), F.col("t"), "event_type", "value", "event_id").collect()))
+        assert a == b

@@ -119,3 +119,40 @@ def test_quantize_int8_zero_vector_guard(spark):
     )
     r = quantize_int8(df, "embedding", "vec_id").collect()[0]
     assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
+
+
+class TestPhraseSearch:
+    def test_three_token_phrase_consecutive_only(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+            phrase_match_counts,
+            positional_index,
+        )
+
+        rows = [
+            (1, "the quick brown fox"),          # match at pos 0
+            (2, "quick the brown fox quick brown"),  # terms present, never consecutive
+            (3, "x the quick brown y the quick brown"),  # two matches
+            (4, "the quick red fox"),            # broken in the middle
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = positional_index(df, "text", "doc_id")
+        got = {
+            r.id: r.n_matches
+            for r in phrase_match_counts(idx, ["the", "quick", "brown"]).collect()
+        }
+        assert got == {1: 1, 3: 2}
+
+    def test_duplicate_term_phrase(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+            phrase_match_counts,
+            positional_index,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "go go go stop"), (2, "go stop go")], "doc_id long, text string"
+        )
+        idx = positional_index(df, "text", "doc_id")
+        got = {
+            r.id: r.n_matches for r in phrase_match_counts(idx, ["go", "go"]).collect()
+        }
+        assert got == {1: 2}  # overlapping "go go" at pos 0 and 1
