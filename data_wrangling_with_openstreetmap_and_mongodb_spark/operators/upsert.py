@@ -128,3 +128,47 @@ def scd2_from_changes_sql(
         FROM episodes
         WINDOW w2 AS (PARTITION BY k ORDER BY t, tb)
     """
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: ``(*key_cols, status)`` with status ∈
+    {added, removed, changed} — rows present only in ``new``, only in
+    ``old``, or in both with different ``compare_cols`` content.  Unchanged
+    rows are omitted (the interesting output of a reconciliation is the
+    delta, and at 100 TB emitting the unchanged majority is the bug).
+
+    Content comparison is an md5 over the ``compare_cols`` rendered to
+    strings, each prefixed with a null-flag byte (``\\x00`` for NULL,
+    ``\\x01`` + value otherwise) so a NULL can never collide with any
+    literal value — one narrow (key, hash) projection per side, one
+    full-outer equi-join on the keys; column values themselves never
+    shuffle.  The same fingerprint idiom as exact dedup, so the SQL twin
+    is exact.
+    """
+    def fp(df: DataFrame) -> Column:
+        parts = [
+            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.lit("\x01"), F.col(c).cast("string"))
+            )
+            for c in compare_cols
+        ]
+        return F.md5(F.concat_ws("\x02", *parts))
+
+    a = old.select(*key_cols, fp(old).alias("__h_old"))
+    b = new.select(*key_cols, fp(new).alias("__h_new"))
+    j = a.join(b, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )

@@ -1263,6 +1263,60 @@ def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_snapshot_diff",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey,
+                   md5(concat_ws(chr(2),
+                       CASE WHEN o_totalprice IS NULL THEN chr(0)
+                            ELSE chr(1) || CAST(o_totalprice AS VARCHAR) END,
+                       CASE WHEN o_orderstatus IS NULL THEN chr(0)
+                            ELSE chr(1) || CAST(o_orderstatus AS VARCHAR) END))
+                       AS h_old
+            FROM orders WHERE o_orderkey % 97 <> 0
+        ),
+        b AS (
+            SELECT o_orderkey,
+                   md5(concat_ws(chr(2),
+                       chr(1) || CAST(CASE WHEN o_orderkey % 101 = 0
+                                           THEN o_totalprice + 1.0
+                                           ELSE o_totalprice END AS VARCHAR),
+                       CASE WHEN o_orderstatus IS NULL THEN chr(0)
+                            ELSE chr(1) || CAST(o_orderstatus AS VARCHAR) END))
+                       AS h_new
+            FROM orders
+        )
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN h_old <> h_new THEN 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        WHERE (a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR h_old <> h_new)
+    """,
+    doc="snapshot reconciliation (table diff): added/removed/changed rows "
+    "by key + content fingerprint, unchanged majority never emitted — the "
+    "extract-validation op of a warehouse pipeline.  Snapshots are "
+    "deterministic derivations of orders (every 97th key missing from the "
+    "old extract, every 101st repriced in the new).  Gate-only: fingerprint "
+    "+ outer-join families carry hard rows elsewhere.",
+    tags=("quality", "join", "diff"),
+    driver_visible=False,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import table_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+@register(
     "events_trailing_avg_1h",
     oracle="""
         SELECT event_id AS id, event_type AS key, epoch_us(ts) AS ts_us,

@@ -179,3 +179,35 @@ class TestScd2FromChanges:
         )
         # null-safe compare: consecutive NULLs collapse into one episode
         assert got == [(1, None, 10, 30, False), (1, "A", 30, None, True)]
+
+
+class TestTableDiff:
+    def test_added_removed_changed_unchanged(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+            table_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)],
+            "k long, s string, v double",
+        )
+        got = {
+            r.k: r.status
+            for r in table_diff(old, new, ["k"], ["s", "v"]).collect()
+        }
+        assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged, omitted
+
+    def test_null_never_collides_with_literal(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+            table_diff,
+        )
+
+        # per-column null-flag byte: NULL cannot collide with ANY literal
+        old = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+        new = spark.createDataFrame([(1, "\x00"), (2, None)], "k long, s string")
+        got = {r.k: r.status for r in table_diff(old, new, ["k"], ["s"]).collect()}
+        assert got == {1: "changed"}  # NULL -> literal is a change; NULL==NULL is not
