@@ -737,6 +737,56 @@ _REVENUE_SQL = """
 
 
 @register(
+    "shipping_priority_top10",
+    oracle=f"""
+        SELECT l.l_orderkey AS l_orderkey,
+               {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               o.o_orderdate AS o_orderdate
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping-priority top-10): three-table join with "
+    "selective filters on both fact sides, revenue agg, top-k.  The plan "
+    "Catalyst should pick — and tests pin — broadcasts the filtered "
+    "customer side and takes TakeOrderedAndProject for the top-k; at "
+    "cluster scale the orders⋈lineitem side is the co-location candidate "
+    "(bucket both by orderkey via operators/scale.write_bucketed).  "
+    "Gate-only: join/topk families carry hard rows via "
+    "orders_of_top_customers and sql_revenue_by_nation.",
+    tags=("join", "topk", "agg"),
+    driver_visible=False,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "sql_revenue_by_nation",
     oracle=_REVENUE_SQL,
     doc="spark.sql entry over registered views (TPC-H Q5 shape); same string "

@@ -216,3 +216,15 @@ class TestRound3OperatorPlans:
         assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
             "BroadcastHashJoin"
         ) >= 1
+
+    def test_q3_broadcasts_filtered_dim_and_takes_topk(self, spark, sf_dir):
+        """TPC-H Q3 shape: the filtered customer side must broadcast, the
+        segment filter must reach the scan, and the top-10 must be a
+        TakeOrderedAndProject, not a global sort."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        df = q("shipping_priority_top10", spark, sf_dir)
+        plan = executed_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 1
+        assert "TakeOrderedAndProject" in plan
+        assert has_pushed_filters(df, "c_mktsegment")
