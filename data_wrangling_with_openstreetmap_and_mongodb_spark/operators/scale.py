@@ -125,3 +125,38 @@ def events_partitioned_by_day(
     ).drop("ts_us")
     write_partitioned(ev, path, ["epoch_day"])
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite ``src_path`` parquet into
+    ``⌈input_bytes / target_bytes⌉`` files at ``dst_path`` — the table-
+    maintenance job every streaming/incremental sink needs (micro-batches
+    and per-task writers leave thousands of KB-sized files; scans then pay
+    per-file open/footer costs and lose row-group locality).
+
+    Input size comes from the filesystem listing (a driver-side metadata
+    walk, the same thing a table format's manifest would answer — no data
+    job).  The rewrite itself is one ``repartition`` shuffle sized to the
+    TARGET layout, so output files land near ``target_bytes`` regardless of
+    input fragmentation.  Returns the output file count.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n = max(1, -(-total // target_bytes))
+    spark.read.parquet(src_path).repartition(int(n)).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    out = jvm.org.apache.hadoop.fs.Path(dst_path)
+    return sum(
+        1
+        for st in fs.listStatus(out)
+        if st.getPath().getName().endswith(".parquet")
+    )

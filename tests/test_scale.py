@@ -104,3 +104,21 @@ def test_partitioned_read_prunes(spark, sf_dir, tmp_path):
         .count()
     )
     assert one_day.count() == expected
+
+
+def test_compact_parquet_reduces_file_count_preserves_rows(spark, tmp_path):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "fragmented")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(src)  # 40 tiny files
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 40
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dst, target_bytes=10**9)
+    assert n_out == 1  # everything fits one target-sized file
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10_000))
