@@ -841,3 +841,22 @@ def ivfpq_topk(
         .orderBy(F.asc("approx_dist"), F.asc("id"))
         .limit(k)
     )
+
+
+def nonzero_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows whose vector has zero norm (all-zero embeddings from
+    padding, failed encoders, or empty inputs).
+
+    The cosine tier's input CONTRACT: cosine is undefined at zero norm, and
+    under ANSI mode the division raises rather than yielding NULL — by
+    design, since silently NULLing a corrupt embedding hides an upstream
+    bug.  Run this (or equivalent upstream validation) once at ingest;
+    it's a codegen'd scan predicate, free relative to any index build.
+    Zero-norm detection uses exact float comparison: a vector has norm 0
+    iff every component is exactly ±0.0, so `max(abs(v)) != 0` is precise,
+    engine-agnostic, and needs no sqrt.
+    """
+    return df.filter(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+        != F.lit(0.0)
+    )

@@ -698,3 +698,23 @@ class TestIvfPq:
         # vec_id 0 IS the query: its cell is always the nearest probed cell
         # and its codes minimize the table by construction -> top-10 member
         assert 0 in {r[0] for r in a}
+
+
+class TestZeroVectorContract:
+    def test_zero_vector_raises_and_filter_restores(self, spark):
+        import pytest as _pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            cosine_topk,
+            nonzero_vectors,
+        )
+
+        rows = [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        # ANSI division surfaces the corrupt embedding loudly ...
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO|ArithmeticException"):
+            cosine_topk(df, "embedding", "vec_id", [1.0, 0.0], k=3).collect()
+        # ... and the documented ingest-time contract restores service
+        clean = nonzero_vectors(df, "embedding")
+        got = [r.id for r in cosine_topk(clean, "embedding", "vec_id", [1.0, 0.0], k=3).collect()]
+        assert got == [0, 1]
