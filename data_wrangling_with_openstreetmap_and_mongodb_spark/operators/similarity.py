@@ -702,6 +702,7 @@ def semantic_dedup_pairs(
     centroids: list[tuple[int, list[float]]],
     threshold: float = 0.95,
     dim: int | None = None,
+    sub_blocks: int = 1,
 ) -> DataFrame:
     """SemDeDup-style near-duplicate pairs: cluster by nearest centroid,
     compare pairs ONLY within a cluster, keep quantized cosine ≥ threshold —
@@ -714,41 +715,67 @@ def semantic_dedup_pairs(
     DEFINITION, not an approximation bug — cross-cell near-dups are
     intentionally out of contract, which is what makes the SQL oracle exact.
 
-    Plan shape: one broadcast-assign aggregation, then a self-equi-join on
-    the cluster id (shuffled hash join — both sides partition by cluster;
-    no broadcast of row vectors, no cartesian).  The cosine evaluates on
-    join output rows only.  Cell-size skew is the known failure mode at
-    scale; cap it upstream by raising k (cells shrink as k grows) or
-    sub-blocking hot cells with the hash-block trick from
-    ``dedup.embedding_near_pairs``.
+    Plan shape: one broadcast-assign aggregation (persisted — every join
+    side reads it), then the within-cell pair join runs over SUB-BLOCKED
+    keys: ids hash into ``sub_blocks`` sub-cells, the triangular
+    (sa ≤ sb) sub-pair index joins in as a broadcast literal table, and the
+    heavy sides meet on ``(cluster, sa)``/``(cluster, sb)`` equi-keys.
+    With k cells this spreads the quadratic work over
+    k·sub_blocks·(sub_blocks+1)/2 independent join keys instead of k —
+    both the parallelism cap and the hot-cell skew bound (the same
+    triangular trick as ``dedup.embedding_near_pairs``, in pure algebra).
+    ``sub_blocks`` defaults to 1 (plain per-cell join): below ~10⁵ rows per
+    cell the extra sub-key shuffle costs more than it parallelizes
+    (measured 5.4s → 7.1s at sf0.1); raise it when cells outgrow a task —
+    the output is identical at any setting (equivalence-tested).
+    Pair completeness: sub-cells partition each cell's ids, so an unordered
+    pair lands in exactly one (sa ≤ sb) sub-pair; the diagonal filters
+    ``id_a < id_b``, off-diagonal cells canonicalize (min, max).  Cosine is
+    orientation-symmetric bit-for-bit (per-element products commute, same
+    addition order), so canonicalized output is engine-identical either way.
     """
     cdf = df.sparkSession.createDataFrame(
         centroids, "c_id bigint, c_vec array<double>"
     )
-    # persisted: both sides of the cluster self-join read the assignment;
-    # without it the HOF-cosine aggregation runs twice (same pattern as the
-    # SimHash signature table)
     assigned = _assign_to_centroids(df, vec_col, id_col, cdf).persist()
     d = dim if dim is not None else len(centroids[0][1])
+    nb = max(1, sub_blocks)
+    idx = df.sparkSession.createDataFrame(
+        [(a, b) for a in range(nb) for b in range(a, nb)], "sa int, sb int"
+    )
+    sub = F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
     left = assigned.select(
         F.col("cluster"),
-        F.col("id").alias("id_a"),
+        sub.alias("sa"),
+        F.col("id").alias("ia"),
         F.col("v").alias("va"),
         _norm_unrolled(F.col("v"), d).alias("na"),
     )
     right = assigned.select(
-        F.col("cluster"),
-        F.col("id").alias("id_b"),
+        F.col("cluster").alias("cluster_b"),
+        sub.alias("sb_r"),
+        F.col("id").alias("ib"),
         F.col("v").alias("vb"),
-        _norm_unrolled(F.col("v"), d).alias("nb"),
+        _norm_unrolled(F.col("v"), d).alias("nb_"),
     )
     cos = quantize6(
-        _pair_dot(F.col("va"), F.col("vb"), d) / (F.col("na") * F.col("nb"))
+        _pair_dot(F.col("va"), F.col("vb"), d) / (F.col("na") * F.col("nb_"))
+    )
+    pairs = (
+        F.broadcast(idx)
+        .join(left, "sa")
+        .join(
+            right,
+            (F.col("cluster") == F.col("cluster_b")) & (F.col("sb") == F.col("sb_r")),
+        )
+        .filter((F.col("sa") != F.col("sb")) | (F.col("ia") < F.col("ib")))
     )
     return (
-        left.join(right, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
+        pairs.select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            cos.alias("cosine"),
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
 

@@ -718,3 +718,32 @@ class TestZeroVectorContract:
         clean = nonzero_vectors(df, "embedding")
         got = [r.id for r in cosine_topk(clean, "embedding", "vec_id", [1.0, 0.0], k=3).collect()]
         assert got == [0, 1]
+
+
+def test_semantic_dedup_sub_blocking_output_invariant(spark):
+    """The sub_blocks skew knob must not change results — every unordered
+    within-cell pair surfaces exactly once at any setting."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (i, [1.0 + (i % 7) * 0.01, 0.5 - (i % 5) * 0.01, 0.1, 0.2])
+        for i in range(60)
+    ] + [(100, [-1.0, 0.1, 0.0, 0.0]), (101, [-1.0, 0.1, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, "embedding", "vec_id", n_centroids=2, iters=1)
+    outs = [
+        sorted(
+            map(
+                tuple,
+                semantic_dedup_pairs(
+                    df, "embedding", "vec_id", cents, threshold=0.9, dim=4, sub_blocks=nb
+                ).collect(),
+            )
+        )
+        for nb in (1, 3, 5)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 50  # the tight cluster produces many pairs
