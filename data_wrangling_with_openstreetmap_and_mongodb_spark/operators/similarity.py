@@ -740,6 +740,32 @@ def semantic_dedup_pairs(
     assigned = _assign_to_centroids(df, vec_col, id_col, cdf).persist()
     d = dim if dim is not None else len(centroids[0][1])
     nb = max(1, sub_blocks)
+    if nb == 1:
+        # plain per-cell self-join: both sides shuffle IDENTICALLY by
+        # cluster off the same persisted table, so Catalyst reuses one
+        # exchange — the sub-blocked path below cannot (its sides differ),
+        # which is why it only pays once cells outgrow a task
+        left1 = assigned.select(
+            "cluster",
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            _norm_unrolled(F.col("v"), d).alias("na"),
+        )
+        right1 = assigned.select(
+            "cluster",
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            _norm_unrolled(F.col("v"), d).alias("nb_"),
+        )
+        cos1 = quantize6(
+            _pair_dot(F.col("va"), F.col("vb"), d) / (F.col("na") * F.col("nb_"))
+        )
+        return (
+            left1.join(right1, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos1.alias("cosine"))
+            .filter(F.col("cosine") >= F.lit(threshold))
+        )
     idx = df.sparkSession.createDataFrame(
         [(a, b) for a in range(nb) for b in range(a, nb)], "sa int, sb int"
     )
