@@ -287,7 +287,11 @@ def pack_sequences_sql(
             FROM base
         )
         SELECT id, n_tok, shard,
-               CAST(FLOOR(tok_offset / {budget}) AS BIGINT) AS bin, tok_offset
+               CAST(FLOOR(tok_offset / {budget}) AS BIGINT) AS bin,
+               -- window SUM(int) is HUGEINT in DuckDB; pandas-based
+               -- comparators would surface it as float64 and hash-mismatch
+               -- Spark's long
+               CAST(tok_offset AS BIGINT) AS tok_offset
         FROM cum
     """
 

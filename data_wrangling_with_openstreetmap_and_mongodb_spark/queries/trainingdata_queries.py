@@ -162,19 +162,19 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT source,
-               sum(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS n_too_short,
-               sum(CASE WHEN n_tok > 100000 THEN 1 ELSE 0 END) AS n_too_long,
-               sum(CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 1 ELSE 0 END)
-                   AS n_word_length_out,
-               sum(CASE WHEN pr >= 0.2 THEN 1 ELSE 0 END) AS n_high_punct,
-               sum(CASE WHEN sr <= 0.01 THEN 1 ELSE 0 END) AS n_no_stopwords,
-               sum(CASE WHEN brace THEN 1 ELSE 0 END) AS n_has_brace,
-               sum(CASE WHEN lorem THEN 1 ELSE 0 END) AS n_has_lorem,
-               sum(CASE WHEN n_tok >= 10 AND n_tok <= 100000
+               CAST(sum(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+               CAST(sum(CASE WHEN n_tok > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+               CAST(sum(CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_word_length_out,
+               CAST(sum(CASE WHEN pr >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_punct,
+               CAST(sum(CASE WHEN sr <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_stopwords,
+               CAST(sum(CASE WHEN brace THEN 1 ELSE 0 END) AS BIGINT) AS n_has_brace,
+               CAST(sum(CASE WHEN lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_has_lorem,
+               CAST(sum(CASE WHEN n_tok >= 10 AND n_tok <= 100000
                          AND mwl >= 2.0 AND mwl <= 12.0
                          AND pr < 0.2 AND sr > 0.01
                          AND NOT brace AND NOT lorem THEN 1 ELSE 0 END)
-                   AS n_keep,
+                   AS BIGINT) AS n_keep,
                count(*) AS n_docs
         FROM scored
         GROUP BY source
@@ -1220,7 +1220,7 @@ _pipeline_split_bucket = _split_bucket_sql_fn("doc_id")
         )
         SELECT split, lang,
                COUNT(*) AS n_docs,
-               SUM(n_tok) AS total_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
                {davg_sql('''(CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.4
                   + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
                   + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
@@ -1919,15 +1919,18 @@ def _pii_oracle() -> str:
         redact_pii_sql,
     )
 
+    # CAST the integer sums to BIGINT: DuckDB SUM(int) yields HUGEINT
+    # (int128), which pandas-based comparators surface as float64 ('10.0')
+    # and would hash-mismatch Spark's plain longs
     count_cols = ",\n               ".join(
-        f"SUM({pii_count_sql('s_name', name)}) AS n_{name}"
+        f"CAST(SUM({pii_count_sql('s_name', name)}) AS BIGINT) AS n_{name}"
         for name in PII_PATTERNS
     )
     return f"""
         SELECT n_name, COUNT(*) AS n_rows,
                {count_cols},
-               SUM(length(s_name) - length({redact_pii_sql('s_name')}))
-                   AS chars_removed
+               CAST(SUM(length(s_name) - length({redact_pii_sql('s_name')}))
+                    AS BIGINT) AS chars_removed
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """
@@ -2166,10 +2169,10 @@ def mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unicode_normalization_audit",
     oracle="""
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
-                   AS n_changed_nfc,
-               SUM(CASE WHEN nfc_normalize(strip_accents(text)) <> text
-                        THEN 1 ELSE 0 END) AS n_changed_stripped
+               CAST(SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_changed_nfc,
+               CAST(SUM(CASE WHEN nfc_normalize(strip_accents(text)) <> text
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_changed_stripped
         FROM documents
         GROUP BY lang
     """,

@@ -85,3 +85,26 @@ def test_oracle_sql_references_known_tables_only():
                 assert re.search(rf"\b{name}\s*(?:\([^)]*\))?\s+AS\s*\(", q.oracle, re.I), (
                     f"{q.name}: oracle references unknown relation {name!r}"
                 )
+
+
+def test_no_oracle_emits_hugeint_columns(duck):
+    """DuckDB SUM(int) yields HUGEINT (int128); pandas-based comparators
+    surface it as float64 ('10' vs '10.0') and hash-mismatch Spark's longs.
+    Every integer aggregate in an oracle must CAST to BIGINT.  (Found live:
+    pii_redaction_audit and pack_training_sequences would have failed the
+    driver's strict hash despite passing the tolerant local gate.)"""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        rel = duck.sql(q.oracle)
+        hug = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT", "INT128")
+        ]
+        if hug:
+            offenders[name] = hug
+    assert not offenders, offenders
