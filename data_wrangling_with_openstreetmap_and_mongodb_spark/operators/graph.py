@@ -167,6 +167,11 @@ def pagerank(
         "id", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     d = F.lit(damping)
+    # (1 - damping) precomputed in Python: DuckDB would constant-fold
+    # `1.0 - 0.85` in exact DECIMAL arithmetic (0.15) while doubles give
+    # 0.15000000000000002 — injecting the IEEE value keeps both engines
+    # bit-identical
+    one_minus_d = F.lit(1.0 - damping)
     for _ in range(iters):
         contrib = (
             e.join(r, e["src"] == r["id"])
@@ -180,7 +185,7 @@ def pagerank(
             .select(
                 "id",
                 (
-                    (F.lit(1.0) - d) / F.col("n")
+                    one_minus_d / F.col("n")
                     + d * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("pr"),
             )

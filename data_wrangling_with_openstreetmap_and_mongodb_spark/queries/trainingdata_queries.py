@@ -1478,7 +1478,9 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
             GROUP BY e.dst
         ),
         r{it} AS (
-            SELECT nd.id, (1.0 - {d}) / nn.n + {d} * COALESCE(c.c, 0.0) AS pr
+            SELECT nd.id,
+                   CAST({1.0 - d!r} AS DOUBLE) / nn.n
+                       + CAST({d!r} AS DOUBLE) * COALESCE(c.c, 0.0) AS pr
             FROM nodes nd CROSS JOIN nn LEFT JOIN ct{it} c ON nd.id = c.id
         )"""
         )
