@@ -102,7 +102,10 @@ def _sql_stop_list(lang: str) -> str:
     tags=("text", "agg"),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    # no spread(): plain codegen'd regex counts off the scan beat the extra
+    # shuffle (A/B'd at sf0.1, n=5: 0.29s plain vs 0.60s spread) — unlike
+    # the HOF-heavy quality/lang queries below, where spread pays
+    d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.avg(token_count(F.col("text"))).alias("avg_tokens"),
         F.avg(regex_token_count(F.col("text"))).alias("avg_bpe_tokens"),
