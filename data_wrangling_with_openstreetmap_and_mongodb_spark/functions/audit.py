@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.cleaning import (
     classify_value_type,
 )
-from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import spread
 
 
 def audit_types(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -27,8 +26,12 @@ def audit_types(df: DataFrame, cols: list[str]) -> DataFrame:
     distinct domain → set-agg, so the classification regexes run once per
     distinct value, not once per row.
     """
-    stacked = spread(
-        df.select(*[F.col(c).cast("string").alias(c) for c in cols])
+    # no spread(): distinct() map-side-combines off the scan, and the heavy
+    # classify runs on the tiny distinct domain after the shuffle either
+    # way — the up-front raw-row shuffle regressed the A/B (0.63s plain vs
+    # 0.81s spread at sf0.1, n=5), same verdict as profile() below
+    stacked = df.select(
+        *[F.col(c).cast("string").alias(c) for c in cols]
     ).unpivot([], cols, "field", "value")
     return (
         stacked.distinct()
