@@ -163,3 +163,14 @@ class TestRollingAvg:
         a = sorted(map(tuple, rolling_avg(df, F.col("t"), "event_type", "value", "event_id").collect()))
         b = sorted(map(tuple, rolling_avg(df.repartition(17), F.col("t"), "event_type", "value", "event_id").collect()))
         assert a == b
+
+
+def test_rolling_avg_empty_input(spark):
+    import pyspark.sql.functions as F
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        rolling_avg,
+    )
+
+    df = spark.createDataFrame([], "event_id long, event_type string, t long, value double")
+    assert rolling_avg(df, F.col("t"), "event_type", "value", "event_id").count() == 0

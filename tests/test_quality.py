@@ -47,3 +47,19 @@ def test_expectations_report_one_row_per_rule(spark):
         ).collect()
     }
     assert rep == {"orphans": 1, "dups": 0}
+
+
+def test_null_fractions_multiple_columns_and_empty_frame(spark):
+    df = spark.createDataFrame([(1, None, ""), (2, "x", "y")], "id long, a string, b string")
+    row = null_fractions(df, "a", "b").collect()[0]
+    assert (row.n_rows, row.a_nulls, row.b_nulls) == (2, 1, 1)
+    empty = df.filter("id < 0")
+    row = null_fractions(empty, "a").collect()[0]
+    assert row.n_rows == 0 and row.a_nulls is None  # SUM over empty is NULL
+
+
+def test_fk_orphans_null_fk_is_orphan(spark):
+    child = spark.createDataFrame([(1, None), (2, 10)], "id long, fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    got = [r.id for r in fk_orphans(child, "fk", parent, "pk").collect()]
+    assert got == [1]  # NULL fk never equi-matches -> surfaces as orphan

@@ -156,3 +156,26 @@ class TestPhraseSearch:
             r.id: r.n_matches for r in phrase_match_counts(idx, ["go", "go"]).collect()
         }
         assert got == {1: 2}  # overlapping "go go" at pos 0 and 1
+
+
+def test_phrase_match_no_hits_returns_empty(spark):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        phrase_match_counts,
+        positional_index,
+    )
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    idx = positional_index(df, "text", "doc_id")
+    assert phrase_match_counts(idx, ["missing", "phrase"]).count() == 0
+
+
+def test_phrase_match_is_case_insensitive(spark):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        phrase_match_counts,
+        positional_index,
+    )
+
+    df = spark.createDataFrame([(1, "The Quick fox")], "doc_id long, text string")
+    idx = positional_index(df, "text", "doc_id")
+    got = {r.id: r.n_matches for r in phrase_match_counts(idx, ["the", "QUICK"]).collect()}
+    assert got == {1: 1}
