@@ -122,3 +122,20 @@ def test_compact_parquet_reduces_file_count_preserves_rows(spark, tmp_path):
     assert n_out == 1  # everything fits one target-sized file
     a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert a == list(range(10_000))
+
+
+def test_compact_parquet_multi_file_target(spark, tmp_path):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "frag2")
+    spark.range(0, 50_000).withColumn("v", F.col("id") % 97).repartition(25).write.parquet(src)
+    import glob, os
+
+    total = sum(os.path.getsize(p) for p in glob.glob(src + "/*.parquet"))
+    dst = str(tmp_path / "comp2")
+    # target ~ half the input -> ceil(total/target) = 2 output files
+    n_out = compact_parquet(spark, src, dst, target_bytes=total // 2 + 1)
+    assert n_out == 2
+    assert spark.read.parquet(dst).count() == 50_000
