@@ -1,5 +1,6 @@
-"""Deduplication operators for training-data pipelines: exact, n-gram
-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+"""Deduplication operators for training-data pipelines: exact, span/
+paragraph (with document reconstruction), n-gram Jaccard, MinHash+LSH
+(batch, incremental index+probe), SimHash, and embedding-cosine near-dup.
 
 Scale design (the 100 TB story):
 

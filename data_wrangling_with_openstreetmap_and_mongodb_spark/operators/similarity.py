@@ -1,19 +1,35 @@
-"""Similarity search over embedding columns (``array<float>``).
+"""Similarity search and embedding curation over ``array<float>`` columns.
 
-Two tiers, per the engine's north star:
+The ANN ladder, cheapest index to production layout:
 
-- ``cosine_topk`` — exact brute-force top-k: one narrow projection computing
-  the dot product with a broadcast query vector, then TakeOrderedAndProject.
-  O(N·d) with zero shuffle of vectors; this is the correctness baseline and
-  is already the right plan for one-off queries at any N (it reads the
-  parquet once, no index build).
+- ``cosine_topk`` — exact brute-force top-k: one narrow projection + 
+  TakeOrderedAndProject.  O(N·d), zero vector shuffle; the correctness
+  baseline and the right plan for one-off queries (no index build).
 - ``lsh_bucket_topk`` / ``lsh_near_pairs`` — random-hyperplane (sign) LSH:
-  deterministic seeded hyperplanes compiled as literal arrays, signature =
-  packed sign bits, bucket join.  The scale path for repeated queries /
-  all-pairs: candidates shrink by ~2^bits, vectors never shuffle globally.
+  seeded hyperplanes as literals, packed sign bits, bucket join; candidates
+  shrink ~2^bits.
+- ``ivf_flat_topk`` / ``kmeans_centroids`` + ``ivf_flat_topk_trained`` —
+  IVF-flat over sampled or k-means-trained coarse cells (training is pure
+  DataFrame algebra; the driver holds only k·dim centroid components);
+  ``ivf_write_index``/``ivf_probe_partitioned`` persist the cell as a
+  partition column so probes prune at the file listing.
+- ``pq_train_codebooks`` / ``pq_encode`` / ``pq_adc_topk`` — product
+  quantization: all m subspace codebooks train in one pass per iteration;
+  ADC ranks over codes against a broadcast distance table.
+- ``ivfpq_residuals`` / ``ivfpq_topk`` — IVF-PQ: coarse cells + residual
+  PQ + per-cell ADC — the production 100 TB layout.
+- ``quantize_int8`` — 4× storage/shuffle cut for the scanned tier.
 
-Dot products use native higher-order functions (``zip_with``/``aggregate``)
-in double precision — identical math to the DuckDB oracle.
+Embedding curation on the same machinery: ``diversity_sample``
+(cluster-balanced exactly-k-per-cell) and ``semantic_dedup_pairs``
+(SemDeDup within-cell exact cosine, optional triangular sub-blocking for
+hot cells).  ``nonzero_vectors`` enforces the zero-norm input contract.
+
+Everything is deterministic end-to-end (quantized scores, id tiebreaks,
+davg/dsum accumulation), so every path — including full training
+trajectories — replays bit-for-bit in the DuckDB oracles.  Dot products
+use native higher-order functions (``zip_with``/``aggregate``) in double
+precision — identical math to the oracle.
 """
 
 from __future__ import annotations
