@@ -10,7 +10,9 @@ Scale design (the 100 TB story):
   so only documents sharing ≥1 shingle ever meet; the candidate pair count,
   not |D|², bounds the shuffle.
 - **MinHash+LSH**: per-band bucket join — the textbook sub-quadratic path;
-  signatures are built with ``xxhash64`` entirely JVM-side.
+  signatures use the md5-based engine-agnostic permutation family (JVM-side
+  expressions with bit-identical DuckDB twins), so the whole pipeline
+  SQL-oracles.
 - **SimHash**: explode-tokens → per-bit majority vote as one 64-expression
   hash-aggregate (one shuffle), then Hamming-bucket candidate join.
 - **Embedding cosine**: exact all-pairs as a block-nested-loop matrix join
