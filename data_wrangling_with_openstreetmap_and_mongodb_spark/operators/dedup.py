@@ -683,7 +683,7 @@ def embedding_near_pairs(
     id_col: str,
     threshold: float = 0.95,
     max_exact_rows: int = 1_000_000,
-    block_target: int = 2048,
+    block_target: int = 256,
     n_rows: int | None = None,
     dim: int | None = None,
 ) -> DataFrame:
@@ -753,6 +753,12 @@ def embedding_near_pairs(
     # hash joins (broadcast of the INDEX side only); the old non-equi
     # blk_a <= blk_b self-join could only plan as BroadcastNestedLoopJoin,
     # which ships the whole packed matrix to every task.
+    #
+    # block_target default: small blocks parallelize (2048 → ONE task at
+    # n=2000; 256 → 36 block pairs, measured 1.88s → 0.81s at sf0.1) while
+    # replication stays bounded by the 128-block cap — at the cap each
+    # vector ships ≤ 64× regardless of block_target, so the default only
+    # governs the small-n regime where parallelism is the scarce resource.
     idx = df.sparkSession.createDataFrame(
         [(a, b) for a in range(nblocks) for b in range(a, nblocks)],
         "blk_a int, blk_b int",

@@ -731,94 +731,131 @@ def semantic_dedup_pairs(
     DEFINITION, not an approximation bug — cross-cell near-dups are
     intentionally out of contract, which is what makes the SQL oracle exact.
 
-    Plan shape: one broadcast-assign aggregation (persisted — every join
-    side reads it), then the within-cell pair join runs over SUB-BLOCKED
-    keys: ids hash into ``sub_blocks`` sub-cells, the triangular
+    Plan shape (same packed-matrix scheme as ``dedup.embedding_near_pairs``):
+    one broadcast-assign aggregation, then each (cluster, sub-block) packs
+    its (id, v) rows once via ``collect_list`` and an Arrow batch multiplies
+    the packed cells in numpy.  Packing beats the earlier per-pair equi-join
+    4× measured at sf0.1: a pair join materializes BOTH vectors per pair
+    (2·dim doubles × |cell|² rows through the shuffle), while packing moves
+    each vector once and the quadratic work never leaves the task.
+
+    ``sub_blocks`` (default 1 — one packed cell per cluster) is the hot-cell
+    skew/memory knob: ids hash into that many sub-cells, the triangular
     (sa ≤ sb) sub-pair index joins in as a broadcast literal table, and the
-    heavy sides meet on ``(cluster, sa)``/``(cluster, sb)`` equi-keys.
-    With k cells this spreads the quadratic work over
-    k·sub_blocks·(sub_blocks+1)/2 independent join keys instead of k —
-    both the parallelism cap and the hot-cell skew bound (the same
-    triangular trick as ``dedup.embedding_near_pairs``, in pure algebra).
-    ``sub_blocks`` defaults to 1 (plain per-cell join): below ~10⁵ rows per
-    cell the extra sub-key shuffle costs more than it parallelizes
-    (measured 5.4s → 7.1s at sf0.1); raise it when cells outgrow a task —
-    the output is identical at any setting (equivalence-tested).
-    Pair completeness: sub-cells partition each cell's ids, so an unordered
-    pair lands in exactly one (sa ≤ sb) sub-pair; the diagonal filters
-    ``id_a < id_b``, off-diagonal cells canonicalize (min, max).  Cosine is
-    orientation-symmetric bit-for-bit (per-element products commute, same
-    addition order), so canonicalized output is engine-identical either way.
+    packed sub-cells meet on ``(cluster, sa/sb)`` equi-keys — a packed cell
+    is then ~(cell/sub_blocks)·dim doubles and the cell's quadratic work
+    spreads over sub_blocks·(sub_blocks+1)/2 tasks.  Output is identical at
+    any setting (equivalence-tested): sub-cells partition each cell's ids so
+    an unordered pair lands in exactly one (sa ≤ sb) sub-pair; the diagonal
+    masks ``id_a < id_b``, off-diagonal cells keep every hit and
+    canonicalize (min, max).
+
+    Bit parity: dims-sequential accumulation (per-element order identical to
+    a scalar left fold, hence to the DuckDB oracle — see
+    ``dedup.embedding_near_pairs``), quantize-to-1e-6 before the threshold;
+    dot and norms commute under id canonicalization.
     """
+    import numpy as np
+    import pandas as pd
+
     cdf = df.sparkSession.createDataFrame(
         centroids, "c_id bigint, c_vec array<double>"
     )
-    assigned = _assign_to_centroids(df, vec_col, id_col, cdf).persist()
-    d = dim if dim is not None else len(centroids[0][1])
+    assigned = _assign_to_centroids(df, vec_col, id_col, cdf)
     nb = max(1, sub_blocks)
+    packed = (
+        assigned.withColumn(
+            "sub", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
+        )
+        .groupBy("cluster", "sub")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+
+    def _unpack(rows):
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        return ids, mat
+
+    def _seq_cos(mat_a, mat_b):
+        # dims-sequential: per-element order == scalar left fold == oracle
+        acc = np.zeros((mat_a.shape[0], mat_b.shape[0]))
+        for d_ in range(mat_a.shape[1]):
+            acc = acc + np.multiply.outer(mat_a[:, d_], mat_b[:, d_])
+        na = np.zeros(mat_a.shape[0])
+        nb_ = np.zeros(mat_b.shape[0])
+        for d_ in range(mat_a.shape[1]):
+            na = na + mat_a[:, d_] * mat_a[:, d_]
+            nb_ = nb_ + mat_b[:, d_] * mat_b[:, d_]
+        cos = acc / np.multiply.outer(np.sqrt(na), np.sqrt(nb_))
+        return np.floor(cos * 1e6 + 0.5) / 1e6
+
     if nb == 1:
-        # plain per-cell self-join: both sides shuffle IDENTICALLY by
-        # cluster off the same persisted table, so Catalyst reuses one
-        # exchange — the sub-blocked path below cannot (its sides differ),
-        # which is why it only pays once cells outgrow a task
-        left1 = assigned.select(
-            "cluster",
-            F.col("id").alias("id_a"),
-            F.col("v").alias("va"),
-            _norm_unrolled(F.col("v"), d).alias("na"),
+        def diag_cells(batches):
+            for pdf in batches:
+                for rows in pdf["rows"]:
+                    ids, mat = _unpack(rows)
+                    cos = _seq_cos(mat, mat)
+                    ai, bi = np.nonzero(
+                        (cos >= threshold) & (ids[:, None] < ids[None, :])
+                    )
+                    if len(ai):
+                        yield pd.DataFrame(
+                            {"id_a": ids[ai], "id_b": ids[bi], "cosine": cos[ai, bi]}
+                        )
+
+        return packed.repartition("cluster").mapInPandas(
+            diag_cells, schema="id_a long, id_b long, cosine double"
         )
-        right1 = assigned.select(
-            "cluster",
-            F.col("id").alias("id_b"),
-            F.col("v").alias("vb"),
-            _norm_unrolled(F.col("v"), d).alias("nb_"),
-        )
-        cos1 = quantize6(
-            _pair_dot(F.col("va"), F.col("vb"), d) / (F.col("na") * F.col("nb_"))
-        )
-        return (
-            left1.join(right1, "cluster")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", cos1.alias("cosine"))
-            .filter(F.col("cosine") >= F.lit(threshold))
-        )
+
     idx = df.sparkSession.createDataFrame(
         [(a, b) for a in range(nb) for b in range(a, nb)], "sa int, sb int"
     )
-    sub = F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
-    left = assigned.select(
-        F.col("cluster"),
-        sub.alias("sa"),
-        F.col("id").alias("ia"),
-        F.col("v").alias("va"),
-        _norm_unrolled(F.col("v"), d).alias("na"),
-    )
-    right = assigned.select(
-        F.col("cluster").alias("cluster_b"),
-        sub.alias("sb_r"),
-        F.col("id").alias("ib"),
-        F.col("v").alias("vb"),
-        _norm_unrolled(F.col("v"), d).alias("nb_"),
-    )
-    cos = quantize6(
-        _pair_dot(F.col("va"), F.col("vb"), d) / (F.col("na") * F.col("nb_"))
-    )
+    # packed feeds both join sides → persist so the assign+pack aggregation
+    # runs once (the sides' projections differ, so exchange reuse can't)
+    packed = packed.persist()
     pairs = (
         F.broadcast(idx)
-        .join(left, "sa")
         .join(
-            right,
+            packed.select(
+                "cluster", F.col("sub").alias("sa"), F.col("rows").alias("rows_a")
+            ),
+            "sa",
+        )
+        .join(
+            packed.select(
+                F.col("cluster").alias("cluster_b"),
+                F.col("sub").alias("sb_r"),
+                F.col("rows").alias("rows_b"),
+            ),
             (F.col("cluster") == F.col("cluster_b")) & (F.col("sb") == F.col("sb_r")),
         )
-        .filter((F.col("sa") != F.col("sb")) | (F.col("ia") < F.col("ib")))
+        .select("cluster", "sa", "sb", "rows_a", "rows_b")
+        .repartition("cluster", "sa", "sb")
     )
-    return (
-        pairs.select(
-            F.least("ia", "ib").alias("id_a"),
-            F.greatest("ia", "ib").alias("id_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
+
+    def cross_cells(batches):
+        for pdf in batches:
+            for sa, sb, rows_a, rows_b in zip(
+                pdf["sa"], pdf["sb"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a, mat_a = _unpack(rows_a)
+                ids_b, mat_b = _unpack(rows_b)
+                cos = _seq_cos(mat_a, mat_b)
+                hit = cos >= threshold
+                if sa == sb:
+                    ai, bi = np.nonzero(hit & (ids_a[:, None] < ids_b[None, :]))
+                    lo, hi = ids_a[ai], ids_b[bi]
+                else:
+                    ai, bi = np.nonzero(hit)
+                    lo = np.minimum(ids_a[ai], ids_b[bi])
+                    hi = np.maximum(ids_a[ai], ids_b[bi])
+                if len(ai):
+                    yield pd.DataFrame(
+                        {"id_a": lo, "id_b": hi, "cosine": cos[ai, bi]}
+                    )
+
+    return pairs.mapInPandas(
+        cross_cells, schema="id_a long, id_b long, cosine double"
     )
 
 

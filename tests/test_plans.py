@@ -199,23 +199,26 @@ class TestRound3OperatorPlans:
         assert "CartesianProduct" not in plan
         assert has_top_k(QUERIES["ann_ivfpq_topk"].fn(spark, sf_dir))
 
-    def test_semantic_dedup_self_join_is_hash_join_on_cluster(self, spark, sf_dir):
-        """The within-cell pair join must be an equi hash join on the cluster
-        id (cells meet pairwise), never a nested-loop over row vectors."""
+    def test_semantic_dedup_packs_cells_single_scan(self, spark, sf_dir):
+        """The default (sub_blocks=1) SemDeDup plan packs each cell once and
+        multiplies it in an Arrow batch: ONE scan of the embeddings table,
+        no pair join at all (the quadratic work never enters the plan), the
+        only nested-loop being the broadcast cross against the tiny centroid
+        table."""
         from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
 
         plan = executed_plan(q("semantic_dedup_embeddings", spark, sf_dir))
         assert "CartesianProduct" not in plan
-        # the only nested-loop allowed is the assignment's broadcast cross
-        # against the 8-row centroid table, which both sides read from ONE
-        # persisted table — each textual occurrence must sit inside the
-        # cached subtree (the plan string reprints it per InMemoryTableScan)
-        assert plan.count("BroadcastNestedLoopJoin") <= plan.count("InMemoryRelation")
-        assert plan.count("InMemoryTableScan") >= 2  # both sides hit the cache
-        # the heavy pair join itself is an equi join keyed on cluster
-        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
-            "BroadcastHashJoin"
-        ) >= 1
+        assert plan.count("Scan parquet") == 1  # vectors read exactly once
+        assert plan.count("BroadcastNestedLoopJoin") <= 1  # centroid assign only
+        assert "MapInPandas" in plan  # packed-cell multiply
+        # no per-pair join: the packed rows never meet in a join operator
+        assert (
+            plan.count("SortMergeJoin")
+            + plan.count("ShuffledHashJoin")
+            + plan.count("BroadcastHashJoin")
+            == 0
+        )
 
     def test_q3_broadcasts_filtered_dim_and_takes_topk(self, spark, sf_dir):
         """TPC-H Q3 shape: the filtered customer side must broadcast, the
