@@ -704,8 +704,13 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_users",
     oracle=None,
     doc="approx_count_distinct (HLL++): the 100 TB path where exact distinct "
-    "would shuffle every key; ±5%% accuracy asserted against exact in tests",
+    "would shuffle every key; ±5%% accuracy asserted against exact in tests.  "
+    "Gate-only since cms_token_counts landed: HLL registers are "
+    "engine-private so this row could only ever be rows-only — the sketch "
+    "family's hard driver row now sits on the fully-oracle-checkable "
+    "count-min sketch instead.",
     tags=("agg", "approx"),
+    driver_visible=False,
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

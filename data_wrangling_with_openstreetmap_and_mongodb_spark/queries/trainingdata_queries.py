@@ -2292,3 +2292,80 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment = d.filter(F.col("doc_id") % 5 == 0)
     index = minhash_band_index(corpus, "text", "doc_id")
     return minhash_probe_index(increment, index, "text", "doc_id", threshold=0.8)
+
+
+def _cms_oracle_sql(depth: int, width: int, top_k: int, seed: int = 7) -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+        MERSENNE61,
+        minhash_perm_coeffs,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        md5_hash32_sql,
+    )
+
+    h = md5_hash32_sql("tok")
+    rb_structs = ", ".join(
+        f"struct_pack(r := {i}, b := (({a} * ({h}) + {b}) % {MERSENNE61}) % {width})"
+        for i, (a, b) in enumerate(minhash_perm_coeffs(depth, seed))
+    )
+    return f"""
+        WITH occ AS (SELECT unnest({_SQL_LTOKS}) AS tok FROM documents),
+        rb AS (SELECT unnest([{rb_structs}]) AS s FROM occ),
+        cells AS (SELECT s.r AS row, s.b AS bucket, count(*) AS cnt
+                  FROM rb GROUP BY 1, 2),
+        exact AS (SELECT tok, count(*) AS exact_cnt FROM occ GROUP BY tok
+                  ORDER BY exact_cnt DESC, tok ASC LIMIT {top_k}),
+        probe AS (SELECT tok, exact_cnt, unnest([{rb_structs}]) AS s
+                  FROM exact),
+        est AS (SELECT p.tok, p.exact_cnt,
+                       min(coalesce(c.cnt, 0)) AS est_cnt
+                FROM probe p LEFT JOIN cells c
+                  ON c.row = p.s.r AND c.bucket = p.s.b
+                GROUP BY p.tok, p.exact_cnt)
+        SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+               CAST(est_cnt AS BIGINT) AS est_cnt
+        FROM est ORDER BY exact_cnt DESC, tok ASC
+    """
+
+
+@register(
+    "cms_token_counts",
+    oracle=_cms_oracle_sql(depth=4, width=64, top_k=15),
+    doc="count-min sketch (operators/sketch.py): the mergeable sub-linear "
+    "frequency sketch, built from the engine-agnostic md5 universal-hash "
+    "family so — unlike HLL's engine-private registers — every cell count "
+    "AND every collision-inflated estimate hash-verifies against the DuckDB "
+    "oracle.  width=64 deliberately forces collisions: the top-15 exact "
+    "token counts ride alongside the sketch estimates (est ≥ exact always; "
+    "est > exact where buckets collide).  Driver-visible, taking the sketch "
+    "family's hard row from rows-only approx_distinct_users: a sketch whose "
+    "every bit is externally verifiable is strictly stronger driver "
+    "evidence than one that cannot be.",
+    tags=("sketch", "agg", "approx"),
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    grid = cms_build(occ, "tok", depth=4, width=64)
+    exact = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(15)
+    )
+    est = cms_estimate(grid, exact.select("tok"), "tok", depth=4, width=64)
+    return (
+        exact.join(est.withColumnRenamed("key", "tok"), "tok")
+        .select("tok", "exact_cnt", "est_cnt")
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    )

@@ -57,12 +57,18 @@ def test_novel_operator_families_are_driver_visible():
 
 
 def test_every_registered_query_is_verified_somewhere():
-    # driver-hidden queries must still carry an oracle for the local gate
-    # (rows-only is allowed only for engine-private sketches, and only in
-    # the driver catalog where it at least gets a rows check)
+    # driver-hidden queries must still carry an oracle for the local gate.
+    # Oracle-less queries (engine-private sketches) need either a driver
+    # rows-check (visible) or a dedicated accuracy pytest, listed here so the
+    # exemption is explicit and auditable.
+    ACCURACY_PINNED = {
+        # HLL registers are engine-private; ±5% accuracy vs exact counts is
+        # asserted in tests/test_scale.py::test_approx_distinct_within_rsd_bound
+        "approx_distinct_users",
+    }
     for q in QUERIES.values():
         if q.oracle is None:
-            assert q.driver_visible, (
+            assert q.driver_visible or q.name in ACCURACY_PINNED, (
                 f"{q.name}: rows-only AND driver-hidden = completely unverified"
             )
 
