@@ -218,6 +218,67 @@ def contaminated_docs(
     )
 
 
+def contaminated_docs_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 5,
+    bloom_words: list[int] | None = None,
+) -> DataFrame:
+    """:func:`contaminated_docs` with a Bloom pre-filter: ``(id, n_bloom,
+    n_shared, contam_frac)`` for documents with ≥ 1 shingle PASSING the
+    filter — ``n_bloom`` counts filter passes (exact hits + false
+    positives), ``n_shared`` the exact hits surviving the verification
+    join, so the output itself shows what the filter let through.
+
+    The scale story this adds over the plain broadcast join: the membership
+    test becomes a codegen'd expression over an n_bits/8-byte constant
+    (operators/sketch.bloom_might_contain) evaluated INSIDE the corpus scan
+    stage — non-candidate shingles die before any join machinery, and the
+    exact broadcast join only sees the tiny passing fraction.  This is the
+    pattern Spark's own runtime bloom-filter join pushdown applies to big
+    joins, made explicit, engine-agnostic (md5 family), and therefore
+    SQL-oracle-reproducible down to each individual false positive.
+
+    ``bloom_words``: pass a prebuilt bitmap (:func:`...sketch.bloom_build`)
+    to keep query construction action-free; when omitted the build runs
+    here (one aggregation collecting ≤ n_bits/64 words — the index-build
+    step of the pipeline, not a per-row driver loop).
+    """
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    corpus_sh = _ngram_rows(corpus, text_col, id_col, n)
+    bench_sh = (
+        _ngram_rows(benchmark, text_col, id_col, n).select("shingle").distinct()
+    )
+    words = (
+        bloom_words
+        if bloom_words is not None
+        else bloom_build(bench_sh, "shingle", n_bits, n_hashes)
+    )
+    cand = corpus_sh.filter(
+        bloom_might_contain(F.col("shingle"), words, n_bits, n_hashes)
+    )
+    flagged = cand.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left"
+    )
+    return flagged.groupBy("id", "n_sh").agg(
+        F.count(F.lit(1)).alias("n_bloom"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_shared"),
+    ).select(
+        "id",
+        "n_bloom",
+        "n_shared",
+        (F.col("n_shared") / F.col("n_sh")).alias("contam_frac"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str,

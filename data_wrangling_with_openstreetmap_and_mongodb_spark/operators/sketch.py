@@ -135,3 +135,135 @@ def cms_hash_sql(key_expr: str, depth: int, width: int, seed: int = 7) -> str:
         for a, b in minhash_perm_coeffs(depth, seed)
     )
     return f"[{buckets}]"
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: O(1)-size membership pre-filter for small-side semi-joins.
+#
+# The decontamination scale pattern: a benchmark suite's distinct shingles
+# broadcast fine at a few MB, but the broadcast HASH TABLE still costs a
+# probe-per-row into a many-MB structure.  A Bloom filter compresses the
+# same membership test into n_bits/8 bytes (128 KB at 2^20 bits) evaluated
+# as a codegen'd expression — corpus rows that can't possibly match die
+# inside the scan stage, and only the tiny surviving fraction reaches the
+# exact join that removes false positives.  Spark's own runtime row-group
+# filters are this exact trick; building it from the md5 universal-hash
+# family makes OURS engine-agnostic: a key passes iff ALL its k bit
+# positions are set, and since "bit p set" ⟺ "p ∈ the benchmark's position
+# set", a SQL oracle reproduces every pass — including every false
+# positive — without modeling the bitmap at all.
+# ---------------------------------------------------------------------------
+BLOOM_SEED = 11
+
+
+def bloom_positions(
+    key: Column, n_bits: int, n_hashes: int = 5, seed: int = BLOOM_SEED
+) -> list[Column]:
+    """The key's ``n_hashes`` bit positions in [0, n_bits) — same universal
+    hash family as the CMS, different default seed so the two sketches'
+    collisions are independent."""
+    return [
+        b for b in _bucket_cols(key, n_hashes, n_bits, seed)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 5,
+    seed: int = BLOOM_SEED,
+) -> list[int]:
+    """Build the bitmap over ``df[key_col]`` and return it as
+    ``n_bits/64`` little-endian words.
+
+    Small-side contract (same as any broadcast build): the INPUT may be any
+    size — bit positions reduce through a (word → bit_or) hash-aggregation,
+    so the driver receives at most n_bits/64 rows, never keys — but n_bits
+    itself must be a broadcast-worthy size.  2^16–2^23 bits covers benchmark
+    suites; corpus-sized sets belong in a join, not a Bloom filter.
+    """
+    pos = F.explode(
+        F.array(*bloom_positions(F.col(key_col), n_bits, n_hashes, seed))
+    ).alias("p")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("p") / F.lit(64)).cast("int").alias("w"),
+            # SQL form: the PySpark wrapper insists on a literal shift count
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    out = [0] * (n_bits // 64)
+    for r in words:
+        out[r["w"]] = r["word"]
+    return out
+
+
+def bloom_might_contain(
+    key: Column,
+    words: list[int],
+    n_bits: int,
+    n_hashes: int = 5,
+    seed: int = BLOOM_SEED,
+) -> Column:
+    """Codegen'd membership test: true iff every hash position's bit is set.
+
+    ``words`` becomes ONE constant array in the plan; each row then costs
+    ``n_hashes`` element_at + bit-test ops inside whole-stage codegen — no
+    join, no UDF, no shuffle.  Plan size grows with n_bits/64 literal
+    elements: fine through ~2^20 bits; past that, prefer the exact
+    broadcast join (the filter would no longer be the cheap path anyway).
+    """
+    wcol = F.lit(words)
+
+    def _one_bit(p: Column) -> Column:
+        # shiftleft with a column count via SQL form (the PySpark wrapper
+        # insists on a literal); nested as a lambda var to stay expression-only
+        word = F.element_at(wcol, ((p / F.lit(64)).cast("int") + F.lit(1)))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        return word.bitwiseAND(mask) != 0
+
+    checks = [_one_bit(p) for p in bloom_positions(key, n_bits, n_hashes, seed)]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_pass_sql(
+    key_expr: str,
+    positions_relation: str,
+    n_bits: int,
+    n_hashes: int = 5,
+    seed: int = BLOOM_SEED,
+) -> str:
+    """DuckDB fragment reproducing :func:`bloom_might_contain` —
+    ``positions_relation`` must be a relation with one column ``p`` holding
+    the benchmark's DISTINCT bit positions (bit p set ⟺ p present), which
+    makes the oracle reproduce even the false positives bit-for-bit."""
+    h = md5_hash32_sql(key_expr)
+    conds = " AND ".join(
+        f"((({a} * ({h}) + {b}) % {MERSENNE61}) % {n_bits}) IN "
+        f"(SELECT p FROM {positions_relation})"
+        for a, b in minhash_perm_coeffs(n_hashes, seed)
+    )
+    return f"({conds})"
+
+
+def bloom_positions_sql(
+    key_expr: str, n_bits: int, n_hashes: int = 5, seed: int = BLOOM_SEED
+) -> str:
+    """DuckDB fragment: list of the key's bit positions (for building the
+    oracle's position relation)."""
+    h = md5_hash32_sql(key_expr)
+    ps = ", ".join(
+        f"(({a} * ({h}) + {b}) % {MERSENNE61}) % {n_bits}"
+        for a, b in minhash_perm_coeffs(n_hashes, seed)
+    )
+    return f"[{ps}]"

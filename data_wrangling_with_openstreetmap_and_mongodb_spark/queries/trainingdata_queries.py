@@ -2369,3 +2369,90 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "exact_cnt", "est_cnt")
         .orderBy(F.desc("exact_cnt"), F.asc("tok"))
     )
+
+
+_BLOOM_WORDS_CACHE: dict[tuple[str, int], list[int]] = {}
+
+
+def _bloom_decontam_oracle_sql(n_bits: int, n_hashes: int) -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+        bloom_pass_sql,
+        bloom_positions_sql,
+    )
+
+    return f"""
+        WITH toks AS (SELECT doc_id, {_SQL_LTOKS} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3 THEN
+                          list_distinct([array_to_string(list_slice(t, i, i+2), ' ')
+                                         for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                      ELSE [] END AS s
+               FROM toks),
+        flat AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+        bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 100 = 0),
+        bpos AS (SELECT DISTINCT unnest({bloom_positions_sql('g', n_bits, n_hashes)}) AS p
+                 FROM bench),
+        tot AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+        cand AS (SELECT f.doc_id, f.g,
+                        EXISTS (SELECT 1 FROM bench b WHERE b.g = f.g) AS hit
+                 FROM flat f
+                 WHERE f.doc_id % 100 <> 0
+                   AND {bloom_pass_sql('f.g', 'bpos', n_bits, n_hashes)}),
+        agg AS (SELECT doc_id,
+                       count(*) AS n_bloom,
+                       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                FROM cand GROUP BY doc_id)
+        SELECT a.doc_id AS doc_id, CAST(n_bloom AS BIGINT) AS n_bloom, n_shared,
+               n_shared::DOUBLE / n_sh AS contam_frac
+        FROM agg a JOIN tot USING (doc_id)
+    """
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=_bloom_decontam_oracle_sql(n_bits=1 << 12, n_hashes=5),
+    doc="decontaminate_ngrams with a Bloom pre-filter "
+    "(operators/sketch.py::bloom_build/bloom_might_contain + "
+    "operators/curation.py::contaminated_docs_bloom): the benchmark's "
+    "shingle set compresses to a 512-byte bitmap tested as a codegen'd "
+    "expression inside the corpus scan — non-candidates die before any "
+    "join; the exact broadcast join then strips false positives, and the "
+    "output reports both tiers (n_bloom = passes incl. FPs, n_shared = "
+    "exact).  n_bits=2^12 is deliberately tight so FPs actually occur and "
+    "the oracle must reproduce them: bit p set ⟺ p ∈ the benchmark "
+    "position set, so the SQL replays the filter exactly.  Gate-only: the "
+    "window is full; the decontamination family's hard row is "
+    "decontaminate_ngrams.",
+    tags=("sketch", "curation", "join"),
+    driver_visible=False,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        contaminated_docs_bloom,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+        _shingle_rows,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+        bloom_build,
+    )
+
+    N_BITS = 1 << 12
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 == 0)
+    corpus = d.filter(F.col("doc_id") % 100 != 0)
+    key = (sf_dir, N_BITS)
+    if key not in _BLOOM_WORDS_CACHE:
+        bench_sh = (
+            _shingle_rows(bench, "text", "doc_id", 3).select("shingle").distinct()
+        )
+        _BLOOM_WORDS_CACHE[key] = bloom_build(bench_sh, "shingle", N_BITS)
+    return contaminated_docs_bloom(
+        corpus,
+        bench,
+        "text",
+        "doc_id",
+        n=3,
+        n_bits=N_BITS,
+        bloom_words=_BLOOM_WORDS_CACHE[key],
+    ).select(F.col("id").alias("doc_id"), "n_bloom", "n_shared", "contam_frac")

@@ -90,3 +90,88 @@ class TestCountMinSketch:
         plan = executed_plan(cms_estimate(grid, keys, "k", depth=4, width=64))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_ever(self, spark):
+        """Every inserted key MUST pass — the Bloom one-sided guarantee,
+        checked at a width tight enough that false positives abound."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(300)], "k string")
+        words = bloom_build(keys, "k", n_bits=256, n_hashes=3)
+        passed = keys.filter(
+            bloom_might_contain(F.col("k"), words, n_bits=256, n_hashes=3)
+        ).count()
+        assert passed == 300
+
+    def test_false_positive_rate_bounded_at_generous_width(self, spark):
+        """Absent keys mostly fail at a generous width; the few that pass
+        are the documented FP mass, not a correctness bug."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        members = spark.createDataFrame([(f"in{i}",) for i in range(100)], "k string")
+        words = bloom_build(members, "k", n_bits=1 << 14, n_hashes=5)
+        absent = spark.createDataFrame([(f"out{i}",) for i in range(500)], "k string")
+        fp = absent.filter(
+            bloom_might_contain(F.col("k"), words, n_bits=1 << 14, n_hashes=5)
+        ).count()
+        # theoretical FP ~ (1-exp(-5*100/16384))^5 ~ 2e-8; allow slack
+        assert fp <= 2
+
+    def test_filter_is_expression_only(self, spark):
+        """The membership test must compile to a codegen'd filter — no join,
+        no exchange introduced by the pre-filter itself."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+            bloom_build,
+            bloom_might_contain,
+        )
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        members = spark.createDataFrame([("a",), ("b",)], "k string")
+        words = bloom_build(members, "k", n_bits=512, n_hashes=4)
+        probe = spark.range(200).select(F.concat(F.lit("p"), F.col("id")).alias("k"))
+        filtered = probe.filter(
+            bloom_might_contain(F.col("k"), words, n_bits=512, n_hashes=4)
+        )
+        plan = executed_plan(filtered)
+        for op in ("Join", "Exchange"):
+            assert op not in plan, plan
+
+    def test_bloom_prefilter_equals_plain_decontamination(self, spark):
+        """contaminated_docs_bloom's exact tier must equal contaminated_docs
+        (the filter may only REMOVE non-candidates, never change hits)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            contaminated_docs,
+            contaminated_docs_bloom,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "a completely different sentence with no overlap here"),
+                (3, "the quick brown fox runs far away from everything"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+        )
+        plain = {
+            r["id"]: (r["n_shared"], r["contam_frac"])
+            for r in contaminated_docs(corpus, bench, "text", "doc_id", n=3).collect()
+        }
+        bloomed = {
+            r["id"]: (r["n_shared"], r["contam_frac"])
+            for r in contaminated_docs_bloom(
+                corpus, bench, "text", "doc_id", n=3, n_bits=1 << 14
+            ).collect()
+            if r["n_shared"] > 0
+        }
+        assert bloomed == plain
