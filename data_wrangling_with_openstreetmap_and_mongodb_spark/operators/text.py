@@ -10,7 +10,7 @@ with executors at the 100 TB design point.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 
 # A BPE-ish word/punctuation tokenizer: word pieces OR single non-space
 # punctuation — the classic pre-tokenization regex shape.
@@ -297,4 +297,68 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 8, window: int 
         .filter(F.col("i") <= n_windows)
         .select("id", "fp")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build + token-id encoding — the text → ids step a pretraining
+# pipeline runs between curation and sequence packing (curation.pack_sequences
+# picks up exactly where encode_tokens leaves off).
+# ---------------------------------------------------------------------------
+def build_vocab(df, text_col: str, id_col: str, vocab_size: int):
+    """Frequency vocabulary over lowercased whitespace tokens:
+    ``(tok, tok_id, tok_count)`` with ids 0..vocab_size-1 assigned in
+    (count DESC, tok ASC) order — deterministic, engine-reproducible
+    (ties break lexically, never by partition order).  ``vocab_size`` is
+    reserved as the OOV/UNK id.
+
+    One explode + hash-agg + a top-k window over the GLOBAL count table —
+    the count table is vocabulary-sized (not corpus-sized), so the final
+    rank runs on a small single-partition frame exactly like every
+    tokenizer trainer's sort step.
+    """
+    counts = (
+        df.select(F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+    )
+    w = Window.orderBy(F.desc("tok_count"), F.asc("tok"))
+    return (
+        counts.withColumn("tok_id", F.row_number().over(w) - 1)
+        .filter(F.col("tok_id") < vocab_size)
+        .select("tok", "tok_id", "tok_count")
+    )
+
+
+def encode_tokens(df, vocab, text_col: str, id_col: str, unk_id: int):
+    """Encode each document to its token-id sequence: ``(id, ids)`` with
+    ``ids`` an ``array<int>`` in original token order; out-of-vocabulary
+    tokens map to ``unk_id``.
+
+    Scale shape: tokens explode with positions, the vocabulary BROADCASTS
+    into a left join (a vocab is ≤ a few hundred MB even at 100k entries —
+    never shuffle the corpus by token string), and sequences reassemble with
+    one ordered ``collect_list`` per document — a single shuffle on the
+    document id, which the exploded rows already carry.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(whitespace_tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    joined = toks.join(F.broadcast(vocab.select("tok", "tok_id")), "tok", "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.coalesce(F.col("tok_id"), F.lit(unk_id)).alias("tid"),
+                        )
+                    )
+                ),
+                lambda s: s["tid"].cast("int"),
+            ).alias("ids")
+        )
     )

@@ -2456,3 +2456,80 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=N_BITS,
         bloom_words=_BLOOM_WORDS_CACHE[key],
     ).select(F.col("id").alias("doc_id"), "n_bloom", "n_shared", "contam_frac")
+
+
+def _vocab_encode_oracle_sql(vocab_size: int) -> str:
+    V = vocab_size
+    return f"""
+        WITH toks AS (SELECT doc_id, {_SQL_LTOKS} AS t FROM documents),
+        occ AS (SELECT doc_id,
+                       unnest([struct_pack(pos := i - 1, tok := t[i])
+                               for i in range(1, len(t) + 1)]) AS s
+                FROM toks),
+        counts AS (SELECT s.tok AS tok, count(*) AS c FROM occ GROUP BY 1),
+        vocab AS (SELECT tok,
+                         CAST(row_number() OVER (ORDER BY c DESC, tok ASC) - 1
+                              AS INT) AS tok_id
+                  FROM counts
+                  QUALIFY tok_id < {V}),
+        enc AS (SELECT o.doc_id, o.s.pos AS pos,
+                       coalesce(v.tok_id, {V}) AS tid
+                FROM occ o LEFT JOIN vocab v ON v.tok = o.s.tok),
+        agg AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tok,
+                       CAST(sum(CASE WHEN tid = {V} THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_unk,
+                       CAST(arg_min(tid, pos) AS INT) AS first_id,
+                       CAST(arg_max(tid, pos) AS INT) AS last_id,
+                       CAST(sum(tid) AS BIGINT) AS id_sum,
+                       CAST(sum(pos * tid) AS BIGINT) AS ord_sum
+                FROM enc GROUP BY doc_id)
+        SELECT * FROM agg
+    """
+
+
+@register(
+    "vocab_encode_stats",
+    oracle=_vocab_encode_oracle_sql(vocab_size=16),
+    doc="vocabulary build + token-id encoding "
+    "(operators/text.py::build_vocab/encode_tokens): the text→ids step "
+    "between curation and curation.pack_sequences.  Vocab ids assign in "
+    "(count DESC, tok ASC) order — engine-deterministic; encoding "
+    "broadcasts the vocab (never shuffles the corpus by token string) and "
+    "reassembles id sequences with one ordered collect per document.  "
+    "vocab_size=16 is below the corpus vocabulary so real UNK mass "
+    "appears.  The per-doc output pins the whole sequence with scalars "
+    "(first/last id, id sum, position-weighted sum) — array columns "
+    "deliberately avoided in the driver-compare path.  Gate-only: the "
+    "window is full.",
+    tags=("text", "curation", "agg"),
+    driver_visible=False,
+)
+def vocab_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    V = 16
+    d = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", "doc_id", V)
+    enc = encode_tokens(d, vocab, "text", "doc_id", unk_id=V)
+    ids = F.col("ids")
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.size(ids).cast("long").alias("n_tok"),
+        F.size(F.filter(ids, lambda x: x == V)).cast("long").alias("n_unk"),
+        F.element_at(ids, 1).alias("first_id"),
+        F.element_at(ids, -1).alias("last_id"),
+        F.aggregate(ids, F.lit(0).cast("long"), lambda a, x: a + x).alias("id_sum"),
+        F.aggregate(
+            F.zip_with(
+                ids,
+                F.sequence(F.lit(0), F.size(ids) - 1),
+                lambda x, i: x.cast("long") * i,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("ord_sum"),
+    )

@@ -175,3 +175,56 @@ class TestBloomFilter:
             if r["n_shared"] > 0
         }
         assert bloomed == plain
+
+
+class TestVocabEncode:
+    """build_vocab + encode_tokens (operators/text.py) — the text→ids step."""
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "b b b a a c"),
+                (2, "a b unkworda unkwordb"),
+                (3, "c a b"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_vocab_ranks_by_count_then_lexical(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import build_vocab
+
+        v = {
+            r["tok"]: (r["tok_id"], r["tok_count"])
+            for r in build_vocab(self._corpus(spark), "text", "doc_id", 3).collect()
+        }
+        # counts: a=4, b=5, c=2, unkworda=1, unkwordb=1
+        assert v == {"b": (0, 5), "a": (1, 4), "c": (2, 2)}
+
+    def test_encode_preserves_order_and_maps_oov(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+            build_vocab,
+            encode_tokens,
+        )
+
+        d = self._corpus(spark)
+        vocab = build_vocab(d, "text", "doc_id", 3)
+        enc = {
+            r["id"]: r["ids"]
+            for r in encode_tokens(d, vocab, "text", "doc_id", unk_id=3).collect()
+        }
+        assert enc[1] == [0, 0, 0, 1, 1, 2]  # b b b a a c
+        assert enc[2] == [1, 0, 3, 3]  # a b UNK UNK
+        assert enc[3] == [2, 1, 0]  # c a b
+
+    def test_encode_broadcasts_vocab(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+            build_vocab,
+            encode_tokens,
+        )
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        d = self._corpus(spark)
+        vocab = build_vocab(d, "text", "doc_id", 3)
+        plan = executed_plan(encode_tokens(d, vocab, "text", "doc_id", unk_id=3))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
