@@ -259,3 +259,101 @@ def rolling_avg(
         / F.count("__v").over(w)
     )
     return base.select("id", "key", "ts_us", avg.alias("avg_trailing"))
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Dense time-spine resample with forward fill (LOCF): ``(key, bucket,
+    v, filled, n_events)`` — one row per key per ``bucket_us`` interval from
+    the key's first to last observed bucket, empty buckets carrying the
+    last observed bucket's CLOSING value and ``filled = true``.
+
+    The timeseries "last observation carried forward" operator (TimescaleDB
+    ``locf``, Pandas ``ffill``): downstream window/feature code gets a
+    gapless per-key series without learning each source's cadence.  The
+    bucket close anchors on the same deterministic (time, id) total order
+    as :func:`ohlc_resample`, so the fill is engine-reproducible.
+
+    Plan shape: one hash-agg to per-bucket closes, a per-key min/max +
+    ``sequence`` explode for the spine (never a cross join against a global
+    calendar — each key materializes only ITS OWN range), a left equi-join,
+    and one forward-fill window; the spine aggregation, join, and window
+    all share the key partitioning, so the whole thing is two shuffles.
+    Spine size is range/bucket_us rows per key — pick ``bucket_us`` so a
+    key's span stays in task-sized territory (a year of 15-min buckets is
+    ~35k rows; sub-second buckets over years belong in coarser tiers).
+    """
+    key = _order_key(F.col(ts_col), F.col(id_col))
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.col(ts_col) / F.lit(bucket_us)).cast("long").alias("bucket"),
+            F.col(value_col).alias("v"),
+            key.alias("k"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.max_by("v", "k").alias("close_v"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    spine = (
+        obs.groupBy("key")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select("key", F.explode(F.sequence("mn", "mx")).alias("bucket"))
+    )
+    joined = spine.join(obs, ["key", "bucket"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "key",
+        "bucket",
+        F.last("close_v", ignorenulls=True).over(w).alias("v"),
+        F.col("close_v").isNull().alias("filled"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+    )
+
+
+def gap_fill_locf_sql(
+    table: str,
+    key_expr: str,
+    ts_expr: str,
+    id_expr: str,
+    value_expr: str,
+    bucket_us: int,
+) -> str:
+    """DuckDB oracle reproducing :func:`gap_fill_locf` row-for-row."""
+    key = (
+        f"lpad(CAST({ts_expr} AS VARCHAR), 20, '0') ||"
+        f" lpad(CAST({id_expr} AS VARCHAR), 12, '0')"
+    )
+    return f"""
+        WITH obs AS (
+            SELECT {key_expr} AS key,
+                   CAST(FLOOR({ts_expr} / {bucket_us}) AS BIGINT) AS bucket,
+                   arg_max({value_expr}, {key}) AS close_v,
+                   COUNT(*) AS n_obs
+            FROM {table} GROUP BY 1, 2
+        ),
+        ext AS (SELECT key, min(bucket) AS mn, max(bucket) AS mx
+                FROM obs GROUP BY key),
+        spine AS (SELECT key, unnest(range(mn, mx + 1)) AS bucket FROM ext),
+        j AS (SELECT s.key, s.bucket, o.close_v, coalesce(o.n_obs, 0) AS n_obs
+              FROM spine s LEFT JOIN obs o USING (key, bucket))
+        SELECT key, bucket,
+               last_value(close_v IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+               close_v IS NULL AS filled,
+               CAST(n_obs AS BIGINT) AS n_events
+        FROM j
+    """

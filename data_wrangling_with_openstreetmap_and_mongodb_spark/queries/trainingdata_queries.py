@@ -2533,3 +2533,47 @@ def vocab_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("ord_sum"),
     )
+
+
+def _gap_fill_oracle_sql() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        gap_fill_locf_sql,
+    )
+
+    return (
+        gap_fill_locf_sql(
+            "events", "event_type", "epoch_us(ts)", "event_id", "value",
+            bucket_us=15 * 60 * 1_000_000,
+        ).replace("SELECT key, bucket,", "SELECT key AS event_type, bucket,", 1)
+    )
+
+
+@register(
+    "events_gap_filled_locf",
+    oracle=_gap_fill_oracle_sql(),
+    doc="dense 15-min time spine per event_type with forward fill "
+    "(operators/events.py::gap_fill_locf): empty buckets carry the last "
+    "observed bucket's close (same deterministic (ts, id) anchor as OHLC) "
+    "and are flagged.  Each key materializes only its own bucket range via "
+    "sequence-explode — never a cross join against a global calendar — and "
+    "spine, join, and fill window share one key partitioning.  Gate-only: "
+    "the window is full; the resample family's hard row is "
+    "sessionize_events/streaming_hourly_rollup.",
+    tags=("events", "window", "resample"),
+    driver_visible=False,
+)
+def events_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        gap_fill_locf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_type", "event_id", "value", ts_micros(ev).alias("t")
+    )
+    return gap_fill_locf(
+        ev, "event_type", "t", "event_id", "value", bucket_us=15 * 60 * 1_000_000
+    ).select(
+        F.col("key").alias("event_type"), "bucket", "v", "filled", "n_events"
+    )

@@ -174,3 +174,55 @@ def test_rolling_avg_empty_input(spark):
 
     df = spark.createDataFrame([], "event_id long, event_type string, t long, value double")
     assert rolling_avg(df, F.col("t"), "event_type", "value", "event_id").count() == 0
+
+
+class TestGapFillLocf:
+    """gap_fill_locf — dense spine + forward fill."""
+
+    def test_planted_gaps_fill_with_last_close(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import gap_fill_locf
+
+        rows = [
+            # key a: buckets 0 and 3 observed; 1, 2 are gaps
+            ("a", 1, 5, 10.0),   # bucket 0
+            ("a", 2, 9, 20.0),   # bucket 0 (later ts -> close)
+            ("a", 3, 35, 30.0),  # bucket 3
+            # key b: single bucket, no gaps
+            ("b", 4, 12, 7.0),   # bucket 1
+        ]
+        df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+        out = {
+            (r["key"], r["bucket"]): (r["v"], r["filled"], r["n_events"])
+            for r in gap_fill_locf(df, "k", "t", "eid", "v", bucket_us=10).collect()
+        }
+        assert out == {
+            ("a", 0): (20.0, False, 2),  # close of bucket 0 is the later ts
+            ("a", 1): (20.0, True, 0),   # gap carries forward
+            ("a", 2): (20.0, True, 0),
+            ("a", 3): (30.0, False, 1),
+            ("b", 1): (7.0, False, 1),
+        }
+
+    def test_close_anchors_on_ts_then_id(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import gap_fill_locf
+
+        rows = [  # same bucket, same ts: higher id wins the close
+            ("a", 1, 5, 1.0),
+            ("a", 2, 5, 2.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+        [r] = gap_fill_locf(df, "k", "t", "eid", "v", bucket_us=10).collect()
+        assert (r["v"], r["filled"], r["n_events"]) == (2.0, False, 2)
+
+    def test_spine_is_per_key_not_global(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import gap_fill_locf
+
+        rows = [
+            ("a", 1, 0, 1.0),    # key a spans buckets 0..0
+            ("b", 2, 100, 2.0),  # key b spans buckets 10..10
+        ]
+        df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+        out = gap_fill_locf(df, "k", "t", "eid", "v", bucket_us=10).collect()
+        # no cross-key spine: 2 rows total, not 11 per key
+        assert len(out) == 2
+        assert all(not r["filled"] for r in out)
