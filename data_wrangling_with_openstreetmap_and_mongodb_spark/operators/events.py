@@ -357,3 +357,136 @@ def gap_fill_locf_sql(
                CAST(n_obs AS BIGINT) AS n_events
         FROM j
     """
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """:func:`gap_fill_locf`'s linear-interpolation sibling: gap buckets take
+    the straight line between the surrounding observed closes instead of a
+    flat carry — ``(key, bucket, v, filled, n_events)``.
+
+    ``v`` for a gap at bucket t between observations (t₀, v₀) and (t₁, v₁)
+    is ``v₀ + (v₁ − v₀) · (t − t₀)/(t₁ − t₀)``, quantized to 1e-6 like every
+    float the engine compares across engines.  Interior gaps interpolate;
+    there are no edge gaps by construction (the spine spans first..last
+    observed bucket).  Observed buckets keep their exact close.
+
+    Same two-shuffle shape as LOCF plus one extra pair of IGNORE NULLS
+    windows (previous/next observation), all sharing the key partitioning.
+    """
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+
+    key = _order_key(F.col(ts_col), F.col(id_col))
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.col(ts_col) / F.lit(bucket_us)).cast("long").alias("bucket"),
+            F.col(value_col).alias("v"),
+            key.alias("k"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.max_by("v", "k").alias("close_v"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    spine = (
+        obs.groupBy("key")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select("key", F.explode(F.sequence("mn", "mx")).alias("bucket"))
+    )
+    joined = spine.join(obs, ["key", "bucket"], "left")
+    wp = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("close_v").isNotNull(), F.col("bucket"))
+    prev_v = F.last("close_v", ignorenulls=True).over(wp)
+    prev_t = F.last(obs_bucket, ignorenulls=True).over(wp)
+    next_v = F.first("close_v", ignorenulls=True).over(wn)
+    next_t = F.first(obs_bucket, ignorenulls=True).over(wn)
+    interp = quantize6(
+        prev_v
+        + (next_v - prev_v)
+        * ((F.col("bucket") - prev_t) / (next_t - prev_t))
+    )
+    return joined.select(
+        "key",
+        "bucket",
+        F.when(F.col("close_v").isNotNull(), F.col("close_v"))
+        .otherwise(interp)
+        .alias("v"),
+        F.col("close_v").isNull().alias("filled"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+    )
+
+
+def gap_fill_interpolate_sql(
+    table: str,
+    key_expr: str,
+    ts_expr: str,
+    id_expr: str,
+    value_expr: str,
+    bucket_us: int,
+) -> str:
+    """DuckDB oracle reproducing :func:`gap_fill_interpolate` row-for-row."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+        quantize6_sql,
+    )
+
+    key = (
+        f"lpad(CAST({ts_expr} AS VARCHAR), 20, '0') ||"
+        f" lpad(CAST({id_expr} AS VARCHAR), 12, '0')"
+    )
+    interp = quantize6_sql(
+        "prev_v + (next_v - prev_v)"
+        " * ((bucket - prev_t) / CAST(next_t - prev_t AS DOUBLE))"
+    )
+    return f"""
+        WITH obs AS (
+            SELECT {key_expr} AS key,
+                   CAST(FLOOR({ts_expr} / {bucket_us}) AS BIGINT) AS bucket,
+                   arg_max({value_expr}, {key}) AS close_v,
+                   COUNT(*) AS n_obs
+            FROM {table} GROUP BY 1, 2
+        ),
+        ext AS (SELECT key, min(bucket) AS mn, max(bucket) AS mx
+                FROM obs GROUP BY key),
+        spine AS (SELECT key, unnest(range(mn, mx + 1)) AS bucket FROM ext),
+        j AS (SELECT s.key, s.bucket, o.close_v, coalesce(o.n_obs, 0) AS n_obs
+              FROM spine s LEFT JOIN obs o USING (key, bucket)),
+        w AS (SELECT key, bucket, close_v, n_obs,
+                     last_value(close_v IGNORE NULLS) OVER (
+                         PARTITION BY key ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+                     last_value(CASE WHEN close_v IS NOT NULL THEN bucket END
+                                IGNORE NULLS) OVER (
+                         PARTITION BY key ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+                     first_value(close_v IGNORE NULLS) OVER (
+                         PARTITION BY key ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                     first_value(CASE WHEN close_v IS NOT NULL THEN bucket END
+                                 IGNORE NULLS) OVER (
+                         PARTITION BY key ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+              FROM j)
+        SELECT key, bucket,
+               CASE WHEN close_v IS NOT NULL THEN close_v
+                    ELSE {interp} END AS v,
+               close_v IS NULL AS filled,
+               CAST(n_obs AS BIGINT) AS n_events
+        FROM w
+    """

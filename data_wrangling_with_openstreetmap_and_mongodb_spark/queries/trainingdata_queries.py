@@ -2577,3 +2577,47 @@ def events_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("key").alias("event_type"), "bucket", "v", "filled", "n_events"
     )
+
+
+def _gap_interp_oracle_sql() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        gap_fill_interpolate_sql,
+    )
+
+    sql = gap_fill_interpolate_sql(
+        "events", "event_type", "epoch_us(ts)", "event_id", "value",
+        bucket_us=15 * 60 * 1_000_000,
+    )
+    # rename only the FINAL projection's key column (the window CTE also
+    # starts with "SELECT key, bucket," — split on the last occurrence)
+    head, _, tail = sql.rpartition("SELECT key, bucket,")
+    return head + "SELECT key AS event_type, bucket," + tail
+
+
+@register(
+    "events_gap_interpolated",
+    oracle=_gap_interp_oracle_sql(),
+    doc="linear-interpolation gap fill (operators/events.py::"
+    "gap_fill_interpolate): gap buckets take the straight line between "
+    "surrounding observed closes — the interpolate half of the "
+    "locf/interpolate resample pair; quantized so the float path is "
+    "engine-exact.  Gate-only: the window is full; shares its spine/"
+    "close machinery with events_gap_filled_locf.",
+    tags=("events", "window", "resample"),
+    driver_visible=False,
+)
+def events_gap_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        gap_fill_interpolate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_type", "event_id", "value", ts_micros(ev).alias("t")
+    )
+    return gap_fill_interpolate(
+        ev, "event_type", "t", "event_id", "value", bucket_us=15 * 60 * 1_000_000
+    ).select(
+        F.col("key").alias("event_type"), "bucket", "v", "filled", "n_events"
+    )

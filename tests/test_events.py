@@ -226,3 +226,51 @@ class TestGapFillLocf:
         # no cross-key spine: 2 rows total, not 11 per key
         assert len(out) == 2
         assert all(not r["filled"] for r in out)
+
+
+class TestGapFillInterpolate:
+    def test_interior_gaps_take_straight_line(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+            gap_fill_interpolate,
+        )
+
+        rows = [
+            ("a", 1, 5, 10.0),   # bucket 0, close 10
+            ("a", 2, 45, 40.0),  # bucket 4, close 40 -> slope 7.5/bucket
+        ]
+        df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+        out = {
+            r["bucket"]: (r["v"], r["filled"])
+            for r in gap_fill_interpolate(df, "k", "t", "eid", "v", bucket_us=10).collect()
+        }
+        assert out == {
+            0: (10.0, False),
+            1: (17.5, True),
+            2: (25.0, True),
+            3: (32.5, True),
+            4: (40.0, False),
+        }
+
+    def test_observed_buckets_keep_exact_close(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+            gap_fill_interpolate,
+            gap_fill_locf,
+        )
+
+        rows = [
+            ("a", 1, 5, 3.25),
+            ("a", 2, 9, 7.75),   # same bucket: close = later ts
+            ("a", 3, 25, 1.5),
+        ]
+        df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+        interp = {
+            r["bucket"]: r["v"]
+            for r in gap_fill_interpolate(df, "k", "t", "eid", "v", bucket_us=10).collect()
+            if not r["filled"]
+        }
+        locf = {
+            r["bucket"]: r["v"]
+            for r in gap_fill_locf(df, "k", "t", "eid", "v", bucket_us=10).collect()
+            if not r["filled"]
+        }
+        assert interp == locf == {0: 7.75, 2: 1.5}
