@@ -15,6 +15,8 @@ PICKS = [
     ("span_dedup_documents", "span dedup: min(struct) winner hash-agg (no window sort), ordered reassembly"),
     ("ann_ivfpq_topk", "IVF-PQ ADC: broadcast codebooks + distance table, codes-only ranking"),
     ("events_asof_last_order", "as-of join: union-merge, one shuffle + one window, no nested loop"),
+    ("semantic_dedup_embeddings", "SemDeDup: single scan, cells packed once, Arrow-batched numpy multiply — no pair join in the plan"),
+    ("cms_token_counts", "count-min sketch: depth-bounded hash-agg grid, broadcast probe join"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of headline queries (sf0.01, local[8])
