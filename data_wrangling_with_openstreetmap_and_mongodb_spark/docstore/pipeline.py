@@ -147,6 +147,63 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     )
 
 
+def _apply_bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$bucket: range-bucket documents by ``groupBy`` over explicit
+    ``boundaries`` (ascending; [lo, hi) per Mongo), out-of-range docs to
+    ``default`` (error without one, like Mongo), accumulators in ``output``
+    (default {count: {$sum: 1}}).  One conditional projection + hash-agg."""
+    ec = ExpressionCompiler(df)
+    key = ec.compile(spec["groupBy"])
+    bounds = spec["boundaries"]
+    if sorted(bounds) != list(bounds) or len(bounds) < 2:
+        raise ValueError("$bucket boundaries must be ascending, length >= 2")
+    # Mongo's _id may mix types (numeric boundaries + a string default);
+    # a Spark column cannot — when the default's type differs from the
+    # boundaries', every bucket id becomes its string form
+    stringify = "default" in spec and not isinstance(
+        spec["default"], type(bounds[0])
+    )
+    def _id_lit(v):
+        return F.lit(str(v) if stringify else v)
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (key >= F.lit(lo)) & (key < F.lit(hi))
+        bucket = F.when(cond, _id_lit(lo)) if bucket is None else bucket.when(cond, _id_lit(lo))
+    if "default" in spec:
+        bucket = bucket.otherwise(_id_lit(spec["default"]))
+    else:
+        # Mongo errors at RUN time on an out-of-range doc when no default is
+        # given — raise_error is the lazy-plan analogue (fires per offending
+        # row at execution, free when all docs are in range)
+        bucket = bucket.otherwise(
+            F.raise_error(F.lit("$bucket: document outside boundaries and no default"))
+        )
+    tagged = df.withColumn("_id", bucket)
+    output = spec.get("output", {"count": {"$sum": 1}})
+    ec2 = ExpressionCompiler(tagged)
+    aggs = [_accumulator(ec2, name, acc) for name, acc in output.items()]
+    return tagged.groupBy("_id").agg(*aggs)
+
+
+def _apply_facet(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$facet: run each named sub-pipeline over the SAME input and return a
+    single document with one array-of-documents field per facet.
+
+    Each facet compiles to its own lazy sub-plan collapsed to one row via
+    ``collect_list(struct(*))``; the single-row facets combine with cross
+    joins (1×1 — no data movement beyond each facet's own plan)."""
+    out = None
+    for name, sub in spec.items():
+        fdf = aggregate(df, sub)
+        one = fdf.agg(
+            F.collect_list(F.struct(*[F.col(c) for c in fdf.columns])).alias(name)
+        )
+        out = one if out is None else out.crossJoin(one)
+    if out is None:
+        raise ValueError("$facet requires at least one facet")
+    return out
+
+
 def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
     """Compile a full pipeline into one lazy DataFrame plan."""
     out = df
@@ -176,6 +233,34 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
                 out = out.withColumn(name, ec.compile(expr))
         elif op == "$lookup":
             out = _apply_lookup(out, spec)
+        elif op == "$bucket":
+            out = _apply_bucket(out, spec)
+        elif op == "$facet":
+            out = _apply_facet(out, spec)
+        elif op == "$sortByCount":
+            # {$sortByCount: '$expr'} ≡ $group count + $sort desc; count
+            # ties order by _id for a deterministic result (Mongo leaves
+            # ties unspecified — determinism is strictly stronger)
+            key = ExpressionCompiler(out).compile(spec)
+            out = (
+                out.groupBy(key.alias("_id"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.desc("count"), F.asc("_id"))
+            )
+        elif op == "$unionWith":
+            # spec: DataFrame (no shared catalog — same convention as
+            # $lookup's 'from'), or {'coll': DataFrame, 'pipeline': [...]}
+            other = spec
+            if isinstance(spec, dict):
+                other = aggregate(spec["coll"], spec.get("pipeline", []))
+            if not isinstance(other, DataFrame):
+                raise ValueError("$unionWith takes a DataFrame (no shared catalog)")
+            out = out.unionByName(other, allowMissingColumns=True)
+        elif op == "$replaceRoot" or op == "$replaceWith":
+            expr = spec["newRoot"] if isinstance(spec, dict) and "newRoot" in spec else spec
+            if not (isinstance(expr, str) and expr.startswith("$")):
+                raise ValueError("$replaceRoot newRoot must be a '$field' path")
+            out = out.select(f"{expr[1:]}.*")
         elif op == "$sample":
             # Exactly `size` pseudo-random docs without an eager count():
             # rank by a seeded rand() and keep the lowest `size`.  Catalyst

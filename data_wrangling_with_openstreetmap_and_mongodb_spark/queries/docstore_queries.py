@@ -266,3 +266,42 @@ def ds_compound_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ]
     )
+
+
+@register(
+    "ds_bucket_balances",
+    oracle="""
+        SELECT CASE WHEN c_acctbal >= 0 AND c_acctbal < 2000 THEN '0'
+                    WHEN c_acctbal >= 2000 AND c_acctbal < 6000 THEN '2000'
+                    ELSE 'other' END AS _id,
+               COUNT(*) AS count,
+               MAX(c_acctbal) AS max_bal
+        FROM customer
+        GROUP BY _id
+    """,
+    doc="$bucket stage (docstore/pipeline.py::_apply_bucket): explicit "
+    "[lo, hi) boundaries with a default catch-all and custom output "
+    "accumulators — one conditional projection + hash-agg; heterogeneous "
+    "Mongo _ids (numeric boundaries + string default) surface as their "
+    "string forms since a Spark column is monotyped.  Gate-only: the "
+    "window is full; grouping/accumulator families hold hard rows via "
+    "pricing_summary and ds_value_stats_by_type.",
+    tags=("docstore", "agg", "bucket"),
+    driver_visible=False,
+)
+def ds_bucket_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "customer").aggregate(
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$c_acctbal",
+                    "boundaries": [0, 2000, 6000],
+                    "default": "other",
+                    "output": {
+                        "count": {"$sum": 1},
+                        "max_bal": {"$max": "$c_acctbal"},
+                    },
+                }
+            }
+        ]
+    )

@@ -300,3 +300,102 @@ def test_pipeline_sample_exact_size_and_lazy(spark):
     # deterministic under the fixed seed
     again = coll.aggregate([{"$sample": {"size": 7}}]).collect()
     assert {r["id"] for r in rows} == {r["id"] for r in again}
+
+
+class TestPipelineStageExtensions:
+    """$bucket / $facet / $sortByCount / $unionWith / $replaceRoot — the
+    aggregation stages a reference user reaches for next."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                ("a", 5.0, "x", ("s1", 1)),
+                ("b", 15.0, "y", ("s2", 2)),
+                ("c", 25.0, "x", ("s1", 3)),
+                ("d", 45.0, "x", ("s3", 4)),
+            ],
+            "name string, price double, kind string, "
+            "meta struct<src: string, n: long>",
+        )
+
+    def test_bucket_with_default_and_output(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        out = aggregate(
+            self._docs(spark),
+            [
+                {
+                    "$bucket": {
+                        "groupBy": "$price",
+                        "boundaries": [0, 10, 20],
+                        "default": "other",
+                        "output": {
+                            "count": {"$sum": 1},
+                            "max_price": {"$max": "$price"},
+                        },
+                    }
+                }
+            ],
+        )
+        got = {r["_id"]: (r["count"], r["max_price"]) for r in out.collect()}
+        assert got == {"0": (1, 5.0), "10": (1, 15.0), "other": (2, 45.0)}
+
+    def test_bucket_without_default_errors_on_out_of_range(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        out = aggregate(
+            self._docs(spark),
+            [{"$bucket": {"groupBy": "$price", "boundaries": [0, 10, 20]}}],
+        )
+        with pytest.raises(Exception, match="outside boundaries"):
+            out.collect()
+
+    def test_sort_by_count(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        out = aggregate(self._docs(spark), [{"$sortByCount": "$kind"}]).collect()
+        assert [(r["_id"], r["count"]) for r in out] == [("x", 3), ("y", 1)]
+
+    def test_facet_runs_subpipelines_over_same_input(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        [row] = aggregate(
+            self._docs(spark),
+            [
+                {
+                    "$facet": {
+                        "by_kind": [{"$sortByCount": "$kind"}],
+                        "cheap": [
+                            {"$match": {"price": {"$lt": 20}}},
+                            {"$project": {"name": 1}},
+                        ],
+                    }
+                }
+            ],
+        ).collect()
+        assert [(d["_id"], d["count"]) for d in row["by_kind"]] == [("x", 3), ("y", 1)]
+        assert sorted(d["name"] for d in row["cheap"]) == ["a", "b"]
+
+    def test_union_with_pipeline(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        extra = spark.createDataFrame([{"name": "z", "price": 99.0, "kind": "y"}])
+        out = aggregate(
+            self._docs(spark),
+            [
+                {"$project": {"name": 1, "kind": 1}},
+                {"$unionWith": {"coll": extra, "pipeline": [{"$project": {"name": 1, "kind": 1}}]}},
+                {"$sortByCount": "$kind"},
+            ],
+        ).collect()
+        assert [(r["_id"], r["count"]) for r in out] == [("x", 3), ("y", 2)]
+
+    def test_replace_root_promotes_nested_doc(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        out = aggregate(
+            self._docs(spark), [{"$replaceRoot": {"newRoot": "$meta"}}]
+        )
+        assert sorted(out.columns) == ["n", "src"]
+        assert out.count() == 4
