@@ -1,10 +1,24 @@
 """Structured Streaming operators: the hourly rollup (readStream → stateful
 agg → availableNow, bit-identical to batch), gap sessionization as a custom
 stateful operator (applyInPandasWithState), watermarked event-time windows,
-and watermark-bounded streaming exact dedup."""
+watermark-bounded streaming exact dedup, stream-stream interval join,
+streaming OHLC bars, the streaming MinHash-index dedup probe, and streaming
+count-min sketch maintenance (foreachBatch cell-wise merge)."""
 
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.cms_stream import (
+    run_streaming_cms,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.dedup_probe import (
+    run_streaming_dedup_probe,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.dedup_stream import (
     dedup_stream,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.join import (
+    stream_stream_interval_join,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.ohlc import (
+    streaming_ohlc,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.rollup import (
     hourly_rollup_plan,
@@ -23,6 +37,10 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.windowed impo
 
 __all__ = [
     "dedup_stream",
+    "run_streaming_cms",
+    "run_streaming_dedup_probe",
+    "stream_stream_interval_join",
+    "streaming_ohlc",
     "hourly_rollup_plan",
     "run_streaming_hourly_rollup",
     "sessionize_batch",
