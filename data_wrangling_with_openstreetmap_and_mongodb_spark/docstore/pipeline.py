@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import Any
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import types as T
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import (
@@ -204,6 +204,75 @@ def _apply_facet(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return out
 
 
+def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$densify (practical subset): add missing documents so ``field`` steps
+    by ``range.step`` from each partition's min to max (``bounds: "full"``
+    spans the GLOBAL min..max for every partition).  Added docs carry the
+    partition fields + the densified field; all other columns are null —
+    exactly Mongo's contract, and exactly the spine half of
+    ``operators/events.gap_fill_locf``.
+
+    One aggregation for the extents, a ``sequence`` explode for the spine
+    (per partition — never a global-calendar cross join), and a left
+    anti-join-free union: observed rows pass through untouched, spine rows
+    that collide with an observed (partition, field) drop via left-anti.
+    """
+    field = spec["field"]
+    rng = spec["range"]
+    step = int(rng["step"])
+    parts = rng.get("partitionByFields", [])
+    bounds = rng.get("bounds", "partition")
+    fcol = F.col(field)
+    if bounds == "full":
+        ext = df.agg(F.min(fcol).alias("__mn"), F.max(fcol).alias("__mx"))
+        pkeys = df.select(*parts).distinct() if parts else None
+        ext = pkeys.crossJoin(F.broadcast(ext)) if pkeys is not None else ext
+    elif bounds == "partition":
+        if not parts:
+            raise ValueError('$densify bounds "partition" needs partitionByFields')
+        ext = df.groupBy(*parts).agg(F.min(fcol).alias("__mn"), F.max(fcol).alias("__mx"))
+    else:
+        raise ValueError(f'unsupported $densify bounds: {bounds!r}')
+    spine = ext.select(
+        *parts, F.explode(F.sequence("__mn", "__mx", F.lit(step))).alias(field)
+    )
+    missing = spine.join(df.select(*parts, field), [*parts, field], "left_anti")
+    for c in df.columns:
+        if c != field and c not in parts:
+            missing = missing.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
+    return df.unionByName(missing.select(*df.columns))
+
+
+def _apply_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$fill (practical subset): fill null fields per ``output`` method —
+    ``locf`` (last observation carried forward in ``sortBy`` order within
+    ``partitionBy``) or a constant ``value``.  The window mirrors
+    ``operators/events.gap_fill_locf``'s fill pass."""
+    parts = spec.get("partitionBy", [])
+    if isinstance(parts, str):
+        parts = [parts.lstrip("$")]
+    sort_spec = spec.get("sortBy", {})
+    order = [
+        (F.col(k).asc() if d >= 0 else F.col(k).desc()) for k, d in sort_spec.items()
+    ]
+    out = df
+    for name, how in spec["output"].items():
+        if "value" in how:
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(how["value"])))
+        elif how.get("method") == "locf":
+            if not order:
+                raise ValueError("$fill method locf requires sortBy")
+            w = (
+                Window.partitionBy(*[F.col(p) for p in parts]).orderBy(*order)
+                if parts
+                else Window.orderBy(*order)
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
+        else:
+            raise ValueError(f"unsupported $fill output for {name!r}: {how}")
+    return out
+
+
 def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
     """Compile a full pipeline into one lazy DataFrame plan."""
     out = df
@@ -235,6 +304,10 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             out = _apply_lookup(out, spec)
         elif op == "$bucket":
             out = _apply_bucket(out, spec)
+        elif op == "$densify":
+            out = _apply_densify(out, spec)
+        elif op == "$fill":
+            out = _apply_fill(out, spec)
         elif op == "$facet":
             out = _apply_facet(out, spec)
         elif op == "$sortByCount":

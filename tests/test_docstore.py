@@ -399,3 +399,100 @@ class TestPipelineStageExtensions:
         )
         assert sorted(out.columns) == ["n", "src"]
         assert out.count() == 4
+
+
+class TestDensifyFill:
+    """$densify + $fill — Mongo's own gap-fill stages, compiled onto the
+    same spine/LOCF machinery as operators/events.gap_fill_locf."""
+
+    def _series(self, spark):
+        return spark.createDataFrame(
+            [
+                ("a", 0, 10.0),
+                ("a", 3, 40.0),
+                ("b", 1, 7.0),
+            ],
+            "k string, t long, v double",
+        )
+
+    def test_densify_partition_bounds(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        out = aggregate(
+            self._series(spark),
+            [
+                {
+                    "$densify": {
+                        "field": "t",
+                        "range": {"step": 1, "bounds": "partition", "partitionByFields": ["k"]},
+                    }
+                }
+            ],
+        )
+        got = sorted((r["k"], r["t"], r["v"]) for r in out.collect())
+        assert got == [
+            ("a", 0, 10.0),
+            ("a", 1, None),
+            ("a", 2, None),
+            ("a", 3, 40.0),
+            ("b", 1, 7.0),
+        ]
+
+    def test_densify_full_bounds_spans_global_range(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        out = aggregate(
+            self._series(spark),
+            [
+                {
+                    "$densify": {
+                        "field": "t",
+                        "range": {"step": 1, "bounds": "full", "partitionByFields": ["k"]},
+                    }
+                }
+            ],
+        )
+        # both partitions span the global 0..3
+        got = {(r["k"], r["t"]) for r in out.collect()}
+        assert got == {(k, t) for k in ("a", "b") for t in range(4)}
+
+    def test_densify_then_fill_locf(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        out = aggregate(
+            self._series(spark),
+            [
+                {
+                    "$densify": {
+                        "field": "t",
+                        "range": {"step": 1, "bounds": "partition", "partitionByFields": ["k"]},
+                    }
+                },
+                {
+                    "$fill": {
+                        "partitionBy": "$k",
+                        "sortBy": {"t": 1},
+                        "output": {"v": {"method": "locf"}},
+                    }
+                },
+            ],
+        )
+        got = sorted((r["k"], r["t"], r["v"]) for r in out.collect())
+        assert got == [
+            ("a", 0, 10.0),
+            ("a", 1, 10.0),
+            ("a", 2, 10.0),
+            ("a", 3, 40.0),
+            ("b", 1, 7.0),
+        ]
+
+    def test_fill_constant_value(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = self._series(spark).unionByName(
+            self._series(spark).sparkSession.createDataFrame(
+                [("c", 9, None)], "k string, t long, v double"
+            )
+        )
+        out = aggregate(df, [{"$fill": {"output": {"v": {"value": 0.0}}}}])
+        assert {r["v"] for r in out.collect()} == {10.0, 40.0, 7.0, 0.0}
