@@ -185,6 +185,33 @@ def _apply_bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return tagged.groupBy("_id").agg(*aggs)
 
 
+def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$bucketAuto: ``buckets`` equal-population groups over ``groupBy``
+    (ntile over the sort on the key — Mongo's contract is "roughly equal
+    counts"; boundary placement differs from mongod's granularity heuristics
+    but the population split, min/max _id document, and accumulators hold).
+    Ties order deterministically by the key itself."""
+    ec = ExpressionCompiler(df)
+    key = ec.compile(spec["groupBy"])
+    n = int(spec["buckets"])
+    w = Window.orderBy(key.asc())
+    tagged = df.withColumn("__b", F.ntile(n).over(w)).withColumn("__k", key)
+    output = spec.get("output", {"count": {"$sum": 1}})
+    ec2 = ExpressionCompiler(tagged)
+    aggs = [_accumulator(ec2, name, acc) for name, acc in output.items()]
+    return (
+        tagged.groupBy("__b")
+        .agg(
+            F.struct(
+                F.min("__k").alias("min"), F.max("__k").alias("max")
+            ).alias("_id"),
+            *aggs,
+        )
+        .orderBy("__b")
+        .drop("__b")
+    )
+
+
 def _apply_facet(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$facet: run each named sub-pipeline over the SAME input and return a
     single document with one array-of-documents field per facet.
@@ -304,6 +331,15 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             out = _apply_lookup(out, spec)
         elif op == "$bucket":
             out = _apply_bucket(out, spec)
+        elif op == "$bucketAuto":
+            out = _apply_bucket_auto(out, spec)
+        elif op == "$out":
+            # Mongo's $out materializes the pipeline into a collection; the
+            # engine's collections are parquet tables (SURVEY S17/S18), so
+            # this writes and returns the materialized table — the one
+            # action-bearing stage, by definition
+            out.write.mode("overwrite").parquet(str(spec))
+            out = out.sparkSession.read.parquet(str(spec))
         elif op == "$densify":
             out = _apply_densify(out, spec)
         elif op == "$fill":

@@ -496,3 +496,30 @@ class TestDensifyFill:
         )
         out = aggregate(df, [{"$fill": {"output": {"v": {"value": 0.0}}}}])
         assert {r["v"] for r in out.collect()} == {10.0, 40.0, 7.0, 0.0}
+
+
+class TestBucketAutoAndOut:
+    def test_bucket_auto_equal_population(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(12)], "price double"
+        )
+        out = aggregate(
+            df,
+            [{"$bucketAuto": {"groupBy": "$price", "buckets": 3,
+                              "output": {"count": {"$sum": 1}, "avg": {"$avg": "$price"}}}}],
+        ).collect()
+        assert [r["count"] for r in out] == [4, 4, 4]
+        assert [(r["_id"]["min"], r["_id"]["max"]) for r in out] == [
+            (0.0, 3.0), (4.0, 7.0), (8.0, 11.0),
+        ]
+
+    def test_out_materializes_and_returns_table(self, spark, tmp_path):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        path = str(tmp_path / "outcoll")
+        out = aggregate(df, [{"$match": {"id": {"$gte": 2}}}, {"$out": path}])
+        assert [(r["id"], r["s"]) for r in out.collect()] == [(2, "b")]
+        assert [(r["id"], r["s"]) for r in spark.read.parquet(path).collect()] == [(2, "b")]
