@@ -29,6 +29,11 @@ class ExpressionCompiler:
 
     def __init__(self, df: DataFrame):
         self.df = df
+        # lambda-variable environment for $filter/$map/$reduce: "$$name"
+        # references resolve here (a plain dict works — expressions compile
+        # depth-first, and each array operator restores the previous binding
+        # on exit, so shadowing nests correctly)
+        self._env: dict[str, Column] = {}
 
     # -- helpers ------------------------------------------------------------
     def field_type(self, path: str) -> T.DataType | None:
@@ -69,6 +74,14 @@ class ExpressionCompiler:
         if isinstance(e, str):
             if e.startswith("$$NOW"):
                 return F.current_timestamp()
+            if e.startswith("$$"):
+                name, _, rest = e[2:].partition(".")
+                if name not in self._env:
+                    raise ValueError(f"unbound expression variable: $${name}")
+                out = self._env[name]
+                for part in rest.split(".") if rest else []:
+                    out = out.getField(part)
+                return out
             if e.startswith("$"):
                 return F.col(e[1:])
             return F.lit(e)
@@ -192,6 +205,179 @@ class ExpressionCompiler:
             return out
         if op == "$not":
             return ~self.compile_bool(args[0] if isinstance(args, list) else args)
+        if op == "$switch":
+            out = None
+            for br in args["branches"]:
+                case, then = self.compile_bool(br["case"]), c(br["then"])
+                out = F.when(case, then) if out is None else out.when(case, then)
+            if "default" in args:
+                out = out.otherwise(c(args["default"]))
+            return out
+        # -- higher-order array operators ($$var-binding forms) --------------
+        if op in ("$filter", "$map"):
+            var = args.get("as", "this")
+            body_key = "cond" if op == "$filter" else "in"
+
+            def _lam(x: Column) -> Column:
+                prev = self._env.get(var)
+                self._env[var] = x
+                try:
+                    out = (
+                        self.compile_bool(args[body_key])
+                        if op == "$filter"
+                        else c(args[body_key])
+                    )
+                finally:
+                    if prev is None:
+                        self._env.pop(var, None)
+                    else:
+                        self._env[var] = prev
+                return out
+
+            fn = F.filter if op == "$filter" else F.transform
+            return fn(c(args["input"]), _lam)
+        if op == "$reduce":
+            def _red(acc: Column, x: Column) -> Column:
+                pv, pt = self._env.get("value"), self._env.get("this")
+                self._env["value"], self._env["this"] = acc, x
+                try:
+                    out = c(args["in"])
+                finally:
+                    self._env.pop("value", None), self._env.pop("this", None)
+                    if pv is not None:
+                        self._env["value"] = pv
+                    if pt is not None:
+                        self._env["this"] = pt
+                return out
+
+            init = c(args["initialValue"])
+            # Spark's aggregate requires the accumulator type to match the
+            # merge result exactly; Mongo's 0 against a long array would be
+            # INT vs BIGINT — align the init to the array's element type
+            # when the input is a plain field reference
+            if isinstance(args["input"], str) and args["input"].startswith("$"):
+                dt = self.field_type(args["input"].lstrip("$"))
+                if isinstance(dt, T.ArrayType):
+                    init = init.cast(dt.elementType)
+            return F.aggregate(c(args["input"]), init, _red)
+        # -- plain array operators -------------------------------------------
+        if op == "$slice":
+            if len(args) == 2:
+                arr, n = args
+                n = int(n)
+                # Mongo: first n (n>0) / last n (n<0)
+                return F.slice(c(arr), 1 if n > 0 else n, abs(n))
+            arr, pos, n = args
+            return F.slice(c(arr), int(pos) + 1, int(n))  # Mongo pos 0-based
+        if op == "$concatArrays":
+            return F.concat(*[c(a) for a in args])
+        if op == "$setUnion":
+            out = c(args[0])
+            for a in args[1:]:
+                out = F.array_union(out, c(a))
+            return out
+        if op == "$setIntersection":
+            out = c(args[0])
+            for a in args[1:]:
+                out = F.array_intersect(out, c(a))
+            return out
+        if op == "$setDifference":
+            ca, cb = self._binary_args(args)
+            return F.array_except(ca, cb)
+        if op == "$range":
+            start, end = args[0], args[1]
+            step = int(args[2]) if len(args) > 2 else 1
+            if step == 0:
+                raise ValueError("$range step must be nonzero")
+            # Mongo's range is half-open [start, end); sequence is inclusive,
+            # so pull the end in by one step-direction unit — any element
+            # ≤ end−1 (ascending) / ≥ end+1 (descending) is strictly inside
+            end_adj = c(end) - F.lit(1) if step > 0 else c(end) + F.lit(1)
+            seq = F.sequence(c(start), end_adj, F.lit(step))
+            # empty when the direction is degenerate (Mongo returns [])
+            nonempty = (c(start) < c(end)) if step > 0 else (c(start) > c(end))
+            return F.when(nonempty, seq).otherwise(F.array().cast("array<long>"))
+        if op == "$reverseArray":
+            return F.reverse(c(args))
+        if op == "$objectToArray":
+            return F.transform(
+                F.map_entries(c(args)),
+                lambda kv: F.struct(kv["key"].alias("k"), kv["value"].alias("v")),
+            )
+        if op == "$arrayToObject":
+            return F.map_from_entries(
+                F.transform(c(args), lambda s: F.struct(s["k"], s["v"]))
+            )
+        # -- n-ary numeric expression forms ----------------------------------
+        if op == "$max":
+            return F.greatest(*[c(a) for a in args]) if len(args) > 1 else c(args[0])
+        if op == "$min":
+            return F.least(*[c(a) for a in args]) if len(args) > 1 else c(args[0])
+        if op == "$sum" and isinstance(args, list):
+            out = c(args[0])
+            for a in args[1:]:
+                out = out + c(a)
+            return out
+        if op == "$avg" and isinstance(args, list):
+            out = c(args[0])
+            for a in args[1:]:
+                out = out + c(a)
+            return out / F.lit(len(args))
+        # -- math -------------------------------------------------------------
+        if op == "$ceil":
+            return F.ceil(c(args))
+        if op == "$floor":
+            return F.floor(c(args))
+        if op == "$trunc":
+            a = args[0] if isinstance(args, list) else args
+            place = int(args[1]) if isinstance(args, list) and len(args) > 1 else 0
+            ca, p = c(a), F.lit(float(10**place))
+            # truncate toward zero at `place` decimals (floor for ≥0, ceil for <0)
+            return F.when(ca >= 0, F.floor(ca * p) / p).otherwise(F.ceil(ca * p) / p)
+        if op == "$round":
+            a = args[0] if isinstance(args, list) else args
+            place = int(args[1]) if isinstance(args, list) and len(args) > 1 else 0
+            return F.round(c(a), place)
+        if op == "$sqrt":
+            return F.sqrt(c(args))
+        if op == "$pow":
+            ca, cb = self._binary_args(args)
+            return F.pow(ca, cb)
+        if op == "$exp":
+            return F.exp(c(args))
+        if op == "$ln":
+            return F.log(c(args))
+        if op == "$log10":
+            return F.log10(c(args))
+        # -- strings -----------------------------------------------------------
+        if op == "$regexMatch":
+            return c(args["input"]).rlike(args["regex"])
+        if op == "$replaceAll":
+            return F.replace(
+                c(args["input"]), c(args["find"]), c(args["replacement"])
+            )
+        if op == "$indexOfCP":
+            s, sub = args[0], args[1]
+            return F.instr(c(s), sub) - F.lit(1)  # Mongo 0-based, −1 missing
+        if op == "$ltrim":
+            return F.ltrim(c(args["input"] if isinstance(args, dict) else args))
+        if op == "$rtrim":
+            return F.rtrim(c(args["input"] if isinstance(args, dict) else args))
+        # -- more datetime parts ----------------------------------------------
+        if op == "$second":
+            return F.second(c(args))
+        if op == "$dayOfYear":
+            return F.dayofyear(c(args))
+        if op == "$dateToString":
+            fmt = args["format"]
+            for mongo, spark in (
+                ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+                ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
+            ):
+                fmt = fmt.replace(mongo, spark)
+            if "%" in fmt:
+                raise ValueError(f"unsupported $dateToString directive in {args['format']!r}")
+            return F.date_format(c(args["date"]), fmt)
         raise ValueError(f"unsupported aggregation expression operator: {op}")
 
     def compile_bool(self, e: Any) -> Column:

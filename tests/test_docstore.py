@@ -523,3 +523,105 @@ class TestBucketAutoAndOut:
         out = aggregate(df, [{"$match": {"id": {"$gte": 2}}}, {"$out": path}])
         assert [(r["id"], r["s"]) for r in out.collect()] == [(2, "b")]
         assert [(r["id"], r["s"]) for r in spark.read.parquet(path).collect()] == [(2, "b")]
+
+
+class TestExpressionOperatorExtensions:
+    """$filter/$map/$reduce with $$vars, $switch, set/array ops, math,
+    strings, dates — the expression surface a switching user expects."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, [1, 2, 3, 4], "Hello World", -2.76, dt_ts("2017-03-15 14:10:30")),
+            ],
+            "id long, xs array<long>, s string, x double, ts timestamp",
+        )
+
+    def test_filter_map_reduce_with_vars(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = self._df(spark)
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$filter": {"input": "$xs", "as": "n", "cond": {"$gt": ["$$n", 2]}}}).alias("f"),
+            ec.compile({"$map": {"input": "$xs", "as": "n", "in": {"$multiply": ["$$n", 10]}}}).alias("m"),
+            ec.compile({"$reduce": {"input": "$xs", "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}).alias("r"),
+        ).collect()[0]
+        assert list(row["f"]) == [3, 4]
+        assert list(row["m"]) == [10, 20, 30, 40]
+        assert row["r"] == 10
+
+    def test_switch_and_math(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = self._df(spark)
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$switch": {
+                "branches": [
+                    {"case": {"$lt": ["$x", -10]}, "then": "low"},
+                    {"case": {"$lt": ["$x", 0]}, "then": "neg"},
+                ],
+                "default": "pos",
+            }}).alias("sw"),
+            ec.compile({"$ceil": "$x"}).alias("ce"),
+            ec.compile({"$floor": "$x"}).alias("fl"),
+            ec.compile({"$trunc": ["$x", 1]}).alias("tr"),
+            ec.compile({"$round": ["$x", 1]}).alias("ro"),
+            ec.compile({"$pow": [2, 10]}).alias("pw"),
+        ).collect()[0]
+        assert row["sw"] == "neg"
+        assert (row["ce"], row["fl"]) == (-2, -3)
+        assert row["tr"] == -2.7  # toward zero
+        assert row["ro"] == -2.8
+        assert row["pw"] == 1024.0
+
+    def test_set_ops_slice_range(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = self._df(spark)
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$setUnion": ["$xs", {"$literal": [4, 9]}]}).alias("u"),
+            ec.compile({"$setIntersection": ["$xs", {"$literal": [2, 9]}]}).alias("i"),
+            ec.compile({"$setDifference": ["$xs", {"$literal": [1, 2]}]}).alias("d"),
+            ec.compile({"$slice": ["$xs", 2]}).alias("s1"),
+            ec.compile({"$slice": ["$xs", -2]}).alias("s2"),
+            ec.compile({"$slice": ["$xs", 1, 2]}).alias("s3"),
+            ec.compile({"$range": [0, 5, 2]}).alias("r1"),
+            ec.compile({"$range": [5, 0]}).alias("r2"),
+            ec.compile({"$reverseArray": "$xs"}).alias("rv"),
+        ).collect()[0]
+        assert sorted(row["u"]) == [1, 2, 3, 4, 9]
+        assert list(row["i"]) == [2]
+        assert list(row["d"]) == [3, 4]
+        assert (list(row["s1"]), list(row["s2"]), list(row["s3"])) == ([1, 2], [3, 4], [2, 3])
+        assert list(row["r1"]) == [0, 2, 4]
+        assert list(row["r2"]) == []
+        assert list(row["rv"]) == [4, 3, 2, 1]
+
+    def test_strings_and_dates(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = self._df(spark)
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$regexMatch": {"input": "$s", "regex": "^Hello"}}).alias("rm"),
+            ec.compile({"$replaceAll": {"input": "$s", "find": "l", "replacement": "L"}}).alias("ra"),
+            ec.compile({"$indexOfCP": ["$s", "World"]}).alias("ix"),
+            ec.compile({"$indexOfCP": ["$s", "zzz"]}).alias("miss"),
+            ec.compile({"$second": "$ts"}).alias("sec"),
+            ec.compile({"$dayOfYear": "$ts"}).alias("doy"),
+            ec.compile({"$dateToString": {"format": "%Y-%m-%d %H:%M", "date": "$ts"}}).alias("fmt"),
+        ).collect()[0]
+        assert row["rm"] is True
+        assert row["ra"] == "HeLLo WorLd"
+        assert (row["ix"], row["miss"]) == (6, -1)
+        assert (row["sec"], row["doy"]) == (30, 74)
+        assert row["fmt"] == "2017-03-15 14:10"
+
+
+def dt_ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
