@@ -305,3 +305,70 @@ def ds_bucket_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ]
     )
+
+
+@register(
+    "ds_expr_embedding_stats",
+    oracle="""
+        WITH per AS (
+            SELECT label,
+                   len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_pos,
+                   list_reduce(CAST(embedding AS DOUBLE[]), (acc, x) -> acc + x) AS s
+            FROM embeddings
+        )
+        SELECT label AS _id,
+               COUNT(*) AS n_vecs,
+               AVG(n_pos) AS avg_pos,
+               MAX(s) AS max_sum
+        FROM per GROUP BY label
+    """,
+    doc="aggregation-expression HOFs over array columns "
+    "(docstore/expressions.py): $filter + $size count positive components, "
+    "$map($toDouble) + $reduce left-folds each embedding (bit-identical to "
+    "DuckDB's list_reduce: 0.0+x1 == x1 in IEEE, then the same "
+    "left-to-right double adds), $group rolls up per label.  Exercises the "
+    "$$variable environment against a real column, not a fixture.  "
+    "Gate-only: the window is full.",
+    tags=("docstore", "expr", "hof"),
+    driver_visible=False,
+)
+def ds_expr_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "embeddings").aggregate(
+        [
+            {
+                "$project": {
+                    "label": "$label",
+                    "n_pos": {
+                        "$size": {
+                            "$filter": {
+                                "input": "$embedding",
+                                "as": "x",
+                                "cond": {"$gt": ["$$x", 0]},
+                            }
+                        }
+                    },
+                    "s": {
+                        "$reduce": {
+                            "input": {
+                                "$map": {
+                                    "input": "$embedding",
+                                    "as": "x",
+                                    "in": {"$toDouble": "$$x"},
+                                }
+                            },
+                            "initialValue": 0.0,
+                            "in": {"$add": ["$$value", "$$this"]},
+                        }
+                    },
+                }
+            },
+            {
+                "$group": {
+                    "_id": "$label",
+                    "n_vecs": {"$sum": 1},
+                    "avg_pos": {"$avg": "$n_pos"},
+                    "max_sum": {"$max": "$s"},
+                }
+            },
+        ]
+    )
