@@ -124,6 +124,35 @@ class FindCompiler:
         if op == "$elemMatch":
             # exists() with a lambda over the array elements
             return F.exists(col, lambda e: self._elem_match(e, arg))
+        if op == "$all":
+            # every listed value present in the array field
+            preds = [F.array_contains(col, F.lit(a)) for a in arg]
+            return self._fold(preds, "and")
+        if op == "$mod":
+            divisor, remainder = arg
+            return col % F.lit(divisor) == F.lit(remainder)
+        if op == "$type":
+            # practical subset over the STATIC schema: a Spark column has one
+            # type, so the predicate is all-rows or no-rows (plus a null check
+            # for 'null'), which is what $type degenerates to on typed storage
+            dt = self.exprs.field_type(path)
+            import pyspark.sql.types as _T
+
+            matches = {
+                "string": isinstance(dt, _T.StringType),
+                "int": isinstance(dt, (_T.IntegerType, _T.LongType)),
+                "long": isinstance(dt, (_T.IntegerType, _T.LongType)),
+                "double": isinstance(dt, (_T.DoubleType, _T.FloatType)),
+                "bool": isinstance(dt, _T.BooleanType),
+                "date": isinstance(dt, (_T.TimestampType, _T.TimestampNTZType, _T.DateType)),
+                "array": isinstance(dt, _T.ArrayType),
+                "object": isinstance(dt, (_T.StructType, _T.MapType)),
+            }
+            if arg == "null":
+                return col.isNull()
+            if arg not in matches:
+                raise ValueError(f"unsupported $type alias: {arg!r}")
+            return F.lit(matches[arg]) & col.isNotNull()
         raise ValueError(f"unsupported find operator: {op}")
 
     def _elem_match(self, e: Column, spec: dict[str, Any]) -> Column:

@@ -625,3 +625,25 @@ def dt_ts(s):
     import datetime
 
     return datetime.datetime.fromisoformat(s)
+
+
+class TestFindOperatorExtensions:
+    def test_all_requires_every_member(self, autos):
+        got = {r["name"] for r in autos.find({"assembly": {"$all": ["Germany", "Finland"]}}).collect()}
+        assert got == {"Porsche 911"}
+        got1 = {r["name"] for r in autos.find({"assembly": {"$all": ["Germany"]}}).collect()}
+        assert got1 == {"Porsche 356", "Porsche 911"}
+
+    def test_mod(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "n long")
+        c = DocumentCollection(df, "nums")
+        got = {r["n"] for r in c.find({"n": {"$mod": [3, 1]}}).collect()}
+        assert got == {1, 4, 7}
+
+    def test_type_static_schema_semantics(self, autos):
+        assert autos.find({"name": {"$type": "string"}}).count() == 5
+        assert autos.find({"name": {"$type": "double"}}).count() == 0
+        assert autos.find({"assembly": {"$type": "array"}}).count() == 5
+        assert autos.find({"dimensions": {"$type": "object"}}).count() == 5
