@@ -490,3 +490,101 @@ def gap_fill_interpolate_sql(
                CAST(n_obs AS BIGINT) AS n_events
         FROM w
     """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key: ``(key, twa, t_first, t_last,
+    n_points)`` — each observation weighted by how long it REMAINED the
+    current value (until the next observation), i.e. the integral of the
+    last-known-value step function divided by the observed span.
+
+    The right mean for irregularly-sampled state series (price, gauge,
+    connection count): an arithmetic mean over-weights bursts of samples;
+    TWAP is sampling-cadence-invariant.  The final observation carries no
+    duration (nothing is known after it) — keys with a single observation
+    (zero span) fall back to that value, per the usual locf convention.
+
+    One ``lead`` window in the deterministic (ts, id) order + one hash-agg,
+    both sharing the key partitioning; weights are integer microsecond
+    deltas so the weighted sum is dsum-exact and the single final division
+    quantizes — engine-reproducible bit-for-bit.
+    """
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+        dsum,
+        quantize6,
+    )
+
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    stepped = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("t"),
+        F.col(value_col).alias("v"),
+        _order_key(F.col(ts_col), F.col(id_col)).alias("k"),
+        (F.lead(F.col(ts_col), 1).over(w) - F.col(ts_col)).alias("dur"),
+    )
+    agg = stepped.groupBy("key").agg(
+        dsum(F.col("v") * F.coalesce(F.col("dur"), F.lit(0)).cast("double")).alias(
+            "__wsum"
+        ),
+        F.sum(F.coalesce("dur", F.lit(0))).alias("__span"),
+        F.min("t").alias("t_first"),
+        F.max("t").alias("t_last"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.min_by("v", "k").alias("__first_v"),
+    )
+    return agg.select(
+        "key",
+        F.when(
+            F.col("__span") > 0, quantize6(F.col("__wsum") / F.col("__span"))
+        )
+        .otherwise(quantize6(F.col("__first_v")))
+        .alias("twa"),
+        "t_first",
+        "t_last",
+        F.col("n_points"),
+    )
+
+
+def time_weighted_avg_sql(
+    table: str, key_expr: str, ts_expr: str, id_expr: str, value_expr: str
+) -> str:
+    """DuckDB oracle reproducing :func:`time_weighted_avg` bit-for-bit."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+        dsum_sql,
+        quantize6_sql,
+    )
+
+    return f"""
+        WITH stepped AS (
+            SELECT {key_expr} AS key, {ts_expr} AS t, {value_expr} AS v,
+                   lpad(CAST({ts_expr} AS VARCHAR), 20, '0') ||
+                       lpad(CAST({id_expr} AS VARCHAR), 12, '0') AS k,
+                   lead({ts_expr}) OVER (
+                       PARTITION BY {key_expr}
+                       ORDER BY {ts_expr} ASC, {id_expr} ASC
+                   ) - {ts_expr} AS dur
+            FROM {table}
+        ),
+        agg AS (
+            SELECT key,
+                   {dsum_sql("v * CAST(coalesce(dur, 0) AS DOUBLE)")} AS wsum,
+                   CAST(sum(coalesce(dur, 0)) AS BIGINT) AS span,
+                   min(t) AS t_first, max(t) AS t_last,
+                   count(*) AS n_points,
+                   arg_min(v, k) AS first_v
+            FROM stepped GROUP BY key
+        )
+        SELECT key,
+               CASE WHEN span > 0 THEN {quantize6_sql("wsum / span")}
+                    ELSE {quantize6_sql("first_v")} END AS twa,
+               t_first, t_last, n_points
+        FROM agg
+    """

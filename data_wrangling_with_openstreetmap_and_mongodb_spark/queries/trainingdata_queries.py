@@ -2621,3 +2621,41 @@ def events_gap_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("key").alias("event_type"), "bucket", "v", "filled", "n_events"
     )
+
+
+def _twa_oracle_sql() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        time_weighted_avg_sql,
+    )
+
+    sql = time_weighted_avg_sql(
+        "events", "event_type", "epoch_us(ts)", "event_id", "value"
+    )
+    head, _, tail = sql.rpartition("SELECT key,")
+    return head + "SELECT key AS event_type," + tail
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle=_twa_oracle_sql(),
+    doc="time-weighted average per event_type "
+    "(operators/events.py::time_weighted_avg): each observation weighted by "
+    "how long it remained current — the sampling-cadence-invariant mean for "
+    "irregular state series; integer-microsecond weights keep the weighted "
+    "sum dsum-exact, one lead window + one hash-agg sharing the key "
+    "partitioning.  Gate-only: the window is full; the window/agg "
+    "primitives hold hard rows via sessionize_events and pricing_summary.",
+    tags=("events", "window", "agg"),
+    driver_visible=False,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_type", "event_id", "value", ts_micros(ev).alias("t"))
+    return time_weighted_avg(ev, "event_type", "t", "event_id", "value").select(
+        F.col("key").alias("event_type"), "twa", "t_first", "t_last", "n_points"
+    )

@@ -274,3 +274,46 @@ class TestGapFillInterpolate:
             if not r["filled"]
         }
         assert interp == locf == {0: 7.75, 2: 1.5}
+
+
+class TestTimeWeightedAvg:
+    def test_twa_weights_by_duration_not_sample_count(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+            time_weighted_avg,
+        )
+
+        # value 10 holds for 9us, then a burst of three 0-valued samples
+        # holds 1us total: arithmetic mean = 2.5, TWA = (10*9 + 0*1)/10 = 9
+        rows = [
+            ("a", 1, 0, 10.0),
+            ("a", 2, 9, 0.0),
+            ("a", 3, 9, 0.0),   # same-instant burst: zero duration
+            ("a", 4, 10, 0.0),  # final point: no duration
+        ]
+        df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+        [r] = time_weighted_avg(df, "k", "t", "eid", "v").collect()
+        assert r["twa"] == 9.0
+        assert (r["t_first"], r["t_last"], r["n_points"]) == (0, 10, 4)
+
+    def test_single_point_falls_back_to_value(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+            time_weighted_avg,
+        )
+
+        df = spark.createDataFrame([("a", 1, 5, 3.5)], "k string, eid long, t long, v double")
+        [r] = time_weighted_avg(df, "k", "t", "eid", "v").collect()
+        assert (r["twa"], r["n_points"]) == (3.5, 1)
+
+    def test_cadence_invariance(self, spark):
+        """Adding redundant samples of the SAME value must not move the TWA."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+            time_weighted_avg,
+        )
+
+        sparse = [("a", 1, 0, 4.0), ("a", 2, 10, 8.0), ("a", 3, 20, 8.0)]
+        dense = sparse + [("a", 10, 2, 4.0), ("a", 11, 5, 4.0), ("a", 12, 15, 8.0)]
+        d1 = spark.createDataFrame(sparse, "k string, eid long, t long, v double")
+        d2 = spark.createDataFrame(dense, "k string, eid long, t long, v double")
+        [r1] = time_weighted_avg(d1, "k", "t", "eid", "v").collect()
+        [r2] = time_weighted_avg(d2, "k", "t", "eid", "v").collect()
+        assert r1["twa"] == r2["twa"] == 6.0  # 4 for half the span, 8 for half
