@@ -2659,3 +2659,44 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(ev, "event_type", "t", "event_id", "value").select(
         F.col("key").alias("event_type"), "twa", "t_first", "t_last", "n_points"
     )
+
+
+def _lc_oracle_sql(m: int) -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+        lc_hash_sql,
+    )
+
+    bit = lc_hash_sql("CAST(user_id AS VARCHAR)", m)
+    return f"""
+        WITH bits AS (SELECT DISTINCT {bit} AS bit FROM events),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
+        SELECT n_bits_set,
+               -{m}.0 * ln(({m}.0 - n_bits_set) / {m}.0) AS estimate
+        FROM agg
+    """
+
+
+@register(
+    "lc_distinct_users",
+    oracle=_lc_oracle_sql(m=1 << 14),
+    doc="linear-counting distinct estimate over event user_ids "
+    "(operators/sketch.py::lc_bits/lc_estimate): the mergeable bitmap "
+    "estimator whose every bit — hence the estimate itself — replays in "
+    "SQL, closing the gap HLL's engine-private registers leave "
+    "(approx_distinct_users stays rows-only by construction; THIS distinct "
+    "sketch hash-verifies).  Accuracy vs exact asserted in test_sketch.  "
+    "Gate-only: the sketch family's hard row is cms_token_counts.",
+    tags=("sketch", "agg", "approx"),
+    driver_visible=False,
+)
+def lc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+        lc_bits,
+        lc_estimate,
+    )
+
+    M = 1 << 14
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    return lc_estimate(lc_bits(ev, "u", m=M), m=M)

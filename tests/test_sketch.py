@@ -228,3 +228,49 @@ class TestVocabEncode:
         plan = executed_plan(encode_tokens(d, vocab, "text", "doc_id", unk_id=3))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestLinearCounting:
+    def test_estimate_within_a_few_percent(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+            lc_bits,
+            lc_estimate,
+        )
+
+        n = 2000
+        df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "k string")
+        [r] = lc_estimate(lc_bits(df, "k", m=1 << 14), m=1 << 14).collect()
+        assert abs(r["estimate"] - n) <= 0.05 * n
+        assert r["n_bits_set"] <= n  # collisions only reduce set bits
+
+    def test_duplicates_do_not_move_the_estimate(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+            lc_bits,
+            lc_estimate,
+        )
+
+        base = [(f"u{i}",) for i in range(500)]
+        d1 = spark.createDataFrame(base, "k string")
+        d2 = spark.createDataFrame(base * 5, "k string")  # 5x duplicated
+        [a] = lc_estimate(lc_bits(d1, "k", m=4096), m=4096).collect()
+        [b] = lc_estimate(lc_bits(d2, "k", m=4096), m=4096).collect()
+        assert a == b
+
+    def test_shard_merge_is_bit_union(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+            lc_bits,
+            lc_estimate,
+        )
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "k string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "k string")
+        merged_bits = lc_bits(a, "k", m=4096).unionByName(
+            lc_bits(b, "k", m=4096)
+        ).distinct()
+        whole_bits = lc_bits(a.unionByName(b), "k", m=4096)
+        assert sorted(r["bit"] for r in merged_bits.collect()) == sorted(
+            r["bit"] for r in whole_bits.collect()
+        )
+        [m1] = lc_estimate(merged_bits, m=4096).collect()
+        [m2] = lc_estimate(whole_bits, m=4096).collect()
+        assert m1 == m2
