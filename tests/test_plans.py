@@ -231,3 +231,44 @@ class TestRound3OperatorPlans:
         assert plan.count("BroadcastHashJoin") >= 1
         assert "TakeOrderedAndProject" in plan
         assert has_pushed_filters(df, "c_mktsegment")
+
+
+class TestRound3AdditionPlans:
+    """Shuffle-shape claims of the round-3 tier, pinned."""
+
+    def test_gap_fill_locf_two_key_shuffles(self, spark, sf_dir):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("events_gap_filled_locf", spark, sf_dir))
+        # spine agg + fill window share the key partitioning: the whole plan
+        # needs at most 3 exchanges (obs agg, spine agg reuse, final window),
+        # and never a cartesian spine
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange") <= 4
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_time_weighted_avg_single_window_plus_agg(self, spark, sf_dir):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("events_time_weighted_avg", spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert plan.count("Window") == 1  # one lead pass
+        assert plan.count("Exchange") <= 3
+
+    def test_lc_distinct_shuffles_bits_not_keys(self, spark, sf_dir):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        df = q("lc_distinct_users", spark, sf_dir)
+        plan = executed_plan(df)
+        # distinct over bit ids then a global agg — no join machinery at all
+        assert "Join" not in plan
+        assert "HashAggregate" in plan
+
+    def test_cms_build_partial_aggregates_before_exchange(self, spark, sf_dir):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("cms_token_counts", spark, sf_dir))
+        # the grid build must partial-aggregate map-side (the sketch's whole
+        # point: pre-shuffle state bounded by depth x width)
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
