@@ -138,3 +138,55 @@ def test_stream_flushing_emits_idle_sessions_after_watermark(spark, tmp_path):
     assert (2, B, B, 1) in got
     assert (2, B + 1000 * SEC, B + 1000 * SEC, 1) in got
     assert not any(u == 2 and s == B + 2000 * SEC for (u, s, _e, _n) in got)
+
+
+def test_custom_sessionizer_matches_native_session_window(spark):
+    """Cross-validate the lag/running-sum sessionizer against Spark's own
+    session_window aggregation: same sessions, same extents, same counts.
+
+    Semantics alignment: sessionize_batch starts a new session when
+    delta > gap (inclusive boundary stays); session_window's half-open
+    [last, last+g) starts one when delta >= g — on integer microsecond
+    timestamps g = gap+1 makes the two definitions identical.
+    """
+    import random
+
+    import pyspark.sql.functions as F
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for uid in range(6):
+        t = 1_700_000_000_000_000
+        for _ in range(40):
+            t += rng.choice([1_000, 50_000, 200_000, 5_000_000, 11_000_000])
+            rows.append((uid, t))
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    GAP = 4_000_000  # 4s in micros
+
+    custom = {
+        (r["user_id"], r["start_ns"], r["end_ns"], r["n_events"])
+        for r in sessionize_batch(df, GAP).collect()
+    }
+
+    native = (
+        df.withColumn("tstamp", F.timestamp_micros(F.col("ts")))
+        .groupBy(
+            "user_id",
+            F.session_window("tstamp", f"{GAP + 1} microseconds").alias("w"),
+        )
+        .agg(
+            F.min("ts").alias("start_ns"),
+            F.max("ts").alias("end_ns"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    native_set = {
+        (r["user_id"], r["start_ns"], r["end_ns"], r["n_events"])
+        for r in native.collect()
+    }
+    assert custom == native_set
+    assert len(custom) > 6  # multiple sessions per user actually formed
