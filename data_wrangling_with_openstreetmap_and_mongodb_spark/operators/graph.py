@@ -112,6 +112,41 @@ def dedup_clusters(
     return joined.withColumn("is_canonical", F.col("id") == F.col("cluster"))
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """:func:`dedup_clusters` with a QUALITY-aware canonical pick:
+    ``(id, cluster, is_canonical)`` where each cluster's survivor is its
+    highest-``quality_col`` member (minimum id on ties — total order, so
+    exactly one canonical per cluster, retry- and engine-stable).
+
+    The production form of the dedup collapse: pipelines keep the BEST
+    duplicate (longest, highest quality score, most recent), not the one
+    with the smallest id.  One extra hash-agg over the clustered table —
+    ``max_by(id, struct(quality, -id))`` — joined back on the cluster key;
+    cluster ids remain the min-id component labels so incremental reruns
+    keep stable cluster identities even as better members arrive.
+    """
+    comp = connected_components(pairs, src_col, dst_col)
+    ids = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q"))
+    clustered = ids.join(comp, "id", "left").select(
+        "id", "__q", F.coalesce("component", F.col("id")).alias("cluster")
+    )
+    best = clustered.groupBy("cluster").agg(
+        F.max_by(
+            "id", F.struct(F.col("__q"), (-F.col("id")).cast("double"))
+        ).alias("__best")
+    )
+    return clustered.join(best, "cluster").select(
+        "id", "cluster", (F.col("id") == F.col("__best")).alias("is_canonical")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -2700,3 +2700,65 @@ def lc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("u")
     )
     return lc_estimate(lc_bits(ev, "u", m=M), m=M)
+
+
+@register(
+    "dedup_keep_best_docs",
+    oracle=f"""
+        WITH RECURSIVE toks AS (SELECT doc_id, {_SQL_LTOKS} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3 THEN
+                          list_distinct([array_to_string(list_slice(t, i, i+2), ' ')
+                                         for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                      ELSE [] END AS s
+               FROM toks),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        ),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+        walk(id, label) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM e) v(src)
+            UNION
+            SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.id
+        ),
+        comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
+        clustered AS (
+            SELECT d.doc_id AS id, d.n_chars AS q,
+                   coalesce(c.component, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ),
+        ranked AS (
+            SELECT id, cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster ORDER BY q DESC, id ASC
+                   ) AS rk
+            FROM clustered
+        )
+        SELECT id AS doc_id, cluster, (rk = 1) AS is_canonical FROM ranked
+    """,
+    doc="quality-aware dedup collapse (operators/graph.py::dedup_keep_best): "
+    "clusters from trigram-Jaccard pairs via connected components, but the "
+    "survivor is each cluster's LONGEST member (n_chars, min-id tiebreak) — "
+    "the production form of the collapse, which keeps the best duplicate "
+    "rather than the smallest id; cluster labels stay the min-id components "
+    "so identities are stable across incremental reruns.  Oracle replays "
+    "components recursively and the pick as a rank window.  Gate-only: the "
+    "iterative family's hard row is dedup_near_clusters.",
+    tags=("dedup", "graph", "iterative"),
+    driver_visible=False,
+)
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
+        dedup_keep_best,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+    return dedup_keep_best(d, pairs, "doc_id", "n_chars").select(
+        F.col("id").alias("doc_id"), "cluster", "is_canonical"
+    )

@@ -93,3 +93,60 @@ class TestPageRank:
         total = sum(pr for _, pr in a)
         # simplified formulation leaks sink mass but never exceeds 1
         assert 0.2 < total <= 1.0 + 1e-9
+
+
+class TestDedupKeepBest:
+    def test_best_quality_survives_chain(self, spark):
+        """A≈B≈C chain clusters transitively; the LONGEST member is the
+        canonical, not the smallest id."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
+            dedup_keep_best,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, 5.0), (2, 9.0), (3, 7.0), (10, 4.0)], "doc_id long, q double"
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        out = {
+            r["id"]: (r["cluster"], r["is_canonical"])
+            for r in dedup_keep_best(docs, pairs, "doc_id", "q").collect()
+        }
+        assert out == {
+            1: (1, False),
+            2: (1, True),   # highest q in the {1,2,3} cluster
+            3: (1, False),
+            10: (10, True),  # singleton is its own canonical
+        }
+
+    def test_quality_tie_breaks_to_min_id(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
+            dedup_keep_best,
+        )
+
+        docs = spark.createDataFrame(
+            [(5, 3.0), (6, 3.0)], "doc_id long, q double"
+        )
+        pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+        out = {
+            r["id"]: r["is_canonical"]
+            for r in dedup_keep_best(docs, pairs, "doc_id", "q").collect()
+        }
+        assert out == {5: True, 6: False}
+
+    def test_exactly_one_canonical_per_cluster(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
+            dedup_keep_best,
+        )
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(30)], "doc_id long, q double"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 28, 2)], "id_a long, id_b long"
+        )
+        out = dedup_keep_best(docs, pairs, "doc_id", "q")
+        per = out.groupBy("cluster").agg(
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon")
+        )
+        assert {r["n_canon"] for r in per.collect()} == {1}
