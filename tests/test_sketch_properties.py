@@ -85,3 +85,51 @@ def test_bloom_admits_every_member(spark, members, n_bits):
         bloom_might_contain(F.col("k"), words, n_bits=n_bits, n_hashes=4)
     ).count()
     assert passed == len(members)
+
+
+_ts = st.integers(min_value=0, max_value=50)
+_series = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), _ts), min_size=1, max_size=25
+)
+
+
+@given(series=_series, bucket=st.sampled_from([1, 3, 7]))
+@settings(**_SETTINGS)
+def test_gap_fill_locf_matches_sequential_reference(spark, series, bucket):
+    """gap_fill_locf == the obvious per-key sequential spine+carry loop on
+    arbitrary (key, ts) streams (value = ts as double, id = index)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
+        gap_fill_locf,
+    )
+
+    rows = [(k, i, t, float(t)) for i, (k, t) in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+    got = {
+        (r["key"], r["bucket"]): (r["v"], r["filled"], r["n_events"])
+        for r in gap_fill_locf(df, "k", "t", "eid", "v", bucket_us=bucket).collect()
+    }
+
+    # sequential reference
+    want = {}
+    bykey: dict = {}
+    for k, i, t, v in rows:
+        bykey.setdefault(k, []).append((t, i, v))
+    for k, obs in bykey.items():
+        buckets: dict = {}
+        for t, i, v in obs:
+            b = t // bucket
+            cur = buckets.get(b)
+            # close = value of the (t, i)-max observation in the bucket
+            if cur is None or (t, i) > cur[0]:
+                buckets[b] = ((t, i), v, (cur[2] + 1 if cur else 1))
+            else:
+                buckets[b] = (cur[0], cur[1], cur[2] + 1)
+        lo, hi = min(buckets), max(buckets)
+        carry = None
+        for b in range(lo, hi + 1):
+            if b in buckets:
+                carry = buckets[b][1]
+                want[(k, b)] = (carry, False, buckets[b][2])
+            else:
+                want[(k, b)] = (carry, True, 0)
+    assert got == want
