@@ -47,8 +47,12 @@ def ds_find_machinery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY count DESC, _id ASC
         LIMIT 10
     """,
-    doc="$match+$group+$sort+$limit pipeline (05/tweet_apps.py:33-35 shape)",
+    doc="$match+$group+$sort+$limit pipeline (05/tweet_apps.py:33-35 shape).  "
+    "Rotated out of the driver window in r4 (VERDICT r3 ask #2: A1-family "
+    "shape covered by top_event_types; slot given to "
+    "events_time_weighted_avg); still in the local parity gate.",
     tags=("docstore", "agg", "topk"),
+    driver_visible=False,
 )
 def ds_top_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(

@@ -130,8 +130,12 @@ def find_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY o_orderpriority
     """,
-    doc="$gte/$lt datetime range (04/find_cities.py:18; 05/region_cities.py:30-31)",
+    doc="$gte/$lt datetime range (04/find_cities.py:18; 05/region_cities.py:30-31).  "
+    "Rotated out of the driver window in r4 (VERDICT r3 ask #2: P5 shape "
+    "covered by pricing_summary's date filter; slot given to "
+    "events_gap_filled_locf); still in the local parity gate.",
     tags=("filter", "agg"),
+    driver_visible=False,
 )
 def orders_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

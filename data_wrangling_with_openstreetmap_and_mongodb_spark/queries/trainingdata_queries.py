@@ -558,8 +558,12 @@ def _ann_lsh_oracle_sql(
     "ann_lsh_topk",
     oracle=_ann_lsh_oracle_sql(dim=64, bits=8, probe_hamming=3, k=10),
     doc="sign-LSH bucketed ANN top-k (multi-probe Hamming ≤ r); seeded "
-    "hyperplane literals make the probe set oracle-reproducible",
+    "hyperplane literals make the probe set oracle-reproducible.  Rotated "
+    "out of the driver window in r4 (VERDICT r3 ask #2: bucketed-ANN shape "
+    "covered by the trained-IVF family; slot given to lc_distinct_users); "
+    "still in the local parity gate.",
     tags=("similarity", "topk", "lsh"),
+    driver_visible=False,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -2556,11 +2560,10 @@ def _gap_fill_oracle_sql() -> str:
     "observed bucket's close (same deterministic (ts, id) anchor as OHLC) "
     "and are flagged.  Each key materializes only its own bucket range via "
     "sequence-explode — never a cross join against a global calendar — and "
-    "spine, join, and fill window share one key partitioning.  Gate-only: "
-    "the window is full; the resample family's hard row is "
-    "sessionize_events/streaming_hourly_rollup.",
+    "spine, join, and fill window share one key partitioning.  "
+    "Driver-visible since r4 (VERDICT r3 ask #2: hard row for the gap-fill "
+    "family; orders_in_range rotated out in exchange).",
     tags=("events", "window", "resample"),
-    driver_visible=False,
 )
 def events_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
@@ -2643,10 +2646,9 @@ def _twa_oracle_sql() -> str:
     "how long it remained current — the sampling-cadence-invariant mean for "
     "irregular state series; integer-microsecond weights keep the weighted "
     "sum dsum-exact, one lead window + one hash-agg sharing the key "
-    "partitioning.  Gate-only: the window is full; the window/agg "
-    "primitives hold hard rows via sessionize_events and pricing_summary.",
+    "partitioning.  Driver-visible since r4 (VERDICT r3 ask #2: hard row "
+    "for the TWAP family; ds_top_clickers rotated out in exchange).",
     tags=("events", "window", "agg"),
-    driver_visible=False,
 )
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
@@ -2685,9 +2687,9 @@ def _lc_oracle_sql(m: int) -> str:
     "SQL, closing the gap HLL's engine-private registers leave "
     "(approx_distinct_users stays rows-only by construction; THIS distinct "
     "sketch hash-verifies).  Accuracy vs exact asserted in test_sketch.  "
-    "Gate-only: the sketch family's hard row is cms_token_counts.",
+    "Driver-visible since r4 (VERDICT r3 ask #2: hard row for the "
+    "linear-counting family; ann_lsh_topk rotated out in exchange).",
     tags=("sketch", "agg", "approx"),
-    driver_visible=False,
 )
 def lc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (

@@ -41,11 +41,16 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "data-wrangling-spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "data-wrangling-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract); on a
-    real cluster ``master`` is left to spark-submit.
+    real cluster ``master`` is left to spark-submit.  ``extra_conf`` entries
+    are applied last and win over the defaults.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -58,6 +63,8 @@ def get_spark(app_name: str = "data-wrangling-spark", master: str | None = None)
         .config("spark.ui.enabled", "false")
     )
     for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)

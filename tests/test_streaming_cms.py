@@ -10,6 +10,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import
     cms_estimate,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.cms_stream import (
+    apply_cms_batch,
     run_streaming_cms,
 )
 
@@ -68,3 +69,29 @@ def test_streaming_grid_equals_batch_sketch(spark, tmp_path):
 
     exact = Counter(k for _, k in rows)
     assert all(est[k] >= c for k, c in exact.items())
+
+
+def test_batch_replay_never_double_counts(spark, tmp_path):
+    """Exactly-once under foreachBatch retry: replaying an already-applied
+    batch (the failure-between-promote-and-checkpoint-commit case) must
+    leave the grid identical — re-promote only, no re-merge."""
+    rows = _rows()
+    b0 = spark.createDataFrame(rows[:14], "id long, k string")
+    b1 = spark.createDataFrame(rows[14:28], "id long, k string")
+    b2 = spark.createDataFrame(rows[28:], "id long, k string")
+    grid_dir = str(tmp_path / "grid")
+
+    apply_cms_batch(b0, 0, "k", grid_dir, depth=3, width=32)
+    apply_cms_batch(b1, 1, "k", grid_dir, depth=3, width=32)
+    # torn promote: batch 1 replays after its grid was already applied
+    apply_cms_batch(b1, 1, "k", grid_dir, depth=3, width=32)
+    # ...and an even older replay arrives late
+    apply_cms_batch(b0, 0, "k", grid_dir, depth=3, width=32)
+    apply_cms_batch(b2, 2, "k", grid_dir, depth=3, width=32)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{grid_dir}/current").collect())
+    )
+    whole = spark.createDataFrame(rows, "id long, k string")
+    want = sorted(map(tuple, cms_build(whole, "k", depth=3, width=32).collect()))
+    assert got == want
