@@ -299,6 +299,35 @@ class ExpressionCompiler:
             return F.when(nonempty, seq).otherwise(F.array().cast("array<long>"))
         if op == "$reverseArray":
             return F.reverse(c(args))
+        if op == "$zip":
+            # {"inputs": [a, b, ...], "useLongestLength": bool, "defaults": [...]}
+            # Result element i is the array of the inputs' i-th elements.
+            # Mongo arrays are heterogeneous; the typed-column analogue
+            # requires a common element type (Spark coerces or errors).
+            inputs = [c(a) for a in args["inputs"]]
+            longest = bool(args.get("useLongestLength", False))
+            defaults = args.get("defaults")
+            if defaults is not None and not longest:
+                raise ValueError("$zip defaults require useLongestLength: true")
+            sizes = [F.size(a) for a in inputs]
+            n = sizes[0]
+            for s in sizes[1:]:
+                n = F.greatest(n, s) if longest else F.least(n, s)
+            def _elem(i: Column) -> Column:
+                parts = []
+                for j, arr in enumerate(inputs):
+                    got = F.get(arr, i)  # null past the end (0-based)
+                    if longest and defaults is not None:
+                        dflt = self.compile(defaults[j])
+                        got = F.when(i < F.size(arr), got).otherwise(dflt)
+                    parts.append(got)
+                return F.array(*parts)
+            seq = F.sequence(F.lit(0), n - F.lit(1))
+            # n == 0 → transform over an empty index array: same element
+            # type as the main branch without naming it explicitly
+            return F.when(n > 0, F.transform(seq, _elem)).otherwise(
+                F.transform(F.array().cast("array<int>"), _elem)
+            )
         if op == "$objectToArray":
             return F.transform(
                 F.map_entries(c(args)),
@@ -356,9 +385,23 @@ class ExpressionCompiler:
             return F.replace(
                 c(args["input"]), c(args["find"]), c(args["replacement"])
             )
+        if op == "$replaceOne":
+            # first occurrence only: split at position(find), re-concatenate.
+            # No regex involved, so `find` needs no escaping (unlike a
+            # regexp_replace-based impl).
+            s, find, repl = c(args["input"]), c(args["find"]), c(args["replacement"])
+            pos = F.position(find, s)  # 1-based, 0 when absent
+            replaced = F.concat(
+                F.substring(s, F.lit(1), pos - F.lit(1)),
+                repl,
+                F.substring(s, pos + F.length(find), F.length(s)),
+            )
+            return F.when(pos == 0, s).otherwise(replaced)
         if op == "$indexOfCP":
             s, sub = args[0], args[1]
-            return F.instr(c(s), sub) - F.lit(1)  # Mongo 0-based, −1 missing
+            # compile BOTH operands: '$path'/expression substrings resolve to
+            # their value (position accepts column substrings; instr doesn't)
+            return F.position(c(sub), c(s)) - F.lit(1)  # Mongo 0-based, −1 missing
         if op == "$ltrim":
             return F.ltrim(c(args["input"] if isinstance(args, dict) else args))
         if op == "$rtrim":
@@ -368,6 +411,19 @@ class ExpressionCompiler:
             return F.second(c(args))
         if op == "$dayOfYear":
             return F.dayofyear(c(args))
+        if op == "$week":
+            # Mongo pins strftime %U: weeks start SUNDAY, week 1 begins at
+            # the first Sunday of the year, earlier days are week 0 — NOT
+            # ISO-8601 (Spark's weekofyear), so compute it explicitly:
+            #   week = floor((yday + 6 - wday) / 7),  wday 0=Sunday
+            # The same closed form replays in the DuckDB oracle
+            # (dayofyear/dayofweek agree on 0=Sunday there).
+            d = c(args)
+            yday = F.dayofyear(d)
+            wday = F.dayofweek(d) - F.lit(1)  # Spark: 1=Sunday
+            return F.floor((yday + F.lit(6) - wday) / F.lit(7)).cast("int")
+        if op == "$isoWeek":
+            return F.weekofyear(c(args))
         if op == "$dateToString":
             fmt = args["format"]
             for mongo, spark in (

@@ -155,8 +155,10 @@ def _apply_bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ec = ExpressionCompiler(df)
     key = ec.compile(spec["groupBy"])
     bounds = spec["boundaries"]
-    if sorted(bounds) != list(bounds) or len(bounds) < 2:
-        raise ValueError("$bucket boundaries must be ascending, length >= 2")
+    # strict ascent, like mongod: duplicate boundaries would create an
+    # unreachable empty [lo, lo) bucket rather than error
+    if len(bounds) < 2 or not all(a < b for a, b in zip(bounds, bounds[1:])):
+        raise ValueError("$bucket boundaries must be strictly ascending, length >= 2")
     # Mongo's _id may mix types (numeric boundaries + a string default);
     # a Spark column cannot — when the default's type differs from the
     # boundaries', every bucket id becomes its string form
@@ -185,30 +187,153 @@ def _apply_bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return tagged.groupBy("_id").agg(*aggs)
 
 
+# Mongo $bucketAuto preferred-number granularity series (mantissas per
+# decade).  POWERSOF2 is handled separately (not decade-periodic).
+_GRANULARITY_SERIES: dict[str, tuple[float, ...]] = {
+    "R5": (1.0, 1.6, 2.5, 4.0, 6.3),
+    "R10": (1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0),
+    "R20": (1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8,
+            3.15, 3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0),
+    "R40": (1.0, 1.06, 1.12, 1.18, 1.25, 1.32, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9,
+            2.0, 2.12, 2.24, 2.36, 2.5, 2.65, 2.8, 3.0, 3.15, 3.35, 3.55,
+            3.75, 4.0, 4.25, 4.5, 4.75, 5.0, 5.3, 5.6, 6.0, 6.3, 6.7, 7.1,
+            7.5, 8.0, 8.5, 9.0, 9.5),
+    "1-2-5": (1.0, 2.0, 5.0),
+    "E6": (1.0, 1.5, 2.2, 3.3, 4.7, 6.8),
+    "E12": (1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2),
+    "E24": (1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7, 3.0,
+            3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1),
+}
+
+
+def _granularity_round(x: float, granularity: str, up: bool) -> float:
+    """Round ``x`` to the nearest series value (``up``: smallest ≥ x, else
+    largest ≤ x), per Mongo's $bucketAuto granularity contract (values must
+    be non-negative; 0 is preserved)."""
+    import math
+
+    if x < 0:
+        raise ValueError("$bucketAuto granularity requires non-negative values")
+    if x == 0:
+        return 0.0
+    if granularity == "POWERSOF2":
+        e = math.log2(x)
+        return float(2 ** (math.ceil(e - 1e-9) if up else math.floor(e + 1e-9)))
+    series = _GRANULARITY_SERIES.get(granularity)
+    if series is None:
+        raise ValueError(f"unsupported $bucketAuto granularity: {granularity!r}")
+    decade = math.floor(math.log10(x))
+    # float log can land one decade off at exact boundaries; scan ±1 decade
+    candidates = [
+        m * (10.0 ** d) for d in (decade - 1, decade, decade + 1) for m in series
+    ]
+    if up:
+        return min(c for c in candidates if c >= x * (1 - 1e-12))
+    return max(c for c in candidates if c <= x * (1 + 1e-12))
+
+
 def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
-    """$bucketAuto: ``buckets`` equal-population groups over ``groupBy``
-    (ntile over the sort on the key — Mongo's contract is "roughly equal
-    counts"; boundary placement differs from mongod's granularity heuristics
-    but the population split, min/max _id document, and accumulators hold).
-    Ties order deterministically by the key itself."""
+    """$bucketAuto: ``buckets`` equal-population groups over ``groupBy``.
+
+    Two physical strategies behind one stage (VERDICT r3 ask #5):
+
+    - ``scaleMode: "exact"`` (default when no ``granularity``): ntile over a
+      GLOBAL sort on the key.  Exactly Mongo's equal-count contract, but the
+      un-partitioned window is a single-partition sort — fine for the modest
+      keyspaces mongod itself targets, wrong at 100 TB.
+    - ``scaleMode: "approx"`` (auto-selected when ``granularity`` is given):
+      one distributed ``approx_percentile`` aggregate derives n−1 interior
+      boundaries (a bounded n+1-scalar driver collect), optionally rounded
+      to Mongo's preferred-number series (R5/R10/R20/R40/1-2-5/E6/E12/E24/
+      POWERSOF2), then documents range-bucket through the same conditional
+      projection the ``$bucket`` path uses — no global sort anywhere, fully
+      map-side until the final hash-agg.  Skewed keys can collapse adjacent
+      quantiles; duplicate boundaries merge, so fewer than ``buckets``
+      groups may return (mongod's granularity mode does the same).
+
+    With ``granularity`` the ``_id`` bounds are the rounded series
+    boundaries (Mongo's contract); otherwise observed per-bucket min/max.
+    Ties order deterministically by the key itself.
+    """
     ec = ExpressionCompiler(df)
     key = ec.compile(spec["groupBy"])
     n = int(spec["buckets"])
-    w = Window.orderBy(key.asc())
-    tagged = df.withColumn("__b", F.ntile(n).over(w)).withColumn("__k", key)
+    gran = spec.get("granularity")
+    mode = spec.get("scaleMode", "approx" if gran else "exact")
     output = spec.get("output", {"count": {"$sum": 1}})
+
+    if mode == "exact":
+        w = Window.orderBy(key.asc())
+        tagged = df.withColumn("__b", F.ntile(n).over(w)).withColumn("__k", key)
+        ec2 = ExpressionCompiler(tagged)
+        aggs = [_accumulator(ec2, name, acc) for name, acc in output.items()]
+        return (
+            tagged.groupBy("__b")
+            .agg(
+                F.struct(
+                    F.min("__k").alias("min"), F.max("__k").alias("max")
+                ).alias("_id"),
+                *aggs,
+            )
+            .orderBy("__b")
+            .drop("__b")
+        )
+
+    # approx: distributed quantile boundaries, no global sort.  The collect
+    # is bounded at n+1 scalars (documented driver action).
+    qs = [i / n for i in range(1, n)]
+    probe = df.select(key.alias("__k")).agg(
+        F.min("__k").alias("lo"),
+        F.max("__k").alias("hi"),
+        (
+            F.percentile_approx("__k", qs, 10_000) if qs else F.array()
+        ).alias("qs"),
+    )
+    row = probe.collect()[0]
+    if row["lo"] is None:  # empty input: empty result, schema preserved below
+        bounds = [0.0, 1.0]
+        df = df.limit(0)
+    else:
+        bounds = [float(row["lo"]), *[float(q) for q in row["qs"]], float(row["hi"])]
+    if gran is not None and row["lo"] is not None:
+        bounds = [_granularity_round(bounds[0], gran, up=False)] + [
+            _granularity_round(b, gran, up=True) for b in bounds[1:]
+        ]
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    if len(uniq) == 1:  # single-valued key: one bucket [v, v]
+        uniq.append(uniq[0])
+
+    # __k keeps the key's own type (observed-min/max _id matches the exact
+    # path's schema); __kd is the double view the float boundaries compare on
+    tagged = df.withColumn("__k", key).withColumn("__kd", key.cast("double"))
+    pairs = list(zip(uniq, uniq[1:]))
+    bucket = None
+    id_struct = None
+    for i, (lo, hi) in enumerate(pairs):
+        cond = (F.col("__kd") >= F.lit(lo)) & (
+            (F.col("__kd") <= F.lit(hi))  # last bucket inclusive, like Mongo
+            if i == len(pairs) - 1
+            else (F.col("__kd") < F.lit(hi))
+        )
+        sid = F.struct(F.lit(lo).alias("min"), F.lit(hi).alias("max"))
+        bucket = F.when(cond, F.lit(i)) if bucket is None else bucket.when(cond, F.lit(i))
+        id_struct = F.when(cond, sid) if id_struct is None else id_struct.when(cond, sid)
+    tagged = tagged.withColumn("__b", bucket).withColumn("__gid", id_struct)
     ec2 = ExpressionCompiler(tagged)
     aggs = [_accumulator(ec2, name, acc) for name, acc in output.items()]
+    id_col = (
+        F.first("__gid").alias("_id")
+        if gran is not None
+        else F.struct(F.min("__k").alias("min"), F.max("__k").alias("max")).alias("_id")
+    )
     return (
         tagged.groupBy("__b")
-        .agg(
-            F.struct(
-                F.min("__k").alias("min"), F.max("__k").alias("max")
-            ).alias("_id"),
-            *aggs,
-        )
+        .agg(id_col, *aggs)
         .orderBy("__b")
-        .drop("__b")
+        .drop("__b", "__kd")
     )
 
 

@@ -138,8 +138,11 @@ def dedup_keep_best(
         "id", "__q", F.coalesce("component", F.col("id")).alias("cluster")
     )
     best = clustered.groupBy("cluster").agg(
+        # negated id stays a LONG: a double cast would lose precision above
+        # 2^53 and could flip equal-quality ties for 60-bit hash-derived ids
+        # (md5_hash60 convention), breaking the documented min-id winner
         F.max_by(
-            "id", F.struct(F.col("__q"), (-F.col("id")).cast("double"))
+            "id", F.struct(F.col("__q"), (-F.col("id")).cast("long"))
         ).alias("__best")
     )
     return clustered.join(best, "cluster").select(

@@ -376,3 +376,78 @@ def ds_expr_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ]
     )
+
+
+_ZIPPED = {
+    "$zip": {
+        "inputs": [
+            {"$split": ["$o_orderpriority", "-"]},
+            {"$reverseArray": {"$split": ["$o_orderpriority", "-"]}},
+        ]
+    }
+}
+
+
+@register(
+    "ds_week_zip_replace",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(FLOOR((dayofyear(o_orderdate) + 6 - dayofweek(o_orderdate)) / 7.0) AS INT) AS week,
+                   CASE WHEN strpos(o_orderpriority, 'E') = 0 THEN o_orderpriority
+                        ELSE substr(o_orderpriority, 1, strpos(o_orderpriority, 'E') - 1)
+                             || '*'
+                             || substr(o_orderpriority, strpos(o_orderpriority, 'E') + 1)
+                   END AS ptag,
+                   string_split(o_orderpriority, '-') AS tok
+            FROM orders
+        )
+        SELECT week, ptag,
+               tok[1] || '|' || list_reverse(tok)[1] || '|' ||
+               tok[2] || '|' || list_reverse(tok)[2] AS ztag,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM t
+        GROUP BY week, ptag, ztag
+    """,
+    doc="$week (strftime %U — Sunday-start, week 0 before the first Sunday, "
+    "pinned identically on both engines via the closed form "
+    "floor((yday + 6 - wday)/7)), $replaceOne (first occurrence only, "
+    "literal find — the double-E priorities prove first-only), and $zip "
+    "(pairwise with the reversed token list) in one $project → $group "
+    "(docstore/expressions.py; VERDICT r3 ask #6).  Gate-only: expression "
+    "ops, not a novel family — the window holds ds_cond_price_buckets for "
+    "this surface.",
+    tags=("docstore", "expr"),
+    driver_visible=False,
+)
+def ds_week_zip_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _pair(i: int, j: int):
+        return {"$arrayElemAt": [{"$arrayElemAt": [_ZIPPED, i]}, j]}
+
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {
+                "$project": {
+                    "week": {"$week": "$o_orderdate"},
+                    "ptag": {
+                        "$replaceOne": {
+                            "input": "$o_orderpriority",
+                            "find": "E",
+                            "replacement": "*",
+                        }
+                    },
+                    "ztag": {
+                        "$concat": [
+                            _pair(0, 0), "|", _pair(0, 1), "|",
+                            _pair(1, 0), "|", _pair(1, 1),
+                        ]
+                    },
+                }
+            },
+            {
+                "$group": {
+                    "_id": {"week": "$week", "ptag": "$ptag", "ztag": "$ztag"},
+                    "n": {"$sum": 1},
+                }
+            },
+        ]
+    )

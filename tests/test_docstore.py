@@ -351,6 +351,18 @@ class TestPipelineStageExtensions:
         with pytest.raises(Exception, match="outside boundaries"):
             out.collect()
 
+    def test_bucket_rejects_duplicate_boundaries(self, spark):
+        """Non-strict ascent must error like mongod, not create a silent
+        unreachable [lo, lo) bucket."""
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        with pytest.raises(ValueError, match="strictly ascending"):
+            aggregate(
+                self._docs(spark),
+                [{"$bucket": {"groupBy": "$price", "boundaries": [0, 10, 10, 20]}}],
+            )
+
     def test_sort_by_count(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
 
@@ -515,6 +527,73 @@ class TestBucketAutoAndOut:
             (0.0, 3.0), (4.0, 7.0), (8.0, 11.0),
         ]
 
+    def test_bucket_auto_approx_equal_population_no_global_sort(self, spark):
+        """scaleMode 'approx': quantile-derived boundaries through the
+        $bucket-style conditional projection — equal-ish populations with NO
+        window/global sort anywhere in the physical plan."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1200)], "price double"
+        )
+        out = aggregate(
+            df,
+            [{"$bucketAuto": {"groupBy": "$price", "buckets": 4,
+                              "scaleMode": "approx",
+                              "output": {"count": {"$sum": 1}}}}],
+        )
+        rows = out.collect()
+        counts = [r["count"] for r in rows]
+        assert sum(counts) == 1200
+        assert len(counts) == 4
+        # equal-ish: every bucket within 25% of the ideal 300
+        assert all(225 <= c <= 375 for c in counts), counts
+        # populations partition the key range in order
+        pairs = [(r["_id"]["min"], r["_id"]["max"]) for r in rows]
+        assert pairs == sorted(pairs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "ntile" not in plan
+
+    def test_bucket_auto_granularity_powersof2(self, spark):
+        """granularity auto-selects the approx path; _id bounds snap to the
+        series (first rounded down, rest rounded up) per Mongo."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in (3, 5, 6, 7, 9, 11, 13, 20, 30, 50, 60, 100)],
+            "price double",
+        )
+        out = aggregate(
+            df,
+            [{"$bucketAuto": {"groupBy": "$price", "buckets": 3,
+                              "granularity": "POWERSOF2"}}],
+        )
+        rows = out.collect()
+        assert sum(r["count"] for r in rows) == 12
+        for r in rows:
+            for bound in (r["_id"]["min"], r["_id"]["max"]):
+                # every boundary is a power of two
+                m = bound
+                while m > 1.0:
+                    m /= 2.0
+                while 0 < m < 1.0:
+                    m *= 2.0
+                assert m == 1.0, bound
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_bucket_auto_granularity_r5_series(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import (
+            _granularity_round,
+        )
+
+        assert _granularity_round(3.0, "R5", up=True) == 4.0
+        assert _granularity_round(3.0, "R5", up=False) == 2.5
+        assert _granularity_round(40.0, "R5", up=True) == 40.0
+        assert _granularity_round(0.7, "R5", up=True) == 1.0
+        assert _granularity_round(101.0, "1-2-5", up=True) == 200.0
+        assert _granularity_round(0.0, "E12", up=False) == 0.0
+
     def test_out_materializes_and_returns_table(self, spark, tmp_path):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
 
@@ -550,6 +629,77 @@ class TestExpressionOperatorExtensions:
         assert list(row["f"]) == [3, 4]
         assert list(row["m"]) == [10, 20, 30, 40]
         assert row["r"] == 10
+
+    def test_zip_shortest_and_longest(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [([1, 2, 3], [10, 20])], "a array<long>, b array<long>"
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$zip": {"inputs": ["$a", "$b"]}}).alias("short"),
+            ec.compile({"$zip": {"inputs": ["$a", "$b"],
+                                 "useLongestLength": True}}).alias("long_null"),
+            ec.compile({"$zip": {"inputs": ["$a", "$b"],
+                                 "useLongestLength": True,
+                                 "defaults": [0, -1]}}).alias("long_dflt"),
+        ).collect()[0]
+        assert [list(x) for x in row["short"]] == [[1, 10], [2, 20]]
+        assert [list(x) for x in row["long_null"]] == [[1, 10], [2, 20], [3, None]]
+        assert [list(x) for x in row["long_dflt"]] == [[1, 10], [2, 20], [3, -1]]
+
+    def test_zip_empty_input_gives_empty(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame([([1, 2], [])], "a array<long>, b array<long>")
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$zip": {"inputs": ["$a", "$b"]}}).alias("z")
+        ).collect()[0]
+        assert list(row["z"]) == []
+
+    def test_replace_one_first_occurrence_only(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = self._df(spark)
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$replaceOne": {"input": "$s", "find": "l",
+                                        "replacement": "L"}}).alias("one"),
+            ec.compile({"$replaceOne": {"input": "$s", "find": "zzz",
+                                        "replacement": "X"}}).alias("miss"),
+            ec.compile({"$replaceOne": {"input": "$s", "find": ".",
+                                        "replacement": "!"}}).alias("noregex"),
+        ).collect()[0]
+        assert row["one"] == "HeLlo World"  # only the FIRST 'l'
+        assert row["miss"] == "Hello World"
+        assert row["noregex"] == "Hello World"  # '.' is literal, not regex
+
+    def test_week_matches_strftime_percent_U(self, spark):
+        """Mongo $week == C strftime %U (Sunday-start, week 0 before the
+        first Sunday) — swept across year boundaries and leap years."""
+        import datetime as d
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        dates = [
+            d.datetime(2016, 1, 1) + d.timedelta(days=i * 13) for i in range(60)
+        ] + [d.datetime(y, 1, 1) for y in range(2014, 2026)] + [
+            d.datetime(y, 12, 31) for y in range(2014, 2026)
+        ]
+        df = spark.createDataFrame([(x,) for x in dates], "ts timestamp")
+        ec = ExpressionCompiler(df)
+        got = [
+            (r["ts"], r["w"], r["iso"])
+            for r in df.select(
+                "ts",
+                ec.compile({"$week": "$ts"}).alias("w"),
+                ec.compile({"$isoWeek": "$ts"}).alias("iso"),
+            ).collect()
+        ]
+        for ts, w, iso in got:
+            assert w == int(ts.strftime("%U")), ts
+            assert iso == int(ts.strftime("%V")), ts
 
     def test_switch_and_math(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
@@ -617,6 +767,16 @@ class TestExpressionOperatorExtensions:
         assert row["rm"] is True
         assert row["ra"] == "HeLLo WorLd"
         assert (row["ix"], row["miss"]) == (6, -1)
+        # substring operand may itself be an expression/path — it must be
+        # COMPILED, not searched as the literal text "$needle"
+        from pyspark.sql import functions as F
+
+        df2 = df.withColumn("needle", F.lit("World"))
+        ec2 = ExpressionCompiler(df2)
+        row2 = df2.select(
+            ec2.compile({"$indexOfCP": ["$s", "$needle"]}).alias("ix2")
+        ).collect()[0]
+        assert row2["ix2"] == 6
         assert (row["sec"], row["doy"]) == (30, 74)
         assert row["fmt"] == "2017-03-15 14:10"
 

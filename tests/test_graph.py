@@ -133,6 +133,24 @@ class TestDedupKeepBest:
         }
         assert out == {5: True, 6: False}
 
+    def test_quality_tie_breaks_to_min_id_above_2_53(self, spark):
+        """60-bit hash-derived ids (md5_hash60 convention) exceed double
+        precision: the negated-id tie-break must stay a LONG, or adjacent
+        huge ids compare equal after a double cast and the winner drifts."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
+            dedup_keep_best,
+        )
+
+        a = (1 << 59) + 2  # consecutive ids collide when rounded to double
+        b = a + 1
+        docs = spark.createDataFrame([(a, 3.0), (b, 3.0)], "doc_id long, q double")
+        pairs = spark.createDataFrame([(a, b)], "id_a long, id_b long")
+        out = {
+            r["id"]: r["is_canonical"]
+            for r in dedup_keep_best(docs, pairs, "doc_id", "q").collect()
+        }
+        assert out == {a: True, b: False}
+
     def test_exactly_one_canonical_per_cluster(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
             dedup_keep_best,
