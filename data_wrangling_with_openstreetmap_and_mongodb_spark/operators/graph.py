@@ -31,33 +31,70 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _truncate(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
+    """Cut lineage per ``mode``:
+
+    - ``"local"`` — ``localCheckpoint``: blocks live on executor local
+      storage.  Fast (no DFS round-trip), but an executor loss mid-job
+      loses the blocks AND the lineage to rebuild them — fine on local[N]
+      and short-lived jobs, unsafe for long iterative jobs on a real
+      cluster.
+    - ``"reliable"`` — ``checkpoint``: blocks go to the configured
+      checkpoint directory (HDFS/DFS), surviving any executor loss.  Costs
+      a write barrier per call; requires ``sc.setCheckpointDir`` (raises
+      with guidance when unset rather than failing deep inside the job).
+    """
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint_mode='reliable' needs "
+                "spark.sparkContext.setCheckpointDir(<DFS path>) first"
+            )
+        return df.checkpoint(eager=eager)
+    if mode != "local":
+        raise ValueError(f"unknown checkpoint_mode: {mode!r}")
+    return df.localCheckpoint(eager=eager)
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 20,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """``(id, component)`` for every vertex in ``edges``; ``component`` is
-    the minimum vertex id in the connected component (deterministic)."""
+    the minimum vertex id in the connected component (deterministic).
+
+    ``checkpoint_mode='reliable'`` swaps every lineage truncation for a
+    DFS-backed ``checkpoint()`` so a lost executor costs a task retry, not
+    the job (VERDICT r3 ask #4) — the cluster-safe setting for long runs;
+    ``'local'`` (default) keeps the faster executor-local blocks.  Measured
+    at sf0.1 (ngram-pairs cluster collapse): see PLANS.md §checkpoint-modes.
+    """
     # Eager checkpoint of the RAW edges, before symmetrization: the edge
     # input is typically an expensive near-dup pipeline (candidate join +
     # verification), and building the symmetric view first would reference —
     # and execute — that pipeline twice in one job.  Materializing the edges
     # once up front makes both union branches cheap scans of in-memory
     # blocks (measured 2.5× on the sf0.1 ngram-pairs cluster query).
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    e = _truncate(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        checkpoint_mode,
+        eager=True,
     )
-    labels = (
+    sym = _truncate(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
+        checkpoint_mode,
+        eager=False,
+    )
+    labels = _truncate(
         sym.select(F.col("src").alias("id"))
         .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)
+        .withColumn("label", F.col("id")),
+        checkpoint_mode,
+        eager=False,
     )
     def propagate(lbls):
         # pull the minimum neighbor label into each vertex, keep own label
@@ -80,8 +117,8 @@ def connected_components(
     # monotone, so a round with zero changes means fixpoint regardless of
     # what the round before it did.
     for _ in range((max_iters + 1) // 2):
-        updated = propagate(propagate(labels).drop("__chg")).localCheckpoint(
-            eager=False
+        updated = _truncate(
+            propagate(propagate(labels).drop("__chg")), checkpoint_mode, eager=False
         )
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
@@ -96,6 +133,7 @@ def dedup_clusters(
     id_col: str,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Cluster assignment + canonical pick over a corpus and its near-dup
     pairs: ``(id, cluster, is_canonical)``.
@@ -104,7 +142,7 @@ def dedup_clusters(
     canonical member is the cluster's minimum id (deterministic, stable
     across runs — the property retries and incremental reruns need).
     """
-    comp = connected_components(pairs, src_col, dst_col)
+    comp = connected_components(pairs, src_col, dst_col, checkpoint_mode=checkpoint_mode)
     ids = df.select(F.col(id_col).alias("id"))
     joined = ids.join(comp, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("cluster")
@@ -119,6 +157,7 @@ def dedup_keep_best(
     quality_col: str,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """:func:`dedup_clusters` with a QUALITY-aware canonical pick:
     ``(id, cluster, is_canonical)`` where each cluster's survivor is its
@@ -132,7 +171,7 @@ def dedup_keep_best(
     cluster ids remain the min-id component labels so incremental reruns
     keep stable cluster identities even as better members arrive.
     """
-    comp = connected_components(pairs, src_col, dst_col)
+    comp = connected_components(pairs, src_col, dst_col, checkpoint_mode=checkpoint_mode)
     ids = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q"))
     clustered = ids.join(comp, "id", "left").select(
         "id", "__q", F.coalesce("component", F.col("id")).alias("cluster")
@@ -156,6 +195,8 @@ def pagerank(
     dst_col: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 0,
+    checkpoint_mode: str = "reliable",
 ) -> DataFrame:
     """Damped PageRank by a fixed number of power iterations — ``(id, pr)``.
 
@@ -180,6 +221,17 @@ def pagerank(
     bucketing a 100 TB deployment would pre-partition edges by.  The plan
     grows linearly in ``iters`` (no lineage loop — iters is a literal
     constant, so no checkpoint needed at single-digit depths).
+
+    For DEEP runs on a real cluster set ``checkpoint_every=k``: the rank
+    frame is checkpointed every k iterations, bounding both plan size and
+    the recomputation window after an executor loss.  The default mode is
+    ``'reliable'`` (DFS-backed ``checkpoint()`` — survives executor loss;
+    requires ``sc.setCheckpointDir``) because a job deep enough to need
+    truncation is exactly the job that cannot afford executor-local blocks
+    (VERDICT r3 ask #4); pass ``checkpoint_mode='local'`` to trade that
+    durability for speed on local[N].  Values are unchanged either way —
+    truncation only cuts lineage, so the trajectory oracle holds in every
+    mode.  Barrier cost measured at sf0.1: see PLANS.md §checkpoint-modes.
     """
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import dsum
 
@@ -210,7 +262,7 @@ def pagerank(
     # 0.15000000000000002 — injecting the IEEE value keeps both engines
     # bit-identical
     one_minus_d = F.lit(1.0 - damping)
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(r, e["src"] == r["id"])
             .join(od, "src")
@@ -228,4 +280,8 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        # truncate mid-run only: the final frame returns to the caller's
+        # plan, where a trailing checkpoint would be a pure extra barrier
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            r = _truncate(r, checkpoint_mode, eager=True)
     return r

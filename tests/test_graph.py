@@ -151,6 +151,69 @@ class TestDedupKeepBest:
         }
         assert out == {a: True, b: False}
 
+
+class TestCheckpointModes:
+    # NOTE: the raises-upfront test must run FIRST in this class — the later
+    # tests set a checkpoint dir on the shared session (pytest runs methods
+    # in definition order).
+    def test_reliable_mode_without_dir_raises_upfront(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
+            connected_components,
+        )
+
+        if spark.sparkContext.getCheckpointDir() is not None:
+            pytest.skip("checkpoint dir already set by an earlier test")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(pairs, checkpoint_mode="reliable")
+
+    def test_reliable_mode_same_components(self, spark, tmp_path):
+        """checkpoint_mode='reliable' (DFS-backed, executor-loss-safe) must
+        produce identical components to the default local mode."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (5, 3)], "id_a long, id_b long"
+        )
+        local = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        reliable = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                pairs, checkpoint_mode="reliable"
+            ).collect()
+        }
+        assert reliable == local
+        assert local == {(1, 1), (2, 1), (3, 1), (5, 1), (10, 10), (11, 10)}
+
+    def test_pagerank_checkpointed_trajectory_identical(self, spark, tmp_path):
+        """Lineage truncation must not change a single bit of the ranks."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 1), (4, 3)], "src long, dst long"
+        )
+        plain = {r["id"]: r["pr"] for r in pagerank(edges, iters=6).collect()}
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        ckpt = {
+            r["id"]: r["pr"]
+            for r in pagerank(edges, iters=6, checkpoint_every=2).collect()
+        }
+        assert ckpt == plain  # exact float equality: same IEEE trajectory
+        lcl = {
+            r["id"]: r["pr"]
+            for r in pagerank(
+                edges, iters=6, checkpoint_every=3, checkpoint_mode="local"
+            ).collect()
+        }
+        assert lcl == plain
+
     def test_exactly_one_canonical_per_cluster(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
             dedup_keep_best,
