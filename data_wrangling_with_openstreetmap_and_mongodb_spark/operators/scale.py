@@ -162,51 +162,60 @@ def compact_parquet(
     )
 
 
-def zvalue(col_a, col_b, bits: int = 20):
-    """Morton (Z-order) interleave of two non-negative integer columns:
-    ``bits`` bits of each, a-bit in the even positions — one pure bit
-    expression, fully codegen'd.
+def zvalue_n(cols, bits: int = 20):
+    """Morton (Z-order) interleave of k ≥ 2 non-negative integer columns:
+    ``bits`` bits of each, bit i of column j at output position i·k + j —
+    one pure bit expression, fully codegen'd.
 
     Inputs must already be non-negative ints in [0, 2^bits); map real
-    domains first (e.g. ``percent_rank``-bucket or epoch-day).  20+20 bits
-    stays comfortably inside a signed 64-bit value.
+    domains first (e.g. ``percent_rank``-bucket or epoch-day).  ``k·bits``
+    must stay within a signed 64-bit value (≤ 63) — lower ``bits`` as
+    dimensions grow (20 bits/dim at k=2, 21 at k=3, 15 at k=4...).
     """
-    a = col_a.cast("long")
-    b = col_b.cast("long")
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
-        out = (
-            out
-            + abit * F.lit(1 << (2 * i)).cast("long")
-            + bbit * F.lit(1 << (2 * i + 1)).cast("long")
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zvalue_n needs at least 2 columns")
+    if k * bits > 63:
+        raise ValueError(
+            f"{k} cols × {bits} bits = {k * bits} exceeds 63 interleaved "
+            f"bits; lower bits to ≤ {63 // k}"
         )
+    out = F.lit(0).cast("long")
+    for j, col in enumerate(cols):
+        c = col.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            out = out + bit * F.lit(1 << (i * k + j)).cast("long")
     return out
+
+
+def zvalue(col_a, col_b, bits: int = 20):
+    """Two-column :func:`zvalue_n` (a-bits in the even positions)."""
+    return zvalue_n([col_a, col_b], bits)
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    *cols: str,
     n_files: int = 8,
     bits: int = 20,
 ) -> None:
-    """Write ``df`` as parquet clustered by the Z-order of (col_a, col_b):
-    rows range-partition on the interleaved Morton value, so EACH output
-    file covers a small rectangle of the 2-D key space instead of a full
-    stripe of one dimension.
+    """Write ``df`` as parquet clustered by the Z-order of ``cols`` (any
+    k ≥ 2 dimensions): rows range-partition on the interleaved Morton
+    value, so EACH output file covers a small k-dimensional box of the key
+    space instead of a full stripe of one dimension.
 
     Why this matters at 100 TB: parquet readers prune row groups on per-file
-    min/max stats.  A sort on col_a alone gives perfect pruning on col_a and
-    NONE on col_b; Z-ordering gives good pruning on BOTH — the layout trick
-    behind Delta/Iceberg OPTIMIZE ZORDER, here as a plain column expression
-    + ``repartitionByRange``.  The bounding-box shrinkage (each file's
-    (Δa · Δb) area vs a one-dimensional sort's) is what the layout test
-    asserts, engine-independent of any reader.
+    min/max stats.  A sort on the first column alone gives perfect pruning
+    on it and NONE on the others; Z-ordering gives good pruning on ALL —
+    the layout trick behind Delta/Iceberg OPTIMIZE ZORDER, here as a plain
+    column expression + ``repartitionByRange``.  The bounding-box shrinkage
+    (each file's ∏Δdim volume vs a one-dimensional sort's) is what the
+    layout test asserts — in 2-D and 3-D — engine-independent of any
+    reader.
     """
-    z = zvalue(F.col(col_a), F.col(col_b), bits).alias("__z")
+    z = zvalue_n([F.col(c) for c in cols], bits).alias("__z")
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

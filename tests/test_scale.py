@@ -221,3 +221,88 @@ class TestZOrder:
         assert z_area <= 2 * n
         # and row fidelity: nothing lost or duplicated in the rewrite
         assert spark.read.parquet(zpath).count() == n
+
+    def test_zvalue_n_matches_reference_3d(self, spark):
+        """3-column interleave against a pure-Python bit reference."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import zvalue_n
+
+        rows = [(a, b, c) for a in (0, 1, 5, 15) for b in (0, 3, 7) for c in (0, 2, 15)]
+        df = spark.createDataFrame(rows, "a long, b long, c long")
+        got = {
+            (r["a"], r["b"], r["c"]): r["z"]
+            for r in df.select(
+                "a", "b", "c",
+                zvalue_n([F.col("a"), F.col("b"), F.col("c")], 4).alias("z"),
+            ).collect()
+        }
+
+        def ref(a, b, c):
+            z = 0
+            for i in range(4):
+                z |= ((a >> i) & 1) << (3 * i)
+                z |= ((b >> i) & 1) << (3 * i + 1)
+                z |= ((c >> i) & 1) << (3 * i + 2)
+            return z
+
+        assert got == {(a, b, c): ref(a, b, c) for a, b, c in rows}
+
+    def test_zvalue_n_rejects_bit_overflow(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import zvalue_n
+
+        with pytest.raises(ValueError, match="exceeds 63"):
+            zvalue_n([F.col("a"), F.col("b"), F.col("c"), F.col("d")], 16)
+        with pytest.raises(ValueError, match="at least 2"):
+            zvalue_n([F.col("a")], 8)
+
+    def test_zorder_layout_3d_tiles(self, spark, tmp_path):
+        """3-dim extension of the tile property (VERDICT r3 ask #7): every
+        file's bounding BOX is at most half the grid in EACH of the three
+        dimensions (a sort stripes at least one), and total volume stays
+        within 2x of perfect tiles."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+            write_zordered,
+        )
+
+        side = 16  # 16^3 = 4096-point cube
+        n = side ** 3
+        df = spark.range(n).select(
+            (F.col("id") % side).alias("a"),
+            ((F.col("id") / side).cast("long") % side).alias("b"),
+            (F.col("id") / (side * side)).cast("long").alias("c"),
+        )
+        zpath = str(tmp_path / "zorder3")
+        # repartitionByRange picks boundaries by SAMPLING (default 100 rows
+        # per partition); at 8 files over 4096 points the sampling error
+        # shifts a boundary a few points past an octant edge and that file's
+        # bbox jumps to a full stripe on one dim.  Sample exhaustively so the
+        # boundaries land exactly on the octant quantiles — the property
+        # under test is the LAYOUT given correct boundaries, not the
+        # sampler's variance at toy sizes.
+        prev = spark.conf.get("spark.sql.execution.rangeExchange.sampleSizePerPartition", None)
+        spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "4096")
+        try:
+            write_zordered(df, zpath, "a", "b", "c", n_files=8, bits=4)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+            else:
+                spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", prev)
+        per_file = (
+            spark.read.parquet(zpath)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("a") - F.min("a") + 1).alias("da"),
+                (F.max("b") - F.min("b") + 1).alias("db"),
+                (F.max("c") - F.min("c") + 1).alias("dc"),
+            )
+            .collect()
+        )
+        assert all(
+            r["da"] <= side // 2 and r["db"] <= side // 2 and r["dc"] <= side // 2
+            for r in per_file
+        ), [(r["da"], r["db"], r["dc"]) for r in per_file]
+        volume = sum(r["da"] * r["db"] * r["dc"] for r in per_file)
+        assert volume <= 2 * n
+        assert spark.read.parquet(zpath).count() == n
