@@ -11,6 +11,9 @@ bucketed joins produce no shuffle exchange, partitioned reads prune.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve under
+# `from __future__ import annotations` (stringified hints are looked up in
+# module globals)
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -194,12 +197,55 @@ def zvalue(col_a, col_b, bits: int = 20):
     return zvalue_n([col_a, col_b], bits)
 
 
+def hilbert_index(col_x, col_y, bits: int = 16):
+    """2-D Hilbert-curve index of two non-negative integer columns in
+    [0, 2^bits) — the QUALITY alternative to :func:`zvalue`: the Hilbert
+    curve has no Morton "seams" (consecutive indices are always grid
+    neighbors), so contiguous index ranges cover tighter boxes and per-file
+    min/max pruning improves further.
+
+    Implementation note: the standard xy2d bit walk carries rotation state
+    across bit levels, so a pure Column-expression unroll multiplies every
+    sub-expression per level (~5^bits nodes — unusable past ~6 bits).  A
+    vectorized Arrow-batched pandas_udf (numpy bit ops, no Python-level
+    row loop) is the measured right trade for a one-shot layout write;
+    zvalue stays the pure-codegen option.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _h(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+
+        xs = x.to_numpy(dtype="int64").copy()
+        ys = y.to_numpy(dtype="int64").copy()
+        d = np.zeros_like(xs)
+        s = 1 << (bits - 1)
+        while s > 0:
+            rx = ((xs & s) > 0).astype("int64")
+            ry = ((ys & s) > 0).astype("int64")
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate the sub-quadrant: flip when rx==1&ry==0, then swap
+            swap = ry == 0
+            flip = swap & (rx == 1)
+            xs[flip] = s - 1 - xs[flip]
+            ys[flip] = s - 1 - ys[flip]
+            tmp = xs[swap].copy()
+            xs[swap] = ys[swap]
+            ys[swap] = tmp
+            s >>= 1
+        return pd.Series(d)
+
+    return _h(col_x, col_y)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     *cols: str,
     n_files: int = 8,
     bits: int = 20,
+    curve: str = "z",
 ) -> None:
     """Write ``df`` as parquet clustered by the Z-order of ``cols`` (any
     k ≥ 2 dimensions): rows range-partition on the interleaved Morton
@@ -214,8 +260,19 @@ def write_zordered(
     (each file's ∏Δdim volume vs a one-dimensional sort's) is what the
     layout test asserts — in 2-D and 3-D — engine-independent of any
     reader.
+
+    ``curve='hilbert'`` (2-D only) clusters on :func:`hilbert_index`
+    instead — tighter boxes per contiguous range at the cost of the
+    Arrow-batched index computation (see its docstring).
     """
-    z = zvalue_n([F.col(c) for c in cols], bits).alias("__z")
+    if curve == "hilbert":
+        if len(cols) != 2:
+            raise ValueError("curve='hilbert' supports exactly 2 columns")
+        z = hilbert_index(F.col(cols[0]), F.col(cols[1]), bits).alias("__z")
+    elif curve == "z":
+        z = zvalue_n([F.col(c) for c in cols], bits).alias("__z")
+    else:
+        raise ValueError(f"unknown curve: {curve!r}")
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

@@ -222,6 +222,62 @@ class TestZOrder:
         # and row fidelity: nothing lost or duplicated in the rewrite
         assert spark.read.parquet(zpath).count() == n
 
+    def test_hilbert_index_bijective_and_adjacent(self, spark):
+        """Hilbert property pair on the full 16x16 grid: the index is a
+        bijection onto [0, 256) and CONSECUTIVE indices are always grid
+        neighbors (Manhattan distance 1) — the locality guarantee Morton
+        order lacks at its seams."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+            hilbert_index,
+        )
+
+        side = 16
+        df = spark.range(side * side).select(
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("long").alias("y"),
+        )
+        rows = df.select(
+            "x", "y", hilbert_index(F.col("x"), F.col("y"), 4).alias("h")
+        ).collect()
+        pos = {r["h"]: (r["x"], r["y"]) for r in rows}
+        assert sorted(pos) == list(range(side * side))
+        for h in range(1, side * side):
+            (x0, y0), (x1, y1) = pos[h - 1], pos[h]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1, (h, pos[h - 1], pos[h])
+
+    def test_hilbert_layout_at_least_as_tight_as_z(self, spark, tmp_path):
+        """curve='hilbert' files must cover no more total bbox area than the
+        Morton layout on the same grid/file budget."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+            write_zordered,
+        )
+
+        n, side = 4096, 64
+        df = spark.range(n).select(
+            (F.col("id") % side).alias("a"),
+            (F.col("id") / side).cast("long").alias("b"),
+        )
+        zpath, hpath = str(tmp_path / "zc"), str(tmp_path / "hc")
+        write_zordered(df, zpath, "a", "b", n_files=16, bits=8)
+        write_zordered(df, hpath, "a", "b", n_files=16, bits=8, curve="hilbert")
+
+        def bbox_area_sum(path):
+            return (
+                spark.read.parquet(path)
+                .withColumn("f", F.input_file_name())
+                .groupBy("f")
+                .agg(
+                    (F.max("a") - F.min("a") + 1).alias("da"),
+                    (F.max("b") - F.min("b") + 1).alias("db"),
+                )
+                .select(F.sum(F.col("da") * F.col("db")).alias("s"))
+                .collect()[0]["s"]
+            )
+
+        h_area, z_area = bbox_area_sum(hpath), bbox_area_sum(zpath)
+        assert h_area <= z_area, (h_area, z_area)
+        assert spark.read.parquet(hpath).count() == n
+
     def test_zvalue_n_matches_reference_3d(self, spark):
         """3-column interleave against a pure-Python bit reference."""
         from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import zvalue_n
