@@ -405,3 +405,58 @@ def mixture_sample_sql(
             f"ELSE {rate} END"
         )
     return f"SELECT * FROM {table_or_subquery} WHERE {bucket} < {rate}"
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping fixed-size token context windows per document —
+    ``(id, chunk_idx, chunk_text, n_chunk_tokens)``: the chunking step every
+    training / retrieval pipeline runs before embedding, packing, or
+    indexing (sliding windows of ``chunk_size`` tokens advancing by
+    ``chunk_size − overlap``, so no span of text is split across a boundary
+    without also appearing whole in some window).
+
+    Chunk count is the closed form ``max(1, ⌈(n_tok − overlap) / stride⌉)``
+    (every token covered; the final window may run short; an empty document
+    yields one empty chunk so downstream joins never drop ids).  Pure
+    narrow algebra — tokenize, explode a per-document index sequence,
+    slice — with NO shuffle anywhere: chunks inherit the document scan's
+    partitioning, which is exactly what lets a 100 TB corpus chunk as a
+    map-only pass.  Deterministic: chunk identity is a pure function of
+    (document text, chunk_size, overlap) — retry/repartition-stable.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    base = df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.col(text_col)).alias("__t"),
+    ).withColumn("__n", F.size("__t"))
+    # integer ceil-div — identical arithmetic replays in the SQL oracle
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.col("__n") - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)),
+    )
+    win = F.slice(
+        F.col("__t"), F.col("chunk_idx").cast("int") * stride + 1, chunk_size
+    )
+    return (
+        base.select(
+            "id",
+            "__t",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.concat_ws(" ", win).alias("chunk_text"),
+            F.size(win).cast("long").alias("n_chunk_tokens"),
+        )
+    )

@@ -495,8 +495,13 @@ def orders_of_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY dow
         ORDER BY dow ASC
     """,
-    doc="$dayOfWeek histogram, $sort _id:1 (README.md:1202-1211)",
+    doc="$dayOfWeek histogram, $sort _id:1 (README.md:1202-1211).  Rotated "
+    "out of the driver window in r4: derived-date-key group-count shape "
+    "covered by streaming_hourly_rollup's visible row; slot given to the "
+    "new chunk_training_windows family (ask #8 hygiene); still in the "
+    "local parity gate.",
     tags=("datetime", "agg"),
+    driver_visible=False,
 )
 def orders_by_dayofweek(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -2771,3 +2771,60 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(d, pairs, "doc_id", "n_chars").select(
         F.col("id").alias("doc_id"), "cluster", "is_canonical"
     )
+
+
+def _chunk_oracle_sql(chunk_size: int, overlap: int) -> str:
+    stride = chunk_size - overlap
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), nn AS (
+            SELECT doc_id, t,
+                   greatest(1, (len(t) - {overlap} + {stride - 1}) // {stride}) AS n_chunks
+            FROM toks
+        ), idx AS (
+            SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_idx FROM nn
+        )
+        SELECT doc_id AS id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               md5(array_to_string(
+                   list_slice(t, chunk_idx * {stride} + 1,
+                              chunk_idx * {stride} + {chunk_size}), ' '
+               )) AS chunk_md5,
+               CAST(len(list_slice(t, chunk_idx * {stride} + 1,
+                                   chunk_idx * {stride} + {chunk_size})) AS BIGINT)
+                   AS n_chunk_tokens
+        FROM idx
+    """
+
+
+@register(
+    "chunk_training_windows",
+    oracle=_chunk_oracle_sql(chunk_size=32, overlap=8),
+    doc="overlapping fixed-token context windows per document "
+    "(operators/curation.py::chunk_token_windows): 32-token windows with "
+    "8-token overlap — the chunking step before embedding/packing/indexing "
+    "in a training or retrieval pipeline.  Chunk count is the closed form "
+    "max(1, ceil((n_tok − overlap)/stride)); the window content is "
+    "hash-verified (md5 of the reassembled chunk text), so the oracle "
+    "replays every chunk boundary byte-for-byte.  NO shuffle anywhere: "
+    "tokenize → explode index sequence → slice is a map-only pass that "
+    "inherits the document scan's partitioning — the property that lets a "
+    "100 TB corpus chunk without a single exchange.  Driver-visible from "
+    "birth (r3 ask #8 hygiene): novel family, orders_by_dayofweek rotated "
+    "out in exchange.",
+    tags=("curation", "chunking", "explode"),
+)
+def chunk_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        chunk_token_windows,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_token_windows(d, "text", "doc_id", chunk_size=32, overlap=8)
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_chunk_tokens",
+    )

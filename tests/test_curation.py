@@ -267,3 +267,64 @@ class TestRuleFilterAudit:
         )
         row = rule_filter_audit(df, "text", "source").collect()[0]
         assert row.n_keep == 4 and row.n_docs == 4
+
+
+class TestChunkTokenWindows:
+    def _chunks(self, spark, rows, size, ov):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            chunk_token_windows,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return chunk_token_windows(df, "text", "doc_id", chunk_size=size, overlap=ov)
+
+    def test_sliding_window_boundaries(self, spark):
+        """10 tokens, size 4, overlap 2 (stride 2): ceil((10-2)/2)=4 chunks
+        at starts 0,2,4,6 — every token covered, short tail allowed."""
+        text = " ".join(f"t{i}" for i in range(10))
+        out = self._chunks(spark, [(1, text)], 4, 2).collect()
+        got = {r["chunk_idx"]: (r["chunk_text"], r["n_chunk_tokens"]) for r in out}
+        assert got == {
+            0: ("t0 t1 t2 t3", 4),
+            1: ("t2 t3 t4 t5", 4),
+            2: ("t4 t5 t6 t7", 4),
+            3: ("t6 t7 t8 t9", 4),
+        }
+
+    def test_every_token_covered_and_no_gap(self, spark):
+        """Property: the union of windows covers [0, n) and consecutive
+        windows overlap by exactly `overlap` (except a shorter tail)."""
+        for n_tok, size, ov in ((1, 8, 3), (7, 8, 3), (8, 8, 3), (9, 8, 3), (25, 8, 3)):
+            text = " ".join(f"w{i}" for i in range(n_tok))
+            rows = self._chunks(spark, [(1, text)], size, ov).collect()
+            stride = size - ov
+            seen = set()
+            for r in sorted(rows, key=lambda r: r["chunk_idx"]):
+                start = r["chunk_idx"] * stride
+                toks = r["chunk_text"].split() if r["chunk_text"] else []
+                assert toks == [f"w{i}" for i in range(start, min(start + size, n_tok))]
+                seen.update(range(start, start + len(toks)))
+            assert seen == set(range(n_tok)), (n_tok, size, ov)
+
+    def test_empty_and_short_docs(self, spark):
+        out = self._chunks(spark, [(1, ""), (2, "only two")], 4, 1).collect()
+        got = {(r["id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"]) for r in out}
+        assert got == {(1, 0): ("", 0), (2, 0): ("only two", 2)}
+
+    def test_invalid_overlap_raises(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="overlap"):
+            self._chunks(spark, [(1, "a b")], 4, 4)
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            chunk_token_windows,
+        )
+
+        plan = (
+            chunk_token_windows(df, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # map-only: chunks inherit scan partitioning
