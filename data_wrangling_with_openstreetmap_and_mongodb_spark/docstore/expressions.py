@@ -47,6 +47,15 @@ class ExpressionCompiler:
                 return None
         return dt
 
+    def _is_numeric(self, e: Any) -> bool:
+        if isinstance(e, bool):
+            return False
+        if isinstance(e, (int, float)):
+            return True
+        if isinstance(e, str) and e.startswith("$") and not e.startswith("$$"):
+            return isinstance(self.field_type(e[1:]), T.NumericType)
+        return False
+
     def _is_datetime(self, e: Any) -> bool:
         import datetime as _dt
 
@@ -182,6 +191,11 @@ class ExpressionCompiler:
             return F.when(self.compile_bool(cond), c(then)).otherwise(c(other))
         if op == "$ifNull":
             return F.coalesce(*[c(a) for a in args])
+        if op == "$cmp":
+            ca, cb = self._binary_args(args)
+            return (
+                F.when(ca < cb, F.lit(-1)).when(ca > cb, F.lit(1)).otherwise(F.lit(0))
+            )
         # comparisons as expressions (used inside $cond / $project)
         if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
             ca, cb = self._binary_args(args)
@@ -260,7 +274,50 @@ class ExpressionCompiler:
                 if isinstance(dt, T.ArrayType):
                     init = init.cast(dt.elementType)
             return F.aggregate(c(args["input"]), init, _red)
+        if op == "$let":
+            # vars evaluate in the OUTER scope (Mongo contract), then bind
+            # as $$name inside `in`; previous bindings restore on exit so
+            # nested $lets shadow correctly
+            bound = {name: c(expr) for name, expr in args["vars"].items()}
+            prev = {name: self._env.get(name) for name in bound}
+            self._env.update(bound)
+            try:
+                out = c(args["in"])
+            finally:
+                for name, old in prev.items():
+                    if old is None:
+                        self._env.pop(name, None)
+                    else:
+                        self._env[name] = old
+            return out
+        if op == "$getField":
+            # {"field": name, "input": expr} or bare-string shorthand over
+            # the current document — the escape hatch for field names the
+            # '$path' syntax can't express (dots, leading '$')
+            if isinstance(args, str):
+                return self.df["`" + args.replace("`", "``") + "`"]
+            field = args["field"]
+            if not isinstance(field, str):
+                raise ValueError("$getField field must be a constant string")
+            return c(args["input"]).getField(field)
         # -- plain array operators -------------------------------------------
+        if op == "$sortArray":
+            sort_by = args.get("sortBy", 1)
+            if not isinstance(sort_by, int):
+                raise ValueError(
+                    "$sortArray supports scalar sortBy 1/-1 (document sort "
+                    "specs need per-field key extraction — unsupported)"
+                )
+            return F.sort_array(c(args["input"]), asc=sort_by >= 0)
+        if op in ("$firstN", "$lastN"):
+            arr, n = c(args["input"]), int(args["n"])
+            if n <= 0:
+                raise ValueError(f"{op} requires n > 0")
+            if op == "$firstN":
+                return F.slice(arr, 1, n)  # graceful when n > size
+            # $lastN keeps ORDER (unlike reversing twice); negative start is
+            # out-of-range when n > size, so fall back to the whole array
+            return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
         if op == "$slice":
             if len(args) == 2:
                 arr, n = args
@@ -424,6 +481,77 @@ class ExpressionCompiler:
             return F.floor((yday + F.lit(6) - wday) / F.lit(7)).cast("int")
         if op == "$isoWeek":
             return F.weekofyear(c(args))
+        if op == "$toDate":
+            # Mongo: numbers are epoch MILLISECONDS; strings/dates cast.
+            # Type-directed like $subtract (schema known at compile time).
+            src = c(args)
+            if self._is_numeric(args):
+                return F.timestamp_millis(src.cast("long"))
+            return src.cast("timestamp")
+        if op in ("$dateAdd", "$dateSubtract"):
+            start = c(args["startDate"])
+            unit = args["unit"]
+            amount = c(args["amount"]).cast("long")
+            if op == "$dateSubtract":
+                amount = -amount
+            zero = F.lit(0)
+            # make_interval(years, months, weeks, days, hours, mins, secs)
+            slots = {
+                "year": 0, "month": 1, "week": 2, "day": 3,
+                "hour": 4, "minute": 5, "second": 6,
+            }
+            vals = [zero] * 7
+            if unit == "quarter":
+                vals[1] = amount * 3  # make_interval has no quarter slot
+            elif unit == "millisecond":
+                vals[6] = amount.cast("double") / 1000.0
+            elif unit in slots:
+                vals[slots[unit]] = amount
+            else:
+                raise ValueError(f"unsupported $dateAdd unit: {unit!r}")
+            return start + F.make_interval(*vals)
+        if op == "$dateDiff":
+            # Mongo counts UNIT-BOUNDARY CROSSINGS (UTC, startOfWeek Sunday
+            # by default) — not elapsed units.  Truncate both ends to the
+            # unit boundary, then count whole units between truncations.
+            start, end = c(args["startDate"]), c(args["endDate"])
+            unit = args["unit"]
+            if unit == "year":
+                return (F.year(end) - F.year(start)).cast("long")
+            if unit == "quarter":
+                return (
+                    (F.year(end) - F.year(start)) * 4
+                    + (F.quarter(end) - F.quarter(start))
+                ).cast("long")
+            if unit == "month":
+                return (
+                    (F.year(end) - F.year(start)) * 12
+                    + (F.month(end) - F.month(start))
+                ).cast("long")
+            if unit == "day":
+                return F.datediff(F.to_date(end), F.to_date(start)).cast("long")
+            if unit == "week":
+                # Sunday-start boundaries: pull each date back to its Sunday
+                sun_e = F.date_sub(F.to_date(end), F.dayofweek(end) - 1)
+                sun_s = F.date_sub(F.to_date(start), F.dayofweek(start) - 1)
+                return (F.datediff(sun_e, sun_s) / 7).cast("long")
+            secs = {"hour": 3600, "minute": 60, "second": 1}
+            if unit not in secs:
+                raise ValueError(f"unsupported $dateDiff unit: {unit!r}")
+            tr = lambda d: F.unix_timestamp(F.date_trunc(unit, d))  # noqa: E731
+            return ((tr(end) - tr(start)) / secs[unit]).cast("long")
+        if op == "$dateTrunc":
+            d = c(args["date"])
+            unit = args["unit"]
+            if args.get("binSize", 1) != 1:
+                raise ValueError("$dateTrunc binSize != 1 unsupported")
+            if unit == "week":
+                # Mongo's default startOfWeek is SUNDAY; Spark date_trunc
+                # weeks start Monday — truncate manually
+                return F.to_timestamp(F.date_sub(F.to_date(d), F.dayofweek(d) - 1))
+            if unit not in ("year", "quarter", "month", "day", "hour", "minute", "second"):
+                raise ValueError(f"unsupported $dateTrunc unit: {unit!r}")
+            return F.date_trunc(unit, d)
         if op == "$dateToString":
             fmt = args["format"]
             for mongo, spark in (

@@ -676,6 +676,77 @@ class TestExpressionOperatorExtensions:
         assert row["miss"] == "Hello World"
         assert row["noregex"] == "Hello World"  # '.' is literal, not regex
 
+    def test_let_getfield_sortarray_firstn(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [(5.0, [3, 1, 4, 1, 5], {"inner": 42})],
+            "x double, xs array<long>, doc struct<inner: long>",
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$let": {"vars": {"t": {"$multiply": ["$x", 2]}},
+                                 "in": {"$add": ["$$t", 1]}}}).alias("let_out"),
+            ec.compile({"$let": {"vars": {"a": 1},
+                                 "in": {"$let": {"vars": {"a": 2},
+                                                 "in": "$$a"}}}}).alias("shadow"),
+            ec.compile({"$getField": {"field": "inner", "input": "$doc"}}).alias("gf"),
+            ec.compile({"$sortArray": {"input": "$xs", "sortBy": 1}}).alias("asc"),
+            ec.compile({"$sortArray": {"input": "$xs", "sortBy": -1}}).alias("desc"),
+            ec.compile({"$firstN": {"input": "$xs", "n": 2}}).alias("f2"),
+            ec.compile({"$lastN": {"input": "$xs", "n": 2}}).alias("l2"),
+            ec.compile({"$firstN": {"input": "$xs", "n": 99}}).alias("fall"),
+            ec.compile({"$lastN": {"input": "$xs", "n": 99}}).alias("lall"),
+            ec.compile({"$cmp": ["$x", 5.0]}).alias("c0"),
+            ec.compile({"$cmp": ["$x", 9.9]}).alias("cneg"),
+        ).collect()[0]
+        assert row["let_out"] == 11.0
+        assert row["shadow"] == 2  # inner binding shadows, outer restored
+        assert row["gf"] == 42
+        assert list(row["asc"]) == [1, 1, 3, 4, 5]
+        assert list(row["desc"]) == [5, 4, 3, 1, 1]
+        assert list(row["f2"]) == [3, 1]
+        assert list(row["l2"]) == [1, 5]  # order preserved, not reversed
+        assert list(row["fall"]) == [3, 1, 4, 1, 5]
+        assert list(row["lall"]) == [3, 1, 4, 1, 5]
+        assert (row["c0"], row["cneg"]) == (0, -1)
+
+    def test_date_add_diff_trunc(self, spark):
+        import datetime as d
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        # Wed 2020-02-26 → +5 days crosses the 2020 leap day
+        df = spark.createDataFrame(
+            [(d.datetime(2020, 2, 26, 10, 30, 45), d.datetime(2020, 3, 3, 9, 0, 0), 1582713045000)],
+            "a timestamp, b timestamp, ms long",
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$dateAdd": {"startDate": "$a", "unit": "day", "amount": 5}}).alias("plus5d"),
+            ec.compile({"$dateAdd": {"startDate": "$a", "unit": "quarter", "amount": 1}}).alias("plusq"),
+            ec.compile({"$dateSubtract": {"startDate": "$a", "unit": "hour", "amount": 11}}).alias("minus11h"),
+            ec.compile({"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": "day"}}).alias("dd"),
+            ec.compile({"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": "month"}}).alias("dm"),
+            ec.compile({"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": "week"}}).alias("dw"),
+            ec.compile({"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": "hour"}}).alias("dh"),
+            ec.compile({"$dateTrunc": {"date": "$a", "unit": "month"}}).alias("tm"),
+            ec.compile({"$dateTrunc": {"date": "$a", "unit": "week"}}).alias("tw"),
+            ec.compile({"$toDate": "$ms"}).alias("td"),
+        ).collect()[0]
+        assert row["plus5d"] == d.datetime(2020, 3, 2, 10, 30, 45)
+        assert row["plusq"] == d.datetime(2020, 5, 26, 10, 30, 45)
+        assert row["minus11h"] == d.datetime(2020, 2, 25, 23, 30, 45)
+        # boundary crossings, not elapsed units: 2/26 10:30 → 3/3 09:00 is
+        # 5.94 elapsed days but SIX midnight crossings
+        assert row["dd"] == 6
+        assert row["dm"] == 1
+        # Sunday boundaries: Sun 3/1 lies between → 1 week crossing
+        assert row["dw"] == 1
+        assert row["dh"] == 143  # 5 days 23 h of hour-boundary crossings
+        assert row["tm"] == d.datetime(2020, 2, 1, 0, 0, 0)
+        assert row["tw"] == d.datetime(2020, 2, 23, 0, 0, 0)  # Sunday start
+        assert row["td"] == d.datetime(2020, 2, 26, 10, 30, 45)  # epoch-ms UTC
+
     def test_week_matches_strftime_percent_U(self, spark):
         """Mongo $week == C strftime %U (Sunday-start, week 0 before the
         first Sunday) — swept across year boundaries and leap years."""
