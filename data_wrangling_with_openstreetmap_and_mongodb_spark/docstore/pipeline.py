@@ -41,6 +41,14 @@ _ACCUMULATORS = {
     "$count",
     "$stdDevPop",
     "$stdDevSamp",
+    "$minN",
+    "$maxN",
+    "$firstN",
+    "$lastN",
+    "$top",
+    "$topN",
+    "$bottom",
+    "$bottomN",
 }
 
 
@@ -68,6 +76,49 @@ def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
         return (dsum(col) if _is_floating(ec, col) else F.sum(col)).alias(alias)
     if op == "$count":
         return F.count(F.lit(1)).alias(alias)
+    if op in ("$minN", "$maxN"):
+        # N smallest ascending / N largest descending (Mongo order); nulls
+        # are skipped (collect_list drops them).  One hash-agg + array ops —
+        # no window, no second shuffle.
+        n = int(arg["n"])
+        vals = F.sort_array(F.collect_list(ec.compile(arg["input"])), asc=op == "$minN")
+        return F.slice(vals, 1, n).alias(alias)
+    if op in ("$firstN", "$lastN"):
+        # document-arrival order, same caveat as $first/$last: deterministic
+        # only under an upstream $sort
+        n = int(arg["n"])
+        arr = F.collect_list(ec.compile(arg["input"]))
+        if op == "$firstN":
+            return F.slice(arr, 1, n).alias(alias)
+        return (
+            F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n)).alias(alias)
+        )
+    if op in ("$top", "$topN", "$bottom", "$bottomN"):
+        # sortBy-ranked representative(s): collect (sort-keys..., output)
+        # structs, sort lexicographically, slice, project the output field.
+        # Struct comparison gives multi-key ordering only when every key
+        # shares one direction — mixed-direction specs would need typed key
+        # inversion, so they raise rather than silently mis-sort.
+        sort_by = arg["sortBy"]
+        dirs = set(sort_by.values())
+        if len(dirs) != 1 or dirs - {1, -1}:
+            raise ValueError(f"{op} sortBy needs one shared direction 1/-1: {sort_by}")
+        asc = dirs == {1}
+        if op in ("$bottom", "$bottomN"):
+            # bottom = worst by the sort order = take from the REVERSED order
+            asc = not asc
+        n = 1 if op in ("$top", "$bottom") else int(arg["n"])
+        keyed = F.struct(
+            *[ec.compile(f"${k}").alias(f"__k{i}") for i, k in enumerate(sort_by)],
+            ec.compile(arg["output"]).alias("__v"),
+        )
+        ranked = F.slice(F.sort_array(F.collect_list(keyed), asc=asc), 1, n)
+        if op in ("$bottom", "$bottomN"):
+            ranked = F.reverse(ranked)  # Mongo returns bottom in sort order
+        out = F.transform(ranked, lambda s: s["__v"])
+        if op in ("$top", "$bottom"):
+            out = F.element_at(out, 1)
+        return out.alias(alias)
     col = ec.compile(arg)
     if op == "$avg" and _is_floating(ec, col):
         return davg(col).alias(alias)

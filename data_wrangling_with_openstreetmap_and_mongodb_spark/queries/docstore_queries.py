@@ -451,3 +451,49 @@ def ds_week_zip_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ]
     )
+
+
+@register(
+    "ds_minmax_topn",
+    oracle="""
+        SELECT o_orderpriority AS _id,
+               list_slice(list_sort(list(o_totalprice)), 1, 3) AS lo3,
+               list_slice(list_sort(list(o_totalprice), 'DESC'), 1, 3) AS hi3,
+               list_transform(
+                   list_slice(
+                       list_sort(list(struct_pack(k0 := o_totalprice,
+                                                  k1 := o_orderkey,
+                                                  v := o_orderkey)), 'DESC'),
+                       1, 3),
+                   s -> s.v) AS top3_keys
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Mongo 5.2 N-ary group accumulators $minN/$maxN/$topN "
+    "(docstore/pipeline.py::_accumulator): each is ONE hash-agg + array "
+    "ops — no window, no second shuffle; the (o_totalprice, o_orderkey) "
+    "compound sortBy makes top3 tie-stable so the oracle replays the exact "
+    "arrays.  Gate-only: accumulator ops on the already-hard-rowed $group "
+    "family, not a novel family.",
+    tags=("docstore", "agg", "topk"),
+    driver_visible=False,
+)
+def ds_minmax_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {
+                "$group": {
+                    "_id": "$o_orderpriority",
+                    "lo3": {"$minN": {"input": "$o_totalprice", "n": 3}},
+                    "hi3": {"$maxN": {"input": "$o_totalprice", "n": 3}},
+                    "top3_keys": {
+                        "$topN": {
+                            "output": "$o_orderkey",
+                            "sortBy": {"o_totalprice": -1, "o_orderkey": -1},
+                            "n": 3,
+                        }
+                    },
+                }
+            }
+        ]
+    )

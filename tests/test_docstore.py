@@ -351,6 +351,47 @@ class TestPipelineStageExtensions:
         with pytest.raises(Exception, match="outside boundaries"):
             out.collect()
 
+    def test_n_ary_accumulators(self, spark):
+        """$minN/$maxN/$topN/$bottomN/$top/$bottom — Mongo 5.2 group
+        accumulators as one hash-agg + array ops (no window)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", "x", 3.0), ("a", "y", 1.0), ("a", "z", 4.0), ("a", "w", 1.5),
+             ("b", "p", 9.0), ("b", "q", 7.0)],
+            "grp string, name string, score double",
+        )
+        out = aggregate(
+            df.orderBy("name"),  # pin arrival order for firstN
+            [{"$group": {
+                "_id": "$grp",
+                "lo2": {"$minN": {"input": "$score", "n": 2}},
+                "hi2": {"$maxN": {"input": "$score", "n": 2}},
+                "first2": {"$firstN": {"input": "$name", "n": 2}},
+                "best": {"$top": {"output": "$name", "sortBy": {"score": -1}}},
+                "best2": {"$topN": {"output": "$name", "sortBy": {"score": -1}, "n": 2}},
+                "worst2": {"$bottomN": {"output": "$name", "sortBy": {"score": -1}, "n": 2}},
+            }}],
+        )
+        got = {r["_id"]: r for r in out.collect()}
+        a, b = got["a"], got["b"]
+        assert list(a["lo2"]) == [1.0, 1.5] and list(a["hi2"]) == [4.0, 3.0]
+        assert list(b["lo2"]) == [7.0, 9.0] and list(b["hi2"]) == [9.0, 7.0]
+        assert list(a["first2"]) == ["w", "x"]
+        assert a["best"] == "z" and list(a["best2"]) == ["z", "x"]
+        # bottomN: the LAST n of the sortBy order, presented in sort order
+        assert list(a["worst2"]) == ["w", "y"]
+        assert b["best"] == "p" and list(b["worst2"]) == ["p", "q"]
+
+    def test_topn_mixed_direction_raises(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([("a", 1.0, 2.0)], "g string, x double, y double")
+        with pytest.raises(ValueError, match="shared direction"):
+            aggregate(df, [{"$group": {"_id": "$g",
+                "t": {"$topN": {"output": "$x", "sortBy": {"x": 1, "y": -1}, "n": 2}}}}])
+
     def test_bucket_rejects_duplicate_boundaries(self, spark):
         """Non-strict ascent must error like mongod, not create a silent
         unreachable [lo, lo) bucket."""
