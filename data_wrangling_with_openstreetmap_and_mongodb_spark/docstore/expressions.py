@@ -553,15 +553,45 @@ class ExpressionCompiler:
                 raise ValueError(f"unsupported $dateTrunc unit: {unit!r}")
             return F.date_trunc(unit, d)
         if op == "$dateToString":
-            fmt = args["format"]
-            for mongo, spark in (
-                ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
-                ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
-            ):
-                fmt = fmt.replace(mongo, spark)
-            if "%" in fmt:
-                raise ValueError(f"unsupported $dateToString directive in {args['format']!r}")
-            return F.date_format(c(args["date"]), fmt)
+            import re as _re
+
+            d = c(args["date"])
+
+            def _plain(segment: str) -> Column:
+                for mongo, spark in (
+                    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+                    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
+                ):
+                    segment = segment.replace(mongo, spark)
+                if "%" in segment:
+                    raise ValueError(
+                        f"unsupported $dateToString directive in {args['format']!r}"
+                    )
+                return F.date_format(d, segment)
+
+            # Directives date_format can't express compile to computed
+            # columns spliced between plain segments: %U (Sunday-rule week,
+            # same closed form as $week), %j (day of year, 3-pad), %w (day
+            # of week, 1=Sunday), %V (ISO week), %L (milliseconds, 3-pad).
+            computed = {
+                "%U": lambda: F.lpad(
+                    F.floor(
+                        (F.dayofyear(d) + F.lit(6) - (F.dayofweek(d) - F.lit(1)))
+                        / F.lit(7)
+                    ).cast("int").cast("string"),
+                    2, "0",
+                ),
+                "%j": lambda: F.lpad(F.dayofyear(d).cast("string"), 3, "0"),
+                "%w": lambda: F.dayofweek(d).cast("string"),
+                "%V": lambda: F.lpad(F.weekofyear(d).cast("string"), 2, "0"),
+                "%L": lambda: F.lpad(
+                    (F.unix_micros(d) % 1_000_000 / 1000).cast("int").cast("string"),
+                    3, "0",
+                ),
+            }
+            parts = [p for p in _re.split(r"(%[UjwVL])", args["format"]) if p]
+            cols = [computed[p]() if p in computed else _plain(p) for p in parts]
+            return cols[0] if len(cols) == 1 else F.concat(*cols)
         raise ValueError(f"unsupported aggregation expression operator: {op}")
 
     def compile_bool(self, e: Any) -> Column:

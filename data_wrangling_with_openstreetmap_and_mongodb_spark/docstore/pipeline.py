@@ -388,6 +388,82 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     )
 
 
+def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$merge: upsert the pipeline result into an existing parquet table —
+    Mongo's incremental-materialization stage (the engine's collections are
+    parquet tables, SURVEY S17/S18).
+
+    ``{"into": path, "on": key | [keys], "whenMatched":
+    "replace"|"keepExisting"|"merge"|"fail", "whenNotMatched":
+    "insert"|"discard"|"fail"}``.  Target rows never matched by the
+    pipeline are always kept (Mongo contract).  ``merge`` is field-wise:
+    a non-null pipeline value overwrites, a null keeps the target's —
+    the typed-column analogue of Mongo's present-field overwrite.
+
+    One full-outer join on the key, then a staged rewrite (write to a
+    sibling ``__merge_tmp`` dir, read back, overwrite the target) because
+    parquet cannot be read and overwritten in one job.  Like ``$out`` this
+    is the action-bearing stage by definition; everything before it stays
+    one lazy plan.
+    """
+    into = str(spec["into"])
+    on = spec.get("on", "_id")
+    keys = [on] if isinstance(on, str) else list(on)
+    when_matched = spec.get("whenMatched", "merge")
+    when_not_matched = spec.get("whenNotMatched", "insert")
+    spark = df.sparkSession
+    target = spark.read.parquet(into)
+
+    src = df.withColumn("__src", F.lit(True))
+    tgt = target.withColumn("__tgt", F.lit(True))
+    joined = tgt.alias("t").join(src.alias("s"), keys, "full_outer")
+    matched = F.col("t.__tgt").isNotNull() & F.col("s.__src").isNotNull()
+    src_only = F.col("t.__tgt").isNull()
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    if when_matched == "fail" or when_not_matched == "fail":
+        # Mongo fails the whole write on the first offending document;
+        # raise_error fires per offending row at execution time.  The guard
+        # wraps the FIRST key column (a column that must survive into the
+        # written output — a free-standing guard column would be pruned and
+        # never fire).
+        cond = matched if when_matched == "fail" else src_only
+        which = "whenMatched" if when_matched == "fail" else "whenNotMatched"
+        out_cols[0] = (
+            F.when(cond, F.raise_error(F.lit(f"$merge: {which}=fail hit")))
+            .otherwise(F.col(keys[0]))
+            .alias(keys[0])
+        )
+    value_cols = [c for c in target.columns if c not in keys]
+    extra_src = [c for c in df.columns if c not in target.columns]
+    for c in value_cols:
+        t_c, s_c = F.col(f"t.{c}"), (F.col(f"s.{c}") if c in df.columns else F.lit(None))
+        if when_matched == "replace":
+            val = F.when(matched | src_only, s_c).otherwise(t_c)
+        elif when_matched == "keepExisting":
+            val = F.when(src_only, s_c).otherwise(t_c)
+        elif when_matched == "merge":
+            val = F.when(src_only, s_c).otherwise(F.coalesce(s_c, t_c))
+        elif when_matched == "fail":
+            val = F.when(src_only, s_c).otherwise(t_c)
+        else:
+            raise ValueError(f"unsupported whenMatched: {when_matched!r}")
+        out_cols.append(val.alias(c))
+    for c in extra_src:
+        out_cols.append(F.col(f"s.{c}").alias(c))
+    result = joined.select(*out_cols)
+    if when_not_matched == "discard":
+        result = joined.filter(~src_only).select(*out_cols)
+    elif when_not_matched not in ("insert", "fail"):
+        raise ValueError(f"unsupported whenNotMatched: {when_not_matched!r}")
+    staged = into.rstrip("/") + "__merge_tmp"
+    result.write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(into)
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)  # best-effort local cleanup
+    return spark.read.parquet(into)
+
+
 def _apply_facet(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$facet: run each named sub-pipeline over the SAME input and return a
     single document with one array-of-documents field per facet.
@@ -516,6 +592,8 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             # action-bearing stage, by definition
             out.write.mode("overwrite").parquet(str(spec))
             out = out.sparkSession.read.parquet(str(spec))
+        elif op == "$merge":
+            out = _apply_merge(out, spec)
         elif op == "$densify":
             out = _apply_densify(out, spec)
         elif op == "$fill":

@@ -635,6 +635,57 @@ class TestBucketAutoAndOut:
         assert _granularity_round(101.0, "1-2-5", up=True) == 200.0
         assert _granularity_round(0.0, "E12", up=False) == 0.0
 
+    def test_merge_upsert_modes(self, spark, tmp_path):
+        """$merge whenMatched replace/keepExisting/merge + whenNotMatched
+        insert/discard against a real parquet target."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        def fresh_target(path):
+            spark.createDataFrame(
+                [(1, "old1", 10.0), (2, "old2", 20.0), (3, "old3", None)],
+                "_id long, name string, score double",
+            ).write.mode("overwrite").parquet(path)
+
+        src = spark.createDataFrame(
+            [(2, "new2", None), (4, "new4", 40.0)],
+            "_id long, name string, score double",
+        )
+
+        def run(path, **merge_args):
+            fresh_target(path)
+            out = aggregate(src, [{"$merge": {"into": path, "on": "_id", **merge_args}}])
+            return {r["_id"]: (r["name"], r["score"]) for r in out.collect()}
+
+        p = str(tmp_path / "t1")
+        assert run(p, whenMatched="replace") == {
+            1: ("old1", 10.0), 2: ("new2", None), 3: ("old3", None), 4: ("new4", 40.0),
+        }
+        assert run(p, whenMatched="keepExisting") == {
+            1: ("old1", 10.0), 2: ("old2", 20.0), 3: ("old3", None), 4: ("new4", 40.0),
+        }
+        # merge: non-null source fields overwrite, null keeps target
+        assert run(p, whenMatched="merge") == {
+            1: ("old1", 10.0), 2: ("new2", 20.0), 3: ("old3", None), 4: ("new4", 40.0),
+        }
+        assert run(p, whenMatched="replace", whenNotMatched="discard") == {
+            1: ("old1", 10.0), 2: ("new2", None), 3: ("old3", None),
+        }
+
+    def test_merge_fail_modes(self, spark, tmp_path):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "t2")
+        spark.createDataFrame([(1, "a")], "_id long, v string").write.parquet(path)
+        clash = spark.createDataFrame([(1, "b")], "_id long, v string")
+        with pytest.raises(Exception, match="whenMatched=fail"):
+            aggregate(clash, [{"$merge": {"into": path, "on": "_id",
+                                          "whenMatched": "fail"}}]).collect()
+        fresh = spark.createDataFrame([(9, "z")], "_id long, v string")
+        with pytest.raises(Exception, match="whenNotMatched=fail"):
+            aggregate(fresh, [{"$merge": {"into": path, "on": "_id",
+                                          "whenNotMatched": "fail"}}]).collect()
+
     def test_out_materializes_and_returns_table(self, spark, tmp_path):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
 
@@ -716,6 +767,32 @@ class TestExpressionOperatorExtensions:
         assert row["one"] == "HeLlo World"  # only the FIRST 'l'
         assert row["miss"] == "Hello World"
         assert row["noregex"] == "Hello World"  # '.' is literal, not regex
+
+    def test_date_to_string_computed_directives(self, spark):
+        """%U/%j/%w/%V/%L splice computed columns between date_format
+        segments — swept against Python strftime where it defines them."""
+        import datetime as d
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        dates = [
+            d.datetime(2016, 1, 1) + d.timedelta(days=i * 37, milliseconds=i * 111)
+            for i in range(30)
+        ]
+        df = spark.createDataFrame([(x,) for x in dates], "ts timestamp")
+        ec = ExpressionCompiler(df)
+        rows = df.select(
+            "ts",
+            ec.compile({"$dateToString": {"format": "%Y-%m-%d %U %j %V", "date": "$ts"}}).alias("s"),
+            ec.compile({"$dateToString": {"format": "%w", "date": "$ts"}}).alias("w"),
+            ec.compile({"$dateToString": {"format": "%H:%M:%S.%L", "date": "$ts"}}).alias("t"),
+        ).collect()
+        for r in rows:
+            ts = r["ts"]
+            want = ts.strftime("%Y-%m-%d %U %j %V")
+            assert r["s"] == want, (ts, r["s"], want)
+            # Mongo %w: 1=Sunday..7=Saturday (strftime %w is 0=Sunday)
+            assert int(r["w"]) == int(ts.strftime("%w")) + 1
+            assert r["t"] == ts.strftime("%H:%M:%S.") + f"{ts.microsecond // 1000:03d}"
 
     def test_let_getfield_sortarray_firstn(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
