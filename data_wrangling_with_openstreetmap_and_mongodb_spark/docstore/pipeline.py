@@ -388,6 +388,91 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     )
 
 
+def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$setWindowFields: Mongo 5.0's window-function stage → Spark Window.
+
+    ``{"partitionBy": expr?, "sortBy": {field: 1|-1, ...}?, "output":
+    {name: {$op: arg, "window": {"documents": [lo, hi]}?}, ...}}``.
+
+    Supported window ops: the frame-able accumulators ``$sum/$avg/$min/
+    $max/$count/$push/$first/$last/$stdDevPop/$stdDevSamp``, the ranking
+    ops ``$rank/$denseRank/$documentNumber`` (sortBy required, frame
+    ignored per Mongo), and ``$shift`` (``{output, by, default}``).
+    ``documents`` bounds accept integers and the strings ``"unbounded"`` /
+    ``"current"``; Mongo's default frame for accumulators with a sortBy is
+    ``["unbounded", "current"]`` (running totals), without sortBy the whole
+    partition — both replicated here, matching Spark's own window-frame
+    defaults.  Range windows ("range") are not supported (raise).
+
+    Pure Window API — one shuffle on the partition key, no self-joins.
+    """
+    ec = ExpressionCompiler(df)
+    w = Window.partitionBy(
+        *( [ec.compile(spec["partitionBy"])] if "partitionBy" in spec else [] )
+    )
+    sort_by = spec.get("sortBy")
+    if sort_by:
+        w = w.orderBy(
+            *[F.col(k).asc() if v >= 0 else F.col(k).desc() for k, v in sort_by.items()]
+        )
+
+    def bound(v: Any, lo: bool) -> int:
+        if v == "unbounded":
+            return Window.unboundedPreceding if lo else Window.unboundedFollowing
+        if v == "current":
+            return Window.currentRow
+        return int(v)
+
+    out = df
+    for name, wspec in spec["output"].items():
+        wspec = dict(wspec)
+        frame = wspec.pop("window", None)
+        if frame is not None and "range" in frame:
+            raise ValueError("$setWindowFields range windows unsupported (documents only)")
+        op, arg = next(iter(wspec.items()))
+        this_w = w
+        if frame is not None:
+            lo, hi = frame["documents"]
+            this_w = w.rowsBetween(bound(lo, True), bound(hi, False))
+        elif sort_by and op not in ("$rank", "$denseRank", "$documentNumber", "$shift"):
+            # Mongo default with sortBy: running frame [unbounded, current]
+            this_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if op in ("$rank", "$denseRank", "$documentNumber"):
+            if not sort_by:
+                raise ValueError(f"{op} requires sortBy")
+            fn = {"$rank": F.rank, "$denseRank": F.dense_rank,
+                  "$documentNumber": F.row_number}[op]
+            out = out.withColumn(name, fn().over(w))
+            continue
+        if op == "$shift":
+            if not sort_by:
+                raise ValueError("$shift requires sortBy")
+            by = int(arg.get("by", 1))
+            dflt = arg.get("default")
+            col = ec.compile(arg["output"])
+            shifted = (
+                F.lag(col, -by).over(w) if by < 0 else F.lead(col, by).over(w)
+            )
+            out = out.withColumn(
+                name, F.coalesce(shifted, F.lit(dflt)) if dflt is not None else shifted
+            )
+            continue
+        agg = {
+            "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+            "$push": F.collect_list, "$first": F.first, "$last": F.last,
+            "$stdDevPop": F.stddev_pop, "$stdDevSamp": F.stddev_samp,
+        }
+        if op == "$count":
+            out = out.withColumn(name, F.count(F.lit(1)).over(this_w))
+        elif op == "$sum" and isinstance(arg, (int, float)) and arg == 1:
+            out = out.withColumn(name, F.count(F.lit(1)).over(this_w))
+        elif op in agg:
+            out = out.withColumn(name, agg[op](ec.compile(arg)).over(this_w))
+        else:
+            raise ValueError(f"unsupported $setWindowFields op: {op}")
+    return out
+
+
 def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$merge: upsert the pipeline result into an existing parquet table —
     Mongo's incremental-materialization stage (the engine's collections are
@@ -592,6 +677,8 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             # action-bearing stage, by definition
             out.write.mode("overwrite").parquet(str(spec))
             out = out.sparkSession.read.parquet(str(spec))
+        elif op == "$setWindowFields":
+            out = _apply_set_window_fields(out, spec)
         elif op == "$merge":
             out = _apply_merge(out, spec)
         elif op == "$densify":

@@ -635,6 +635,57 @@ class TestBucketAutoAndOut:
         assert _granularity_round(101.0, "1-2-5", up=True) == 200.0
         assert _granularity_round(0.0, "E12", up=False) == 0.0
 
+    def test_set_window_fields(self, spark):
+        """$setWindowFields: running totals (Mongo default frame with
+        sortBy), explicit document frames, ranking ops, $shift."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+             ("b", 1, 5.0), ("b", 2, 5.0), ("b", 3, 7.0)],
+            "grp string, seq int, v double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$grp",
+            "sortBy": {"seq": 1},
+            "output": {
+                "running": {"$sum": "$v"},                     # default [unbounded, current]
+                "trail2": {"$sum": "$v", "window": {"documents": [-1, 0]}},
+                "total": {"$sum": "$v", "window": {"documents": ["unbounded", "unbounded"]}},
+                "rnk": {"$rank": {}},
+                "nxt": {"$shift": {"output": "$v", "by": 1, "default": -1.0}},
+            },
+        }}])
+        got = {(r["grp"], r["seq"]): r for r in out.collect()}
+        assert [got[("a", i)]["running"] for i in (1, 2, 3)] == [10.0, 30.0, 60.0]
+        assert [got[("a", i)]["trail2"] for i in (1, 2, 3)] == [10.0, 30.0, 50.0]
+        assert all(got[("a", i)]["total"] == 60.0 for i in (1, 2, 3))
+        assert [got[("b", i)]["rnk"] for i in (1, 2, 3)] == [1, 2, 3]
+        assert [got[("a", i)]["nxt"] for i in (1, 2, 3)] == [20.0, 30.0, -1.0]
+        # rank with ties on the SORT key
+        out2 = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$grp", "sortBy": {"v": 1},
+            "output": {"r": {"$rank": {}}, "d": {"$denseRank": {}},
+                       "n": {"$documentNumber": {}}},
+        }}])
+        b = {r["seq"]: r for r in out2.collect() if r["grp"] == "b"}
+        assert (b[1]["r"], b[2]["r"], b[3]["r"]) == (1, 1, 3)
+        assert (b[1]["d"], b[2]["d"], b[3]["d"]) == (1, 1, 2)
+        assert sorted((b[1]["n"], b[2]["n"], b[3]["n"])) == [1, 2, 3]
+
+    def test_set_window_fields_validation(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        with pytest.raises(ValueError, match="requires sortBy"):
+            aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
+                "output": {"r": {"$rank": {}}}}}])
+        with pytest.raises(ValueError, match="range windows"):
+            aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
+                "sortBy": {"v": 1},
+                "output": {"s": {"$sum": "$v", "window": {"range": [-1, 0]}}}}}])
+
     def test_merge_upsert_modes(self, spark, tmp_path):
         """$merge whenMatched replace/keepExisting/merge + whenNotMatched
         insert/discard against a real parquet target."""
