@@ -49,6 +49,8 @@ _ACCUMULATORS = {
     "$topN",
     "$bottom",
     "$bottomN",
+    "$median",
+    "$percentile",
 }
 
 
@@ -93,6 +95,20 @@ def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
         return (
             F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n)).alias(alias)
         )
+    if op in ("$median", "$percentile"):
+        # Mongo 7.0 only offers method:'approximate' (t-digest); this
+        # engine computes the EXACT R-7-interpolated quantile instead —
+        # strictly more accurate, deterministic, and oracle-replayable
+        # (DuckDB quantile_cont matches Spark percentile bit-for-bit, the
+        # same pairing value_percentiles pins).  The documented divergence:
+        # results may differ from mongod's t-digest approximation.
+        col = ec.compile(arg["input"])
+        if op == "$median":
+            return F.percentile(col, F.lit(0.5)).alias(alias)
+        ps = arg["p"]
+        return F.percentile(
+            col, F.array(*[F.lit(float(p)) for p in ps])
+        ).alias(alias)
     if op in ("$top", "$topN", "$bottom", "$bottomN"):
         # sortBy-ranked representative(s): collect (sort-keys..., output)
         # structs, sort lexicographically, slice, project the output field.
@@ -402,7 +418,8 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ``"current"``; Mongo's default frame for accumulators with a sortBy is
     ``["unbounded", "current"]`` (running totals), without sortBy the whole
     partition — both replicated here, matching Spark's own window-frame
-    defaults.  Range windows ("range") are not supported (raise).
+    defaults.  ``"range"`` frames (value-based offsets on a single numeric
+    sortBy field) map to ``rangeBetween``; time-``unit`` ranges raise.
 
     Pure Window API — one shuffle on the partition key, no self-joins.
     """
@@ -428,10 +445,19 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         wspec = dict(wspec)
         frame = wspec.pop("window", None)
         if frame is not None and "range" in frame:
-            raise ValueError("$setWindowFields range windows unsupported (documents only)")
+            # value-based frame: bounds are offsets on the SORT KEY value —
+            # Spark rangeBetween, which (like Mongo) requires exactly one
+            # numeric sort field.  Time 'unit' ranges are not supported.
+            if frame.get("unit") is not None:
+                raise ValueError("$setWindowFields range unit windows unsupported")
+            if not sort_by or len(sort_by) != 1:
+                raise ValueError("range windows need exactly one sortBy field")
         op, arg = next(iter(wspec.items()))
         this_w = w
-        if frame is not None:
+        if frame is not None and "range" in frame:
+            lo, hi = frame["range"]
+            this_w = w.rangeBetween(bound(lo, True), bound(hi, False))
+        elif frame is not None:
             lo, hi = frame["documents"]
             this_w = w.rowsBetween(bound(lo, True), bound(hi, False))
         elif sort_by and op not in ("$rank", "$denseRank", "$documentNumber", "$shift"):

@@ -673,6 +673,42 @@ class TestBucketAutoAndOut:
         assert (b[1]["d"], b[2]["d"], b[3]["d"]) == (1, 1, 2)
         assert sorted((b[1]["n"], b[2]["n"], b[3]["n"])) == [1, 2, 3]
 
+    def test_set_window_fields_range_frame(self, spark):
+        """Value-based range frames on a numeric sort key → rangeBetween:
+        the frame covers rows whose KEY is within the offsets, regardless
+        of row position."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        # keys 1, 2, 10: a [-1, 0] RANGE at key=2 includes key=1; at key=10
+        # it includes only itself (9 is absent) — a ROWS frame would differ
+        df = spark.createDataFrame(
+            [("a", 1, 100.0), ("a", 2, 10.0), ("a", 10, 1.0)],
+            "g string, k int, v double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"k": 1},
+            "output": {"s": {"$sum": "$v", "window": {"range": [-1, 0]}}},
+        }}])
+        got = {r["k"]: r["s"] for r in out.collect()}
+        assert got == {1: 100.0, 2: 110.0, 10: 1.0}
+
+    def test_median_percentile_accumulators(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in (1, 2, 3, 4)] + [("b", 10.0)],
+            "g string, v double",
+        )
+        out = aggregate(df, [{"$group": {
+            "_id": "$g",
+            "med": {"$median": {"input": "$v", "method": "approximate"}},
+            "pct": {"$percentile": {"input": "$v", "p": [0.25, 0.75],
+                                    "method": "approximate"}},
+        }}])
+        got = {r["_id"]: (r["med"], list(r["pct"])) for r in out.collect()}
+        assert got["a"] == (2.5, [1.75, 3.25])  # exact R-7 interpolation
+        assert got["b"] == (10.0, [10.0, 10.0])
+
     def test_set_window_fields_validation(self, spark):
         import pytest
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
@@ -681,9 +717,13 @@ class TestBucketAutoAndOut:
         with pytest.raises(ValueError, match="requires sortBy"):
             aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
                 "output": {"r": {"$rank": {}}}}}])
-        with pytest.raises(ValueError, match="range windows"):
+        with pytest.raises(ValueError, match="range unit"):
             aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
                 "sortBy": {"v": 1},
+                "output": {"s": {"$sum": "$v",
+                                 "window": {"range": [-1, 0], "unit": "hour"}}}}}])
+        with pytest.raises(ValueError, match="exactly one sortBy"):
+            aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
                 "output": {"s": {"$sum": "$v", "window": {"range": [-1, 0]}}}}}])
 
     def test_merge_upsert_modes(self, spark, tmp_path):
