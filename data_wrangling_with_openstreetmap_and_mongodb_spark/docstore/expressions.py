@@ -481,6 +481,29 @@ class ExpressionCompiler:
             return F.floor((yday + F.lit(6) - wday) / F.lit(7)).cast("int")
         if op == "$isoWeek":
             return F.weekofyear(c(args))
+        if op == "$convert":
+            # {"input", "to", "onError"?, "onNull"?}: try_cast gives the
+            # error-as-null semantics $convert's onError needs without a UDF
+            to = {
+                "int": "int", "long": "long", "double": "double",
+                "decimal": "decimal(38,10)", "string": "string",
+                "bool": "boolean", "date": "date", "timestamp": "timestamp",
+            }.get(args["to"])
+            if to is None:
+                raise ValueError(f"unsupported $convert target: {args['to']!r}")
+            src = c(args["input"])
+            val = src.try_cast(to)
+            if "onError" in args:
+                val = F.when(src.isNotNull() & val.isNull(), c(args["onError"])).otherwise(val)
+            if "onNull" in args:
+                val = F.when(src.isNull(), c(args["onNull"])).otherwise(val)
+            return val
+        if op == "$isNumber":
+            # schema-static, like the find compiler's $type: column types
+            # are known at compile time in a typed engine
+            if isinstance(args, str) and args.startswith("$") and not args.startswith("$$"):
+                return F.lit(isinstance(self.field_type(args[1:]), T.NumericType))
+            return F.lit(isinstance(args, (int, float)) and not isinstance(args, bool))
         if op == "$toDate":
             # Mongo: numbers are epoch MILLISECONDS; strings/dates cast.
             # Type-directed like $subtract (schema known at compile time).

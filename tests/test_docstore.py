@@ -956,6 +956,28 @@ class TestExpressionOperatorExtensions:
         assert row["tw"] == d.datetime(2020, 2, 23, 0, 0, 0)  # Sunday start
         assert row["td"] == d.datetime(2020, 2, 26, 10, 30, 45)  # epoch-ms UTC
 
+    def test_convert_and_is_number(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [("42", None, "not-a-number", 7.0)],
+            "ok string, missing string, bad string, num double",
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$convert": {"input": "$ok", "to": "int"}}).alias("a"),
+            ec.compile({"$convert": {"input": "$bad", "to": "int",
+                                     "onError": -1}}).alias("b"),
+            ec.compile({"$convert": {"input": "$missing", "to": "int",
+                                     "onNull": 0}}).alias("c"),
+            ec.compile({"$convert": {"input": "$bad", "to": "int"}}).alias("d"),
+            ec.compile({"$isNumber": "$num"}).alias("n1"),
+            ec.compile({"$isNumber": "$ok"}).alias("n2"),
+            ec.compile({"$isNumber": 3}).alias("n3"),
+        ).collect()[0]
+        assert (row["a"], row["b"], row["c"], row["d"]) == (42, -1, 0, None)
+        assert (row["n1"], row["n2"], row["n3"]) == (True, False, True)
+
     def test_week_matches_strftime_percent_U(self, spark):
         """Mongo $week == C strftime %U (Sunday-start, week 0 before the
         first Sunday) — swept across year boundaries and leap years."""
