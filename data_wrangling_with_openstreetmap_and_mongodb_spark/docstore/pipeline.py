@@ -188,16 +188,92 @@ def _apply_sort(df: DataFrame, spec: dict[str, int]) -> DataFrame:
     return df.orderBy(*cols)
 
 
+class _ForeignCompiler(ExpressionCompiler):
+    """Compiles expressions in a correlated $lookup sub-pipeline: bare
+    ``'$field'`` paths resolve to the FOREIGN side (alias-qualified), while
+    ``'$$var'`` references resolve through the ``let`` bindings to LOCAL
+    columns — exactly Mongo's scoping for the pipeline form."""
+
+    def __init__(self, from_df: DataFrame, prefix: str, env: dict[str, Column]):
+        super().__init__(from_df)
+        self._prefix = prefix
+        self._env.update(env)
+
+    def compile(self, e: Any) -> Column:
+        if isinstance(e, str) and e.startswith("$") and not e.startswith("$$"):
+            return F.col(f"{self._prefix}.{e[1:]}")
+        return super().compile(e)
+
+
 def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
-    """$lookup: left outer equi-join collecting matches into an array of
-    structs under ``as`` — Mongo 3.2's join stage (not in the 2.x-era
-    reference, provided for surface completeness).  Planned as join +
+    """$lookup: left outer join collecting matches into an array of structs
+    under ``as`` — Mongo 3.2's join stage (not in the 2.x-era reference,
+    provided for surface completeness).  Planned as join +
     groupBy(collect_list); the foreign side should be the smaller one
-    (broadcast fires under the threshold)."""
+    (broadcast fires under the threshold).
+
+    Two forms:
+
+    - ``localField``/``foreignField``: plain equi-join.
+    - ``let`` + ``pipeline`` (Mongo 3.6 correlated form): the pipeline's
+      FIRST stage must be ``{"$match": {"$expr": cond}}`` — the condition
+      (referencing foreign fields as ``$f`` and ``let`` variables as
+      ``$$v``) becomes the JOIN condition, which is how a correlated
+      sub-query distributes: one join, not a per-document sub-pipeline.
+      An optional trailing ``{"$project": {...}}`` narrows the collected
+      structs (computed against foreign columns); any other residual stage
+      raises — per-local-document $sort/$limit would need a window over
+      the join output, a different (and quadratic-prone) plan that should
+      be chosen explicitly, not silently.
+    """
     from_df: DataFrame = spec["from"]
-    local, foreign, alias = spec["localField"], spec["foreignField"], spec["as"]
+    alias = spec["as"]
     if not isinstance(from_df, DataFrame):
         raise ValueError("$lookup 'from' must be a DataFrame (no shared catalog)")
+
+    if "pipeline" in spec:
+        pipe = list(spec["pipeline"])
+        if not pipe or "$match" not in pipe[0] or "$expr" not in pipe[0]["$match"]:
+            raise ValueError(
+                "$lookup pipeline form needs a leading {$match: {$expr: ...}}"
+            )
+        env = {}
+        lec = ExpressionCompiler(df)
+        for var, src in (spec.get("let") or {}).items():
+            env[var] = lec.compile(src)
+        fec = _ForeignCompiler(from_df, "__f__", env)
+        cond = fec.compile_bool(pipe[0]["$match"]["$expr"])
+        rest = pipe[1:]
+        if len(rest) > 1 or (rest and "$project" not in rest[0]):
+            raise ValueError(
+                "$lookup pipeline form supports [$match $expr] + optional "
+                "trailing $project only"
+            )
+        if rest:
+            proj = rest[0]["$project"]
+            fields = [
+                (name, fec.compile(expr) if not isinstance(expr, int) else F.col(f"__f__.{name}"))
+                for name, expr in proj.items()
+                if name != "_id"
+            ]
+            matched = F.struct(*[c.alias(n) for n, c in fields])
+        else:
+            matched = F.struct(*[F.col(f"__f__.{c}") for c in from_df.columns])
+        # a literal marker column distinguishes a join miss from a matched
+        # row whose foreign fields happen to be null
+        aug = from_df.withColumn("__present", F.lit(True))
+        joined = df.join(aug.alias("__f__"), cond, "left")
+        marker = F.col("__f__.__present")
+        return (
+            joined.groupBy(*[F.col(c) for c in df.columns])
+            .agg(
+                F.collect_list(
+                    F.when(marker.isNotNull(), matched)
+                ).alias(alias)
+            )
+        )
+
+    local, foreign = spec["localField"], spec["foreignField"]
     matched = F.struct(*[F.col(f"__f__.{c}") for c in from_df.columns])
     joined = df.join(
         from_df.alias("__f__"),

@@ -635,6 +635,55 @@ class TestBucketAutoAndOut:
         assert _granularity_round(101.0, "1-2-5", up=True) == 200.0
         assert _granularity_round(0.0, "E12", up=False) == 0.0
 
+    def test_lookup_pipeline_form(self, spark):
+        """Correlated $lookup (let + pipeline): the leading $match $expr
+        becomes the join condition; trailing $project narrows the structs."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame(
+            [(1, 100.0), (2, 50.0), (3, 10.0)], "cid long, budget double"
+        )
+        foreign = spark.createDataFrame(
+            [(1, "a", 80.0), (1, "b", 120.0), (2, "c", 20.0), (9, "d", 5.0)],
+            "cust long, item string, price double",
+        )
+        out = aggregate(local, [{"$lookup": {
+            "from": foreign,
+            "let": {"cid": "$cid", "cap": "$budget"},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$eq": ["$cust", "$$cid"]},
+                    {"$lte": ["$price", "$$cap"]},
+                ]}}},
+                {"$project": {"item": 1, "price": 1}},
+            ],
+            "as": "affordable",
+        }}])
+        got = {
+            r["cid"]: sorted((x["item"], x["price"]) for x in r["affordable"])
+            for r in out.collect()
+        }
+        # cid 1: only 'a' (80 <= 100; 'b' at 120 exceeds); cid 2: 'c';
+        # cid 3: no rows within budget -> empty array, row retained
+        assert got == {1: [("a", 80.0)], 2: [("c", 20.0)], 3: []}
+
+    def test_lookup_pipeline_requires_leading_expr_match(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame([(1,)], "cid long")
+        foreign = spark.createDataFrame([(1, "x")], "cust long, item string")
+        with pytest.raises(ValueError, match="leading"):
+            aggregate(local, [{"$lookup": {"from": foreign, "pipeline": [
+                {"$project": {"item": 1}}], "as": "xs"}}])
+        with pytest.raises(ValueError, match="trailing"):
+            aggregate(local, [{"$lookup": {"from": foreign,
+                "let": {"c": "$cid"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                    {"$limit": 1},
+                ], "as": "xs"}}])
+
     def test_set_window_fields(self, spark):
         """$setWindowFields: running totals (Mongo default frame with
         sortBy), explicit document frames, ranking ops, $shift."""
