@@ -169,9 +169,18 @@ def _apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
 def _apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
     """$unwind '$path' — Mongo 2.x drops docs with null/missing/empty arrays,
-    which is exactly `explode` (not `explode_outer`); SURVEY.md §7."""
+    which is exactly `explode` (not `explode_outer`); SURVEY.md §7.
+
+    Document-form options (Mongo 3.2): ``preserveNullAndEmptyArrays`` →
+    ``explode_outer`` (docs with null/empty arrays survive with a null
+    element), ``includeArrayIndex: name`` → ``posexplode[_outer]`` exposing
+    the 0-based element index (null on preserved empty docs, per Mongo)."""
+    preserve = False
+    index_name = None
     if isinstance(spec, dict):
         path = spec["path"]
+        preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+        index_name = spec.get("includeArrayIndex")
     else:
         path = spec
     if not path.startswith("$"):
@@ -180,7 +189,13 @@ def _apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
     if "." in field:
         raise ValueError("unwind of nested paths: project the field first")
     others = [c for c in df.columns if c != field]
-    return df.select(*others, F.explode(F.col(field)).alias(field))
+    if index_name is not None:
+        gen = F.posexplode_outer if preserve else F.posexplode
+        return df.select(
+            *others, gen(F.col(field)).alias(index_name, field)
+        ).select(*others, field, F.col(index_name).cast("long").alias(index_name))
+    gen = F.explode_outer if preserve else F.explode
+    return df.select(*others, gen(F.col(field)).alias(field))
 
 
 def _apply_sort(df: DataFrame, spec: dict[str, int]) -> DataFrame:

@@ -139,6 +139,29 @@ def test_pipeline_unwind_region(cities):
     assert out == {"Uttar Pradesh": 1, "Karnataka": 1, "Tamil Nadu": 2}
 
 
+def test_unwind_options_preserve_and_index(spark):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id long, xs array<string>"
+    )
+    # default: empty/null docs dropped
+    plain = aggregate(df, [{"$unwind": "$xs"}]).collect()
+    assert sorted((r["id"], r["xs"]) for r in plain) == [(1, "a"), (1, "b")]
+    # preserveNullAndEmptyArrays keeps docs 2 and 3 with a null element
+    kept = aggregate(df, [{"$unwind": {
+        "path": "$xs", "preserveNullAndEmptyArrays": True}}]).collect()
+    assert sorted([(r["id"], r["xs"]) for r in kept], key=str) == sorted(
+        [(1, "a"), (1, "b"), (2, None), (3, None)], key=str)
+    # includeArrayIndex exposes the 0-based position (null when preserved)
+    idx = aggregate(df, [{"$unwind": {
+        "path": "$xs", "includeArrayIndex": "i",
+        "preserveNullAndEmptyArrays": True}}]).collect()
+    got = sorted(((r["id"], r["xs"], r["i"]) for r in idx), key=str)
+    assert got == sorted(
+        [(1, "a", 0), (1, "b", 1), (2, None, None), (3, None, None)], key=str)
+
+
 def test_pipeline_two_level_avg(cities):
     # 05/avg_population.py:35-42: avg of per-(country,region) avgs
     out = cities.aggregate(
