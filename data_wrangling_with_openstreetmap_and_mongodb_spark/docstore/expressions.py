@@ -325,7 +325,11 @@ class ExpressionCompiler:
                 # Mongo: first n (n>0) / last n (n<0)
                 return F.slice(c(arr), 1 if n > 0 else n, abs(n))
             arr, pos, n = args
-            return F.slice(c(arr), int(pos) + 1, int(n))  # Mongo pos 0-based
+            pos = int(pos)
+            # Mongo pos is 0-based from the front (+1 for Spark's 1-based
+            # start) but counted-from-the-end when negative — where Spark's
+            # negative start already matches, so no +1
+            return F.slice(c(arr), pos + 1 if pos >= 0 else pos, int(n))
         if op == "$concatArrays":
             return F.concat(*[c(a) for a in args])
         if op == "$setUnion":

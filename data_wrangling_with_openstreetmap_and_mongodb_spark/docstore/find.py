@@ -199,6 +199,20 @@ def compile_projection(df: DataFrame, projection: dict[str, Any] | None) -> Data
     computed = {
         k: v for k, v in projection.items() if not isinstance(v, (int, bool))
     }
+    # Mongo's projection-form $slice shorthands: {"xs": {"$slice": n}}
+    # (first n, last n when negative) and {"$slice": [skip, n]} (0-based
+    # skip then n elements; negative skip counts from the end) — rewritten
+    # to the expression-form $slice the compiler already implements.
+    for k, v in list(computed.items()):
+        if isinstance(v, dict) and len(v) == 1 and "$slice" in v:
+            arg = v["$slice"]
+            if isinstance(arg, int):
+                computed[k] = {"$slice": [f"${k}", arg]}
+            else:
+                skip, n = arg
+                if n <= 0:
+                    raise ValueError("projection $slice count must be positive")
+                computed[k] = {"$slice": [f"${k}", int(skip), int(n)]}
     if includes or computed:
         cols = [F.col(k).alias(k) for k in includes if k != "_id"]
         ec = ExpressionCompiler(df)

@@ -1028,6 +1028,22 @@ class TestExpressionOperatorExtensions:
         assert row["tw"] == d.datetime(2020, 2, 23, 0, 0, 0)  # Sunday start
         assert row["td"] == d.datetime(2020, 2, 26, 10, 30, 45)  # epoch-ms UTC
 
+    def test_projection_slice_shorthands(self, spark):
+        """Mongo projection-form $slice: first-n, last-n, [skip, n] with
+        negative skip counting from the end."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        df = spark.createDataFrame([(1, [10, 20, 30, 40, 50])], "id long, xs array<long>")
+        coll = DocumentCollection(df, "t")
+
+        def sl(proj):
+            return list(coll.find({}, {"xs": proj, "_id": 0}).collect()[0]["xs"])
+
+        assert sl({"$slice": 2}) == [10, 20]
+        assert sl({"$slice": -2}) == [40, 50]
+        assert sl({"$slice": [1, 2]}) == [20, 30]
+        assert sl({"$slice": [-3, 2]}) == [30, 40]
+
     def test_convert_and_is_number(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
 
