@@ -2828,3 +2828,59 @@ def chunk_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_md5"),
         "n_chunk_tokens",
     )
+
+
+@register(
+    "bpe_first_merge_pairs",
+    oracle="""
+        WITH words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+                FROM documents
+            )
+            GROUP BY word
+        ), sym AS (
+            SELECT freq, [substr(word, i, 1) for i in range(1, len(word) + 1)] AS s
+            FROM words
+        ), pairs AS (
+            SELECT s[i] AS a, s[i + 1] AS b, freq
+            FROM sym, unnest(range(1, len(s))) AS t(i)
+        )
+        SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM pairs
+        GROUP BY a, b
+        ORDER BY cnt DESC, a ASC, b ASC
+        LIMIT 20
+    """,
+    doc="first BPE training iteration: frequency-weighted adjacent "
+    "character-pair counts over the corpus word table, top-20 "
+    "(operators/bpe.py::word_frequencies/adjacent_pair_counts — the "
+    "distributed Sennrich-2016 trainer whose full merge loop is verified "
+    "merge-for-merge against a pure-Python reference in tests/test_bpe.py; "
+    "THIS query replays the argmax input the loop collects).  The corpus "
+    "collapses once to a vocabulary-sized (word, freq) table, so each "
+    "merge iteration costs one explode + hash-agg over the VOCABULARY, "
+    "not the corpus — the property that makes cluster BPE training "
+    "tractable at 100 TB.  Gate-only: pair counting is an explode+count "
+    "shape of the token family (hard rows text_token_stats / "
+    "cms_token_counts); the novel trainer is operator-level, like the "
+    "z-order/Hilbert layout tier.",
+    tags=("curation", "bpe", "agg", "topk"),
+    driver_visible=False,
+)
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.bpe import (
+        adjacent_pair_counts,
+        chars_col,
+        word_frequencies,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(d, "text")
+    syms = wf.select("freq", chars_col(F.col("word")).alias("symbols"))
+    return (
+        adjacent_pair_counts(syms)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
