@@ -278,6 +278,81 @@ class TestZOrder:
         assert h_area <= z_area, (h_area, z_area)
         assert spark.read.parquet(hpath).count() == n
 
+    def test_hilbert_n_bijective_adjacent_3d(self, spark):
+        """Skilling n-dim Hilbert on the full 8^3 cube: bijection onto
+        [0, 512) with consecutive indices always one unit step apart."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+            hilbert_index_n,
+        )
+
+        side = 8
+        n = side ** 3
+        df = spark.range(n).select(
+            (F.col("id") % side).alias("x"),
+            ((F.col("id") / side).cast("long") % side).alias("y"),
+            (F.col("id") / (side * side)).cast("long").alias("z"),
+        )
+        rows = df.select(
+            "x", "y", "z",
+            hilbert_index_n([F.col("x"), F.col("y"), F.col("z")], 3).alias("h"),
+        ).collect()
+        pos = {r["h"]: (r["x"], r["y"], r["z"]) for r in rows}
+        assert sorted(pos) == list(range(n))
+        for h in range(1, n):
+            a, b = pos[h - 1], pos[h]
+            assert sum(abs(i - j) for i, j in zip(a, b)) == 1, (h, a, b)
+
+    def test_hilbert_n_2d_bijective_adjacent(self, spark):
+        """The n-dim implementation is itself a valid 2-D Hilbert curve
+        (orientation may differ from the classic xy2d variant)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+            hilbert_index_n,
+        )
+
+        side = 16
+        df = spark.range(side * side).select(
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("long").alias("y"),
+        )
+        rows = df.select(
+            "x", "y", hilbert_index_n([F.col("x"), F.col("y")], 4).alias("h")
+        ).collect()
+        pos = {r["h"]: (r["x"], r["y"]) for r in rows}
+        assert sorted(pos) == list(range(side * side))
+        for h in range(1, side * side):
+            (x0, y0), (x1, y1) = pos[h - 1], pos[h]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+    def test_hilbert_3d_layout_via_write_zordered(self, spark, tmp_path):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import (
+            write_zordered,
+        )
+
+        side = 16
+        n = side ** 3
+        df = spark.range(n).select(
+            (F.col("id") % side).alias("a"),
+            ((F.col("id") / side).cast("long") % side).alias("b"),
+            (F.col("id") / (side * side)).cast("long").alias("c"),
+        )
+        hpath = str(tmp_path / "h3")
+        write_zordered(df, hpath, "a", "b", "c", n_files=8, bits=4, curve="hilbert")
+        per_file = (
+            spark.read.parquet(hpath)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("a") - F.min("a") + 1).alias("da"),
+                (F.max("b") - F.min("b") + 1).alias("db"),
+                (F.max("c") - F.min("c") + 1).alias("dc"),
+            )
+            .collect()
+        )
+        volume = sum(r["da"] * r["db"] * r["dc"] for r in per_file)
+        # Hilbert contiguity: total bbox volume within 2x of perfect octants
+        assert volume <= 2 * n, [(r["da"], r["db"], r["dc"]) for r in per_file]
+        assert spark.read.parquet(hpath).count() == n
+
     def test_zvalue_n_matches_reference_3d(self, spark):
         """3-column interleave against a pure-Python bit reference."""
         from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.scale import zvalue_n
