@@ -1066,6 +1066,101 @@ class TestExpressionOperatorExtensions:
         assert (row["a"], row["b"], row["c"], row["d"]) == (42, -1, 0, None)
         assert (row["n1"], row["n2"], row["n3"]) == (True, False, True)
 
+    def test_date_diff_randomized_sweep(self, spark):
+        """$dateDiff counts boundary crossings — swept over 120 seeded
+        random datetime pairs against a pure-Python reference per unit."""
+        import datetime as d
+        import random
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        rng = random.Random(42)
+        base = d.datetime(2019, 6, 15, 12, 0, 0)
+        pairs = []
+        for _ in range(120):
+            s = base + d.timedelta(
+                days=rng.randrange(-900, 900),
+                hours=rng.randrange(0, 24),
+                minutes=rng.randrange(0, 60),
+                seconds=rng.randrange(0, 60),
+            )
+            e = s + d.timedelta(
+                days=rng.randrange(-400, 400),
+                hours=rng.randrange(0, 24),
+                minutes=rng.randrange(0, 60),
+            )
+            pairs.append((s, e))
+
+        def sunday(x: d.datetime) -> d.date:
+            return (x - d.timedelta(days=(x.weekday() + 1) % 7)).date()
+
+        def ref(s: d.datetime, e: d.datetime, unit: str) -> int:
+            if unit == "year":
+                return e.year - s.year
+            if unit == "quarter":
+                return (e.year - s.year) * 4 + ((e.month - 1) // 3 - (s.month - 1) // 3)
+            if unit == "month":
+                return (e.year - s.year) * 12 + (e.month - s.month)
+            if unit == "day":
+                return (e.date() - s.date()).days
+            if unit == "week":
+                return (sunday(e) - sunday(s)).days // 7
+            trunc = {
+                "hour": lambda x: x.replace(minute=0, second=0, microsecond=0),
+                "minute": lambda x: x.replace(second=0, microsecond=0),
+            }[unit]
+            secs = {"hour": 3600, "minute": 60}[unit]
+            delta = trunc(e) - trunc(s)
+            return int(delta.total_seconds()) // secs
+
+        df = spark.createDataFrame(pairs, "s timestamp, e timestamp")
+        ec = ExpressionCompiler(df)
+        units = ["year", "quarter", "month", "day", "week", "hour", "minute"]
+        sel = [
+            ec.compile({"$dateDiff": {"startDate": "$s", "endDate": "$e",
+                                      "unit": u}}).alias(u)
+            for u in units
+        ]
+        for r in df.select("s", "e", *sel).collect():
+            for u in units:
+                want = ref(r["s"], r["e"], u)
+                assert r[u] == want, (u, r["s"], r["e"], r[u], want)
+
+    def test_date_add_randomized_roundtrip(self, spark):
+        """$dateAdd then $dateSubtract of the same amount round-trips for
+        fixed-width units (day and smaller), across 60 seeded cases."""
+        import datetime as d
+        import random
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        rng = random.Random(7)
+        rows = [
+            (
+                d.datetime(2020, 1, 1)
+                + d.timedelta(days=rng.randrange(0, 1000), seconds=rng.randrange(86400)),
+                rng.randrange(-500, 500),
+            )
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(rows, "t timestamp, amt long")
+        ec = ExpressionCompiler(df)
+        for unit, delta in (("day", d.timedelta(days=1)),
+                            ("hour", d.timedelta(hours=1)),
+                            ("minute", d.timedelta(minutes=1))):
+            got = df.select(
+                "t", "amt",
+                ec.compile({"$dateAdd": {"startDate": "$t", "unit": unit,
+                                         "amount": "$amt"}}).alias("fwd"),
+                ec.compile({"$dateSubtract": {
+                    "startDate": {"$dateAdd": {"startDate": "$t", "unit": unit,
+                                               "amount": "$amt"}},
+                    "unit": unit, "amount": "$amt"}}).alias("back"),
+            ).collect()
+            for r in got:
+                assert r["fwd"] == r["t"] + r["amt"] * delta, (unit, r)
+                assert r["back"] == r["t"], (unit, r)
+
     def test_week_matches_strftime_percent_U(self, spark):
         """Mongo $week == C strftime %U (Sunday-start, week 0 before the
         first Sunday) — swept across year boundaries and leap years."""
