@@ -52,8 +52,19 @@ def main() -> None:
         body = "\n".join(lines[: min(len(lines), tree_end + 40)])
         out.write(f"## {name}\n\n{note}\n\n```\n{body}\n```\n\n")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "PLANS.md"), "w") as f:
+    path = os.path.join(root, "PLANS.md")
+    # Preserve hand-written analysis sections (checkpoint-modes, chunking,
+    # window-stage notes, ...) below the marker across regenerations.
+    marker = "<!-- MANUAL ANALYSIS BELOW - preserved by tools/gen_plans.py -->"
+    manual = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            manual = old[old.index(marker):]
+    with open(path, "w") as f:
         f.write(out.getvalue())
+        if manual:
+            f.write(manual)
     print("PLANS.md written")
 
 
