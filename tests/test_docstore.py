@@ -834,6 +834,26 @@ class TestBucketAutoAndOut:
             1: ("old1", 10.0), 2: ("new2", None), 3: ("old3", None),
         }
 
+    def test_merge_compound_key(self, spark, tmp_path):
+        """$merge with a multi-field `on` key: matching requires ALL key
+        fields to agree."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "ck")
+        spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0)],
+            "region string, slot int, v double",
+        ).write.parquet(path)
+        src = spark.createDataFrame(
+            [("a", 2, 99.0),   # matches (a, 2) only
+             ("b", 2, 50.0)],  # (b, 2) absent -> insert
+            "region string, slot int, v double",
+        )
+        out = aggregate(src, [{"$merge": {"into": path, "on": ["region", "slot"],
+                                          "whenMatched": "replace"}}])
+        got = {(r["region"], r["slot"]): r["v"] for r in out.collect()}
+        assert got == {("a", 1): 10.0, ("a", 2): 99.0, ("b", 1): 30.0, ("b", 2): 50.0}
+
     def test_merge_fail_modes(self, spark, tmp_path):
         import pytest
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
