@@ -305,6 +305,120 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     )
 
 
+def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$graphLookup: recursive traversal of ``from`` starting at
+    ``startWith``, following ``connectFromField`` → ``connectToField``
+    edges, collecting every reached foreign doc (with its 0-based
+    ``depthField``) into ``as`` — Mongo 3.4's transitive-closure stage
+    (org charts, airline routes, dependency closures).
+
+    Distributed shape: a bounded frontier loop, exactly the engine's
+    connected-components idiom — per round ONE equi-join (frontier value →
+    ``connectToField``) plus a left-anti join against the visited set for
+    cycle termination; lineage truncates per round via localCheckpoint,
+    and the only driver action is the frontier-empty check (the documented
+    iterative-algorithm exception).  Rounds are bounded by
+    ``maxDepth + 1`` when given, else the reachable-set diameter (cycles
+    terminate through the visited set, like Mongo).
+
+    The local document's identity is its full column tuple (same
+    convention as ``$lookup``'s groupBy) — duplicate local rows would
+    collapse, matching the join-back contract documented there.
+    """
+    from_df: DataFrame = spec["from"]
+    if not isinstance(from_df, DataFrame):
+        raise ValueError("$graphLookup 'from' must be a DataFrame (no shared catalog)")
+    alias = spec["as"]
+    conn_from, conn_to = spec["connectFromField"], spec["connectToField"]
+    depth_field = spec.get("depthField")
+    max_depth = spec.get("maxDepth")
+
+    ec = ExpressionCompiler(df)
+    doc_cols = list(df.columns)
+    frontier = df.select(
+        *doc_cols, ec.compile(spec["startWith"]).alias("__v")
+    ).distinct()
+    foreign = from_df.alias("__g__")
+    reached = None  # (doc_cols..., foreign struct, __depth)
+    visited = frontier.select(*doc_cols, "__v")  # values already expanded
+    depth = 0
+    while True:
+        if max_depth is not None and depth > int(max_depth):
+            break
+        # alias BOTH sides: `from` is frequently the same frame as `df`
+        # (org charts), so bare column names would be ambiguous
+        hits = frontier.alias("__l__").join(
+            foreign, F.col("__l__.__v") == F.col(f"__g__.{conn_to}")
+        ).select(
+            *[F.col(f"__l__.{c}").alias(c) for c in doc_cols],
+            F.struct(*[F.col(f"__g__.{c}") for c in from_df.columns]).alias("__doc"),
+            F.col(f"__g__.{conn_from}").alias("__next"),
+            F.lit(depth).alias("__depth"),
+        ).localCheckpoint()
+        if hits.isEmpty():
+            break
+        step = hits.select(*doc_cols, "__doc", "__depth").dropDuplicates(
+            [*doc_cols, "__doc"]
+        )
+        reached = step if reached is None else reached.unionByName(step)
+        # NULL-SAFE anti-join: doc identity columns may legitimately hold
+        # nulls (the org chart's root has reportsTo null); a plain
+        # equi-anti-join would never match those rows against the visited
+        # set and a cycle through them would loop forever
+        cand = hits.select(*doc_cols, F.col("__next").alias("__v")).distinct()
+        anti_cond = None
+        for c in [*doc_cols, "__v"]:
+            eq = F.col(f"__c__.{c}").eqNullSafe(F.col(f"__vis__.{c}"))
+            anti_cond = eq if anti_cond is None else (anti_cond & eq)
+        frontier = (
+            cand.alias("__c__")
+            .join(visited.alias("__vis__"), anti_cond, "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(
+            frontier.select(*doc_cols, "__v")
+        ).localCheckpoint(eager=False)
+        depth += 1
+        if frontier.isEmpty():
+            break
+    if reached is None:
+        empty_struct = F.array().cast(
+            "array<struct<" + ",".join(
+                f"`{f.name}`:{f.dataType.simpleString()}" for f in from_df.schema.fields
+            ) + ">"
+        )
+        return df.withColumn(alias, empty_struct)
+    # a doc reached via several depths keeps its SHALLOWEST depth (Mongo)
+    best = reached.groupBy(*doc_cols, "__doc").agg(F.min("__depth").alias("__depth"))
+    member = (
+        # Mongo inlines depthField INTO the reached doc
+        F.struct(
+            *[
+                F.col("__doc")[f.name].alias(f.name)
+                for f in from_df.schema.fields
+            ],
+            F.col("__depth").cast("long").alias(depth_field),
+        )
+        if depth_field
+        else F.col("__doc")
+    )
+    arrays = best.groupBy(*doc_cols).agg(
+        F.collect_list(member).alias(alias)
+    )
+    # null-safe join back (same reason as the visited anti-join above)
+    back_cond = None
+    for c in doc_cols:
+        eq = F.col(f"__ol__.{c}").eqNullSafe(F.col(f"__oa__.{c}"))
+        back_cond = eq if back_cond is None else (back_cond & eq)
+    out = df.alias("__ol__").join(arrays.alias("__oa__"), back_cond, "left").select(
+        *[F.col(f"__ol__.{c}").alias(c) for c in doc_cols],
+        F.col(f"__oa__.{alias}").alias(alias),
+    )
+    # docs that reached nothing get an EMPTY array, not null (Mongo)
+    fill = F.coalesce(F.col(alias), F.array().cast(arrays.schema[alias].dataType))
+    return out.withColumn(alias, fill)
+
+
 def _apply_bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$bucket: range-bucket documents by ``groupBy`` over explicit
     ``boundaries`` (ascending; [lo, hi) per Mongo), out-of-range docs to
@@ -783,6 +897,8 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
                 out = out.withColumn(name, ec.compile(expr))
         elif op == "$lookup":
             out = _apply_lookup(out, spec)
+        elif op == "$graphLookup":
+            out = _apply_graph_lookup(out, spec)
         elif op == "$bucket":
             out = _apply_bucket(out, spec)
         elif op == "$bucketAuto":

@@ -658,6 +658,78 @@ class TestBucketAutoAndOut:
         assert _granularity_round(101.0, "1-2-5", up=True) == 200.0
         assert _granularity_round(0.0, "E12", up=False) == 0.0
 
+    def test_graph_lookup_org_chart(self, spark):
+        """$graphLookup transitive closure on the classic org chart:
+        reportsTo chains resolve to the full management line with
+        shallowest-depth semantics."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        employees = spark.createDataFrame(
+            [("Dev", None), ("Eliot", "Dev"), ("Ron", "Eliot"),
+             ("Andrew", "Eliot"), ("Asya", "Ron"), ("Dan", "Asya")],
+            "name string, reportsTo string",
+        )
+        out = aggregate(employees, [{"$graphLookup": {
+            "from": employees,
+            "startWith": "$reportsTo",
+            "connectFromField": "reportsTo",
+            "connectToField": "name",
+            "as": "chain",
+            "depthField": "lvl",
+        }}])
+        got = {
+            r["name"]: sorted((x["name"], x["lvl"]) for x in r["chain"])
+            for r in out.collect()
+        }
+        assert got["Dev"] == []
+        assert got["Eliot"] == [("Dev", 0)]
+        assert got["Ron"] == [("Dev", 1), ("Eliot", 0)]
+        assert got["Dan"] == [("Asya", 0), ("Dev", 3), ("Eliot", 2), ("Ron", 1)]
+
+    def test_graph_lookup_max_depth_and_cycles(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        # a -> b -> c -> a cycle must terminate via the visited set
+        nodes = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "id string, nxt string"
+        )
+        out = aggregate(nodes, [{"$graphLookup": {
+            "from": nodes, "startWith": "$nxt",
+            "connectFromField": "nxt", "connectToField": "id",
+            "as": "reach",
+        }}])
+        got = {r["id"]: sorted(x["id"] for x in r["reach"]) for r in out.collect()}
+        # every node reaches the whole cycle (including itself via the loop)
+        assert got == {k: ["a", "b", "c"] for k in ("a", "b", "c")}
+
+        capped = aggregate(nodes, [{"$graphLookup": {
+            "from": nodes, "startWith": "$nxt",
+            "connectFromField": "nxt", "connectToField": "id",
+            "as": "reach", "maxDepth": 0,
+        }}])
+        got0 = {r["id"]: [x["id"] for x in r["reach"]] for r in capped.collect()}
+        assert got0 == {"a": ["b"], "b": ["c"], "c": ["a"]}  # direct hop only
+
+    def test_graph_lookup_null_doc_columns_in_cycle(self, spark):
+        """A doc with a NULL identity column sitting on a cycle must still
+        terminate (null-safe visited set) and join its results back."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame(
+            [("x", None, "a")], "id string, note string, start string"
+        )
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "id string, nxt string"
+        )
+        out = aggregate(local, [{"$graphLookup": {
+            "from": edges, "startWith": "$start",
+            "connectFromField": "nxt", "connectToField": "id",
+            "as": "reach",
+        }}]).collect()
+        assert len(out) == 1
+        assert sorted(x["id"] for x in out[0]["reach"]) == ["a", "b"]
+        assert out[0]["note"] is None
+
     def test_lookup_pipeline_form(self, spark):
         """Correlated $lookup (let + pipeline): the leading $match $expr
         becomes the join condition; trailing $project narrows the structs."""
