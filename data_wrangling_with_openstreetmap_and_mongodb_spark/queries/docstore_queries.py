@@ -8,6 +8,7 @@ the DataFrames returned here are built exclusively by
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
@@ -550,4 +551,77 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             },
         ]
+    )
+
+
+@register(
+    "ds_graph_reachable_orders",
+    oracle="""
+        WITH RECURSIVE base AS (
+            SELECT o_orderkey, o_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+            FROM orders WHERE o_custkey % 50 = 0
+        ), edges AS (
+            SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+            FROM base a JOIN base b
+              ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+        ), reach(start, src, dst, depth) AS (
+            SELECT src AS start, src, dst, 0 FROM edges
+            UNION
+            SELECT r.start, e.src, e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON e.src = r.dst
+        )
+        SELECT start AS o_orderkey, src AS edge_src, dst AS edge_dst,
+               CAST(MIN(depth) AS BIGINT) AS lvl
+        FROM reach
+        GROUP BY start, src, dst
+    """,
+    doc="$graphLookup on real data (docstore/pipeline.py::"
+    "_apply_graph_lookup): each order walks its customer's later-order "
+    "chain transitively; the DuckDB oracle replays the traversal as a "
+    "recursive CTE with the same shallowest-depth grouping — the full "
+    "frontier loop (equi-join + null-safe visited anti-join per round) "
+    "hash-verified edge-for-edge, depth-for-depth.  Gate-only: the "
+    "iterative-graph family's hard row is dedup_near_clusters.",
+    tags=("docstore", "graph", "iterative"),
+    driver_visible=False,
+)
+def ds_graph_reachable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    base = o.select(
+        "o_orderkey", "o_custkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+        .alias("rn"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst"))
+    local = edges.select(F.col("src").alias("o_orderkey")).distinct()
+    out = DocumentCollection(local, "starts").aggregate(
+        [
+            {
+                "$graphLookup": {
+                    "from": edges,
+                    "startWith": "$o_orderkey",
+                    "connectFromField": "dst",
+                    "connectToField": "src",
+                    "as": "reach",
+                    "depthField": "lvl",
+                }
+            }
+        ]
+    )
+    return out.select(
+        "o_orderkey", F.explode("reach").alias("e")
+    ).select(
+        "o_orderkey",
+        F.col("e.src").alias("edge_src"),
+        F.col("e.dst").alias("edge_dst"),
+        F.col("e.lvl").alias("lvl"),
     )
