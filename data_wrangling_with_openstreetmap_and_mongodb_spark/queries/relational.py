@@ -361,8 +361,13 @@ def distinct_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFram
         )
         WHERE rn = 1
     """,
-    doc="group-first representative doc (README.md:919-920,985-986)",
+    doc="group-first representative doc (README.md:919-920,985-986).  "
+    "Rotated out of the driver window in r4: per-group representative "
+    "pick covered by extreme_value_events' visible argmax row (and the "
+    "N-ary $topN family generalizes both); slot given to the new BPE "
+    "training family (ask #8 hygiene); still in the local parity gate.",
     tags=("window", "topk"),
+    driver_visible=False,
 )
 def top_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -2862,12 +2862,11 @@ def chunk_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapses once to a vocabulary-sized (word, freq) table, so each "
     "merge iteration costs one explode + hash-agg over the VOCABULARY, "
     "not the corpus — the property that makes cluster BPE training "
-    "tractable at 100 TB.  Gate-only: pair counting is an explode+count "
-    "shape of the token family (hard rows text_token_stats / "
-    "cms_token_counts); the novel trainer is operator-level, like the "
-    "z-order/Hilbert layout tier.",
+    "tractable at 100 TB.  Driver-visible from birth (r3 ask #8 hygiene: "
+    "BPE vocabulary training is a novel family; top_order_per_priority — "
+    "a representative-pick shape covered by extreme_value_events — "
+    "rotated out in exchange).",
     tags=("curation", "bpe", "agg", "topk"),
-    driver_visible=False,
 )
 def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.bpe import (
