@@ -355,8 +355,9 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             F.col(f"__g__.{conn_from}").alias("__next"),
             F.lit(depth).alias("__depth"),
         ).localCheckpoint()
-        if hits.isEmpty():
-            break
+        # no separate hits-empty action: an empty hits makes the next
+        # frontier empty, which the single loop-bottom check catches —
+        # one driver action per round, not two
         step = hits.select(*doc_cols, "__doc", "__depth").dropDuplicates(
             [*doc_cols, "__doc"]
         )

@@ -570,6 +570,7 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION
             SELECT r.start, e.src, e.dst, r.depth + 1
             FROM reach r JOIN edges e ON e.src = r.dst
+            WHERE r.depth < 6
         )
         SELECT start AS o_orderkey, src AS edge_src, dst AS edge_dst,
                CAST(MIN(depth) AS BIGINT) AS lvl
@@ -581,8 +582,13 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chain transitively; the DuckDB oracle replays the traversal as a "
     "recursive CTE with the same shallowest-depth grouping — the full "
     "frontier loop (equi-join + null-safe visited anti-join per round) "
-    "hash-verified edge-for-edge, depth-for-depth.  Gate-only: the "
-    "iterative-graph family's hard row is dedup_near_clusters.",
+    "hash-verified edge-for-edge, depth-for-depth.  maxDepth=6 caps the "
+    "round count: per-customer chain LENGTH grows with scale factor, and "
+    "an iterative catalog query whose barrier count grows with data size "
+    "is the wrong shape to benchmark (measured 12.2s at sf0.1 unbounded "
+    "vs bounded-constant with the cap; unbounded traversal stays covered "
+    "by the cycle tests).  Gate-only: the iterative-graph family's hard "
+    "row is dedup_near_clusters.",
     tags=("docstore", "graph", "iterative"),
     driver_visible=False,
 )
@@ -613,6 +619,7 @@ def ds_graph_reachable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "connectToField": "src",
                     "as": "reach",
                     "depthField": "lvl",
+                    "maxDepth": 6,
                 }
             }
         ]
