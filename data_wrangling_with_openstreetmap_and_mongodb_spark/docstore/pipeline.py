@@ -87,14 +87,17 @@ def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
         return F.slice(vals, 1, n).alias(alias)
     if op in ("$firstN", "$lastN"):
         # document-arrival order, same caveat as $first/$last: deterministic
-        # only under an upstream $sort
+        # only under an upstream $sort.  Unlike $minN/$maxN, Mongo's
+        # $firstN/$lastN KEEP null inputs — collect_list drops bare nulls,
+        # so the value rides inside a (non-null) single-field struct and is
+        # projected back out after the slice.
         n = int(arg["n"])
-        arr = F.collect_list(ec.compile(arg["input"]))
+        arr = F.collect_list(F.struct(ec.compile(arg["input"]).alias("v")))
         if op == "$firstN":
-            return F.slice(arr, 1, n).alias(alias)
-        return (
-            F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n)).alias(alias)
-        )
+            sliced = F.slice(arr, 1, n)
+        else:
+            sliced = F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
+        return F.transform(sliced, lambda s: s["v"]).alias(alias)
     if op in ("$median", "$percentile"):
         # Mongo 7.0 only offers method:'approximate' (t-digest); this
         # engine computes the EXACT R-7-interpolated quantile instead —
@@ -621,30 +624,44 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ops ``$rank/$denseRank/$documentNumber`` (sortBy required, frame
     ignored per Mongo), and ``$shift`` (``{output, by, default}``).
     ``documents`` bounds accept integers and the strings ``"unbounded"`` /
-    ``"current"``; Mongo's default frame for accumulators with a sortBy is
-    ``["unbounded", "current"]`` (running totals), without sortBy the whole
-    partition — both replicated here, matching Spark's own window-frame
-    defaults.  ``"range"`` frames (value-based offsets on a single numeric
-    sortBy field) map to ``rangeBetween``; time-``unit`` ranges raise.
+    ``"current"``; Mongo's default window when none is given is the ENTIRE
+    partition ``["unbounded", "unbounded"]`` — even with a sortBy.  Running
+    totals require an explicit ``window: {documents: ["unbounded",
+    "current"]}``, exactly as mongod does (this diverges from SQL's default
+    frame, so the full frame is forced explicitly here).  ``"range"``
+    frames (value-based offsets on a single numeric sortBy field) map to
+    ``rangeBetween``; time-``unit`` ranges compile to ``rangeBetween`` over
+    ``unix_micros(sortBy)`` with the unit scaled to microseconds.
 
     Pure Window API — one shuffle on the partition key, no self-joins.
     """
     ec = ExpressionCompiler(df)
-    w = Window.partitionBy(
-        *( [ec.compile(spec["partitionBy"])] if "partitionBy" in spec else [] )
-    )
+    part_cols = [ec.compile(spec["partitionBy"])] if "partitionBy" in spec else []
+    w = Window.partitionBy(*part_cols)
     sort_by = spec.get("sortBy")
     if sort_by:
         w = w.orderBy(
             *[F.col(k).asc() if v >= 0 else F.col(k).desc() for k, v in sort_by.items()]
         )
 
-    def bound(v: Any, lo: bool) -> int:
+    # fixed-length unit → microseconds; calendar units (month/quarter/year)
+    # have no fixed micros width and raise (same restriction Spark's own
+    # rangeBetween has — a calendar frame needs a per-row interval join)
+    _UNIT_MICROS = {
+        "millisecond": 1_000,
+        "second": 1_000_000,
+        "minute": 60 * 1_000_000,
+        "hour": 3_600 * 1_000_000,
+        "day": 86_400 * 1_000_000,
+        "week": 7 * 86_400 * 1_000_000,
+    }
+
+    def bound(v: Any, lo: bool, scale: int = 1) -> int:
         if v == "unbounded":
             return Window.unboundedPreceding if lo else Window.unboundedFollowing
         if v == "current":
             return Window.currentRow
-        return int(v)
+        return int(v) * scale
 
     out = df
     for name, wspec in spec["output"].items():
@@ -653,22 +670,40 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if frame is not None and "range" in frame:
             # value-based frame: bounds are offsets on the SORT KEY value —
             # Spark rangeBetween, which (like Mongo) requires exactly one
-            # numeric sort field.  Time 'unit' ranges are not supported.
-            if frame.get("unit") is not None:
-                raise ValueError("$setWindowFields range unit windows unsupported")
+            # sort field.  A time `unit` orders by unix_micros(sortBy) with
+            # the bounds scaled to microseconds.
             if not sort_by or len(sort_by) != 1:
                 raise ValueError("range windows need exactly one sortBy field")
         op, arg = next(iter(wspec.items()))
         this_w = w
         if frame is not None and "range" in frame:
             lo, hi = frame["range"]
-            this_w = w.rangeBetween(bound(lo, True), bound(hi, False))
+            unit = frame.get("unit")
+            if unit is not None:
+                if unit not in _UNIT_MICROS:
+                    raise ValueError(
+                        f"$setWindowFields range unit {unit!r} has no fixed "
+                        "length; supported: " + "/".join(_UNIT_MICROS)
+                    )
+                scale = _UNIT_MICROS[unit]
+                sk, sdir = next(iter(sort_by.items()))
+                key = F.unix_micros(F.col(sk).cast("timestamp"))
+                this_w = Window.partitionBy(*part_cols).orderBy(
+                    key.asc() if sdir >= 0 else key.desc()
+                ).rangeBetween(bound(lo, True, scale), bound(hi, False, scale))
+            else:
+                this_w = w.rangeBetween(bound(lo, True), bound(hi, False))
         elif frame is not None:
             lo, hi = frame["documents"]
             this_w = w.rowsBetween(bound(lo, True), bound(hi, False))
-        elif sort_by and op not in ("$rank", "$denseRank", "$documentNumber", "$shift"):
-            # Mongo default with sortBy: running frame [unbounded, current]
-            this_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else:
+            # Mongo's default window is the ENTIRE partition — even when a
+            # sortBy is present (running totals need an explicit
+            # ["unbounded","current"]).  SQL's default frame with an ORDER
+            # BY is [unbounded, current], so the full frame must be forced.
+            this_w = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         if op in ("$rank", "$denseRank", "$documentNumber"):
             if not sort_by:
                 raise ValueError(f"{op} requires sortBy")
@@ -685,9 +720,19 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             shifted = (
                 F.lag(col, -by).over(w) if by < 0 else F.lead(col, by).over(w)
             )
-            out = out.withColumn(
-                name, F.coalesce(shifted, F.lit(dflt)) if dflt is not None else shifted
-            )
+            if dflt is not None:
+                # Mongo substitutes `default` ONLY when the target position
+                # falls outside the partition — a legitimately-null shifted
+                # value stays null.  Gate on position, not on null-ness.
+                pos = F.row_number().over(w) + F.lit(by)
+                n_rows = F.count(F.lit(1)).over(
+                    w.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                in_range = (pos >= F.lit(1)) & (pos <= n_rows)
+                shifted = F.when(in_range, shifted).otherwise(F.lit(dflt))
+            out = out.withColumn(name, shifted)
             continue
         agg = {
             "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
@@ -705,17 +750,51 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return out
 
 
+class _MergeCompiler(ExpressionCompiler):
+    """Compiles ``$merge`` whenMatched-pipeline expressions: bare ``$field``
+    paths read the TARGET row (join alias ``t``), seeing any overrides from
+    earlier pipeline stages (Mongo stages run sequentially), while ``$$var``
+    references resolve through the ``let`` bindings to SOURCE-side columns."""
+
+    def __init__(self, target_df: DataFrame, env: dict[str, Column]):
+        super().__init__(target_df)
+        self._env.update(env)
+        self._overrides: dict[str, Column] = {}
+
+    def compile_with(self, overrides: dict[str, Column], e: Any) -> Column:
+        self._overrides = overrides
+        return self.compile(e)
+
+    def compile(self, e: Any) -> Column:
+        if isinstance(e, str) and e.startswith("$") and not e.startswith("$$"):
+            head, _, rest = e[1:].partition(".")
+            out = self._overrides.get(head, F.col(f"t.{head}"))
+            for part in rest.split(".") if rest else []:
+                out = out.getField(part)
+            return out
+        return super().compile(e)
+
+
 def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$merge: upsert the pipeline result into an existing parquet table —
     Mongo's incremental-materialization stage (the engine's collections are
     parquet tables, SURVEY S17/S18).
 
     ``{"into": path, "on": key | [keys], "whenMatched":
-    "replace"|"keepExisting"|"merge"|"fail", "whenNotMatched":
-    "insert"|"discard"|"fail"}``.  Target rows never matched by the
-    pipeline are always kept (Mongo contract).  ``merge`` is field-wise:
-    a non-null pipeline value overwrites, a null keeps the target's —
-    the typed-column analogue of Mongo's present-field overwrite.
+    "replace"|"keepExisting"|"merge"|"fail"|[pipeline], "whenNotMatched":
+    "insert"|"discard"|"fail", "let": {var: expr}?}``.  Target rows never
+    matched by the pipeline are always kept (Mongo contract).  ``merge`` is
+    field-wise: a non-null pipeline value overwrites, a null keeps the
+    target's — the typed-column analogue of Mongo's present-field
+    overwrite.
+
+    ``whenMatched`` may also be an UPDATE PIPELINE (Mongo 4.2): a list of
+    ``$set``/``$addFields``/``$unset`` stages evaluated per matched row,
+    where bare ``$field`` paths read the TARGET document and ``$$var``
+    references resolve through ``let`` (default ``{"new": "$$ROOT"}`` — the
+    source document), exactly Mongo's scoping.  The pipeline compiles to
+    per-column CASE expressions on the matched side of the same full-outer
+    join — still one shuffle, no per-document execution.
 
     One full-outer join on the key, then a staged rewrite (write to a
     sibling ``__merge_tmp`` dir, read back, overwrite the target) because
@@ -736,25 +815,75 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     joined = tgt.alias("t").join(src.alias("s"), keys, "full_outer")
     matched = F.col("t.__tgt").isNotNull() & F.col("s.__src").isNotNull()
     src_only = F.col("t.__tgt").isNull()
+
+    # whenMatched update-pipeline form: compile $set/$addFields/$unset
+    # stages into {field: Column} overrides for matched rows
+    pipe_overrides: dict[str, Column] | None = None
+    if isinstance(when_matched, list):
+        src_root = F.struct(*[F.col(f"s.{c}").alias(c) for c in df.columns])
+        let = spec.get("let") or {"new": "$$ROOT"}
+        env: dict[str, Column] = {}
+        for var, v in let.items():
+            if v == "$$ROOT":
+                env[var] = src_root
+            elif isinstance(v, str) and v.startswith("$") and not v.startswith("$$"):
+                env[var] = F.col(f"s.{v[1:]}")  # let exprs see the SOURCE doc
+            else:
+                env[var] = F.lit(v)
+        mc = _MergeCompiler(target, env)
+        pipe_overrides = {}
+        for stage in when_matched:
+            if not isinstance(stage, dict) or len(stage) != 1:
+                raise ValueError(f"$merge whenMatched pipeline stage: {stage}")
+            sop, sargs = next(iter(stage.items()))
+            if sop in ("$set", "$addFields"):
+                for fname, fexpr in sargs.items():
+                    pipe_overrides[fname] = mc.compile_with(pipe_overrides, fexpr)
+            elif sop == "$unset":
+                for fname in [sargs] if isinstance(sargs, str) else sargs:
+                    pipe_overrides[fname] = F.lit(None)
+            else:
+                raise ValueError(
+                    f"$merge whenMatched pipeline supports $set/$addFields/"
+                    f"$unset, got {sop}"
+                )
+
     out_cols: list[Column] = [F.col(k) for k in keys]
-    if when_matched == "fail" or when_not_matched == "fail":
+    fail_conds = []
+    if when_matched == "fail":
+        fail_conds.append(("whenMatched", matched))
+    if when_not_matched == "fail":
+        fail_conds.append(("whenNotMatched", src_only))
+    if fail_conds:
         # Mongo fails the whole write on the first offending document;
         # raise_error fires per offending row at execution time.  The guard
         # wraps the FIRST key column (a column that must survive into the
         # written output — a free-standing guard column would be pruned and
-        # never fire).
-        cond = matched if when_matched == "fail" else src_only
-        which = "whenMatched" if when_matched == "fail" else "whenNotMatched"
+        # never fire).  Both fail modes guard when both are requested.
+        cond = fail_conds[0][1]
+        for _, extra in fail_conds[1:]:
+            cond = cond | extra
+        which = "/".join(w for w, _ in fail_conds)
         out_cols[0] = (
             F.when(cond, F.raise_error(F.lit(f"$merge: {which}=fail hit")))
             .otherwise(F.col(keys[0]))
             .alias(keys[0])
         )
     value_cols = [c for c in target.columns if c not in keys]
-    extra_src = [c for c in df.columns if c not in target.columns]
+    pipe_new = (
+        [c for c in pipe_overrides if c not in target.columns and c not in keys]
+        if pipe_overrides is not None
+        else []
+    )
+    extra_src = [c for c in df.columns if c not in target.columns] + [
+        c for c in pipe_new if c not in df.columns
+    ]
     for c in value_cols:
         t_c, s_c = F.col(f"t.{c}"), (F.col(f"s.{c}") if c in df.columns else F.lit(None))
-        if when_matched == "replace":
+        if pipe_overrides is not None:
+            upd = pipe_overrides.get(c, t_c)
+            val = F.when(src_only, s_c).otherwise(F.when(matched, upd).otherwise(t_c))
+        elif when_matched == "replace":
             val = F.when(matched | src_only, s_c).otherwise(t_c)
         elif when_matched == "keepExisting":
             val = F.when(src_only, s_c).otherwise(t_c)
@@ -766,7 +895,19 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             raise ValueError(f"unsupported whenMatched: {when_matched!r}")
         out_cols.append(val.alias(c))
     for c in extra_src:
-        out_cols.append(F.col(f"s.{c}").alias(c))
+        s_c = F.col(f"s.{c}") if c in df.columns else F.lit(None)
+        if c in pipe_new:
+            # field introduced by the update pipeline: set on matched rows,
+            # source value (usually absent → null) on inserts
+            val = F.when(matched, pipe_overrides[c]).otherwise(s_c)
+        elif when_matched in ("keepExisting", "fail") or pipe_overrides is not None:
+            # keepExisting/fail leave the matched document ENTIRELY
+            # unchanged — a matched row must not absorb source-only fields
+            # (pipeline form likewise only changes what $set names)
+            val = F.when(src_only, s_c)
+        else:
+            val = s_c
+        out_cols.append(val.alias(c))
     result = joined.select(*out_cols)
     if when_not_matched == "discard":
         result = joined.filter(~src_only).select(*out_cols)

@@ -322,9 +322,11 @@ def write_zordered(
     layout test asserts — in 2-D and 3-D — engine-independent of any
     reader.
 
-    ``curve='hilbert'`` (2-D only) clusters on :func:`hilbert_index`
-    instead — tighter boxes per contiguous range at the cost of the
-    Arrow-batched index computation (see its docstring).
+    ``curve='hilbert'`` clusters on the Hilbert curve instead — 2-D routes
+    through :func:`hilbert_index`, any higher k through
+    :func:`hilbert_index_n` (Skilling transpose) — tighter boxes per
+    contiguous range at the cost of the Arrow-batched index computation
+    (see their docstrings).
     """
     if curve == "hilbert":
         if len(cols) == 2:

@@ -507,6 +507,9 @@ def ds_minmax_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
                CAST(SUM(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW) AS BIGINT) AS run_key_sum,
+               CAST(SUM(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS BIGINT)
+                   AS prio_key_sum,
                CAST(COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING
                                    AND CURRENT ROW) AS BIGINT) AS trail3_n,
                CAST(COALESCE(LEAD(o_orderkey, 1) OVER w, -1) AS BIGINT) AS nxt_key
@@ -515,12 +518,15 @@ def ds_minmax_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="$setWindowFields (docstore/pipeline.py::_apply_set_window_fields): "
     "Mongo 5.0's window stage on the Spark Window API — running integer "
-    "sum (default [unbounded, current] frame), explicit 3-document "
-    "trailing frame, $documentNumber, $shift with default.  Integer "
-    "outputs keep window accumulation engine-exact (running float sums "
-    "would depend on each engine's segment-tree summation).  One shuffle "
-    "on the partition key, no self-joins.  Gate-only: the window family's "
-    "hard row is nation_order_ranking.",
+    "sum via an EXPLICIT ['unbounded','current'] frame (Mongo's default "
+    "window is the whole partition even under sortBy — prio_key_sum pins "
+    "that default), explicit 3-document trailing frame, $documentNumber, "
+    "$shift with default (applied only when the target position leaves "
+    "the partition).  Integer outputs keep window accumulation "
+    "engine-exact (running float sums would depend on each engine's "
+    "segment-tree summation).  One shuffle on the partition key, no "
+    "self-joins.  Gate-only: the window family's hard row is "
+    "nation_order_ranking.",
     tags=("docstore", "window"),
     driver_visible=False,
 )
@@ -533,7 +539,11 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sortBy": {"o_orderkey": 1},
                     "output": {
                         "rn": {"$documentNumber": {}},
-                        "run_key_sum": {"$sum": "$o_orderkey"},
+                        "run_key_sum": {
+                            "$sum": "$o_orderkey",
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                        "prio_key_sum": {"$sum": "$o_orderkey"},  # Mongo default: whole partition
                         "trail3_n": {"$count": {}, "window": {"documents": [-2, 0]}},
                         "nxt_key": {"$shift": {"output": "$o_orderkey", "by": 1,
                                                "default": -1}},
@@ -545,6 +555,7 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_orderkey": 1, "o_orderpriority": 1,
                     "rn": {"$toLong": "$rn"},
                     "run_key_sum": 1,
+                    "prio_key_sum": 1,
                     "trail3_n": 1,
                     "nxt_key": {"$toLong": "$nxt_key"},
                     "_id": 0,

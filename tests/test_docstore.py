@@ -780,8 +780,10 @@ class TestBucketAutoAndOut:
                 ], "as": "xs"}}])
 
     def test_set_window_fields(self, spark):
-        """$setWindowFields: running totals (Mongo default frame with
-        sortBy), explicit document frames, ranking ops, $shift."""
+        """$setWindowFields: Mongo's DEFAULT window is the entire partition
+        even with sortBy (running totals need an explicit
+        ['unbounded','current']); explicit document frames, ranking ops,
+        $shift."""
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
 
         df = spark.createDataFrame(
@@ -793,7 +795,9 @@ class TestBucketAutoAndOut:
             "partitionBy": "$grp",
             "sortBy": {"seq": 1},
             "output": {
-                "running": {"$sum": "$v"},                     # default [unbounded, current]
+                "dflt": {"$sum": "$v"},  # Mongo default: WHOLE partition
+                "running": {"$sum": "$v",
+                            "window": {"documents": ["unbounded", "current"]}},
                 "trail2": {"$sum": "$v", "window": {"documents": [-1, 0]}},
                 "total": {"$sum": "$v", "window": {"documents": ["unbounded", "unbounded"]}},
                 "rnk": {"$rank": {}},
@@ -801,6 +805,7 @@ class TestBucketAutoAndOut:
             },
         }}])
         got = {(r["grp"], r["seq"]): r for r in out.collect()}
+        assert all(got[("a", i)]["dflt"] == 60.0 for i in (1, 2, 3))
         assert [got[("a", i)]["running"] for i in (1, 2, 3)] == [10.0, 30.0, 60.0]
         assert [got[("a", i)]["trail2"] for i in (1, 2, 3)] == [10.0, 30.0, 50.0]
         assert all(got[("a", i)]["total"] == 60.0 for i in (1, 2, 3))
@@ -862,10 +867,11 @@ class TestBucketAutoAndOut:
             aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
                 "output": {"r": {"$rank": {}}}}}])
         with pytest.raises(ValueError, match="range unit"):
+            # calendar units have no fixed micros width → explicit raise
             aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
                 "sortBy": {"v": 1},
                 "output": {"s": {"$sum": "$v",
-                                 "window": {"range": [-1, 0], "unit": "hour"}}}}}])
+                                 "window": {"range": [-1, 0], "unit": "month"}}}}}])
         with pytest.raises(ValueError, match="exactly one sortBy"):
             aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
                 "output": {"s": {"$sum": "$v", "window": {"range": [-1, 0]}}}}}])
@@ -940,6 +946,145 @@ class TestBucketAutoAndOut:
         with pytest.raises(Exception, match="whenNotMatched=fail"):
             aggregate(fresh, [{"$merge": {"into": path, "on": "_id",
                                           "whenNotMatched": "fail"}}]).collect()
+
+    def test_merge_both_fail_modes_guard_both(self, spark, tmp_path):
+        """whenMatched=fail AND whenNotMatched=fail: BOTH guards install —
+        an unmatched insert must fail too, not slip through because the
+        matched guard won the if/else."""
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "t3")
+        spark.createDataFrame([(1, "a")], "_id long, v string").write.parquet(path)
+        fresh = spark.createDataFrame([(9, "z")], "_id long, v string")
+        with pytest.raises(Exception, match="fail hit"):
+            aggregate(fresh, [{"$merge": {"into": path, "on": "_id",
+                                          "whenMatched": "fail",
+                                          "whenNotMatched": "fail"}}]).collect()
+
+    def test_merge_keep_existing_ignores_source_only_fields(self, spark, tmp_path):
+        """keepExisting leaves matched target docs ENTIRELY unchanged: a
+        source-only column must stay null on matched rows (it lands only on
+        inserted rows)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "t4")
+        spark.createDataFrame(
+            [(1, "old1"), (2, "old2")], "_id long, name string"
+        ).write.parquet(path)
+        src = spark.createDataFrame(
+            [(2, "new2", "extra2"), (4, "new4", "extra4")],
+            "_id long, name string, note string",
+        )
+        out = aggregate(src, [{"$merge": {"into": path, "on": "_id",
+                                          "whenMatched": "keepExisting"}}])
+        got = {r["_id"]: (r["name"], r["note"]) for r in out.collect()}
+        assert got == {1: ("old1", None), 2: ("old2", None), 4: ("new4", "extra4")}
+
+    def test_merge_when_matched_pipeline(self, spark, tmp_path):
+        """whenMatched update-pipeline form (Mongo 4.2): $set sees the
+        target via $field and the source via $$new (default let), stages
+        apply sequentially, $unset nulls a field, and new fields extend the
+        schema; unmatched source docs still insert."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "t5")
+        spark.createDataFrame(
+            [(1, 10.0, "keep1"), (2, 20.0, "keep2")],
+            "_id long, total double, tag string",
+        ).write.parquet(path)
+        src = spark.createDataFrame(
+            [(2, 5.0), (4, 40.0)], "_id long, total double"
+        )
+        out = aggregate(src, [{"$merge": {
+            "into": path, "on": "_id",
+            "whenMatched": [
+                {"$set": {"total": {"$add": ["$total", "$$new.total"]}}},
+                {"$set": {"doubled": {"$multiply": ["$total", 2]}}},  # sees stage-1 result
+                {"$unset": "tag"},
+            ],
+        }}])
+        got = {r["_id"]: (r["total"], r["tag"], r["doubled"]) for r in out.collect()}
+        assert got[1] == (10.0, "keep1", None)       # untouched target row
+        assert got[2] == (25.0, None, 50.0)          # updated via pipeline
+        assert got[4] == (40.0, None, None)          # plain insert
+
+    def test_merge_when_matched_pipeline_custom_let(self, spark, tmp_path):
+        """Explicit let bindings: $$var resolves to a SOURCE-side field."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "t6")
+        spark.createDataFrame([(1, 100.0)], "_id long, v double").write.parquet(path)
+        src = spark.createDataFrame([(1, 7.0)], "_id long, v double")
+        out = aggregate(src, [{"$merge": {
+            "into": path, "on": "_id",
+            "let": {"delta": "$v"},
+            "whenMatched": [{"$set": {"v": {"$add": ["$v", "$$delta"]}}}],
+        }}])
+        assert {r["_id"]: r["v"] for r in out.collect()} == {1: 107.0}
+
+    def test_first_last_n_keep_nulls(self, spark):
+        """$firstN/$lastN include null inputs (unlike $minN/$maxN, which
+        skip them) — Mongo's documented asymmetry."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", 1, None), ("a", 2, 5.0), ("a", 3, None), ("a", 4, 7.0)],
+            "g string, seq int, v double",
+        )
+        out = aggregate(df.orderBy("seq"), [{"$group": {
+            "_id": "$g",
+            "f3": {"$firstN": {"input": "$v", "n": 3}},
+            "l3": {"$lastN": {"input": "$v", "n": 3}},
+            "lo2": {"$minN": {"input": "$v", "n": 2}},
+        }}])
+        r = out.collect()[0]
+        assert list(r["f3"]) == [None, 5.0, None]
+        assert list(r["l3"]) == [5.0, None, 7.0]
+        assert list(r["lo2"]) == [5.0, 7.0]  # minN still skips nulls
+
+    def test_shift_default_only_out_of_partition(self, spark):
+        """$shift substitutes `default` only when the target POSITION is
+        outside the partition — a legitimately-null shifted value stays
+        null."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0)],
+            "g string, seq int, v double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+                "nxt": {"$shift": {"output": "$v", "by": 1, "default": -1.0}},
+                "prv": {"$shift": {"output": "$v", "by": -1, "default": -1.0}},
+            },
+        }}])
+        got = {r["seq"]: (r["nxt"], r["prv"]) for r in out.collect()}
+        assert got[1] == (None, -1.0)    # next value is a REAL null
+        assert got[2] == (30.0, 10.0)
+        assert got[3] == (-1.0, None)    # past the end → default; prev is real null
+
+    def test_set_window_fields_unit_range(self, spark):
+        """Time-unit range frames: bounds scale to microseconds over
+        unix_micros(sortBy) — a [-1, 0] hour frame at 12:30 covers 11:30+."""
+        import datetime as dt
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1, 10, 0), 1.0),
+            ("a", dt.datetime(2024, 1, 1, 11, 45), 2.0),
+            ("a", dt.datetime(2024, 1, 1, 12, 30), 4.0),
+            ("a", dt.datetime(2024, 1, 1, 15, 0), 8.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"ts": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1, 0], "unit": "hour"}}},
+        }}])
+        got = {r["ts"].hour: r["s"] for r in out.collect()}
+        assert got == {10: 1.0, 11: 2.0, 12: 6.0, 15: 8.0}
 
     def test_out_materializes_and_returns_table(self, spark, tmp_path):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
