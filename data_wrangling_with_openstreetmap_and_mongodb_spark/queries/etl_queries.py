@@ -13,10 +13,14 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import
     davg_sql,
     dsum,
     dsum_sql,
+    quantize6,
+    quantize6_sql,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
     extract_features,
+    extract_media_features,
     sample_frames,
+    synthesize_media_payloads,
     with_binary_payload,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import merge_update
@@ -158,12 +162,106 @@ def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ascii(substring(text, -1, 1)) AS DOUBLE) AS f2
         FROM documents
     """,
-    doc="binary payload + metadata struct + mapInPandas feature extraction (stub codec)",
+    doc="binary payload + metadata struct + mapInPandas feature extraction "
+    "(byte-level fake codec).  Gate-only since round 5: the multimodal "
+    "family's driver-visible row is now multimodal_media_decode, which "
+    "exercises the REAL BMP/WAV codecs instead of the fake.",
     tags=("multimodal", "pandas-udf"),
+    driver_visible=False,
 )
 def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal REAL codecs: synthesize genuine 24-bit BMP / 16-bit PCM WAV
+# bytes per document from closed-form formulas, decode them back with the
+# independent stdlib parsers (operators/multimodal.py::decode_bmp/decode_wav),
+# and verify the recovered features symbolically in DuckDB.  The round trip
+# only matches if row padding, bottom-up flips, BGR ordering and RIFF chunk
+# walking are all decoded correctly.  Features are exact-rational: integer
+# sums divided once, so both engines land on bit-identical doubles.
+# ---------------------------------------------------------------------------
+_BMP_R = "((doc_id + i) % 256)"
+_BMP_G = "((doc_id + 2*i) % 256)"
+_BMP_B = "((doc_id + 3*i) % 256)"
+_WAV_S = "(((doc_id*11 + i*17) % 2048) - 1024)"
+
+
+@register(
+    "multimodal_media_decode",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h
+            FROM documents WHERE doc_id % 2 = 0
+        ), isum AS (
+            SELECT doc_id, w, h, w * h AS n,
+                   list_sum(list_transform(range(w*h), i -> {_BMP_R})) AS sr,
+                   list_sum(list_transform(range(w*h), i -> {_BMP_G})) AS sg,
+                   list_sum(list_transform(range(w*h), i -> {_BMP_B})) AS sb
+            FROM img
+        ), ifeat AS (
+            SELECT doc_id, 'image/bmp' AS fmt,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS n_channels,
+                   CAST(NULL AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   {quantize6_sql(
+                       "0.299*(CAST(sr AS DOUBLE)/n) + 0.587*(CAST(sg AS DOUBLE)/n)"
+                       " + 0.114*(CAST(sb AS DOUBLE)/n)")} AS mean_luma,
+                   {quantize6_sql(
+                       "0.299*(doc_id % 256) + 0.587*(doc_id % 256)"
+                       " + 0.114*(doc_id % 256)")} AS first_luma,
+                   {quantize6_sql("CAST(sr AS DOUBLE)/n")} AS mean_r,
+                   CAST(NULL AS DOUBLE) AS rms,
+                   CAST(NULL AS BIGINT) AS peak
+            FROM isum
+        ), aud AS (
+            SELECT doc_id, (30 + doc_id % 7) * (1 + doc_id % 2) AS ns,
+                   1 + doc_id % 2 AS ch, 8000 + (doc_id % 3) * 4000 AS rate
+            FROM documents WHERE doc_id % 2 = 1
+        ), afeat AS (
+            SELECT doc_id, 'audio/wav' AS fmt,
+                   CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+                   CAST(ch AS BIGINT) AS n_channels,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(ns AS BIGINT) AS n_samples,
+                   CAST(NULL AS DOUBLE) AS mean_luma,
+                   CAST(NULL AS DOUBLE) AS first_luma,
+                   CAST(NULL AS DOUBLE) AS mean_r,
+                   {quantize6_sql(
+                       "sqrt(CAST(list_sum(list_transform(range(ns), "
+                       f"i -> {_WAV_S} * {_WAV_S})) AS DOUBLE) / ns)")} AS rms,
+                   CAST(list_max(list_transform(range(ns),
+                        i -> abs({_WAV_S}))) AS BIGINT) AS peak
+            FROM aud
+        )
+        SELECT * FROM ifeat UNION ALL SELECT * FROM afeat
+    """,
+    doc="REAL multimodal codecs: per-doc closed-form BMP (24-bit BI_RGB, "
+    "widths 5-8 → every 4-byte row-pad width, bottom-up BGR) and WAV "
+    "(16-bit PCM, mono/stereo interleave) payloads are encoded, decoded "
+    "back via independent stdlib parsers in Arrow-batched mapInPandas, and "
+    "the features (channel means, luma mix, RMS, peak) hash-checked "
+    "against DuckDB recomputing the formulas symbolically.  Exact-rational "
+    "features: one float division over exact integer sums — no "
+    "summation-order drift.  Map-only plan, no shuffle; rotated in for "
+    "multimodal_payload_features (fake-codec variant, now gate-only).",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(synthesize_media_payloads(d))
+    return feats.select(
+        "doc_id", "fmt", "width", "height", "n_channels", "sample_rate",
+        "n_samples",
+        quantize6(F.col("mean_luma")).alias("mean_luma"),
+        quantize6(F.col("first_luma")).alias("first_luma"),
+        quantize6(F.col("mean_r")).alias("mean_r"),
+        quantize6(F.col("rms")).alias("rms"),
+        "peak",
+    )
 
 
 # ---------------------------------------------------------------------------

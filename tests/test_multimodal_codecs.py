@@ -1,0 +1,157 @@
+"""Real stdlib codecs (BMP/WAV): golden-byte decode, encode↔decode round
+trips, format-quirk handling (row padding, top-down BMPs, extra RIFF chunks),
+explicit NotImplementedError for unsupported codecs, and the end-to-end
+synthesize→decode feature pipeline against its closed-form spec."""
+
+from __future__ import annotations
+
+import math
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+    decode_bmp,
+    decode_payload,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    extract_media_features,
+    synthesize_media_payloads,
+)
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+# the golden 2x2 image: top-left RED, top-right GREEN, bottom-left BLUE,
+# bottom-right WHITE (top-down RGB)
+GOLDEN_2X2 = np.array(
+    [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+)
+
+
+class TestBmp:
+    def test_decode_golden_fixture(self):
+        """Hand-crafted canonical bytes (independent of encode_bmp): decoding
+        must flip the bottom-up rows, undo BGR, and drop the 2-byte pad."""
+        b = (FIXTURES / "golden_2x2.bmp").read_bytes()
+        assert np.array_equal(decode_bmp(b), GOLDEN_2X2)
+
+    def test_encode_matches_golden_bytes(self):
+        """The encoder reproduces the canonical file byte-for-byte."""
+        assert encode_bmp(GOLDEN_2X2) == (FIXTURES / "golden_2x2.bmp").read_bytes()
+
+    @pytest.mark.parametrize("w,h", [(5, 3), (6, 4), (7, 5), (8, 3), (1, 1), (4, 2)])
+    def test_roundtrip_every_pad_width(self, w, h):
+        """Widths 5..8 exercise row pads 1/2/3/0; the round trip must be
+        pixel-exact for each."""
+        rng = np.random.RandomState(w * 10 + h)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)  # test-only rand
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+    def test_top_down_bmp(self):
+        """Negative height = top-down row order (no flip)."""
+        b = bytearray(encode_bmp(GOLDEN_2X2))
+        # rewrite height to -2 and swap the stored row order to top-down
+        struct.pack_into("<i", b, 22, -2)
+        rows = b[54:62], b[62:70]
+        b[54:62], b[62:70] = rows[1], rows[0]
+        assert np.array_equal(decode_bmp(bytes(b)), GOLDEN_2X2)
+
+    def test_unsupported_bmp_raises(self):
+        b = bytearray(encode_bmp(GOLDEN_2X2))
+        struct.pack_into("<H", b, 28, 8)  # bpp=8 (palette)
+        with pytest.raises(NotImplementedError, match="24-bit"):
+            decode_bmp(bytes(b))
+        with pytest.raises(ValueError, match="magic"):
+            decode_bmp(b"XX" + bytes(b)[2:])
+
+
+class TestWav:
+    def test_decode_golden_fixture(self):
+        rate, ch, s = decode_wav((FIXTURES / "golden_mono.wav").read_bytes())
+        assert (rate, ch) == (8000, 1)
+        assert s.tolist() == [0, 1000, -1000, 32767, -32768]
+
+    def test_roundtrip_stereo(self):
+        samples = np.arange(-500, 500, 7, dtype=np.int16)
+        rate, ch, out = decode_wav(encode_wav(44100, 2, samples))
+        assert (rate, ch) == (44100, 2)
+        assert np.array_equal(out, samples)
+
+    def test_extra_riff_chunk_skipped(self):
+        """A LIST chunk between fmt and data (word-aligned, odd size) must
+        be skipped by the chunk walk, not break parsing."""
+        b = encode_wav(8000, 1, np.array([1, 2, 3], dtype=np.int16))
+        fmt_at = b.index(b"fmt ")
+        data_at = b.index(b"data")
+        extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # pad byte
+        patched = b[:data_at] + extra + b[data_at:]
+        patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+        rate, ch, s = decode_wav(patched)
+        assert (rate, ch) == (8000, 1) and s.tolist() == [1, 2, 3]
+        assert fmt_at < data_at
+
+    def test_unsupported_wav_raises(self):
+        b = bytearray(encode_wav(8000, 1, np.array([1], dtype=np.int16)))
+        fmt_at = bytes(b).index(b"fmt ") + 8
+        struct.pack_into("<H", b, fmt_at, 3)  # IEEE float format
+        with pytest.raises(NotImplementedError, match="PCM"):
+            decode_wav(bytes(b))
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"nope")
+
+
+class TestDispatch:
+    def test_unknown_format_raises(self):
+        with pytest.raises(NotImplementedError, match="no codec"):
+            decode_payload(b"\x89PNG...", "image/png")
+
+    def test_real_formats_dispatch(self):
+        img = decode_payload(encode_bmp(GOLDEN_2X2), "image/bmp")
+        assert img["kind"] == "image" and (img["width"], img["height"]) == (2, 2)
+        aud = decode_payload(
+            encode_wav(8000, 1, np.array([5], dtype=np.int16)), "audio/wav"
+        )
+        assert aud["kind"] == "audio" and aud["sample_rate"] == 8000
+
+
+class TestMediaPipeline:
+    def test_features_match_closed_form(self, spark):
+        """End-to-end synthesize→decode over Spark: recovered features equal
+        the closed-form spec — which only happens if the decoders undo
+        everything the encoders did."""
+        docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+        rows = {
+            r["doc_id"]: r
+            for r in extract_media_features(synthesize_media_payloads(docs)).collect()
+        }
+        assert len(rows) == 20
+        for d in range(20):
+            r = rows[d]
+            if d % 2 == 0:
+                w, h = 5 + d % 4, 3 + d % 3
+                n = w * h
+                i = np.arange(n, dtype=np.int64)
+                sr = int(((d + i) % 256).sum())
+                sg = int(((d + 2 * i) % 256).sum())
+                sb = int(((d + 3 * i) % 256).sum())
+                assert (r["fmt"], r["width"], r["height"]) == ("image/bmp", w, h)
+                assert r["n_samples"] == n and r["n_channels"] == 3
+                assert r["mean_r"] == sr / n
+                assert r["mean_luma"] == 0.299 * (sr / n) + 0.587 * (sg / n) + 0.114 * (sb / n)
+                assert r["first_luma"] == pytest.approx(d % 256)
+                assert r["rms"] is None and r["peak"] is None
+            else:
+                ch, rate, frames = 1 + d % 2, 8000 + (d % 3) * 4000, 30 + d % 7
+                ns = frames * ch
+                i = np.arange(ns, dtype=np.int64)
+                s = (d * 11 + i * 17) % 2048 - 1024
+                assert (r["fmt"], r["n_channels"], r["sample_rate"]) == (
+                    "audio/wav", ch, rate,
+                )
+                assert r["n_samples"] == ns
+                assert r["rms"] == math.sqrt(int((s * s).sum()) / ns)
+                assert r["peak"] == int(np.abs(s).max())
+                assert r["width"] is None and r["mean_luma"] is None
