@@ -238,11 +238,14 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
       (referencing foreign fields as ``$f`` and ``let`` variables as
       ``$$v``) becomes the JOIN condition, which is how a correlated
       sub-query distributes: one join, not a per-document sub-pipeline.
-      An optional trailing ``{"$project": {...}}`` narrows the collected
-      structs (computed against foreign columns); any other residual stage
-      raises — per-local-document $sort/$limit would need a window over
-      the join output, a different (and quadratic-prone) plan that should
-      be chosen explicitly, not silently.
+      Residual stages, in Mongo stage order: optional ``{"$sort": {...}}``
+      + optional ``{"$limit": n}`` ("top 3 related docs each" — compiled to
+      ``row_number`` over the join partitioned by the LOCAL document, so
+      the limit prunes BEFORE the array builds, never a per-doc
+      sub-pipeline; the result array comes back in sort order via the
+      embedded rank), then optional ``{"$project": {...}}`` narrowing the
+      collected structs.  ``$limit`` without ``$sort`` raises — its result
+      order would be nondeterministic.  Anything else raises.
     """
     from_df: DataFrame = spec["from"]
     alias = spec["as"]
@@ -262,13 +265,28 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         fec = _ForeignCompiler(from_df, "__f__", env)
         cond = fec.compile_bool(pipe[0]["$match"]["$expr"])
         rest = pipe[1:]
-        if len(rest) > 1 or (rest and "$project" not in rest[0]):
+        sort_spec = limit_n = proj = None
+        i = 0
+        if i < len(rest) and "$sort" in rest[i]:
+            sort_spec = rest[i]["$sort"]
+            i += 1
+        if i < len(rest) and "$limit" in rest[i]:
+            limit_n = int(rest[i]["$limit"])
+            i += 1
+        if i < len(rest) and "$project" in rest[i]:
+            proj = rest[i]["$project"]
+            i += 1
+        if i != len(rest):
             raise ValueError(
                 "$lookup pipeline form supports [$match $expr] + optional "
-                "trailing $project only"
+                "$sort + optional $limit + optional trailing $project, in "
+                f"that order; got residual stage {rest[i]}"
             )
-        if rest:
-            proj = rest[0]["$project"]
+        if limit_n is not None and sort_spec is None:
+            raise ValueError(
+                "$lookup $limit needs a preceding $sort (deterministic top-k)"
+            )
+        if proj is not None:
             fields = [
                 (name, fec.compile(expr) if not isinstance(expr, int) else F.col(f"__f__.{name}"))
                 for name, expr in proj.items()
@@ -282,6 +300,38 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         aug = from_df.withColumn("__present", F.lit(True))
         joined = df.join(aug.alias("__f__"), cond, "left")
         marker = F.col("__f__.__present")
+        if sort_spec is not None:
+            # per-local-document sort/limit: rank matches inside each local
+            # document's partition, prune to the limit BEFORE building the
+            # array, and carry the rank into the collected struct so
+            # sort_array restores Mongo's sorted-array contract (works for
+            # mixed sort directions — the rank is always ascending).  The
+            # window and the groupBy share the same partition keys, so the
+            # exchange is reused: still one shuffle.
+            order_cols = [
+                F.col(f"__f__.{k}").asc() if v >= 0 else F.col(f"__f__.{k}").desc()
+                for k, v in sort_spec.items()
+            ]
+            w = Window.partitionBy(*[F.col(c) for c in df.columns]).orderBy(*order_cols)
+            ranked = joined.withColumn("__rn", F.row_number().over(w))
+            if limit_n is not None:
+                # join-miss rows (marker null) must survive to yield []
+                ranked = ranked.filter(
+                    (F.col("__rn") <= limit_n) | marker.isNull()
+                )
+            arr = F.sort_array(
+                F.collect_list(
+                    F.when(
+                        marker.isNotNull(),
+                        F.struct(F.col("__rn").alias("k"), matched.alias("v")),
+                    )
+                )
+            )
+            return (
+                ranked.groupBy(*[F.col(c) for c in df.columns])
+                .agg(arr.alias(alias))
+                .withColumn(alias, F.transform(F.col(alias), lambda s: s["v"]))
+            )
         return (
             joined.groupBy(*[F.col(c) for c in df.columns])
             .agg(

@@ -566,6 +566,64 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_lookup_topn",
+    oracle="""
+        WITH ranked AS (
+            SELECT c_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+                       AS rn
+            FROM customer JOIN orders ON o_custkey = c_custkey
+        )
+        SELECT c_custkey, CAST(rn - 1 AS BIGINT) AS ord_idx,
+               o_orderkey, o_totalprice
+        FROM ranked WHERE rn <= 3
+    """,
+    doc="correlated $lookup with per-document $sort + $limit (the 'top 3 "
+    "related docs each' idiom, reference analogue README.md:911-920 "
+    "top-k-then-fetch): compiled to row_number over the join partitioned "
+    "by the local key — the limit prunes before the array builds, and the "
+    "$unwind includeArrayIndex replays the ARRAY ORDER against the "
+    "oracle's rank, not just the membership.  Window and groupBy share "
+    "the partition key, so the plan is one join + one shuffle.  "
+    "Gate-only: the docstore join family's driver row is "
+    "ds_graph_reachable_orders.",
+    tags=("docstore", "join", "window"),
+    driver_visible=False,
+)
+def ds_lookup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return _coll(spark, sf_dir, "customer").aggregate(
+        [
+            {"$project": {"c_custkey": 1, "_id": 0}},
+            {
+                "$lookup": {
+                    "from": orders,
+                    "let": {"ck": "$c_custkey"},
+                    "pipeline": [
+                        {"$match": {"$expr": {"$eq": ["$o_custkey", "$$ck"]}}},
+                        {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+                        {"$limit": 3},
+                        {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+                    ],
+                    "as": "top_orders",
+                }
+            },
+            {"$unwind": {"path": "$top_orders", "includeArrayIndex": "ord_idx"}},
+            {
+                "$project": {
+                    "c_custkey": 1,
+                    "ord_idx": 1,
+                    "o_orderkey": "$top_orders.o_orderkey",
+                    "o_totalprice": "$top_orders.o_totalprice",
+                    "_id": 0,
+                }
+            },
+        ]
+    )
+
+
+@register(
     "ds_graph_reachable_orders",
     oracle="""
         WITH RECURSIVE base AS (

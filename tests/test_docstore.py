@@ -771,13 +771,63 @@ class TestBucketAutoAndOut:
         with pytest.raises(ValueError, match="leading"):
             aggregate(local, [{"$lookup": {"from": foreign, "pipeline": [
                 {"$project": {"item": 1}}], "as": "xs"}}])
-        with pytest.raises(ValueError, match="trailing"):
+        with pytest.raises(ValueError, match="preceding .sort"):
+            # $limit without $sort: nondeterministic top-k, refused
             aggregate(local, [{"$lookup": {"from": foreign,
                 "let": {"c": "$cid"},
                 "pipeline": [
                     {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
                     {"$limit": 1},
                 ], "as": "xs"}}])
+        with pytest.raises(ValueError, match="residual stage"):
+            aggregate(local, [{"$lookup": {"from": foreign,
+                "let": {"c": "$cid"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                    {"$group": {"_id": None}},
+                ], "as": "xs"}}])
+
+    def test_lookup_pipeline_sort_limit(self, spark):
+        """Per-local-document $sort + $limit inside $lookup (the 'top 3
+        related docs each' idiom): arrays come back in sort order, pruned
+        to the limit, empty for join misses."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame([(1,), (2,), (3,)], "cid long")
+        foreign = spark.createDataFrame(
+            [(1, "a", 10.0), (1, "b", 30.0), (1, "c", 20.0), (1, "d", 40.0),
+             (2, "e", 5.0)],
+            "cust long, item string, price double",
+        )
+        out = aggregate(local, [{"$lookup": {
+            "from": foreign,
+            "let": {"c": "$cid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                {"$sort": {"price": -1}},
+                {"$limit": 2},
+                {"$project": {"item": 1, "price": 1}},
+            ],
+            "as": "top2",
+        }}])
+        got = {r["cid"]: [(x["item"], x["price"]) for x in r["top2"]]
+               for r in out.collect()}
+        assert got == {
+            1: [("d", 40.0), ("b", 30.0)],  # sorted desc, pruned to 2
+            2: [("e", 5.0)],
+            3: [],                          # join miss -> empty array kept
+        }
+        # $sort alone (no limit): full match set, sorted ascending
+        out2 = aggregate(local, [{"$lookup": {
+            "from": foreign, "let": {"c": "$cid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                {"$sort": {"price": 1}},
+            ],
+            "as": "all_sorted",
+        }}])
+        r1 = {r["cid"]: [x["item"] for x in r["all_sorted"]] for r in out2.collect()}
+        assert r1[1] == ["a", "c", "b", "d"]
 
     def test_set_window_fields(self, spark):
         """$setWindowFields: Mongo's DEFAULT window is the entire partition
