@@ -583,6 +583,13 @@ class ExpressionCompiler:
             import re as _re
 
             d = c(args["date"])
+            tz = args.get("timezone")
+            if tz is not None:
+                # Mongo stores instants in UTC; `timezone` renders the wall
+                # time in that zone — Olson names ("America/New_York") and
+                # fixed offsets ("+05:30") both resolve through Spark's
+                # zone-id parsing.  DST is the zone db's job, not ours.
+                d = F.from_utc_timestamp(d, tz)
 
             def _plain(segment: str) -> Column:
                 for mongo, spark in (

@@ -566,6 +566,83 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_window_time_range",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_1h
+        FROM events
+    """,
+    doc="$setWindowFields time-unit range frame (Mongo 5.0 "
+    "`range: [-1, 0], unit: 'hour'`): compiles to rangeBetween over "
+    "unix_micros(sortBy) with the bounds scaled to microseconds — the "
+    "oracle replays the identical frame over epoch_us.  RANGE semantics "
+    "make ties (equal timestamps) engine-independent: all peers join the "
+    "frame.  One shuffle on the partition key.  Gate-only: the window "
+    "family's driver row is nation_order_ranking.",
+    tags=("docstore", "window"),
+    driver_visible=False,
+)
+def ds_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "events").aggregate(
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$user_id",
+                    "sortBy": {"ts": 1},
+                    "output": {
+                        "n_1h": {"$count": {},
+                                 "window": {"range": [-1, 0], "unit": "hour"}},
+                    },
+                }
+            },
+            {"$project": {"event_id": 1, "user_id": 1, "n_1h": 1, "_id": 0}},
+        ]
+    )
+
+
+@register(
+    "ds_date_format_tz",
+    oracle="""
+        SELECT strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H') AS local_hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY local_hour
+    """,
+    doc="$dateToString with a timezone argument: the instant renders as "
+    "wall time in the given zone before formatting "
+    "(docstore/expressions.py from_utc_timestamp).  The oracle uses a "
+    "FIXED offset (+05:30) so it replays as plain interval arithmetic — "
+    "engine-independent of either engine's session timezone or tz "
+    "database; Olson-zone DST behavior is pinned by the golden sweep in "
+    "test_docstore (spring-forward skip, fall-back repeat).  Gate-only: "
+    "the date-format family's driver row is orders_by_dayofweek.",
+    tags=("docstore", "datetime"),
+    driver_visible=False,
+)
+def ds_date_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "events").aggregate(
+        [
+            {
+                "$project": {
+                    "local_hour": {
+                        "$dateToString": {
+                            "date": "$ts",
+                            "format": "%Y-%m-%d %H",
+                            "timezone": "+05:30",
+                        }
+                    },
+                    "_id": 0,
+                }
+            },
+            {"$group": {"_id": "$local_hour", "n": {"$sum": 1}}},
+            {"$project": {"local_hour": "$_id", "n": 1, "_id": 0}},
+        ]
+    )
+
+
+@register(
     "ds_lookup_topn",
     oracle="""
         WITH ranked AS (

@@ -1115,6 +1115,38 @@ class TestBucketAutoAndOut:
         assert got[2] == (30.0, 10.0)
         assert got[3] == (-1.0, None)    # past the end → default; prev is real null
 
+    def test_date_to_string_timezone(self, spark):
+        """$dateToString timezone: Olson zones follow DST (spring-forward
+        skips 02:xx, fall-back repeats 01:30), fixed offsets never shift."""
+        import datetime as dt
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import (
+            ExpressionCompiler,
+        )
+
+        rows = [
+            (1, dt.datetime(2024, 3, 10, 6, 59)),   # 01:59 EST (UTC-5)
+            (2, dt.datetime(2024, 3, 10, 7, 0)),    # 03:00 EDT — 02:xx skipped
+            (3, dt.datetime(2024, 11, 3, 5, 30)),   # 01:30 EDT (first pass)
+            (4, dt.datetime(2024, 11, 3, 6, 30)),   # 01:30 EST (repeated hour)
+            (5, dt.datetime(2024, 6, 1, 0, 0)),     # 05:30 at +05:30
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        ec = ExpressionCompiler(df)
+        out = df.select(
+            "id",
+            ec.compile({"$dateToString": {
+                "date": "$ts", "format": "%Y-%m-%d %H:%M",
+                "timezone": "America/New_York"}}).alias("ny"),
+            ec.compile({"$dateToString": {
+                "date": "$ts", "format": "%H:%M", "timezone": "+05:30"}}).alias("ist"),
+        )
+        got = {r["id"]: (r["ny"], r["ist"]) for r in out.collect()}
+        assert got[1][0] == "2024-03-10 01:59"
+        assert got[2][0] == "2024-03-10 03:00"
+        assert got[3][0] == "2024-11-03 01:30"
+        assert got[4][0] == "2024-11-03 01:30"
+        assert got[5] == ("2024-05-31 20:00", "05:30")
+
     def test_set_window_fields_unit_range(self, spark):
         """Time-unit range frames: bounds scale to microseconds over
         unix_micros(sortBy) — a [-1, 0] hour frame at 12:30 covers 11:30+."""
