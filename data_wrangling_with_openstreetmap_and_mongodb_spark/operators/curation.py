@@ -460,3 +460,60 @@ def chunk_token_windows(
             F.size(win).cast("long").alias("n_chunk_tokens"),
         )
     )
+
+
+def chunk_id_windows(
+    df: DataFrame,
+    ids_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """:func:`chunk_token_windows` for PRE-TOKENIZED sequences: slide fixed
+    windows over an ``array`` column of token ids (``text.encode_tokens`` /
+    ``bpe.bpe_encode`` output) — training pipelines chunk over *tokenizer*
+    ids, not whitespace words, so context lengths are exact.
+
+    Output: ``(id, chunk_idx, n_chunk_ids, first_id, last_id, ids_md5,
+    chunk_ids)`` — the scalar columns (boundary ids + md5 of the joined id
+    string) exist so chunk IDENTITY is hashable without comparing arrays.
+    Same closed-form chunk count and windowing as the text variant, and the
+    same scale shape: pure per-row array algebra, NO shuffle — chunks
+    inherit whatever partitioning the encoded input already has (the plan
+    test pins Exchange-freedom).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(ids_col).alias("__ids")
+    ).withColumn("__n", F.size("__ids"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.col("__n") - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)),
+    )
+    win = F.slice(
+        F.col("__ids"), F.col("chunk_idx").cast("int") * stride + 1, chunk_size
+    )
+    return (
+        base.select(
+            "id",
+            "__ids",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.size(win).cast("long").alias("n_chunk_ids"),
+            # try_: empty sequences yield a (0, null, null) chunk, not an
+            # ANSI index error
+            F.try_element_at(win, F.lit(1)).alias("first_id"),
+            F.try_element_at(win, F.lit(-1)).alias("last_id"),
+            F.md5(
+                F.concat_ws(" ", F.transform(win, lambda x: x.cast("string")))
+            ).alias("ids_md5"),
+            win.alias("chunk_ids"),
+        )
+    )

@@ -2546,6 +2546,85 @@ def vocab_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_id_windows_oracle_sql(vocab_size: int, chunk: int, overlap: int) -> str:
+    V, stride = vocab_size, chunk - overlap
+    return f"""
+        WITH toks AS (SELECT doc_id, {_SQL_LTOKS} AS t FROM documents),
+        occ AS (SELECT doc_id,
+                       unnest([struct_pack(pos := i - 1, tok := t[i])
+                               for i in range(1, len(t) + 1)]) AS s
+                FROM toks),
+        counts AS (SELECT s.tok AS tok, count(*) AS c FROM occ GROUP BY 1),
+        vocab AS (SELECT tok,
+                         CAST(row_number() OVER (ORDER BY c DESC, tok ASC) - 1
+                              AS INT) AS tok_id
+                  FROM counts
+                  QUALIFY tok_id < {V}),
+        enc AS (SELECT o.doc_id, o.s.pos AS pos,
+                       coalesce(v.tok_id, {V}) AS tid
+                FROM occ o LEFT JOIN vocab v ON v.tok = o.s.tok),
+        ids AS (SELECT doc_id, list(tid ORDER BY pos) AS seq FROM enc
+                GROUP BY doc_id),
+        nch AS (SELECT doc_id, seq,
+                       GREATEST(1, CAST(floor((len(seq) - {overlap}
+                                               + {stride - 1}) / {stride})
+                                        AS BIGINT)) AS n_chunks
+                FROM ids),
+        ch AS (SELECT doc_id, seq,
+                      unnest(range(n_chunks)) AS chunk_idx
+               FROM nch),
+        win AS (SELECT doc_id, chunk_idx,
+                       seq[CAST(chunk_idx * {stride} + 1 AS INT)
+                           : CAST(chunk_idx * {stride} + {chunk} AS INT)] AS w
+                FROM ch)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(w) AS BIGINT) AS n_chunk_ids,
+               CAST(w[1] AS INT) AS first_id,
+               CAST(w[-1] AS INT) AS last_id,
+               md5(array_to_string(w, ' ')) AS ids_md5
+        FROM win
+    """
+
+
+@register(
+    "chunk_token_id_windows",
+    oracle=_chunk_id_windows_oracle_sql(vocab_size=16, chunk=8, overlap=2),
+    doc="token-ID chunking (operators/curation.py::chunk_id_windows "
+    "composed over text.encode_tokens): training pipelines slide context "
+    "windows over TOKENIZER ids, not whitespace words, so context lengths "
+    "are exact.  The oracle replays vocab build + encoding + the identical "
+    "closed-form windowing, pinning every chunk's boundary ids and the md5 "
+    "of its full id string — chunk CONTENT, not just counts.  The chunk "
+    "stage itself is pure array algebra (no Exchange beyond the encoder's "
+    "own — plan-asserted in test_curation); chunks inherit the encoded "
+    "table's partitioning.  Gate-only: the chunking family's driver row is "
+    "chunk_training_windows.",
+    tags=("text", "curation", "chunking"),
+    driver_visible=False,
+)
+def chunk_token_id_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        chunk_id_windows,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    V = 16
+    d = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", "doc_id", V)
+    enc = encode_tokens(d, vocab, "text", "doc_id", unk_id=V)
+    return chunk_id_windows(enc, "ids", "id", chunk_size=8, overlap=2).select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "n_chunk_ids",
+        "first_id",
+        "last_id",
+        "ids_md5",
+    )
+
+
 def _gap_fill_oracle_sql() -> str:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
         gap_fill_locf_sql,

@@ -328,3 +328,76 @@ class TestChunkTokenWindows:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan  # map-only: chunks inherit scan partitioning
+
+
+class TestChunkIdWindows:
+    def _chunks(self, spark, rows, size, ov):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            chunk_id_windows,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+        return chunk_id_windows(df, "ids", "doc_id", chunk_size=size, overlap=ov)
+
+    def test_boundaries_over_ids(self, spark):
+        """10 ids, size 4, overlap 2 (stride 2): starts 0,2,4,6 with exact
+        boundary ids and window contents."""
+        out = self._chunks(spark, [(1, list(range(100, 110)))], 4, 2).collect()
+        got = {r["chunk_idx"]: (r["first_id"], r["last_id"], list(r["chunk_ids"]))
+               for r in out}
+        assert got == {
+            0: (100, 103, [100, 101, 102, 103]),
+            1: (102, 105, [102, 103, 104, 105]),
+            2: (104, 107, [104, 105, 106, 107]),
+            3: (106, 109, [106, 107, 108, 109]),
+        }
+
+    def test_short_and_empty_sequences(self, spark):
+        out = self._chunks(spark, [(1, []), (2, [7, 8])], 4, 1).collect()
+        got = {r["id"]: (r["n_chunk_ids"], r["first_id"], r["last_id"]) for r in out}
+        assert got == {1: (0, None, None), 2: (2, 7, 8)}
+
+    def test_composes_with_bpe_encode(self, spark):
+        """The advertised composition: bpe_encode token output → id encode →
+        chunk.  Chunk windows must slice the BPE token sequence, not the
+        whitespace words."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            chunk_id_windows,
+        )
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(1, "abab abab cdcd")], "doc_id long, text string"
+        )
+        merges, _ = bpe_train(df, "text", n_merges=2)
+        enc = bpe_encode(df, "text", merges)
+        # hash each BPE token to a deterministic int id for chunking
+        with_ids = enc.select(
+            "doc_id",
+            F.transform(
+                F.col("bpe_tokens"), lambda t: F.crc32(t.cast("binary"))
+            ).alias("ids"),
+        )
+        n_bpe = enc.select(F.size("bpe_tokens")).collect()[0][0]
+        rows = chunk_id_windows(with_ids, "ids", "doc_id", chunk_size=3,
+                                overlap=1).collect()
+        stride = 2
+        assert len(rows) == max(1, -(-(n_bpe - 1) // stride))
+        covered = sum(r["n_chunk_ids"] - (1 if r["chunk_idx"] else 0) for r in rows)
+        assert covered == n_bpe  # every id covered once net of overlaps
+
+    def test_no_shuffle_in_plan(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            chunk_id_windows,
+        )
+
+        df = spark.createDataFrame([(1, [1, 2, 3, 4])], "doc_id long, ids array<int>")
+        plan = (
+            chunk_id_windows(df, "ids", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # chunk stage adds no shuffle
