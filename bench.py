@@ -14,9 +14,12 @@ Protocol notes (round-over-round comparability — see VERDICT r3 ask #1):
 - ``r2_subset_total`` is the sum of medians over the FIXED round-2 query set
   (the 59 names benched in BENCH_r02), giving a directly comparable
   cross-round number immune to catalog growth;
-- each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) back-to-back and
-  reports the median, so one-off JIT/codegen warmup doesn't land on whichever
-  query happens to run first;
+- each query first runs SPARK_GRAFT_BENCH_WARMUP discarded warm-up
+  executions (default 1 — JIT/codegen/Arrow-init cold-start skew was one
+  outlier from flipping an iterative-tier median, VERDICT r4 finding #3),
+  then SPARK_GRAFT_BENCH_RUNS timed runs (default 3) back-to-back and
+  reports the median of the TIMED runs only; the discarded warm-up samples
+  are still recorded in BENCH_DETAIL.json under ``warmup_samples``;
 - execution is forced through the noop sink (format("noop")), which computes
   every output column — ``count()`` lets Catalyst prune projection-only work
   (e.g. a fingerprint column) and under-measures;
@@ -66,6 +69,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
 
     from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES, driver_catalog
@@ -91,14 +95,18 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
+    warm_samples: dict[str, list[float]] = {}
     for name, q in QUERIES.items():
         samples: list[float] = []
+        warms: list[float] = []
         try:
-            for _ in range(runs):
+            for i in range(warmup + runs):
                 t0 = time.perf_counter()
                 df = q.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                # first `warmup` executions are discarded cold-start runs
+                (warms if i < warmup else samples).append(dt)
         except Exception as exc:  # keep benching even if one query regresses
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = None  # null in JSON (NaN is invalid strict JSON)
@@ -113,6 +121,7 @@ def main() -> None:
             except Exception:
                 pass
         all_samples[name] = [round(s, 4) for s in samples]
+        warm_samples[name] = [round(s, 4) for s in warms]
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(t for t in timings.values() if t is not None), 4)
@@ -130,8 +139,10 @@ def main() -> None:
         "cpus": int(cpus),
         "r2_subset_total": r2_subset_total,
         "r2_subset_missing": [n for n in R2_SUBSET if timings.get(n) is None],
+        "warmup": warmup,
         "queries": timings,
         "samples": all_samples,
+        "warmup_samples": warm_samples,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:

@@ -733,10 +733,12 @@ def ds_lookup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an iterative catalog query whose barrier count grows with data size "
     "is the wrong shape to benchmark (measured 12.2s at sf0.1 unbounded "
     "vs bounded-constant with the cap; unbounded traversal stays covered "
-    "by the cycle tests).  Gate-only: the iterative-graph family's hard "
-    "row is dedup_near_clusters.",
+    "by the cycle tests).  Driver-visible since round 5 (VERDICT r4 ask "
+    "#6): the frontier-loop + shallowest-depth traversal is a genuinely "
+    "novel family vs dedup_near_clusters' label propagation; "
+    "text_token_stats (linear text-agg shape under text_quality_by_source) "
+    "rotated out in exchange.",
     tags=("docstore", "graph", "iterative"),
-    driver_visible=False,
 )
 def ds_graph_reachable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

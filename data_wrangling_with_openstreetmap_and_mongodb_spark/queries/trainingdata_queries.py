@@ -98,8 +98,12 @@ def _sql_stop_list(lang: str) -> str:
         GROUP BY lang
     """,
     doc="token counting, whitespace + BPE-ish regex pre-tokenization "
-    "(training-data text op; integer sums are exact so plain AVG hash-matches)",
+    "(training-data text op; integer sums are exact so plain AVG "
+    "hash-matches).  Gate-only since round 5: a linear text-scan agg shape "
+    "covered by text_quality_by_source's hard row — rotated out for "
+    "ds_graph_reachable_orders ($graphLookup, a novel traversal family).",
     tags=("text", "agg"),
+    driver_visible=False,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no spread(): plain codegen'd regex counts off the scan beat the extra
