@@ -1031,10 +1031,14 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
 
 def _apply_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
-    """$fill (practical subset): fill null fields per ``output`` method —
-    ``locf`` (last observation carried forward in ``sortBy`` order within
-    ``partitionBy``) or a constant ``value``.  The window mirrors
-    ``operators/events.gap_fill_locf``'s fill pass."""
+    """$fill (Mongo 5.3): fill null fields per ``output`` method — ``locf``
+    (last observation carried forward in ``sortBy`` order within
+    ``partitionBy``), ``linear`` (interpolation between the surrounding
+    non-nulls, positioned by the single numeric sortBy value; leading/
+    trailing nulls stay null, per Mongo), or a constant ``value``.  The
+    locf window mirrors ``operators/events.gap_fill_locf``'s fill pass;
+    linear adds one backward + one forward running frame over the same
+    partition shuffle — still a single exchange."""
     parts = spec.get("partitionBy", [])
     if isinstance(parts, str):
         parts = [parts.lstrip("$")]
@@ -1042,6 +1046,14 @@ def _apply_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     order = [
         (F.col(k).asc() if d >= 0 else F.col(k).desc()) for k, d in sort_spec.items()
     ]
+
+    def _w():
+        return (
+            Window.partitionBy(*[F.col(p) for p in parts]).orderBy(*order)
+            if parts
+            else Window.orderBy(*order)
+        )
+
     out = df
     for name, how in spec["output"].items():
         if "value" in how:
@@ -1049,12 +1061,33 @@ def _apply_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         elif how.get("method") == "locf":
             if not order:
                 raise ValueError("$fill method locf requires sortBy")
-            w = (
-                Window.partitionBy(*[F.col(p) for p in parts]).orderBy(*order)
-                if parts
-                else Window.orderBy(*order)
-            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            w = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
             out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
+        elif how.get("method") == "linear":
+            if len(sort_spec) != 1:
+                raise ValueError("$fill linear needs exactly one sortBy field")
+            k_name, k_dir = next(iter(sort_spec.items()))
+            if k_dir < 0:
+                raise ValueError("$fill linear requires an ascending sortBy")
+            col = F.col(name)
+            k = F.col(k_name).cast("double")
+            wb = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            wf = _w().rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            prev_v = F.last(col, ignorenulls=True).over(wb)
+            next_v = F.first(col, ignorenulls=True).over(wf)
+            prev_k = F.last(F.when(col.isNotNull(), k), ignorenulls=True).over(wb)
+            next_k = F.first(F.when(col.isNotNull(), k), ignorenulls=True).over(wf)
+            interp = F.when(next_k == prev_k, prev_v).otherwise(
+                prev_v + (next_v - prev_v) * (k - prev_k) / (next_k - prev_k)
+            )
+            out = out.withColumn(
+                name,
+                F.when(col.isNotNull(), col).otherwise(
+                    F.when(
+                        prev_v.isNull() | next_v.isNull(), F.lit(None)
+                    ).otherwise(interp)
+                ),
+            )
         else:
             raise ValueError(f"unsupported $fill output for {name!r}: {how}")
     return out

@@ -643,6 +643,81 @@ def ds_date_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_fill_linear",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS k,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+        ), f AS (
+            SELECT event_id, user_id, k, v,
+                   last_value(v IGNORE NULLS) OVER wb AS prev_v,
+                   first_value(v IGNORE NULLS) OVER wf AS next_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN k END IGNORE NULLS)
+                       OVER wb AS prev_k,
+                   first_value(CASE WHEN v IS NOT NULL THEN k END IGNORE NULLS)
+                       OVER wf AS next_k
+            FROM base
+            WINDOW wb AS (PARTITION BY user_id ORDER BY k
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY k
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id,
+               FLOOR((CASE WHEN v IS NOT NULL THEN v
+                           WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                           WHEN next_k = prev_k THEN prev_v
+                           ELSE prev_v + (next_v - prev_v) * (k - prev_k)
+                                / (next_k - prev_k)
+                      END) * 1e6 + 0.5) / 1e6 AS v_fill
+        FROM f
+    """,
+    doc="$fill method:'linear' (Mongo 5.3): nulls (here: 'error' events' "
+    "values) interpolate between the surrounding non-nulls positioned by "
+    "the sortBy VALUE — one backward + one forward running frame over a "
+    "single partition exchange (docstore/pipeline.py::_apply_fill).  The "
+    "sort key is pre-converted to epoch MICROS on both sides so the "
+    "interpolation arithmetic is performed on identical doubles; "
+    "leading/trailing nulls stay null.  (user_id, ts) is collision-free "
+    "in the testdata, so row frames are order-deterministic.  Gate-only: "
+    "the gap-fill family's driver row is events_gap_filled_locf.",
+    tags=("docstore", "window", "resample"),
+    driver_visible=False,
+)
+def ds_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    out = DocumentCollection(ev, "events").aggregate(
+        [
+            {
+                "$set": {
+                    "v": {
+                        "$cond": [
+                            {"$eq": ["$event_type", "error"]},
+                            None,
+                            "$value",
+                        ]
+                    }
+                }
+            },
+            {
+                "$fill": {
+                    "partitionBy": "$user_id",
+                    "sortBy": {"t_us": 1},
+                    "output": {"v": {"method": "linear"}},
+                }
+            },
+        ]
+    )
+    return out.select(
+        "event_id", "user_id", quantize6(F.col("v")).alias("v_fill")
+    )
+
+
+@register(
     "ds_lookup_topn",
     oracle="""
         WITH ranked AS (

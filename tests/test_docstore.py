@@ -573,6 +573,40 @@ class TestDensifyFill:
         out = aggregate(df, [{"$fill": {"output": {"v": {"value": 0.0}}}}])
         assert {r["v"] for r in out.collect()} == {10.0, 40.0, 7.0, 0.0}
 
+    def test_fill_linear_interpolation(self, spark):
+        """$fill linear: interpolate between surrounding non-nulls by the
+        sortBy VALUE (not row position); leading/trailing nulls stay null."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", 0, None), ("a", 1, 10.0), ("a", 3, None), ("a", 4, 40.0),
+             ("a", 6, None), ("b", 0, 5.0), ("b", 2, None)],
+            "k string, t long, v double",
+        )
+        out = aggregate(df, [{"$fill": {
+            "partitionBy": "$k", "sortBy": {"t": 1},
+            "output": {"v": {"method": "linear"}},
+        }}])
+        got = {(r["k"], r["t"]): r["v"] for r in out.collect()}
+        assert got[("a", 0)] is None            # leading null: no prev
+        assert got[("a", 1)] == 10.0
+        # t=3 between (1, 10) and (4, 40): 10 + 30 * (3-1)/(4-1) = 30
+        assert got[("a", 3)] == 30.0
+        assert got[("a", 6)] is None            # trailing null: no next
+        assert got[("b", 2)] is None
+
+    def test_fill_linear_validation(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([("a", 1, 1.0)], "k string, t long, v double")
+        with pytest.raises(ValueError, match="exactly one sortBy"):
+            aggregate(df, [{"$fill": {"sortBy": {"t": 1, "k": 1},
+                "output": {"v": {"method": "linear"}}}}])
+        with pytest.raises(ValueError, match="ascending"):
+            aggregate(df, [{"$fill": {"sortBy": {"t": -1},
+                "output": {"v": {"method": "linear"}}}}])
+
 
 class TestBucketAutoAndOut:
     def test_bucket_auto_equal_population(self, spark):

@@ -639,3 +639,28 @@ def _rk_double_encodable(v):
 
     bits = struct.unpack("<Q", struct.pack("<d", float(v)))[0]
     return (bits & 0x00000003FFFFFFFF) == 0
+
+
+class TestOrcSource:
+    def test_orc_roundtrip_with_pushdown(self, spark, tmp_path):
+        """ORC sink + scan: values survive the round trip and a filter
+        reaches the ORC reader as a pushed-down predicate."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.orcx import (
+            read_orc,
+            write_orc,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"n{i}", float(i) * 1.5) for i in range(100)],
+            "id long, name string, score double",
+        )
+        path = str(tmp_path / "orc_t")
+        write_orc(df, path)
+        back = read_orc(spark, path)
+        assert back.count() == 100
+        assert {r["name"] for r in back.filter("id < 3").collect()} == {"n0", "n1", "n2"}
+        plan = back.filter("id < 3")._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(id), LessThan(id,3)" in plan
+        # idempotent drop-and-reload (S19 contract)
+        write_orc(df.limit(10), path)
+        assert read_orc(spark, path).count() == 10
