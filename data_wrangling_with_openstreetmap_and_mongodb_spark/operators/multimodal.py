@@ -349,6 +349,46 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)
 
 
+def resize_bmp(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor image resize: destination pixel ``(x, y)`` samples
+    source ``(⌊x·w/out_w⌋, ⌊y·h/out_h⌋)`` — the classic index-map NN
+    kernel, pure integer arithmetic so it replays exactly in any engine."""
+    h, w, _ = px.shape
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return np.ascontiguousarray(px[ys][:, xs])
+
+
+def resize_bmp_payloads(
+    with_payload: DataFrame, out_w: int = 4, out_h: int = 3
+) -> DataFrame:
+    """REAL image resize over BMP payloads (supersedes the byte-level
+    ``resize_payloads`` fake for images): decode → nearest-neighbor sample
+    → re-encode, all inside Arrow batches.  Rows whose format is not
+    ``image/bmp`` are dropped (a real pipeline branches by modality before
+    a resize stage).  1→1 map-only — no shuffle, partitioning inherited."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                if meta["format"] != "image/bmp":
+                    continue
+                resized = encode_bmp(resize_bmp(decode_bmp(bytes(payload)), out_w, out_h))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": resized,
+                        "meta": {"format": "image/bmp", "n_bytes": len(resized)},
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
 def extract_media_features(with_payload: DataFrame) -> DataFrame:
     """Decode real BMP/WAV payloads and emit typed features, computed as
     exact integer sums divided once — ``mean = int_sum / n`` and

@@ -265,6 +265,67 @@ def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real image resize: decode BMP → nearest-neighbor sample → re-encode →
+# re-decode → features.  The NN index map is pure integer arithmetic
+# (⌊x·w/W⌋), so the oracle recomputes every sampled pixel symbolically —
+# three codec passes (encode, decode-for-resize, re-encode + final decode)
+# all have to be exact for the means to match.
+# ---------------------------------------------------------------------------
+_NN_I = "((((j // 4) * h) // 3) * w + ((j % 4) * w) // 4)"
+
+
+@register(
+    "multimodal_bmp_resize",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h
+            FROM documents WHERE doc_id % 2 = 0
+        ), s AS (
+            SELECT doc_id,
+                   list_sum(list_transform(range(12),
+                       j -> (doc_id + {_NN_I}) % 256)) AS sr,
+                   list_sum(list_transform(range(12),
+                       j -> (doc_id + 2 * {_NN_I}) % 256)) AS sg,
+                   list_sum(list_transform(range(12),
+                       j -> (doc_id + 3 * {_NN_I}) % 256)) AS sb
+            FROM img
+        )
+        SELECT doc_id,
+               CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+               CAST(12 AS BIGINT) AS n_samples,
+               {quantize6_sql("CAST(sr AS DOUBLE)/12")} AS mean_r,
+               {quantize6_sql(
+                   "0.299*(CAST(sr AS DOUBLE)/12) + 0.587*(CAST(sg AS DOUBLE)/12)"
+                   " + 0.114*(CAST(sb AS DOUBLE)/12)")} AS mean_luma
+        FROM s
+    """,
+    doc="REAL nearest-neighbor image resize "
+    "(operators/multimodal.py::resize_bmp_payloads): per-doc closed-form "
+    "BMPs resize to 4×3 via integer index sampling and re-encode; the "
+    "features of the re-decoded result hash-match DuckDB computing the "
+    "sampled pixels symbolically.  Three real codec passes per row, all "
+    "map-only.  Gate-only: the multimodal family's driver row is "
+    "multimodal_media_decode.",
+    tags=("multimodal", "pandas-udf", "codec"),
+    driver_visible=False,
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        extract_media_features,
+        resize_bmp_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_bmp_payloads(synthesize_media_payloads(d), 4, 3)
+    feats = extract_media_features(resized)
+    return feats.select(
+        "doc_id", "width", "height", "n_samples",
+        quantize6(F.col("mean_r")).alias("mean_r"),
+        quantize6(F.col("mean_luma")).alias("mean_luma"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal frame sampling: 1→N Arrow-batched decode (the video/audio
 # per-frame shape).  ASCII text makes byte-slices == char-slices, so the
 # oracle reproduces every frame fingerprint via a lateral generate_series.

@@ -117,6 +117,43 @@ class TestDispatch:
         assert aud["kind"] == "audio" and aud["sample_rate"] == 8000
 
 
+class TestResize:
+    def test_nearest_neighbor_kernel(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            resize_bmp,
+        )
+
+        # 2x2 golden upscaled to 4x4: each source pixel becomes a 2x2 block
+        up = resize_bmp(GOLDEN_2X2, 4, 4)
+        assert up.shape == (4, 4, 3)
+        assert np.array_equal(up[0, 0], [255, 0, 0]) and np.array_equal(up[1, 1], [255, 0, 0])
+        assert np.array_equal(up[0, 3], [0, 255, 0])
+        assert np.array_equal(up[3, 0], [0, 0, 255])
+        assert np.array_equal(up[3, 3], [255, 255, 255])
+        # downscale 4x4 back to 2x2 recovers the original (NN is exact here)
+        assert np.array_equal(resize_bmp(up, 2, 2), GOLDEN_2X2)
+
+    def test_resize_payloads_roundtrip(self, spark):
+        """decode → NN-sample → re-encode over Spark: re-decoded pixels equal
+        the index-sampled source; non-BMP rows drop."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_bmp,
+            resize_bmp,
+            resize_bmp_payloads,
+            synthesize_media_payloads,
+        )
+
+        docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        src = {r["doc_id"]: bytes(r["payload"])
+               for r in synthesize_media_payloads(docs).collect()}
+        out = resize_bmp_payloads(synthesize_media_payloads(docs), 4, 3).collect()
+        assert {r["doc_id"] for r in out} == {0, 2, 4, 6, 8}  # WAV rows dropped
+        for r in out:
+            expect = resize_bmp(decode_bmp(src[r["doc_id"]]), 4, 3)
+            assert np.array_equal(decode_bmp(bytes(r["payload"])), expect)
+            assert r["meta"]["n_bytes"] == len(bytes(r["payload"]))
+
+
 class TestMediaPipeline:
     def test_features_match_closed_form(self, spark):
         """End-to-end synthesize→decode over Spark: recovered features equal
