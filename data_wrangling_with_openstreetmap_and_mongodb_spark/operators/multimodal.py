@@ -389,6 +389,48 @@ def resize_bmp_payloads(
     return with_payload.mapInPandas(run, schema=PAYLOAD_SCHEMA)
 
 
+def resample_wav(
+    samples: np.ndarray, ch: int, in_frames: int, out_frames: int
+) -> np.ndarray:
+    """Nearest-neighbor sample-rate conversion: output frame ``j`` samples
+    source frame ``⌊j·in_frames/out_frames⌋`` across all channels — the
+    audio analogue of :func:`resize_bmp`'s index map, pure integer
+    arithmetic."""
+    if out_frames <= 0:
+        return samples[:0]
+    idx = (np.arange(out_frames, dtype=np.int64) * in_frames) // out_frames
+    return np.ascontiguousarray(samples.reshape(in_frames, ch)[idx].reshape(-1))
+
+
+def resample_wav_payloads(with_payload: DataFrame, out_rate: int = 8000) -> DataFrame:
+    """REAL audio resample over WAV payloads: decode → NN frame map →
+    re-encode at ``out_rate`` (``out_frames = ⌊frames·out_rate/in_rate⌋``).
+    Non-WAV rows drop (modality branch).  1→1 map-only, no shuffle."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                if meta["format"] != "audio/wav":
+                    continue
+                rate, ch, s = decode_wav(bytes(payload))
+                frames = len(s) // ch
+                out_frames = (frames * out_rate) // rate
+                res = encode_wav(out_rate, ch, resample_wav(s, ch, frames, out_frames))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": res,
+                        "meta": {"format": "audio/wav", "n_bytes": len(res)},
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
 def extract_media_features(with_payload: DataFrame) -> DataFrame:
     """Decode real BMP/WAV payloads and emit typed features, computed as
     exact integer sums divided once — ``mean = int_sum / n`` and

@@ -325,6 +325,63 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio analogue of the resize: NN sample-rate conversion to 8 kHz.  Source
+# sample at interleaved output position p (frame j=p//ch, channel c=p%ch)
+# is frame ⌊j·frames/oframes⌋ — replayed symbolically below.
+_RS_I = "((((p // ch) * frames) // oframes) * ch + (p % ch))"
+_RS_S = f"(((doc_id*11 + {_RS_I}*17) % 2048) - 1024)"
+
+
+@register(
+    "multimodal_wav_resample",
+    oracle=f"""
+        WITH aud AS (
+            SELECT doc_id, 1 + doc_id % 2 AS ch,
+                   8000 + (doc_id % 3) * 4000 AS rate,
+                   30 + doc_id % 7 AS frames
+            FROM documents WHERE doc_id % 2 = 1
+        ), rs AS (
+            SELECT doc_id, ch, frames,
+                   (frames * 8000) // rate AS oframes
+            FROM aud
+        )
+        SELECT doc_id,
+               CAST(ch AS BIGINT) AS n_channels,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(oframes * ch AS BIGINT) AS n_samples,
+               {quantize6_sql(
+                   "sqrt(CAST(list_sum(list_transform(range(oframes * ch), "
+                   f"p -> {_RS_S} * {_RS_S})) AS DOUBLE) / (oframes * ch))")} AS rms,
+               CAST(list_max(list_transform(range(oframes * ch),
+                    p -> abs({_RS_S}))) AS BIGINT) AS peak
+        FROM rs
+    """,
+    doc="REAL audio resample (operators/multimodal.py::resample_wav_payloads): "
+    "per-doc closed-form WAVs NN-resample to 8 kHz (integer frame index "
+    "map, channels preserved) and re-encode; RMS/peak of the re-decoded "
+    "result hash-match DuckDB computing the sampled frames symbolically "
+    "(12 kHz drops every third frame, 16 kHz every second — exercised by "
+    "doc_id % 3).  Exact-rational features, map-only plan.  Gate-only: the "
+    "multimodal family's driver row is multimodal_media_decode.",
+    tags=("multimodal", "pandas-udf", "codec"),
+    driver_visible=False,
+)
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        extract_media_features,
+        resample_wav_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    res = resample_wav_payloads(synthesize_media_payloads(d), out_rate=8000)
+    feats = extract_media_features(res)
+    return feats.select(
+        "doc_id", "n_channels", "sample_rate", "n_samples",
+        quantize6(F.col("rms")).alias("rms"),
+        "peak",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal frame sampling: 1→N Arrow-batched decode (the video/audio
 # per-frame shape).  ASCII text makes byte-slices == char-slices, so the

@@ -154,6 +154,51 @@ class TestResize:
             assert r["meta"]["n_bytes"] == len(bytes(r["payload"]))
 
 
+class TestResample:
+    def test_nn_kernel_mono(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            resample_wav,
+        )
+
+        s = np.arange(6, dtype=np.int16)  # frames 0..5, mono
+        # 6 -> 3 frames: indices (j*6)//3 = 0, 2, 4
+        assert resample_wav(s, 1, 6, 3).tolist() == [0, 2, 4]
+        # 6 -> 4 frames: (j*6)//4 = 0, 1, 3, 4
+        assert resample_wav(s, 1, 6, 4).tolist() == [0, 1, 3, 4]
+        assert resample_wav(s, 1, 6, 0).tolist() == []
+
+    def test_nn_kernel_stereo_keeps_channel_pairing(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            resample_wav,
+        )
+
+        # frames (L, R) = (0, 100), (1, 101), (2, 102), (3, 103)
+        s = np.array([0, 100, 1, 101, 2, 102, 3, 103], dtype=np.int16)
+        out = resample_wav(s, 2, 4, 2)  # frames 0 and 2
+        assert out.tolist() == [0, 100, 2, 102]
+
+    def test_resample_payloads_roundtrip(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_wav,
+            resample_wav,
+            resample_wav_payloads,
+            synthesize_media_payloads,
+        )
+
+        docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        src = {r["doc_id"]: bytes(r["payload"])
+               for r in synthesize_media_payloads(docs).collect()}
+        out = resample_wav_payloads(synthesize_media_payloads(docs), 8000).collect()
+        assert {r["doc_id"] for r in out} == {1, 3, 5, 7, 9}  # BMP rows dropped
+        for r in out:
+            rate0, ch, s0 = decode_wav(src[r["doc_id"]])
+            frames = len(s0) // ch
+            oframes = (frames * 8000) // rate0
+            rate1, ch1, s1 = decode_wav(bytes(r["payload"]))
+            assert (rate1, ch1) == (8000, ch)
+            assert np.array_equal(s1, resample_wav(s0, ch, frames, oframes))
+
+
 class TestMediaPipeline:
     def test_features_match_closed_form(self, spark):
         """End-to-end synthesize→decode over Spark: recovered features equal
