@@ -27,6 +27,18 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import (
     compile_projection,
 )
 
+# Fixed-length time unit → microseconds, shared by $setWindowFields range
+# frames and $densify.  Calendar units (month/quarter/year) have no fixed
+# micros width and raise where they would be silently wrong.
+_UNIT_MICROS = {
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+    "week": 7 * 86_400 * 1_000_000,
+}
+
 # $group accumulators (05-analyzing-data/*.py).  $push → collect_list,
 # $addToSet → collect_set, per SURVEY.md §2.4 A6/A7.
 _ACCUMULATORS = {
@@ -699,18 +711,6 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             *[F.col(k).asc() if v >= 0 else F.col(k).desc() for k, v in sort_by.items()]
         )
 
-    # fixed-length unit → microseconds; calendar units (month/quarter/year)
-    # have no fixed micros width and raise (same restriction Spark's own
-    # rangeBetween has — a calendar frame needs a per-row interval join)
-    _UNIT_MICROS = {
-        "millisecond": 1_000,
-        "second": 1_000_000,
-        "minute": 60 * 1_000_000,
-        "hour": 3_600 * 1_000_000,
-        "day": 86_400 * 1_000_000,
-        "week": 7 * 86_400 * 1_000_000,
-    }
-
     def bound(v: Any, lo: bool, scale: int = 1) -> int:
         if v == "unbounded":
             return Window.unboundedPreceding if lo else Window.unboundedFollowing
@@ -1008,13 +1008,28 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     (per partition — never a global-calendar cross join), and a left
     anti-join-free union: observed rows pass through untouched, spine rows
     that collide with an observed (partition, field) drop via left-anti.
+
+    ``range.unit`` (Mongo date densification): the field is a timestamp and
+    the spine steps by ``step × unit`` from each partition's min — computed
+    over ``unix_micros`` and converted back, so the spine is exact integer
+    arithmetic (fixed-length units only; calendar units raise).
     """
     field = spec["field"]
     rng = spec["range"]
     step = int(rng["step"])
+    unit = rng.get("unit")
     parts = rng.get("partitionByFields", [])
     bounds = rng.get("bounds", "partition")
-    fcol = F.col(field)
+    if unit is not None:
+        if unit not in _UNIT_MICROS:
+            raise ValueError(
+                f"$densify unit {unit!r} has no fixed length; supported: "
+                + "/".join(_UNIT_MICROS)
+            )
+        fcol = F.unix_micros(F.col(field).cast("timestamp"))
+        step = step * _UNIT_MICROS[unit]
+    else:
+        fcol = F.col(field)
     if bounds == "full":
         ext = df.agg(F.min(fcol).alias("__mn"), F.max(fcol).alias("__mx"))
         pkeys = df.select(*parts).distinct() if parts else None
@@ -1028,6 +1043,15 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     spine = ext.select(
         *parts, F.explode(F.sequence("__mn", "__mx", F.lit(step))).alias(field)
     )
+    if unit is not None:
+        # back to the field's own type (timestamp / timestamp_ntz); the
+        # generator must explode BEFORE the conversion expression wraps it
+        spine = spine.select(
+            *parts,
+            F.timestamp_micros(F.col(field))
+            .cast(df.schema[field].dataType)
+            .alias(field),
+        )
     missing = spine.join(df.select(*parts, field), [*parts, field], "left_anti")
     for c in df.columns:
         if c != field and c not in parts:

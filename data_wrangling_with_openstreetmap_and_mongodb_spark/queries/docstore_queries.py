@@ -643,6 +643,56 @@ def ds_date_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_densify_hourly",
+    oracle="""
+        WITH ext AS (
+            SELECT event_type, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx,
+                   count(*) AS n_obs
+            FROM events GROUP BY event_type
+        ), coll AS (
+            SELECT e.event_type,
+                   count(DISTINCT epoch_us(ts)) AS n_coll
+            FROM events e JOIN ext x USING (event_type)
+            WHERE (epoch_us(ts) - x.mn) % 3600000000 = 0
+            GROUP BY e.event_type
+        )
+        SELECT x.event_type,
+               CAST(x.n_obs + (x.mx - x.mn) // 3600000000 + 1
+                    - coalesce(c.n_coll, 0) AS BIGINT) AS n_total,
+               CAST((x.mx - x.mn) // 3600000000 + 1
+                    - coalesce(c.n_coll, 0) AS BIGINT) AS n_filled
+        FROM ext x LEFT JOIN coll c USING (event_type)
+    """,
+    doc="$densify with a time unit (Mongo date densification): per "
+    "event_type, an hourly spine steps from the partition's min(ts) over "
+    "unix_micros integer arithmetic; added docs carry null payloads and "
+    "grid collisions (the min itself, always) don't duplicate.  The "
+    "oracle computes spine size and collision count in closed form.  One "
+    "extent agg + sequence explode + anti-join — never a global calendar "
+    "cross join.  Gate-only: the gap-fill/resample family's driver row is "
+    "events_gap_filled_locf.",
+    tags=("docstore", "resample"),
+    driver_visible=False,
+)
+def ds_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dens = _coll(spark, sf_dir, "events").aggregate(
+        [
+            {
+                "$densify": {
+                    "field": "ts",
+                    "range": {"step": 1, "unit": "hour", "bounds": "partition",
+                              "partitionByFields": ["event_type"]},
+                }
+            }
+        ]
+    )
+    return dens.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("event_id").isNull(), 1)).alias("n_filled"),
+    )
+
+
+@register(
     "ds_fill_linear",
     oracle="""
         WITH base AS (

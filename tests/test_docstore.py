@@ -573,6 +573,48 @@ class TestDensifyFill:
         out = aggregate(df, [{"$fill": {"output": {"v": {"value": 0.0}}}}])
         assert {r["v"] for r in out.collect()} == {10.0, 40.0, 7.0, 0.0}
 
+    def test_densify_time_unit(self, spark):
+        """$densify with range.unit: the spine steps by step×unit micros
+        from each partition's min timestamp; off-grid observed rows pass
+        through, grid collisions don't duplicate."""
+        import datetime as dt
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0)
+        rows = [
+            ("a", t0, 1.0),
+            ("a", t0 + dt.timedelta(minutes=90), 2.0),   # off-grid
+            ("a", t0 + dt.timedelta(hours=3), 3.0),      # on-grid collision
+            ("b", t0, 9.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        out = aggregate(df, [{"$densify": {
+            "field": "ts",
+            "range": {"step": 1, "unit": "hour", "bounds": "partition",
+                      "partitionByFields": ["k"]},
+        }}])
+        got = sorted((r["k"], r["ts"], r["v"]) for r in out.collect())
+        a_rows = [(t, v) for k, t, v in got if k == "a"]
+        # spine: 10:00, 11:00, 12:00, 13:00; observed 10:00 & 13:00 collide,
+        # 11:30 passes through off-grid
+        assert a_rows == [
+            (t0, 1.0),
+            (t0 + dt.timedelta(hours=1), None),
+            (t0 + dt.timedelta(minutes=90), 2.0),
+            (t0 + dt.timedelta(hours=2), None),
+            (t0 + dt.timedelta(hours=3), 3.0),
+        ]
+        assert [(t, v) for k, t, v in got if k == "b"] == [(t0, 9.0)]
+
+    def test_densify_calendar_unit_raises(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        with pytest.raises(ValueError, match="no fixed length"):
+            aggregate(df, [{"$densify": {"field": "v",
+                "range": {"step": 1, "unit": "month", "bounds": "full"}}}])
+
     def test_fill_linear_interpolation(self, spark):
         """$fill linear: interpolate between surrounding non-nulls by the
         sortBy VALUE (not row position); leading/trailing nulls stay null."""
