@@ -1086,7 +1086,11 @@ def _apply_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     out = df
     for name, how in spec["output"].items():
         if "value" in how:
-            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(how["value"])))
+            # Mongo's value form takes an EXPRESSION (constants included)
+            out = out.withColumn(
+                name,
+                F.coalesce(F.col(name), ExpressionCompiler(out).compile(how["value"])),
+            )
         elif how.get("method") == "locf":
             if not order:
                 raise ValueError("$fill method locf requires sortBy")

@@ -572,6 +572,10 @@ class TestDensifyFill:
         )
         out = aggregate(df, [{"$fill": {"output": {"v": {"value": 0.0}}}}])
         assert {r["v"] for r in out.collect()} == {10.0, 40.0, 7.0, 0.0}
+        # value form takes an expression (Mongo): fill from another field
+        out2 = aggregate(df, [{"$fill": {"output": {"v": {"value": {"$multiply": ["$t", 2]}}}}}])
+        filled = {r["t"]: r["v"] for r in out2.collect() if r["k"] == "c"}
+        assert filled == {9: 18.0}
 
     def test_densify_time_unit(self, spark):
         """$densify with range.unit: the spine steps by step×unit micros
