@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the stdlib media codecs: encode ∘
+decode must be the identity for EVERY well-formed input, not just the golden
+fixtures — arbitrary pixel values (including 0x00 rows that look like padding
+and 'BM'-colliding bytes), arbitrary int16 samples (including extremes and
+values whose little-endian bytes spell RIFF chunk ids), and every row-pad
+width.  Pure Python/numpy — no SparkSession needed."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    resample_wav,
+    resize_bmp,
+)
+
+
+@st.composite
+def images(draw):
+    w = draw(st.integers(min_value=1, max_value=9))
+    h = draw(st.integers(min_value=1, max_value=7))
+    data = draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3)
+    )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(images())
+def test_bmp_roundtrip_identity(px):
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([8000, 11025, 44100]),
+)
+def test_wav_roundtrip_identity(vals, ch, rate):
+    frames = len(vals) // ch
+    if frames == 0:
+        return
+    samples = np.array(vals[: frames * ch], dtype=np.int16)
+    r, c, out = decode_wav(encode_wav(rate, ch, samples))
+    assert (r, c) == (rate, ch)
+    assert np.array_equal(out, samples)
+
+
+@settings(max_examples=40, deadline=None)
+@given(images(), st.integers(min_value=1, max_value=12), st.integers(min_value=1, max_value=12))
+def test_resize_matches_index_map(px, out_w, out_h):
+    """The resize output pixel (x, y) must equal the source pixel at the
+    documented integer index map — for every size combination, up or down."""
+    out = resize_bmp(px, out_w, out_h)
+    h, w, _ = px.shape
+    assert out.shape == (out_h, out_w, 3)
+    for y in (0, out_h - 1):
+        for x in (0, out_w - 1):
+            assert np.array_equal(out[y, x], px[(y * h) // out_h, (x * w) // out_w])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-1024, max_value=1024), min_size=2, max_size=48),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=1, max_value=24),
+)
+def test_resample_matches_index_map(vals, ch, out_frames):
+    frames = len(vals) // ch
+    if frames == 0:
+        return
+    s = np.array(vals[: frames * ch], dtype=np.int16)
+    out = resample_wav(s, ch, frames, out_frames)
+    assert len(out) == out_frames * ch
+    grid = s.reshape(frames, ch)
+    for j in (0, out_frames - 1):
+        src = (j * frames) // out_frames
+        assert np.array_equal(out[j * ch : (j + 1) * ch], grid[src])
