@@ -597,6 +597,11 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     With ``granularity`` the ``_id`` bounds are the rounded series
     boundaries (Mongo's contract); otherwise observed per-bucket min/max.
     Ties order deterministically by the key itself.
+
+    AT SCALE, PASS ``scaleMode="approx"`` EXPLICITLY — it needs no
+    ``granularity`` (boundaries then come straight from
+    ``approx_percentile``) and is the only mode whose plan survives a
+    100 TB keyspace; ``exact`` exists for mongod-fidelity on small keys.
     """
     ec = ExpressionCompiler(df)
     key = ec.compile(spec["groupBy"])

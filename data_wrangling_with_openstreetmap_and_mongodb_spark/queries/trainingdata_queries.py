@@ -583,6 +583,58 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+        WITH brute AS (
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+            )
+            SELECT e.vec_id AS id
+            FROM embeddings e, q
+            ORDER BY {quantize6_sql('''list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(q.qe, q.qe)))''')} DESC, id ASC
+            LIMIT 10
+        ), approx AS (
+            {_ann_lsh_oracle_sql(dim=64, bits=8, probe_hamming=3, k=10)}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+               {quantize6_sql("count(*) / 10.0")} AS recall_at_10
+        FROM brute JOIN approx USING (id)
+    """,
+    doc="ANN evaluation: recall@10 of the sign-LSH multi-probe index "
+    "against the exact brute-force top-10 — the measurement every "
+    "similarity stack ships before trusting an approximate index.  Both "
+    "rankings are the engine's own operators composed in ONE lazy plan "
+    "(two tiny top-k frames, a 10×10 join); the oracle replays both "
+    "pipelines and intersects.  Scale shape: brute force runs on a "
+    "SAMPLE at 100 TB (the eval set), never the corpus — the operators "
+    "don't care which.  Gate-only: eval composition of families whose "
+    "hard rows (ann_bruteforce_topk, ann_ivf_kmeans_topk) are driver-"
+    "visible.",
+    tags=("similarity", "topk", "eval"),
+    driver_visible=False,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    brute = cosine_topk(e, "embedding", "vec_id", qv, k=10).select("id")
+    approx = lsh_bucket_topk(
+        e, "embedding", "vec_id", qv, k=10, bits=8, probe_hamming=3
+    ).select("id")
+    return brute.join(approx, "id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        quantize6(F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
 def _ann_ivf_oracle_sql(n_centroids: int, nprobe: int, k: int) -> str:
     """DuckDB replica of the IVF-flat probe path: same deterministic
     centroids, same quantized assignment with id tie-break, same probe set."""
