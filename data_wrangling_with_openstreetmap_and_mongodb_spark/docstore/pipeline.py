@@ -870,7 +870,23 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     spark = df.sparkSession
     target = spark.read.parquet(into)
 
-    src = df.withColumn("__src", F.lit(True))
+    # Mongo requires `on` to identify a UNIQUE source document — multiple
+    # pipeline docs sharing a key abort the write ("found multiple source
+    # documents with the same on-field").  A window count on the (small,
+    # pipeline-result) source enforces it.  The guard wraps the FIRST JOIN
+    # KEY — a marker column would be simplified away (Catalyst statically
+    # null-propagates `isNotNull(CASE … raise_error …)` since raise_error
+    # is NullType), but the join key must always evaluate.
+    dup = F.count(F.lit(1)).over(Window.partitionBy(*[F.col(k) for k in keys]))
+    src = df.withColumn(
+        keys[0],
+        F.when(
+            dup > 1,
+            F.raise_error(
+                F.lit("$merge: multiple source documents share an 'on' key")
+            ),
+        ).otherwise(F.col(keys[0])),
+    ).withColumn("__src", F.lit(True))
     tgt = target.withColumn("__tgt", F.lit(True))
     joined = tgt.alias("t").join(src.alias("s"), keys, "full_outer")
     matched = F.col("t.__tgt").isNotNull() & F.col("s.__src").isNotNull()

@@ -1077,6 +1077,20 @@ class TestBucketAutoAndOut:
             aggregate(fresh, [{"$merge": {"into": path, "on": "_id",
                                           "whenNotMatched": "fail"}}]).collect()
 
+    def test_merge_duplicate_source_keys_raise(self, spark, tmp_path):
+        """Mongo aborts $merge when several pipeline docs share an `on` key
+        (the on-field must identify a unique source doc)."""
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "dup")
+        spark.createDataFrame([(1, "a")], "_id long, v string").write.parquet(path)
+        dup_src = spark.createDataFrame(
+            [(2, "x"), (2, "y")], "_id long, v string"
+        )
+        with pytest.raises(Exception, match="multiple source documents"):
+            aggregate(dup_src, [{"$merge": {"into": path, "on": "_id"}}])
+
     def test_merge_both_fail_modes_guard_both(self, spark, tmp_path):
         """whenMatched=fail AND whenNotMatched=fail: BOTH guards install —
         an unmatched insert must fail too, not slip through because the
