@@ -643,6 +643,206 @@ def ds_date_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_sort_by_count",
+    oracle="""
+        SELECT o_orderpriority AS _id, CAST(count(*) AS BIGINT) AS count
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="$sortByCount: group-count + sort desc (count ties ordered by _id — "
+    "deterministic, strictly stronger than Mongo's unspecified tie order).  "
+    "Gate-only: an A1 group-count shape under top_event_types' family.",
+    tags=("docstore", "agg"),
+    driver_visible=False,
+)
+def ds_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [{"$sortByCount": "$o_orderpriority"}]
+    )
+
+
+@register(
+    "ds_union_with",
+    oracle="""
+        SELECT nk, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT c_nationkey AS nk FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nk FROM supplier
+        ) GROUP BY nk
+    """,
+    doc="$unionWith with a sub-pipeline on the second collection: customer "
+    "and supplier nation keys union (bag semantics, like Mongo) and "
+    "group-count.  Compiles to unionByName over two pruned scans — no "
+    "shuffle until the final hash-agg.  Gate-only: union shape (F2/F3 "
+    "family).",
+    tags=("docstore", "reshape", "agg"),
+    driver_visible=False,
+)
+def ds_union_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    return _coll(spark, sf_dir, "customer").aggregate(
+        [
+            {"$project": {"nk": "$c_nationkey", "_id": 0}},
+            {
+                "$unionWith": {
+                    "coll": supplier,
+                    "pipeline": [{"$project": {"nk": "$s_nationkey", "_id": 0}}],
+                }
+            },
+            {"$group": {"_id": "$nk", "n": {"$sum": 1}}},
+            {"$project": {"nk": "$_id", "n": 1, "_id": 0}},
+        ]
+    )
+
+
+@register(
+    "ds_bucket_auto_exact",
+    oracle="""
+        WITH t AS (
+            SELECT o_totalprice AS k,
+                   ntile(8) OVER (ORDER BY o_totalprice) AS b
+            FROM orders
+        )
+        SELECT min(k) AS lo, max(k) AS hi, CAST(count(*) AS BIGINT) AS count
+        FROM t GROUP BY b
+    """,
+    doc="$bucketAuto exact mode: 8 equal-population buckets via ntile over "
+    "a global sort — Mongo's equal-count contract, replayed by DuckDB's "
+    "ntile (bucket min/max/count are tie-invariant: equal keys spanning a "
+    "boundary yield the same aggregates regardless of which copy lands "
+    "where).  The _id struct flattens to (lo, hi) for the hash compare.  "
+    "Exact mode is the mongod-fidelity path; scaleMode='approx' (no "
+    "global sort) is the 100 TB path and has its own golden matrix.  "
+    "Gate-only.",
+    tags=("docstore", "agg", "bucket"),
+    driver_visible=False,
+)
+def ds_bucket_auto_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _coll(spark, sf_dir, "orders").aggregate(
+        [{"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 8}}]
+    )
+    return out.select(
+        F.col("_id.min").alias("lo"), F.col("_id.max").alias("hi"), "count"
+    )
+
+
+@register(
+    "ds_facet_summary",
+    oracle="""
+        WITH p AS (
+            SELECT o_orderpriority AS _id, count(*) AS cnt
+            FROM orders GROUP BY 1
+            ORDER BY cnt DESC, _id ASC LIMIT 1
+        ), s AS (
+            SELECT count(*) AS n, max(o_totalprice) AS mx FROM orders
+        )
+        SELECT p._id AS top_prio, CAST(p.cnt AS BIGINT) AS top_prio_n,
+               CAST(s.n AS BIGINT) AS n_orders, s.mx AS max_price
+        FROM p, s
+    """,
+    doc="$facet: two sub-pipelines over the same input collapse to one "
+    "document (each facet one lazy sub-plan + a 1×1 cross join), then the "
+    "facet arrays project back to scalars via $arrayElemAt/$getField so "
+    "the result hash-compares without array columns.  Gate-only.",
+    tags=("docstore", "reshape", "agg"),
+    driver_visible=False,
+)
+def ds_facet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {
+                "$facet": {
+                    "by_prio": [
+                        {"$sortByCount": "$o_orderpriority"},
+                        {"$limit": 1},
+                    ],
+                    "stats": [
+                        {
+                            "$group": {
+                                "_id": None,
+                                "n": {"$sum": 1},
+                                "max_price": {"$max": "$o_totalprice"},
+                            }
+                        }
+                    ],
+                }
+            },
+            {
+                "$project": {
+                    "top_prio": {"$getField": {
+                        "field": "_id",
+                        "input": {"$arrayElemAt": ["$by_prio", 0]},
+                    }},
+                    "top_prio_n": {"$getField": {
+                        "field": "count",
+                        "input": {"$arrayElemAt": ["$by_prio", 0]},
+                    }},
+                    "n_orders": {"$getField": {
+                        "field": "n",
+                        "input": {"$arrayElemAt": ["$stats", 0]},
+                    }},
+                    "max_price": {"$getField": {
+                        "field": "max_price",
+                        "input": {"$arrayElemAt": ["$stats", 0]},
+                    }},
+                    "_id": 0,
+                }
+            },
+        ]
+    )
+
+
+@register(
+    "ds_merge_pipeline_apply",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    doc="$out + $merge whenMatched-pipeline end-to-end on real parquet: a "
+    "target materializes via $out, then a source subset merges with "
+    "[{$set: {o_totalprice: {$add: ['$o_totalprice', '$$new'-free target "
+    "ref + literal]}}}] — matched rows gain +1000, unmatched source docs "
+    "discard, untouched target rows pass through.  The oracle is the "
+    "closed-form CASE.  Writes confined to /tmp (overwrite-idempotent per "
+    "invocation).  Gate-only: the action-bearing stages' oracle row.",
+    tags=("docstore", "upsert"),
+    driver_visible=False,
+)
+def ds_merge_pipeline_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    base = os.path.join(
+        "/tmp/spark_graft_gate", os.path.basename(sf_dir.rstrip("/")), "merge_t"
+    )
+    tgt_src = _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {"$match": {"$expr": {"$eq": [{"$mod": ["$o_orderkey", 10]}, 0]}}},
+            {"$project": {"o_orderkey": 1, "o_totalprice": 1,
+                          "o_orderpriority": 1, "_id": 0}},
+            {"$out": base},
+        ]
+    )
+    src = tgt_src.filter(F.col("o_orderkey") % 20 == 0).select("o_orderkey")
+    return DocumentCollection(src, "increments").aggregate(
+        [
+            {
+                "$merge": {
+                    "into": base,
+                    "on": "o_orderkey",
+                    "whenMatched": [
+                        {"$set": {"o_totalprice": {"$add": ["$o_totalprice", 1000]}}}
+                    ],
+                    "whenNotMatched": "discard",
+                }
+            }
+        ]
+    )
+
+
+@register(
     "ds_densify_hourly",
     oracle="""
         WITH ext AS (
