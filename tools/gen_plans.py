@@ -17,6 +17,8 @@ PICKS = [
     ("events_asof_last_order", "as-of join: union-merge, one shuffle + one window, no nested loop"),
     ("semantic_dedup_embeddings", "SemDeDup: single scan, cells packed once, Arrow-batched numpy multiply — no pair join in the plan"),
     ("cms_token_counts", "count-min sketch: depth-bounded hash-agg grid, broadcast probe join"),
+    ("ds_lookup_topn", "correlated $lookup + per-doc $sort/$limit: window and groupBy share ONE exchange, broadcast foreign side, limit prunes before arrays build"),
+    ("multimodal_media_decode", "real BMP/WAV codec decode: Exchange-free — two chained Arrow-batched map stages over the scan, payloads never shuffle"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of headline queries (sf0.01, local[8])
