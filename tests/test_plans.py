@@ -272,3 +272,54 @@ class TestRound3AdditionPlans:
         # point: pre-shuffle state bounded by depth x width)
         assert plan.count("HashAggregate") >= 2
         assert "CartesianProduct" not in plan
+
+
+class TestRound5Plans:
+    def test_lookup_topn_single_exchange_broadcast_foreign(self, spark, sf_dir):
+        """Per-doc $sort/$limit in $lookup: the window and BOTH aggregation
+        passes must share ONE hash exchange; the foreign side broadcasts."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ds_lookup_topn", spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan
+
+    def test_media_decode_is_exchange_free(self, spark, sf_dir):
+        """Real codec decode: payload bytes must NEVER shuffle — the whole
+        plan is scan → mapInPandas stages."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        for name in ("multimodal_media_decode", "multimodal_bmp_resize",
+                     "multimodal_wav_resample"):
+            plan = executed_plan(q(name, spark, sf_dir))
+            assert "Exchange" not in plan, name
+            assert "Join" not in plan, name
+
+    def test_fill_linear_single_partition_exchange(self, spark, sf_dir):
+        """$fill linear: backward + forward frames compile into Window ops
+        over ONE partition exchange — no self-joins."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ds_fill_linear", spark, sf_dir))
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_window_time_range_uses_range_frame(self, spark, sf_dir):
+        """Time-unit windows must compile to a RANGE frame over the micros
+        key, not a rows frame or a join."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ds_window_time_range", spark, sf_dir))
+        assert "RangeFrame" in plan or "specifiedwindowframe(RangeFrame" in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_union_with_no_shuffle_before_agg(self, spark, sf_dir):
+        """$unionWith: two pruned scans union map-side; the only exchange
+        is the final group-by's."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ds_union_with", spark, sf_dir))
+        assert "Union" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
