@@ -55,6 +55,75 @@ class DocumentCollection:
     def aggregate(self, pipeline: list[dict[str, Any]]) -> DataFrame:
         return aggregate(self.df, pipeline)
 
+    # -- bulk CRUD (pymongo update_many/delete_many) ------------------------
+    def update_many(
+        self, query: dict[str, Any] | None, update: dict[str, Any]
+    ) -> "DocumentCollection":
+        """``update_many(filter, update)``: apply a Mongo update document to
+        every MATCHING row; non-matching rows pass through untouched.
+
+        Supported update operators: ``$set`` (expression values, applied
+        sequentially so later fields see earlier results), ``$unset``
+        (nulls the field — typed columns can't drop per-row), ``$inc`` /
+        ``$mul`` (missing/null counts as 0 / 1, per Mongo's upsert-ish
+        arithmetic), ``$min`` / ``$max`` (keep the smaller/larger of
+        current and given).  DataFrames are immutable, so this returns a
+        NEW collection — persist with ``$out`` / ``$merge``.  Compiles to
+        per-column CASE expressions: one scan, no shuffle, no driver loop.
+        """
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import (
+            ExpressionCompiler,
+        )
+
+        mask = (
+            FindCompiler(self.df).compile(query) if query else F.lit(True)
+        )
+        out = self.df
+        for op, args in update.items():
+            if op == "$set":
+                for f, expr in args.items():
+                    val = ExpressionCompiler(out).compile(expr)
+                    prev = F.col(f) if f in out.columns else F.lit(None)
+                    out = out.withColumn(f, F.when(mask, val).otherwise(prev))
+            elif op == "$unset":
+                for f in [args] if isinstance(args, str) else list(args):
+                    out = out.withColumn(
+                        f, F.when(mask, F.lit(None)).otherwise(F.col(f))
+                    )
+            elif op in ("$inc", "$mul"):
+                ident = 0 if op == "$inc" else 1
+                for f, n in args.items():
+                    cur = F.coalesce(F.col(f), F.lit(ident)) if f in out.columns else F.lit(ident)
+                    val = cur + F.lit(n) if op == "$inc" else cur * F.lit(n)
+                    prev = F.col(f) if f in out.columns else F.lit(None)
+                    out = out.withColumn(f, F.when(mask, val).otherwise(prev))
+            elif op in ("$min", "$max"):
+                fn = F.least if op == "$min" else F.greatest
+                for f, v in args.items():
+                    cur = (
+                        F.coalesce(F.col(f), F.lit(v))
+                        if f in out.columns
+                        else F.lit(v)  # missing field: Mongo sets the value
+                    )
+                    prev = F.col(f) if f in out.columns else F.lit(None)
+                    out = out.withColumn(
+                        f, F.when(mask, fn(cur, F.lit(v))).otherwise(prev)
+                    )
+            else:
+                raise ValueError(f"unsupported update operator: {op}")
+        return DocumentCollection(out, self.name)
+
+    def delete_many(self, query: dict[str, Any] | None) -> "DocumentCollection":
+        """``delete_many(filter)``: drop matching rows.  Rows where the
+        predicate is NULL (missing fields) are KEPT — Mongo deletes only
+        documents the filter actually matches."""
+        if query is None:
+            return DocumentCollection(self.df.limit(0), self.name)
+        mask = FindCompiler(self.df).compile(query)
+        return DocumentCollection(
+            self.df.filter(~F.coalesce(mask, F.lit(False))), self.name
+        )
+
     # -- update-as-join (J1) ------------------------------------------------
     def update_from(
         self,

@@ -643,6 +643,35 @@ def ds_date_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_update_many",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o.o_totalprice + 100
+                    ELSE o.o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 'expedite' ELSE CAST(NULL AS VARCHAR) END AS o_comment
+        FROM orders o
+    """,
+    doc="pymongo update_many(filter, {$inc, $set}) compiled to per-column "
+    "CASE expressions — one scan, no shuffle, no per-document loop "
+    "(docstore/collection.py::update_many); the mutable-collection idiom "
+    "the reference runs via save() loops (04/update.py), rendered "
+    "immutably.  o_comment doesn't exist in the table, so $set CREATES it "
+    "('expedite' on matches, null elsewhere — Mongo's new-field path).  "
+    "Gate-only: a conditional-projection shape.",
+    tags=("docstore", "upsert"),
+    driver_visible=False,
+)
+def ds_update_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _coll(spark, sf_dir, "orders").update_many(
+        {"o_orderpriority": "1-URGENT"},
+        {"$inc": {"o_totalprice": 100}, "$set": {"o_comment": "expedite"}},
+    )
+    return c.df.select("o_orderkey", "o_totalprice", "o_comment")
+
+
+@register(
     "ds_sort_by_count",
     oracle="""
         SELECT o_orderpriority AS _id, CAST(count(*) AS BIGINT) AS count

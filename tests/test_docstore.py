@@ -1077,6 +1077,49 @@ class TestBucketAutoAndOut:
             aggregate(fresh, [{"$merge": {"into": path, "on": "_id",
                                           "whenNotMatched": "fail"}}]).collect()
 
+    def test_update_many_operators(self, spark):
+        """update_many: $set/$inc/$unset/$min on matching rows only; $inc
+        treats missing/null as 0; new $set fields are null on non-matches."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
+            DocumentCollection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", None), (3, "a", 30.0)],
+            "_id long, grp string, score double",
+        )
+        out = DocumentCollection(df, "t").update_many(
+            {"grp": "a"},
+            {
+                "$inc": {"score": 5},
+                "$set": {"bumped": True, "double_score": {"$multiply": ["$score", 2]}},
+                "$min": {"score_floor": 0.0},
+            },
+        ).df
+        got = {r["_id"]: r for r in out.collect()}
+        assert got[1]["score"] == 15.0 and got[3]["score"] == 35.0
+        assert got[2]["score"] is None                    # non-matching untouched
+        assert got[1]["bumped"] is True and got[2]["bumped"] is None
+        assert got[1]["double_score"] == 30.0             # $set sees $inc's result
+        # $unset nulls only matching rows
+        out2 = DocumentCollection(df, "t").update_many(
+            {"_id": 1}, {"$unset": ["grp"]}
+        ).df
+        got2 = {r["_id"]: r["grp"] for r in out2.collect()}
+        assert got2 == {1: None, 2: "b", 3: "a"}
+
+    def test_delete_many_keeps_null_predicate_rows(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
+            DocumentCollection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 50.0)], "_id long, v double"
+        )
+        out = DocumentCollection(df, "t").delete_many({"v": {"$gt": 10.0}}).df
+        # row 3 deleted; row 2 (null predicate) KEPT, like Mongo
+        assert sorted(r["_id"] for r in out.collect()) == [1, 2]
+
     def test_merge_duplicate_source_keys_raise(self, spark, tmp_path):
         """Mongo aborts $merge when several pipeline docs share an `on` key
         (the on-field must identify a unique source doc)."""
