@@ -55,6 +55,25 @@ class DocumentCollection:
     def aggregate(self, pipeline: list[dict[str, Any]]) -> DataFrame:
         return aggregate(self.df, pipeline)
 
+    # -- insert surface (03/insert.py insert_many; 04 single inserts) -------
+    def insert_many(
+        self, docs: "list[dict[str, Any]] | DataFrame"
+    ) -> "DocumentCollection":
+        """``insert_many(docs)``: append documents (dicts on the collection's
+        schema, or a DataFrame — missing columns null-fill).  Immutable:
+        returns a new collection; persist with ``$out``/``$merge``."""
+        other = (
+            docs
+            if isinstance(docs, DataFrame)
+            else self.df.sparkSession.createDataFrame(docs, schema=self.df.schema)
+        )
+        return DocumentCollection(
+            self.df.unionByName(other, allowMissingColumns=True), self.name
+        )
+
+    def insert_one(self, doc: dict[str, Any]) -> "DocumentCollection":
+        return self.insert_many([doc])
+
     # -- bulk CRUD (pymongo update_many/delete_many) ------------------------
     def update_many(
         self, query: dict[str, Any] | None, update: dict[str, Any]

@@ -1108,6 +1108,22 @@ class TestBucketAutoAndOut:
         got2 = {r["_id"]: r["grp"] for r in out2.collect()}
         assert got2 == {1: None, 2: "b", 3: "a"}
 
+    def test_insert_many_and_one(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
+            DocumentCollection,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "_id long, v string")
+        c = DocumentCollection(df, "t").insert_many([{"_id": 2, "v": "b"}])
+        c = c.insert_one({"_id": 3, "v": None})
+        assert sorted((r["_id"], r["v"]) for r in c.df.collect()) == [
+            (1, "a"), (2, "b"), (3, None),
+        ]
+        # DataFrame form with missing columns null-fills
+        extra = spark.createDataFrame([(4,)], "_id long")
+        got = {r["_id"]: r["v"] for r in c.insert_many(extra).df.collect()}
+        assert got[4] is None and len(got) == 4
+
     def test_delete_many_keeps_null_predicate_rows(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
             DocumentCollection,
