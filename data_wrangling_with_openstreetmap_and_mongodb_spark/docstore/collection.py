@@ -1,10 +1,14 @@
 """DocumentCollection: the reference's pymongo surface over a DataFrame.
 
 Covers every collection-level call the reference makes (SURVEY.md §3.3):
-``find`` / ``find_one`` / ``count`` / ``distinct`` / ``aggregate``, plus the
-client-side patterns it builds on top — enrichment-update (04/update.py:56-76)
-re-expressed as a broadcast join (DataFrames are immutable; Mongo's ``save()``
-upsert becomes join + recompute, SURVEY.md §7).
+``find`` / ``find_one`` / ``count`` / ``distinct`` / ``aggregate`` /
+``insert_one`` / ``insert_many``, plus the bulk-write surface a pymongo user
+expects — ``update_many`` (Mongo update docs compiled to per-column CASE
+expressions), ``delete_many`` (null-predicate rows kept), and the
+enrichment-update pattern (04/update.py:56-76) re-expressed as a broadcast
+join.  DataFrames are immutable, so every mutator returns a NEW collection;
+Mongo's ``save()`` upsert becomes join + recompute (SURVEY.md §7), and
+persistence goes through ``$out`` / ``$merge``.
 """
 
 from __future__ import annotations
