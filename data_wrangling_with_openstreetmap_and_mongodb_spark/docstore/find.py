@@ -10,6 +10,14 @@ Semantics decisions (documented in SURVEY.md §7 "hard parts"):
   fields as nulls); for MapType columns → ``map_contains_key``.
 - Equality / ``$in`` against an *array* column matches scalar-or-member,
   like Mongo (04/find_cars.py:16 with the array-valued ``assembly``).
+- The NEGATION operators ``$ne`` / ``$nin`` / ``$not`` / ``$nor`` MATCH
+  documents whose field is null/missing — Mongo's documented behavior
+  ("including documents that do not contain the field"), which diverges
+  from SQL's null-propagating comparisons: ``$ne`` compiles to a
+  null-safe inequality and the others coalesce their (possibly-null)
+  inner predicate to false before negating.  The positive operators keep
+  SQL behavior (null comparisons never match), which coincides with
+  Mongo's.
 """
 
 from __future__ import annotations
@@ -63,7 +71,11 @@ class FindCompiler:
         if key == "$or":
             return self._fold([self.compile(q) for q in value], "or")
         if key == "$nor":
-            return ~self._fold([self.compile(q) for q in value], "or")
+            # Mongo: a doc matches $nor when every clause FAILS — including
+            # clauses that are null on it (missing fields)
+            return ~F.coalesce(
+                self._fold([self.compile(q) for q in value], "or"), F.lit(False)
+            )
         if key == "$expr":
             return self.exprs.compile_bool(value)
 
@@ -84,7 +96,10 @@ class FindCompiler:
                 return F.array_contains(col, F.lit(arg))
             return col == F.lit(arg)
         if op == "$ne":
-            return col != F.lit(arg)
+            # Mongo $ne matches docs where the field is null/missing too
+            if self._is_array_field(path):
+                return F.coalesce(~F.array_contains(col, F.lit(arg)), F.lit(True))
+            return ~col.eqNullSafe(F.lit(arg))
         if op == "$gt":
             return col > F.lit(arg)
         if op == "$gte":
@@ -98,9 +113,13 @@ class FindCompiler:
                 return F.arrays_overlap(col, F.array(*[F.lit(a) for a in arg]))
             return col.isin(list(arg))
         if op == "$nin":
+            # like $ne: null/missing fields MATCH $nin (Mongo)
             if self._is_array_field(path):
-                return ~F.arrays_overlap(col, F.array(*[F.lit(a) for a in arg]))
-            return ~col.isin(list(arg))
+                return F.coalesce(
+                    ~F.arrays_overlap(col, F.array(*[F.lit(a) for a in arg])),
+                    F.lit(True),
+                )
+            return F.coalesce(~col.isin(list(arg)), F.lit(True))
         if op == "$exists":
             is_map, head, tail = self._is_map_parent(path)
             if is_map:
@@ -118,7 +137,9 @@ class FindCompiler:
                 if isinstance(arg, dict)
                 else (col == F.lit(arg))
             )
-            return ~inner
+            # Mongo $not matches docs where the inner predicate FAILS,
+            # "including documents that do not contain the field"
+            return ~F.coalesce(inner, F.lit(False))
         if op == "$size":
             return F.size(col) == int(arg)
         if op == "$elemMatch":
