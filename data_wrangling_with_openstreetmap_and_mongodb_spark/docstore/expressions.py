@@ -77,6 +77,16 @@ class ExpressionCompiler:
                 return any(self._is_datetime(a) for a in arg)
         return False
 
+    @staticmethod
+    def _lt_total(a: Column, b: Column) -> Column:
+        """Total strict-less-than over the BSON order's null placement:
+        null < every present value, null == null.  Never returns SQL null."""
+        return F.when(a.isNull() & b.isNull(), F.lit(False)).when(
+            a.isNull(), F.lit(True)
+        ).when(b.isNull(), F.lit(False)).otherwise(
+            F.coalesce(a < b, F.lit(False))
+        )
+
     # -- main entry ----------------------------------------------------------
     def compile(self, e: Any) -> Column:
         """Compile one expression: '$field' ref, literal, or {$op: args} doc."""
@@ -193,20 +203,28 @@ class ExpressionCompiler:
             return F.coalesce(*[c(a) for a in args])
         if op == "$cmp":
             ca, cb = self._binary_args(args)
-            return (
-                F.when(ca < cb, F.lit(-1)).when(ca > cb, F.lit(1)).otherwise(F.lit(0))
-            )
-        # comparisons as expressions (used inside $cond / $project)
+            lt = self._lt_total(ca, cb)
+            gt = self._lt_total(cb, ca)
+            return F.when(lt, F.lit(-1)).when(gt, F.lit(1)).otherwise(F.lit(0))
+        # comparisons as expressions (used inside $cond / $project).  Mongo's
+        # aggregation comparisons are TOTAL over the BSON order: null equals
+        # null and sorts below every present value — unlike SQL's
+        # null-propagating operators, these always return true/false, never
+        # null (a $cond on a null comparison takes the else branch in SQL
+        # but Mongo evaluates the comparison itself).
         if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
             ca, cb = self._binary_args(args)
-            return {
-                "$eq": ca == cb,
-                "$ne": ca != cb,
-                "$gt": ca > cb,
-                "$gte": ca >= cb,
-                "$lt": ca < cb,
-                "$lte": ca <= cb,
-            }[op]
+            if op == "$eq":
+                return ca.eqNullSafe(cb)
+            if op == "$ne":
+                return ~ca.eqNullSafe(cb)
+            if op == "$lt":
+                return self._lt_total(ca, cb)
+            if op == "$gt":
+                return self._lt_total(cb, ca)
+            if op == "$lte":
+                return ~self._lt_total(cb, ca)
+            return ~self._lt_total(ca, cb)  # $gte
         if op == "$and":
             out = self.compile_bool(args[0])
             for a in args[1:]:

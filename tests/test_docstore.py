@@ -1077,6 +1077,35 @@ class TestBucketAutoAndOut:
             aggregate(fresh, [{"$merge": {"into": path, "on": "_id",
                                           "whenNotMatched": "fail"}}]).collect()
 
+    def test_expression_comparisons_are_total(self, spark):
+        """Aggregation $eq/$ne/$lt/$gt/$cmp follow Mongo's TOTAL order:
+        null == null, null < any present value — never SQL null."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import (
+            ExpressionCompiler,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, None), (2, None, 5.0), (3, 5.0, None), (4, 5.0, 5.0),
+             (5, 3.0, 5.0)],
+            "_id long, a double, b double",
+        )
+        ec = ExpressionCompiler(df)
+        out = df.select(
+            "_id",
+            ec.compile({"$eq": ["$a", "$b"]}).alias("eq"),
+            ec.compile({"$ne": ["$a", "$b"]}).alias("ne"),
+            ec.compile({"$lt": ["$a", "$b"]}).alias("lt"),
+            ec.compile({"$gte": ["$a", "$b"]}).alias("gte"),
+            ec.compile({"$cmp": ["$a", "$b"]}).alias("cmp"),
+        )
+        got = {r["_id"]: (r["eq"], r["ne"], r["lt"], r["gte"], r["cmp"])
+               for r in out.collect()}
+        assert got[1] == (True, False, False, True, 0)    # null == null
+        assert got[2] == (False, True, True, False, -1)   # null < 5
+        assert got[3] == (False, True, False, True, 1)    # 5 > null
+        assert got[4] == (True, False, False, True, 0)
+        assert got[5] == (False, True, True, False, -1)
+
     def test_update_many_operators(self, spark):
         """update_many: $set/$inc/$unset/$min on matching rows only; $inc
         treats missing/null as 0; new $set fields are null on non-matches."""
