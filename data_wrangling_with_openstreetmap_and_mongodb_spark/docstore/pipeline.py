@@ -153,12 +153,18 @@ def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
     col = ec.compile(arg)
     if op == "$avg" and _is_floating(ec, col):
         return davg(col).alias(alias)
+    if op in ("$push", "$addToSet"):
+        # Mongo keeps null inputs in $push arrays and $addToSet sets;
+        # collect_list/collect_set silently drop bare nulls, so the value
+        # rides inside a non-null single-field struct (same trick as
+        # $firstN) and projects back out.
+        gather = F.collect_list if op == "$push" else F.collect_set
+        arr = gather(F.struct(col.alias("v")))
+        return F.transform(arr, lambda s: s["v"]).alias(alias)
     return {
         "$avg": F.avg,
         "$min": F.min,
         "$max": F.max,
-        "$push": F.collect_list,
-        "$addToSet": F.collect_set,
         "$first": F.first,
         "$last": F.last,
         "$stdDevPop": F.stddev_pop,

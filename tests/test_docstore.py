@@ -1077,6 +1077,24 @@ class TestBucketAutoAndOut:
             aggregate(fresh, [{"$merge": {"into": path, "on": "_id",
                                           "whenNotMatched": "fail"}}]).collect()
 
+    def test_push_and_add_to_set_keep_nulls(self, spark):
+        """$push arrays and $addToSet sets include null inputs (Mongo);
+        collect_list/set would silently drop them."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, None), ("a", 3, 1.0), ("a", 4, 2.0)],
+            "g string, seq int, v double",
+        )
+        out = aggregate(df.orderBy("seq"), [{"$group": {
+            "_id": "$g",
+            "pushed": {"$push": "$v"},
+            "uniq": {"$addToSet": "$v"},
+        }}])
+        r = out.collect()[0]
+        assert list(r["pushed"]) == [1.0, None, 1.0, 2.0]
+        assert sorted(r["uniq"], key=lambda x: (x is None, x)) == [1.0, 2.0, None]
+
     def test_expression_comparisons_are_total(self, spark):
         """Aggregation $eq/$ne/$lt/$gt/$cmp follow Mongo's TOTAL order:
         null == null, null < any present value — never SQL null."""
