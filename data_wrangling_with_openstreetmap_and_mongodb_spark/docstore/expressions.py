@@ -187,8 +187,12 @@ class ExpressionCompiler:
         if op == "$size":
             return F.size(c(args))
         if op == "$arrayElemAt":
+            # try_: Mongo yields missing (null) for out-of-range indices;
+            # ANSI element_at would error instead
             arr, idx = args
-            return F.element_at(c(arr), int(idx) + 1 if int(idx) >= 0 else int(idx))
+            return F.try_element_at(
+                c(arr), F.lit(int(idx) + 1 if int(idx) >= 0 else int(idx))
+            )
         if op == "$in":  # expression form: [needle, haystack-array]
             needle, hay = args
             return F.array_contains(c(hay), c(needle))

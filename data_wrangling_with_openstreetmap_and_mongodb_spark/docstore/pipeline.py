@@ -802,13 +802,19 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             continue
         agg = {
             "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
-            "$push": F.collect_list, "$first": F.first, "$last": F.last,
+            "$first": F.first, "$last": F.last,
             "$stdDevPop": F.stddev_pop, "$stdDevSamp": F.stddev_samp,
         }
         if op == "$count":
             out = out.withColumn(name, F.count(F.lit(1)).over(this_w))
         elif op == "$sum" and isinstance(arg, (int, float)) and arg == 1:
             out = out.withColumn(name, F.count(F.lit(1)).over(this_w))
+        elif op == "$push":
+            # null inputs survive (same struct-wrap as the $group $push)
+            arr = F.collect_list(
+                F.struct(ec.compile(arg).alias("v"))
+            ).over(this_w)
+            out = out.withColumn(name, F.transform(arr, lambda s: s["v"]))
         elif op in agg:
             out = out.withColumn(name, agg[op](ec.compile(arg)).over(this_w))
         else:
