@@ -194,8 +194,14 @@ class ExpressionCompiler:
                 c(arr), F.lit(int(idx) + 1 if int(idx) >= 0 else int(idx))
             )
         if op == "$in":  # expression form: [needle, haystack-array]
+            # BSON total equality per element: a null needle matches a null
+            # element, and the result is always true/false (array_contains
+            # would return SQL null for either)
             needle, hay = args
-            return F.array_contains(c(hay), c(needle))
+            nc = c(needle)
+            return F.coalesce(
+                F.exists(c(hay), lambda e: e.eqNullSafe(nc)), F.lit(False)
+            )
         # conditionals
         if op == "$cond":
             if isinstance(args, dict):
