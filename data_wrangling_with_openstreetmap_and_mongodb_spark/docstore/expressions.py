@@ -148,14 +148,18 @@ class ExpressionCompiler:
         if op == "$concat":
             return F.concat(*[c(a) for a in args])
         if op == "$toLower":
-            return F.lower(c(args))
+            # Mongo: a null argument yields the EMPTY STRING (same for
+            # $toUpper/$substr), not null
+            return F.lower(F.coalesce(c(args), F.lit("")))
         if op == "$toUpper":
-            return F.upper(c(args))
+            return F.upper(F.coalesce(c(args), F.lit("")))
         if op == "$trim":
             return F.trim(c(args["input"] if isinstance(args, dict) else args))
         if op == "$substr" or op == "$substrCP":
             s, start, length = args
-            return F.substring(c(s), int(start) + 1, int(length))
+            return F.substring(
+                F.coalesce(c(s), F.lit("")), int(start) + 1, int(length)
+            )
         if op == "$split":
             s, sep = args
             return F.split(c(s), F.lit(sep), -1) if isinstance(sep, str) else F.split(c(s), sep)
