@@ -85,8 +85,11 @@ class DocumentCollection:
         """``update_many(filter, update)``: apply a Mongo update document to
         every MATCHING row; non-matching rows pass through untouched.
 
-        Supported update operators: ``$set`` (expression values, applied
-        sequentially so later fields see earlier results), ``$unset``
+        Supported update operators: ``$set`` (LITERAL values, like
+        pymongo's classic update documents — a string starting with ``$``
+        is stored verbatim, not read as a field path; expression updates
+        need Mongo's pipeline-update form, here ``aggregate([{"$set":
+        ...}])`` on the collection), ``$unset``
         (nulls the field — typed columns can't drop per-row), ``$inc`` /
         ``$mul`` (missing/null counts as 0 / 1, per Mongo's upsert-ish
         arithmetic), ``$min`` / ``$max`` (keep the smaller/larger of
@@ -94,18 +97,24 @@ class DocumentCollection:
         NEW collection — persist with ``$out`` / ``$merge``.  Compiles to
         per-column CASE expressions: one scan, no shuffle, no driver loop.
         """
-        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import (
-            ExpressionCompiler,
-        )
-
         mask = (
             FindCompiler(self.df).compile(query) if query else F.lit(True)
         )
         out = self.df
         for op, args in update.items():
             if op == "$set":
-                for f, expr in args.items():
-                    val = ExpressionCompiler(out).compile(expr)
+                for f, value in args.items():
+                    # classic update documents take $set values as LITERALS
+                    # (pymongo: {'$set': {'note': '$promo'}} stores the
+                    # string '$promo'); only the pipeline-update form
+                    # evaluates expressions (ADVICE r5)
+                    if isinstance(value, dict):
+                        raise ValueError(
+                            "update-document $set values are literals; "
+                            "expression updates need the pipeline-update "
+                            "form: aggregate([{'$set': ...}])"
+                        )
+                    val = F.lit(value)
                     prev = F.col(f) if f in out.columns else F.lit(None)
                     out = out.withColumn(f, F.when(mask, val).otherwise(prev))
             elif op == "$unset":

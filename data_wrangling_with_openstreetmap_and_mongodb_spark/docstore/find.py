@@ -35,6 +35,15 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions im
 _CMP = {"$gt", "$gte", "$lt", "$lte", "$ne", "$eq"}
 
 
+def _eq_null_safe_factory(value: Any):
+    # HOF lambdas take their arity from the parameter count, so a factory
+    # (not a default-arg closure) is required for exists()
+    def _pred(e: Column) -> Column:
+        return e.eqNullSafe(F.lit(value))
+
+    return _pred
+
+
 class FindCompiler:
     def __init__(self, df: DataFrame):
         self.df = df
@@ -109,17 +118,13 @@ class FindCompiler:
         if op == "$lte":
             return col <= F.lit(arg)
         if op == "$in":
-            if self._is_array_field(path):
-                return F.arrays_overlap(col, F.array(*[F.lit(a) for a in arg]))
-            return col.isin(list(arg))
+            return self._in_membership(path, col, list(arg))
         if op == "$nin":
-            # like $ne: null/missing fields MATCH $nin (Mongo)
-            if self._is_array_field(path):
-                return F.coalesce(
-                    ~F.arrays_overlap(col, F.array(*[F.lit(a) for a in arg])),
-                    F.lit(True),
-                )
-            return F.coalesce(~col.isin(list(arg)), F.lit(True))
+            # Mongo $nin is the exact complement of $in: null/missing fields
+            # MATCH $nin — UNLESS null is among the listed values, in which
+            # case missing fields count as "in the list" and are excluded.
+            # _in_membership is total (never SQL-null), so plain ~ suffices.
+            return ~self._in_membership(path, col, list(arg))
         if op == "$exists":
             is_map, head, tail = self._is_map_parent(path)
             if is_map:
@@ -175,6 +180,30 @@ class FindCompiler:
                 raise ValueError(f"unsupported $type alias: {arg!r}")
             return F.lit(matches[arg]) & col.isNotNull()
         raise ValueError(f"unsupported find operator: {op}")
+
+    def _in_membership(self, path: str, col: Column, values: list) -> Column:
+        """TOTAL (never SQL-null) membership test with Mongo null semantics:
+        a null/missing field is "in the list" iff the list contains null;
+        an array field matches if any element null-safe-equals a listed
+        value (or the array itself is null/missing and null is listed).
+        Totality lets ``$nin`` be the plain complement (ADVICE r5: the old
+        ``coalesce(~isin, True)`` wrongly matched null fields for
+        ``{$nin: [null]}``)."""
+        null_listed = any(v is None for v in values)
+        if not values:
+            return F.lit(False)  # {$in: []} matches nothing
+        if self._is_array_field(path):
+            preds = [
+                F.exists(col, _eq_null_safe_factory(v)) for v in values if v is not None
+            ]
+            hit = self._fold(preds, "or") if preds else F.lit(False)
+            # exists() is null on a null array; missing array counts as
+            # null-listed membership, like a missing scalar
+            return F.coalesce(hit, F.lit(False)) | (
+                F.lit(null_listed) & col.isNull()
+            )
+        preds = [col.eqNullSafe(F.lit(v)) for v in values]
+        return self._fold(preds, "or")
 
     def _elem_match(self, e: Column, spec: dict[str, Any]) -> Column:
         preds = []

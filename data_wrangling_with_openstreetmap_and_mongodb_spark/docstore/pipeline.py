@@ -740,6 +740,14 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             # the bounds scaled to microseconds.
             if not sort_by or len(sort_by) != 1:
                 raise ValueError("range windows need exactly one sortBy field")
+            if next(iter(sort_by.values())) < 0:
+                # mongod validates this: a range window's sortBy must be
+                # ascending (desc would also invert Spark's rangeBetween
+                # bounds relative to Mongo's value offsets) — ADVICE r5
+                raise ValueError(
+                    "range windows require an ascending sortBy (Mongo "
+                    "rejects descending sort on range/unit frames)"
+                )
         op, arg = next(iter(wspec.items()))
         this_w = w
         if frame is not None and "range" in frame:
@@ -925,8 +933,16 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 raise ValueError(f"$merge whenMatched pipeline stage: {stage}")
             sop, sargs = next(iter(stage.items()))
             if sop in ("$set", "$addFields"):
-                for fname, fexpr in sargs.items():
-                    pipe_overrides[fname] = mc.compile_with(pipe_overrides, fexpr)
+                # Mongo evaluates every expression in a stage against the
+                # STAGE'S INPUT document (ADVICE r5): snapshot the overrides
+                # at the stage boundary so {$set: {a: 1, b: "$a"}} reads the
+                # original a for b, then merge the stage's results at once.
+                snapshot = dict(pipe_overrides)
+                staged = {
+                    fname: mc.compile_with(snapshot, fexpr)
+                    for fname, fexpr in sargs.items()
+                }
+                pipe_overrides.update(staged)
             elif sop == "$unset":
                 for fname in [sargs] if isinstance(sargs, str) else sargs:
                     pipe_overrides[fname] = F.lit(None)

@@ -1126,7 +1126,11 @@ class TestBucketAutoAndOut:
 
     def test_update_many_operators(self, spark):
         """update_many: $set/$inc/$unset/$min on matching rows only; $inc
-        treats missing/null as 0; new $set fields are null on non-matches."""
+        treats missing/null as 0; new $set fields are null on non-matches;
+        classic $set values are LITERALS ('$'-strings stored verbatim,
+        expression dicts rejected) — ADVICE r5."""
+        import pytest
+
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
             DocumentCollection,
         )
@@ -1139,7 +1143,7 @@ class TestBucketAutoAndOut:
             {"grp": "a"},
             {
                 "$inc": {"score": 5},
-                "$set": {"bumped": True, "double_score": {"$multiply": ["$score", 2]}},
+                "$set": {"bumped": True, "note": "$promo"},
                 "$min": {"score_floor": 0.0},
             },
         ).df
@@ -1147,7 +1151,12 @@ class TestBucketAutoAndOut:
         assert got[1]["score"] == 15.0 and got[3]["score"] == 35.0
         assert got[2]["score"] is None                    # non-matching untouched
         assert got[1]["bumped"] is True and got[2]["bumped"] is None
-        assert got[1]["double_score"] == 30.0             # $set sees $inc's result
+        assert got[1]["note"] == "$promo"                 # literal, NOT a field ref
+        assert got[2]["note"] is None
+        with pytest.raises(ValueError, match="pipeline-update"):
+            DocumentCollection(df, "t").update_many(
+                {}, {"$set": {"x": {"$multiply": ["$score", 2]}}}
+            )
         # $unset nulls only matching rows
         out2 = DocumentCollection(df, "t").update_many(
             {"_id": 1}, {"$unset": ["grp"]}
@@ -1811,3 +1820,66 @@ class TestFindOperatorExtensions:
         assert autos.find({"name": {"$type": "double"}}).count() == 0
         assert autos.find({"assembly": {"$type": "array"}}).count() == 5
         assert autos.find({"dimensions": {"$type": "object"}}).count() == 5
+
+    def test_in_nin_with_null_in_list(self, spark):
+        """Mongo: null in a $in list matches null/missing fields; $nin with
+        null must therefore EXCLUDE them (ADVICE r5 — the old coalesce-true
+        wrongly matched null fields for {$nin: [null]})."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        df = spark.createDataFrame(
+            [(1, "a", [1, 2]), (2, None, None), (3, "b", [3])],
+            "_id long, s string, xs array<long>",
+        )
+        c = DocumentCollection(df, "t")
+        assert {r["_id"] for r in c.find({"s": {"$in": [None]}}).collect()} == {2}
+        assert {r["_id"] for r in c.find({"s": {"$in": ["a", None]}}).collect()} == {1, 2}
+        assert {r["_id"] for r in c.find({"s": {"$nin": [None]}}).collect()} == {1, 3}
+        assert {r["_id"] for r in c.find({"s": {"$nin": ["a", None]}}).collect()} == {3}
+        # without null in the list, $nin still matches null/missing fields
+        assert {r["_id"] for r in c.find({"s": {"$nin": ["a"]}}).collect()} == {2, 3}
+        # array fields: null-in-list matches a null/missing ARRAY
+        assert {r["_id"] for r in c.find({"xs": {"$in": [None]}}).collect()} == {2}
+        assert {r["_id"] for r in c.find({"xs": {"$in": [1, None]}}).collect()} == {1, 2}
+        assert {r["_id"] for r in c.find({"xs": {"$nin": [3, None]}}).collect()} == {1}
+        assert {r["_id"] for r in c.find({"xs": {"$nin": [9]}}).collect()} == {1, 2, 3}
+
+
+class TestAdviceR5Regressions:
+    def test_merge_pipeline_single_stage_snapshot(self, spark, tmp_path):
+        """All expressions in ONE $set stage read the STAGE'S INPUT:
+        {$set: {a: 1, b: "$a"}} gives b = ORIGINAL a (Mongo), not 1."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "snap")
+        spark.createDataFrame([(1, 10.0, 0.0)], "_id long, a double, b double").write.parquet(path)
+        src = spark.createDataFrame([(1,)], "_id long")
+        out = aggregate(src, [{"$merge": {
+            "into": path, "on": "_id",
+            "whenMatched": [{"$set": {"a": 1.0, "b": "$a"}}],
+        }}])
+        r = out.collect()[0]
+        assert (r["a"], r["b"]) == (1.0, 10.0)  # b sees the ORIGINAL a
+        # ...but a SECOND stage sees stage 1's result
+        path2 = str(tmp_path / "snap2")
+        spark.createDataFrame([(1, 10.0, 0.0)], "_id long, a double, b double").write.parquet(path2)
+        out2 = aggregate(src, [{"$merge": {
+            "into": path2, "on": "_id",
+            "whenMatched": [{"$set": {"a": 1.0}}, {"$set": {"b": "$a"}}],
+        }}])
+        r2 = out2.collect()[0]
+        assert (r2["a"], r2["b"]) == (1.0, 1.0)
+
+    def test_range_window_rejects_descending_sort(self, spark):
+        """mongod validates that a range/unit window's sortBy is ascending."""
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([("a", 1, 1.0), ("a", 2, 2.0)], "g string, k int, v double")
+        with pytest.raises(ValueError, match="ascending"):
+            aggregate(df, [{"$setWindowFields": {
+                "partitionBy": "$g",
+                "sortBy": {"k": -1},
+                "output": {"s": {"$sum": "$v", "window": {"range": [-1, 0]}}},
+            }}]).collect()

@@ -56,11 +56,15 @@ def _op(val, op, arg) -> bool:
     if op == "$ne":
         return not _op(val, "$eq", arg)  # matches null/missing (Mongo)
     if op == "$in":
+        # null in the list matches null/missing fields (Mongo)
+        if val is None:
+            return any(a is None for a in arg)
         if isinstance(val, list):
             return any(a in val for a in arg)
-        return val is not None and val in arg
+        return val in arg
     if op == "$nin":
-        return not _op(val, "$in", arg)  # matches null/missing (Mongo)
+        # exact complement: {$nin: [null]} must NOT match null/missing
+        return not _op(val, "$in", arg)
     if op == "$exists":
         return (val is not None) == bool(arg)
     if op == "$regex":
@@ -119,10 +123,10 @@ def _scalar_leaf(field, vals):
     return st.one_of(
         vals.map(lambda v: {field: v}),                                  # bare eq
         st.tuples(cmp_ops, vals).map(lambda t: {field: {t[0]: t[1]}}),
-        st.lists(vals, min_size=1, max_size=3).map(
+        st.lists(st.one_of(vals, st.none()), min_size=1, max_size=3).map(
             lambda vs: {field: {"$in": vs}}
         ),
-        st.lists(vals, min_size=1, max_size=3).map(
+        st.lists(st.one_of(vals, st.none()), min_size=1, max_size=3).map(
             lambda vs: {field: {"$nin": vs}}
         ),
         st.booleans().map(lambda b: {field: {"$exists": b}}),
@@ -145,8 +149,12 @@ _S_REGEX = st.sampled_from(["^al", "a$", "et", "^g"]).map(
 
 _X_LEAF = st.one_of(
     _X_VALS.map(lambda v: {"xs": v}),                                    # member eq
-    st.lists(_X_VALS, min_size=1, max_size=3).map(lambda vs: {"xs": {"$in": vs}}),
-    st.lists(_X_VALS, min_size=1, max_size=3).map(lambda vs: {"xs": {"$nin": vs}}),
+    st.lists(st.one_of(_X_VALS, st.none()), min_size=1, max_size=3).map(
+        lambda vs: {"xs": {"$in": vs}}
+    ),
+    st.lists(st.one_of(_X_VALS, st.none()), min_size=1, max_size=3).map(
+        lambda vs: {"xs": {"$nin": vs}}
+    ),
     st.lists(_X_VALS, min_size=1, max_size=2).map(lambda vs: {"xs": {"$all": vs}}),
     st.integers(min_value=0, max_value=4).map(lambda n: {"xs": {"$size": n}}),
     _X_VALS.map(lambda v: {"xs": {"$ne": v}}),
