@@ -29,7 +29,8 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import (
 
 # Fixed-length time unit → microseconds, shared by $setWindowFields range
 # frames and $densify.  Calendar units (month/quarter/year) have no fixed
-# micros width and raise where they would be silently wrong.
+# micros width and take the `_CAL_UNIT_MONTHS` interval-arithmetic path
+# instead (clamp-to-month-end semantics, like Mongo's $dateAdd).
 _UNIT_MICROS = {
     "millisecond": 1_000,
     "second": 1_000_000,
@@ -38,6 +39,10 @@ _UNIT_MICROS = {
     "day": 86_400 * 1_000_000,
     "week": 7 * 86_400 * 1_000_000,
 }
+
+# Calendar time unit → months; quarter/year normalize to month intervals so
+# both $densify spines and $setWindowFields range frames share one path.
+_CAL_UNIT_MONTHS = {"month": 1, "quarter": 3, "year": 12}
 
 # $group accumulators (05-analyzing-data/*.py).  $push → collect_list,
 # $addToSet → collect_set, per SURVEY.md §2.4 A6/A7.
@@ -691,6 +696,69 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     )
 
 
+def _calendar_range_window(
+    out: DataFrame,
+    name: str,
+    op: str,
+    arg: Any,
+    ec: "ExpressionCompiler",
+    part_cols: list[Column],
+    sort_by: dict[str, int],
+    lo: Any,
+    hi: Any,
+    months_per: int,
+) -> DataFrame:
+    """Calendar-unit (month/quarter/year) ``range`` frames for
+    ``$setWindowFields``.  ``Window.rangeBetween`` takes fixed numeric
+    offsets only, but Spark SQL accepts calendar ``INTERVAL`` frame bounds
+    over a timestamp ordering — ``RANGE BETWEEN INTERVAL n MONTH PRECEDING
+    AND CURRENT ROW`` — with the same clamp-to-month-end arithmetic Mongo's
+    ``$dateAdd`` uses for the bound (Jan 31 − 1 month = Dec 31; Mar 31 − 1
+    month = Feb 28).  Compile through a SQL window expression over temp
+    columns (the compiled partition key / argument land in ``__swf_pk`` /
+    ``__swf_arg`` so arbitrary expressions ride along).  quarter/year
+    normalize to months.  Still one shuffle on the partition key."""
+
+    sk = next(iter(sort_by))
+
+    def b(v: Any, is_lo: bool) -> str:
+        if v == "unbounded":
+            return "UNBOUNDED PRECEDING" if is_lo else "UNBOUNDED FOLLOWING"
+        if v == "current":
+            return "CURRENT ROW"
+        n = int(v) * months_per
+        if n == 0:
+            return "CURRENT ROW"
+        return f"INTERVAL {abs(n)} MONTH " + ("PRECEDING" if n < 0 else "FOLLOWING")
+
+    sql_fn = {
+        "$sum": "sum", "$avg": "avg", "$min": "min", "$max": "max",
+        "$first": "first", "$last": "last",
+        "$stdDevPop": "stddev_pop", "$stdDevSamp": "stddev_samp",
+    }
+    tmp = out.withColumn("__swf_sk", F.col(sk).cast("timestamp"))
+    part_sql = ""
+    if part_cols:
+        tmp = tmp.withColumn("__swf_pk", part_cols[0])
+        part_sql = "PARTITION BY __swf_pk "
+    over = (
+        f"OVER ({part_sql}ORDER BY __swf_sk ASC "
+        f"RANGE BETWEEN {b(lo, True)} AND {b(hi, False)})"
+    )
+    if op == "$count" or (op == "$sum" and isinstance(arg, (int, float)) and arg == 1):
+        expr = f"count(1) {over}"
+    elif op == "$push":
+        # null inputs survive (same struct-wrap as the rowsBetween path)
+        tmp = tmp.withColumn("__swf_arg", F.struct(ec.compile(arg).alias("v")))
+        expr = f"transform(collect_list(__swf_arg) {over}, s -> s.v)"
+    elif op in sql_fn:
+        tmp = tmp.withColumn("__swf_arg", ec.compile(arg))
+        expr = f"{sql_fn[op]}(__swf_arg) {over}"
+    else:
+        raise ValueError(f"unsupported op for calendar-unit range window: {op}")
+    return tmp.withColumn(name, F.expr(expr)).drop("__swf_sk", "__swf_pk", "__swf_arg")
+
+
 def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$setWindowFields: Mongo 5.0's window-function stage → Spark Window.
 
@@ -753,11 +821,18 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if frame is not None and "range" in frame:
             lo, hi = frame["range"]
             unit = frame.get("unit")
+            if unit in _CAL_UNIT_MONTHS:
+                out = _calendar_range_window(
+                    out, name, op, arg, ec, part_cols, sort_by, lo, hi,
+                    _CAL_UNIT_MONTHS[unit],
+                )
+                continue
             if unit is not None:
                 if unit not in _UNIT_MICROS:
                     raise ValueError(
                         f"$setWindowFields range unit {unit!r} has no fixed "
-                        "length; supported: " + "/".join(_UNIT_MICROS)
+                        "length; supported: "
+                        + "/".join([*_UNIT_MICROS, *_CAL_UNIT_MONTHS])
                     )
                 scale = _UNIT_MICROS[unit]
                 sk, sdir = next(iter(sort_by.items()))
@@ -1059,9 +1134,16 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     that collide with an observed (partition, field) drop via left-anti.
 
     ``range.unit`` (Mongo date densification): the field is a timestamp and
-    the spine steps by ``step × unit`` from each partition's min — computed
-    over ``unix_micros`` and converted back, so the spine is exact integer
-    arithmetic (fixed-length units only; calendar units raise).
+    the spine steps by ``step × unit`` from each partition's min.
+    Fixed-length units compute over ``unix_micros`` and convert back, so
+    the spine is exact integer arithmetic.  Calendar units (month/quarter/
+    year) step with ``sequence(min, max, interval n month)`` — Spark
+    computes element *k* as ``min + k·n months`` with day-of-month clamping
+    (Jan 31 + 1 month = Feb 28), the same ``$dateAdd`` arithmetic Mongo
+    uses; note Mongo increments iteratively from the previous value, which
+    only diverges when the lower bound's day-of-month exceeds 28 (clamping
+    then sticks in Mongo but not here) — densify month-truncated values to
+    avoid the edge entirely.
     """
     field = spec["field"]
     rng = spec["range"]
@@ -1069,11 +1151,15 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     unit = rng.get("unit")
     parts = rng.get("partitionByFields", [])
     bounds = rng.get("bounds", "partition")
-    if unit is not None:
+    cal_months = None
+    if unit in _CAL_UNIT_MONTHS:
+        cal_months = step * _CAL_UNIT_MONTHS[unit]
+        fcol = F.col(field).cast("timestamp")
+    elif unit is not None:
         if unit not in _UNIT_MICROS:
             raise ValueError(
-                f"$densify unit {unit!r} has no fixed length; supported: "
-                + "/".join(_UNIT_MICROS)
+                f"$densify unit {unit!r} unsupported; supported: "
+                + "/".join([*_UNIT_MICROS, *_CAL_UNIT_MONTHS])
             )
         fcol = F.unix_micros(F.col(field).cast("timestamp"))
         step = step * _UNIT_MICROS[unit]
@@ -1089,6 +1175,21 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         ext = df.groupBy(*parts).agg(F.min(fcol).alias("__mn"), F.max(fcol).alias("__mx"))
     else:
         raise ValueError(f'unsupported $densify bounds: {bounds!r}')
+    if cal_months is not None:
+        # the generator must explode BEFORE the cast expression wraps it
+        spine = ext.select(
+            *parts,
+            F.explode(
+                F.expr(f"sequence(__mn, __mx, interval {cal_months} month)")
+            ).alias(field),
+        ).select(
+            *parts, F.col(field).cast(df.schema[field].dataType).alias(field)
+        )
+        missing = spine.join(df.select(*parts, field), [*parts, field], "left_anti")
+        for c in df.columns:
+            if c != field and c not in parts:
+                missing = missing.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
+        return df.unionByName(missing.select(*df.columns))
     spine = ext.select(
         *parts, F.explode(F.sequence("__mn", "__mx", F.lit(step))).alias(field)
     )

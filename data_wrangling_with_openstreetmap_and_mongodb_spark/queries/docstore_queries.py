@@ -603,6 +603,134 @@ def ds_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_window_month_range",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(COUNT(*) OVER w2 AS BIGINT) AS trail2m_n,
+               CAST(SUM(o_orderkey) OVER w2 AS BIGINT) AS trail2m_key_sum,
+               MIN(o_totalprice) OVER wf AS next1m_min_price,
+               CAST(COUNT(*) OVER wr AS BIGINT) AS run_n
+        FROM orders
+        WINDOW
+          w2 AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 2 MONTH PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                 RANGE BETWEEN CURRENT ROW AND INTERVAL 1 MONTH FOLLOWING),
+          wr AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="$setWindowFields CALENDAR-unit range frames (Mongo 5.0 "
+    "`unit: 'month'/'year'`, new r6): no fixed micros width, so these "
+    "compile through a SQL window with INTERVAL bounds over the "
+    "timestamp-cast sortBy (docstore/pipeline.py::_calendar_range_window) "
+    "— Spark and DuckDB share the clamp-to-month-end $dateAdd arithmetic, "
+    "so the oracle replays the identical frame.  Trailing/leading/"
+    "running bounds all exercised; sums stay on the BIGINT key (window "
+    "float sums are frame-order-dependent), MIN is order-independent.  "
+    "Gate-only: the window family's driver row is nation_order_ranking.",
+    tags=("docstore", "window"),
+    driver_visible=False,
+)
+def ds_window_month_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$o_orderpriority",
+                    "sortBy": {"o_orderdate": 1},
+                    "output": {
+                        "trail2m_n": {"$count": {},
+                                      "window": {"range": [-2, 0], "unit": "month"}},
+                        "trail2m_key_sum": {"$sum": "$o_orderkey",
+                                            "window": {"range": [-2, 0],
+                                                       "unit": "month"}},
+                        "next1m_min_price": {"$min": "$o_totalprice",
+                                             "window": {"range": [0, 1],
+                                                        "unit": "month"}},
+                        "run_n": {"$count": {},
+                                  "window": {"range": ["unbounded", "current"],
+                                             "unit": "year"}},
+                    },
+                }
+            },
+            {"$project": {"o_orderkey": 1, "trail2m_n": 1, "trail2m_key_sum": 1,
+                          "next1m_min_price": 1, "run_n": 1, "_id": 0}},
+        ]
+    )
+
+
+@register(
+    "ds_densify_monthly",
+    oracle="""
+        WITH m AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders
+          WHERE o_totalprice > 400000.0
+          GROUP BY 1, 2
+        ),
+        ext AS (
+          SELECT priority, MIN(month) AS mn, MAX(month) AS mx FROM m GROUP BY 1
+        ),
+        spine AS (
+          SELECT priority,
+                 CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                             CAST(mx AS TIMESTAMP),
+                                             INTERVAL 1 MONTH)) AS DATE) AS month
+          FROM ext
+        )
+        SELECT s.priority, s.month, COALESCE(m.n, 0) AS n
+        FROM spine s LEFT JOIN m ON s.priority = m.priority AND s.month = m.month
+    """,
+    doc="$densify with a CALENDAR unit (Mongo 5.1 `unit: 'month'`, new r6): "
+    "the monthly spine steps by `sequence(min, max, interval 1 month)` per "
+    "partition (docstore/pipeline.py::_apply_densify) — month-truncated "
+    "values, so Spark's multiply-interval and Mongo/DuckDB's iterative add "
+    "agree exactly.  High-value orders are sparse per (priority, month), "
+    "so the spine genuinely inserts gap rows ($ifNull renders them 0).  "
+    "Reference analogue: the day-of-week/time bucketing family "
+    "(README.md:1202-1211).  Gate-only alongside driver row "
+    "events_gap_filled_locf (the spine+fill family).",
+    tags=("docstore", "densify"),
+    driver_visible=False,
+)
+def ds_densify_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {"$match": {"o_totalprice": {"$gt": 400000.0}}},
+            {
+                "$project": {
+                    "priority": "$o_orderpriority",
+                    "month": {"$dateTrunc": {"date": "$o_orderdate",
+                                             "unit": "month"}},
+                    "_id": 0,
+                }
+            },
+            {"$group": {"_id": {"p": "$priority", "m": "$month"},
+                        "n": {"$sum": 1}}},
+            {"$project": {"priority": "$p", "month": "$m",
+                          "n": 1, "_id": 0}},
+            {
+                "$densify": {
+                    "field": "month",
+                    "range": {"step": 1, "unit": "month",
+                              "bounds": "partition",
+                              "partitionByFields": ["priority"]},
+                }
+            },
+            {"$project": {"priority": 1,
+                          "month": {"$toDate": "$month"},
+                          "n": {"$ifNull": ["$n", 0]},
+                          "_id": 0}},
+        ]
+    )
+
+
+@register(
     "ds_date_format_tz",
     oracle="""
         SELECT strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H') AS local_hour,

@@ -1883,3 +1883,130 @@ class TestAdviceR5Regressions:
                 "sortBy": {"k": -1},
                 "output": {"s": {"$sum": "$v", "window": {"range": [-1, 0]}}},
             }}]).collect()
+
+
+class TestCalendarUnits:
+    """Calendar (month/quarter/year) units for $densify and $setWindowFields
+    range frames — new r6 (VERDICT r5 ask #1).  Interval arithmetic with
+    Mongo's clamp-to-month-end $dateAdd semantics."""
+
+    def _ts(self, y, m, d=1):
+        import datetime as dt
+
+        return dt.datetime(y, m, d)
+
+    def test_densify_monthly_partition(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", self._ts(2024, 1), 1.0), ("a", self._ts(2024, 4), 2.0),
+             ("b", self._ts(2024, 2), 5.0)],
+            "g string, ts timestamp, v double",
+        )
+        out = aggregate(df, [{"$densify": {
+            "field": "ts",
+            "range": {"step": 1, "unit": "month", "bounds": "partition",
+                      "partitionByFields": ["g"]},
+        }}]).orderBy("g", "ts").collect()
+        assert [(r["g"], r["ts"].month, r["v"]) for r in out] == [
+            ("a", 1, 1.0), ("a", 2, None), ("a", 3, None), ("a", 4, 2.0),
+            ("b", 2, 5.0),
+        ]
+
+    def test_densify_quarter_and_year_full_bounds(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", self._ts(2022, 1), 1.0), ("b", self._ts(2023, 1), 2.0)],
+            "g string, ts timestamp, v double",
+        )
+        out = aggregate(df, [{"$densify": {
+            "field": "ts",
+            "range": {"step": 1, "unit": "quarter", "bounds": "full",
+                      "partitionByFields": ["g"]},
+        }}])
+        # full bounds: both partitions span the GLOBAL 2022-01..2023-01 —
+        # 5 quarterly steps × 2 partitions
+        assert out.count() == 10
+        out2 = aggregate(df, [{"$densify": {
+            "field": "ts",
+            "range": {"step": 1, "unit": "year", "bounds": "full",
+                      "partitionByFields": ["g"]},
+        }}])
+        assert out2.count() == 4
+
+    def test_densify_month_end_clamp(self, spark):
+        """Jan 31 + k months clamps to month end (Spark computes start +
+        k·step months — documented divergence from Mongo's iterative add
+        only ABOVE day 28)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", self._ts(2024, 1, 31), 1.0), ("a", self._ts(2024, 4, 30), 2.0)],
+            "g string, ts timestamp, v double",
+        )
+        out = aggregate(df, [{"$densify": {
+            "field": "ts",
+            "range": {"step": 1, "unit": "month", "bounds": "partition",
+                      "partitionByFields": ["g"]},
+        }}]).orderBy("ts").collect()
+        assert [(r["ts"].month, r["ts"].day) for r in out] == [
+            (1, 31), (2, 29), (3, 31), (4, 30)]
+
+    def test_window_month_range_frame(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", self._ts(2024, 1, 15), 1.0), ("a", self._ts(2024, 2, 10), 2.0),
+             ("a", self._ts(2024, 2, 20), 4.0), ("a", self._ts(2024, 5, 1), 8.0),
+             ("b", self._ts(2024, 1, 1), 16.0)],
+            "g string, ts timestamp, v double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "sortBy": {"ts": 1},
+            "output": {
+                "s": {"$sum": "$v", "window": {"range": [-1, 0], "unit": "month"}},
+                "nxt": {"$count": {}, "window": {"range": [0, 1], "unit": "quarter"}},
+            },
+        }}]).orderBy("g", "ts").collect()
+        # trailing 1 month: Feb 10 sees Jan 15 (Feb10-1mo=Jan10 ≤ Jan15); Feb 20
+        # sees Jan 20..Feb 20 → misses Jan 15; May 1 sees only itself
+        assert [r["s"] for r in out] == [1.0, 3.0, 6.0, 8.0, 16.0]
+        # forward quarter: Jan 15 sees through Apr 15 (3 rows); Feb 10 sees
+        # through May 10 — including May 1 (3 rows)
+        assert [r["nxt"] for r in out] == [3, 3, 2, 1, 1]
+
+    def test_window_calendar_push_and_unbounded(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", self._ts(2024, 1), 1.0), ("a", self._ts(2024, 3), None),
+             ("a", self._ts(2024, 6), 3.0)],
+            "g string, ts timestamp, v double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "sortBy": {"ts": 1},
+            "output": {
+                "vs": {"$push": "$v",
+                       "window": {"range": ["unbounded", "current"],
+                                  "unit": "month"}},
+            },
+        }}]).orderBy("ts").collect()
+        # $push keeps the null input (struct-wrap), like the fixed-unit path
+        assert [r["vs"] for r in out] == [[1.0], [1.0, None], [1.0, None, 3.0]]
+
+    def test_window_calendar_unsupported_op_raises(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([("a", self._ts(2024, 1), 1.0)],
+                                   "g string, ts timestamp, v double")
+        with pytest.raises(ValueError, match="calendar-unit"):
+            aggregate(df, [{"$setWindowFields": {
+                "sortBy": {"ts": 1},
+                "output": {"x": {"$shift": {"output": "$v", "by": 1},
+                                 "window": {"range": [-1, 0], "unit": "month"}}},
+            }}]).collect()
