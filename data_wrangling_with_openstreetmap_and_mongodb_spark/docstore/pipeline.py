@@ -44,6 +44,23 @@ _UNIT_MICROS = {
 # both $densify spines and $setWindowFields range frames share one path.
 _CAL_UNIT_MONTHS = {"month": 1, "quarter": 3, "year": 12}
 
+
+def _require_temporal(df: DataFrame, field: str, ctx: str) -> None:
+    """mongod validates that a time-``unit`` range applies to a date field
+    ($densify field / unit-range window sortBy); mirror that check so a
+    numeric field fails loud here instead of deep in Catalyst."""
+    from pyspark.sql import types as _T
+
+    dtype = df.schema[field].dataType if field in df.columns else None
+    if not isinstance(
+        dtype, (_T.DateType, _T.TimestampType, _T.TimestampNTZType)
+    ):
+        raise ValueError(
+            f"{ctx} requires a date/timestamp field, got "
+            f"{field!r}: {dtype.simpleString() if dtype else 'missing'} "
+            "(mongod: 'the partition field must be a date')"
+        )
+
 # $group accumulators (05-analyzing-data/*.py).  $push → collect_list,
 # $addToSet → collect_set, per SURVEY.md §2.4 A6/A7.
 _ACCUMULATORS = {
@@ -821,6 +838,11 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if frame is not None and "range" in frame:
             lo, hi = frame["range"]
             unit = frame.get("unit")
+            if unit is not None:
+                # mongod validates this: a unit-range window's sortBy must
+                # be a date (value offsets are time deltas)
+                _require_temporal(out, next(iter(sort_by)),
+                                  "$setWindowFields window.unit")
             if unit in _CAL_UNIT_MONTHS:
                 out = _calendar_range_window(
                     out, name, op, arg, ec, part_cols, sort_by, lo, hi,
@@ -1152,6 +1174,8 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     parts = rng.get("partitionByFields", [])
     bounds = rng.get("bounds", "partition")
     cal_months = None
+    if unit is not None:
+        _require_temporal(df, field, "$densify range.unit")
     if unit in _CAL_UNIT_MONTHS:
         cal_months = step * _CAL_UNIT_MONTHS[unit]
         fcol = F.col(field).cast("timestamp")

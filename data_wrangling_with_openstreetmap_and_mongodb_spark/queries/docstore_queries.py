@@ -667,7 +667,7 @@ def ds_window_month_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH m AS (
           SELECT o_orderpriority AS priority,
-                 CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM orders
           WHERE o_totalprice > 400000.0
@@ -678,9 +678,7 @@ def ds_window_month_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spine AS (
           SELECT priority,
-                 CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
-                                             CAST(mx AS TIMESTAMP),
-                                             INTERVAL 1 MONTH)) AS DATE) AS month
+                 unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
           FROM ext
         )
         SELECT s.priority, s.month, COALESCE(m.n, 0) AS n

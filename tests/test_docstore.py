@@ -610,14 +610,19 @@ class TestDensifyFill:
         ]
         assert [(t, v) for k, t, v in got if k == "b"] == [(t0, 9.0)]
 
-    def test_densify_calendar_unit_raises(self, spark):
+    def test_densify_unit_requires_date_field(self, spark):
+        """Any time unit (fixed or calendar) over a non-date field raises,
+        mirroring mongod's validation (calendar units themselves compile
+        since r6 — covered by test_densify_monthly_spine + the
+        ds_densify_monthly oracle gate)."""
         import pytest
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
 
         df = spark.createDataFrame([("a", 1.0)], "k string, v double")
-        with pytest.raises(ValueError, match="no fixed length"):
-            aggregate(df, [{"$densify": {"field": "v",
-                "range": {"step": 1, "unit": "month", "bounds": "full"}}}])
+        for unit in ("month", "hour"):
+            with pytest.raises(ValueError, match="date/timestamp"):
+                aggregate(df, [{"$densify": {"field": "v",
+                    "range": {"step": 1, "unit": unit, "bounds": "full"}}}])
 
     def test_fill_linear_interpolation(self, spark):
         """$fill linear: interpolate between surrounding non-nulls by the
@@ -996,8 +1001,9 @@ class TestBucketAutoAndOut:
         with pytest.raises(ValueError, match="requires sortBy"):
             aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
                 "output": {"r": {"$rank": {}}}}}])
-        with pytest.raises(ValueError, match="range unit"):
-            # calendar units have no fixed micros width → explicit raise
+        with pytest.raises(ValueError, match="date/timestamp"):
+            # a unit range (calendar or fixed) needs a date-typed sortBy,
+            # per mongod validation (calendar units compile since r6)
             aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
                 "sortBy": {"v": 1},
                 "output": {"s": {"$sum": "$v",
