@@ -591,3 +591,63 @@ def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select("user_id", "event_id", "event_type", ts_micros(ev).alias("t"))
     return scd2_from_changes(ev, "user_id", "t", "event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# S13/S14 analogue at the binary-container level: Avro round trip on real
+# data.  The stdlib Avro codec (sources/avrox.py) writes a container copy of
+# `orders` (long/string/double/date type families), reads it back through
+# deliberately tiny byte-range splits (multi-block, multi-split decode), and
+# aggregates; the oracle runs the same aggregate on the parquet original, so
+# a single mis-decoded value, dropped block, or double-decoded block flips
+# the hash.  Reference analogue: the JSON write→reload identity in
+# data.py:138-151, upgraded to a binary format with sync-marker splitting.
+# ---------------------------------------------------------------------------
+@register(
+    "etl_avro_roundtrip",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MAX(o_orderkey) AS max_key,
+               {dsum_sql("o_totalprice")} AS sum_price,
+               MIN(CAST(o_orderdate AS DATE)) AS min_date,
+               MAX(CAST(o_orderdate AS DATE)) AS max_date
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Avro object-container round trip (sources/avrox.py, stdlib codec): "
+    "orders → deflate .avro (multi-block) → split-parallel read at 64 KiB "
+    "split granularity → aggregate.  Writes confined to /tmp "
+    "(overwrite-idempotent per invocation).  Driver-visible: novel family "
+    "(first non-parquet binary round-trip source with an oracle), rotated "
+    "in for avg_balance_by_nation_segment per the r7 window policy.",
+    tags=("source", "avro", "roundtrip"),
+)
+def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.avrox import (
+        read_avro,
+        write_avro,
+    )
+
+    base = os.path.join(
+        "/tmp/spark_graft_gate", os.path.basename(sf_dir.rstrip("/")), "avro_orders"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+        "o_orderpriority",
+    )
+    write_avro(orders, base, codec="deflate", block_rows=1024)
+    back = read_avro(spark, base, split_bytes=64 << 10)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_orderkey").alias("max_key"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_date").alias("min_date"),
+        F.max("o_date").alias("max_date"),
+    )

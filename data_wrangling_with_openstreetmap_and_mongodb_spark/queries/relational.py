@@ -235,8 +235,12 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
         GROUP BY c_nationkey, c_mktsegment
     """,
-    doc="$group compound _id + $avg (05/avg_population.py:37-39)",
+    doc="$group compound _id + $avg (05/avg_population.py:37-39).  Parked "
+    "from the driver window in r7 (near-dup of pricing_summary's "
+    "compound-key aggregate) to rotate in etl_avro_roundtrip; stays in "
+    "the oracle-parity gate.",
     tags=("agg",),
+    driver_visible=False,
 )
 def avg_balance_by_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")

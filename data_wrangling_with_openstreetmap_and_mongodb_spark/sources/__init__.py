@@ -1,8 +1,12 @@
 """Sources & sinks layer (SURVEY.md §2.1 S1–S20): CSV (plain, positional,
 metadata-prologue, pipe-delimited sink, good/bad fork), JSON (+lines sink),
-OSM XML parse+shape, generic XML split/extract, stdlib HTML scraping, and
-dependency-gated Excel."""
+OSM XML parse+shape, generic XML split/extract, stdlib HTML scraping,
+dependency-gated Excel, and the stdlib Avro container codec."""
 
+from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.avrox import (
+    read_avro,
+    write_avro,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.csvx import (
     first_line_meta,
     read_csv,
@@ -61,6 +65,7 @@ __all__ = [
     "first_line_meta",
     "http_json_fetcher",
     "process_map",
+    "read_avro",
     "read_csv",
     "read_csv_positional",
     "read_csv_with_prologue",
@@ -78,6 +83,7 @@ __all__ = [
     "split_concatenated_xml",
     "split_good_bad",
     "tag_key_class_counts",
+    "write_avro",
     "write_good_bad",
     "write_jsonl",
     "write_pipe_csv",

@@ -82,28 +82,52 @@ def _write_long(out: bytearray, v: int) -> None:
 
 
 def _parse_header(f) -> tuple[dict[str, bytes], bytes, int]:
-    """Read the container header: (metadata, sync_marker, header_len)."""
-    head = f.read(1 << 16)
-    if head[:4] != _MAGIC:
+    """Read the container header: (metadata, sync_marker, header_len).
+
+    The buffer grows on demand, so a metadata block (schema JSON) larger
+    than the initial 64 KiB read parses correctly instead of truncating;
+    a header that ends mid-field raises explicitly."""
+    buf = bytearray(f.read(1 << 16))
+
+    def ensure(end: int) -> None:
+        while len(buf) < end:
+            more = f.read(max(end - len(buf), 1 << 16))
+            if not more:
+                raise ValueError("truncated Avro header (unexpected EOF)")
+            buf.extend(more)
+
+    ensure(4)
+    if bytes(buf[:4]) != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
-    mv = memoryview(head)
+
+    def read_long_at(pos: int) -> tuple[int, int]:
+        ensure(pos + 1)
+        while True:
+            try:
+                return _read_long(buf, pos)
+            except IndexError:
+                ensure(len(buf) + 1)
+
     pos = 4
     meta: dict[str, bytes] = {}
     while True:
-        count, pos = _read_long(mv, pos)
+        count, pos = read_long_at(pos)
         if count == 0:
             break
         if count < 0:  # block with byte-size prefix
             count = -count
-            _, pos = _read_long(mv, pos)
+            _, pos = read_long_at(pos)
         for _ in range(count):
-            klen, pos = _read_long(mv, pos)
-            key = bytes(mv[pos : pos + klen]).decode("utf-8")
+            klen, pos = read_long_at(pos)
+            ensure(pos + klen)
+            key = bytes(buf[pos : pos + klen]).decode("utf-8")
             pos += klen
-            vlen, pos = _read_long(mv, pos)
-            meta[key] = bytes(mv[pos : pos + vlen])
+            vlen, pos = read_long_at(pos)
+            ensure(pos + vlen)
+            meta[key] = bytes(buf[pos : pos + vlen])
             pos += vlen
-    sync = bytes(mv[pos : pos + 16])
+    ensure(pos + 16)
+    sync = bytes(buf[pos : pos + 16])
     return meta, sync, pos + 16
 
 
@@ -118,13 +142,16 @@ def _resolve(sch: Any, names: dict[str, Any]) -> Any:
     return sch
 
 
-def _avro_to_spark(sch: Any, names: dict[str, Any]) -> T.DataType:
+def _avro_to_spark(sch: Any, names: dict[str, Any], path: str = "$") -> T.DataType:
     sch = _resolve(sch, names)
     if isinstance(sch, list):  # union
         non_null = [s for s in sch if s != "null"]
         if len(non_null) != 1:
-            raise ValueError(f"general Avro unions unsupported: {sch!r}")
-        return _avro_to_spark(non_null[0], names)
+            raise ValueError(
+                f"general Avro unions unsupported at field {path!r}: {sch!r} "
+                "(only [\"null\", T] unions map to a Spark type)"
+            )
+        return _avro_to_spark(non_null[0], names, path)
     if isinstance(sch, dict):
         t = sch["type"]
         lt = sch.get("logicalType")
@@ -139,7 +166,11 @@ def _avro_to_spark(sch: Any, names: dict[str, Any]) -> T.DataType:
             return T.StructType(
                 [
                     T.StructField(
-                        fld["name"], _avro_to_spark(fld["type"], names), True
+                        fld["name"],
+                        _avro_to_spark(
+                            fld["type"], names, f"{path}.{fld['name']}"
+                        ),
+                        True,
                     )
                     for fld in sch["fields"]
                 ]
@@ -151,12 +182,16 @@ def _avro_to_spark(sch: Any, names: dict[str, Any]) -> T.DataType:
             names[sch["name"]] = sch
             return T.BinaryType()
         if t == "array":
-            return T.ArrayType(_avro_to_spark(sch["items"], names), True)
+            return T.ArrayType(
+                _avro_to_spark(sch["items"], names, f"{path}[]"), True
+            )
         if t == "map":
             return T.MapType(
-                T.StringType(), _avro_to_spark(sch["values"], names), True
+                T.StringType(),
+                _avro_to_spark(sch["values"], names, f"{path}{{}}"),
+                True,
             )
-        return _avro_to_spark(t, names)  # wrapped primitive / named ref
+        return _avro_to_spark(t, names, path)  # wrapped primitive / named ref
     prim = {
         "null": T.NullType(),
         "boolean": T.BooleanType(),
@@ -168,7 +203,7 @@ def _avro_to_spark(sch: Any, names: dict[str, Any]) -> T.DataType:
         "string": T.StringType(),
     }
     if sch not in prim:
-        raise ValueError(f"unknown Avro type: {sch!r}")
+        raise ValueError(f"unknown Avro type at field {path!r}: {sch!r}")
     return prim[sch]
 
 
