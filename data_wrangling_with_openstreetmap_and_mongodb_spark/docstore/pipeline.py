@@ -928,14 +928,17 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
 
 class _MergeCompiler(ExpressionCompiler):
-    """Compiles ``$merge`` whenMatched-pipeline expressions: bare ``$field``
-    paths read the TARGET row (join alias ``t``), seeing any overrides from
-    earlier pipeline stages (Mongo stages run sequentially), while ``$$var``
-    references resolve through the ``let`` bindings to SOURCE-side columns."""
+    """Compiles ``$merge`` update/insert-pipeline expressions: bare
+    ``$field`` paths read the row on join side ``alias`` (``t`` = target for
+    the whenMatched pipeline, ``s`` = source for the whenNotMatched insert
+    pipeline), seeing any overrides from earlier pipeline stages (Mongo
+    stages run sequentially), while ``$$var`` references resolve through the
+    ``let`` bindings to SOURCE-side columns."""
 
-    def __init__(self, target_df: DataFrame, env: dict[str, Column]):
-        super().__init__(target_df)
+    def __init__(self, base_df: DataFrame, env: dict[str, Column], alias: str = "t"):
+        super().__init__(base_df)
         self._env.update(env)
+        self._alias = alias
         self._overrides: dict[str, Column] = {}
 
     def compile_with(self, overrides: dict[str, Column], e: Any) -> Column:
@@ -945,11 +948,58 @@ class _MergeCompiler(ExpressionCompiler):
     def compile(self, e: Any) -> Column:
         if isinstance(e, str) and e.startswith("$") and not e.startswith("$$"):
             head, _, rest = e[1:].partition(".")
-            out = self._overrides.get(head, F.col(f"t.{head}"))
+            out = self._overrides.get(head, F.col(f"{self._alias}.{head}"))
             for part in rest.split(".") if rest else []:
                 out = out.getField(part)
             return out
         return super().compile(e)
+
+
+def _merge_let_env(df: DataFrame, spec: dict[str, Any]) -> dict[str, Column]:
+    """``let`` bindings for a $merge pipeline: ``$$ROOT`` and bare ``$field``
+    values read the SOURCE document (Mongo scoping; default
+    ``{"new": "$$ROOT"}``)."""
+    src_root = F.struct(*[F.col(f"s.{c}").alias(c) for c in df.columns])
+    let = spec.get("let") or {"new": "$$ROOT"}
+    env: dict[str, Column] = {}
+    for var, v in let.items():
+        if v == "$$ROOT":
+            env[var] = src_root
+        elif isinstance(v, str) and v.startswith("$") and not v.startswith("$$"):
+            env[var] = F.col(f"s.{v[1:]}")  # let exprs see the SOURCE doc
+        else:
+            env[var] = F.lit(v)
+    return env
+
+
+def _compile_merge_pipeline(
+    stages: list, mc: _MergeCompiler, label: str
+) -> dict[str, Column]:
+    """Compile a $merge ``$set``/``$addFields``/``$unset`` pipeline into
+    ``{field: Column}`` overrides, snapshotting at each stage boundary so
+    every expression in a stage reads the STAGE'S INPUT document (Mongo
+    semantics; ADVICE r5)."""
+    overrides: dict[str, Column] = {}
+    for stage in stages:
+        if not isinstance(stage, dict) or len(stage) != 1:
+            raise ValueError(f"$merge {label} pipeline stage: {stage}")
+        sop, sargs = next(iter(stage.items()))
+        if sop in ("$set", "$addFields"):
+            snapshot = dict(overrides)
+            staged = {
+                fname: mc.compile_with(snapshot, fexpr)
+                for fname, fexpr in sargs.items()
+            }
+            overrides.update(staged)
+        elif sop == "$unset":
+            for fname in [sargs] if isinstance(sargs, str) else sargs:
+                overrides[fname] = F.lit(None)
+        else:
+            raise ValueError(
+                f"$merge {label} pipeline supports $set/$addFields/"
+                f"$unset, got {sop}"
+            )
+    return overrides
 
 
 def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
@@ -972,6 +1022,14 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     source document), exactly Mongo's scoping.  The pipeline compiles to
     per-column CASE expressions on the matched side of the same full-outer
     join — still one shuffle, no per-document execution.
+
+    ``whenNotMatched`` may likewise be an INSERT PIPELINE: the same
+    ``$set``/``$addFields``/``$unset`` stage algebra evaluated per unmatched
+    source row, where bare ``$field`` paths read the SOURCE document (no
+    target row exists) and ``$$var`` bindings are shared with the matched
+    side; the result is the inserted document.  Setting an ``on`` key
+    raises (the key comes from the join and cannot be modified).  Compiles
+    to CASE expressions on the source-only side of the same join.
 
     One full-outer join on the key, then a staged rewrite (write to a
     sibling ``__merge_tmp`` dir, read back, overwrite the target) because
@@ -1013,41 +1071,30 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     # stages into {field: Column} overrides for matched rows
     pipe_overrides: dict[str, Column] | None = None
     if isinstance(when_matched, list):
-        src_root = F.struct(*[F.col(f"s.{c}").alias(c) for c in df.columns])
-        let = spec.get("let") or {"new": "$$ROOT"}
-        env: dict[str, Column] = {}
-        for var, v in let.items():
-            if v == "$$ROOT":
-                env[var] = src_root
-            elif isinstance(v, str) and v.startswith("$") and not v.startswith("$$"):
-                env[var] = F.col(f"s.{v[1:]}")  # let exprs see the SOURCE doc
-            else:
-                env[var] = F.lit(v)
-        mc = _MergeCompiler(target, env)
-        pipe_overrides = {}
-        for stage in when_matched:
-            if not isinstance(stage, dict) or len(stage) != 1:
-                raise ValueError(f"$merge whenMatched pipeline stage: {stage}")
-            sop, sargs = next(iter(stage.items()))
-            if sop in ("$set", "$addFields"):
-                # Mongo evaluates every expression in a stage against the
-                # STAGE'S INPUT document (ADVICE r5): snapshot the overrides
-                # at the stage boundary so {$set: {a: 1, b: "$a"}} reads the
-                # original a for b, then merge the stage's results at once.
-                snapshot = dict(pipe_overrides)
-                staged = {
-                    fname: mc.compile_with(snapshot, fexpr)
-                    for fname, fexpr in sargs.items()
-                }
-                pipe_overrides.update(staged)
-            elif sop == "$unset":
-                for fname in [sargs] if isinstance(sargs, str) else sargs:
-                    pipe_overrides[fname] = F.lit(None)
-            else:
-                raise ValueError(
-                    f"$merge whenMatched pipeline supports $set/$addFields/"
-                    f"$unset, got {sop}"
-                )
+        pipe_overrides = _compile_merge_pipeline(
+            when_matched,
+            _MergeCompiler(target, _merge_let_env(df, spec), alias="t"),
+            "whenMatched",
+        )
+
+    # whenNotMatched insert-pipeline form: same stage algebra on the
+    # UNMATCHED side — bare $field paths read the SOURCE document (there is
+    # no target row to read), $$vars resolve through the same let bindings,
+    # and the result is the inserted document.  The 'on' key itself comes
+    # from the join key and cannot be modified (Mongo contract).
+    ins_overrides: dict[str, Column] | None = None
+    if isinstance(when_not_matched, list):
+        ins_overrides = _compile_merge_pipeline(
+            when_not_matched,
+            _MergeCompiler(df, _merge_let_env(df, spec), alias="s"),
+            "whenNotMatched",
+        )
+        bad_keys = sorted(set(ins_overrides) & set(keys))
+        if bad_keys:
+            raise ValueError(
+                f"$merge whenNotMatched pipeline cannot modify the 'on' "
+                f"key(s): {bad_keys}"
+            )
 
     out_cols: list[Column] = [F.col(k) for k in keys]
     fail_conds = []
@@ -1076,43 +1123,64 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if pipe_overrides is not None
         else []
     )
-    extra_src = [c for c in df.columns if c not in target.columns] + [
-        c for c in pipe_new if c not in df.columns
-    ]
+    ins_new = (
+        [c for c in ins_overrides if c not in target.columns and c not in keys]
+        if ins_overrides is not None
+        else []
+    )
+    extra_src = [c for c in df.columns if c not in target.columns]
+    extra_src += [c for c in pipe_new if c not in df.columns and c not in extra_src]
+    extra_src += [c for c in ins_new if c not in df.columns and c not in extra_src]
+
+    def ins_val(c: str, s_c: Column) -> Column:
+        """Value written for an UNMATCHED source row: the insert-pipeline
+        override when one exists, the source column otherwise."""
+        if ins_overrides is not None:
+            return ins_overrides.get(c, s_c)
+        return s_c
+
     for c in value_cols:
         t_c, s_c = F.col(f"t.{c}"), (F.col(f"s.{c}") if c in df.columns else F.lit(None))
+        i_c = ins_val(c, s_c)
         if pipe_overrides is not None:
             upd = pipe_overrides.get(c, t_c)
-            val = F.when(src_only, s_c).otherwise(F.when(matched, upd).otherwise(t_c))
+            val = F.when(src_only, i_c).otherwise(F.when(matched, upd).otherwise(t_c))
         elif when_matched == "replace":
-            val = F.when(matched | src_only, s_c).otherwise(t_c)
+            val = F.when(src_only, i_c).otherwise(F.when(matched, s_c).otherwise(t_c))
         elif when_matched == "keepExisting":
-            val = F.when(src_only, s_c).otherwise(t_c)
+            val = F.when(src_only, i_c).otherwise(t_c)
         elif when_matched == "merge":
-            val = F.when(src_only, s_c).otherwise(F.coalesce(s_c, t_c))
+            val = F.when(src_only, i_c).otherwise(F.coalesce(s_c, t_c))
         elif when_matched == "fail":
-            val = F.when(src_only, s_c).otherwise(t_c)
+            val = F.when(src_only, i_c).otherwise(t_c)
         else:
             raise ValueError(f"unsupported whenMatched: {when_matched!r}")
         out_cols.append(val.alias(c))
     for c in extra_src:
         s_c = F.col(f"s.{c}") if c in df.columns else F.lit(None)
+        i_c = ins_val(c, s_c)
         if c in pipe_new:
             # field introduced by the update pipeline: set on matched rows,
-            # source value (usually absent → null) on inserts
-            val = F.when(matched, pipe_overrides[c]).otherwise(s_c)
+            # insert-pipeline value (or source value, usually absent → null)
+            # on inserts
+            val = F.when(matched, pipe_overrides[c]).otherwise(
+                F.when(src_only, i_c)
+            )
         elif when_matched in ("keepExisting", "fail") or pipe_overrides is not None:
             # keepExisting/fail leave the matched document ENTIRELY
             # unchanged — a matched row must not absorb source-only fields
             # (pipeline form likewise only changes what $set names)
-            val = F.when(src_only, s_c)
+            val = F.when(src_only, i_c)
         else:
-            val = s_c
+            val = F.when(src_only, i_c).otherwise(s_c)
         out_cols.append(val.alias(c))
     result = joined.select(*out_cols)
     if when_not_matched == "discard":
         result = joined.filter(~src_only).select(*out_cols)
-    elif when_not_matched not in ("insert", "fail"):
+    elif not isinstance(when_not_matched, list) and when_not_matched not in (
+        "insert",
+        "fail",
+    ):
         raise ValueError(f"unsupported whenNotMatched: {when_not_matched!r}")
     staged = into.rstrip("/") + "__merge_tmp"
     result.write.mode("overwrite").parquet(staged)

@@ -1260,3 +1260,62 @@ def ds_graph_reachable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.dst").alias("edge_dst"),
         F.col("e.lvl").alias("lvl"),
     )
+
+
+@register(
+    "ds_merge_insert_pipeline",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+               'INSERTED' AS o_orderpriority
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+    """,
+    doc="$merge whenNotMatched INSERT-PIPELINE form on real parquet: a "
+    "target materializes via $out (keys %10==0), a wider source (%5==0) "
+    "merges with whenMatched: keepExisting and a whenNotMatched pipeline "
+    "[$set total*2 + a literal priority tag] — matched target rows pass "
+    "through untouched, unmatched source docs insert TRANSFORMED.  The "
+    "oracle is the closed-form UNION.  Writes confined to /tmp "
+    "(overwrite-idempotent per invocation).  Gate-only: the merge "
+    "family's driver row is upsert_supplier_acctbal.",
+    tags=("docstore", "upsert"),
+    driver_visible=False,
+)
+def ds_merge_insert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    base = os.path.join(
+        "/tmp/spark_graft_gate", os.path.basename(sf_dir.rstrip("/")), "merge_ins_t"
+    )
+    tgt_src = _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {"$match": {"$expr": {"$eq": [{"$mod": ["$o_orderkey", 10]}, 0]}}},
+            {"$project": {"o_orderkey": 1, "o_totalprice": 1,
+                          "o_orderpriority": 1, "_id": 0}},
+            {"$out": base},
+        ]
+    )
+    src = (
+        _coll(spark, sf_dir, "orders")
+        .find(
+            {"$expr": {"$eq": [{"$mod": ["$o_orderkey", 5]}, 0]}},
+            {"o_orderkey": 1, "o_totalprice": 1, "_id": 0},
+        )
+    )
+    return DocumentCollection(src, "incoming").aggregate(
+        [
+            {
+                "$merge": {
+                    "into": base,
+                    "on": "o_orderkey",
+                    "whenMatched": "keepExisting",
+                    "whenNotMatched": [
+                        {"$set": {"o_totalprice": {"$multiply": ["$o_totalprice", 2]},
+                                  "o_orderpriority": "INSERTED"}}
+                    ],
+                }
+            }
+        ]
+    )

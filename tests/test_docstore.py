@@ -1288,6 +1288,71 @@ class TestBucketAutoAndOut:
         }}])
         assert {r["_id"]: r["v"] for r in out.collect()} == {1: 107.0}
 
+    def test_merge_when_not_matched_pipeline(self, spark, tmp_path):
+        """whenNotMatched insert-pipeline form: unmatched source docs run
+        the $set/$unset stage algebra before inserting — $field reads the
+        SOURCE document, stages apply sequentially with stage-boundary
+        snapshots, $unset nulls a field, new fields extend the schema —
+        while matched target rows follow whenMatched untouched."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "t7")
+        spark.createDataFrame(
+            [(1, 10.0, "t1"), (2, 20.0, "t2")],
+            "_id long, total double, tag string",
+        ).write.parquet(path)
+        src = spark.createDataFrame(
+            [(2, 5.0, "s2"), (4, 40.0, "s4")], "_id long, total double, tag string"
+        )
+        out = aggregate(src, [{"$merge": {
+            "into": path, "on": "_id",
+            "whenMatched": "keepExisting",
+            "whenNotMatched": [
+                {"$set": {"total": {"$multiply": ["$total", 10]}}},
+                # sees stage-1's total (sequential), reads source tag
+                {"$set": {"audit": {"$concat": ["ins:", "$tag"]},
+                          "scaled": {"$add": ["$total", 1]}}},
+                {"$unset": "tag"},
+            ],
+        }}])
+        got = {
+            r["_id"]: (r["total"], r["tag"], r["audit"], r["scaled"])
+            for r in out.collect()
+        }
+        assert got[1] == (10.0, "t1", None, None)  # untouched target row
+        assert got[2] == (20.0, "t2", None, None)  # matched, keepExisting
+        assert got[4] == (400.0, None, "ins:s4", 401.0)  # pipeline insert
+
+    def test_merge_both_pipelines_share_let(self, spark, tmp_path):
+        """whenMatched AND whenNotMatched pipelines in one $merge: the
+        matched side reads target fields + $$vars, the insert side reads
+        source fields + the same $$vars."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "t8")
+        spark.createDataFrame([(1, 100.0)], "_id long, v double").write.parquet(path)
+        src = spark.createDataFrame([(1, 7.0), (9, 3.0)], "_id long, v double")
+        out = aggregate(src, [{"$merge": {
+            "into": path, "on": "_id",
+            "let": {"delta": "$v"},
+            "whenMatched": [{"$set": {"v": {"$add": ["$v", "$$delta"]}}}],
+            "whenNotMatched": [{"$set": {"v": {"$multiply": ["$$delta", -1]}}}],
+        }}])
+        assert {r["_id"]: r["v"] for r in out.collect()} == {1: 107.0, 9: -3.0}
+
+    def test_merge_insert_pipeline_cannot_set_key(self, spark, tmp_path):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        path = str(tmp_path / "t9")
+        spark.createDataFrame([(1, 1.0)], "_id long, v double").write.parquet(path)
+        src = spark.createDataFrame([(2, 2.0)], "_id long, v double")
+        with pytest.raises(ValueError, match="cannot modify the 'on' key"):
+            aggregate(src, [{"$merge": {
+                "into": path, "on": "_id",
+                "whenNotMatched": [{"$set": {"_id": 99}}],
+            }}])
+
     def test_first_last_n_keep_nulls(self, spark):
         """$firstN/$lastN include null inputs (unlike $minN/$maxN, which
         skip them) — Mongo's documented asymmetry."""
