@@ -278,14 +278,18 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
       (referencing foreign fields as ``$f`` and ``let`` variables as
       ``$$v``) becomes the JOIN condition, which is how a correlated
       sub-query distributes: one join, not a per-document sub-pipeline.
-      Residual stages, in Mongo stage order: optional ``{"$sort": {...}}``
-      + optional ``{"$limit": n}`` ("top 3 related docs each" — compiled to
+      Residual stages, in Mongo stage order: optional LEADING
+      ``{"$project": {...}}`` (narrows/computes the document the rest of
+      the sub-pipeline sees — the following ``$sort`` may reference its
+      computed fields), optional ``{"$sort": {...}}`` + optional
+      ``{"$limit": n}`` ("top 3 related docs each" — compiled to
       ``row_number`` over the join partitioned by the LOCAL document, so
       the limit prunes BEFORE the array builds, never a per-doc
       sub-pipeline; the result array comes back in sort order via the
-      embedded rank), then optional ``{"$project": {...}}`` narrowing the
-      collected structs.  ``$limit`` without ``$sort`` raises — its result
-      order would be nondeterministic.  Anything else raises.
+      embedded rank), then optional trailing ``{"$project": {...}}``
+      narrowing the collected structs (when no leading one was given).
+      ``$limit`` without ``$sort`` raises — its result order would be
+      nondeterministic.  Anything else raises.
     """
     from_df: DataFrame = spec["from"]
     alias = spec["as"]
@@ -306,32 +310,44 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         cond = fec.compile_bool(pipe[0]["$match"]["$expr"])
         rest = pipe[1:]
         sort_spec = limit_n = proj = None
+        proj_leading = False
         i = 0
+        # Mongo stage order: a $project may come BEFORE the $sort (narrowing
+        # the document the sort sees) or after the $limit (narrowing only
+        # the collected structs) — both compile to the same one-exchange
+        # window-over-join plan; the leading form additionally lets the
+        # $sort reference computed projection fields.
+        if i < len(rest) and "$project" in rest[i]:
+            proj = rest[i]["$project"]
+            proj_leading = True
+            i += 1
         if i < len(rest) and "$sort" in rest[i]:
             sort_spec = rest[i]["$sort"]
             i += 1
         if i < len(rest) and "$limit" in rest[i]:
             limit_n = int(rest[i]["$limit"])
             i += 1
-        if i < len(rest) and "$project" in rest[i]:
+        if proj is None and i < len(rest) and "$project" in rest[i]:
             proj = rest[i]["$project"]
             i += 1
         if i != len(rest):
             raise ValueError(
                 "$lookup pipeline form supports [$match $expr] + optional "
-                "$sort + optional $limit + optional trailing $project, in "
-                f"that order; got residual stage {rest[i]}"
+                "$project + optional $sort + optional $limit + optional "
+                f"trailing $project, in that order; got residual stage {rest[i]}"
             )
         if limit_n is not None and sort_spec is None:
             raise ValueError(
                 "$lookup $limit needs a preceding $sort (deterministic top-k)"
             )
+        proj_cols: dict[str, Column] | None = None
         if proj is not None:
             fields = [
                 (name, fec.compile(expr) if not isinstance(expr, int) else F.col(f"__f__.{name}"))
                 for name, expr in proj.items()
                 if name != "_id"
             ]
+            proj_cols = dict(fields)
             matched = F.struct(*[c.alias(n) for n, c in fields])
         else:
             matched = F.struct(*[F.col(f"__f__.{c}") for c in from_df.columns])
@@ -348,10 +364,25 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             # mixed sort directions — the rank is always ascending).  The
             # window and the groupBy share the same partition keys, so the
             # exchange is reused: still one shuffle.
-            order_cols = [
-                F.col(f"__f__.{k}").asc() if v >= 0 else F.col(f"__f__.{k}").desc()
-                for k, v in sort_spec.items()
-            ]
+            if proj_leading:
+                # after a leading $project only projected fields exist
+                # (Mongo); sort keys resolve through the projection, so a
+                # computed field sorts by its expression
+                missing = [k for k in sort_spec if k not in proj_cols]
+                if missing:
+                    raise ValueError(
+                        "$lookup $sort after $project can only reference "
+                        f"projected fields; missing: {missing}"
+                    )
+                order_cols = [
+                    proj_cols[k].asc() if v >= 0 else proj_cols[k].desc()
+                    for k, v in sort_spec.items()
+                ]
+            else:
+                order_cols = [
+                    F.col(f"__f__.{k}").asc() if v >= 0 else F.col(f"__f__.{k}").desc()
+                    for k, v in sort_spec.items()
+                ]
             w = Window.partitionBy(*[F.col(c) for c in df.columns]).orderBy(*order_cols)
             ranked = joined.withColumn("__rn", F.row_number().over(w))
             if limit_n is not None:

@@ -1319,3 +1319,63 @@ def ds_merge_insert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ]
     )
+
+
+@register(
+    "ds_lookup_proj_sort",
+    oracle="""
+        WITH ranked AS (
+            SELECT c_custkey, o_orderkey,
+                   o_totalprice * -1 AS neg_price,
+                   ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                      ORDER BY o_totalprice * -1 ASC,
+                                               o_orderkey ASC) AS rn
+            FROM customer JOIN orders ON o_custkey = c_custkey
+        )
+        SELECT c_custkey, CAST(rn - 1 AS BIGINT) AS ord_idx,
+               o_orderkey, neg_price
+        FROM ranked WHERE rn <= 3
+    """,
+    doc="$lookup with a LEADING $project before the $sort (ADVICE r5 #4 / "
+    "VERDICT r6 ask #3): the projection computes neg_price = -o_totalprice "
+    "and the per-document $sort ranks by that COMPUTED field, so the sort "
+    "resolves through the projection rather than the foreign schema.  "
+    "Same one-join one-exchange window plan as ds_lookup_topn; the "
+    "$unwind includeArrayIndex again replays array ORDER against the "
+    "oracle rank.  Gate-only: near-dup of ds_lookup_topn's shape.",
+    tags=("docstore", "join", "window"),
+    driver_visible=False,
+)
+def ds_lookup_proj_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return _coll(spark, sf_dir, "customer").aggregate(
+        [
+            {"$project": {"c_custkey": 1, "_id": 0}},
+            {
+                "$lookup": {
+                    "from": orders,
+                    "let": {"ck": "$c_custkey"},
+                    "pipeline": [
+                        {"$match": {"$expr": {"$eq": ["$o_custkey", "$$ck"]}}},
+                        {"$project": {
+                            "o_orderkey": 1,
+                            "neg_price": {"$multiply": ["$o_totalprice", -1]},
+                        }},
+                        {"$sort": {"neg_price": 1, "o_orderkey": 1}},
+                        {"$limit": 3},
+                    ],
+                    "as": "top_orders",
+                }
+            },
+            {"$unwind": {"path": "$top_orders", "includeArrayIndex": "ord_idx"}},
+            {
+                "$project": {
+                    "c_custkey": 1,
+                    "ord_idx": 1,
+                    "o_orderkey": "$top_orders.o_orderkey",
+                    "neg_price": "$top_orders.neg_price",
+                    "_id": 0,
+                }
+            },
+        ]
+    )

@@ -914,6 +914,67 @@ class TestBucketAutoAndOut:
         r1 = {r["cid"]: [x["item"] for x in r["all_sorted"]] for r in out2.collect()}
         assert r1[1] == ["a", "c", "b", "d"]
 
+    def test_lookup_pipeline_leading_project_before_sort(self, spark):
+        """A $project may precede the $sort (Mongo stage order): the sort
+        then references PROJECTED fields — including computed ones — and
+        the collected structs carry the projection."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame([(1,), (2,), (3,)], "cid long")
+        foreign = spark.createDataFrame(
+            [(1, "a", 10.0, 0.5), (1, "b", 30.0, 0.9), (1, "c", 20.0, 0.1),
+             (2, "e", 5.0, 1.0)],
+            "cust long, item string, price double, w double",
+        )
+        out = aggregate(local, [{"$lookup": {
+            "from": foreign,
+            "let": {"c": "$cid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                {"$project": {"item": 1,
+                              "score": {"$multiply": ["$price", "$w"]}}},
+                {"$sort": {"score": -1}},
+                {"$limit": 2},
+            ],
+            "as": "top2",
+        }}])
+        got = {r["cid"]: [(x["item"], x["score"]) for x in r["top2"]]
+               for r in out.collect()}
+        # scores: a=5.0, b=27.0, c=2.0 -> top2 desc = b, a; cid 2: e=5.0
+        assert got == {1: [("b", 27.0), ("a", 5.0)], 2: [("e", 5.0)], 3: []}
+
+    def test_lookup_sort_after_project_requires_projected_field(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame([(1,)], "cid long")
+        foreign = spark.createDataFrame(
+            [(1, "x", 2.0)], "cust long, item string, price double"
+        )
+        with pytest.raises(ValueError, match="projected fields"):
+            aggregate(local, [{"$lookup": {
+                "from": foreign, "let": {"c": "$cid"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                    {"$project": {"item": 1}},
+                    {"$sort": {"price": 1}},  # price was projected away
+                ],
+                "as": "xs",
+            }}])
+        with pytest.raises(ValueError, match="residual stage"):
+            # two $projects (leading AND trailing) is not a Mongo shape we
+            # compile — the leading one already defines the struct
+            aggregate(local, [{"$lookup": {
+                "from": foreign, "let": {"c": "$cid"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                    {"$project": {"item": 1}},
+                    {"$sort": {"item": 1}},
+                    {"$project": {"item": 1}},
+                ],
+                "as": "xs",
+            }}])
+
     def test_set_window_fields(self, spark):
         """$setWindowFields: Mongo's DEFAULT window is the entire partition
         even with sortBy (running totals need an explicit

@@ -284,6 +284,12 @@ class TestRound5Plans:
         assert "BroadcastHashJoin" in plan
         assert plan.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in plan
+        # the leading-$project variant (sort by a COMPUTED projected field)
+        # must keep the exact same one-exchange shape
+        plan2 = executed_plan(q("ds_lookup_proj_sort", spark, sf_dir))
+        assert "BroadcastHashJoin" in plan2
+        assert plan2.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan2
 
     def test_media_decode_is_exchange_free(self, spark, sf_dir):
         """Real codec decode: payload bytes must NEVER shuffle — the whole
