@@ -48,10 +48,12 @@ _CAL_UNIT_MONTHS = {"month": 1, "quarter": 3, "year": 12}
 def _require_temporal(df: DataFrame, field: str, ctx: str) -> None:
     """mongod validates that a time-``unit`` range applies to a date field
     ($densify field / unit-range window sortBy); mirror that check so a
-    numeric field fails loud here instead of deep in Catalyst."""
+    numeric field fails loud here instead of deep in Catalyst.  Dotted
+    paths resolve through nested structs (ADVICE r6: ``meta.ts`` was
+    reported 'missing' by a top-level ``in df.columns`` test)."""
     from pyspark.sql import types as _T
 
-    dtype = df.schema[field].dataType if field in df.columns else None
+    dtype = ExpressionCompiler(df).field_type(field)
     if not isinstance(
         dtype, (_T.DateType, _T.TimestampType, _T.TimestampNTZType)
     ):
@@ -108,8 +110,13 @@ def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
             return F.count(F.lit(1)).alias(alias)
         col = ec.compile(arg)
         # Floating sums accumulate via exact decimals (functions/detagg.py) so
-        # results are independent of partitioning/summation order.
-        return (dsum(col) if _is_floating(ec, col) else F.sum(col)).alias(alias)
+        # results are independent of partitioning/summation order.  Mongo's
+        # $sum of NO numeric values is 0, never null — SQL SUM over an
+        # all-null group returns null, so coalesce restores Mongo semantics
+        # (caught by tests/test_pipeline_properties.py).
+        if _is_floating(ec, col):
+            return F.coalesce(dsum(col), F.lit(0.0)).alias(alias)
+        return F.coalesce(F.sum(col), F.lit(0).cast("long")).alias(alias)
     if op == "$count":
         return F.count(F.lit(1)).alias(alias)
     if op in ("$minN", "$maxN"):
@@ -448,10 +455,21 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     The local document's identity is its full column tuple (same
     convention as ``$lookup``'s groupBy) — duplicate local rows would
     collapse, matching the join-back contract documented there.
+
+    Engine extension ``"method": "doubling"`` switches to pointer-doubling
+    traversal (:func:`_apply_graph_lookup_doubling`): O(log d) rounds
+    instead of O(d) for DEEP chains, at the price of materializing the
+    value-graph's reachability closure.  The frontier loop stays the
+    default (oracle-checkable, closure-free).
     """
     from_df: DataFrame = spec["from"]
     if not isinstance(from_df, DataFrame):
         raise ValueError("$graphLookup 'from' must be a DataFrame (no shared catalog)")
+    method = spec.get("method", "frontier")
+    if method == "doubling":
+        return _apply_graph_lookup_doubling(df, spec)
+    if method != "frontier":
+        raise ValueError(f"$graphLookup method must be frontier/doubling: {method!r}")
     alias = spec["as"]
     conn_from, conn_to = spec["connectFromField"], spec["connectToField"]
     depth_field = spec.get("depthField")
@@ -518,6 +536,20 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             ) + ">"
         )
         return df.withColumn(alias, empty_struct)
+    return _graph_collect(df, doc_cols, reached, from_df, alias, depth_field)
+
+
+def _graph_collect(
+    df: DataFrame,
+    doc_cols: list[str],
+    reached: DataFrame,
+    from_df: DataFrame,
+    alias: str,
+    depth_field: str | None,
+) -> DataFrame:
+    """Shared $graphLookup tail: collapse ``reached`` (doc_cols…, __doc,
+    __depth) to shallowest-depth members, collect the array, and null-safe
+    join it back onto the local frame (empty array for no-reach docs)."""
     # a doc reached via several depths keeps its SHALLOWEST depth (Mongo)
     best = reached.groupBy(*doc_cols, "__doc").agg(F.min("__depth").alias("__depth"))
     member = (
@@ -535,7 +567,7 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     arrays = best.groupBy(*doc_cols).agg(
         F.collect_list(member).alias(alias)
     )
-    # null-safe join back (same reason as the visited anti-join above)
+    # null-safe join back (doc identity columns may legitimately hold nulls)
     back_cond = None
     for c in doc_cols:
         eq = F.col(f"__ol__.{c}").eqNullSafe(F.col(f"__oa__.{c}"))
@@ -547,6 +579,115 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     # docs that reached nothing get an EMPTY array, not null (Mongo)
     fill = F.coalesce(F.col(alias), F.array().cast(arrays.schema[alias].dataType))
     return out.withColumn(alias, fill)
+
+
+def _apply_graph_lookup_doubling(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """Pointer-doubling $graphLookup (VERDICT r6 ask #6): min-distance
+    reachability over the VALUE graph (edge ``connectToField`` value →
+    ``connectFromField`` value per foreign doc) computed by repeated
+    self-composition — each round doubles the path-length horizon, so a
+    depth-d chain needs ⌈log2 d⌉ rounds instead of d.
+
+    The closure seeds with identity pairs (v, v, 0), which makes one
+    min-composition per round a superset of the previous closure (identity
+    ∘ pair = pair) — no separate union.  With ``maxDepth`` the round count
+    is FIXED (⌈log2 maxDepth⌉ — zero driver actions in the loop); without
+    it, one (count, sum-of-distance) action per round detects convergence:
+    composition can only add pairs or shrink distances, so unchanged stats
+    mean a fixed point.  Every pair with true distance ≤ the horizon holds
+    its exact minimum (a shortest path ≤ 2^(k+1) splits into two halves
+    ≤ 2^k), and overestimated longer pairs converge before the loop exits.
+
+    Trade-off vs the frontier loop: the closure materializes up to
+    O(reachable pairs) rows — a chain of length L holds L(L+1)/2 pairs —
+    so this wins when depth (stage-sync rounds) dominates, i.e. long thin
+    chains, and loses on broad shallow graphs.  Kept opt-in for exactly
+    that reason.
+    """
+    from_df: DataFrame = spec["from"]
+    alias = spec["as"]
+    conn_from, conn_to = spec["connectFromField"], spec["connectToField"]
+    depth_field = spec.get("depthField")
+    max_depth = spec.get("maxDepth")
+
+    ec = ExpressionCompiler(df)
+    doc_cols = list(df.columns)
+    starts = df.select(
+        *doc_cols, ec.compile(spec["startWith"]).alias("__v")
+    ).distinct()
+
+    # value graph; null endpoints can never equi-match a traversal step
+    edges = (
+        from_df.select(
+            F.col(conn_to).alias("__src"), F.col(conn_from).alias("__dst")
+        )
+        .filter(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        edges.select("__src")
+        .union(edges.select(F.col("__dst").alias("__src")))
+        .union(starts.select(F.col("__v").alias("__src")).filter(F.col("__v").isNotNull()))
+        .distinct()
+    )
+    ident = nodes.select(
+        "__src", F.col("__src").alias("__dst"), F.lit(0).alias("__d")
+    )
+    closure = (
+        ident.unionByName(edges.withColumn("__d", F.lit(1)))
+        .groupBy("__src", "__dst")
+        .agg(F.min("__d").alias("__d"))
+        .localCheckpoint()
+    )
+
+    def compose(c: DataFrame) -> DataFrame:
+        comp = (
+            c.alias("__a")
+            .join(c.alias("__b"), F.col("__a.__dst") == F.col("__b.__src"))
+            .select(
+                F.col("__a.__src").alias("__src"),
+                F.col("__b.__dst").alias("__dst"),
+                (F.col("__a.__d") + F.col("__b.__d")).alias("__d"),
+            )
+        )
+        return (
+            comp.groupBy("__src", "__dst").agg(F.min("__d").alias("__d"))
+            .localCheckpoint()
+        )
+
+    if max_depth is not None:
+        md = int(max_depth)
+        horizon = 1
+        while horizon < md:
+            closure = compose(closure)
+            horizon *= 2
+    else:
+        prev = closure.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__d").alias("s")
+        ).collect()[0]
+        for _ in range(48):  # converges in ceil(log2(diameter)) + 1 rounds
+            closure = compose(closure)
+            cur = closure.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("__d").alias("s")
+            ).collect()[0]
+            if (cur["n"], cur["s"]) == (prev["n"], prev["s"]):
+                break
+            prev = cur
+
+    foreign = from_df.alias("__g__")
+    reached = (
+        starts.alias("__s")
+        .join(closure.alias("__c"), F.col("__s.__v") == F.col("__c.__src"))
+        .join(foreign, F.col("__c.__dst") == F.col(f"__g__.{conn_to}"))
+        .select(
+            *[F.col(f"__s.{c}").alias(c) for c in doc_cols],
+            F.struct(*[F.col(f"__g__.{c}") for c in from_df.columns]).alias("__doc"),
+            F.col("__c.__d").alias("__depth"),
+        )
+    )
+    if max_depth is not None:
+        reached = reached.filter(F.col("__depth") <= int(max_depth))
+    return _graph_collect(df, doc_cols, reached, from_df, alias, depth_field)
 
 
 def _apply_bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
@@ -951,6 +1092,12 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 F.struct(ec.compile(arg).alias("v"))
             ).over(this_w)
             out = out.withColumn(name, F.transform(arr, lambda s: s["v"]))
+        elif op == "$sum":
+            # Mongo: $sum over a window with no numeric values is 0, never
+            # null (same rule as the $group accumulator)
+            out = out.withColumn(
+                name, F.coalesce(F.sum(ec.compile(arg)).over(this_w), F.lit(0))
+            )
         elif op in agg:
             out = out.withColumn(name, agg[op](ec.compile(arg)).over(this_w))
         else:
@@ -1267,6 +1414,10 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     avoid the edge entirely.
     """
     field = spec["field"]
+    if "." in field:
+        # the spine CONSTRUCTS new docs carrying `field`, which needs a
+        # top-level column (same restriction as $unwind)
+        raise ValueError("$densify of a nested path: project the field first")
     rng = spec["range"]
     step = int(rng["step"])
     unit = rng.get("unit")
