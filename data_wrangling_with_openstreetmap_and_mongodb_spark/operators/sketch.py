@@ -181,7 +181,12 @@ def bloom_build(
     size — bit positions reduce through a (word → bit_or) hash-aggregation,
     so the driver receives at most n_bits/64 rows, never keys — but n_bits
     itself must be a broadcast-worthy size.  2^16–2^23 bits covers benchmark
-    suites; corpus-sized sets belong in a join, not a Bloom filter.
+    suites (the bitmap lands on the DRIVER and re-enters the plan as one
+    literal array, so past ~2^20 bits plan size becomes the limit);
+    corpus-sized sets belong in a join, not a Bloom filter.  For multi-GB
+    filters at the 100 TB design point use
+    :func:`bloom_build_distributed` + :func:`bloom_filter_distributed`,
+    which keep the words executor-side end to end.
     """
     pos = F.explode(
         F.array(*bloom_positions(F.col(key_col), n_bits, n_hashes, seed))
@@ -234,6 +239,99 @@ def bloom_might_contain(
     for c in checks[1:]:
         out = out & c
     return out
+
+
+def bloom_build_distributed(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 5,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """The same (word → bit_or) reduction as :func:`bloom_build`, but the
+    words NEVER reach the driver: returns a lazy DataFrame of sparse
+    ``(w int, word long)`` rows (zero words absent).  This is the 100 TB
+    path — a 2^30-bit filter is 128 MB of words, fine as a shuffled
+    aggregate, fatal as a driver list re-entering the plan as a literal."""
+    pos = F.explode(
+        F.array(*bloom_positions(F.col(key_col), n_bits, n_hashes, seed))
+    ).alias("p")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("p") / F.lit(64)).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_bitmap_df(words_df: DataFrame, n_bits: int) -> DataFrame:
+    """Collapse the sparse words into ONE row carrying the dense bitmap as
+    an ``array<long>`` column ``__bloom_bitmap`` — the executor-side
+    equivalent of :func:`bloom_build`'s driver list.  The single row then
+    broadcasts to consumers; the bitmap itself moves executor→executor,
+    never through a plan literal."""
+    n_words = n_bits // 64
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("w"), F.col("word")))
+    )
+    return words_df.agg(entries.alias("__m")).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.try_element_at(F.col("__m"), i), F.lit(0).cast("long")),
+        ).alias("__bloom_bitmap")
+    )
+
+
+def bloom_might_contain_col(
+    key: Column,
+    bitmap: Column,
+    n_bits: int,
+    n_hashes: int = 5,
+    seed: int = BLOOM_SEED,
+) -> Column:
+    """:func:`bloom_might_contain` reading the bitmap from a COLUMN (the
+    1-row broadcast array) instead of a plan literal — same bit algebra."""
+
+    def _one_bit(p: Column) -> Column:
+        word = F.element_at(bitmap, ((p / F.lit(64)).cast("int") + F.lit(1)))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        return word.bitwiseAND(mask) != 0
+
+    checks = [_one_bit(p) for p in bloom_positions(key, n_bits, n_hashes, seed)]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_filter_distributed(
+    corpus: DataFrame,
+    key_col: str,
+    words_df: DataFrame,
+    n_bits: int,
+    n_hashes: int = 5,
+    seed: int = BLOOM_SEED,
+    negate: bool = False,
+) -> DataFrame:
+    """Filter ``corpus`` to rows whose key MIGHT be in the filter (or
+    definitely is NOT, with ``negate``) without the bitmap ever touching
+    the driver: the dense bitmap row cross-joins in as a 1-row broadcast
+    (BroadcastNestedLoopJoin over one row — no shuffle of the corpus, no
+    per-row join probe; the bit tests stay codegen'd expressions)."""
+    bm = bloom_bitmap_df(words_df, n_bits)
+    cond = bloom_might_contain_col(
+        F.col(key_col), F.col("__bloom_bitmap"), n_bits, n_hashes, seed
+    )
+    if negate:
+        cond = ~cond
+    return (
+        corpus.crossJoin(F.broadcast(bm)).filter(cond).drop("__bloom_bitmap")
+    )
 
 
 def bloom_pass_sql(

@@ -274,3 +274,82 @@ class TestLinearCounting:
         [m1] = lc_estimate(merged_bits, m=4096).collect()
         [m2] = lc_estimate(whole_bits, m=4096).collect()
         assert m1 == m2
+
+
+class TestBloomDistributed:
+    def test_distributed_words_equal_driver_bitmap(self, spark):
+        """bloom_build_distributed's dense bitmap (executor-side) must be
+        word-for-word identical to bloom_build's driver list."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+            bloom_bitmap_df,
+            bloom_build,
+            bloom_build_distributed,
+        )
+
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(400)], "k string")
+        n_bits = 1 << 10
+        driver_words = bloom_build(keys, "k", n_bits=n_bits, n_hashes=4)
+        dist = bloom_build_distributed(keys, "k", n_bits=n_bits, n_hashes=4)
+        dense = bloom_bitmap_df(dist, n_bits).collect()[0]["__bloom_bitmap"]
+        assert list(dense) == driver_words
+
+    def test_distributed_filter_equals_literal_filter(self, spark):
+        """bloom_filter_distributed (1-row broadcast bitmap) must pass
+        exactly the rows the plan-literal path passes — including the same
+        false positives (identical hash family, identical bits)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+            bloom_build,
+            bloom_build_distributed,
+            bloom_filter_distributed,
+            bloom_might_contain,
+        )
+
+        members = spark.createDataFrame([(f"in{i}",) for i in range(150)], "k string")
+        n_bits = 1 << 9  # tight: force false positives so they compare too
+        probe = spark.createDataFrame(
+            [(f"in{i}",) for i in range(150)] + [(f"out{i}",) for i in range(400)],
+            "k string",
+        )
+        words = bloom_build(members, "k", n_bits=n_bits, n_hashes=3)
+        lit_pass = {
+            r["k"]
+            for r in probe.filter(
+                bloom_might_contain(F.col("k"), words, n_bits=n_bits, n_hashes=3)
+            ).collect()
+        }
+        dist = bloom_build_distributed(members, "k", n_bits=n_bits, n_hashes=3)
+        dist_pass = {
+            r["k"]
+            for r in bloom_filter_distributed(
+                probe, "k", dist, n_bits=n_bits, n_hashes=3
+            ).collect()
+        }
+        assert dist_pass == lit_pass
+        assert all(f"in{i}" in dist_pass for i in range(150))  # no false negatives
+        # negate flips to the definite-absent complement
+        neg = {
+            r["k"]
+            for r in bloom_filter_distributed(
+                probe, "k", dist, n_bits=n_bits, n_hashes=3, negate=True
+            ).collect()
+        }
+        assert neg == {r["k"] for r in probe.collect()} - dist_pass
+
+    def test_distributed_filter_plan_shape(self, spark):
+        """The consumption plan must be a 1-row BroadcastNestedLoopJoin —
+        the corpus never shuffles and the words never enter a plan literal."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
+            bloom_build_distributed,
+            bloom_filter_distributed,
+        )
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        members = spark.createDataFrame([("a",), ("b",)], "k string")
+        dist = bloom_build_distributed(members, "k", n_bits=512, n_hashes=4)
+        probe = spark.range(500).select(F.concat(F.lit("p"), F.col("id")).alias("k"))
+        out = bloom_filter_distributed(probe, "k", dist, n_bits=512, n_hashes=4)
+        plan = executed_plan(out)
+        assert "BroadcastNestedLoopJoin" in plan
+        # the corpus side stays shuffle-free: the only exchange is the tiny
+        # words aggregation feeding the broadcast
+        assert "Exchange hashpartitioning" not in plan.split("BroadcastNestedLoopJoin")[0]
