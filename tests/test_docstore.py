@@ -795,6 +795,66 @@ class TestBucketAutoAndOut:
         got0 = {r["id"]: [x["id"] for x in r["reach"]] for r in capped.collect()}
         assert got0 == {"a": ["b"], "b": ["c"], "c": ["a"]}  # direct hop only
 
+    def _run_graph(self, aggregate, docs, spec_extra):
+        out = aggregate(docs, [{"$graphLookup": {
+            "from": docs, "startWith": "$nxt",
+            "connectFromField": "nxt", "connectToField": "id",
+            "as": "reach", "depthField": "lvl", **spec_extra,
+        }}])
+        return {
+            r["id"]: sorted((x["id"], x["lvl"]) for x in r["reach"])
+            for r in out.collect()
+        }
+
+    def test_graph_lookup_doubling_equals_frontier(self, spark):
+        """Pointer-doubling traversal (method: doubling) must produce the
+        exact frontier-loop result — docs, shallowest depths, empty arrays —
+        on a deep chain, a cycle, and with maxDepth caps."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        # deep chain: n0 -> n1 -> ... -> n40 (frontier: 40 rounds;
+        # doubling: 6 compositions)
+        chain = spark.createDataFrame(
+            [(f"n{i}", f"n{i+1}" if i < 40 else None) for i in range(41)],
+            "id string, nxt string",
+        )
+        assert self._run_graph(aggregate, chain, {"method": "doubling"}) == \
+            self._run_graph(aggregate, chain, {})
+
+        # cycle: min-depth semantics must survive the closure
+        cyc = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "id string, nxt string"
+        )
+        assert self._run_graph(aggregate, cyc, {"method": "doubling"}) == \
+            self._run_graph(aggregate, cyc, {})
+
+        # maxDepth (incl. 0: direct hop only) — fixed-round doubling path
+        for md in (0, 1, 3, 7):
+            assert self._run_graph(
+                aggregate, chain, {"method": "doubling", "maxDepth": md}
+            ) == self._run_graph(aggregate, chain, {"maxDepth": md}), md
+
+        # branching graph: one root fans out, several nodes share targets
+        fan = spark.createDataFrame(
+            [("r", "x"), ("x", "y"), ("x2", "y"), ("y", "z"), ("z", None),
+             ("q", "x2"), ("lone", None)],
+            "id string, nxt string",
+        )
+        assert self._run_graph(aggregate, fan, {"method": "doubling"}) == \
+            self._run_graph(aggregate, fan, {})
+
+    def test_graph_lookup_unknown_method_raises(self, spark):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        docs = spark.createDataFrame([("a", "b")], "id string, nxt string")
+        with pytest.raises(ValueError, match="frontier/doubling"):
+            aggregate(docs, [{"$graphLookup": {
+                "from": docs, "startWith": "$nxt",
+                "connectFromField": "nxt", "connectToField": "id",
+                "as": "r", "method": "bfs",
+            }}])
+
     def test_graph_lookup_null_doc_columns_in_cycle(self, spark):
         """A doc with a NULL identity column sitting on a cycle must still
         terminate (null-safe visited set) and join its results back."""
@@ -1073,6 +1133,71 @@ class TestBucketAutoAndOut:
             aggregate(df, [{"$setWindowFields": {"partitionBy": "$g",
                 "output": {"s": {"$sum": "$v", "window": {"range": [-1, 0]}}}}}])
 
+    def test_window_unit_range_nested_sortby(self, spark):
+        """A unit-range window's sortBy may be a NESTED date path (e.g.
+        meta.ts) — the temporal validation resolves dotted paths through
+        the struct schema instead of reporting them missing (ADVICE r6)."""
+        import datetime as dt
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        rows = [
+            ("a", 1.0, dt.datetime(2024, 1, 1, 10, 0)),
+            ("a", 2.0, dt.datetime(2024, 1, 1, 10, 30)),
+            ("a", 4.0, dt.datetime(2024, 1, 1, 12, 30)),
+        ]
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(rows, "g string, v double, ts timestamp").select(
+            "g", "v", F.struct(F.col("ts")).alias("meta")
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "sortBy": {"meta.ts": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1, 0], "unit": "hour"}}},
+        }}])
+        got = sorted((r["v"], r["s"]) for r in out.collect())
+        # trailing 1h: 10:00 -> 1; 10:30 -> 3 (both morning); 12:30 -> 4
+        assert got == [(1.0, 1.0), (2.0, 3.0), (4.0, 4.0)]
+        # calendar unit through the same nested resolution
+        out2 = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "sortBy": {"meta.ts": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [0, 1], "unit": "month"}}},
+        }}])
+        # forward month frame per row: 10:00 sees all (7), 10:30 sees
+        # itself + 12:30 (6), 12:30 only itself (4)
+        assert sorted((r["v"], r["s"]) for r in out2.collect()) == [
+            (1.0, 7.0), (2.0, 6.0), (4.0, 4.0)
+        ]
+        # a NUMERIC nested path still fails the temporal validation
+        import pytest
+
+        df2 = df.select("g", "v", F.struct(F.col("v").alias("ts")).alias("meta"))
+        with pytest.raises(ValueError, match="date/timestamp"):
+            aggregate(df2, [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"meta.ts": 1},
+                "output": {"s": {"$sum": "$v",
+                                 "window": {"range": [-1, 0], "unit": "hour"}}},
+            }}])
+
+    def test_densify_nested_field_raises(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [("a", 1.0)], "g string, v double"
+        ).select("g", F.struct(F.col("v")).alias("m"))
+        with pytest.raises(ValueError, match="project the field first"):
+            aggregate(df, [{"$densify": {
+                "field": "m.v", "range": {"step": 1, "bounds": "full"},
+            }}])
+
     def test_merge_upsert_modes(self, spark, tmp_path):
         """$merge whenMatched replace/keepExisting/merge + whenNotMatched
         insert/discard against a real parquet target."""
@@ -1224,6 +1349,15 @@ class TestBucketAutoAndOut:
             DocumentCollection(df, "t").update_many(
                 {}, {"$set": {"x": {"$multiply": ["$score", 2]}}}
             )
+        # a PLAIN dict is a literal embedded document (Mongo stores the
+        # subdocument; only $-prefixed keys mean "expression") — ADVICE r6
+        out3 = DocumentCollection(df, "t").update_many(
+            {"grp": "a"},
+            {"$set": {"meta": {"kind": "promo", "pts": 2, "tags": ["x", "y"]}}},
+        ).df
+        got3 = {r["_id"]: r["meta"] for r in out3.collect()}
+        assert got3[1].asDict() == {"kind": "promo", "pts": 2, "tags": ["x", "y"]}
+        assert got3[2] is None
         # $unset nulls only matching rows
         out2 = DocumentCollection(df, "t").update_many(
             {"_id": 1}, {"$unset": ["grp"]}
