@@ -25,6 +25,24 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import (
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
 
 
+def _set_literal(value: Any):
+    """Classic-update $set literal → Column: scalars via ``lit``, dicts as
+    literal embedded documents (struct, like Mongo), lists as literal
+    arrays.  A dict with $-prefixed keys is an (unsupported here)
+    expression — those need the pipeline-update form."""
+    if isinstance(value, dict):
+        if any(isinstance(k, str) and k.startswith("$") for k in value):
+            raise ValueError(
+                "update-document $set values are literals; expression "
+                "updates need the pipeline-update form: "
+                "aggregate([{'$set': ...}])"
+            )
+        return F.struct(*[_set_literal(v).alias(k) for k, v in value.items()])
+    if isinstance(value, (list, tuple)):
+        return F.array(*[_set_literal(v) for v in value])
+    return F.lit(value)
+
+
 class DocumentCollection:
     def __init__(self, df: DataFrame, name: str = "collection"):
         self.df = df
@@ -87,9 +105,11 @@ class DocumentCollection:
 
         Supported update operators: ``$set`` (LITERAL values, like
         pymongo's classic update documents — a string starting with ``$``
-        is stored verbatim, not read as a field path; expression updates
-        need Mongo's pipeline-update form, here ``aggregate([{"$set":
-        ...}])`` on the collection), ``$unset``
+        is stored verbatim, not read as a field path; a plain dict stores
+        as a literal embedded document/struct and a list as a literal
+        array; only dicts with $-prefixed keys are rejected as
+        expressions, which need Mongo's pipeline-update form, here
+        ``aggregate([{"$set": ...}])`` on the collection), ``$unset``
         (nulls the field — typed columns can't drop per-row), ``$inc`` /
         ``$mul`` (missing/null counts as 0 / 1, per Mongo's upsert-ish
         arithmetic), ``$min`` / ``$max`` (keep the smaller/larger of
@@ -106,15 +126,11 @@ class DocumentCollection:
                 for f, value in args.items():
                     # classic update documents take $set values as LITERALS
                     # (pymongo: {'$set': {'note': '$promo'}} stores the
-                    # string '$promo'); only the pipeline-update form
-                    # evaluates expressions (ADVICE r5)
-                    if isinstance(value, dict):
-                        raise ValueError(
-                            "update-document $set values are literals; "
-                            "expression updates need the pipeline-update "
-                            "form: aggregate([{'$set': ...}])"
-                        )
-                    val = F.lit(value)
+                    # string '$promo'); a plain dict is a literal EMBEDDED
+                    # DOCUMENT (struct), per Mongo — only a dict with
+                    # $-prefixed keys looks like an expression, which needs
+                    # the pipeline-update form (ADVICE r5/r6)
+                    val = _set_literal(value)
                     prev = F.col(f) if f in out.columns else F.lit(None)
                     out = out.withColumn(f, F.when(mask, val).otherwise(prev))
             elif op == "$unset":

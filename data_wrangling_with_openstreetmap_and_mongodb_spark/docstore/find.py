@@ -44,6 +44,10 @@ def _eq_null_safe_factory(value: Any):
     return _pred
 
 
+def _is_null_elem(e: Column) -> Column:
+    return e.isNull()
+
+
 class FindCompiler:
     def __init__(self, df: DataFrame):
         self.df = df
@@ -185,10 +189,11 @@ class FindCompiler:
         """TOTAL (never SQL-null) membership test with Mongo null semantics:
         a null/missing field is "in the list" iff the list contains null;
         an array field matches if any element null-safe-equals a listed
-        value (or the array itself is null/missing and null is listed).
-        Totality lets ``$nin`` be the plain complement (ADVICE r5: the old
-        ``coalesce(~isin, True)`` wrongly matched null fields for
-        ``{$nin: [null]}``)."""
+        value — including a NULL element when null is listed (Mongo matches
+        null array elements; ADVICE r6) — or the array itself is
+        null/missing and null is listed.  Totality lets ``$nin`` be the
+        plain complement (ADVICE r5: the old ``coalesce(~isin, True)``
+        wrongly matched null fields for ``{$nin: [null]}``)."""
         null_listed = any(v is None for v in values)
         if not values:
             return F.lit(False)  # {$in: []} matches nothing
@@ -196,6 +201,8 @@ class FindCompiler:
             preds = [
                 F.exists(col, _eq_null_safe_factory(v)) for v in values if v is not None
             ]
+            if null_listed:
+                preds.append(F.exists(col, _is_null_elem))
             hit = self._fold(preds, "or") if preds else F.lit(False)
             # exists() is null on a null array; missing array counts as
             # null-listed membership, like a missing scalar

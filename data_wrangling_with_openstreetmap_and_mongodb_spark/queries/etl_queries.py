@@ -621,7 +621,9 @@ def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(overwrite-idempotent per invocation).  Driver-visible: novel family "
     "(first non-parquet binary round-trip source with an oracle), rotated "
     "in for avg_balance_by_nation_segment per the r7 window policy.",
-    tags=("source", "avro", "roundtrip"),
+    # pandas-udf: the reader is a mapInPandas decode over an in-memory
+    # splits frame (byte-range tasks), the documented codec-boundary shape
+    tags=("source", "avro", "roundtrip", "pandas-udf"),
 )
 def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -642,7 +644,9 @@ def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("o_date"),
         "o_orderpriority",
     )
-    write_avro(orders, base, codec="deflate", block_rows=1024)
+    # the sink writes one container per partition; spread the Python-side
+    # encode across cores (the parquet source is a single file at gate SFs)
+    write_avro(orders.repartition(8), base, codec="deflate", block_rows=1024)
     back = read_avro(spark, base, split_bytes=64 << 10)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),

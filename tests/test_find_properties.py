@@ -7,7 +7,9 @@ null-propagating comparisons — fails with the offending query document.
 
 Scope notes (mirroring the compiler's documented decisions): homogeneous
 field types (Mongo's cross-type ordering is out of scope on typed storage),
-no null literals inside query args, no null elements inside array values.
+no null literals inside query args except $in/$nin lists.  Null ELEMENTS
+inside array values are in scope since r7: {$in: [null]} matches an array
+containing a null element (ADVICE r6).
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ DOCS = [
     {"_id": 5, "s": "beta", "n": 9, "f": None, "xs": [1, 5, 9]},
     {"_id": 6, "s": None, "n": None, "f": None, "xs": None},
     {"_id": 7, "s": "delta", "n": 4, "f": 0.5, "xs": [3]},
+    {"_id": 8, "s": "beta", "n": 2, "f": 1.5, "xs": [1, None]},  # null element
 ]
 
 SCHEMA = "_id long, s string, n long, f double, xs array<long>"
