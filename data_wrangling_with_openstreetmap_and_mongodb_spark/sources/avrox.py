@@ -28,7 +28,9 @@ change.
 Type coverage: all Avro primitives, ``record`` / ``enum`` / ``fixed`` /
 ``array`` / ``map`` / nullable unions, and the ``date`` /
 ``timestamp-micros`` / ``timestamp-millis`` / ``decimal`` logical types.
-General (multi-branch non-null) unions have no Spark analogue and raise.
+General (multi-branch non-null) unions have no Spark analogue: they raise
+by default (naming the field path), or map to a struct-of-nullables with
+``read_avro(..., general_unions="struct")``.
 """
 
 from __future__ import annotations
@@ -142,16 +144,49 @@ def _resolve(sch: Any, names: dict[str, Any]) -> Any:
     return sch
 
 
-def _avro_to_spark(sch: Any, names: dict[str, Any], path: str = "$") -> T.DataType:
+def _branch_name(s: Any) -> str:
+    """Union-branch field name, following Avro's JSON-encoding convention:
+    the full name for named types, the type keyword otherwise."""
+    if isinstance(s, dict):
+        if s["type"] in ("record", "enum", "fixed"):
+            return s["name"]
+        return s["type"]  # array / map / logical-typed primitive
+    return s
+
+
+def _avro_to_spark(
+    sch: Any,
+    names: dict[str, Any],
+    path: str = "$",
+    union_mode: str = "error",
+) -> T.DataType:
     sch = _resolve(sch, names)
     if isinstance(sch, list):  # union
         non_null = [s for s in sch if s != "null"]
         if len(non_null) != 1:
+            if union_mode == "struct":
+                # struct-of-nullables: one nullable field per branch, named
+                # per the Avro JSON encoding (branch names are unique by
+                # spec — a union cannot hold two schemas of the same type)
+                return T.StructType(
+                    [
+                        T.StructField(
+                            _branch_name(s),
+                            _avro_to_spark(
+                                s, names, f"{path}.{_branch_name(s)}", union_mode
+                            ),
+                            True,
+                        )
+                        for s in non_null
+                    ]
+                )
             raise ValueError(
                 f"general Avro unions unsupported at field {path!r}: {sch!r} "
-                "(only [\"null\", T] unions map to a Spark type)"
+                "(only [\"null\", T] unions map to a Spark type; pass "
+                "general_unions='struct' for a struct-of-nullables "
+                "representation)"
             )
-        return _avro_to_spark(non_null[0], names, path)
+        return _avro_to_spark(non_null[0], names, path, union_mode)
     if isinstance(sch, dict):
         t = sch["type"]
         lt = sch.get("logicalType")
@@ -168,7 +203,7 @@ def _avro_to_spark(sch: Any, names: dict[str, Any], path: str = "$") -> T.DataTy
                     T.StructField(
                         fld["name"],
                         _avro_to_spark(
-                            fld["type"], names, f"{path}.{fld['name']}"
+                            fld["type"], names, f"{path}.{fld['name']}", union_mode
                         ),
                         True,
                     )
@@ -183,15 +218,16 @@ def _avro_to_spark(sch: Any, names: dict[str, Any], path: str = "$") -> T.DataTy
             return T.BinaryType()
         if t == "array":
             return T.ArrayType(
-                _avro_to_spark(sch["items"], names, f"{path}[]"), True
+                _avro_to_spark(sch["items"], names, f"{path}[]", union_mode), True
             )
         if t == "map":
             return T.MapType(
                 T.StringType(),
-                _avro_to_spark(sch["values"], names, f"{path}{{}}"),
+                _avro_to_spark(sch["values"], names, f"{path}{{}}", union_mode),
                 True,
             )
-        return _avro_to_spark(t, names, path)  # wrapped primitive / named ref
+        # wrapped primitive / named ref
+        return _avro_to_spark(t, names, path, union_mode)
     prim = {
         "null": T.NullType(),
         "boolean": T.BooleanType(),
@@ -207,14 +243,34 @@ def _avro_to_spark(sch: Any, names: dict[str, Any], path: str = "$") -> T.DataTy
     return prim[sch]
 
 
-def _make_decoder(sch: Any, names: dict[str, Any]) -> Decoder:
+def _make_decoder(
+    sch: Any, names: dict[str, Any], union_mode: str = "error"
+) -> Decoder:
     """Compile an Avro schema node into a ``(buf, pos) -> (value, pos)``
     decoder closure (built once per task, not per record)."""
     import datetime as dt
 
     sch = _resolve(sch, names)
     if isinstance(sch, list):  # union: varint branch index
-        branches = [_make_decoder(s, names) for s in sch]
+        branches = [_make_decoder(s, names, union_mode) for s in sch]
+        non_null = [s for s in sch if s != "null"]
+        if len(non_null) > 1 and union_mode == "struct":
+            # struct-of-nullables: the taken branch fills its field, the
+            # rest stay null; the null branch is the whole struct null
+            field_names = [_branch_name(s) for s in non_null]
+            idx_to_field = [
+                None if s == "null" else _branch_name(s) for s in sch
+            ]
+
+            def d_union_struct(mv, pos):
+                idx, pos = _read_long(mv, pos)
+                fname = idx_to_field[idx]
+                if fname is None:
+                    return None, pos
+                v, pos = branches[idx](mv, pos)
+                return {n: (v if n == fname else None) for n in field_names}, pos
+
+            return d_union_struct
 
         def d_union(mv, pos):
             idx, pos = _read_long(mv, pos)
@@ -262,7 +318,7 @@ def _make_decoder(sch: Any, names: dict[str, Any]) -> Decoder:
             return d_dec
         if t == "record":
             names[sch["name"]] = sch
-            fields = [(f["name"], _make_decoder(f["type"], names)) for f in sch["fields"]]
+            fields = [(f["name"], _make_decoder(f["type"], names, union_mode)) for f in sch["fields"]]
 
             def d_rec(mv, pos):
                 row = {}
@@ -289,7 +345,7 @@ def _make_decoder(sch: Any, names: dict[str, Any]) -> Decoder:
 
             return d_fixed
         if t == "array":
-            item = _make_decoder(sch["items"], names)
+            item = _make_decoder(sch["items"], names, union_mode)
 
             def d_arr(mv, pos):
                 out = []
@@ -306,7 +362,7 @@ def _make_decoder(sch: Any, names: dict[str, Any]) -> Decoder:
 
             return d_arr
         if t == "map":
-            val = _make_decoder(sch["values"], names)
+            val = _make_decoder(sch["values"], names, union_mode)
 
             def d_map(mv, pos):
                 out = {}
@@ -324,7 +380,7 @@ def _make_decoder(sch: Any, names: dict[str, Any]) -> Decoder:
                         out[k], pos = val(mv, pos)
 
             return d_map
-        return _make_decoder(t, names)
+        return _make_decoder(t, names, union_mode)
 
     if sch == "null":
         return lambda mv, pos: (None, pos)
@@ -378,12 +434,23 @@ def _scan_sync(f, start: int, sync: bytes, filesize: int) -> int | None:
 
 
 def read_avro(
-    spark: SparkSession, path: str, split_bytes: int = 32 << 20
+    spark: SparkSession,
+    path: str,
+    split_bytes: int = 32 << 20,
+    general_unions: str = "error",
 ) -> DataFrame:
     """Scan one ``.avro`` container file or a directory of them into a
     DataFrame.  Driver work is header-only; blocks decode split-parallel
     in ``mapInPandas`` (see module docstring for the sync-scan ownership
-    rule).  All files must share one schema."""
+    rule).  All files must share one schema.
+
+    ``general_unions``: multi-branch non-null unions have no native Spark
+    type — ``"error"`` (default) raises naming the offending field path;
+    ``"struct"`` represents each as a struct of nullable branch fields
+    (named per the Avro JSON encoding), where exactly the taken branch is
+    non-null and a null branch value is the whole struct null."""
+    if general_unions not in ("error", "struct"):
+        raise ValueError(f"general_unions must be error/struct: {general_unions!r}")
     files = (
         [path]
         if os.path.isfile(path)
@@ -407,7 +474,7 @@ def read_avro(
         size = os.path.getsize(fp)
         for s in range(0, max(size, 1), split_bytes):
             splits.append((fp, s, min(s + split_bytes, size)))
-    spark_schema = _avro_to_spark(json.loads(schema_json), {})
+    spark_schema = _avro_to_spark(json.loads(schema_json), {}, union_mode=general_unions)
     if not isinstance(spark_schema, T.StructType):
         raise ValueError("top-level Avro schema must be a record")
     sdf = spark.createDataFrame(splits, "path string, start long, end long")
@@ -416,7 +483,7 @@ def read_avro(
     sj_bc = schema_json
 
     def decode_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoder = _make_decoder(json.loads(sj_bc), {})
+        decoder = _make_decoder(json.loads(sj_bc), {}, union_mode=general_unions)
         cols = [f.name for f in spark_schema.fields]
         for pdf in batches:
             for fp, start, end in pdf.itertuples(index=False):

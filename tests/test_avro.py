@@ -349,6 +349,40 @@ class TestAvroSchemaMapping:
         with pytest.raises(ValueError, match=r"\$\.nested\.u"):
             read_avro(spark, str(p))
 
+    def test_general_union_struct_of_nullables(self, spark, tmp_path):
+        """general_unions='struct': a multi-branch union reads as a struct
+        with one nullable field per branch — exactly the taken branch is
+        set, and the null branch makes the whole struct null."""
+        sch = json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "tag", "type": "long"},
+                    {"name": "u", "type": ["null", "long", "string"]},
+                ],
+            }
+        )
+        body = bytearray()
+        # (tag=0, u=long 7), (tag=1, u=string "x"), (tag=2, u=null)
+        _write_long(body, 0); _write_long(body, 1); _write_long(body, 7)
+        _write_long(body, 1); _write_long(body, 2)
+        xb = b"x"; _write_long(body, len(xb)); body.extend(xb)
+        _write_long(body, 2); _write_long(body, 0)
+        p = tmp_path / "gu.avro"
+        p.write_bytes(_build_container(sch, [bytes(body)], [3]))
+        df = read_avro(spark, str(p), general_unions="struct")
+        assert [f.name for f in df.schema["u"].dataType.fields] == ["long", "string"]
+        rows = {r["tag"]: r["u"] for r in df.collect()}
+        assert rows[0].asDict() == {"long": 7, "string": None}
+        assert rows[1].asDict() == {"long": None, "string": "x"}
+        assert rows[2] is None
+        # default mode still raises, and invalid modes are rejected
+        with pytest.raises(ValueError, match=r"\$\.u"):
+            read_avro(spark, str(p))
+        with pytest.raises(ValueError, match="error/struct"):
+            read_avro(spark, str(p), general_unions="flatten")
+
     def test_unsupported_codec_raises(self, spark, tmp_path):
         raw = _build_container(ONE_LONG_SCHEMA, [], [], codec="snappy")
         p = tmp_path / "snappy.avro"
