@@ -1077,6 +1077,71 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 shifted = F.when(in_range, shifted).otherwise(F.lit(dflt))
             out = out.withColumn(name, shifted)
             continue
+        if op in ("$derivative", "$integral"):
+            # Mongo 5.0 rate-of-change ops: both need an ascending sortBy;
+            # a time `unit` (fixed-length only, like range frames) scales
+            # the sort-key deltas and requires a date sortBy.
+            if not sort_by:
+                raise ValueError(f"{op} requires sortBy")
+            sk, sdir = next(iter(sort_by.items()))
+            if sdir < 0:
+                raise ValueError(f"{op} requires an ascending sortBy")
+            unit = arg.get("unit")
+            if unit is not None:
+                if unit not in _UNIT_MICROS:
+                    raise ValueError(
+                        f"{op} unit {unit!r} has no fixed length; supported: "
+                        + "/".join(_UNIT_MICROS)
+                    )
+                _require_temporal(out, sk, f"$setWindowFields {op} unit")
+                key = F.unix_micros(F.col(sk).cast("timestamp"))
+                scale = float(_UNIT_MICROS[unit])
+            else:
+                key = F.col(sk)
+                scale = 1.0
+            val = ec.compile(arg["input"]).cast("double")
+            if op == "$derivative":
+                # (last - first) / (sort-key span in `unit`): a pure
+                # IEEE division chain — engine-reproducible bit-for-bit
+                # given identical operand order (detagg.py rationale)
+                num = F.last(val).over(this_w) - F.first(val).over(this_w)
+                den = F.last(key).over(this_w) - F.first(key).over(this_w)
+                res = F.when(
+                    den != 0, num / (den.cast("double") / F.lit(scale))
+                )
+                out = out.withColumn(name, res)
+            else:
+                # trapezoidal rule over the frame: collect (t, v) in frame
+                # order and left-fold; each term quantizes to the 1e-6
+                # grid and accumulates EXACTLY in a 38-digit decimal
+                # (order-independent, engine-exact — the detagg treatment
+                # applied inside the fold), one double division at the
+                # end.  Null inputs poison the fold to null (documented
+                # scope: $integral needs non-null numerics).
+                pair = F.struct(key.cast("double").alias("t"), val.alias("v"))
+                arr = F.collect_list(pair).over(this_w)
+                init = F.struct(
+                    F.lit(None).cast("double").alias("pt"),
+                    F.lit(None).cast("double").alias("pv"),
+                    F.lit(0).cast("decimal(38,0)").alias("acc"),
+                )
+
+                def _trap_merge(a, x):
+                    term = (x["t"] - a["pt"]) * (x["v"] + a["pv"]) / F.lit(2.0)
+                    q = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                    acc = F.when(a["pt"].isNull(), a["acc"]).otherwise(
+                        a["acc"] + q
+                    )
+                    return F.struct(
+                        x["t"].alias("pt"), x["v"].alias("pv"), acc.alias("acc")
+                    )
+
+                folded = F.aggregate(arr, init, _trap_merge)
+                res = (folded["acc"].cast("double") / F.lit(1e6)) / F.lit(scale)
+                out = out.withColumn(name, res)
+            continue
         agg = {
             "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
             "$first": F.first, "$last": F.last,

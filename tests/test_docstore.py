@@ -1183,6 +1183,67 @@ class TestBucketAutoAndOut:
                                  "window": {"range": [-1, 0], "unit": "hour"}}},
             }}])
 
+    def test_window_integral_derivative(self, spark):
+        """$integral (trapezoidal, unit-scaled) and $derivative
+        (endpoints slope) over sorted windows — Mongo 5.0 rate ops."""
+        import datetime as dt
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1, 0, 0), 0.0),
+            ("a", dt.datetime(2024, 1, 1, 1, 0), 2.0),
+            ("a", dt.datetime(2024, 1, 1, 3, 0), 4.0),
+            ("b", dt.datetime(2024, 1, 1, 0, 0), 5.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"ts": 1},
+            "output": {
+                "area": {"$integral": {"input": "$v", "unit": "hour"}},
+                "slope": {"$derivative": {"input": "$v", "unit": "hour"}},
+                "run": {"$integral": {"input": "$v", "unit": "hour"},
+                        "window": {"documents": ["unbounded", "current"]}},
+            },
+        }}])
+        got = {(r["g"], r["ts"].hour): (r["area"], r["slope"], r["run"])
+               for r in out.collect()}
+        # trapezoids: (0+2)/2*1h + (2+4)/2*2h = 7; slope (4-0)/3h
+        assert got[("a", 0)] == (7.0, 4.0 / 3.0, 0.0)
+        assert got[("a", 1)] == (7.0, 4.0 / 3.0, 1.0)
+        assert got[("a", 3)] == (7.0, 4.0 / 3.0, 7.0)
+        # single-point window: zero area, undefined (null) slope
+        assert got[("b", 0)] == (0.0, None, 0.0)
+        # numeric sortBy without a unit: raw-delta scaling
+        df2 = spark.createDataFrame(
+            [("g", 0.0, 10.0), ("g", 4.0, 30.0)], "g string, x double, v double"
+        )
+        out2 = aggregate(df2, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"x": 1},
+            "output": {"area": {"$integral": {"input": "$v"}},
+                       "slope": {"$derivative": {"input": "$v"}}},
+        }}])
+        r = out2.collect()[0]
+        assert (r["area"], r["slope"]) == (80.0, 5.0)
+        import pytest
+
+        with pytest.raises(ValueError, match="ascending"):
+            aggregate(df2, [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"x": -1},
+                "output": {"a": {"$integral": {"input": "$v"}}}}}])
+        with pytest.raises(ValueError, match="requires sortBy"):
+            aggregate(df2, [{"$setWindowFields": {
+                "partitionBy": "$g",
+                "output": {"a": {"$derivative": {"input": "$v"}}}}}])
+        with pytest.raises(ValueError, match="no fixed length"):
+            aggregate(df, [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"ts": 1},
+                "output": {"a": {"$integral": {"input": "$v", "unit": "month"}}}}}])
+        with pytest.raises(ValueError, match="date/timestamp"):
+            aggregate(df2, [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"x": 1},
+                "output": {"a": {"$integral": {"input": "$v", "unit": "hour"}}}}}])
+
     def test_densify_nested_field_raises(self, spark):
         import pytest
 
