@@ -471,6 +471,10 @@ class ExpressionCompiler:
             return F.log(c(args))
         if op == "$log10":
             return F.log10(c(args))
+        if op == "$log":
+            # [number, base]: ln(x) / ln(base) — Mongo's arbitrary-base log
+            num, base = args
+            return F.log(c(num)) / F.log(c(base))
         # -- strings -----------------------------------------------------------
         if op == "$regexMatch":
             return c(args["input"]).rlike(args["regex"])
@@ -495,6 +499,18 @@ class ExpressionCompiler:
             # compile BOTH operands: '$path'/expression substrings resolve to
             # their value (position accepts column substrings; instr doesn't)
             return F.position(c(sub), c(s)) - F.lit(1)  # Mongo 0-based, −1 missing
+        if op == "$indexOfArray":
+            arr, search = args[0], args[1]
+            # Mongo 0-based, −1 missing; array_position is 1-based, 0 missing
+            return (F.array_position(c(arr), c(search)) - F.lit(1)).cast("int")
+        if op == "$strcasecmp":
+            ca, cb = self._binary_args(args)
+            ua, ub = F.upper(ca), F.upper(cb)
+            return (
+                F.when(ua < ub, F.lit(-1))
+                .when(ua > ub, F.lit(1))
+                .otherwise(F.lit(0))
+            )
         if op == "$ltrim":
             return F.ltrim(c(args["input"] if isinstance(args, dict) else args))
         if op == "$rtrim":
@@ -540,6 +556,11 @@ class ExpressionCompiler:
             if isinstance(args, str) and args.startswith("$") and not args.startswith("$$"):
                 return F.lit(isinstance(self.field_type(args[1:]), T.NumericType))
             return F.lit(isinstance(args, (int, float)) and not isinstance(args, bool))
+        if op == "$isArray":
+            # schema-static, same rationale as $isNumber
+            if isinstance(args, str) and args.startswith("$") and not args.startswith("$$"):
+                return F.lit(isinstance(self.field_type(args[1:]), T.ArrayType))
+            return F.lit(isinstance(args, (list, tuple)))
         if op == "$toDate":
             # Mongo: numbers are epoch MILLISECONDS; strings/dates cast.
             # Type-directed like $subtract (schema known at compile time).

@@ -1163,6 +1163,15 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             out = out.withColumn(
                 name, F.coalesce(F.sum(ec.compile(arg)).over(this_w), F.lit(0))
             )
+        elif op in ("$covariancePop", "$covarianceSamp"):
+            fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+            cx, cy = arg
+            out = out.withColumn(
+                name,
+                fn(
+                    ec.compile(cx).cast("double"), ec.compile(cy).cast("double")
+                ).over(this_w),
+            )
         elif op in agg:
             out = out.withColumn(name, agg[op](ec.compile(arg)).over(this_w))
         else:

@@ -1183,6 +1183,52 @@ class TestBucketAutoAndOut:
                                  "window": {"range": [-1, 0], "unit": "hour"}}},
             }}])
 
+    def test_new_expression_ops_r7(self, spark):
+        """$log (arbitrary base), $indexOfArray, $strcasecmp, $isArray."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [(8.0, "Apple", "apple", [10, 20, 30]),
+             (81.0, "b", "a", [5])],
+            "x double, s1 string, s2 string, xs array<long>",
+        )
+        out = aggregate(df, [{"$project": {
+            "lg2": {"$log": ["$x", 2]},
+            "lg3": {"$log": ["$x", 3]},
+            "idx": {"$indexOfArray": ["$xs", 20]},
+            "cmp_eq": {"$strcasecmp": ["$s1", "$s2"]},
+            "is_arr": {"$isArray": "$xs"},
+            "is_arr_scalar": {"$isArray": "$x"},
+            "_id": 0,
+        }}])
+        rows = sorted([r.asDict() for r in out.collect()], key=lambda r: r["lg2"])
+        assert rows[0]["lg2"] == 3.0 and abs(rows[1]["lg3"] - 4.0) < 1e-12
+        assert rows[0]["idx"] == 1 and rows[1]["idx"] == -1
+        assert rows[0]["cmp_eq"] == 0 and rows[1]["cmp_eq"] == 1  # 'B' > 'A'
+        assert rows[0]["is_arr"] is True and rows[0]["is_arr_scalar"] is False
+
+    def test_window_covariance(self, spark):
+        """$covariancePop/$covarianceSamp running windows."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("g", 1, 1.0, 2.0), ("g", 2, 2.0, 4.0), ("g", 3, 3.0, 6.0)],
+            "g string, seq int, x double, y double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+                "cp": {"$covariancePop": ["$x", "$y"],
+                       "window": {"documents": ["unbounded", "current"]}},
+                "cs": {"$covarianceSamp": ["$x", "$y"],
+                       "window": {"documents": ["unbounded", "current"]}},
+            },
+        }}])
+        got = {r["seq"]: (r["cp"], r["cs"]) for r in out.collect()}
+        assert got[1] == (0.0, None)            # single point: pop 0, samp null
+        assert got[2] == (0.5, 1.0)
+        assert abs(got[3][0] - 4.0 / 3.0) < 1e-12 and got[3][1] == 2.0
+
     def test_window_integral_derivative(self, spark):
         """$integral (trapezoidal, unit-scaled) and $derivative
         (endpoints slope) over sorted windows — Mongo 5.0 rate ops."""
