@@ -1213,7 +1213,11 @@ def ds_lookup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an iterative catalog query whose barrier count grows with data size "
     "is the wrong shape to benchmark (measured 12.2s at sf0.1 unbounded "
     "vs bounded-constant with the cap; unbounded traversal stays covered "
-    "by the cycle tests).  Driver-visible since round 5 (VERDICT r4 ask "
+    "by the cycle tests).  Since r7 the query runs method: 'doubling' "
+    "(pointer-doubling closure, 3 fixed compositions for depth 7 instead "
+    "of 7 synced frontier rounds — 2.8s vs 6.7s warm median at sf0.1, "
+    "result bit-identical and equivalence-pinned in tests); the frontier "
+    "loop remains the engine default.  Driver-visible since round 5 (VERDICT r4 ask "
     "#6): the frontier-loop + shallowest-depth traversal is a genuinely "
     "novel family vs dedup_near_clusters' label propagation; "
     "text_token_stats (linear text-agg shape under text_quality_by_source) "
@@ -1248,6 +1252,7 @@ def ds_graph_reachable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "as": "reach",
                     "depthField": "lvl",
                     "maxDepth": 6,
+                    "method": "doubling",
                 }
             }
         ]
