@@ -1422,10 +1422,11 @@ def ds_lookup_proj_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the 1e-6 grid and accumulates in a 38-digit decimal (the detagg "
     "treatment INSIDE the fold), so the engine's left-fold and the "
     "oracle's SUM agree bit-for-bit regardless of order; the derivative "
-    "is a pure IEEE division chain mirrored op-for-op.  One shuffle: the "
-    "window and both $groups share the partition key.  Gate-only: the "
-    "window family's driver rows are sessionize_events / "
-    "events_time_weighted_avg.",
+    "is a pure IEEE division chain mirrored op-for-op.  Two shuffles, "
+    "both inherent: the ts-dedup keys on (event_type, ts), then the "
+    "window and the final $group SHARE the (event_type) exchange "
+    "(plan-pinned).  Gate-only: the window family's driver rows are "
+    "sessionize_events / events_time_weighted_avg.",
     tags=("docstore", "window", "rate"),
     driver_visible=False,
 )

@@ -291,6 +291,16 @@ class TestRound5Plans:
         assert plan2.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in plan2
 
+    def test_window_integral_two_inherent_exchanges(self, spark, sf_dir):
+        """ds_window_integral: the (event_type, ts) dedup shuffles once,
+        then the window and the final group SHARE the (event_type)
+        exchange — two total, zero joins."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ds_window_integral", spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "Join" not in plan
+
     def test_media_decode_is_exchange_free(self, spark, sf_dir):
         """Real codec decode: payload bytes must NEVER shuffle — the whole
         plan is scan → mapInPandas stages."""
