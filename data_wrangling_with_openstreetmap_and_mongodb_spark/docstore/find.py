@@ -247,7 +247,10 @@ def compile_projection(df: DataFrame, projection: dict[str, Any] | None) -> Data
 
     ``{"name": 1, "manufacturer": 1, "_id": 0}`` (04/find_cars.py:34) →
     include-mode select; ``{"x": 0}`` → exclude-mode drop.  Dotted include
-    paths surface the leaf field under its dotted name.
+    paths surface the leaf field under its dotted name.  Include-mode keeps
+    ``_id`` by default when an ``_id`` column exists (Mongo; r7 — exclude
+    with ``{"_id": 0}``); base tables without an ``_id`` column are
+    unaffected.
     """
     if not projection:
         return df
@@ -271,8 +274,17 @@ def compile_projection(df: DataFrame, projection: dict[str, Any] | None) -> Data
                     raise ValueError("projection $slice count must be positive")
                 computed[k] = {"$slice": [f"${k}", int(skip), int(n)]}
     if includes or computed:
-        cols = [F.col(k).alias(k) for k in includes if k != "_id"]
+        # Mongo include-mode keeps _id unless excluded ({"_id": 0}); on
+        # typed storage that applies when an _id COLUMN exists (post-$group
+        # frames, user collections) — base tables without one are unchanged.
+        # A COMPUTED {"_id": expr} takes precedence over the passthrough.
+        cols = []
         ec = ExpressionCompiler(df)
-        cols += [ec.compile(v).alias(k) for k, v in computed.items()]
+        if "_id" in computed:
+            cols.append(ec.compile(computed["_id"]).alias("_id"))
+        elif "_id" in df.columns and "_id" not in excludes:
+            cols.append(F.col("_id"))
+        cols += [F.col(k).alias(k) for k in includes if k != "_id"]
+        cols += [ec.compile(v).alias(k) for k, v in computed.items() if k != "_id"]
         return df.select(*cols)
     return df.drop(*[e for e in excludes if e != "_id"])

@@ -204,8 +204,14 @@ def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
 def _apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ec = ExpressionCompiler(df)
     gid = spec["_id"]
+    drop_cols: list[str] = []
     if gid is None:
-        keys: list[Column] = []
+        # Mongo emits one doc PER GROUP, so an empty input yields ZERO
+        # docs — Spark's global aggregate would return one row; grouping
+        # by a constant key restores Mongo's contract (caught by
+        # tests/test_pipeline_properties.py)
+        keys: list[Column] = [F.lit(True).alias("__gall")]
+        drop_cols = ["__gall"]
     elif isinstance(gid, dict) and not (len(gid) == 1 and next(iter(gid)).startswith("$")):
         # compound key: {_id: {country: '$country', region: '$isPartOf'}}
         keys = [ec.compile(v).alias(k) for k, v in gid.items()]
@@ -213,8 +219,10 @@ def _apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         keys = [ec.compile(gid).alias("_id")]
     aggs = [_accumulator(ec, alias, s) for alias, s in spec.items() if alias != "_id"]
     if not aggs:
-        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count")).drop("count")
-    return df.groupBy(*keys).agg(*aggs)
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count")).drop(
+            "count", *drop_cols
+        )
+    return df.groupBy(*keys).agg(*aggs).drop(*drop_cols)
 
 
 def _apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
@@ -987,6 +995,7 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         return int(v) * scale
 
     out = df
+    ema_jobs: list[tuple[str, Any, float]] = []
     for name, wspec in spec["output"].items():
         wspec = dict(wspec)
         frame = wspec.pop("window", None)
@@ -1077,6 +1086,22 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 shifted = F.when(in_range, shifted).otherwise(F.lit(dflt))
             out = out.withColumn(name, shifted)
             continue
+        if op == "$expMovingAvg":
+            # inherently sequential recurrence (y = a*x + (1-a)*y_prev,
+            # y_0 = x_0): runs linear-time per partition in a grouped
+            # Arrow-batched pandas pass after the Window outputs compile
+            # (the one documented stateful escape hatch; a Window-based
+            # fold would be O(n^2) per row).  Mongo: requires sortBy,
+            # rejects an explicit window.
+            if frame is not None:
+                raise ValueError("$expMovingAvg does not accept a window")
+            if not sort_by:
+                raise ValueError("$expMovingAvg requires sortBy")
+            alpha = arg.get("alpha")
+            if alpha is None:
+                alpha = 2.0 / (int(arg["N"]) + 1)
+            ema_jobs.append((name, arg["input"], float(alpha)))
+            continue
         if op in ("$derivative", "$integral"):
             # Mongo 5.0 rate-of-change ops: both need an ascending sortBy;
             # a time `unit` (fixed-length only, like range frames) scales
@@ -1157,6 +1182,35 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 F.struct(ec.compile(arg).alias("v"))
             ).over(this_w)
             out = out.withColumn(name, F.transform(arr, lambda s: s["v"]))
+        elif op == "$addToSet":
+            # null inputs survive (Mongo), same struct-wrap as $push
+            arr = F.collect_set(
+                F.struct(ec.compile(arg).alias("v"))
+            ).over(this_w)
+            out = out.withColumn(name, F.transform(arr, lambda s: s["v"]))
+        elif op in ("$minN", "$maxN"):
+            # N smallest asc / N largest desc within the frame (nulls
+            # skipped — bare collect_list drops them), like the $group form
+            n = int(arg["n"])
+            vals = F.sort_array(
+                F.collect_list(ec.compile(arg["input"])).over(this_w),
+                asc=op == "$minN",
+            )
+            out = out.withColumn(name, F.slice(vals, 1, n))
+        elif op in ("$firstN", "$lastN"):
+            # frame order with nulls KEPT (Mongo's documented asymmetry vs
+            # $minN/$maxN), same struct-wrap as the $group accumulators
+            n = int(arg["n"])
+            arr = F.collect_list(
+                F.struct(ec.compile(arg["input"]).alias("v"))
+            ).over(this_w)
+            if op == "$firstN":
+                sliced = F.slice(arr, 1, n)
+            else:
+                sliced = F.when(F.size(arr) <= n, arr).otherwise(
+                    F.slice(arr, -n, n)
+                )
+            out = out.withColumn(name, F.transform(sliced, lambda s: s["v"]))
         elif op == "$sum":
             # Mongo: $sum over a window with no numeric values is 0, never
             # null (same rule as the $group accumulator)
@@ -1176,7 +1230,50 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             out = out.withColumn(name, agg[op](ec.compile(arg)).over(this_w))
         else:
             raise ValueError(f"unsupported $setWindowFields op: {op}")
+    if ema_jobs:
+        out = _apply_exp_moving_avg(out, ec, spec, ema_jobs)
     return out
+
+
+def _apply_exp_moving_avg(
+    df: DataFrame,
+    ec: "ExpressionCompiler",
+    spec: dict[str, Any],
+    jobs: list[tuple[str, Any, float]],
+) -> DataFrame:
+    """$expMovingAvg tail pass: group by the partition key, sort by the
+    sortBy key inside each Arrow batch, and run pandas'
+    ``ewm(alpha, adjust=False)`` — exactly Mongo's recurrence
+    (verified bit-identical to the manual fold and to DuckDB's
+    ``list_reduce``).  One grouped-pandas exchange on the same key as the
+    Window pass; null inputs follow pandas NaN-skip semantics (scope:
+    feed non-null numerics, like $integral)."""
+    from pyspark.sql import types as T
+
+    sk, sdir = next(iter(spec["sortBy"].items()))
+    pk, skc = "__ema_pk", "__ema_sk"
+    work = df.withColumn(
+        pk, ec.compile(spec["partitionBy"]) if "partitionBy" in spec else F.lit(0)
+    ).withColumn(skc, F.col(sk))
+    in_cols = []
+    for name, input_expr, _ in jobs:
+        work = work.withColumn(f"__ema_in_{name}", ec.compile(input_expr).cast("double"))
+        in_cols.append(f"__ema_in_{name}")
+    out_schema = T.StructType(
+        list(work.schema.fields)
+        + [T.StructField(name, T.DoubleType(), True) for name, _, _ in jobs]
+    )
+    alphas = {name: a for name, _, a in jobs}
+    ascending = sdir >= 0
+
+    def ema_fn(pdf):
+        pdf = pdf.sort_values(skc, kind="mergesort", ascending=ascending)
+        for name, a in alphas.items():
+            pdf[name] = pdf[f"__ema_in_{name}"].ewm(alpha=a, adjust=False).mean()
+        return pdf
+
+    out = work.groupBy(pk).applyInPandas(ema_fn, schema=out_schema)
+    return out.drop(pk, skc, *in_cols)
 
 
 class _MergeCompiler(ExpressionCompiler):

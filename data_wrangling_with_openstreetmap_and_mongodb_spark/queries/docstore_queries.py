@@ -1450,3 +1450,59 @@ def ds_window_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_points": {"$sum": 1}}},
         ]
     )
+
+
+@register(
+    "ds_window_ema",
+    oracle="""
+        WITH u AS (
+            SELECT user_id AS u, epoch_us(ts) AS t, MAX(value) AS v
+            FROM events GROUP BY user_id, ts
+        ), l AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   list(v ORDER BY t) AS vs
+            FROM u GROUP BY u
+        )
+        SELECT u AS _id, n_points,
+               FLOOR(list_reduce(vs, (a, x) -> x * CAST(0.3 AS DOUBLE)
+                                             + a * (1 - CAST(0.3 AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS last_ema_q
+        FROM l
+    """,
+    doc="$expMovingAvg (alpha form) per user over ts-deduplicated value "
+    "series, reduced to each user's FINAL running average: the engine's "
+    "grouped-pandas ewm(adjust=False) recurrence vs DuckDB's sequential "
+    "list_reduce fold — verified bit-identical (same IEEE op sequence; "
+    "note 1 - 0.3 != literal 0.7 in doubles, so the oracle spells the "
+    "complement as (1 - 0.3)), with a quantize6 guard on both sides.  "
+    "$top(sortBy ts desc) picks the last EMA without a second window "
+    "pass.  Gate-only: the stateful-pandas family's driver row is "
+    "sessionize_events.",
+    tags=("docstore", "window", "rate", "pandas-udf"),
+    driver_visible=False,
+)
+def ds_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "events").aggregate(
+        [
+            {"$group": {"_id": {"u": "$user_id", "ts": "$ts"},
+                        "v": {"$max": "$value"}}},
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$u",
+                    "sortBy": {"ts": 1},
+                    "output": {
+                        "ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.3}}
+                    },
+                }
+            },
+            {"$group": {"_id": "$u", "n_points": {"$sum": 1},
+                        "last_ema": {"$top": {"sortBy": {"ts": -1},
+                                              "output": "$ema"}}}},
+            {"$project": {"_id": 1, "n_points": 1,
+                          "last_ema_q": {"$divide": [
+                              {"$floor": {"$add": [
+                                  {"$multiply": ["$last_ema", 1000000]},
+                                  0.5]}},
+                              1000000]}}},
+        ]
+    )

@@ -1229,6 +1229,75 @@ class TestBucketAutoAndOut:
         assert got[2] == (0.5, 1.0)
         assert abs(got[3][0] - 4.0 / 3.0) < 1e-12 and got[3][1] == 2.0
 
+    def test_window_exp_moving_avg(self, spark):
+        """$expMovingAvg: Mongo's recurrence y = a*x + (1-a)*y_prev with
+        y_0 = x_0, alpha given directly or as N (a = 2/(N+1)); composes
+        with Window-compiled outputs in one $setWindowFields."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 4.0), ("h", 1, 10.0)],
+            "g string, seq int, v double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+                "ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.3}},
+                "ema_n": {"$expMovingAvg": {"input": "$v", "N": 3}},
+                "rnk": {"$rank": {}},
+            },
+        }}])
+        r = {(x["g"], x["seq"]): x for x in out.collect()}
+        assert r[("g", 1)]["ema"] == 1.0
+        assert r[("g", 2)]["ema"] == 2.0 * 0.3 + 1.0 * (1 - 0.3)
+        y2 = 2.0 * 0.3 + 1.0 * (1 - 0.3)
+        assert r[("g", 3)]["ema"] == 4.0 * 0.3 + y2 * (1 - 0.3)
+        assert [r[("g", i)]["ema_n"] for i in (1, 2, 3)] == [1.0, 1.5, 2.75]
+        assert r[("h", 1)]["ema"] == 10.0 and r[("h", 1)]["rnk"] == 1
+        import pytest
+
+        with pytest.raises(ValueError, match="does not accept a window"):
+            aggregate(df, [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"seq": 1},
+                "output": {"e": {"$expMovingAvg": {"input": "$v", "alpha": 0.5},
+                                 "window": {"documents": [-1, 0]}}}}}])
+        with pytest.raises(ValueError, match="requires sortBy"):
+            aggregate(df, [{"$setWindowFields": {
+                "partitionBy": "$g",
+                "output": {"e": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}}}}}])
+
+    def test_window_n_ary_accumulators(self, spark):
+        """$minN/$maxN (nulls skipped) and $firstN/$lastN (nulls kept) and
+        $addToSet inside $setWindowFields frames."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("g", 1, 5.0), ("g", 2, None), ("g", 3, 1.0), ("g", 4, 3.0)],
+            "g string, seq int, v double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+                "low2": {"$minN": {"input": "$v", "n": 2}},
+                "top2": {"$maxN": {"input": "$v", "n": 2}},
+                "first2": {"$firstN": {"input": "$v", "n": 2}},
+                "last2": {"$lastN": {"input": "$v", "n": 2}},
+                "run_first2": {"$firstN": {"input": "$v", "n": 2},
+                               "window": {"documents": ["unbounded", "current"]}},
+                "uniq": {"$addToSet": "$v"},
+            },
+        }}])
+        r = {x["seq"]: x for x in out.collect()}
+        assert r[1]["low2"] == [1.0, 3.0] and r[1]["top2"] == [5.0, 3.0]
+        assert r[1]["first2"] == [5.0, None]       # nulls kept, frame order
+        assert r[1]["last2"] == [1.0, 3.0]
+        assert r[1]["run_first2"] == [5.0]         # running frame: 1 doc yet
+        assert r[2]["run_first2"] == [5.0, None]
+        assert r[4]["run_first2"] == [5.0, None]
+        assert sorted(r[1]["uniq"], key=lambda x: (x is None, x or 0.0)) == [
+            1.0, 3.0, 5.0, None
+        ]
+
     def test_window_integral_derivative(self, spark):
         """$integral (trapezoidal, unit-scaled) and $derivative
         (endpoints slope) over sorted windows — Mongo 5.0 rate ops."""
