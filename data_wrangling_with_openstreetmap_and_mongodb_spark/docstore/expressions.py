@@ -119,6 +119,12 @@ class ExpressionCompiler:
         c = self.compile
         if op == "$literal":
             return F.lit(args)
+        if op == "$meta":
+            # stage-produced metadata: $vectorSearch's score rides in a
+            # hidden column the projection surfaces here
+            if args == "vectorSearchScore":
+                return F.col("__vs_score")
+            raise ValueError(f"unsupported $meta: {args!r}")
         if op == "$add":
             out = c(args[0])
             for a in args[1:]:

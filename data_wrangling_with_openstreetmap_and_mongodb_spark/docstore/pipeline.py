@@ -698,6 +698,42 @@ def _apply_graph_lookup_doubling(df: DataFrame, spec: dict[str, Any]) -> DataFra
     return _graph_collect(df, doc_cols, reached, from_df, alias, depth_field)
 
 
+def _apply_vector_search(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """Atlas-style ``$vectorSearch`` facade over the engine's similarity
+    tier (operators/similarity.py): exact cosine ranking with Atlas' score
+    normalization ``score = (1 + cosine) / 2``, quantized to the 1e-6 grid
+    so ranking and values are engine-independent.
+
+    ``{"path": col, "queryVector": [...], "limit": n,
+    "numCandidates": k?, "filter": find-doc?}``.  ``filter`` pre-filters
+    with the find compiler (Atlas restricts to indexed fields; any
+    find-compilable doc works here).  ``numCandidates`` is advisory on
+    this exact path — the scale path is the IVF/LSH ANN operator family,
+    which trades recall for candidate count explicitly.  The score rides
+    in a hidden column surfaced via ``{"$meta": "vectorSearchScore"}``;
+    the plan is scan → scored projection → TakeOrderedAndProject (per-
+    partition top-k heaps, no full sort)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        cosine_to_query,
+    )
+
+    path = spec["path"]
+    qv = [float(x) for x in spec["queryVector"]]
+    limit = int(spec["limit"])
+    out = df
+    if spec.get("filter"):
+        out = out.filter(FindCompiler(out).compile(spec["filter"]))
+    score = quantize6(
+        (F.lit(1.0) + cosine_to_query(F.col(path), qv)) / F.lit(2.0)
+    )
+    return (
+        out.withColumn("__vs_score", score)
+        .orderBy(F.desc("__vs_score"))
+        .limit(limit)
+    )
+
+
 def _apply_bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$bucket: range-bucket documents by ``groupBy`` over explicit
     ``boundaries`` (ascending; [lo, hi) per Mongo), out-of-range docs to
@@ -1748,6 +1784,17 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             ec = ExpressionCompiler(out)
             for name, expr in spec.items():
                 out = out.withColumn(name, ec.compile(expr))
+        elif op == "$unset":
+            # stage form of exclusion projection: drop the named fields
+            fields = [spec] if isinstance(spec, str) else list(spec)
+            dotted = [f for f in fields if "." in f]
+            if dotted:
+                raise ValueError(
+                    f"$unset of nested paths unsupported on typed columns: {dotted}"
+                )
+            out = out.drop(*fields)
+        elif op == "$vectorSearch":
+            out = _apply_vector_search(out, spec)
         elif op == "$lookup":
             out = _apply_lookup(out, spec)
         elif op == "$graphLookup":

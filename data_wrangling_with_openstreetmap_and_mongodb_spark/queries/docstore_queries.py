@@ -1506,3 +1506,52 @@ def ds_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
                               1000000]}}},
         ]
     )
+
+
+@register(
+    "ds_vector_search",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id AS id,
+               (FLOOR(((1 + list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qe, q.qe)))) / 2.0)
+                      * 1e6 + 0.5) / 1e6) AS score
+        FROM embeddings e, q
+        ORDER BY score DESC, id ASC
+        LIMIT 10
+    """,
+    doc="Atlas $vectorSearch stage facade over the similarity tier: exact "
+    "cosine ranking with Atlas' (1+cos)/2 score normalization (quantize6 "
+    "so ranking and values are engine-exact), score surfaced through "
+    "{$meta: 'vectorSearchScore'} in the trailing $project.  Same "
+    "TakeOrderedAndProject plan as ann_bruteforce_topk (whose data has "
+    "no quantized-score tie at the k=10 cut).  Gate-only: the ANN "
+    "family's driver rows are ann_bruteforce/ivf_kmeans/ivfpq_topk.",
+    tags=("docstore", "similarity", "topk"),
+    driver_visible=False,
+)
+def ds_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.trainingdata_queries import (
+        _query_vector,
+    )
+
+    return _coll(spark, sf_dir, "embeddings").aggregate(
+        [
+            {
+                "$vectorSearch": {
+                    "path": "embedding",
+                    "queryVector": _query_vector(spark, sf_dir),
+                    "numCandidates": 100,
+                    "limit": 10,
+                }
+            },
+            {"$project": {"id": "$vec_id",
+                          "score": {"$meta": "vectorSearchScore"},
+                          "_id": 0}},
+        ]
+    )

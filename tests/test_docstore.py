@@ -1229,6 +1229,43 @@ class TestBucketAutoAndOut:
         assert got[2] == (0.5, 1.0)
         assert abs(got[3][0] - 4.0 / 3.0) < 1e-12 and got[3][1] == 2.0
 
+    def test_vector_search_and_unset_stages(self, spark):
+        """$vectorSearch facade: (1+cos)/2 Atlas scores, limit cut, find
+        pre-filter; score via {$meta}; $unset stage drops columns."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [(1, "a", [1.0, 0.0]), (2, "a", [0.0, 1.0]),
+             (3, "b", [1.0, 1.0]), (4, "a", [-1.0, 0.0])],
+            "vid long, grp string, emb array<double>",
+        )
+        out = aggregate(df, [
+            {"$vectorSearch": {"path": "emb", "queryVector": [1.0, 0.0],
+                               "limit": 2}},
+            {"$project": {"vid": 1, "score": {"$meta": "vectorSearchScore"},
+                          "_id": 0}},
+        ])
+        got = {r["vid"]: r["score"] for r in out.collect()}
+        # cosines: vid1=1 -> score 1.0; vid3=1/sqrt(2) -> ~0.853553; cut=2
+        assert set(got) == {1, 3}
+        assert got[1] == 1.0 and abs(got[3] - (1 + 2 ** -0.5) / 2) < 1e-6
+        # filter pre-restricts candidates (vid 3 is grp b -> excluded)
+        out2 = aggregate(df, [
+            {"$vectorSearch": {"path": "emb", "queryVector": [1.0, 0.0],
+                               "limit": 2, "filter": {"grp": "a"}}},
+            {"$project": {"vid": 1, "_id": 0}},
+        ])
+        assert {r["vid"] for r in out2.collect()} == {1, 2}
+        # $unset stage drops columns; nested paths raise
+        out3 = aggregate(df, [{"$unset": ["emb", "grp"]}])
+        assert out3.columns == ["vid"]
+        import pytest
+
+        with pytest.raises(ValueError, match="nested paths"):
+            aggregate(df, [{"$unset": "a.b"}])
+        with pytest.raises(ValueError, match="unsupported \\$meta"):
+            aggregate(df, [{"$project": {"s": {"$meta": "textScore"}}}])
+
     def test_window_exp_moving_avg(self, spark):
         """$expMovingAvg: Mongo's recurrence y = a*x + (1-a)*y_prev with
         y_0 = x_0, alpha given directly or as N (a = 2/(N+1)); composes
