@@ -1178,8 +1178,22 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 # (order-independent, engine-exact — the detagg treatment
                 # applied inside the fold), one double division at the
                 # end.  Null inputs poison the fold to null (documented
-                # scope: $integral needs non-null numerics).
-                pair = F.struct(key.cast("double").alias("t"), val.alias("v"))
+                # scope: $integral needs non-null numerics).  COST MODEL:
+                # the fold re-evaluates per row, so a frame of w rows
+                # costs O(w) per row — O(n·w) per partition, quadratic
+                # for whole-partition frames.  Partition so windows stay
+                # bounded (per-entity series), or pre-aggregate; a few
+                # huge partitions are the wrong shape for this operator.
+                # The sort key scales into `unit` BEFORE the fold: Spark's
+                # floor(double) returns a LONG, so quantized terms must fit
+                # int64 — raw-microsecond deltas × values overflow it
+                # silently (caught by the ds_window_integral oracle), while
+                # unit-scaled terms stay small; the scaling division is the
+                # same IEEE op on both engines, so exactness is preserved.
+                pair = F.struct(
+                    (key.cast("double") / F.lit(scale)).alias("t"),
+                    val.alias("v"),
+                )
                 arr = F.collect_list(pair).over(this_w)
                 init = F.struct(
                     F.lit(None).cast("double").alias("pt"),
@@ -1200,7 +1214,7 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                     )
 
                 folded = F.aggregate(arr, init, _trap_merge)
-                res = (folded["acc"].cast("double") / F.lit(1e6)) / F.lit(scale)
+                res = folded["acc"].cast("double") / F.lit(1e6)
                 out = out.withColumn(name, res)
             continue
         agg = {
@@ -1287,10 +1301,16 @@ def _apply_exp_moving_avg(
     from pyspark.sql import types as T
 
     sk, sdir = next(iter(spec["sortBy"].items()))
-    pk, skc = "__ema_pk", "__ema_sk"
+    pk, skc, bk = "__ema_pk", "__ema_sk", "__ema_bk"
     work = df.withColumn(
         pk, ec.compile(spec["partitionBy"]) if "partitionBy" in spec else F.lit(0)
     ).withColumn(skc, F.col(sk))
+    # Spark-side grouping is by a HASH BUCKET of the partition key, not the
+    # key itself: many tiny Mongo partitions → few large Arrow batches
+    # (per-group applyInPandas overhead dominates at thousands of small
+    # series; measured 5.6s → 2.4s on 1500 users at sf0.1), with the
+    # per-key recurrence computed by pandas' grouped ewm inside the batch
+    work = work.withColumn(bk, F.pmod(F.xxhash64(F.col(pk)), F.lit(64)))
     in_cols = []
     for name, input_expr, _ in jobs:
         work = work.withColumn(f"__ema_in_{name}", ec.compile(input_expr).cast("double"))
@@ -1303,13 +1323,20 @@ def _apply_exp_moving_avg(
     ascending = sdir >= 0
 
     def ema_fn(pdf):
-        pdf = pdf.sort_values(skc, kind="mergesort", ascending=ascending)
+        pdf = pdf.sort_values(
+            [pk, skc], kind="mergesort", ascending=[True, ascending]
+        )
         for name, a in alphas.items():
-            pdf[name] = pdf[f"__ema_in_{name}"].ewm(alpha=a, adjust=False).mean()
+            pdf[name] = (
+                pdf.groupby(pk, sort=False, dropna=False)[f"__ema_in_{name}"]
+                .ewm(alpha=a, adjust=False)
+                .mean()
+                .reset_index(level=0, drop=True)
+            )
         return pdf
 
-    out = work.groupBy(pk).applyInPandas(ema_fn, schema=out_schema)
-    return out.drop(pk, skc, *in_cols)
+    out = work.groupBy(bk).applyInPandas(ema_fn, schema=out_schema)
+    return out.drop(pk, skc, bk, *in_cols)
 
 
 class _MergeCompiler(ExpressionCompiler):

@@ -1390,54 +1390,59 @@ def ds_lookup_proj_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ds_window_integral",
     oracle="""
         WITH u AS (
-            SELECT event_type AS et, epoch_us(ts) AS t, MAX(value) AS v
-            FROM events GROUP BY event_type, ts
+            SELECT user_id AS uid, epoch_us(ts) AS t,
+                   CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0 AS th,
+                   MAX(value) AS v
+            FROM events GROUP BY user_id, ts
         ), p AS (
-            SELECT et, t, v,
-                   lag(t) OVER (PARTITION BY et ORDER BY t) AS pt,
-                   lag(v) OVER (PARTITION BY et ORDER BY t) AS pv
+            SELECT uid, t, th, v,
+                   lag(th) OVER (PARTITION BY uid ORDER BY t) AS pth,
+                   lag(v) OVER (PARTITION BY uid ORDER BY t) AS pv
             FROM u
         ), terms AS (
-            SELECT et, t, v,
-                   CASE WHEN pt IS NULL THEN NULL
-                        ELSE CAST(FLOOR(((CAST(t AS DOUBLE) - CAST(pt AS DOUBLE))
-                                         * (v + pv) / 2.0) * 1e6 + 0.5)
+            SELECT uid, t, v,
+                   CASE WHEN pth IS NULL THEN NULL
+                        ELSE CAST(FLOOR(((th - pth) * (v + pv) / 2.0)
+                                        * 1e6 + 0.5)
                                   AS DECIMAL(38,0)) END AS q
             FROM p
         )
-        SELECT et AS _id,
-               (CAST(COALESCE(SUM(q), 0) AS DOUBLE) / 1e6) / 3600000000.0
-                   AS area_h,
+        SELECT uid AS _id,
+               CAST(COALESCE(SUM(q), 0) AS DOUBLE) / 1e6 AS area_h,
                CASE WHEN MAX(t) <> MIN(t)
                     THEN (arg_max(v, t) - arg_min(v, t))
                          / (CAST(MAX(t) - MIN(t) AS DOUBLE) / 86400000000.0)
                END AS slope_d,
                CAST(COUNT(*) AS BIGINT) AS n_points
-        FROM terms GROUP BY et
+        FROM terms GROUP BY uid
     """,
     doc="$setWindowFields $integral (trapezoidal, unit: hour) + $derivative "
-    "(endpoints slope, unit: day) over per-event-type time series "
-    "deduplicated to unique ts (ties would make trapezoid pairing "
-    "order-dependent in BOTH engines).  Each trapezoid term quantizes to "
-    "the 1e-6 grid and accumulates in a 38-digit decimal (the detagg "
-    "treatment INSIDE the fold), so the engine's left-fold and the "
-    "oracle's SUM agree bit-for-bit regardless of order; the derivative "
-    "is a pure IEEE division chain mirrored op-for-op.  Two shuffles, "
-    "both inherent: the ts-dedup keys on (event_type, ts), then the "
-    "window and the final $group SHARE the (event_type) exchange "
-    "(plan-pinned).  Gate-only: the window family's driver rows are "
-    "sessionize_events / events_time_weighted_avg.",
+    "(endpoints slope, unit: day) over per-USER time series deduplicated "
+    "to unique ts (ties would make trapezoid pairing order-dependent in "
+    "BOTH engines).  Partitioning by user_id keeps windows dozens of rows "
+    "wide — the whole-partition $integral fold is O(rows x frame), so a "
+    "handful of huge partitions (e.g. per event_type: 20k rows each at "
+    "sf0.1) would be quadratic; first landed that way and hung the bench, "
+    "re-keyed same day.  Each trapezoid term quantizes to the 1e-6 grid "
+    "and accumulates in a 38-digit decimal (the detagg treatment INSIDE "
+    "the fold), so the engine's left-fold and the oracle's SUM agree "
+    "bit-for-bit regardless of order; the derivative is a pure IEEE "
+    "division chain mirrored op-for-op.  Two shuffles, both inherent: "
+    "the ts-dedup keys on (user_id, ts), then the window and the final "
+    "$group SHARE the (user_id) exchange (plan-pinned).  Gate-only: the "
+    "window family's driver rows are sessionize_events / "
+    "events_time_weighted_avg.",
     tags=("docstore", "window", "rate"),
     driver_visible=False,
 )
 def ds_window_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(
         [
-            {"$group": {"_id": {"et": "$event_type", "ts": "$ts"},
+            {"$group": {"_id": {"uid": "$user_id", "ts": "$ts"},
                         "v": {"$max": "$value"}}},
             {
                 "$setWindowFields": {
-                    "partitionBy": "$et",
+                    "partitionBy": "$uid",
                     "sortBy": {"ts": 1},
                     "output": {
                         "area": {"$integral": {"input": "$v", "unit": "hour"}},
@@ -1445,7 +1450,7 @@ def ds_window_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
                     },
                 }
             },
-            {"$group": {"_id": "$et", "area_h": {"$max": "$area"},
+            {"$group": {"_id": "$uid", "area_h": {"$max": "$area"},
                         "slope_d": {"$max": "$slope"},
                         "n_points": {"$sum": 1}}},
         ]
