@@ -120,10 +120,12 @@ class ExpressionCompiler:
         if op == "$literal":
             return F.lit(args)
         if op == "$meta":
-            # stage-produced metadata: $vectorSearch's score rides in a
-            # hidden column the projection surfaces here
+            # stage-produced metadata: $vectorSearch/$search scores ride in
+            # hidden columns the projection surfaces here
             if args == "vectorSearchScore":
                 return F.col("__vs_score")
+            if args == "searchScore":
+                return F.col("__search_score")
             raise ValueError(f"unsupported $meta: {args!r}")
         if op == "$add":
             out = c(args[0])

@@ -734,6 +734,43 @@ def _apply_vector_search(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     )
 
 
+def _apply_search(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """Atlas-style ``$search`` facade (text operator) over the engine's
+    Okapi BM25 (operators/search.py::bm25_scores): documents MATCHING any
+    whitespace query term, ranked score-descending (id-ascending tiebreak
+    — strictly stronger than Atlas' unspecified tie order), full document
+    preserved, the quantized score surfaced via
+    ``{"$meta": "searchScore"}``.
+
+    ``{"text": {"query": str, "path": col}, "idField": col?}`` —
+    ``idField`` (engine extension, default ``_id``) names the unique
+    document id column the score join uses; typed tables have no implicit
+    ``_id``.  The scoring plan is the bm25_topk shape (term-filtered
+    explode, broadcast df/avgdl) plus one broadcast-eligible join of the
+    score rows (≤ matching docs) back onto the collection."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bm25_scores,
+    )
+
+    text = spec["text"]
+    terms = [t for t in str(text["query"]).split() if t]
+    path = text["path"]
+    id_col = spec.get("idField", "_id")
+    if id_col not in df.columns:
+        raise ValueError(
+            f"$search needs 'idField' naming a unique id column "
+            f"(no {id_col!r} in {df.columns})"
+        )
+    scores = bm25_scores(df, path, id_col, terms).select(
+        F.col("id").alias(id_col),
+        quantize6(F.col("score")).alias("__search_score"),
+    )
+    return df.join(scores, id_col, "inner").orderBy(
+        F.desc("__search_score"), F.asc(id_col)
+    )
+
+
 def _apply_bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$bucket: range-bucket documents by ``groupBy`` over explicit
     ``boundaries`` (ascending; [lo, hi) per Mongo), out-of-range docs to
@@ -1822,6 +1859,8 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             out = out.drop(*fields)
         elif op == "$vectorSearch":
             out = _apply_vector_search(out, spec)
+        elif op == "$search":
+            out = _apply_search(out, spec)
         elif op == "$lookup":
             out = _apply_lookup(out, spec)
         elif op == "$graphLookup":

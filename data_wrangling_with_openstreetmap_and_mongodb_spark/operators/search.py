@@ -43,17 +43,18 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
 )
 
 
-def bm25_topk(
+def bm25_scores(
     df: DataFrame,
     text_col: str,
     id_col: str,
     terms: list[str],
-    k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Top-``k`` documents for a bag of query ``terms`` by Okapi BM25:
-    ``(id, score, n_terms_hit)``, score descending, id ascending on ties.
+    """Okapi BM25 scores for every MATCHING document (no ranking cut):
+    ``(id, score, n_terms_hit)`` — the scoring core shared by
+    :func:`bm25_topk` and the ``$search`` stage facade
+    (docstore/pipeline.py).
 
     score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
     idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
@@ -120,9 +121,25 @@ def bm25_topk(
             ).alias("s"),
         )
     )
+    return contrib.groupBy("id").agg(
+        dsum("s").alias("score"), F.count(F.lit(1)).alias("n_terms_hit")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag of query ``terms`` by Okapi BM25:
+    ``(id, score, n_terms_hit)``, score descending, id ascending on ties
+    (TakeOrderedAndProject over :func:`bm25_scores`)."""
     return (
-        contrib.groupBy("id")
-        .agg(dsum("s").alias("score"), F.count(F.lit(1)).alias("n_terms_hit"))
+        bm25_scores(df, text_col, id_col, terms, k1=k1, b=b)
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )

@@ -1560,3 +1560,52 @@ def ds_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "_id": 0}},
         ]
     )
+
+
+def _atlas_search_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+        quantize6_sql,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bm25_topk_sql,
+    )
+
+    inner = bm25_topk_sql(
+        "documents", "text", "doc_id", ["cache", "index", "scan"], k=1000000000
+    )
+    return f"""
+        SELECT id, {quantize6_sql('score')} AS score
+        FROM ({inner})
+        ORDER BY score DESC, id ASC
+        LIMIT 10
+    """
+
+
+@register(
+    "ds_atlas_search",
+    oracle=_atlas_search_oracle(),
+    doc="Atlas $search stage facade (text operator) over the engine's "
+    "Okapi BM25 (operators/search.py::bm25_scores): matching documents "
+    "ranked by QUANTIZED score desc with id tiebreak (both sides cut "
+    "after quantization, so sub-1e-6 score splits cannot reorder the "
+    "k=10 boundary across engines), score surfaced via {$meta: "
+    "'searchScore'}.  idField names the id column (typed tables have no "
+    "implicit _id).  Gate-only: the search family's driver row is "
+    "bm25_keyword_topk (different query terms here).",
+    tags=("docstore", "search", "topk"),
+    driver_visible=False,
+)
+def ds_atlas_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "documents").aggregate(
+        [
+            {
+                "$search": {
+                    "text": {"query": "cache index scan", "path": "text"},
+                    "idField": "doc_id",
+                }
+            },
+            {"$limit": 10},
+            {"$project": {"id": "$doc_id", "score": {"$meta": "searchScore"},
+                          "_id": 0}},
+        ]
+    )

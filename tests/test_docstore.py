@@ -1266,6 +1266,36 @@ class TestBucketAutoAndOut:
         with pytest.raises(ValueError, match="unsupported \\$meta"):
             aggregate(df, [{"$project": {"s": {"$meta": "textScore"}}}])
 
+    def test_search_stage_facade(self, spark):
+        """$search (Atlas text operator) over BM25: only matching docs
+        survive, ranked by score desc, full document preserved, score via
+        {$meta: 'searchScore'}; missing idField raises."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [(1, "spark shuffle join", "a"),
+             (2, "python pandas", "b"),
+             (3, "spark spark spark", "c"),
+             (4, "unrelated words here", "d")],
+            "doc_id long, text string, tag string",
+        )
+        out = aggregate(df, [
+            {"$search": {"text": {"query": "spark join", "path": "text"},
+                         "idField": "doc_id"}},
+            {"$project": {"id": "$doc_id", "tag": 1,
+                          "score": {"$meta": "searchScore"}, "_id": 0}},
+        ])
+        rows = out.collect()
+        ids = [r["id"] for r in rows]
+        assert set(ids) == {1, 3}  # doc 4 matches nothing, 2 neither
+        # doc 1 hits BOTH terms (incl. the rarer 'join') -> ranks first
+        assert ids[0] == 1 and rows[0]["score"] > rows[1]["score"]
+        assert rows[0]["tag"] == "a"  # full document preserved
+        import pytest
+
+        with pytest.raises(ValueError, match="idField"):
+            aggregate(df, [{"$search": {"text": {"query": "x", "path": "text"}}}])
+
     def test_window_exp_moving_avg(self, spark):
         """$expMovingAvg: Mongo's recurrence y = a*x + (1-a)*y_prev with
         y_0 = x_0, alpha given directly or as N (a = 2/(N+1)); composes
