@@ -512,8 +512,13 @@ class ExpressionCompiler:
             # Mongo 0-based, −1 missing; array_position is 1-based, 0 missing
             return (F.array_position(c(arr), c(search)) - F.lit(1)).cast("int")
         if op == "$strcasecmp":
+            # null/missing coerces to "" like the rest of Mongo's string
+            # family ($toUpper/$substr) — without the coalesce a null
+            # operand would null-propagate through both WHEN branches and
+            # land on the otherwise(0) "equal" arm
             ca, cb = self._binary_args(args)
-            ua, ub = F.upper(ca), F.upper(cb)
+            ua = F.upper(F.coalesce(ca, F.lit("")))
+            ub = F.upper(F.coalesce(cb, F.lit("")))
             return (
                 F.when(ua < ub, F.lit(-1))
                 .when(ua > ub, F.lit(1))

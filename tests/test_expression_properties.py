@@ -82,6 +82,9 @@ def _ev(doc, e):
     if op == "$concat":
         vals = [_ev(doc, a) for a in args]
         return None if any(v is None for v in vals) else "".join(vals)
+    if op == "$strcasecmp":
+        a, b = ((_ev(doc, x) or "").upper() for x in args)
+        return -1 if a < b else (1 if a > b else 0)
     raise ValueError(op)
 
 
@@ -117,6 +120,9 @@ _STR_EXPR = st.one_of(
     st.tuples(st.sampled_from(["$s"]), st.sampled_from(["-", "x"])).map(
         lambda t: {"$concat": [t[0], t[1]]}
     ),
+    st.tuples(
+        st.sampled_from(["$s", "abc", "XY"]), st.sampled_from(["$s", "aBc", ""])
+    ).map(lambda t: {"$strcasecmp": [t[0], t[1]]}),
 )
 
 _EXPR = st.one_of(_NUM_EXPR, _BOOL_EXPR, _COND_EXPR, _STR_EXPR)
