@@ -692,7 +692,375 @@ class ExpressionCompiler:
             parts = [p for p in _re.split(r"(%[UjwVL])", args["format"]) if p]
             cols = [computed[p]() if p in computed else _plain(p) for p in parts]
             return cols[0] if len(cols) == 1 else F.concat(*cols)
+        # -- trigonometry / angles (all direct JVM builtins) -------------------
+        trig = {
+            "$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
+            "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
+            "$sinh": F.sinh, "$cosh": F.cosh, "$tanh": F.tanh,
+            "$asinh": F.asinh, "$acosh": F.acosh, "$atanh": F.atanh,
+        }
+        if op in trig:
+            return trig[op](c(args))
+        if op == "$atan2":
+            ca, cb = self._binary_args(args)
+            return F.atan2(ca, cb)
+        if op == "$degreesToRadians":
+            return F.radians(c(args))
+        if op == "$radiansToDegrees":
+            return F.degrees(c(args))
+        if op == "$millisecond":
+            # pmod: pre-epoch instants still yield 0..999
+            return (
+                F.pmod(F.unix_micros(c(args).cast("timestamp")), F.lit(1_000_000))
+                / 1000
+            ).cast("int")
+        # -- set predicates -----------------------------------------------------
+        if op == "$setEquals":
+            cols = [c(a) for a in args]
+            out: Column = F.lit(True)
+            for other in cols[1:]:
+                out = (
+                    out
+                    & (F.size(F.array_except(cols[0], other)) == 0)
+                    & (F.size(F.array_except(other, cols[0])) == 0)
+                )
+            return out
+        if op == "$setIsSubset":
+            ca, cb = self._binary_args(args)
+            return F.size(F.array_except(ca, cb)) == 0
+        if op in ("$allElementsTrue", "$anyElementTrue"):
+            # Mongo wraps the operand in a one-element list.  Element
+            # truthiness: null is falsy, booleans/numerics by value (0 is
+            # falsy), everything else truthy.  (Mongo also treats the
+            # STRING "false" as truthy; a string-typed array lands on the
+            # everything-else arm only when the boolean cast fails, so
+            # "true"/"false" literals diverge — documented, not load-bearing.)
+            arr = c(args[0] if isinstance(args, list) else args)
+
+            def _truthy(x: Column) -> Column:
+                return F.when(x.isNull(), F.lit(False)).otherwise(
+                    F.coalesce(x.try_cast("boolean"), F.lit(True))
+                )
+
+            fn = F.forall if op == "$allElementsTrue" else F.exists
+            return F.coalesce(fn(arr, _truthy), F.lit(False))
+        # -- object merge -------------------------------------------------------
+        if op == "$mergeObjects":
+            return self._merge_objects(args)
+        # -- array first/last (Mongo 4.4 expression forms; the $group
+        # accumulators of the same name compile in pipeline.py, never here) ----
+        if op == "$first":
+            return F.try_element_at(c(args), F.lit(1))
+        if op == "$last":
+            return F.try_element_at(c(args), F.lit(-1))
+        # -- type inspection ----------------------------------------------------
+        if op == "$type":
+            return self._type_name(args)
+        if op == "$toBool":
+            src = c(args)
+            if self._is_numeric(args):
+                return F.when(src.isNull(), F.lit(None).cast("boolean")).otherwise(
+                    src != 0
+                )
+            if isinstance(args, str) and args.startswith("$") and not args.startswith("$$"):
+                if isinstance(self.field_type(args[1:]), T.StringType):
+                    # Mongo: every string is truthy under $toBool
+                    return F.when(src.isNull(), F.lit(None).cast("boolean")).otherwise(
+                        F.lit(True)
+                    )
+            return src.cast("boolean")
+        if op == "$toDecimal":
+            return c(args).cast("decimal(38,10)")
+        # -- byte-level strings -------------------------------------------------
+        if op == "$strLenBytes":
+            return F.octet_length(c(args))
+        if op == "$binarySize":
+            return F.octet_length(c(args))
+        if op == "$substrBytes":
+            s, start, count = args
+            # slice the UTF-8 encoding (substring on BINARY is a byte slice);
+            # a mid-codepoint boundary raises MALFORMED_CHARACTER_CODING at
+            # decode — matching mongod, which also errors there
+            raw = F.encode(F.coalesce(c(s), F.lit("")), "UTF-8")
+            return F.decode(
+                F.substring(raw, int(start) + 1, int(count)), "UTF-8"
+            )
+        # -- regex find ---------------------------------------------------------
+        if op == "$regexFind":
+            return self._regex_find(args)
+        if op == "$regexFindAll":
+            return self._regex_find_all(args)
+        # -- date construction / decomposition ----------------------------------
+        if op == "$dateFromParts":
+            return self._date_from_parts(args)
+        if op == "$dateToParts":
+            return self._date_to_parts(args)
+        if op == "$dateFromString":
+            return self._date_from_string(args)
         raise ValueError(f"unsupported aggregation expression operator: {op}")
+
+    # -- multi-line operator bodies (kept out of the dispatch ladder) ----------
+    def _merge_objects(self, args: Any) -> Column:
+        """``$mergeObjects`` expression form: later documents win per key,
+        null/missing documents are ignored (Mongo semantics).
+
+        Two typed lowerings:
+
+        - all operands are struct-typed field references → schema-static
+          struct rebuild (field order = first appearance; per-field value =
+          the LAST operand whose struct is non-null and declares the field);
+        - otherwise operands must be MAP-typed expressions (the
+          `$objectToArray`/`$arrayToObject` world) → an entries fold that
+          keeps the last occurrence of each key.  Heterogeneous operands
+          (struct + map) raise.
+        """
+        if not isinstance(args, list):
+            args = [args]
+        struct_types: list[T.StructType | None] = []
+        for a in args:
+            dt = (
+                self.field_type(a[1:])
+                if isinstance(a, str) and a.startswith("$") and not a.startswith("$$")
+                else None
+            )
+            struct_types.append(dt if isinstance(dt, T.StructType) else None)
+        if all(t is not None for t in struct_types):
+            cols = [self.compile(a) for a in args]
+            field_order: list[str] = []
+            for t in struct_types:
+                for f in t.fieldNames():  # type: ignore[union-attr]
+                    if f not in field_order:
+                        field_order.append(f)
+            merged = []
+            for fname in field_order:
+                # later operands override: fold last→first as a when-chain
+                # (falls through to null when every declaring struct is null)
+                val: Column | None = None
+                for col, t in zip(reversed(cols), reversed(struct_types)):
+                    if fname in t.fieldNames():  # type: ignore[union-attr]
+                        arm = (col.isNotNull(), col.getField(fname))
+                        val = F.when(*arm) if val is None else val.when(*arm)
+                merged.append(val.alias(fname))
+            return F.struct(*merged)
+        # map-typed path: concat entries, keep LAST per key
+        entry_arrays = [
+            F.coalesce(F.map_entries(self.compile(a)), F.array())
+            for a in args
+        ]
+        entries = F.concat(*entry_arrays) if len(entry_arrays) > 1 else entry_arrays[0]
+
+        def _fold(acc: Column, e: Column) -> Column:
+            return F.map_concat(
+                F.map_filter(acc, lambda k, _: ~k.eqNullSafe(e["key"])),
+                F.map_from_entries(F.array(e)),
+            )
+
+        init = F.map_from_entries(F.slice(entries, 1, 0))
+        return F.aggregate(entries, init, _fold)
+
+    def _type_name(self, args: Any) -> Column:
+        """``$type`` expression: schema-static BSON type name, with a runtime
+        null check (the one dynamic case a typed engine has)."""
+        names: list[tuple[type, str]] = [
+            (T.BooleanType, "bool"), (T.IntegerType, "int"),
+            (T.ShortType, "int"), (T.ByteType, "int"), (T.LongType, "long"),
+            (T.FloatType, "double"), (T.DoubleType, "double"),
+            (T.DecimalType, "decimal"), (T.StringType, "string"),
+            (T.BinaryType, "binData"), (T.DateType, "date"),
+            (T.TimestampType, "date"), (T.TimestampNTZType, "date"),
+            (T.ArrayType, "array"), (T.StructType, "object"),
+            (T.MapType, "object"),
+        ]
+        if isinstance(args, str) and args.startswith("$") and not args.startswith("$$"):
+            dt = self.field_type(args[1:])
+            if dt is None:
+                return F.lit("missing")
+            label = next((n for t, n in names if isinstance(dt, t)), "object")
+            return F.when(self.compile(args).isNull(), F.lit("null")).otherwise(
+                F.lit(label)
+            )
+        if args is None:
+            return F.lit("null")
+        if isinstance(args, bool):
+            return F.lit("bool")
+        if isinstance(args, int):
+            return F.lit("int")
+        if isinstance(args, float):
+            return F.lit("double")
+        if isinstance(args, str):
+            return F.lit("string")
+        if isinstance(args, (list, tuple)):
+            return F.lit("array")
+        return F.lit("object")
+
+    def _regex_find(self, args: dict) -> Column:
+        """``$regexFind``: first match as ``{match, idx, captures}``, null when
+        no match.  The pattern must be a constant string (capture count is a
+        compile-time property).  Divergence from mongod, documented: a
+        non-participating capture group yields "" (Mongo: null), and
+        zero-length matches are treated as no-match (regexp_substr)."""
+        import re as _re
+
+        regex = args["regex"]
+        if not isinstance(regex, str):
+            raise ValueError("$regexFind requires a constant string regex")
+        ngroups = _re.compile(regex).groups
+        inp = self.compile(args["input"])
+        match = F.regexp_substr(inp, F.lit(regex))
+        idx = (F.regexp_instr(inp, F.lit(regex)) - F.lit(1)).cast("int")
+        captures = F.array(
+            *[F.regexp_extract(inp, regex, g + 1) for g in range(ngroups)]
+        ).cast("array<string>")
+        return F.when(
+            match.isNotNull(),
+            F.struct(
+                match.alias("match"), idx.alias("idx"), captures.alias("captures")
+            ),
+        )
+
+    def _regex_find_all(self, args: dict) -> Column:
+        """``$regexFindAll``: every match in order, each ``{match, idx,
+        captures}``.  Matches and per-group captures come from aligned
+        ``regexp_extract_all`` calls over the pattern wrapped in an outer
+        group (group 1 = full match, original group i → i+1 — patterns with
+        numeric backreferences are therefore rejected); the 0-based indices
+        are recovered by a left-to-right fold that searches each match
+        forward of the previous one's end."""
+        import re as _re
+
+        regex = args["regex"]
+        if not isinstance(regex, str):
+            raise ValueError("$regexFindAll requires a constant string regex")
+        if _re.search(r"\\\d", regex):
+            raise ValueError(
+                "$regexFindAll: numeric backreferences are unsupported (the "
+                "implementation renumbers capture groups)"
+            )
+        ngroups = _re.compile(regex).groups
+        wrapped = "(" + regex + ")"
+        inp = self.compile(args["input"])
+        matches = F.regexp_extract_all(inp, F.lit(wrapped), F.lit(1))
+        group_arrays = [
+            F.regexp_extract_all(inp, F.lit(wrapped), F.lit(g + 2))
+            for g in range(ngroups)
+        ]
+        zipped = F.arrays_zip(
+            matches.alias("m"),
+            *[ga.alias(f"g{i}") for i, ga in enumerate(group_arrays)],
+        )
+        entry_t = "array<struct<match:string,idx:int,captures:array<string>>>"
+        init = F.struct(
+            F.array().cast(entry_t).alias("res"), F.lit(0).alias("pos")
+        )
+
+        def _fold(acc: Column, x: Column) -> Column:
+            m = x["m"]
+            rest = inp.substr(acc["pos"] + F.lit(1), F.length(inp))
+            off = F.position(m, rest)  # 1-based within the remainder
+            idx = F.when(off > 0, acc["pos"] + off - F.lit(1)).otherwise(
+                acc["pos"]
+            ).cast("int")
+            caps = F.array(
+                *[x[f"g{g}"] for g in range(ngroups)]
+            ).cast("array<string>")
+            entry = F.struct(
+                m.alias("match"), idx.alias("idx"), caps.alias("captures")
+            )
+            newpos = (idx + F.greatest(F.length(m), F.lit(1))).cast("int")
+            return F.struct(
+                F.concat(acc["res"], F.array(entry)).alias("res"),
+                newpos.alias("pos"),
+            )
+
+        return F.aggregate(zipped, init, _fold, lambda acc: acc["res"])
+
+    def _date_from_parts(self, args: dict) -> Column:
+        """``$dateFromParts`` (calendar form): out-of-range parts carry into
+        the next-larger unit exactly as mongod does (month 14 → February of
+        year+1, day 0 → last day of the previous month) because the lowering
+        IS date arithmetic: Jan-1-of-year + (month−1) months + (day−1) days
+        + the time-of-day interval."""
+        if "isoWeekYear" in args:
+            raise ValueError("$dateFromParts ISO week form unsupported")
+        c = self.compile
+        get = lambda k, d: c(args[k]) if k in args else F.lit(d)  # noqa: E731
+        year = c(args["year"]).cast("int")
+        ts = F.to_timestamp(F.make_date(year, F.lit(1), F.lit(1)))
+        out = ts + F.make_interval(
+            F.lit(0),
+            get("month", 1).cast("long") - 1,
+            F.lit(0),
+            get("day", 1).cast("long") - 1,
+            get("hour", 0).cast("long"),
+            get("minute", 0).cast("long"),
+            get("second", 0).cast("double")
+            + get("millisecond", 0).cast("double") / 1000.0,
+        )
+        tz = args.get("timezone")
+        if tz is not None:
+            # parts describe WALL time in `timezone`; the stored instant is UTC
+            out = F.to_utc_timestamp(out, tz)
+        return out
+
+    def _date_to_parts(self, args: Any) -> Column:
+        """``$dateToParts``: calendar decomposition document."""
+        if isinstance(args, dict):
+            d = self.compile(args["date"])
+            if args.get("iso8601"):
+                raise ValueError("$dateToParts iso8601 form unsupported")
+            tz = args.get("timezone")
+            if tz is not None:
+                d = F.from_utc_timestamp(d, tz)
+        else:
+            d = self.compile(args)
+        d = d.cast("timestamp")
+        ms = (F.pmod(F.unix_micros(d), F.lit(1_000_000)) / 1000).cast("int")
+        return F.when(
+            d.isNotNull(),
+            F.struct(
+                F.year(d).alias("year"),
+                F.month(d).alias("month"),
+                F.dayofmonth(d).alias("day"),
+                F.hour(d).alias("hour"),
+                F.minute(d).alias("minute"),
+                F.second(d).alias("second"),
+                ms.alias("millisecond"),
+            ),
+        )
+
+    def _date_from_string(self, args: Any) -> Column:
+        """``$dateFromString``: parse with an optional Mongo %-format
+        (mapped onto Spark's pattern letters), `timezone` as the wall-time
+        zone of the input, and $convert-style onError/onNull arms.  Parse
+        failures are null (try_to_timestamp), so onError needs no UDF."""
+        if isinstance(args, str):
+            args = {"dateString": args}
+        src = self.compile(args["dateString"])
+        fmt = args.get("format")
+        if fmt is not None:
+            spark_fmt = fmt
+            for mongo, spark in (
+                ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+                ("%M", "mm"), ("%S", "ss"), ("%L", "SSS"),
+            ):
+                spark_fmt = spark_fmt.replace(mongo, spark)
+            if "%" in spark_fmt:
+                raise ValueError(
+                    f"unsupported $dateFromString directive in {fmt!r}"
+                )
+            val = F.try_to_timestamp(src, F.lit(spark_fmt))
+        else:
+            val = src.try_cast("timestamp")
+        tz = args.get("timezone")
+        if tz is not None:
+            val = F.to_utc_timestamp(val, tz)
+        if "onError" in args:
+            val = F.when(
+                src.isNotNull() & val.isNull(), self.compile(args["onError"])
+            ).otherwise(val)
+        if "onNull" in args:
+            val = F.when(src.isNull(), self.compile(args["onNull"])).otherwise(val)
+        return val
 
     def compile_bool(self, e: Any) -> Column:
         col = self.compile(e)

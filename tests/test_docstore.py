@@ -2302,6 +2302,223 @@ class TestExpressionOperatorExtensions:
         assert (row["sec"], row["doy"]) == (30, 74)
         assert row["fmt"] == "2017-03-15 14:10"
 
+    def test_trig_angles_millisecond(self, spark):
+        import math
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [(0.5, dt_ts("2019-02-28 13:45:30.123"))], "x double, ts timestamp"
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$sin": "$x"}).alias("sin"),
+            ec.compile({"$cos": "$x"}).alias("cos"),
+            ec.compile({"$tanh": "$x"}).alias("tanh"),
+            ec.compile({"$asinh": "$x"}).alias("asinh"),
+            ec.compile({"$atan2": ["$x", 1.0]}).alias("at2"),
+            ec.compile({"$degreesToRadians": 180}).alias("rad"),
+            ec.compile({"$radiansToDegrees": {"$literal": math.pi}}).alias("deg"),
+            ec.compile({"$millisecond": "$ts"}).alias("ms"),
+        ).collect()[0]
+        assert abs(row["sin"] - math.sin(0.5)) < 1e-15
+        assert abs(row["cos"] - math.cos(0.5)) < 1e-15
+        assert abs(row["tanh"] - math.tanh(0.5)) < 1e-15
+        assert abs(row["asinh"] - math.asinh(0.5)) < 1e-15
+        assert abs(row["at2"] - math.atan2(0.5, 1.0)) < 1e-15
+        assert abs(row["rad"] - math.pi) < 1e-15
+        assert abs(row["deg"] - 180.0) < 1e-12
+        assert row["ms"] == 123
+
+    def test_set_predicates_and_merge_objects(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [([1, 2, 3], [3, 2, 1, 1], {"a": 1, "b": 2}, {"b": 9, "c": 3})],
+            "xs array<long>, ys array<long>, m1 map<string,long>, m2 map<string,long>",
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$setEquals": ["$xs", "$ys"]}).alias("eq"),
+            ec.compile({"$setEquals": ["$xs", [1, 2]]}).alias("neq"),
+            ec.compile({"$setIsSubset": [[1, 3], "$xs"]}).alias("sub"),
+            ec.compile({"$setIsSubset": [[1, 9], "$xs"]}).alias("nsub"),
+            ec.compile({"$allElementsTrue": ["$xs"]}).alias("allt"),
+            ec.compile({"$allElementsTrue": [[1, 0]]}).alias("allf"),
+            ec.compile({"$anyElementTrue": [[0, 0]]}).alias("anyf"),
+            ec.compile({"$anyElementTrue": [[0, 2]]}).alias("anyt"),
+            ec.compile({"$mergeObjects": ["$m1", "$m2"]}).alias("mo"),
+        ).collect()[0]
+        assert row["eq"] is True and row["neq"] is False
+        assert row["sub"] is True and row["nsub"] is False
+        assert row["allt"] is True and row["allf"] is False
+        assert row["anyf"] is False and row["anyt"] is True
+        # map form: later keys win, earlier survive
+        assert row["mo"] == {"a": 1, "b": 9, "c": 3}
+
+    def test_merge_objects_structs_null_ignored(self, spark):
+        """Struct-typed $mergeObjects: schema-static rebuild; a NULL operand
+        document is skipped entirely (Mongo ignores null/missing docs)."""
+        from pyspark.sql import functions as F
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame([(1,), (2,)], "id long").select(
+            "id",
+            F.struct(F.lit(1).alias("a"), F.lit(2).alias("b")).alias("s1"),
+            F.when(
+                F.col("id") == 1,
+                F.struct(F.lit(9).alias("b"), F.lit(3).alias("c")),
+            ).alias("s2"),
+        )
+        ec = ExpressionCompiler(df)
+        got = {
+            r["id"]: r["mo"].asDict()
+            for r in df.select(
+                "id", ec.compile({"$mergeObjects": ["$s1", "$s2"]}).alias("mo")
+            ).collect()
+        }
+        assert got[1] == {"a": 1, "b": 9, "c": 3}
+        assert got[2] == {"a": 1, "b": 2, "c": None}  # null s2 ignored
+
+    def test_type_tobool_bytes_first_last(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [(1, 2.5, "héllo", [7, 8, 9], None)],
+            "id long, x double, u string, xs array<long>, gone string",
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$type": "$id"}).alias("t_long"),
+            ec.compile({"$type": "$x"}).alias("t_dbl"),
+            ec.compile({"$type": "$xs"}).alias("t_arr"),
+            ec.compile({"$type": "$gone"}).alias("t_null"),
+            ec.compile({"$type": "$nosuch"}).alias("t_missing"),
+            ec.compile({"$toBool": "$x"}).alias("tb_num"),
+            ec.compile({"$toBool": "$u"}).alias("tb_str"),
+            ec.compile({"$toBool": "$gone"}).alias("tb_null"),
+            ec.compile({"$toDecimal": "$x"}).alias("dec"),
+            ec.compile({"$strLenBytes": "$u"}).alias("slb"),
+            ec.compile({"$strLenCP": "$u"}).alias("slc"),
+            ec.compile({"$substrBytes": ["$u", 0, 3]}).alias("ssb"),
+            ec.compile({"$binarySize": "$u"}).alias("bs"),
+            ec.compile({"$first": "$xs"}).alias("fst"),
+            ec.compile({"$last": "$xs"}).alias("lst"),
+            ec.compile({"$first": {"$literal": []}}).alias("fst_empty"),
+        ).collect()[0]
+        assert row["t_long"] == "long" and row["t_dbl"] == "double"
+        assert row["t_arr"] == "array" and row["t_null"] == "null"
+        assert row["t_missing"] == "missing"
+        assert row["tb_num"] is True and row["tb_str"] is True
+        assert row["tb_null"] is None
+        assert float(row["dec"]) == 2.5
+        # é is 2 UTF-8 bytes: byte length 6 vs codepoint length 5
+        assert (row["slb"], row["slc"]) == (6, 5)
+        assert row["ssb"] == "hé" and row["bs"] == 6
+        assert (row["fst"], row["lst"]) == (7, 9)
+        assert row["fst_empty"] is None
+
+    def test_regex_find_and_find_all(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [("a1b22c333", "k=1;j=22", "aXaXa")], "s string, kv string, t string"
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$regexFind": {"input": "$s", "regex": r"(\d+)c"}}).alias("rf"),
+            ec.compile({"$regexFind": {"input": "$s", "regex": "zz"}}).alias("rf_miss"),
+            ec.compile({"$regexFindAll": {"input": "$s", "regex": r"\d+"}}).alias("rfa"),
+            ec.compile({"$regexFindAll": {"input": "$kv", "regex": r"(\w)=(\d+)"}}).alias("rfa_caps"),
+            ec.compile({"$regexFindAll": {"input": "$t", "regex": "a"}}).alias("rfa_rep"),
+        ).collect()[0]
+        assert row["rf"].asDict() == {"match": "22c", "idx": 3, "captures": ["22"]}
+        assert row["rf_miss"] is None
+        assert [e.asDict() for e in row["rfa"]] == [
+            {"match": "1", "idx": 1, "captures": []},
+            {"match": "22", "idx": 3, "captures": []},
+            {"match": "333", "idx": 6, "captures": []},
+        ]
+        assert [e.asDict() for e in row["rfa_caps"]] == [
+            {"match": "k=1", "idx": 0, "captures": ["k", "1"]},
+            {"match": "j=22", "idx": 4, "captures": ["j", "22"]},
+        ]
+        # repeated identical matches: the positional fold must advance past
+        # each occurrence, not re-find the first
+        assert [e["idx"] for e in row["rfa_rep"]] == [0, 2, 4]
+        import pytest
+
+        with pytest.raises(ValueError, match="backreference"):
+            ec.compile({"$regexFindAll": {"input": "$s", "regex": r"(a)\1"}})
+
+    def test_date_from_parts_to_parts_from_string(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [(dt_ts("2019-02-28 13:45:30.123"),)], "ts timestamp"
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$dateFromParts": {"year": 2017, "month": 2, "day": 31}}).alias("carry"),
+            ec.compile({"$dateFromParts": {"year": 2017, "month": 14, "day": 1}}).alias("mcarry"),
+            ec.compile({"$dateFromParts": {"year": 2017, "month": 3, "day": 0}}).alias("dzero"),
+            ec.compile({"$dateFromParts": {
+                "year": 2017, "month": 6, "day": 5, "hour": 10, "minute": 20,
+                "second": 30, "millisecond": 250,
+            }}).alias("full"),
+            ec.compile({"$dateToParts": {"date": "$ts"}}).alias("parts"),
+            ec.compile({"$dateFromString": {
+                "dateString": "2021-01-02 03:04:05", "format": "%Y-%m-%d %H:%M:%S",
+            }}).alias("dfs"),
+            # onError must unify with the timestamp result type in a typed
+            # engine (a string fallback would be coerced-and-cast by Spark)
+            ec.compile({"$dateFromString": {
+                "dateString": "not a date",
+                "onError": {"$dateFromParts": {"year": 1970}},
+            }}).alias("dfs_err"),
+        ).collect()[0]
+        # Mongo's documented carry: 2017-02-31 → 2017-03-03
+        assert str(row["carry"]) == "2017-03-03 00:00:00"
+        assert str(row["mcarry"]) == "2018-02-01 00:00:00"  # month 14 → Feb next yr
+        assert str(row["dzero"]) == "2017-02-28 00:00:00"  # day 0 → prev month end
+        assert str(row["full"]) == "2017-06-05 10:20:30.250000"
+        assert row["parts"].asDict() == {
+            "year": 2019, "month": 2, "day": 28,
+            "hour": 13, "minute": 45, "second": 30, "millisecond": 123,
+        }
+        assert str(row["dfs"]) == "2021-01-02 03:04:05"
+        assert str(row["dfs_err"]) == "1970-01-01 00:00:00"
+
+    def test_date_from_parts_roundtrips_date_to_parts(self, spark):
+        """Random instants: $dateToParts → $dateFromParts is the identity."""
+        import random
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        rng = random.Random(77)
+        base = dt_ts("2000-01-01 00:00:00")
+        import datetime
+
+        rows = [
+            (base + datetime.timedelta(seconds=rng.randrange(0, 10**9),
+                                       milliseconds=rng.randrange(0, 1000)),)
+            for _ in range(50)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        ec = ExpressionCompiler(df)
+        parts = {
+            k: {"$getField": {"input": "$p", "field": k}}
+            for k in ("year", "month", "day", "hour", "minute", "second", "millisecond")
+        }
+        out = (
+            df.select("ts", ec.compile({"$dateToParts": "$ts"}).alias("p"))
+            .select("ts", ExpressionCompiler(df).compile(
+                {"$dateFromParts": parts}).alias("back"))
+        )
+        bad = out.where("ts <> back").count()
+        assert bad == 0
+
 
 def dt_ts(s):
     import datetime
