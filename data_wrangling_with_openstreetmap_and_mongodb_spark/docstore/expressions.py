@@ -27,17 +27,30 @@ class ExpressionCompiler:
     it is plain subtraction.
     """
 
-    def __init__(self, df: DataFrame):
+    def __init__(
+        self,
+        df: DataFrame,
+        root: Column | None = None,
+        root_type: T.StructType | None = None,
+    ):
         self.df = df
         # lambda-variable environment for $filter/$map/$reduce: "$$name"
         # references resolve here (a plain dict works — expressions compile
         # depth-first, and each array operator restores the previous binding
         # on exit, so shadowing nests correctly)
         self._env: dict[str, Column] = {}
+        # $redact evaluates its expression at every level of the document
+        # hierarchy: when `root` is set, bare '$path' references resolve
+        # RELATIVE to that struct column (with `root_type` as its schema)
+        # instead of the DataFrame's top level
+        self._root = root
+        self._root_type = root_type
 
     # -- helpers ------------------------------------------------------------
     def field_type(self, path: str) -> T.DataType | None:
-        dt: T.DataType | None = self.df.schema
+        dt: T.DataType | None = (
+            self._root_type if self._root_type is not None else self.df.schema
+        )
         for part in path.split("."):
             if isinstance(dt, T.StructType) and part in dt.fieldNames():
                 dt = dt[part].dataType
@@ -102,6 +115,11 @@ class ExpressionCompiler:
                     out = out.getField(part)
                 return out
             if e.startswith("$"):
+                if self._root is not None:
+                    out = self._root
+                    for part in e[1:].split("."):
+                        out = out.getField(part)
+                    return out
                 return F.col(e[1:])
             return F.lit(e)
         if isinstance(e, dict):

@@ -1821,6 +1821,90 @@ def _apply_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return out
 
 
+_REDACT_KEEP = "__redact_keep__"
+_REDACT_PRUNE = "__redact_prune__"
+_REDACT_DESCEND = "__redact_descend__"
+
+
+def _apply_redact(df: DataFrame, spec: Any) -> DataFrame:
+    """``$redact``: field-level access control as one codegen'd projection.
+
+    The expression evaluates at EVERY level of the document hierarchy with
+    the Mongo system variables bound ($$KEEP keeps the subtree as-is,
+    $$PRUNE removes it, $$DESCEND keeps this level's scalar fields and
+    recurses into embedded documents — struct fields and structs inside
+    arrays).  Field references inside the expression resolve RELATIVE to
+    the level being evaluated, exactly as mongod does, via the expression
+    compiler's `root` context.
+
+    Lowering: the root decision is a filter (PRUNE drops the row); each
+    struct-typed field rebuilds as a CASE over its own decision; pruned
+    array elements are removed with `F.filter`.  Everything is native
+    Column algebra — the whole stage is a single scan-level projection,
+    no shuffle, no UDF.  The schema is unchanged (a pruned subdocument
+    becomes a null struct — the typed-column rendering of "missing").
+    """
+    keep, prune = F.lit(_REDACT_KEEP), F.lit(_REDACT_PRUNE)
+
+    def decision(root: Column | None, root_type: T.StructType) -> Column:
+        ec = ExpressionCompiler(df, root=root, root_type=root_type)
+        ec._env.update(
+            {
+                "KEEP": F.lit(_REDACT_KEEP),
+                "PRUNE": F.lit(_REDACT_PRUNE),
+                "DESCEND": F.lit(_REDACT_DESCEND),
+            }
+        )
+        return ec.compile(spec)
+
+    def descend_value(base: Column, st: T.StructType) -> Column | None:
+        """The value of this level under a DESCEND decision, or None when
+        the level holds no embedded documents (nothing to rewrite)."""
+        rebuilt = []
+        changed = False
+        for f in st.fields:
+            child = base.getField(f.name)
+            val = _redacted_child(child, f.dataType)
+            changed = changed or (val is not child)
+            rebuilt.append(val.alias(f.name))
+        return F.struct(*rebuilt) if changed else None
+
+    def _redacted_child(child: Column, dt: T.DataType) -> Column:
+        if isinstance(dt, T.StructType):
+            d = decision(child, dt)
+            inner = descend_value(child, dt)
+            return (
+                F.when(child.isNull() | (d == keep), child)
+                .when(d == prune, F.lit(None).cast(dt))
+                .otherwise(inner if inner is not None else child)
+            )
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+            et = dt.elementType
+
+            def _elem(x: Column) -> Column:
+                d = decision(x, et)
+                inner = descend_value(x, et)
+                return F.when(d == keep, x).otherwise(
+                    inner if inner is not None else x
+                )
+
+            survivors = F.filter(child, lambda x: decision(x, et) != prune)
+            return F.transform(survivors, _elem)
+        return child
+
+    root_d = decision(None, df.schema)
+    out = df.filter(root_d != prune)
+    cols = []
+    for f in df.schema.fields:
+        child = F.col(f.name)
+        val = _redacted_child(child, f.dataType)
+        if val is not child:
+            # a root-level KEEP short-circuits every nested rewrite
+            val = F.when(root_d == keep, child).otherwise(val)
+        cols.append(val.alias(f.name))
+    return out.select(*cols)
+
+
 def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
     """Compile a full pipeline into one lazy DataFrame plan."""
     out = df
@@ -1910,6 +1994,16 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             if not (isinstance(expr, str) and expr.startswith("$")):
                 raise ValueError("$replaceRoot newRoot must be a '$field' path")
             out = out.select(f"{expr[1:]}.*")
+        elif op == "$redact":
+            out = _apply_redact(out, spec)
+        elif op == "$documents":
+            # literal input documents (Mongo 5.1): replaces the pipeline
+            # input — only valid as the FIRST stage, matching mongod
+            if out is not df or not isinstance(spec, list) or not spec:
+                if out is not df:
+                    raise ValueError("$documents must be the first stage")
+                raise ValueError("$documents takes a non-empty list of documents")
+            out = df.sparkSession.createDataFrame(spec)
         elif op == "$sample":
             # Exactly `size` pseudo-random docs without an eager count():
             # rank by a seeded rand() and keep the lowest `size`.  Catalyst

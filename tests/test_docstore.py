@@ -2302,6 +2302,60 @@ class TestExpressionOperatorExtensions:
         assert (row["sec"], row["doy"]) == (30, 74)
         assert row["fmt"] == "2017-03-15 14:10"
 
+    def test_redact_descend_prune_keep(self, spark):
+        """$redact: per-level access-control tags — root PRUNE drops the row,
+        nested PRUNE nulls the struct / removes the array element, DESCEND
+        recurses, root KEEP short-circuits every nested rewrite."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [
+                (1, ["G"], ("alpha", ["G"], ("x", ["TS"])),
+                 [("a", ["G"]), ("b", ["TS"])]),
+                (2, ["TS"], ("beta", ["G"], ("y", ["G"])), [("c", ["G"])]),
+            ],
+            "id long, tags array<string>, "
+            "sub struct<name:string, tags:array<string>, "
+            "inner:struct<v:string, tags:array<string>>>, "
+            "items array<struct<k:string, tags:array<string>>>",
+        )
+        gate = {
+            "$cond": [
+                {"$gt": [{"$size": {"$setIntersection": ["$tags", ["G"]]}}, 0]},
+                "$$DESCEND",
+                "$$PRUNE",
+            ]
+        }
+        rows = {r["id"]: r for r in aggregate(df, [{"$redact": gate}]).collect()}
+        assert set(rows) == {1}  # doc 2's root tags=[TS] → row pruned
+        r = rows[1]
+        assert r["sub"]["name"] == "alpha"  # sub carries G → descended into
+        assert r["sub"]["inner"] is None  # TS subtree pruned → null struct
+        assert [e["k"] for e in r["items"]] == ["a"]  # TS element removed
+        keep_gate = dict(gate)
+        keep_gate = {"$cond": [gate["$cond"][0], "$$KEEP", "$$PRUNE"]}
+        rows2 = {
+            r["id"]: r for r in aggregate(df, [{"$redact": keep_gate}]).collect()
+        }
+        assert rows2[1]["sub"]["inner"]["v"] == "x"  # KEEP kept the TS subtree
+
+    def test_documents_stage(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([(1,)], "id long")
+        out = aggregate(
+            df,
+            [
+                {"$documents": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]},
+                {"$match": {"a": {"$gte": 2}}},
+            ],
+        )
+        assert [r.asDict() for r in out.collect()] == [{"a": 2, "b": "y"}]
+        import pytest
+
+        with pytest.raises(ValueError, match="first stage"):
+            aggregate(df, [{"$match": {}}, {"$documents": [{"a": 1}]}])
+
     def test_trig_angles_millisecond(self, spark):
         import math
 
