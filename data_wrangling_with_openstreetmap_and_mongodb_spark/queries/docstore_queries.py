@@ -1609,3 +1609,177 @@ def ds_atlas_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "_id": 0}},
         ]
     )
+
+
+@register(
+    "ds_redact_nested",
+    oracle="""
+        SELECT c_custkey AS id,
+               c_name AS name,
+               CASE WHEN c_acctbal > 0 THEN c_acctbal END AS bal
+        FROM customer
+        WHERE c_mktsegment IN ('MACHINERY', 'BUILDING')
+        ORDER BY id
+    """,
+    doc="$redact with per-level access tags: customers shaped into nested "
+    "docs (root tags = market segment; a 'priv' subdocument tagged OPEN "
+    "only for positive balances), then redacted with the canonical "
+    "$$DESCEND/$$PRUNE cond — non-clearance roots drop whole rows, the "
+    "SECRET-tagged subdocument prunes to a null struct whose bal the "
+    "trailing projection surfaces as SQL NULL.  The whole stage is one "
+    "codegen'd projection + filter (no shuffle), replayed in the oracle "
+    "as the equivalent CASE/WHERE.  Gate-only: a projection/filter "
+    "composition, not a novel family (P1/P3 shapes carry the driver rows).",
+    tags=("docstore", "redact", "project"),
+    driver_visible=False,
+)
+def ds_redact_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.array(F.col("c_mktsegment")).alias("tags"),
+        F.struct(
+            F.col("c_acctbal").alias("bal"),
+            F.when(F.col("c_acctbal") > 0, F.array(F.lit("OPEN")))
+            .otherwise(F.array(F.lit("SECRET")))
+            .alias("tags"),
+        ).alias("priv"),
+    )
+    return DocumentCollection(cust, "customer_docs").aggregate(
+        [
+            {
+                "$redact": {
+                    "$cond": [
+                        {
+                            "$gt": [
+                                {
+                                    "$size": {
+                                        "$setIntersection": [
+                                            "$tags",
+                                            ["MACHINERY", "BUILDING", "OPEN"],
+                                        ]
+                                    }
+                                },
+                                0,
+                            ]
+                        },
+                        "$$DESCEND",
+                        "$$PRUNE",
+                    ]
+                }
+            },
+            {"$project": {"id": 1, "name": 1, "bal": "$priv.bal", "_id": 0}},
+            {"$sort": {"id": 1}},
+        ]
+    )
+
+
+@register(
+    "ds_regex_extract",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, tok, ord,
+                   CAST(COALESCE(SUM(LENGTH(tok) + 1) OVER (
+                       PARTITION BY doc_id ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS INT) AS idx
+            FROM toks
+        )
+        SELECT tok AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(idx) AS min_idx
+        FROM pos
+        WHERE regexp_matches(tok, '^s[a-z]+$')
+        GROUP BY tok
+        ORDER BY n DESC, _id ASC
+        LIMIT 20
+    """,
+    doc="$regexFindAll over the corpus: every \\bs[a-z]+ occurrence with its "
+    "0-based character index (the positional fold inside the operator), "
+    "unwound and grouped — count per matched token plus the corpus-minimum "
+    "match index, which pins every recovered position.  The oracle replays "
+    "positions from first principles: tokenize, running-length window for "
+    "each token's character offset, filter to ^s[a-z]+$.  Gate-only: an "
+    "expression + unwind + group composition (F1/A1 carry driver rows).",
+    tags=("docstore", "expr", "regex"),
+    driver_visible=False,
+)
+def ds_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "documents").aggregate(
+        [
+            {
+                "$project": {
+                    "doc_id": 1,
+                    "ms": {
+                        "$regexFindAll": {"input": "$text", "regex": r"\bs[a-z]+"}
+                    },
+                    "_id": 0,
+                }
+            },
+            {"$unwind": "$ms"},
+            {
+                "$group": {
+                    "_id": "$ms.match",
+                    "n": {"$sum": 1},
+                    "min_idx": {"$min": "$ms.idx"},
+                }
+            },
+            {"$sort": {"n": -1, "_id": 1}},
+            {"$limit": 20},
+        ]
+    )
+
+
+@register(
+    "ds_date_parts",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM orders
+        GROUP BY 1
+        ORDER BY _id
+    """,
+    doc="$dateToParts → $dateFromParts round trip: each order decomposes to "
+    "calendar parts, the month start reconstructs via $dateFromParts "
+    "(carry-free case of the interval-arithmetic lowering), orders group "
+    "by it — count plus exact min/max prices.  The oracle's date_trunc "
+    "equals the decompose-rebuild path iff both part extraction and "
+    "reconstruction are correct.  Gate-only: expression-composition shape "
+    "(A12 derived-key grouping carries driver rows).",
+    tags=("docstore", "expr", "dates"),
+    driver_visible=False,
+)
+def ds_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {"$addFields": {"p": {"$dateToParts": {"date": "$o_orderdate"}}}},
+            {
+                "$addFields": {
+                    "month_start": {
+                        "$dateFromParts": {
+                            "year": {"$getField": {"input": "$p", "field": "year"}},
+                            "month": {
+                                "$getField": {"input": "$p", "field": "month"}
+                            },
+                        }
+                    }
+                }
+            },
+            {
+                "$group": {
+                    "_id": "$month_start",
+                    "n": {"$sum": 1},
+                    "lo": {"$min": "$o_totalprice"},
+                    "hi": {"$max": "$o_totalprice"},
+                }
+            },
+            {"$sort": {"_id": 1}},
+        ]
+    )
