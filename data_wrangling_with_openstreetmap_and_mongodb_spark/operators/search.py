@@ -250,6 +250,145 @@ def unigram_logprob_sql(table: str, text_expr: str, id_expr: str) -> str:
     """
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str, id_col: str, lam: float = 0.9
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    CCNet-style perplexity quality filter one rung above
+    :func:`unigram_logprob`: ``(id, n_tokens, avg_logprob, ppl)``.
+
+    Model (trained on the corpus itself, like the unigram sibling):
+    a document's first token scores under the unigram distribution
+    ``c(w)/N``; every following token scores under the interpolated
+    bigram ``λ·c(w1,w2)/ctx(w1) + (1−λ)·c(w2)/N`` where ``ctx(w1)`` is
+    the number of bigrams starting with ``w1`` (so the conditional is a
+    proper distribution even at document-final tokens).  ``avg_logprob``
+    is the per-document quantized mean of ``ln p`` (order-independent),
+    ``ppl = exp(−avg_logprob)`` quantized to 1e-6.
+
+    Plan shape: bigrams form MAP-SIDE from each document's token array
+    (two slices zipped — no self-join, no extra shuffle); one hash-agg
+    each for the vocabulary, the bigram table, and the context totals
+    (the latter derived from the bigram table, so it costs a
+    vocabulary-sized agg, not a corpus pass).  Scoring joins broadcast
+    the vocabulary and context tables (vocab-sized); the bigram join
+    shuffles by ``(w1, w2)`` — the unavoidable LM-training shuffle, its
+    width bounded by distinct bigrams, not corpus tokens.  At 100 TB a
+    multi-GB vocabulary would flip the broadcasts to shuffle joins
+    (drop the hint); everything else is scale-free.
+
+    λ's complement is computed in PYTHON and injected into both engines
+    as the same IEEE literal (``1.0 − λ`` constant-folds differently in
+    DuckDB's exact decimals — the $expMovingAvg lesson).
+    """
+    one_m = 1.0 - lam
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    docs = df.select(F.col(id_col).alias("id"), arr.alias("toks")).persist()
+    toks = docs.select("id", F.explode("toks").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t")).persist()
+    total = vocab.agg(F.sum("c_t").cast("double").alias("t_total"))
+    n = F.size("toks")
+    pairs = docs.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+                F.slice("toks", 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_b"))
+    ctx = bigrams.groupBy("w1").agg(F.sum("c_b").alias("c_ctx"))
+    pair_lp = (
+        pairs.join(bigrams, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(vocab.withColumnRenamed("tok", "w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.log(
+                F.lit(lam) * (F.col("c_b").cast("double") / F.col("c_ctx"))
+                + F.lit(one_m) * (F.col("c_t") / F.col("t_total"))
+            ).alias("lp"),
+        )
+    )
+    first_lp = (
+        docs.filter(n > 0)
+        .select("id", F.element_at("toks", 1).alias("tok"))
+        .join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("id", F.log(F.col("c_t") / F.col("t_total")).alias("lp"))
+    )
+    scored = first_lp.unionByName(pair_lp)
+    out = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), davg("lp").alias("avg_logprob")
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+        quantize6,
+    )
+
+    return out.withColumn("ppl", quantize6(F.exp(-F.col("avg_logprob"))))
+
+
+def bigram_logprob_sql(
+    table: str, text_expr: str, id_expr: str, lam: float = 0.9
+) -> str:
+    """DuckDB oracle reproducing :func:`bigram_logprob` value-for-value —
+    identical arithmetic shape, λ and 1−λ injected as Python-computed
+    IEEE literals on both sides."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+        davg_sql,
+        quantize6_sql,
+    )
+
+    one_m = 1.0 - lam
+    return f"""
+        WITH docs AS (
+            SELECT {id_expr} AS id,
+                   list_filter(string_split(lower({text_expr}), ' '),
+                               x -> x <> '') AS toks
+            FROM {table}
+        ),
+        postoks AS (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM docs
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS c_t FROM postoks GROUP BY tok),
+        total AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS t_total FROM vocab),
+        pairs AS (
+            SELECT t1.id, t1.tok AS w1, t2.tok AS w2
+            FROM postoks t1
+            JOIN postoks t2 ON t1.id = t2.id AND t2.ord = t1.ord + 1
+        ),
+        bigrams AS (SELECT w1, w2, COUNT(*) AS c_b FROM pairs GROUP BY w1, w2),
+        ctx AS (SELECT w1, SUM(c_b) AS c_ctx FROM bigrams GROUP BY w1),
+        pair_lp AS (
+            SELECT p.id,
+                   ln({lam!r} * (CAST(b.c_b AS DOUBLE) / c.c_ctx)
+                      + {one_m!r} * (v.c_t / t.t_total)) AS lp
+            FROM pairs p
+            JOIN bigrams b ON p.w1 = b.w1 AND p.w2 = b.w2
+            JOIN ctx c ON p.w1 = c.w1
+            JOIN vocab v ON p.w2 = v.tok
+            CROSS JOIN total t
+        ),
+        first_lp AS (
+            SELECT d.id, ln(v.c_t / t.t_total) AS lp
+            FROM docs d
+            JOIN vocab v ON d.toks[1] = v.tok
+            CROSS JOIN total t
+            WHERE len(d.toks) > 0
+        ),
+        scored AS (SELECT * FROM first_lp UNION ALL SELECT * FROM pair_lp)
+        SELECT id, COUNT(*) AS n_tokens, {davg_sql('lp')} AS avg_logprob,
+               {quantize6_sql(f"exp(-({davg_sql('lp')}))")} AS ppl
+        FROM scored GROUP BY id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Positional index + phrase search
 # ---------------------------------------------------------------------------

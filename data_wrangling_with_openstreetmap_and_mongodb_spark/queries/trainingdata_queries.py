@@ -2113,6 +2113,51 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bigram_logprob_sql,
+    )
+
+    inner = bigram_logprob_sql("documents", "text", "doc_id", lam=0.9)
+    return f"""
+        WITH perdoc AS ({inner})
+        SELECT id AS doc_id, n_tokens, avg_logprob, ppl
+        FROM perdoc
+        ORDER BY avg_logprob ASC, doc_id ASC
+        LIMIT 15
+    """
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=_bigram_oracle(),
+    doc="interpolated bigram-LM perplexity filter "
+    "(operators/search.py::bigram_logprob): the CCNet-style quality score — "
+    "first token under the corpus unigram, every other token under "
+    "λ·bigram + (1−λ)·unigram with λ=0.9 injected as the same IEEE literal "
+    "into both engines.  The 15 least-typical documents (lowest mean "
+    "log-probability) with their quantized perplexities.  Bigrams form "
+    "map-side from each doc's token array (no self-join); the scoring "
+    "shuffle is bounded by distinct bigrams.  Gate-only: composition "
+    "sibling of doc_unigram_logprob (quality family's driver row is "
+    "text_quality_by_source).",
+    tags=("text", "quality", "topk"),
+    driver_visible=False,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bigram_logprob,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    perdoc = bigram_logprob(d, "text", "doc_id", lam=0.9)
+    return (
+        perdoc.select(F.col("id").alias("doc_id"), "n_tokens", "avg_logprob", "ppl")
+        .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
 def _int8_oracle() -> str:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
         quantize_int8_sql,

@@ -99,6 +99,78 @@ def test_unigram_logprob_flags_rare_token_docs(spark):
     assert rows[99] < rows[0] < 0  # rare-token doc scores far lower
 
 
+def test_bigram_logprob_matches_hand_computation(spark):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "")], "doc_id long, text string"
+    )
+    # corpus: N=5, c(a)=3, c(b)=2; bigrams: (a,b)=1, (b,a)=2; ctx: a=1, b=2
+    rows = {r.id: r for r in bigram_logprob(df, "text", "doc_id", lam=0.9).collect()}
+
+    def q(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    # doc 2: first "b" -> ln(2/5); pair (b,a) -> ln(0.9*(2/2) + 0.1*(3/5))
+    lp_first = q(math.log(2 / 5))
+    lp_pair = q(math.log(0.9 * (2 / 2) + (1.0 - 0.9) * (3 / 5)))
+    want2 = q((lp_first + lp_pair) / 2)
+    assert rows[2].n_tokens == 2
+    assert rows[2].avg_logprob == pytest.approx(want2, abs=2e-6)
+    assert rows[2].ppl == pytest.approx(math.exp(-want2), abs=2e-5)
+    # doc 1: ln(3/5) + ln(.9*(1/1)+.1*(2/5)) + ln(.9*(2/2)+.1*(3/5))
+    lps = [
+        q(math.log(3 / 5)),
+        q(math.log(0.9 * (1 / 1) + (1.0 - 0.9) * (2 / 5))),
+        q(math.log(0.9 * (2 / 2) + (1.0 - 0.9) * (3 / 5))),
+    ]
+    assert rows[1].n_tokens == 3
+    assert rows[1].avg_logprob == pytest.approx(q(sum(lps) / 3), abs=2e-6)
+    assert 3 not in rows  # zero-token doc has no score
+
+
+def test_bigram_logprob_flags_scrambled_docs(spark):
+    """Word salad with COMMON tokens still scores low — the property the
+    unigram filter lacks (same unigram distribution, broken transitions)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bigram_logprob,
+    )
+
+    fluent = [(i, "the cat sat on the mat") for i in range(20)]
+    scrambled = [(99, "mat the on sat cat the")]
+    df = spark.createDataFrame(fluent + scrambled, "doc_id long, text string")
+    rows = {
+        r.id: r.avg_logprob
+        for r in bigram_logprob(df, "text", "doc_id").collect()
+    }
+    assert rows[99] < rows[0] < 0
+
+
+def test_bigram_logprob_repartition_invariant(spark):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bigram_logprob,
+    )
+
+    rng = __import__("random").Random(5)
+    words = ["alpha", "beta", "gamma", "delta"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(1, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(
+        (r.id, r.n_tokens, r.avg_logprob, r.ppl)
+        for r in bigram_logprob(df, "text", "doc_id").collect()
+    )
+    b = sorted(
+        (r.id, r.n_tokens, r.avg_logprob, r.ppl)
+        for r in bigram_logprob(df.repartition(7), "text", "doc_id").collect()
+    )
+    assert a == b
+
+
 def test_quantize_int8_roundtrip_error_bounded(spark):
     df = spark.createDataFrame(
         [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.001, 0.002, -0.003, 0.004])],
