@@ -33,6 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import dsum
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
     md5_hash32,
     whitespace_tokens,
@@ -354,6 +355,125 @@ def pack_sequences_sql(
                -- Spark's long
                CAST(tok_offset AS BIGINT) AS tok_offset
         FROM cum
+    """
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by how much more likely its hashed n-gram features are under
+    a TARGET domain than under the raw corpus —
+    ``(id, n_tokens, weight)`` with
+    ``weight = Σ_tok [ln p_target(b(tok)) − ln p_raw(b(tok))]``.
+
+    Features are unigram tokens hashed into ``n_buckets`` buckets with the
+    engine-agnostic md5₃₂ family (the paper's hashed-feature trick: a
+    FIXED-size distribution regardless of vocabulary), each side's bucket
+    distribution add-``alpha`` smoothed over all ``n_buckets``, so unseen
+    target buckets contribute a finite penalty instead of −∞.
+
+    Plan shape: two token scans → two bucket hash-aggs (state ≤ n_buckets
+    rows each); the log-ratio table is bucket-sized and BROADCASTS into
+    the scoring join — the corpus shuffles only for its own per-document
+    aggregation (by id), never by token/bucket.  The per-document sum uses
+    the quantized order-independent ``dsum``; ``alpha·n_buckets`` is
+    computed in Python and injected as one IEEE literal on both engines.
+    Selection is then a filter/top-k on ``weight`` (resampling = the
+    caller's `stratified_sample`/`mixture_sample` on this column).
+    """
+    denom_shift = alpha * n_buckets
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        toks = _exploded_tokens(df, text_col, id_col)
+        return toks.select(
+            "id",
+            "tok",
+            F.pmod(md5_hash32(F.col("tok")), F.lit(n_buckets)).alias("b"),
+        )
+
+    tok_r = _buckets(corpus).persist()
+    c_r = tok_r.groupBy("b").agg(F.count(F.lit(1)).alias("c_r")).persist()
+    c_t = _buckets(target).groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    n_r = c_r.agg(F.sum("c_r").cast("double").alias("n_r"))
+    n_t = c_t.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("double").alias("n_t"))
+    ratio = (
+        c_r.join(c_t, "b", "left")
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("n_t") + F.lit(denom_shift))
+                )
+                - F.log(
+                    (F.col("c_r") + F.lit(alpha))
+                    / (F.col("n_r") + F.lit(denom_shift))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok_r.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), dsum("lr").alias("weight"))
+    )
+
+
+def dsir_weights_sql(
+    corpus: str,
+    target: str,
+    text_expr: str,
+    id_expr: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB oracle reproducing :func:`dsir_weights` value-for-value.
+    ``corpus``/``target`` are table names or parenthesized subqueries."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+        dsum_sql,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        md5_hash32_sql,
+    )
+
+    denom_shift = alpha * n_buckets
+    bucket = f"(({md5_hash32_sql('tok')}) % {n_buckets} + {n_buckets}) % {n_buckets}"
+
+    def _toks(src: str) -> str:
+        return f"""
+            SELECT {id_expr} AS id, tok, {bucket} AS b
+            FROM (SELECT {id_expr},
+                         unnest(list_filter(string_split(lower({text_expr}), ' '),
+                                            x -> x <> '')) AS tok
+                  FROM {src})
+        """
+
+    return f"""
+        WITH tok_r AS ({_toks(corpus)}),
+        tok_t AS ({_toks(target)}),
+        c_r AS (SELECT b, COUNT(*) AS c_r FROM tok_r GROUP BY b),
+        c_t AS (SELECT b, COUNT(*) AS c_t FROM tok_t GROUP BY b),
+        n_r AS (SELECT CAST(SUM(c_r) AS DOUBLE) AS n_r FROM c_r),
+        n_t AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS DOUBLE) AS n_t FROM c_t),
+        ratio AS (
+            SELECT c_r.b,
+                   ln((COALESCE(c_t.c_t, 0) + {alpha!r}) / (n_t.n_t + {denom_shift!r}))
+                   - ln((c_r.c_r + {alpha!r}) / (n_r.n_r + {denom_shift!r})) AS lr
+            FROM c_r LEFT JOIN c_t ON c_r.b = c_t.b
+            CROSS JOIN n_r CROSS JOIN n_t
+        )
+        SELECT id, COUNT(*) AS n_tokens, {dsum_sql('lr')} AS weight
+        FROM tok_r JOIN ratio ON tok_r.b = ratio.b
+        GROUP BY id
     """
 
 

@@ -2158,6 +2158,59 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        dsir_weights_sql,
+    )
+
+    inner = dsir_weights_sql(
+        "documents",
+        "(SELECT * FROM documents WHERE lang = 'en')",
+        "text",
+        "doc_id",
+        n_buckets=4096,
+        alpha=1.0,
+    )
+    return f"""
+        WITH perdoc AS ({inner})
+        SELECT id AS doc_id, n_tokens, weight
+        FROM perdoc
+        ORDER BY weight DESC, doc_id ASC
+        LIMIT 15
+    """
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_dsir_oracle(),
+    doc="DSIR data selection (operators/curation.py::dsir_weights): every "
+    "document scored by Σ ln p_target/p_raw over md5-hashed unigram "
+    "buckets, target = the English slice of the corpus — the importance-"
+    "resampling front-end of a pretraining pipeline.  The 15 most "
+    "target-like documents.  Bucket tables are n_buckets-bounded and "
+    "broadcast; the corpus never shuffles by token.  Gate-only: a hashed-"
+    "feature scoring composition (hash family ⊂ split_assign, broadcast "
+    "scoring join ⊂ doc_unigram_logprob, thinning ⊂ mixture_sample).",
+    tags=("curation", "quality", "topk"),
+    driver_visible=False,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        dsir_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    perdoc = dsir_weights(
+        d, d.filter(F.col("lang") == "en"), "text", "doc_id",
+        n_buckets=4096, alpha=1.0,
+    )
+    return (
+        perdoc.select(F.col("id").alias("doc_id"), "n_tokens", "weight")
+        .orderBy(F.desc("weight"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
 def _int8_oracle() -> str:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
         quantize_int8_sql,

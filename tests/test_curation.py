@@ -401,3 +401,95 @@ class TestChunkIdWindows:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan  # chunk stage adds no shuffle
+
+
+class TestDsirWeights:
+    def test_matches_hand_computation(self, spark):
+        """Tiny corpus where buckets don't collide: verify the exact
+        smoothed log-ratio sum."""
+        import math
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            dsir_weights,
+        )
+
+        corpus = _docs(spark, [(1, "aa bb"), (2, "aa cc")])
+        target = _docs(spark, [(10, "aa aa bb")])
+        out = {
+            r.id: r
+            for r in dsir_weights(
+                corpus, target, "text", "doc_id", n_buckets=64, alpha=1.0
+            ).collect()
+        }
+        # bucket collisions would break the hand model — assert none first
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+            md5_hash32,
+        )
+
+        toks = spark.createDataFrame([("aa",), ("bb",), ("cc",)], "tok string")
+        bs = [
+            r[0]
+            for r in toks.select((md5_hash32(F.col("tok")) % 64)).collect()
+        ]
+        assert len(set(bs)) == 3
+        n_t, n_r, shift = 3.0, 4.0, 64.0
+
+        def lr(ct, cr):
+            return math.log((ct + 1.0) / (n_t + shift)) - math.log(
+                (cr + 1.0) / (n_r + shift)
+            )
+
+        def q(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        want1 = (q(lr(2, 2)) + q(lr(1, 1))) / 1.0  # aa + bb
+        want2 = q(lr(2, 2)) + q(lr(0, 1))  # aa + cc (cc unseen in target)
+        assert out[1].n_tokens == 2
+        assert abs(out[1].weight - (q(lr(2, 2)) + q(lr(1, 1)))) < 3e-6, out[1]
+        assert abs(out[2].weight - want2) < 3e-6
+        # the doc sharing more mass with the target ranks higher
+        assert out[1].weight > out[2].weight
+
+    def test_target_like_docs_rank_higher(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            dsir_weights,
+        )
+
+        corpus = _docs(
+            spark,
+            [(i, "clean prose text sample") for i in range(10)]
+            + [(90 + i, "junk spam noise garbage") for i in range(10)],
+        )
+        target = _docs(spark, [(1000, "clean prose text"), (1001, "prose sample")])
+        rows = {
+            r.id: r.weight
+            for r in dsir_weights(corpus, target, "text", "doc_id").collect()
+        }
+        assert min(rows[i] for i in range(10)) > max(rows[90 + i] for i in range(10))
+
+    def test_repartition_invariant(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            dsir_weights,
+        )
+
+        import random
+
+        rng = random.Random(11)
+        words = ["w%d" % i for i in range(30)]
+        docs = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randrange(1, 15))))
+            for i in range(50)
+        ]
+        corpus = _docs(spark, docs)
+        target = _docs(spark, docs[:10])
+        a = sorted(
+            (r.id, r.n_tokens, r.weight)
+            for r in dsir_weights(corpus, target, "text", "doc_id").collect()
+        )
+        b = sorted(
+            (r.id, r.n_tokens, r.weight)
+            for r in dsir_weights(
+                corpus.repartition(9), target.repartition(3), "text", "doc_id"
+            ).collect()
+        )
+        assert a == b
