@@ -361,12 +361,65 @@ class ExpressionCompiler:
         # -- plain array operators -------------------------------------------
         if op == "$sortArray":
             sort_by = args.get("sortBy", 1)
-            if not isinstance(sort_by, int):
-                raise ValueError(
-                    "$sortArray supports scalar sortBy 1/-1 (document sort "
-                    "specs need per-field key extraction — unsupported)"
+            if isinstance(sort_by, int):
+                return F.sort_array(c(args["input"]), asc=sort_by >= 0)
+            if not isinstance(sort_by, dict) or not sort_by:
+                raise ValueError(f"unsupported $sortArray sortBy: {sort_by!r}")
+
+            # document sortBy: a comparator over the struct elements' fields,
+            # each key total-ordered with BSON null placement (null lowest,
+            # null == null), later keys breaking earlier ties
+            def _cmp(a: Column, b: Column) -> Column:
+                out: Column = F.lit(0)
+                for f, d in reversed(list(sort_by.items())):
+                    if d not in (1, -1):
+                        raise ValueError(f"$sortArray direction must be ±1: {d}")
+                    av, bv = a.getField(f), b.getField(f)
+                    out = (
+                        F.when(self._lt_total(av, bv), F.lit(-d))
+                        .when(self._lt_total(bv, av), F.lit(d))
+                        .otherwise(out)
+                    )
+                return out
+
+            return F.array_sort(c(args["input"]), _cmp)
+        if op in ("$minN", "$maxN") and isinstance(args, dict) and "input" in args:
+            # Mongo 5.2 ARRAY-expression forms (the $group accumulators of
+            # the same name compile in pipeline.py): the n smallest/largest
+            # non-null elements, sorted in the pick direction
+            n = int(args["n"])
+            if n <= 0:
+                raise ValueError(f"{op} requires n > 0")
+            vals = F.filter(c(args["input"]), lambda x: x.isNotNull())
+            ordered = F.sort_array(vals, asc=(op == "$minN"))
+            return F.slice(ordered, 1, n)
+        if op in ("$median", "$percentile") and isinstance(args, dict) and "input" in args:
+            # exact R-7 interpolated quantiles over an array expression —
+            # same documented divergence as the accumulator forms (mongod
+            # only offers t-digest 'approximate'; exact is deterministic
+            # and oracle-replayable).  Null elements are ignored; an empty
+            # (or all-null) input yields null, matching mongod.
+            vals = F.sort_array(
+                F.transform(
+                    F.filter(c(args["input"]), lambda x: x.isNotNull()),
+                    lambda x: x.cast("double"),
                 )
-            return F.sort_array(c(args["input"]), asc=sort_by >= 0)
+            )
+            n = F.size(vals)
+
+            def _q(p: float) -> Column:
+                h = (n - F.lit(1)).cast("double") * F.lit(float(p))
+                lo = F.floor(h).cast("int")
+                frac = h - lo.cast("double")
+                v_lo = F.element_at(vals, lo + F.lit(1))
+                v_hi = F.element_at(vals, F.least(lo + F.lit(2), n))
+                return v_lo + frac * (v_hi - v_lo)
+
+            if op == "$median":
+                return F.when(n > 0, _q(0.5))
+            return F.when(
+                n > 0, F.array(*[_q(float(p)) for p in args["p"]])
+            )
         if op in ("$firstN", "$lastN"):
             arr, n = c(args["input"]), int(args["n"])
             if n <= 0:

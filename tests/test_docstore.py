@@ -2356,6 +2356,64 @@ class TestExpressionOperatorExtensions:
         with pytest.raises(ValueError, match="first stage"):
             aggregate(df, [{"$match": {}}, {"$documents": [{"a": 1}]}])
 
+    def test_sort_array_document_sort_by(self, spark):
+        """$sortArray with a document sortBy: struct elements ordered by
+        multiple keys with ±1 directions, BSON null placement (null lowest),
+        later keys breaking ties."""
+        from pyspark.sql import functions as F
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [(1,)], "id long"
+        ).select(
+            F.expr(
+                "array(named_struct('a', 2, 'b', 'x'),"
+                "      named_struct('a', 1, 'b', 'z'),"
+                "      named_struct('a', CAST(NULL AS INT), 'b', 'q'),"
+                "      named_struct('a', 1, 'b', 'y'))"
+            ).alias("xs")
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile(
+                {"$sortArray": {"input": "$xs", "sortBy": {"a": 1, "b": -1}}}
+            ).alias("s"),
+            ec.compile(
+                {"$sortArray": {"input": "$xs", "sortBy": {"a": -1, "b": 1}}}
+            ).alias("d"),
+        ).collect()[0]
+        assert [(e["a"], e["b"]) for e in row["s"]] == [
+            (None, "q"), (1, "z"), (1, "y"), (2, "x")
+        ]
+        assert [(e["a"], e["b"]) for e in row["d"]] == [
+            (2, "x"), (1, "y"), (1, "z"), (None, "q")
+        ]
+
+    def test_min_max_n_median_percentile_array_forms(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [([5, 1, None, 9, 3], [1.0, 2.0, 3.0, 4.0], [])],
+            "xs array<int>, ys array<double>, empty array<double>",
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$minN": {"input": "$xs", "n": 2}}).alias("mn"),
+            ec.compile({"$maxN": {"input": "$xs", "n": 2}}).alias("mx"),
+            ec.compile({"$maxN": {"input": "$xs", "n": 99}}).alias("mx_all"),
+            ec.compile({"$median": {"input": "$ys", "method": "approximate"}}).alias("med"),
+            ec.compile({"$percentile": {"input": "$ys", "p": [0.25, 0.5, 1.0],
+                                        "method": "approximate"}}).alias("pct"),
+            ec.compile({"$median": {"input": "$empty"}}).alias("med_empty"),
+        ).collect()[0]
+        assert list(row["mn"]) == [1, 3]
+        assert list(row["mx"]) == [9, 5]
+        assert list(row["mx_all"]) == [9, 5, 3, 1]  # nulls ignored
+        assert row["med"] == 2.5  # R-7: (2+3)/2
+        assert list(row["pct"]) == [1.75, 2.5, 4.0]
+        assert row["med_empty"] is None
+
     def test_trig_angles_millisecond(self, spark):
         import math
 
