@@ -18,13 +18,13 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions im
 )
 
 ROWS = [
-    {"_id": 0, "n": 3, "m": 7, "f": 1.5, "s": "abc"},
-    {"_id": 1, "n": None, "m": 2, "f": None, "s": "XyZ"},
-    {"_id": 2, "n": -4, "m": None, "f": 2.5, "s": None},
-    {"_id": 3, "n": 0, "m": 0, "f": -0.5, "s": ""},
-    {"_id": 4, "n": None, "m": None, "f": None, "s": None},
+    {"_id": 0, "n": 3, "m": 7, "f": 1.5, "s": "abc", "xs": [3, 1, 2]},
+    {"_id": 1, "n": None, "m": 2, "f": None, "s": "XyZ", "xs": [0, 5]},
+    {"_id": 2, "n": -4, "m": None, "f": 2.5, "s": None, "xs": []},
+    {"_id": 3, "n": 0, "m": 0, "f": -0.5, "s": "", "xs": [2, 2, 7, -1]},
+    {"_id": 4, "n": None, "m": None, "f": None, "s": None, "xs": None},
 ]
-SCHEMA = "_id long, n long, m long, f double, s string"
+SCHEMA = "_id long, n long, m long, f double, s string, xs array<long>"
 
 
 # -- reference evaluator -----------------------------------------------------
@@ -85,6 +85,75 @@ def _ev(doc, e):
     if op == "$strcasecmp":
         a, b = ((_ev(doc, x) or "").upper() for x in args)
         return -1 if a < b else (1 if a > b else 0)
+    if op in ("$sin", "$cos", "$tan", "$atan", "$sinh", "$cosh", "$tanh"):
+        v = _ev(doc, args)
+        return None if v is None else getattr(math, op[1:])(v)
+    if op == "$atan2":
+        a, b = (_ev(doc, x) for x in args)
+        return None if a is None or b is None else math.atan2(a, b)
+    if op == "$degreesToRadians":
+        v = _ev(doc, args)
+        return None if v is None else math.radians(v)
+    if op == "$radiansToDegrees":
+        v = _ev(doc, args)
+        return None if v is None else math.degrees(v)
+    if op == "$setEquals":
+        a, b = (_ev(doc, x) for x in args)
+        if a is None or b is None:
+            return None
+        return set(a) == set(b)
+    if op == "$setIsSubset":
+        a, b = (_ev(doc, x) for x in args)
+        if a is None or b is None:
+            return None
+        return set(a) <= set(b)
+    if op == "$allElementsTrue":
+        v = _ev(doc, args[0])
+        return False if v is None else all(x is not None and x != 0 for x in v)
+    if op == "$anyElementTrue":
+        v = _ev(doc, args[0])
+        return False if v is None else any(x is not None and x != 0 for x in v)
+    if op == "$first":
+        v = _ev(doc, args)
+        return None if not v else v[0]
+    if op == "$last":
+        v = _ev(doc, args)
+        return None if not v else v[-1]
+    if op in ("$minN", "$maxN"):
+        v = _ev(doc, args["input"])
+        if v is None:
+            return None
+        picked = sorted(
+            (x for x in v if x is not None), reverse=(op == "$maxN")
+        )
+        return picked[: args["n"]]
+    if op == "$median":
+        v = _ev(doc, args["input"])
+        if v is None:
+            return None
+        vals = sorted(float(x) for x in v if x is not None)
+        if not vals:
+            return None
+        h = (len(vals) - 1) * 0.5
+        lo = int(math.floor(h))
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (h - lo) * (vals[hi] - vals[lo])
+    if op == "$type":
+        static = {"n": "long", "m": "long", "f": "double", "s": "string",
+                  "xs": "array"}
+        if isinstance(args, str) and args.startswith("$"):
+            name = args[1:]
+            if name not in static:
+                return "missing"
+            return "null" if doc.get(name) is None else static[name]
+        raise ValueError(args)
+    if op == "$toBool":
+        v = _ev(doc, args)
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return True
+        return v != 0
     raise ValueError(op)
 
 
@@ -125,7 +194,47 @@ _STR_EXPR = st.one_of(
     ).map(lambda t: {"$strcasecmp": [t[0], t[1]]}),
 )
 
-_EXPR = st.one_of(_NUM_EXPR, _BOOL_EXPR, _COND_EXPR, _STR_EXPR)
+_TRIG_EXPR = st.one_of(
+    st.tuples(
+        st.sampled_from(
+            ["$sin", "$cos", "$tan", "$atan", "$sinh", "$cosh", "$tanh",
+             "$degreesToRadians", "$radiansToDegrees"]
+        ),
+        st.sampled_from(["$f", 0.25, -1.5]),
+    ).map(lambda t: {t[0]: t[1]}),
+    st.tuples(
+        st.sampled_from(["$f", 0.5]), st.sampled_from(["$f", 1.0, -2.0])
+    ).map(lambda t: {"$atan2": [t[0], t[1]]}),
+)
+
+_ARR_LIT = st.sampled_from([[1, 2], [2, 1, 3], [0], [], [5, 2]])
+
+_ARRAY_EXPR = st.one_of(
+    st.tuples(st.sampled_from(["$setEquals", "$setIsSubset"]),
+              st.sampled_from(["$xs"]), _ARR_LIT).map(
+        lambda t: {t[0]: [t[1], t[2]]}
+    ),
+    st.tuples(st.sampled_from(["$allElementsTrue", "$anyElementTrue"]),
+              st.sampled_from(["$xs"])).map(lambda t: {t[0]: [t[1]]}),
+    st.sampled_from(["$first", "$last"]).map(lambda o: {o: "$xs"}),
+    st.tuples(st.sampled_from(["$minN", "$maxN"]),
+              st.integers(min_value=1, max_value=4)).map(
+        lambda t: {t[0]: {"input": "$xs", "n": t[1]}}
+    ),
+    st.just({"$median": {"input": "$xs", "method": "approximate"}}),
+)
+
+_TYPE_EXPR = st.one_of(
+    st.sampled_from(["$n", "$f", "$s", "$xs", "$nope"]).map(
+        lambda f: {"$type": f}
+    ),
+    st.sampled_from(["$n", "$m", "$f"]).map(lambda f: {"$toBool": f}),
+)
+
+_EXPR = st.one_of(
+    _NUM_EXPR, _BOOL_EXPR, _COND_EXPR, _STR_EXPR, _TRIG_EXPR, _ARRAY_EXPR,
+    _TYPE_EXPR,
+)
 
 _DF_CACHE: dict = {}
 
@@ -133,7 +242,7 @@ _DF_CACHE: dict = {}
 def _corpus(spark):
     if "df" not in _DF_CACHE:
         df = spark.createDataFrame(
-            [tuple(d[k] for k in ("_id", "n", "m", "f", "s")) for d in ROWS],
+            [tuple(d[k] for k in ("_id", "n", "m", "f", "s", "xs")) for d in ROWS],
             SCHEMA,
         ).cache()
         df.count()
