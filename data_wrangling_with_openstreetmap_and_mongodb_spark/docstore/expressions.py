@@ -179,8 +179,15 @@ class ExpressionCompiler:
             return F.lower(F.coalesce(c(args), F.lit("")))
         if op == "$toUpper":
             return F.upper(F.coalesce(c(args), F.lit("")))
-        if op == "$trim":
-            return F.trim(c(args["input"] if isinstance(args, dict) else args))
+        if op in ("$trim", "$ltrim", "$rtrim"):
+            # optional `chars`: both engines treat it as a SET of characters
+            fn = {"$trim": F.trim, "$ltrim": F.ltrim, "$rtrim": F.rtrim}[op]
+            if isinstance(args, dict):
+                inp = c(args["input"])
+                if "chars" in args:
+                    return fn(inp, c(args["chars"]))
+                return fn(inp)
+            return fn(c(args))
         if op == "$substr" or op == "$substrCP":
             s, start, length = args
             return F.substring(
@@ -595,10 +602,7 @@ class ExpressionCompiler:
                 .when(ua > ub, F.lit(1))
                 .otherwise(F.lit(0))
             )
-        if op == "$ltrim":
-            return F.ltrim(c(args["input"] if isinstance(args, dict) else args))
-        if op == "$rtrim":
-            return F.rtrim(c(args["input"] if isinstance(args, dict) else args))
+        # ($ltrim/$rtrim dispatch with $trim above — chars-set option)
         # -- more datetime parts ----------------------------------------------
         if op == "$second":
             return F.second(c(args))
@@ -763,6 +767,21 @@ class ExpressionCompiler:
             parts = [p for p in _re.split(r"(%[UjwVL])", args["format"]) if p]
             cols = [computed[p]() if p in computed else _plain(p) for p in parts]
             return cols[0] if len(cols) == 1 else F.concat(*cols)
+        # -- bitwise (Mongo 6.3) -----------------------------------------------
+        if op in ("$bitAnd", "$bitOr", "$bitXor"):
+            cols = [c(a) for a in args]
+            out = cols[0]
+            for other in cols[1:]:
+                out = (
+                    out.bitwiseAND(other)
+                    if op == "$bitAnd"
+                    else out.bitwiseOR(other)
+                    if op == "$bitOr"
+                    else out.bitwiseXOR(other)
+                )
+            return out
+        if op == "$bitNot":
+            return F.bitwise_not(c(args))
         # -- trigonometry / angles (all direct JVM builtins) -------------------
         trig = {
             "$sin": F.sin, "$cos": F.cos, "$tan": F.tan,

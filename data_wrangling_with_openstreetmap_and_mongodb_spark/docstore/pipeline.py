@@ -1254,6 +1254,52 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 res = folded["acc"].cast("double") / F.lit(1e6)
                 out = out.withColumn(name, res)
             continue
+        if op in ("$locf", "$linearFill"):
+            # Mongo 5.3 gap-fill window operators (the $fill stage's two
+            # methods surfaced as $setWindowFields outputs).  Both require
+            # a sortBy and reject an explicit window, like $expMovingAvg.
+            if frame is not None:
+                raise ValueError(f"{op} does not accept a window")
+            if not sort_by:
+                raise ValueError(f"{op} requires sortBy")
+            col = ec.compile(arg)
+            wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            if op == "$locf":
+                out = out.withColumn(
+                    name, F.last(col, ignorenulls=True).over(wb)
+                )
+                continue
+            # $linearFill: interpolate between the surrounding non-nulls,
+            # positioned by the (single, ascending, numeric-or-date)
+            # sortBy value; leading/trailing nulls stay null — the same
+            # math as _apply_fill's linear method on the window's own key
+            if len(sort_by) != 1:
+                raise ValueError("$linearFill needs exactly one sortBy field")
+            sk, sdir = next(iter(sort_by.items()))
+            if sdir < 0:
+                raise ValueError("$linearFill requires an ascending sortBy")
+            ktype = ec.field_type(sk)
+            if isinstance(ktype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+                k = F.unix_micros(F.col(sk).cast("timestamp")).cast("double")
+            else:
+                k = F.col(sk).cast("double")
+            wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            prev_v = F.last(col, ignorenulls=True).over(wb)
+            next_v = F.first(col, ignorenulls=True).over(wf)
+            prev_k = F.last(F.when(col.isNotNull(), k), ignorenulls=True).over(wb)
+            next_k = F.first(F.when(col.isNotNull(), k), ignorenulls=True).over(wf)
+            interp = F.when(next_k == prev_k, prev_v).otherwise(
+                prev_v + (next_v - prev_v) * (k - prev_k) / (next_k - prev_k)
+            )
+            out = out.withColumn(
+                name,
+                F.when(col.isNotNull(), col).otherwise(
+                    F.when(
+                        prev_v.isNull() | next_v.isNull(), F.lit(None)
+                    ).otherwise(interp)
+                ),
+            )
+            continue
         agg = {
             "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
             "$first": F.first, "$last": F.last,

@@ -2414,6 +2414,67 @@ class TestExpressionOperatorExtensions:
         assert list(row["pct"]) == [1.75, 2.5, 4.0]
         assert row["med_empty"] is None
 
+    def test_window_locf_and_linear_fill(self, spark):
+        """$locf/$linearFill window operators (Mongo 5.3): gap fill inside
+        $setWindowFields — LOCF carries the last non-null forward, linear
+        interpolates by sortBy position, edges stay null."""
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("a", 0, None), ("a", 10, 1.0), ("a", 20, None), ("a", 30, 4.0),
+             ("a", 40, None), ("b", 0, 7.0)],
+            "g string, t int, v double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "sortBy": {"t": 1},
+            "output": {
+                "carried": {"$locf": "$v"},
+                "interp": {"$linearFill": "$v"},
+            },
+        }}])
+        got = {(r["g"], r["t"]): (r["carried"], r["interp"]) for r in out.collect()}
+        assert got[("a", 0)] == (None, None)  # leading null stays null
+        assert got[("a", 10)] == (1.0, 1.0)
+        assert got[("a", 20)] == (1.0, 2.5)  # midpoint of 1.0 → 4.0
+        assert got[("a", 30)] == (4.0, 4.0)
+        assert got[("a", 40)] == (4.0, None)  # trailing: locf yes, linear no
+        assert got[("b", 0)] == (7.0, 7.0)  # partitions independent
+        with pytest.raises(ValueError, match="does not accept a window"):
+            aggregate(df, [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"t": 1},
+                "output": {"x": {"$locf": "$v",
+                                 "window": {"documents": [-1, 0]}}},
+            }}])
+        with pytest.raises(ValueError, match="ascending"):
+            aggregate(df, [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"t": -1},
+                "output": {"x": {"$linearFill": "$v"}},
+            }}])
+
+    def test_bitwise_and_trim_chars(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [(12, 10, "xxhixx", " pad ")], "a long, b long, s string, p string"
+        )
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$bitAnd": ["$a", "$b"]}).alias("band"),
+            ec.compile({"$bitOr": ["$a", "$b", 1]}).alias("bor"),
+            ec.compile({"$bitXor": ["$a", "$b"]}).alias("bxor"),
+            ec.compile({"$bitNot": "$a"}).alias("bnot"),
+            ec.compile({"$trim": {"input": "$s", "chars": "x"}}).alias("t"),
+            ec.compile({"$ltrim": {"input": "$s", "chars": "xh"}}).alias("lt"),
+            ec.compile({"$rtrim": {"input": "$s", "chars": "x"}}).alias("rt"),
+            ec.compile({"$trim": {"input": "$p"}}).alias("ws"),
+        ).collect()[0]
+        assert (row["band"], row["bor"], row["bxor"], row["bnot"]) == (8, 15, 6, -13)
+        assert (row["t"], row["lt"], row["rt"]) == ("hi", "ixx", "xxhi")
+        assert row["ws"] == "pad"
+
     def test_trig_angles_millisecond(self, spark):
         import math
 
