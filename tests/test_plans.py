@@ -339,3 +339,47 @@ class TestRound5Plans:
         plan = executed_plan(q("ds_union_with", spark, sf_dir))
         assert "Union" in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRound7SessionPlans:
+    def test_redact_is_projection_no_join_no_hash_shuffle(self, spark, sf_dir):
+        """$redact compiles to a scan-level filter + projection: the nested
+        rewrite must not introduce joins or UDFs; the trailing $sort's range
+        exchange is the only shuffle."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ds_redact_nested", spark, sf_dir))
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Python" not in plan  # no UDF escape hatch
+
+    def test_regex_extract_single_group_exchange(self, spark, sf_dir):
+        """$regexFindAll + $unwind + $group: the extraction is map-side
+        (expression-only); the group-by's hash exchange and the final top-k
+        are the only distribution steps."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ds_regex_extract", spark, sf_dir))
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "TakeOrderedAndProject" in plan
+
+    def test_dsir_bucket_tables_broadcast(self, spark, sf_dir):
+        """DSIR: the log-ratio table is n_buckets-bounded and must BROADCAST
+        into the scoring join — the corpus never shuffles by token bucket
+        for scoring (only the bounded bucket aggregations hash-shuffle)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("dsir_importance_weights", spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bigram_logprob_broadcasts_vocab_and_ctx(self, spark, sf_dir):
+        """Bigram LM: vocabulary/context/total tables broadcast; no
+        cartesian products; the per-doc aggregation is the id shuffle."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("doc_bigram_logprob", spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
