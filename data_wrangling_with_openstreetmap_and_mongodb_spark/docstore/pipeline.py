@@ -98,6 +98,50 @@ def _is_floating(ec: ExpressionCompiler, col: Column) -> bool:
     return isinstance(dt, (T.DoubleType, T.FloatType))
 
 
+def _ranked_pick(arr: Column, sort_by: dict, op: str, n: int) -> Column:
+    """Sort an array of ``(__k0..__kN, __v)`` structs by a Mongo sortBy spec
+    and keep the first ``n`` — shared by the $top/$topN/$bottom/$bottomN
+    accumulators and their window forms.
+
+    Single-direction specs sort by plain struct comparison (the __v field
+    rides along as the deterministic tiebreak, as in r4); mixed-direction
+    specs — which used to raise — use a comparator array_sort with each key
+    total-ordered in its own direction (BSON null placement) and __v as the
+    ascending tiebreak.  $bottom* picks from the reversed order, then the
+    result flips back so elements appear in sortBy order (Mongo)."""
+    dirs = set(sort_by.values())
+    if dirs - {1, -1}:
+        raise ValueError(f"{op} sortBy directions must be 1/-1: {sort_by}")
+    bottom = op in ("$bottom", "$bottomN")
+    if len(dirs) == 1:
+        asc = (dirs == {1}) != bottom
+        ranked = F.slice(F.sort_array(arr, asc=asc), 1, n)
+    else:
+        lt = ExpressionCompiler._lt_total
+
+        def _cmp(a: Column, b: Column) -> Column:
+            out = (
+                F.when(lt(a["__v"], b["__v"]), F.lit(-1))
+                .when(lt(b["__v"], a["__v"]), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            for i, d in reversed(list(enumerate(sort_by.values()))):
+                if bottom:
+                    d = -d
+                av, bv = a[f"__k{i}"], b[f"__k{i}"]
+                out = (
+                    F.when(lt(av, bv), F.lit(-d))
+                    .when(lt(bv, av), F.lit(d))
+                    .otherwise(out)
+                )
+            return out
+
+        ranked = F.slice(F.array_sort(arr, _cmp), 1, n)
+    if bottom:
+        ranked = F.reverse(ranked)  # Mongo returns bottom picks in sort order
+    return ranked
+
+
 def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
     if not isinstance(spec, dict) or len(spec) != 1:
         raise ValueError(f"accumulator spec must be a single-op doc: {spec}")
@@ -154,27 +198,13 @@ def _accumulator(ec: ExpressionCompiler, alias: str, spec: Any) -> Column:
             col, F.array(*[F.lit(float(p)) for p in ps])
         ).alias(alias)
     if op in ("$top", "$topN", "$bottom", "$bottomN"):
-        # sortBy-ranked representative(s): collect (sort-keys..., output)
-        # structs, sort lexicographically, slice, project the output field.
-        # Struct comparison gives multi-key ordering only when every key
-        # shares one direction — mixed-direction specs would need typed key
-        # inversion, so they raise rather than silently mis-sort.
         sort_by = arg["sortBy"]
-        dirs = set(sort_by.values())
-        if len(dirs) != 1 or dirs - {1, -1}:
-            raise ValueError(f"{op} sortBy needs one shared direction 1/-1: {sort_by}")
-        asc = dirs == {1}
-        if op in ("$bottom", "$bottomN"):
-            # bottom = worst by the sort order = take from the REVERSED order
-            asc = not asc
         n = 1 if op in ("$top", "$bottom") else int(arg["n"])
         keyed = F.struct(
             *[ec.compile(f"${k}").alias(f"__k{i}") for i, k in enumerate(sort_by)],
             ec.compile(arg["output"]).alias("__v"),
         )
-        ranked = F.slice(F.sort_array(F.collect_list(keyed), asc=asc), 1, n)
-        if op in ("$bottom", "$bottomN"):
-            ranked = F.reverse(ranked)  # Mongo returns bottom in sort order
+        ranked = _ranked_pick(F.collect_list(keyed), sort_by, op, n)
         out = F.transform(ranked, lambda s: s["__v"])
         if op in ("$top", "$bottom"):
             out = F.element_at(out, 1)
@@ -1350,6 +1380,41 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             out = out.withColumn(
                 name, F.coalesce(F.sum(ec.compile(arg)).over(this_w), F.lit(0))
             )
+        elif op in ("$top", "$topN", "$bottom", "$bottomN"):
+            # window forms of the ranked-representative accumulators: collect
+            # (sort-keys..., output) structs over the frame, shared ranked
+            # pick (mixed-direction sortBy supported via comparator sort)
+            pick_sort = arg["sortBy"]
+            n = 1 if op in ("$top", "$bottom") else int(arg["n"])
+            keyed = F.struct(
+                *[
+                    ec.compile(f"${k}").alias(f"__k{i}")
+                    for i, k in enumerate(pick_sort)
+                ],
+                ec.compile(arg["output"]).alias("__v"),
+            )
+            ranked = _ranked_pick(
+                F.collect_list(keyed).over(this_w), pick_sort, op, n
+            )
+            picked = F.transform(ranked, lambda s: s["__v"])
+            if op in ("$top", "$bottom"):
+                picked = F.element_at(picked, 1)
+            out = out.withColumn(name, picked)
+        elif op in ("$median", "$percentile"):
+            # exact R-7 quantiles over the frame (same documented divergence
+            # from mongod's t-digest as the $group forms)
+            col = ec.compile(arg["input"]).cast("double")
+            if op == "$median":
+                out = out.withColumn(
+                    name, F.percentile(col, F.lit(0.5)).over(this_w)
+                )
+            else:
+                out = out.withColumn(
+                    name,
+                    F.percentile(
+                        col, F.array(*[F.lit(float(p)) for p in arg["p"]])
+                    ).over(this_w),
+                )
         elif op in ("$covariancePop", "$covarianceSamp"):
             fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
             cx, cy = arg

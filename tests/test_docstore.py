@@ -406,14 +406,16 @@ class TestPipelineStageExtensions:
         assert list(a["worst2"]) == ["w", "y"]
         assert b["best"] == "p" and list(b["worst2"]) == ["p", "q"]
 
-    def test_topn_mixed_direction_raises(self, spark):
+    def test_topn_invalid_direction_raises(self, spark):
+        """Mixed ±1 directions are supported since r7 (comparator sort);
+        directions OUTSIDE {1, -1} still raise."""
         import pytest
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
 
         df = spark.createDataFrame([("a", 1.0, 2.0)], "g string, x double, y double")
-        with pytest.raises(ValueError, match="shared direction"):
+        with pytest.raises(ValueError, match="directions must be 1/-1"):
             aggregate(df, [{"$group": {"_id": "$g",
-                "t": {"$topN": {"output": "$x", "sortBy": {"x": 1, "y": -1}, "n": 2}}}}])
+                "t": {"$topN": {"output": "$x", "sortBy": {"x": 1, "y": 0}, "n": 2}}}}])
 
     def test_bucket_rejects_duplicate_boundaries(self, spark):
         """Non-strict ascent must error like mongod, not create a silent
@@ -2474,6 +2476,60 @@ class TestExpressionOperatorExtensions:
         assert (row["band"], row["bor"], row["bxor"], row["bnot"]) == (8, 15, 6, -13)
         assert (row["t"], row["lt"], row["rt"]) == ("hi", "ixx", "xxhi")
         assert row["ws"] == "pad"
+
+    def test_group_topn_mixed_direction_sort_by(self, spark):
+        """Mixed-direction $topN sortBy — previously raised; now sorts each
+        key in its own direction with BSON null-lowest placement."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("g", "a", 1, 10), ("g", "a", 2, 20), ("g", "b", 1, 30),
+             ("g", "b", 2, 40), ("g", "c", None, 50)],
+            "g string, k string, r int, v int",
+        )
+        out = aggregate(df, [{"$group": {
+            "_id": "$g",
+            # k ascending, then r DESCENDING: a2, a1, b2, b1, c(null r)...
+            "picks": {"$topN": {"output": "$v", "n": 3,
+                                "sortBy": {"k": 1, "r": -1}}},
+            "worst": {"$bottom": {"output": "$v",
+                                  "sortBy": {"k": 1, "r": -1}}},
+        }}])
+        row = out.collect()[0]
+        assert list(row["picks"]) == [20, 10, 40]
+        # bottom of (k asc, r desc) = last element = c with null r? no:
+        # nulls sort LOWEST on r, and r is descending, so within k='c' null
+        # is the bottom; 'c' is the largest k → bottom overall is v=50
+        assert row["worst"] == 50
+
+    def test_window_topn_median_percentile(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("g", 1, 5.0), ("g", 2, 1.0), ("g", 3, 9.0), ("g", 4, 3.0)],
+            "g string, seq int, v double",
+        )
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+                "top2": {"$topN": {"output": "$v", "n": 2,
+                                   "sortBy": {"v": -1}}},
+                "med_run": {"$median": {"input": "$v", "method": "approximate"},
+                            "window": {"documents": ["unbounded", "current"]}},
+                "p50_75": {"$percentile": {"input": "$v", "p": [0.5, 0.75],
+                                           "method": "approximate"}},
+            },
+        }}])
+        got = {r["seq"]: r for r in out.collect()}
+        # whole-partition default frame: top-2 by v desc everywhere
+        assert all(list(got[s]["top2"]) == [9.0, 5.0] for s in (1, 2, 3, 4))
+        # running median over [5], [5,1], [5,1,9], [5,1,9,3]
+        assert got[1]["med_run"] == 5.0
+        assert got[2]["med_run"] == 3.0
+        assert got[3]["med_run"] == 5.0
+        assert got[4]["med_run"] == 4.0
+        # R-7 over the whole partition: sorted [1,3,5,9]
+        assert list(got[1]["p50_75"]) == [4.0, 6.0]
 
     def test_trig_angles_millisecond(self, spark):
         import math
