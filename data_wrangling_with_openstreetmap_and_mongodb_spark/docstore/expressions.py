@@ -365,6 +365,21 @@ class ExpressionCompiler:
             if not isinstance(field, str):
                 raise ValueError("$getField field must be a constant string")
             return c(args["input"]).getField(field)
+        if op in ("$setField", "$unsetField"):
+            # Mongo 5.0 struct editors for field names '$path' syntax can't
+            # express.  withField/dropFields treat dots as NESTING, so the
+            # literal name is backtick-escaped; $setField with the $$REMOVE
+            # sentinel is $unsetField (Mongo defines it that way).  Null
+            # input propagates to null (Mongo returns null for null/missing
+            # input documents).
+            field = args["field"]
+            if not isinstance(field, str):
+                raise ValueError(f"{op} field must be a constant string")
+            quoted = "`" + field.replace("`", "``") + "`"
+            doc = c(args["input"])
+            if op == "$unsetField" or args.get("value") == "$$REMOVE":
+                return doc.dropFields(quoted)
+            return doc.withField(quoted, c(args["value"]))
         # -- plain array operators -------------------------------------------
         if op == "$sortArray":
             sort_by = args.get("sortBy", 1)
@@ -621,6 +636,14 @@ class ExpressionCompiler:
             return F.floor((yday + F.lit(6) - wday) / F.lit(7)).cast("int")
         if op == "$isoWeek":
             return F.weekofyear(c(args))
+        if op == "$isoDayOfWeek":
+            # ISO-8601: 1=Monday … 7=Sunday (Spark's weekday is 0=Monday)
+            return (F.weekday(c(args)) + F.lit(1)).cast("int")
+        if op == "$isoWeekYear":
+            # year that "owns" the date's ISO week = calendar year of that
+            # week's THURSDAY (the closed form DuckDB's isoyear() also uses)
+            d = F.to_date(c(args))
+            return F.year(F.date_add(d, F.lit(4) - (F.weekday(d) + F.lit(1)))).cast("long")
         if op == "$convert":
             # {"input", "to", "onError"?, "onNull"?}: try_cast gives the
             # error-as-null semantics $convert's onError needs without a UDF

@@ -161,6 +161,25 @@ class FindCompiler:
         if op == "$mod":
             divisor, remainder = arg
             return col % F.lit(divisor) == F.lit(remainder)
+        if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
+            # Mongo bitwise query operators: the mask is an int bitmask or a
+            # list of bit POSITIONS.  Integer fields only (Mongo also skips
+            # fractional doubles); null/missing never matches, so wrap in
+            # coalesce-false to stay total under ~/$nor composition.
+            if isinstance(arg, (list, tuple)):
+                mask = 0
+                for pos in arg:
+                    mask |= 1 << int(pos)
+            else:
+                mask = int(arg)
+            masked = col.cast("long").bitwiseAND(F.lit(mask))
+            pred = {
+                "$bitsAllSet": masked == F.lit(mask),
+                "$bitsAnySet": masked != F.lit(0),
+                "$bitsAllClear": masked == F.lit(0),
+                "$bitsAnyClear": masked != F.lit(mask),
+            }[op]
+            return F.coalesce(pred, F.lit(False))
         if op == "$type":
             # practical subset over the STATIC schema: a Spark column has one
             # type, so the predicate is all-rows or no-rows (plus a null check

@@ -151,6 +151,90 @@ def span_dedup(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Sliding-window exact-substring dedup with document reconstruction:
+    ``(id, clean_text, n_tokens, n_removed)``.
+
+    The ExactSubstr curation step (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") at k-token shingle granularity:
+    every SLIDING k-token window is hashed, windows whose content occurs
+    ``min_count``+ times corpus-wide are removed at every site except the
+    global first occurrence, overlapping removed windows merge into maximal
+    spans, and each document is rebuilt from its surviving tokens.  Unlike
+    ``span_dedup`` (disjoint chunks), a duplicated passage is caught at ANY
+    token offset — including internal repetition within one document.
+
+    "First occurrence" is the global ``(id, pos)`` minimum per shingle hash
+    — deterministic and engine-reproducible (the SQL twin ranks by the same
+    key).  Reconstruction joins tokens with single spaces (whitespace runs
+    do not survive, as in any token-level rewrite).
+
+    Scale shape: shingle TEXT never shuffles — each sliding window hashes to
+    md5 map-side and only ``(hash, id, pos)`` rows move.  Duplicate sites
+    come from one hash-aggregate over ``h`` (count + ``min(struct(id,
+    pos))``, partially aggregated map-side) joined back to the shingle rows
+    on ``h``; the per-document removed-position lists are tiny arrays that
+    join back to the token table on ``id``.  Coverage tests run per token
+    against the doc's own removed positions (``exists`` over an array that
+    is almost always short); no step is quadratic in the corpus.  A true
+    suffix array would catch duplicates shorter than ``k`` tokens; at 100 TB
+    the shingle approximation is the standard engineering trade
+    (reference analogue: none — beyond-reference training-data tier).
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).persist()
+
+    def _window_hash(i: Column) -> Column:
+        return F.md5(F.array_join(F.slice(F.col("__toks"), i + 1, k), " "))
+
+    starts = F.when(
+        F.size("__toks") >= k,
+        F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = base.select(
+        "id", F.posexplode(F.transform(starts, _window_hash)).alias("pos", "h")
+    )
+    sites = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min(F.struct("id", "pos")).alias("w")
+    ).filter(F.col("c") >= min_count)
+    marked = sh.join(sites, "h").filter(
+        ~((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
+    )
+    removed = marked.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("__ps")
+    )
+
+    def _covered_factory(ps: Column):
+        def _covered(t: Column) -> Column:
+            return ~F.exists(
+                ps, lambda p: (p <= t) & (t < p + F.lit(k))
+            )
+
+        return _covered
+
+    with_ps = base.join(removed, "id", "left").withColumn(
+        "__ps", F.coalesce(F.col("__ps"), F.array().cast("array<int>"))
+    )
+    idxs = F.when(
+        F.size("__toks") > 0, F.sequence(F.lit(0), F.size("__toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(idxs, _covered_factory(F.col("__ps")))
+    return with_ps.select(
+        "id",
+        F.array_join(
+            F.transform(kept, lambda t: F.element_at("__toks", t + 1)), " "
+        ).alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (blocked self-join — exact similarity, scalable blocking)
 # ---------------------------------------------------------------------------

@@ -296,12 +296,66 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(id, pos) occurrence, survivors rejoined in order.  Rank runs over "
     "md5(span) — full text never shuffles by content.",
     tags=("dedup", "curation", "window"),
+    # parked r7: near-duplicate shape of dedup_exact_substring (both are
+    # span-removal + reconstruction; the sliding-window form subsumes this
+    # disjoint-chunk one) — still oracle-gated at sf0.01 every run
+    driver_visible=False,
 )
 def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import span_dedup
 
     d = load_table(spark, sf_dir, "documents")
     return span_dedup(d, "text", "doc_id", span_tokens=16).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[(i+1):(i+8)], ' ')) AS h
+            FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) u(i)
+        ),
+        ranked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY h) AS c
+            FROM sh
+        ),
+        marked AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1),
+        ps AS (SELECT doc_id, list_sort(list(pos)) AS p FROM marked GROUP BY 1),
+        rebuilt AS (
+            SELECT t.doc_id AS doc_id, t.t AS t,
+                   [i for i in range(0, len(t.t))
+                      if len(list_filter(coalesce(ps.p, []),
+                                         q -> q <= i AND i < q + 8)) = 0] AS ki
+            FROM toks t LEFT JOIN ps ON t.doc_id = ps.doc_id
+        )
+        SELECT doc_id,
+               -- array_to_string([]) is NULL in DuckDB, '' in Spark
+               coalesce(array_to_string([t[i + 1] for i in ki], ' '), '')
+                   AS clean_text,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(t) - len(ki) AS BIGINT) AS n_removed
+        FROM rebuilt
+    """,
+    doc="sliding-window exact-substring dedup (Lee et al. 2022 ExactSubstr "
+    "at 8-token shingle granularity): every sliding 8-token window that "
+    "repeats corpus-wide is cut at all but its first (id, pos) occurrence, "
+    "overlapping cuts merge, documents rebuild from surviving tokens.  "
+    "Catches duplicated passages at ANY offset (unlike span_dedup's "
+    "disjoint chunks) plus internal repetition.  Shingle text never "
+    "shuffles — md5 map-side, only (hash, id, pos) moves.",
+    tags=("dedup", "curation"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import exact_substring_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(d, "text", "doc_id", k=8).withColumnRenamed(
         "id", "doc_id"
     )
 

@@ -506,6 +506,95 @@ class TestSpanDedup:
         assert a == b
 
 
+class TestExactSubstringDedup:
+    """exact_substring_dedup: sliding-window all-but-first removal with
+    overlap merge and reconstruction (Lee et al. ExactSubstr at shingle
+    granularity)."""
+
+    @staticmethod
+    def _docs(spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_mid_document_repeat_cut_at_any_offset(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import exact_substring_dedup
+
+        passage = "a b c d e f g h"
+        df = self._docs(spark, [
+            (0, f"{passage} X Y Z"),        # owns the first occurrence
+            (1, f"p q {passage} r s"),      # repeats it at offset 2 -> cut
+            (2, "m n o"),                   # shorter than k -> untouched
+            (3, ""),                        # empty doc
+        ])
+        out = {r.id: r for r in
+               exact_substring_dedup(df, "text", "doc_id", k=8).collect()}
+        assert out[0].clean_text == f"{passage} X Y Z" and out[0].n_removed == 0
+        # span_dedup's disjoint 8-token chunks would MISS this offset-2 repeat
+        assert out[1].clean_text == "p q r s"
+        assert out[1].n_tokens == 12 and out[1].n_removed == 8
+        assert out[2].clean_text == "m n o" and out[2].n_removed == 0
+        assert out[3].clean_text == "" and out[3].n_tokens == 0
+
+    def test_internal_repetition_and_overlap_merge(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import exact_substring_dedup
+
+        # 2x the same 8 tokens: every sliding window is a duplicate of the
+        # doc-0 original, overlapping cuts merge, the WHOLE doc empties
+        passage = "a b c d e f g h"
+        df = self._docs(spark, [
+            (0, f"{passage} tail"),
+            (3, f"{passage} {passage}"),
+        ])
+        out = {r.id: r for r in
+               exact_substring_dedup(df, "text", "doc_id", k=8).collect()}
+        assert out[0].n_removed == 0
+        assert out[3].clean_text == "" and out[3].n_removed == 16
+
+    def test_partial_overlap_keeps_unique_suffix(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import exact_substring_dedup
+
+        # doc 1 shares only the first 9 tokens with doc 0: windows at pos 0
+        # and 1 duplicate, covering tokens 0..8; the unique tail survives
+        shared = "a b c d e f g h i"
+        df = self._docs(spark, [
+            (0, f"{shared} unique0 end0"),
+            (1, f"{shared} unique1 end1 more1"),
+        ])
+        out = {r.id: r for r in
+               exact_substring_dedup(df, "text", "doc_id", k=8).collect()}
+        assert out[0].n_removed == 0
+        assert out[1].clean_text == "unique1 end1 more1"
+        assert out[1].n_removed == 9
+
+    def test_min_count_threshold(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import exact_substring_dedup
+
+        passage = "a b c d e f g h"
+        df = self._docs(spark, [(0, passage), (1, passage), (2, passage)])
+        # min_count=4: a window present 3x stays everywhere
+        out = {r.id: r for r in exact_substring_dedup(
+            df, "text", "doc_id", k=8, min_count=4).collect()}
+        assert all(out[i].n_removed == 0 for i in (0, 1, 2))
+        # default min_count=2: all but the doc-0 original are cut
+        out2 = {r.id: r for r in exact_substring_dedup(
+            df, "text", "doc_id", k=8).collect()}
+        assert out2[0].n_removed == 0
+        assert out2[1].clean_text == "" and out2[2].clean_text == ""
+
+    def test_repartition_invariance(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import exact_substring_dedup
+
+        rows = [
+            (i, " ".join(f"t{(i * 5 + j) % 23}" for j in range(30)))
+            for i in range(24)
+        ]
+        df = self._docs(spark, rows)
+        a = sorted(map(tuple, exact_substring_dedup(
+            df, "text", "doc_id", k=6).collect()))
+        b = sorted(map(tuple, exact_substring_dedup(
+            df.repartition(13), "text", "doc_id", k=6).collect()))
+        assert a == b
+
+
 class TestProductQuantization:
     """PQ codebooks + ADC: training determinism, encode shape, rank quality."""
 

@@ -2748,6 +2748,52 @@ class TestExpressionOperatorExtensions:
         bad = out.where("ts <> back").count()
         assert bad == 0
 
+    def test_set_field_unset_field(self, spark):
+        """$setField add/replace/$$REMOVE and $unsetField over struct docs,
+        including a literal DOTTED field name ('$path' can't reach those)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [(1, (10, 2.5)), (2, (20, 7.5))],
+            "_id long, d struct<`a.b`: long, price: double>",
+        )
+        out = aggregate(df, [{"$project": {
+            "_id": 1,
+            "repl": {"$setField": {"field": "price", "input": "$d", "value": 0.0}},
+            "added": {"$setField": {"field": "tag", "input": "$d", "value": "x"}},
+            "removed": {"$setField": {"field": "price", "input": "$d",
+                                      "value": "$$REMOVE"}},
+            "unset": {"$unsetField": {"field": "a.b", "input": "$d"}},
+            "dotted": {"$getField": {"field": "a.b", "input": "$d"}},
+        }}])
+        r = {row["_id"]: row for row in out.collect()}
+        assert r[1]["repl"].asDict() == {"a.b": 10, "price": 0.0}
+        assert r[1]["added"].asDict() == {"a.b": 10, "price": 2.5, "tag": "x"}
+        assert r[1]["removed"].asDict() == {"a.b": 10}
+        assert r[2]["unset"].asDict() == {"price": 7.5}
+        assert r[2]["dotted"] == 20
+
+    def test_iso_day_of_week_and_iso_week_year(self, spark):
+        """ISO weekday (1=Mon..7=Sun) and ISO week-owning year around a
+        year boundary: 2021-01-01 (Friday) belongs to ISO week-year 2020;
+        2019-12-30 (Monday) belongs to 2020."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("2021-01-01",), ("2019-12-30",), ("2020-06-15",), ("2023-01-01",)],
+            "d string",
+        )
+        out = aggregate(df, [{"$project": {
+            "d": 1,
+            "dow": {"$isoDayOfWeek": {"$toDate": "$d"}},
+            "wy": {"$isoWeekYear": {"$toDate": "$d"}},
+        }}])
+        got = {r["d"]: (r["dow"], r["wy"]) for r in out.collect()}
+        assert got["2021-01-01"] == (5, 2020)   # Friday of ISO week 53/2020
+        assert got["2019-12-30"] == (1, 2020)   # Monday of ISO week 1/2020
+        assert got["2020-06-15"] == (1, 2020)
+        assert got["2023-01-01"] == (7, 2022)   # Sunday of ISO week 52/2022
+
 
 def dt_ts(s):
     import datetime
@@ -2798,6 +2844,26 @@ class TestFindOperatorExtensions:
         assert {r["_id"] for r in c.find({"xs": {"$in": [1, None]}}).collect()} == {1, 2}
         assert {r["_id"] for r in c.find({"xs": {"$nin": [3, None]}}).collect()} == {1}
         assert {r["_id"] for r in c.find({"xs": {"$nin": [9]}}).collect()} == {1, 2, 3}
+
+    def test_bitwise_query_operators(self, spark):
+        """$bitsAllSet/$bitsAnySet/$bitsAllClear/$bitsAnyClear: int bitmask
+        or list-of-positions mask; null fields never match (even under $nor)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        df = spark.createDataFrame(
+            [(1, 0b1010), (2, 0b0110), (3, 0b0000), (4, None)],
+            "_id long, flags long",
+        )
+        c = DocumentCollection(df, "t")
+        q = lambda spec: {r["_id"] for r in c.find({"flags": spec}).collect()}
+        assert q({"$bitsAllSet": 0b0010}) == {1, 2}
+        assert q({"$bitsAllSet": [1, 3]}) == {1}        # positions 1,3 = 0b1010
+        assert q({"$bitsAnySet": 0b1100}) == {1, 2}
+        assert q({"$bitsAllClear": 0b0101}) == {1, 3}
+        assert q({"$bitsAnyClear": 0b1010}) == {2, 3}
+        # Mongo $nor matches docs where NO clause matches — null rows qualify,
+        # which requires the bit predicates to be total (coalesce-false)
+        assert {r["_id"] for r in c.find({"$nor": [{"flags": {"$bitsAnySet": 0b1111}}]}).collect()} == {3, 4}
 
 
 class TestAdviceR5Regressions:

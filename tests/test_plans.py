@@ -383,3 +383,17 @@ class TestRound7SessionPlans:
         plan = executed_plan(q("doc_bigram_logprob", spark, sf_dir))
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_exact_substring_dedup_no_python_no_cartesian(self, spark, sf_dir):
+        """ExactSubstr dedup: shingles hash map-side (only (h, id, pos)
+        shuffles), duplicate sites come from a hash-aggregate, and the
+        rebuild is HOF-only — no Python escape hatch, no cartesian product,
+        and the token table scans once (persisted base reused by the
+        shingle and rebuild branches)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("dedup_exact_substring", spark, sf_dir))
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "InMemoryRelation" in plan  # tokenize-once base
