@@ -96,6 +96,10 @@ class FindCompiler:
         if isinstance(value, dict) and value and all(
             isinstance(k, str) and k.startswith("$") for k in value
         ):
+            if "$near" in value or "$nearSphere" in value:
+                # $minDistance/$maxDistance are SIBLING keys of $near, not
+                # nested — compile the trio as one distance predicate
+                return self._near_pred(key, col, dict(value))
             preds = [self._op_pred(key, col, op, arg) for op, arg in value.items()]
             return self._fold(preds, "and")
         # bare value: equality (scalar-or-member for array fields, like Mongo)
@@ -161,6 +165,8 @@ class FindCompiler:
         if op == "$mod":
             divisor, remainder = arg
             return col % F.lit(divisor) == F.lit(remainder)
+        if op == "$geoWithin":
+            return self._geo_within(col, arg)
         if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
             # Mongo bitwise query operators: the mask is an int bitmask or a
             # list of bit POSITIONS.  Integer fields only (Mongo also skips
@@ -203,6 +209,82 @@ class FindCompiler:
                 raise ValueError(f"unsupported $type alias: {arg!r}")
             return F.lit(matches[arg]) & col.isNotNull()
         raise ValueError(f"unsupported find operator: {op}")
+
+    # -- geo predicates (legacy [x, y] coordinate-pair fields) --------------
+    @staticmethod
+    def _pair(col: Column) -> tuple[Column, Column]:
+        return F.element_at(col, 1), F.element_at(col, 2)
+
+    def _geo_within(self, col: Column, arg: dict) -> Column:
+        """``$geoWithin`` over a legacy coordinate-pair field (``array<double>
+        [x, y]``, the OSM ``pos`` shape — reference ``data.py:105-108``).
+        Planar shapes ($box/$center/$polygon) read the pair as stored;
+        $centerSphere reads it as Mongo's legacy ``[lon, lat]`` with the
+        radius in RADIANS of central angle."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import (
+            central_angle_rad,
+            point_in_polygon,
+        )
+
+        if not isinstance(arg, dict) or len(arg) != 1:
+            raise ValueError(f"$geoWithin takes exactly one shape: {arg!r}")
+        shape, sarg = next(iter(arg.items()))
+        px, py = self._pair(col)
+        if shape == "$box":
+            (x1, y1), (x2, y2) = sarg
+            lo_x, hi_x = min(x1, x2), max(x1, x2)
+            lo_y, hi_y = min(y1, y2), max(y1, y2)
+            return (
+                (px >= F.lit(float(lo_x))) & (px <= F.lit(float(hi_x)))
+                & (py >= F.lit(float(lo_y))) & (py <= F.lit(float(hi_y)))
+            )
+        if shape == "$center":
+            (cx, cy), r = sarg
+            dx, dy = px - F.lit(float(cx)), py - F.lit(float(cy))
+            return dx * dx + dy * dy <= F.lit(float(r) * float(r))
+        if shape == "$centerSphere":
+            (clon, clat), r = sarg
+            ang = central_angle_rad(py, px, F.lit(float(clat)), F.lit(float(clon)))
+            return ang <= F.lit(float(r))
+        if shape == "$polygon":
+            return point_in_polygon(px, py, [tuple(v) for v in sarg])
+        raise ValueError(f"unsupported $geoWithin shape: {shape!r}")
+
+    def _near_pred(self, path: str, col: Column, spec: dict) -> Column:
+        """``$near``/``$nearSphere`` as a pure distance-band FILTER.  Mongo
+        also sorts by distance (an index behavior a predicate can't carry):
+        here $maxDistance and/or $minDistance are REQUIRED, and distance
+        ORDERING lives in the $geoNear aggregation stage."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import (
+            central_angle_rad,
+        )
+
+        spherical = "$nearSphere" in spec
+        point = spec.pop("$nearSphere", None) or spec.pop("$near", None)
+        max_d = spec.pop("$maxDistance", None)
+        min_d = spec.pop("$minDistance", None)
+        if spec:
+            raise ValueError(f"unsupported $near siblings: {sorted(spec)}")
+        if max_d is None and min_d is None:
+            raise ValueError(
+                "$near/$nearSphere need $maxDistance and/or $minDistance here "
+                "(pure filter); for distance ORDERING use the $geoNear "
+                "aggregation stage"
+            )
+        px, py = self._pair(col)
+        cx, cy = float(point[0]), float(point[1])
+        if spherical:
+            # legacy [lon, lat], central-angle radians (Mongo spherical unit)
+            d = central_angle_rad(py, px, F.lit(cy), F.lit(cx))
+        else:
+            dx, dy = px - F.lit(cx), py - F.lit(cy)
+            d = F.sqrt(dx * dx + dy * dy)
+        pred = F.lit(True)
+        if max_d is not None:
+            pred = pred & (d <= F.lit(float(max_d)))
+        if min_d is not None:
+            pred = pred & (d >= F.lit(float(min_d)))
+        return pred
 
     def _in_membership(self, path: str, col: Column, values: list) -> Column:
         """TOTAL (never SQL-null) membership test with Mongo null semantics:

@@ -764,6 +764,61 @@ def _apply_vector_search(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     )
 
 
+def _apply_geo_near(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$geoNear`` (must be the first pipeline stage, like mongod): filter
+    to a distance band, attach ``distanceField``, return nearest-first.
+
+    ``{"near": [x, y], "distanceField": name, "key": pair-field,
+    "spherical": bool?, "maxDistance"?, "minDistance"?, "query"?,
+    "distanceMultiplier"?}``.  The ``key`` field holds a legacy ``[x, y]``
+    coordinate pair (the OSM ``pos`` shape — reference ``data.py:105-108``);
+    mongod infers it from the 2d index, typed storage names it (default
+    ``pos``).  Spherical mode reads pairs as Mongo's legacy ``[lon, lat]``
+    and measures central-angle RADIANS; planar mode is flat Euclidean in
+    coordinate units.  Per mongod, min/maxDistance apply to the RAW
+    distance; ``distanceMultiplier`` scales only the reported field.  The
+    reported distance quantizes to the 1e-6 grid (the $vectorSearch score
+    treatment) so thresholds and ranks are engine-independent; ties are
+    returned in undefined order, as in mongod — add a $sort for stable
+    paging."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import (
+        central_angle_rad,
+    )
+
+    spec = dict(spec)
+    near = spec.pop("near")
+    dist_field = spec.pop("distanceField")
+    key = spec.pop("key", "pos")
+    spherical = bool(spec.pop("spherical", False))
+    max_d = spec.pop("maxDistance", None)
+    min_d = spec.pop("minDistance", None)
+    query = spec.pop("query", None)
+    mult = float(spec.pop("distanceMultiplier", 1.0))
+    if spec:
+        raise ValueError(f"unsupported $geoNear options: {sorted(spec)}")
+    out = df
+    if query:
+        out = out.filter(FindCompiler(out).compile(query))
+    pair = F.col(key)
+    px, py = F.element_at(pair, 1), F.element_at(pair, 2)
+    cx, cy = float(near[0]), float(near[1])
+    if spherical:
+        raw = central_angle_rad(py, px, F.lit(cy), F.lit(cx))
+    else:
+        dx, dy = px - F.lit(cx), py - F.lit(cy)
+        raw = F.sqrt(dx * dx + dy * dy)
+    raw = quantize6(raw)
+    out = out.withColumn(dist_field, raw)
+    if max_d is not None:
+        out = out.filter(F.col(dist_field) <= F.lit(float(max_d)))
+    if min_d is not None:
+        out = out.filter(F.col(dist_field) >= F.lit(float(min_d)))
+    if mult != 1.0:
+        out = out.withColumn(dist_field, F.col(dist_field) * F.lit(mult))
+    return out.orderBy(F.col(dist_field).asc())
+
+
 def _apply_search(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """Atlas-style ``$search`` facade (text operator) over the engine's
     Okapi BM25 (operators/search.py::bm25_scores): documents MATCHING any
@@ -2056,6 +2111,10 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             out = _apply_vector_search(out, spec)
         elif op == "$search":
             out = _apply_search(out, spec)
+        elif op == "$geoNear":
+            if stage is not pipeline[0]:
+                raise ValueError("$geoNear must be the first pipeline stage")
+            out = _apply_geo_near(out, spec)
         elif op == "$lookup":
             out = _apply_lookup(out, spec)
         elif op == "$graphLookup":

@@ -13,6 +13,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import (  # noq
     cleaning_queries,
     docstore_queries,
     etl_queries,
+    geo_queries,
     relational,
     trainingdata_queries,
 )

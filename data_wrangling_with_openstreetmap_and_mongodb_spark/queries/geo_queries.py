@@ -1,0 +1,208 @@
+"""Geospatial query family (operators/geo.py + the docstore $geoWithin /
+$geoNear surface).
+
+The test tables carry no coordinates, so each query synthesizes them from
+keys with CLOSED-FORM integer formulas evaluated identically in Spark and
+DuckDB (the multimodal-payload oracle pattern): exact-integer modulo, one
+cast, one division — bit-identical doubles on both engines.  Distances are
+transcendental chains, so every threshold/rank goes through the 1e-6
+quantization grid (detagg rationale) and every cutoff carries an explicit
+key tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import (
+    haversine_km_sql,
+    point_in_polygon_sql,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
+
+# closed-form synthetic coordinates: lat in [-70, 69.99], lon in [-170,
+# 169.99] — away from poles and antimeridian (geo_radius_join's documented
+# scope).  Python twin builds the Spark columns; the fragment builds SQL.
+
+
+def _lat(key):
+    return ((key * F.lit(7919)) % F.lit(14000)).cast("double") / F.lit(100.0) - F.lit(70.0)
+
+
+def _lon(key):
+    return ((key * F.lit(104729)) % F.lit(34000)).cast("double") / F.lit(100.0) - F.lit(170.0)
+
+
+def _lat_sql(key: str) -> str:
+    return f"((({key}) * 7919) % 14000)::DOUBLE / 100.0 - 70.0"
+
+
+def _lon_sql(key: str) -> str:
+    return f"((({key}) * 104729) % 34000)::DOUBLE / 100.0 - 170.0"
+
+
+_Q6 = "FLOOR(({e}) * 1e6 + 0.5) / 1e6"
+
+
+@register(
+    "geo_near_customers",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_custkey, c_mktsegment,
+                   {_lat_sql('c_custkey')} AS lat,
+                   {_lon_sql('c_custkey')} AS lon
+            FROM customer
+        ), d AS (
+            SELECT c_custkey, c_mktsegment,
+                   {_Q6.format(e=haversine_km_sql('lat', 'lon', '12.3', '45.6')
+                               + ' / 6371.0088')} AS dist_rad
+            FROM c
+        )
+        SELECT c_custkey, c_mktsegment, dist_rad
+        FROM d WHERE dist_rad <= 0.25
+        ORDER BY dist_rad, c_custkey LIMIT 15
+    """,
+    doc="$geoNear (first-stage, spherical legacy [lon, lat] pairs): "
+    "customers within 0.25 rad central angle of a fixed point, nearest "
+    "first, quantized distance + key tiebreak at the cut.  One scan, no "
+    "join; the sort is a top-k (TakeOrderedAndProject) after the limit.",
+    tags=("geo", "docstore", "topk"),
+)
+def geo_near_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.array(_lon(F.col("c_custkey")), _lat(F.col("c_custkey"))).alias("pos"),
+    )
+    out = aggregate(c, [
+        {"$geoNear": {"near": [45.6, 12.3], "distanceField": "dist_rad",
+                      "key": "pos", "spherical": True, "maxDistance": 0.25}},
+    ])
+    return out.select("c_custkey", "c_mktsegment", "dist_rad").orderBy(
+        "dist_rad", "c_custkey"
+    ).limit(15)
+
+
+@register(
+    "geo_radius_join_pairs",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_custkey, {_lat_sql('c_custkey')} AS c_lat,
+                   {_lon_sql('c_custkey')} AS c_lon
+            FROM customer
+        ), s AS (
+            SELECT s_suppkey, {_lat_sql('s_suppkey')} AS s_lat,
+                   {_lon_sql('s_suppkey')} AS s_lon
+            FROM supplier
+        )
+        SELECT c_custkey, s_suppkey,
+               {_Q6.format(e=haversine_km_sql('c_lat', 'c_lon', 's_lat', 's_lon'))}
+                   AS dist_km
+        FROM c, s
+        WHERE {haversine_km_sql('c_lat', 'c_lon', 's_lat', 's_lon')} <= 400.0
+    """,
+    doc="grid-bucketed radius join: all (customer, supplier) pairs within "
+    "400 km.  The Spark side never goes all-pairs — right points key to one "
+    "grid cell, left points fan out to the 9 candidate cells map-side, the "
+    "equi-join on the cell key bounds candidates by local density, and the "
+    "exact haversine decides.  The DuckDB oracle IS the brute-force cross "
+    "join, so parity proves the grid never drops a pair.",
+    tags=("geo", "join"),
+    driver_visible=False,
+)
+def geo_radius_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import geo_radius_join
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("c_lat"),
+        _lon(F.col("c_custkey")).alias("c_lon"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _lat(F.col("s_suppkey")).alias("s_lat"),
+        _lon(F.col("s_suppkey")).alias("s_lon"),
+    )
+    pairs = geo_radius_join(
+        c, s, 400.0, ("c_lat", "c_lon"), ("s_lat", "s_lon"), "dist_km"
+    )
+    return pairs.select(
+        "c_custkey", "s_suppkey", quantize6(F.col("dist_km")).alias("dist_km")
+    )
+
+
+@register(
+    "geo_within_box_events",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   {_lat_sql('event_id')} AS lat,
+                   {_lon_sql('event_id')} AS lon
+            FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM e
+        WHERE lat >= -10.005 AND lat <= 30.005 AND lon >= 20.005 AND lon <= 90.005
+        GROUP BY event_type
+    """,
+    doc="find() $geoWithin $box over legacy pairs: planar bounding-box "
+    "filter (4 pushdown-friendly comparisons), grouped count.  Box corners "
+    "sit at .005 offsets — off the .01 coordinate grid, so boundary "
+    "membership is never ulp-dependent.",
+    tags=("geo", "find", "agg"),
+    driver_visible=False,
+)
+def geo_within_box_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.array(_lat(F.col("event_id")), _lon(F.col("event_id"))).alias("pos"),
+    )
+    hits = DocumentCollection(e, "events").find(
+        {"pos": {"$geoWithin": {"$box": [[-10.005, 20.005], [30.005, 90.005]]}}}
+    )
+    return hits.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+_PENTAGON = [(-20.005, -30.005), (40.005, -25.005), (55.005, 20.005),
+             (0.005, 45.005), (-35.005, 10.005)]
+
+
+@register(
+    "geo_polygon_customers",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_mktsegment,
+                   {_lat_sql('c_custkey')} AS x,
+                   {_lon_sql('c_custkey')} AS y
+            FROM customer
+        )
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        FROM c
+        WHERE {point_in_polygon_sql('x', 'y', _PENTAGON)}
+        GROUP BY c_mktsegment
+    """,
+    doc="find() $geoWithin $polygon: planar even-odd ray casting compiled "
+    "to a fixed per-edge boolean chain (whole-stage codegen, no HOF fold), "
+    "grouped count by segment.  Vertices sit at .005 offsets so no point "
+    "lies on an edge.",
+    tags=("geo", "find", "agg"),
+    driver_visible=False,
+)
+def geo_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.array(_lat(F.col("c_custkey")), _lon(F.col("c_custkey"))).alias("pos"),
+    )
+    hits = DocumentCollection(c, "customer").find(
+        {"pos": {"$geoWithin": {"$polygon": list(_PENTAGON)}}}
+    )
+    return hits.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))

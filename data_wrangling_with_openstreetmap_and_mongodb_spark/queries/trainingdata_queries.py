@@ -841,6 +841,11 @@ _KMEANS_CENTROID_CACHE: dict[tuple[str, int, int], list[tuple[int, list[float]]]
     "updates, quantized assignment) before the probe — verifying the "
     "iterative algorithm, not just the final ranking.",
     tags=("similarity", "topk", "ivf", "kmeans"),
+    # parked r7 (second session): near-duplicate of ann_ivfpq_topk's
+    # cluster-partitioned probe shape (bruteforce baseline + IVF-PQ stay
+    # driver-visible for the ANN family) — rotated out for the geo family's
+    # geo_near_customers; still oracle-gated at sf0.01 every run
+    driver_visible=False,
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (

@@ -1,0 +1,215 @@
+"""Geo tier: haversine/polygon primitives, the find() $geoWithin/$near
+surface, the $geoNear stage, and grid-join equivalence vs brute force."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import (
+    EARTH_RADIUS_KM,
+    geo_radius_join,
+    haversine_km,
+    point_in_polygon,
+)
+
+
+def _py_haversine_km(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    s1 = math.sin(math.radians(lat2 - lat1) / 2.0)
+    s2 = math.sin(math.radians(lon2 - lon1) / 2.0)
+    a = s1 * s1 + math.cos(p1) * math.cos(p2) * s2 * s2
+    return 2.0 * math.asin(math.sqrt(a)) * EARTH_RADIUS_KM
+
+
+class TestPrimitives:
+    def test_haversine_known_cities(self, spark):
+        # Paris (48.8566, 2.3522) <-> London (51.5074, -0.1278): ~343.5 km
+        df = spark.createDataFrame(
+            [(48.8566, 2.3522, 51.5074, -0.1278)], "a double, b double, c double, d double"
+        )
+        got = df.select(
+            haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+        ).collect()[0]["km"]
+        assert abs(got - 343.5) < 1.0
+        assert got == pytest.approx(
+            _py_haversine_km(48.8566, 2.3522, 51.5074, -0.1278), abs=1e-9
+        )
+
+    def test_haversine_zero_and_antipodal(self, spark):
+        df = spark.createDataFrame([(10.0, 20.0)], "lat double, lon double")
+        same = df.select(
+            haversine_km(F.col("lat"), F.col("lon"), F.col("lat"), F.col("lon")).alias("km")
+        ).collect()[0]["km"]
+        assert same == 0.0
+        anti = df.select(
+            haversine_km(F.col("lat"), F.col("lon"), -F.col("lat"), F.col("lon") - 180.0).alias("km")
+        ).collect()[0]["km"]
+        assert abs(anti - math.pi * EARTH_RADIUS_KM) < 0.5
+
+    def test_point_in_polygon_square_and_concave(self, spark):
+        square = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+        # concave "C": notch cut into the right side
+        concave = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (5.0, 4.0),
+                   (5.0, 6.0), (10.0, 6.0), (10.0, 10.0), (0.0, 10.0)]
+        pts = [(1, 5.0, 5.0, True, False),   # center: in square, in notch -> out of concave? (7,5) decides
+               (2, 15.0, 5.0, False, False),
+               (3, 0.5, 9.5, True, True),
+               (4, 7.0, 5.0, True, False),   # inside the notch of the C
+               (5, 2.0, 5.0, True, True)]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, x, y, _, _ in pts], "i long, x double, y double"
+        )
+        got = df.select(
+            "i",
+            point_in_polygon(F.col("x"), F.col("y"), square).alias("sq"),
+            point_in_polygon(F.col("x"), F.col("y"), concave).alias("cc"),
+        ).collect()
+        want = {i: (s, c) for i, _, _, s, c in pts}
+        for r in got:
+            assert (r["sq"], r["cc"]) == want[r["i"]], r["i"]
+
+    def test_polygon_too_few_vertices_raises(self):
+        with pytest.raises(ValueError, match="at least 3"):
+            point_in_polygon(F.lit(0.0), F.lit(0.0), [(0.0, 0.0), (1.0, 1.0)])
+
+
+class TestFindGeoOperators:
+    @pytest.fixture()
+    def coll(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        # pos = [x, y] pairs
+        rows = [
+            (1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [10.0, 10.0]),
+            (4, [-5.0, 2.0]), (5, [2.0, -1.0]),
+        ]
+        df = spark.createDataFrame(rows, "_id long, pos array<double>")
+        return DocumentCollection(df, "pts")
+
+    def test_geo_within_box(self, coll):
+        got = {r["_id"] for r in coll.find(
+            {"pos": {"$geoWithin": {"$box": [[-1.0, -2.0], [4.0, 5.0]]}}}
+        ).collect()}
+        assert got == {1, 2, 5}
+        # corner order doesn't matter (normalized min/max)
+        got2 = {r["_id"] for r in coll.find(
+            {"pos": {"$geoWithin": {"$box": [[4.0, 5.0], [-1.0, -2.0]]}}}
+        ).collect()}
+        assert got2 == got
+
+    def test_geo_within_center_planar(self, coll):
+        # radius 5 around origin: (0,0) d=0, (3,4) d=5 inclusive, (2,-1) ~2.24
+        got = {r["_id"] for r in coll.find(
+            {"pos": {"$geoWithin": {"$center": [[0.0, 0.0], 5.0]}}}
+        ).collect()}
+        assert got == {1, 2, 5}
+
+    def test_geo_within_center_sphere(self, coll):
+        # [lon, lat] pairs; 0.1 rad ~ 637 km around (0, 0)
+        r = _py_haversine_km(0.0, 0.0, 4.0, 3.0) / EARTH_RADIUS_KM
+        got = {r2["_id"] for r2 in coll.find(
+            {"pos": {"$geoWithin": {"$centerSphere": [[0.0, 0.0], r + 1e-9]}}}
+        ).collect()}
+        assert got == {1, 2, 5}  # (3,4) at exactly r, (2,-1) closer
+
+    def test_geo_within_polygon(self, coll):
+        tri = [(-1.0, -2.0), (6.0, -2.0), (1.0, 6.0)]
+        got = {r["_id"] for r in coll.find(
+            {"pos": {"$geoWithin": {"$polygon": tri}}}
+        ).collect()}
+        assert got == {1, 5}
+
+    def test_near_band_filter_and_validation(self, coll):
+        got = {r["_id"] for r in coll.find(
+            {"pos": {"$near": [0.0, 0.0], "$maxDistance": 5.0}}
+        ).collect()}
+        assert got == {1, 2, 5}
+        band = {r["_id"] for r in coll.find(
+            {"pos": {"$near": [0.0, 0.0], "$minDistance": 1.0, "$maxDistance": 5.0}}
+        ).collect()}
+        assert band == {2, 5}
+        with pytest.raises(ValueError, match="geoNear"):
+            coll.find({"pos": {"$near": [0.0, 0.0]}})
+
+    def test_unknown_shape_raises(self, coll):
+        with pytest.raises(ValueError, match="geoWithin shape"):
+            coll.find({"pos": {"$geoWithin": {"$geometry": {}}}})
+
+
+class TestGeoNearStage:
+    def test_geo_near_orders_and_multiplier(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        rows = [(1, [0.0, 0.0]), (2, [0.0, 3.0]), (3, [0.0, 1.0]), (4, [0.0, 50.0])]
+        df = spark.createDataFrame(rows, "_id long, pos array<double>")
+        out = aggregate(df, [{"$geoNear": {
+            "near": [0.0, 0.0], "distanceField": "d", "key": "pos",
+            "maxDistance": 10.0, "distanceMultiplier": 2.0,
+        }}]).collect()
+        assert [r["_id"] for r in out] == [1, 3, 2]
+        # multiplier scales the REPORTED field; maxDistance applied to raw
+        assert [r["d"] for r in out] == [0.0, 2.0, 6.0]
+
+    def test_geo_near_spherical_with_query(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        rows = [(1, "a", [2.3522, 48.8566]), (2, "b", [-0.1278, 51.5074]),
+                (3, "a", [139.65, 35.68])]
+        df = spark.createDataFrame(rows, "_id long, tag string, pos array<double>")
+        out = aggregate(df, [{"$geoNear": {
+            "near": [2.3522, 48.8566], "distanceField": "rad", "key": "pos",
+            "spherical": True, "query": {"tag": {"$ne": "b"}},
+        }}]).collect()
+        assert [r["_id"] for r in out] == [1, 3]
+        assert out[0]["rad"] == 0.0
+        want = _py_haversine_km(48.8566, 2.3522, 35.68, 139.65) / EARTH_RADIUS_KM
+        assert out[1]["rad"] == pytest.approx(want, abs=1e-6)
+
+    def test_geo_near_must_be_first(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([(1, [0.0, 0.0])], "_id long, pos array<double>")
+        with pytest.raises(ValueError, match="first pipeline stage"):
+            aggregate(df, [{"$limit": 1},
+                           {"$geoNear": {"near": [0.0, 0.0],
+                                         "distanceField": "d", "key": "pos"}}])
+
+
+class TestRadiusJoin:
+    def test_matches_brute_force(self, spark):
+        rng = random.Random(7)
+        lpts = [(i, rng.uniform(-60, 60), rng.uniform(-150, 150)) for i in range(120)]
+        rpts = [(j, rng.uniform(-60, 60), rng.uniform(-150, 150)) for j in range(80)]
+        # plant exact near-pairs and a cell-boundary straddler
+        lpts += [(900, 10.0, 20.0), (901, 59.9, 149.9)]
+        rpts += [(800, 10.4, 20.4), (801, 59.5, 149.5)]
+        left = spark.createDataFrame(lpts, "lid long, llat double, llon double")
+        right = spark.createDataFrame(rpts, "rid long, rlat double, rlon double")
+        got = {
+            (r["lid"], r["rid"])
+            for r in geo_radius_join(
+                left, right, 500.0, ("llat", "llon"), ("rlat", "rlon")
+            ).collect()
+        }
+        want = {
+            (li, rj)
+            for li, la, lo in lpts
+            for rj, ra, ro in rpts
+            if _py_haversine_km(la, lo, ra, ro) <= 500.0
+        }
+        assert got == want and (900, 800) in got and (901, 801) in got
+
+    def test_rejects_overlapping_columns(self, spark):
+        df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
+        with pytest.raises(ValueError, match="disjoint"):
+            geo_radius_join(df, df, 10.0)
+
+    def test_rejects_nonpositive_radius(self, spark):
+        l = spark.createDataFrame([(1, 0.0, 0.0)], "a long, b double, c double")
+        r = spark.createDataFrame([(1, 0.0, 0.0)], "d long, e double, f double")
+        with pytest.raises(ValueError, match="positive"):
+            geo_radius_join(l, r, 0.0, ("b", "c"), ("e", "f"))

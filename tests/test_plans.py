@@ -397,3 +397,28 @@ class TestRound7SessionPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "InMemoryRelation" in plan  # tokenize-once base
+
+    def test_geo_near_single_scan_topk(self, spark, sf_dir):
+        """$geoNear + limit: one scan, distance as a codegen'd expression,
+        TakeOrderedAndProject top-k — no join, no hash shuffle, no UDF."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("geo_near_customers", spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "Join" not in plan
+        assert "Python" not in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_geo_radius_join_grid_never_cartesian(self, spark, sf_dir):
+        """Grid-bucketed radius join: candidates come from an EQUI-join on
+        the cell key (the x9 fan-out is map-side), never a cartesian or
+        broadcast nested loop."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("geo_radius_join_pairs", spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+            "ShuffledHashJoin" in plan
+        )
