@@ -188,7 +188,15 @@ def exact_substring_dedup(
     (reference analogue: none — beyond-reference training-data tier).
     """
     toks = whitespace_tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).persist()
+    # spread the HOF-heavy tokenize/shingle map work across the cluster
+    # BEFORE persisting — a single-file scan would otherwise pin the whole
+    # hash pass to one task (the span_dedup layout, dedup.py:101)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(n_parts, id_col)
+        .select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .persist()
+    )
 
     def _window_hash(i: Column) -> Column:
         return F.md5(F.array_join(F.slice(F.col("__toks"), i + 1, k), " "))
