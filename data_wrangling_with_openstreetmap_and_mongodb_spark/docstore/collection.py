@@ -113,8 +113,15 @@ class DocumentCollection:
         (nulls the field — typed columns can't drop per-row), ``$inc`` /
         ``$mul`` (missing/null counts as 0 / 1, per Mongo's upsert-ish
         arithmetic), ``$min`` / ``$max`` (keep the smaller/larger of
-        current and given).  DataFrames are immutable, so this returns a
-        NEW collection — persist with ``$out`` / ``$merge``.  Compiles to
+        current and given), the array operators ``$push`` / ``$addToSet``
+        (literal value or ``{"$each": [...]}``; a null/missing array
+        creates one, like Mongo), ``$pull`` (removes ALL copies of a
+        literal value; operator-doc conditions need the pipeline form) and
+        ``$pop`` (1 drops the last element, -1 the first), and ``$rename``
+        (typed columns can't drop per-row, so the old field NULLS where
+        moved — the ``$unset`` convention — and the new field holds the
+        value on matched rows).  DataFrames are immutable, so this returns
+        a NEW collection — persist with ``$out`` / ``$merge``.  Compiles to
         per-column CASE expressions: one scan, no shuffle, no driver loop.
         """
         mask = (
@@ -156,6 +163,84 @@ class DocumentCollection:
                     prev = F.col(f) if f in out.columns else F.lit(None)
                     out = out.withColumn(
                         f, F.when(mask, fn(cur, F.lit(v))).otherwise(prev)
+                    )
+            elif op in ("$push", "$addToSet"):
+                for f, spec in args.items():
+                    if isinstance(spec, dict) and "$each" in spec:
+                        extra = set(spec) - {"$each"}
+                        if extra:
+                            raise ValueError(
+                                f"unsupported {op} modifiers: {sorted(extra)}"
+                            )
+                        new_vals = [ _set_literal(v) for v in spec["$each"] ]
+                    elif isinstance(spec, dict) and any(
+                        k.startswith("$") for k in spec
+                    ):
+                        raise ValueError(
+                            f"unsupported {op} modifiers: {sorted(spec)}"
+                        )
+                    else:
+                        new_vals = [_set_literal(spec)]
+                    cur = (
+                        F.coalesce(F.col(f), F.array().cast(out.schema[f].dataType))
+                        if f in out.columns
+                        else F.array(*new_vals)  # missing field: create
+                    )
+                    if f in out.columns:
+                        val = cur
+                        for nv in new_vals:
+                            if op == "$push":
+                                val = F.array_append(val, nv)
+                            else:
+                                # $addToSet appends only if absent, keeping
+                                # the existing order (NOT a sort/dedup pass)
+                                val = F.when(
+                                    F.array_contains(val, nv), val
+                                ).otherwise(F.array_append(val, nv))
+                    else:
+                        val = cur if op == "$push" else F.array_distinct(cur)
+                    prev = F.col(f) if f in out.columns else F.lit(None)
+                    out = out.withColumn(f, F.when(mask, val).otherwise(prev))
+            elif op == "$pull":
+                for f, value in args.items():
+                    if isinstance(value, dict) and any(
+                        k.startswith("$") for k in value
+                    ):
+                        raise ValueError(
+                            "$pull condition documents are unsupported in the "
+                            "classic form; filter with the pipeline update "
+                            "(aggregate [{'$set': {f: {'$filter': ...}}}])"
+                        )
+                    out = out.withColumn(
+                        f,
+                        F.when(mask, F.array_remove(F.col(f), _set_literal(value)))
+                        .otherwise(F.col(f)),
+                    )
+            elif op == "$pop":
+                for f, which in args.items():
+                    if which not in (1, -1):
+                        raise ValueError(f"$pop takes 1 or -1, got {which!r}")
+                    n = F.size(F.col(f))
+                    trimmed = (
+                        F.slice(F.col(f), 1, F.greatest(n - 1, F.lit(0)))
+                        if which == 1
+                        else F.when(n > 1, F.slice(F.col(f), 2, n - 1)).otherwise(
+                            F.array().cast(out.schema[f].dataType)
+                        )
+                    )
+                    out = out.withColumn(
+                        f, F.when(mask & F.col(f).isNotNull(), trimmed).otherwise(F.col(f))
+                    )
+            elif op == "$rename":
+                for old, new in args.items():
+                    if old not in out.columns:
+                        raise ValueError(f"$rename source field missing: {old!r}")
+                    moved = F.col(old)
+                    prev_new = F.col(new) if new in out.columns else F.lit(None)
+                    out = out.withColumn(
+                        new, F.when(mask, moved).otherwise(prev_new)
+                    ).withColumn(
+                        old, F.when(mask, F.lit(None)).otherwise(F.col(old))
                     )
             else:
                 raise ValueError(f"unsupported update operator: {op}")

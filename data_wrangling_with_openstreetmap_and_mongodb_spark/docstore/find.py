@@ -91,6 +91,8 @@ class FindCompiler:
             )
         if key == "$expr":
             return self.exprs.compile_bool(value)
+        if key == "$text":
+            return self._text_pred(value)
 
         col = self._col(key)
         if isinstance(value, dict) and value and all(
@@ -209,6 +211,68 @@ class FindCompiler:
                 raise ValueError(f"unsupported $type alias: {arg!r}")
             return F.lit(matches[arg]) & col.isNotNull()
         raise ValueError(f"unsupported find operator: {op}")
+
+    def _text_pred(self, spec: dict) -> Column:
+        """``$text`` keyword search (mongod's text-index query) as a typed
+        predicate: ``{"$search": str, "$path": field, "$caseSensitive"?}``.
+
+        mongod resolves the searched field from the collection's text INDEX;
+        typed storage names it with ``$path`` (the $geoNear ``key``
+        treatment).  Semantics follow mongod's documented matcher minus
+        stemming (a linguistic model, not a query shape): unquoted terms OR
+        together on whole-token membership; ``"quoted phrases"`` are ALL
+        required as substrings and, when present, alone decide the match
+        ("text search will only match documents that include the phrase");
+        ``-term`` negations always exclude.  Scoring lives in the $search
+        aggregation facade (BM25), not here."""
+        search = spec.get("$search")
+        path = spec.get("$path")
+        if not isinstance(search, str) or not isinstance(path, str):
+            raise ValueError(
+                '$text needs {"$search": str, "$path": field} (typed storage '
+                "names the indexed field explicitly)"
+            )
+        case_sensitive = bool(spec.get("$caseSensitive", False))
+        extra = set(spec) - {"$search", "$path", "$caseSensitive"}
+        if extra:
+            raise ValueError(f"unsupported $text options: {sorted(extra)}")
+        col = self._col(path)
+        if not case_sensitive:
+            col = F.lower(col)
+
+        def norm(s: str) -> str:
+            return s if case_sensitive else s.lower()
+
+        # lex: "quoted phrase" | -negated | term
+        phrases: list[str] = []
+        terms: list[str] = []
+        negated: list[str] = []
+        rest = search
+        while '"' in rest:
+            pre, _, tail = rest.partition('"')
+            phrase, _, rest = tail.partition('"')
+            rest = pre + " " + rest
+            if phrase.strip():
+                phrases.append(phrase)
+        for tok in rest.split():
+            if tok.startswith("-") and len(tok) > 1:
+                negated.append(tok[1:])
+            else:
+                terms.append(tok)
+        toks = F.split(col, r"\s+")
+        if phrases:
+            pred = self._fold(
+                [F.contains(col, F.lit(norm(p))) for p in phrases], "and"
+            )
+        elif terms:
+            pred = self._fold(
+                [F.array_contains(toks, F.lit(norm(t))) for t in terms], "or"
+            )
+        else:
+            raise ValueError("$text $search needs at least one positive term")
+        for t in negated:
+            pred = pred & ~F.array_contains(toks, F.lit(norm(t)))
+        return pred
 
     # -- geo predicates (legacy [x, y] coordinate-pair fields) --------------
     @staticmethod

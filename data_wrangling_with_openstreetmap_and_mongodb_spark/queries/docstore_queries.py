@@ -1783,3 +1783,90 @@ def ds_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"$sort": {"_id": 1}},
         ]
     )
+
+
+@register(
+    "ds_text_find",
+    oracle="""
+        SELECT lang,
+               source,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents
+        WHERE contains(lower(text), 'batch batch')
+          AND NOT list_contains(string_split(lower(text), ' '), 'dup')
+        GROUP BY lang, source
+    """,
+    doc="find()-level $text keyword search (mongod's text-index matcher "
+    "minus stemming): a required quoted phrase plus a -negation, counted "
+    "by (lang, source).  The $path option names the searched field (typed "
+    "storage's stand-in for the text index), matching the $geoNear `key` "
+    "treatment.  Gate-only: the text-search family's scored/ranked row is "
+    "bm25_keyword_topk (driver) and its stage form ds_atlas_search.",
+    tags=("docstore", "find", "text"),
+    driver_visible=False,
+)
+def ds_text_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = _coll(spark, sf_dir, "documents").find(
+        {"$text": {"$search": '"batch batch" -dup', "$path": "text"}}
+    )
+    return hits.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ds_window_topn_median",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   array_to_string(
+                       (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:2],
+                       ',') AS top2
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderkey,
+               FLOOR(median(o.o_totalprice) OVER (
+                   PARTITION BY o.o_orderpriority ORDER BY o.o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) * 1e6 + 0.5) / 1e6 AS run_med,
+               g.top2 AS top2
+        FROM orders o JOIN g USING (o_orderpriority)
+    """,
+    doc="window forms of the ranked-pick and quantile accumulators (new "
+    "r7): whole-partition $topN with a MIXED-direction sortBy "
+    "(o_totalprice desc, o_orderkey asc -> comparator array_sort with "
+    "BSON-total keys) and a RUNNING $median over "
+    "['unbounded','current'] (exact R-7 interpolation, same documented "
+    "divergence from mongod's t-digest as the $group form).  The oracle "
+    "replays the pick as an ordered-list group aggregate joined back and "
+    "the median as DuckDB's interpolated window median, both quantized.  "
+    "Gate-only: window-function family's driver rows are "
+    "events_gap_filled_locf / events_time_weighted_avg.",
+    tags=("docstore", "window"),
+    driver_visible=False,
+)
+def ds_window_topn_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+
+    o = load_table(spark, sf_dir, "orders")
+    out = aggregate(o, [
+        {"$setWindowFields": {
+            "partitionBy": "$o_orderpriority",
+            "sortBy": {"o_orderkey": 1},
+            "output": {
+                "top2_arr": {"$topN": {
+                    "output": "$o_orderkey", "n": 2,
+                    "sortBy": {"o_totalprice": -1, "o_orderkey": 1},
+                }},
+                "run_med": {"$median": {"input": "$o_totalprice",
+                                        "method": "approximate"},
+                            "window": {"documents": ["unbounded", "current"]}},
+            },
+        }},
+    ])
+    return out.select(
+        "o_orderkey",
+        quantize6(F.col("run_med")).alias("run_med"),
+        F.array_join(
+            F.transform(F.col("top2_arr"), lambda x: x.cast("string")), ","
+        ).alias("top2"),
+    )

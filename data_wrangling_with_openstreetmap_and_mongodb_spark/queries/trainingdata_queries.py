@@ -3175,3 +3175,96 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+@register(
+    "nb_lang_confusion",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(u.x), 1, 8))::BIGINT % 1024 AS b
+            FROM base, unnest(t) u(x)
+        ),
+        train_docs AS (SELECT doc_id, lang FROM base WHERE doc_id % 5 <> 0),
+        prior AS (
+            SELECT lang,
+                   FLOOR(ln(CAST(count(*) AS DOUBLE) /
+                            CAST((SELECT count(*) FROM train_docs) AS DOUBLE))
+                         * 1e6 + 0.5) / 1e6 AS log_prior
+            FROM train_docs GROUP BY lang
+        ),
+        train_tok AS (SELECT lang, b FROM tok WHERE doc_id % 5 <> 0),
+        counts AS (SELECT lang, b, count(*) AS c FROM train_tok GROUP BY 1, 2),
+        cls_tot AS (SELECT lang, count(*) AS tot FROM train_tok GROUP BY 1),
+        grid AS (
+            SELECT ct.lang, ct.tot, gs.b
+            FROM cls_tot ct, (SELECT unnest(range(0, 1024)) AS b) gs
+        ),
+        lik AS (
+            SELECT g.lang, g.b,
+                   FLOOR(ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0) /
+                            (CAST(g.tot AS DOUBLE) + 1.0 * 1024))
+                         * 1e6 + 0.5) / 1e6 AS ll
+            FROM grid g LEFT JOIN counts c ON c.lang = g.lang AND c.b = g.b
+        ),
+        test_tok AS (SELECT doc_id, b FROM tok WHERE doc_id % 5 = 0),
+        tsum AS (
+            SELECT tt.doc_id, l.lang,
+                   CAST(SUM(CAST(FLOOR(l.ll * 1e6 + 0.5) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e6 AS s
+            FROM test_tok tt JOIN lik l ON l.b = tt.b
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang AS true_lang, p.lang AS cls,
+                   p.log_prior + coalesce(t.s, 0.0) AS score
+            FROM (SELECT doc_id, lang FROM base WHERE doc_id % 5 = 0) d
+            CROSS JOIN prior p
+            LEFT JOIN tsum t ON t.doc_id = d.doc_id AND t.lang = p.lang
+        ),
+        pick AS (
+            SELECT doc_id, true_lang, cls,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cls DESC) AS rn
+            FROM scored
+        )
+        SELECT true_lang AS lang, cls AS predicted,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pick WHERE rn = 1
+        GROUP BY 1, 2
+    """,
+    doc="trainable classifier gate: hashed multinomial Naive Bayes "
+    "(operators/classify.py) trained on the doc_id%5!=0 split's lang "
+    "labels, scored on the held-out fifth, reported as a confusion matrix. "
+    "The model (classes x 1024 hashed buckets, Laplace-smoothed) is "
+    "bounded by construction and BROADCASTS into the scoring join — the "
+    "corpus never shuffles by token.  Every log-likelihood quantizes at "
+    "model build, scores accumulate in decimal (dsum), ties break by class "
+    "name — the oracle replays training AND scoring bit-for-bit.  "
+    "Gate-only: the text-classification family's driver row is "
+    "lang_id_confusion (heuristic n-gram scorer, same confusion shape).",
+    tags=("classify", "text", "join"),
+    driver_visible=False,
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.classify import (
+        nb_predict,
+        nb_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    priors, lik = nb_train(train, "text", "lang", num_buckets=1024)
+    pred = nb_predict(test, priors, lik, "text", "doc_id", num_buckets=1024)
+    return (
+        test.select(F.col("doc_id").alias("id"), "lang")
+        .join(pred, "id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1610,6 +1610,48 @@ class TestBucketAutoAndOut:
         got2 = {r["_id"]: r["grp"] for r in out2.collect()}
         assert got2 == {1: None, 2: "b", 3: "a"}
 
+    def test_update_many_array_operators(self, spark):
+        """Classic array updates (new r7): $push/$addToSet (value or $each,
+        null array creates), $pull removes ALL copies, $pop 1/-1 trims
+        last/first, $rename nulls the source on matched rows."""
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
+            DocumentCollection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", [1, 2, 2]), (2, "a", None), (3, "b", [5])],
+            "_id long, grp string, xs array<long>",
+        )
+        coll = lambda: DocumentCollection(df, "t")
+        got = {r["_id"]: list(r["xs"]) if r["xs"] is not None else None
+               for r in coll().update_many({"grp": "a"}, {"$push": {"xs": 9}}).df.collect()}
+        assert got == {1: [1, 2, 2, 9], 2: [9], 3: [5]}
+        got = {r["_id"]: list(r["xs"]) if r["xs"] is not None else None
+               for r in coll().update_many(
+                   {"grp": "a"}, {"$addToSet": {"xs": {"$each": [2, 7]}}}
+               ).df.collect()}
+        assert got == {1: [1, 2, 2, 7], 2: [2, 7], 3: [5]}  # 2 already present
+        got = {r["_id"]: list(r["xs"]) if r["xs"] is not None else None
+               for r in coll().update_many({}, {"$pull": {"xs": 2}}).df.collect()}
+        assert got == {1: [1], 2: None, 3: [5]}
+        got = {r["_id"]: list(r["xs"]) if r["xs"] is not None else None
+               for r in coll().update_many({}, {"$pop": {"xs": 1}}).df.collect()}
+        assert got == {1: [1, 2], 2: None, 3: []}
+        got = {r["_id"]: list(r["xs"]) if r["xs"] is not None else None
+               for r in coll().update_many({}, {"$pop": {"xs": -1}}).df.collect()}
+        assert got == {1: [2, 2], 2: None, 3: []}
+        out = coll().update_many({"grp": "a"}, {"$rename": {"xs": "ys"}}).df
+        got = {r["_id"]: (r["xs"], r["ys"]) for r in out.collect()}
+        assert got[1] == (None, [1, 2, 2]) and got[3] == ([5], None)
+        with pytest.raises(ValueError, match="pipeline"):
+            coll().update_many({}, {"$pull": {"xs": {"$gt": 1}}})
+        with pytest.raises(ValueError, match="source field missing"):
+            coll().update_many({}, {"$rename": {"nope": "x"}})
+        with pytest.raises(ValueError, match="takes 1 or -1"):
+            coll().update_many({}, {"$pop": {"xs": 2}})
+
     def test_insert_many_and_one(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
             DocumentCollection,
@@ -2844,6 +2886,33 @@ class TestFindOperatorExtensions:
         assert {r["_id"] for r in c.find({"xs": {"$in": [1, None]}}).collect()} == {1, 2}
         assert {r["_id"] for r in c.find({"xs": {"$nin": [3, None]}}).collect()} == {1}
         assert {r["_id"] for r in c.find({"xs": {"$nin": [9]}}).collect()} == {1, 2, 3}
+
+    def test_text_search_terms_phrases_negation(self, spark):
+        """$text: OR of terms on token membership; quoted phrases required
+        (and alone decide the match); -negation always excludes;
+        $caseSensitive opt-in."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        df = spark.createDataFrame(
+            [(1, "the coffee shop sells cake"),
+             (2, "CAKE and tea"),
+             (3, "coffee beans wholesale"),
+             (4, "tea house")],
+            "_id long, body string",
+        )
+        c = DocumentCollection(df, "t")
+        q = lambda s, **kw: {r["_id"] for r in c.find(
+            {"$text": {"$search": s, "$path": "body", **kw}}).collect()}
+        assert q("coffee cake") == {1, 2, 3}          # OR of terms
+        assert q('"coffee shop" cake') == {1}          # phrase decides
+        assert q("coffee -beans") == {1}               # negation excludes
+        assert q("cake", **{"$caseSensitive": True}) == {1}
+        assert q("CAKE", **{"$caseSensitive": True}) == {2}
+        import pytest
+        with pytest.raises(ValueError, match="positive term"):
+            q("-only -negations")
+        with pytest.raises(ValueError, match="names the indexed field"):
+            c.find({"$text": {"$search": "coffee"}})
 
     def test_bitwise_query_operators(self, spark):
         """$bitsAllSet/$bitsAnySet/$bitsAllClear/$bitsAnyClear: int bitmask

@@ -39,11 +39,13 @@ def test_novel_operator_families_are_driver_visible():
     dc = driver_catalog()
     for novel in (
         "winnowing_fingerprints",
-        "ann_ivf_kmeans_topk",
+        "ann_ivfpq_topk",  # the IVF probe family's row since the r7 rotation
         "decontaminate_ngrams",
         "pii_redaction_audit",
         "bm25_keyword_topk",
         "pack_training_sequences",
+        "dedup_exact_substring",  # sliding-window ExactSubstr (r7)
+        "geo_near_customers",  # first geospatial row (r7)
     ):
         assert novel in dc, novel
     for hidden in (
@@ -52,6 +54,9 @@ def test_novel_operator_families_are_driver_visible():
         "top_tokens",
         "multimodal_frame_index",
         "ann_ivf_topk",
+        # r7 second-session rotations (each still oracle-gated at sf0.01):
+        "ann_ivf_kmeans_topk",  # near-dup of ann_ivfpq_topk's probe shape
+        "span_dedup_documents",  # subsumed by dedup_exact_substring
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 

@@ -213,3 +213,57 @@ class TestRadiusJoin:
         r = spark.createDataFrame([(1, 0.0, 0.0)], "d long, e double, f double")
         with pytest.raises(ValueError, match="positive"):
             geo_radius_join(l, r, 0.0, ("b", "c"), ("e", "f"))
+
+
+class TestStreamingGeoFence:
+    def test_stream_batch_equivalence(self, spark, tmp_path):
+        """The $geoWithin predicate is a pure row-local filter, so a
+        geo-fence count over a file stream must equal the batch answer
+        after the stream drains (foreachBatch-free: filter + group count
+        in complete mode)."""
+        import os
+        import random
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import FindCompiler
+
+        rng = random.Random(3)
+        rows = [
+            (i, f"u{i % 5}", [rng.uniform(-60, 60), rng.uniform(-60, 60)])
+            for i in range(60)
+        ]
+        schema = "id long, tag string, pos array<double>"
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        for b in range(3):
+            spark.createDataFrame(rows[b * 20 : (b + 1) * 20], schema).coalesce(
+                1
+            ).write.parquet(str(src / f"b{b}"))
+            os.utime(src / f"b{b}", (1_700_000_000 + b, 1_700_000_000 + b))
+
+        fence = {"pos": {"$geoWithin": {"$box": [[-30.0, -30.0], [30.0, 30.0]]}}}
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        pred = FindCompiler(stream).compile(fence)
+        agg = stream.filter(pred).groupBy("tag").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("geo_fence")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["tag"], r["count"])
+            for r in spark.sql("select * from geo_fence").collect()
+        }
+        batch = spark.createDataFrame(rows, schema)
+        want = {
+            (r["tag"], r["count"])
+            for r in batch.filter(FindCompiler(batch).compile(fence))
+            .groupBy("tag").count().collect()
+        }
+        assert got == want and got

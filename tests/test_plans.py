@@ -422,3 +422,14 @@ class TestRound7SessionPlans:
         assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
             "ShuffledHashJoin" in plan
         )
+
+    def test_nb_classifier_model_broadcasts(self, spark, sf_dir):
+        """NB scoring: the bounded likelihood grid broadcasts into the token
+        join (BroadcastHashJoin); the only nested-loop is the classes-x-docs
+        prior attach (a broadcast of C rows); never a CartesianProduct."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("nb_lang_confusion", spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
