@@ -1436,24 +1436,68 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 name, F.coalesce(F.sum(ec.compile(arg)).over(this_w), F.lit(0))
             )
         elif op in ("$top", "$topN", "$bottom", "$bottomN"):
-            # window forms of the ranked-representative accumulators: collect
-            # (sort-keys..., output) structs over the frame, shared ranked
-            # pick (mixed-direction sortBy supported via comparator sort)
+            # window forms of the ranked-representative accumulators
             pick_sort = arg["sortBy"]
             n = 1 if op in ("$top", "$bottom") else int(arg["n"])
-            keyed = F.struct(
-                *[
-                    ec.compile(f"${k}").alias(f"__k{i}")
-                    for i, k in enumerate(pick_sort)
-                ],
-                ec.compile(arg["output"]).alias("__v"),
-            )
-            ranked = _ranked_pick(
-                F.collect_list(keyed).over(this_w), pick_sort, op, n
-            )
-            picked = F.transform(ranked, lambda s: s["__v"])
+            bottom = op in ("$bottom", "$bottomN")
+            if frame is None:
+                # whole-partition pick (Mongo's default frame): collect over
+                # a SECOND window ordered by the pick keys — an unbounded
+                # ordered frame materializes its collect_list ONCE per
+                # partition, already in pick order, so the per-row work is a
+                # constant slice.  Re-sorting the collected array per row
+                # (the explicit-frame path below) is O(w log w) PER ROW —
+                # O(n^2 log n) per partition, and with the mixed-direction
+                # comparator the sort is interpreted, not codegen'd
+                # (measured: 145s for 5 x 3000-row partitions at sf0.01).
+                # Spark's asc/desc null placement (nulls first asc, last
+                # desc) coincides with BSON order on typed columns, and the
+                # output value rides as the ascending tiebreak, matching
+                # _ranked_pick.
+                order_cols = []
+                for k, d in pick_sort.items():
+                    if d not in (1, -1):
+                        raise ValueError(
+                            f"{op} sortBy directions must be 1/-1: {pick_sort}"
+                        )
+                    kc = ec.compile(f"${k}")
+                    eff = -d if bottom else d
+                    order_cols.append(kc.asc() if eff >= 0 else kc.desc())
+                vcol = ec.compile(arg["output"])
+                order_cols.append(vcol.asc())
+                w2 = (
+                    Window.partitionBy(*part_cols)
+                    .orderBy(*order_cols)
+                    .rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                # struct-wrap keeps null outputs (bare collect_list drops them)
+                arr = F.collect_list(F.struct(vcol.alias("__v"))).over(w2)
+                ranked = F.slice(arr, 1, n)
+                if bottom:
+                    ranked = F.reverse(ranked)  # Mongo: bottom in sort order
+                picked = F.transform(ranked, lambda s: s["__v"])
+            else:
+                # explicit frame (e.g. running top-k): frame membership is
+                # defined by the stage sortBy, so the pick re-sorts the
+                # collected frame per row — O(frame log frame) per row;
+                # partition so frames stay bounded (the $integral cost rule)
+                keyed = F.struct(
+                    *[
+                        ec.compile(f"${k}").alias(f"__k{i}")
+                        for i, k in enumerate(pick_sort)
+                    ],
+                    ec.compile(arg["output"]).alias("__v"),
+                )
+                ranked = _ranked_pick(
+                    F.collect_list(keyed).over(this_w), pick_sort, op, n
+                )
+                picked = F.transform(ranked, lambda s: s["__v"])
             if op in ("$top", "$bottom"):
-                picked = F.element_at(picked, 1)
+                # try_element_at: an EMPTY explicit frame yields null, not an
+                # ANSI error (Mongo returns null for empty-window $top)
+                picked = F.try_element_at(picked, F.lit(1))
             out = out.withColumn(name, picked)
         elif op in ("$median", "$percentile"):
             # exact R-7 quantiles over the frame (same documented divergence

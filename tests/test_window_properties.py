@@ -157,6 +157,28 @@ def _eval_output(rows, sort_by, name, spec):
         if op == "$count" or (op == "$sum" and arg == 1):
             outs.append(len(idx))
             continue
+        if op in ("$top", "$topN", "$bottom", "$bottomN"):
+            pick_sort = arg["sortBy"]
+            k = 1 if op in ("$top", "$bottom") else int(arg["n"])
+            bottom = op in ("$bottom", "$bottomN")
+            field_out = arg["output"][1:]
+            items = []
+            for j in idx:
+                key = tuple(
+                    _bson_rank_key(rows[j].get(f), -d if bottom else d)
+                    for f, d in pick_sort.items()
+                )
+                tie = _bson_rank_key(rows[j].get(field_out), 1)
+                items.append((key, tie, rows[j].get(field_out)))
+            items.sort(key=lambda t: (t[0], t[1]))
+            picks = [v for _, _, v in items[:k]]
+            if bottom:
+                picks.reverse()
+            if op in ("$top", "$bottom"):
+                outs.append(picks[0] if picks else None)
+            else:
+                outs.append(picks)
+            continue
         if op in ("$minN", "$maxN", "$firstN", "$lastN"):
             field, k = arg["input"][1:], int(arg["n"])
         else:
@@ -240,6 +262,16 @@ _PLAIN_OPS = [
     {"$sum": "$v"}, {"$sum": 1}, {"$avg": "$v"}, {"$min": "$v"},
     {"$max": "$v"}, {"$count": {}}, {"$addToSet": "$v"},
     {"$minN": {"input": "$v", "n": 2}}, {"$maxN": {"input": "$v", "n": 3}},
+    # ranked picks: default frame = per-partition ordered-window path;
+    # explicit frame = per-row comparator path — both must match the eval.
+    # Tie scope: Mongo leaves key-tie order unspecified and the two paths
+    # break ties differently for SINGLE-direction desc specs, so entries
+    # either pick the sort key itself as output or sort by the unique seq
+    {"$top": {"output": "$v", "sortBy": {"v": 1}}},
+    {"$topN": {"output": "$v", "sortBy": {"v": -1}, "n": 2}},
+    {"$topN": {"output": "$v", "sortBy": {"v": 1, "seq": -1}, "n": 3}},
+    {"$bottom": {"output": "$v", "sortBy": {"v": -1, "seq": 1}}},
+    {"$bottomN": {"output": "$v", "sortBy": {"seq": -1}, "n": 2}},
 ]
 # order-sensitive inside the frame -> need a deterministic (unique) sortBy
 _ORDERED_OPS = [
