@@ -1410,10 +1410,24 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             # N smallest asc / N largest desc within the frame (nulls
             # skipped — bare collect_list drops them), like the $group form
             n = int(arg["n"])
-            vals = F.sort_array(
-                F.collect_list(ec.compile(arg["input"])).over(this_w),
-                asc=op == "$minN",
-            )
+            vcol = ec.compile(arg["input"])
+            if frame is None:
+                # whole-partition: collect over a window ORDERED by the value
+                # itself — materialized once per partition, already sorted
+                # (the $top* treatment; per-row sort_array over the default
+                # frame would be O(w log w) per row)
+                w2 = (
+                    Window.partitionBy(*part_cols)
+                    .orderBy(vcol.asc() if op == "$minN" else vcol.desc())
+                    .rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                vals = F.collect_list(vcol).over(w2)
+            else:
+                vals = F.sort_array(
+                    F.collect_list(vcol).over(this_w), asc=op == "$minN"
+                )
             out = out.withColumn(name, F.slice(vals, 1, n))
         elif op in ("$firstN", "$lastN"):
             # frame order with nulls KEPT (Mongo's documented asymmetry vs
@@ -1501,7 +1515,13 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             out = out.withColumn(name, picked)
         elif op in ("$median", "$percentile"):
             # exact R-7 quantiles over the frame (same documented divergence
-            # from mongod's t-digest as the $group forms)
+            # from mongod's t-digest as the $group forms).  COST MODEL:
+            # percentile is not an incremental aggregate, so a RUNNING frame
+            # (["unbounded","current"]) re-evaluates it per row over the
+            # grown buffer — O(n^2 log n) per partition (measured: 30k-row
+            # partitions took minutes).  Partition so running frames stay
+            # bounded (per-entity series), or use the default whole-partition
+            # frame, which evaluates once per partition.
             col = ec.compile(arg["input"]).cast("double")
             if op == "$median":
                 out = out.withColumn(
@@ -1872,7 +1892,10 @@ def _apply_facet(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$densify (practical subset): add missing documents so ``field`` steps
     by ``range.step`` from each partition's min to max (``bounds: "full"``
-    spans the GLOBAL min..max for every partition).  Added docs carry the
+    spans the GLOBAL min..max for every partition; an explicit ``bounds:
+    [lower, upper)`` array spans the given literals with the upper bound
+    EXCLUSIVE, per Mongo — out-of-range observed docs still pass through).
+    Added docs carry the
     partition fields + the densified field; all other columns are null —
     exactly Mongo's contract, and exactly the spine half of
     ``operators/events.gap_fill_locf``.
@@ -1928,8 +1951,30 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if not parts:
             raise ValueError('$densify bounds "partition" needs partitionByFields')
         ext = df.groupBy(*parts).agg(F.min(fcol).alias("__mn"), F.max(fcol).alias("__mx"))
+    elif isinstance(bounds, (list, tuple)) and len(bounds) == 2:
+        # explicit [lower, upper) — Mongo's array form: the spine spans the
+        # given range with the UPPER BOUND EXCLUSIVE; observed documents
+        # outside the range still pass through untouched.  Bounds are
+        # literals (numbers, or datetime/ISO strings under a unit), so the
+        # extent table is one constant row (per partition key when
+        # partitioned).
+        lo_raw, hi_raw = bounds
+        if cal_months is not None:
+            mn = F.lit(lo_raw).cast("timestamp")
+            mx = F.lit(hi_raw).cast("timestamp")
+        elif unit is not None:
+            mn = F.unix_micros(F.lit(lo_raw).cast("timestamp"))
+            mx = F.unix_micros(F.lit(hi_raw).cast("timestamp"))
+        else:
+            mn, mx = F.lit(lo_raw), F.lit(hi_raw)
+        one = df.limit(1).select(mn.alias("__mn"), mx.alias("__mx"))
+        pkeys = df.select(*parts).distinct() if parts else None
+        ext = pkeys.crossJoin(F.broadcast(one)) if pkeys is not None else one
+        hi_exclusive = mx
     else:
         raise ValueError(f'unsupported $densify bounds: {bounds!r}')
+    if not isinstance(bounds, (list, tuple)):
+        hi_exclusive = None
     if cal_months is not None:
         # the generator must explode BEFORE the cast expression wraps it
         spine = ext.select(
@@ -1940,6 +1985,10 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         ).select(
             *parts, F.col(field).cast(df.schema[field].dataType).alias(field)
         )
+        if hi_exclusive is not None:
+            spine = spine.filter(
+                F.col(field) < F.lit(hi_raw).cast(df.schema[field].dataType)
+            )
         missing = spine.join(df.select(*parts, field), [*parts, field], "left_anti")
         for c in df.columns:
             if c != field and c not in parts:
@@ -1956,6 +2005,10 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             F.timestamp_micros(F.col(field))
             .cast(df.schema[field].dataType)
             .alias(field),
+        )
+    if hi_exclusive is not None:
+        spine = spine.filter(
+            F.col(field) < F.lit(hi_raw).cast(df.schema[field].dataType)
         )
     missing = spine.join(df.select(*parts, field), [*parts, field], "left_anti")
     for c in df.columns:

@@ -153,6 +153,12 @@ def geo_radius_join(
     Scope: |lat| must stay <= ``max_abs_lat`` (longitude cells degenerate at
     the poles) and the data must not straddle the antimeridian; both are
     documented contracts, not runtime scans.
+
+    100 TB note: the x9 fan-out carries FULL left rows through the cell
+    shuffle.  With wide rows, project each side to (key, lat, lon) before
+    calling and join the matched (key, key, distance) pairs back to the
+    full tables afterwards — the fan-out then moves 9 narrow rows instead
+    of 9 wide ones.
     """
     rad = float(radius_km)
     if rad <= 0:

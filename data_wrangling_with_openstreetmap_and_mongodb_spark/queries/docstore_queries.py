@@ -1816,26 +1816,30 @@ def ds_text_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ds_window_topn_median",
     oracle="""
         WITH g AS (
-            SELECT o_orderpriority,
+            SELECT o_custkey,
                    array_to_string(
                        (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:2],
                        ',') AS top2
-            FROM orders GROUP BY o_orderpriority
+            FROM orders GROUP BY o_custkey
         )
         SELECT o.o_orderkey,
                FLOOR(median(o.o_totalprice) OVER (
-                   PARTITION BY o.o_orderpriority ORDER BY o.o_orderkey
+                   PARTITION BY o.o_custkey ORDER BY o.o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) * 1e6 + 0.5) / 1e6 AS run_med,
                g.top2 AS top2
-        FROM orders o JOIN g USING (o_orderpriority)
+        FROM orders o JOIN g USING (o_custkey)
     """,
     doc="window forms of the ranked-pick and quantile accumulators (new "
     "r7): whole-partition $topN with a MIXED-direction sortBy "
-    "(o_totalprice desc, o_orderkey asc -> comparator array_sort with "
-    "BSON-total keys) and a RUNNING $median over "
-    "['unbounded','current'] (exact R-7 interpolation, same documented "
-    "divergence from mongod's t-digest as the $group form).  The oracle "
+    "(o_totalprice desc, o_orderkey asc -> ordered-window collect with "
+    "BSON-total keys) and a RUNNING $median over ['unbounded','current'] "
+    "(exact R-7 interpolation, same documented divergence from mongod's "
+    "t-digest as the $group form).  Partitioned by o_custkey so the "
+    "running-median frames stay BOUNDED (~15 rows at any sf): percentile "
+    "is not incremental, so a running frame re-evaluates it per row — a "
+    "low-cardinality partition key made this query 798s at sf0.1 (the "
+    "$integral cost rule, now in the operator docstring).  The oracle "
     "replays the pick as an ordered-list group aggregate joined back and "
     "the median as DuckDB's interpolated window median, both quantized.  "
     "Gate-only: window-function family's driver rows are "
@@ -1850,7 +1854,7 @@ def ds_window_topn_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     out = aggregate(o, [
         {"$setWindowFields": {
-            "partitionBy": "$o_orderpriority",
+            "partitionBy": "$o_custkey",
             "sortBy": {"o_orderkey": 1},
             "output": {
                 "top2_arr": {"$topN": {

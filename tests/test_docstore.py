@@ -516,6 +516,52 @@ class TestDensifyFill:
             ("b", 1, 7.0),
         ]
 
+    def test_densify_explicit_bounds_upper_exclusive(self, spark):
+        """bounds: [lower, upper) array form (new r7): spine spans the
+        literals with upper EXCLUSIVE; observed docs OUTSIDE the range pass
+        through untouched; partitioned form repeats the range per key."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        out = aggregate(
+            self._series(spark),
+            [{"$densify": {"field": "t", "range": {"step": 1, "bounds": [1, 3]}}}],
+        )
+        got = sorted(
+            ((r["k"], r["t"], r["v"]) for r in out.collect()),
+            key=lambda x: (str(x[0]), x[1]),
+        )
+        # spine adds t=2 only (t=1 observed via b, t=3 is EXCLUSIVE);
+        # out-of-range t=0 and t=3 rows pass through
+        assert got == [
+            (None, 2, None),
+            ("a", 0, 10.0),
+            ("a", 3, 40.0),
+            ("b", 1, 7.0),
+        ]
+        out2 = aggregate(
+            self._series(spark),
+            [{"$densify": {"field": "t", "range": {
+                "step": 1, "bounds": [0, 2], "partitionByFields": ["k"]}}}],
+        )
+        got2 = sorted((r["k"], r["t"]) for r in out2.collect())
+        assert got2 == [("a", 0), ("a", 1), ("a", 3), ("b", 0), ("b", 1)]
+
+    def test_densify_explicit_bounds_dates(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:00",), ("2024-01-01 06:00:00",)], "s string"
+        ).selectExpr("cast(s as timestamp) as ts")
+        out = aggregate(df, [{"$densify": {"field": "ts", "range": {
+            "step": 2, "unit": "hour",
+            "bounds": ["2024-01-01 00:00:00", "2024-01-01 06:00:00"]}}}])
+        got = sorted(str(r["ts"]) for r in out.collect())
+        # spine 00/02/04 (06 exclusive); observed 00 dedups, observed 06 passes
+        assert got == [
+            "2024-01-01 00:00:00", "2024-01-01 02:00:00",
+            "2024-01-01 04:00:00", "2024-01-01 06:00:00",
+        ]
+
     def test_densify_full_bounds_spans_global_range(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
 

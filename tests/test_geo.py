@@ -267,3 +267,42 @@ class TestStreamingGeoFence:
             .groupBy("tag").count().collect()
         }
         assert got == want and got
+
+
+def _py_point_in_polygon(x, y, vertices):
+    inside = False
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        if y1 == y2:
+            continue
+        if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+class TestPolygonRandomized:
+    def test_matches_python_ray_caster(self, spark):
+        """The compiled per-edge chain must agree with the scalar ray caster
+        on random points x random polygons (convex, concave, star)."""
+        rng = random.Random(11)
+        polys = [
+            [(0.0, 0.0), (8.0, 1.0), (9.0, 7.0), (3.0, 9.0), (-2.0, 5.0)],
+            # star (self-intersecting: even-odd rule still well-defined)
+            [(0.0, 6.0), (7.0, -4.0), (-6.0, 2.5), (6.0, 2.5), (-7.0, -4.0)],
+            # concave "C"
+            [(0.0, 0.0), (10.0, 0.0), (10.0, 3.0), (4.0, 3.0),
+             (4.0, 7.0), (10.0, 7.0), (10.0, 10.0), (0.0, 10.0)],
+        ]
+        pts = [(i, rng.uniform(-12, 12), rng.uniform(-12, 12)) for i in range(300)]
+        df = spark.createDataFrame(pts, "i long, x double, y double")
+        cols = [
+            point_in_polygon(F.col("x"), F.col("y"), p).alias(f"p{j}")
+            for j, p in enumerate(polys)
+        ]
+        got = {r["i"]: tuple(r[f"p{j}"] for j in range(len(polys)))
+               for r in df.select("i", *cols).collect()}
+        for i, x, y in pts:
+            want = tuple(_py_point_in_polygon(x, y, p) for p in polys)
+            assert got[i] == want, (i, x, y)

@@ -391,3 +391,96 @@ def test_window_sum_of_all_null_frame_is_zero(spark):
                                "output": {"s": {"$sum": "$v"}}}}],
     ).collect()
     assert [r["s"] for r in out] == [0.0, 0.0]
+
+
+# -- tier 2: $addFields expression chains + $project shapes --------------------
+#
+# Locks the stage-level expression rules on the same nulls-everywhere corpus:
+# arithmetic null-propagates ($add/$subtract/$multiply/$abs), $ifNull
+# substitutes, aggregation comparisons are TOTAL over BSON order (null lowest,
+# never SQL-null — the r5 _lt_total rule), include-mode $project passes an
+# existing _id through unless {"_id": 0}, exclude-mode drops only the listed
+# fields.
+
+
+def _ev_expr(expr, doc):
+    if isinstance(expr, str) and expr.startswith("$"):
+        return doc.get(expr[1:])
+    if not isinstance(expr, dict):
+        return expr
+    op, a = next(iter(expr.items()))
+    if op in ("$add", "$subtract", "$multiply"):
+        x, y = _ev_expr(a[0], doc), _ev_expr(a[1], doc)
+        if x is None or y is None:
+            return None
+        return x + y if op == "$add" else x - y if op == "$subtract" else x * y
+    if op == "$abs":
+        x = _ev_expr(a, doc)
+        return None if x is None else abs(x)
+    if op == "$ifNull":
+        x = _ev_expr(a[0], doc)
+        return _ev_expr(a[1], doc) if x is None else x
+    if op == "$gt":
+        x, y = _ev_expr(a[0], doc), _ev_expr(a[1], doc)
+        kx = (x is not None, x if x is not None else 0)
+        ky = (y is not None, y if y is not None else 0)
+        return kx > ky
+    if op == "$cond":
+        return _ev_expr(a[1], doc) if _ev_expr(a[0], doc) else _ev_expr(a[2], doc)
+    raise ValueError(op)
+
+
+def _ev_project(doc, spec):
+    modes = {v for k, v in spec.items() if k != "_id"}
+    include = modes == {1}
+    if include:
+        keep = {k for k, v in spec.items() if v == 1}
+        out = {k: doc.get(k) for k in keep}
+        if spec.get("_id", 1) != 0 and "_id" in doc:
+            out["_id"] = doc["_id"]
+        return out
+    return {k: v for k, v in doc.items() if spec.get(k, 1) != 0}
+
+
+_EXPRS = [
+    {"$add": ["$n", 3]},
+    {"$subtract": ["$n", 5]},
+    {"$multiply": ["$v", 2.0]},
+    {"$ifNull": ["$n", -1]},
+    {"$abs": {"$subtract": ["$n", 4]}},
+    {"$cond": [{"$gt": ["$n", 4]}, "$v", -0.5]},
+    {"$ifNull": [{"$multiply": ["$v", 4.0]}, {"$add": ["$n", 0]}]},
+]
+
+_PROJECTS = [
+    {"g": 1, "d": 1},
+    {"_id": 0, "d": 1, "n": 1},
+    {"xs": 0, "v": 0},
+    {"d": 0},
+]
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sampled_from(_EXPRS),
+    st.sampled_from(_PROJECTS),
+    st.one_of(st.none(), _G_VALS),
+)
+def test_addfields_project_matches_reference(spark, expr, proj, match_g):
+    stages = [{"$addFields": {"d": expr}}]
+    if match_g is not None:
+        stages.append({"$match": {"g": match_g}})
+    stages.append({"$project": proj})
+    sdf = aggregate(_corpus(spark), stages)
+    got = [r.asDict() for r in sdf.collect()]
+    want = []
+    for doc in DOCS:
+        d2 = {**doc, "d": _ev_expr(expr, doc)}
+        if match_g is not None and not _matches(d2, {"g": match_g}):
+            continue
+        want.append(_ev_project(d2, proj))
+    _assert_same(got, want, ordered=False)

@@ -19,6 +19,8 @@ PICKS = [
     ("cms_token_counts", "count-min sketch: depth-bounded hash-agg grid, broadcast probe join"),
     ("ds_lookup_topn", "correlated $lookup + per-doc $sort/$limit: window and groupBy share ONE exchange, broadcast foreign side, limit prunes before arrays build"),
     ("multimodal_media_decode", "real BMP/WAV codec decode: Exchange-free — two chained Arrow-batched map stages over the scan, payloads never shuffle"),
+    ("dedup_exact_substring", "ExactSubstr sliding-window dedup: shingles hash map-side, duplicate sites from one hash-agg, HOF-only rebuild, tokenize-once persisted base"),
+    ("geo_radius_join_pairs", "grid-bucketed radius join: x9 cell fan-out map-side, equi-join on cell key, exact haversine filter — no cartesian"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of headline queries (sf0.01, local[8])
