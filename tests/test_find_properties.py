@@ -25,18 +25,18 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection imp
 
 # -- the corpus: every field nullable, values from small pools so queries hit
 DOCS = [
-    {"_id": 0, "s": "alpha", "n": 3, "f": 1.5, "xs": [1, 2, 3]},
-    {"_id": 1, "s": "beta", "n": 7, "f": 2.5, "xs": [2, 4]},
-    {"_id": 2, "s": None, "n": 5, "f": None, "xs": []},
-    {"_id": 3, "s": "alpha", "n": None, "f": 0.5, "xs": None},
-    {"_id": 4, "s": "gamma", "n": 0, "f": 2.5, "xs": [5]},
-    {"_id": 5, "s": "beta", "n": 9, "f": None, "xs": [1, 5, 9]},
-    {"_id": 6, "s": None, "n": None, "f": None, "xs": None},
-    {"_id": 7, "s": "delta", "n": 4, "f": 0.5, "xs": [3]},
-    {"_id": 8, "s": "beta", "n": 2, "f": 1.5, "xs": [1, None]},  # null element
+    {"_id": 0, "s": "alpha", "n": 3, "f": 1.5, "xs": [1, 2, 3], "p": [0.0, 0.0]},
+    {"_id": 1, "s": "beta", "n": 7, "f": 2.5, "xs": [2, 4], "p": [3.0, 4.0]},
+    {"_id": 2, "s": None, "n": 5, "f": None, "xs": [], "p": None},
+    {"_id": 3, "s": "alpha", "n": None, "f": 0.5, "xs": None, "p": [10.0, -2.0]},
+    {"_id": 4, "s": "gamma", "n": 0, "f": 2.5, "xs": [5], "p": [-5.0, 2.0]},
+    {"_id": 5, "s": "beta", "n": 9, "f": None, "xs": [1, 5, 9], "p": [2.0, -1.0]},
+    {"_id": 6, "s": None, "n": None, "f": None, "xs": None, "p": None},
+    {"_id": 7, "s": "delta", "n": 4, "f": 0.5, "xs": [3], "p": [7.0, 7.0]},
+    {"_id": 8, "s": "beta", "n": 2, "f": 1.5, "xs": [1, None], "p": [1.0, 1.0]},  # null element
 ]
 
-SCHEMA = "_id long, s string, n long, f double, xs array<long>"
+SCHEMA = "_id long, s string, n long, f double, xs array<long>, p array<double>"
 
 
 # -- reference evaluator (Mongo semantics on typed documents) ----------------
@@ -89,6 +89,24 @@ def _op(val, op, arg) -> bool:
         return isinstance(val, list) and any(
             all(_op(e, o, a) for o, a in arg.items()) for e in val
         )
+    if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
+        if val is None:
+            return False  # null never matches bit tests, even under $nor
+        mask = arg if isinstance(arg, int) else sum(1 << b for b in arg)
+        m = val & mask
+        return {"$bitsAllSet": m == mask, "$bitsAnySet": m != 0,
+                "$bitsAllClear": m == 0, "$bitsAnyClear": m != mask}[op]
+    if op == "$geoWithin":
+        if not isinstance(val, list) or len(val) != 2:
+            return False
+        x, y = val
+        shape, sarg = next(iter(arg.items()))
+        if shape == "$box":
+            (x1, y1), (x2, y2) = sarg
+            return (min(x1, x2) <= x <= max(x1, x2)
+                    and min(y1, y2) <= y <= max(y1, y2))
+        (cx, cy), r = sarg  # $center (planar)
+        return (x - cx) * (x - cx) + (y - cy) * (y - cy) <= r * r
     raise ValueError(op)
 
 
@@ -166,7 +184,25 @@ _X_LEAF = st.one_of(
     ),
 )
 
+_BITS = st.tuples(
+    st.sampled_from(["$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"]),
+    st.one_of(st.integers(min_value=1, max_value=7),
+              st.lists(st.integers(min_value=0, max_value=3), min_size=1,
+                       max_size=2, unique=True)),
+).map(lambda t: {"n": {t[0]: t[1]}})
+
+_GEO = st.one_of(
+    st.tuples(st.floats(-6, 6), st.floats(-6, 6), st.floats(1, 8), st.floats(1, 8)).map(
+        lambda t: {"p": {"$geoWithin": {"$box": [[t[0], t[1]], [t[0] + t[2], t[1] + t[3]]]}}}
+    ),
+    st.tuples(st.floats(-4, 4), st.floats(-4, 4), st.floats(0.5, 8)).map(
+        lambda t: {"p": {"$geoWithin": {"$center": [[t[0], t[1]], t[2]]}}}
+    ),
+)
+
 _LEAF = st.one_of(
+    _BITS,
+    _GEO,
     _scalar_leaf("s", _S_VALS),
     _scalar_leaf("n", _N_VALS),
     _scalar_leaf("f", _F_VALS),
@@ -193,7 +229,7 @@ _DF_CACHE: dict = {}
 def _corpus(spark):
     if "df" not in _DF_CACHE:
         df = spark.createDataFrame(
-            [tuple(d[k] for k in ("_id", "s", "n", "f", "xs")) for d in DOCS],
+            [tuple(d[k] for k in ("_id", "s", "n", "f", "xs", "p")) for d in DOCS],
             SCHEMA,
         ).cache()
         df.count()
