@@ -308,6 +308,40 @@ class _ForeignCompiler(ExpressionCompiler):
         return super().compile(e)
 
 
+def _apply_uncorrelated_lookup(
+    df: DataFrame, from_df: DataFrame, pipe: list[dict], alias: str
+) -> DataFrame:
+    """Mongo 3.6's UNCORRELATED ``$lookup`` sub-pipeline (no ``$expr``, no
+    join keys): the sub-pipeline runs ONCE against the foreign collection
+    and the same result array attaches to every input document — mongod
+    even caches it across documents.
+
+    Compiled as: ``aggregate(from, pipe)`` → one global ``collect_list``
+    row → 1-row broadcast cross join (the documented bounded-crossJoin
+    pattern; the array is as small as the sub-pipeline makes it, exactly
+    the mongod contract).  A trailing ``$sort`` in the sub-pipeline
+    determines the ARRAY ORDER: the collect is order-free, so the sorted
+    order is reimposed on the array with the $sortArray comparator (BSON
+    key order) — deterministic regardless of partitioning."""
+    sort_spec = None
+    if pipe and "$sort" in pipe[-1]:
+        sort_spec = pipe[-1]["$sort"]
+    elif len(pipe) >= 2 and "$limit" in pipe[-1] and "$sort" in pipe[-2]:
+        sort_spec = pipe[-2]["$sort"]  # $sort + $limit tail: top-n, in order
+    sub = aggregate(from_df, pipe)
+    arr = sub.agg(
+        F.collect_list(F.struct(*[F.col(c) for c in sub.columns])).alias(alias)
+    )
+    if sort_spec is not None:
+        aec = ExpressionCompiler(arr)
+        arr = arr.select(
+            aec.compile(
+                {"$sortArray": {"input": f"${alias}", "sortBy": sort_spec}}
+            ).alias(alias)
+        )
+    return df.crossJoin(F.broadcast(arr))
+
+
 def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$lookup: left outer join collecting matches into an array of structs
     under ``as`` — Mongo 3.2's join stage (not in the 2.x-era reference,
@@ -343,10 +377,18 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
     if "pipeline" in spec:
         pipe = list(spec["pipeline"])
-        if not pipe or "$match" not in pipe[0] or "$expr" not in pipe[0]["$match"]:
-            raise ValueError(
-                "$lookup pipeline form needs a leading {$match: {$expr: ...}}"
-            )
+        correlated = bool(
+            pipe and "$match" in pipe[0]
+            and isinstance(pipe[0]["$match"], dict)
+            and "$expr" in pipe[0]["$match"]
+        )
+        if not correlated:
+            if spec.get("let"):
+                raise ValueError(
+                    "$lookup with let needs a leading {$match: {$expr: ...}} "
+                    "referencing the variables (correlated form)"
+                )
+            return _apply_uncorrelated_lookup(df, from_df, pipe, alias)
         env = {}
         lec = ExpressionCompiler(df)
         for var, src in (spec.get("let") or {}).items():

@@ -1874,3 +1874,47 @@ def ds_window_topn_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("top2_arr"), lambda x: x.cast("string")), ","
         ).alias("top2"),
     )
+
+
+@register(
+    "ds_lookup_uncorrelated",
+    oracle="""
+        WITH tops AS (
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+                       - 1 AS rk
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 3
+        )
+        SELECT n.n_nationkey AS n_nationkey,
+               t.rk AS rk,
+               t.o_orderkey AS o_orderkey
+        FROM nation n CROSS JOIN tops t
+    """,
+    doc="UNCORRELATED $lookup sub-pipeline (no $expr, new r7): the top-3 "
+    "orders compute ONCE and the same array attaches to every nation — "
+    "compiled as aggregate(from) -> one collect_list row -> 1-row "
+    "broadcast cross join (the documented bounded-crossJoin pattern, "
+    "mongod's own 'uncorrelated subquery cached across documents').  "
+    "Array ORDER is the sub-pipeline's $sort (replayed via $unwind "
+    "includeArrayIndex vs the oracle's rank).  Gate-only: the $lookup "
+    "family's hard rows are ds_lookup_topn / ds_lookup_proj_sort.",
+    tags=("docstore", "join"),
+    driver_visible=False,
+)
+def ds_lookup_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return aggregate(nation, [
+        {"$lookup": {"from": orders, "pipeline": [
+            {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+            {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+            {"$limit": 3},
+        ], "as": "tops"}},
+        {"$unwind": {"path": "$tops", "includeArrayIndex": "rk"}},
+        {"$project": {"n_nationkey": 1, "rk": 1,
+                      "o_orderkey": "$tops.o_orderkey"}},
+    ])

@@ -961,9 +961,13 @@ class TestBucketAutoAndOut:
 
         local = spark.createDataFrame([(1,)], "cid long")
         foreign = spark.createDataFrame([(1, "x")], "cust long, item string")
-        with pytest.raises(ValueError, match="leading"):
-            aggregate(local, [{"$lookup": {"from": foreign, "pipeline": [
-                {"$project": {"item": 1}}], "as": "xs"}}])
+        # a pipeline WITHOUT $expr is the UNCORRELATED form (valid since r7,
+        # see test_lookup_uncorrelated_pipeline) — but `let` demands the
+        # correlated shape
+        with pytest.raises(ValueError, match="correlated"):
+            aggregate(local, [{"$lookup": {"from": foreign,
+                "let": {"c": "$cid"},
+                "pipeline": [{"$project": {"item": 1}}], "as": "xs"}}])
         with pytest.raises(ValueError, match="preceding .sort"):
             # $limit without $sort: nondeterministic top-k, refused
             aggregate(local, [{"$lookup": {"from": foreign,
@@ -979,6 +983,40 @@ class TestBucketAutoAndOut:
                     {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
                     {"$group": {"_id": None}},
                 ], "as": "xs"}}])
+
+    def test_lookup_uncorrelated_pipeline(self, spark):
+        """No-$expr sub-pipeline (Mongo 3.6 uncorrelated form): runs once
+        against the foreign collection, the SAME array attaches to every
+        input doc, in the sub-pipeline's $sort order (also when a $limit
+        follows the $sort)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame([(1,), (2,)], "cid long")
+        foreign = spark.createDataFrame(
+            [(1, "a", 30.0), (2, "b", 10.0), (3, "c", 20.0), (4, "d", 5.0)],
+            "k long, name string, score double",
+        )
+        out = aggregate(local, [{"$lookup": {"from": foreign, "pipeline": [
+            {"$match": {"score": {"$gte": 10.0}}},
+            {"$project": {"name": 1, "score": 1}},
+            {"$sort": {"score": -1}},
+        ], "as": "tops"}}]).collect()
+        assert len(out) == 2
+        for r in out:
+            assert [e["name"] for e in r["tops"]] == ["a", "c", "b"]
+        # $sort + $limit tail: top-n, still in sort order
+        out2 = aggregate(local, [{"$lookup": {"from": foreign, "pipeline": [
+            {"$sort": {"score": -1}},
+            {"$limit": 2},
+        ], "as": "t2"}}]).collect()
+        for r in out2:
+            assert [e["name"] for e in r["t2"]] == ["a", "c"]
+        # group-shaped sub-pipeline: one summary row array for every doc
+        out3 = aggregate(local, [{"$lookup": {"from": foreign, "pipeline": [
+            {"$group": {"_id": None, "total": {"$sum": "$score"}}},
+        ], "as": "sums"}}]).collect()
+        for r in out3:
+            assert len(r["sums"]) == 1 and r["sums"][0]["total"] == 65.0
 
     def test_lookup_pipeline_sort_limit(self, spark):
         """Per-local-document $sort + $limit inside $lookup (the 'top 3
