@@ -105,6 +105,75 @@ def point_in_polygon_sql(x: str, y: str, vertices: list[tuple[float, float]]) ->
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_plan(precision: int) -> tuple[int, int, int]:
+    if not 1 <= int(precision) <= 12:
+        raise ValueError("geohash precision must be 1..12")
+    t = 5 * int(precision)
+    return t, (t + 1) // 2, t // 2  # total bits, lon bits, lat bits
+
+
+def geohash(lat: Column, lon: Column, precision: int = 9) -> Column:
+    """Standard base32 geohash of a degree coordinate — one codegen'd
+    integer-bit expression (no UDF).
+
+    The classic bisection algorithm is equivalent to scaling each axis to a
+    fixed-point integer (``floor((lon+180)/360 * 2^nlon)``, lon owning the
+    odd extra bit) and MSB-interleaving lon-first; that integer form is
+    what compiles here, the Z-order treatment (``scale.zvalue_n``) with
+    geohash's bit order and alphabet.  Top-edge inputs (lat=90, lon=180)
+    clamp into the last cell, as every published implementation does.
+    Geohash cells are the textbook spatial bucketing key: prefix-truncate
+    for coarser cells, group/join/cluster files by it."""
+    t, nlon, nlat = _geohash_plan(precision)
+    ilon = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))).cast("long"),
+        F.lit((1 << nlon) - 1),
+    )
+    ilat = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))).cast("long"),
+        F.lit((1 << nlat) - 1),
+    )
+    code = F.lit(0).cast("long")
+    for s in range(t):
+        src, idx = (ilon, nlon - 1 - s // 2) if s % 2 == 0 else (ilat, nlat - 1 - s // 2)
+        bit = F.shiftright(src, idx).bitwiseAND(F.lit(1))
+        code = code + bit * F.lit(1 << (t - 1 - s)).cast("long")
+    arr = F.array(*[F.lit(c) for c in _B32])
+    out: Column | None = None
+    for d in range(int(precision)):
+        digit = F.shiftright(code, 5 * (int(precision) - 1 - d)).bitwiseAND(F.lit(31))
+        ch = F.element_at(arr, (digit + F.lit(1)).cast("int"))
+        out = ch if out is None else F.concat(out, ch)
+    return out
+
+
+def geohash_sql(lat: str, lon: str, precision: int = 9) -> str:
+    """DuckDB twin of :func:`geohash`, identical integer math op-for-op."""
+    t, nlon, nlat = _geohash_plan(precision)
+    ilon = (
+        f"least(CAST(floor((({lon}) + 180.0) / 360.0 * {float(1 << nlon)!r}) "
+        f"AS BIGINT), {(1 << nlon) - 1})"
+    )
+    ilat = (
+        f"least(CAST(floor((({lat}) + 90.0) / 180.0 * {float(1 << nlat)!r}) "
+        f"AS BIGINT), {(1 << nlat) - 1})"
+    )
+    terms = []
+    for s in range(t):
+        src, idx = (ilon, nlon - 1 - s // 2) if s % 2 == 0 else (ilat, nlat - 1 - s // 2)
+        terms.append(f"((({src}) >> {idx}) & 1) * {1 << (t - 1 - s)}")
+    code = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{_B32}', CAST((({code}) >> {5 * (int(precision) - 1 - d)}) & 31 "
+        f"AS INT) + 1, 1)"
+        for d in range(int(precision))
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
 def geo_near(
     df: DataFrame,
     lat_col: str,

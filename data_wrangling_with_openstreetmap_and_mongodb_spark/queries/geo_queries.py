@@ -206,3 +206,51 @@ def geo_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"pos": {"$geoWithin": {"$polygon": list(_PENTAGON)}}}
     )
     return hits.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "geo_geohash_cells",
+    oracle=None,  # assembled below: geohash_sql interpolates per precision
+    doc="base32 geohash spatial bucketing: customers keyed to precision-4 "
+    "cells (one codegen'd integer-bit expression — the Z-order treatment "
+    "with geohash's lon-first MSB interleave and alphabet), counted per "
+    "cell with per-cell mean balance.  Prefix-truncation of the same key "
+    "gives every coarser granularity; the natural cluster/join/layout key "
+    "for point data at scale.  The oracle replays the bit math op-for-op "
+    "in SQL (geohash_sql).",
+    tags=("geo", "agg"),
+    driver_visible=False,
+)
+def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import davg
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import geohash
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal",
+        geohash(_lat(F.col("c_custkey")), _lon(F.col("c_custkey")), 4).alias("gh4"),
+    )
+    return c.groupBy("gh4").agg(
+        F.count(F.lit(1)).alias("n"), davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+
+
+def _geohash_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import davg_sql
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import geohash_sql
+
+    return f"""
+        WITH c AS (
+            SELECT c_acctbal,
+                   {geohash_sql(_lat_sql('c_custkey'), _lon_sql('c_custkey'), 4)}
+                       AS gh4
+            FROM customer
+        )
+        SELECT gh4, CAST(count(*) AS BIGINT) AS n,
+               {davg_sql('c_acctbal')} AS avg_bal
+        FROM c GROUP BY gh4
+    """
+
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import QUERIES as _Q  # noqa: E402
+
+_Q["geo_geohash_cells"].oracle = _geohash_oracle()

@@ -306,3 +306,57 @@ class TestPolygonRandomized:
         for i, x, y in pts:
             want = tuple(_py_point_in_polygon(x, y, p) for p in polys)
             assert got[i] == want, (i, x, y)
+
+
+def _py_geohash(lat, lon, precision):
+    t = 5 * precision
+    nlon, nlat = (t + 1) // 2, t // 2
+    ilon = min(int(math.floor((lon + 180.0) / 360.0 * float(1 << nlon))), (1 << nlon) - 1)
+    ilat = min(int(math.floor((lat + 90.0) / 180.0 * float(1 << nlat))), (1 << nlat) - 1)
+    code = 0
+    for s in range(t):
+        src, idx = (ilon, nlon - 1 - s // 2) if s % 2 == 0 else (ilat, nlat - 1 - s // 2)
+        code |= ((src >> idx) & 1) << (t - 1 - s)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    return "".join(b32[(code >> (5 * (precision - 1 - d))) & 31]
+                   for d in range(precision))
+
+
+class TestGeohash:
+    def test_known_values(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import geohash
+
+        pts = [(57.64911, 10.40744, "u4pruydqqvj"),   # the canonical example
+               (48.8566, 2.3522, "u09tvw0f64r"),
+               (-33.8688, 151.2093, "r3gx2f77bn4"),
+               (0.0, 0.0, "s0000000000")]
+        df = spark.createDataFrame([(a, b) for a, b, _ in pts], "lat double, lon double")
+        got = [r["gh"] for r in df.select(
+            geohash(F.col("lat"), F.col("lon"), 11).alias("gh")).collect()]
+        assert got == [w for _, _, w in pts]
+
+    def test_matches_python_reference_and_prefix_property(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import geohash
+
+        rng = random.Random(5)
+        pts = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180)) for i in range(200)]
+        pts += [(900, 90.0, 180.0), (901, -90.0, -180.0)]  # clamped edges
+        df = spark.createDataFrame(pts, "i long, lat double, lon double")
+        got = {r["i"]: (r["g9"], r["g4"]) for r in df.select(
+            "i",
+            geohash(F.col("lat"), F.col("lon"), 9).alias("g9"),
+            geohash(F.col("lat"), F.col("lon"), 4).alias("g4"),
+        ).collect()}
+        for i, lat, lon in pts:
+            g9, g4 = got[i]
+            assert g9 == _py_geohash(lat, lon, 9), (lat, lon)
+            # coarser precision = prefix of the finer one (the layout key
+            # property that makes prefix-truncation a valid coarsening)
+            assert g4 == g9[:4]
+
+    def test_precision_bounds(self):
+        import pytest
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import geohash
+
+        with pytest.raises(ValueError, match="1..12"):
+            geohash(F.lit(0.0), F.lit(0.0), 13)
