@@ -94,8 +94,10 @@ def _eval_output(rows, sort_by, name, spec):
     sort_vals = [r[next(iter(sort_by))] if sort_by else None for r in rows]
 
     if op in ("$rank", "$denseRank", "$documentNumber"):
-        f, d = next(iter(sort_by.items()))
-        keys = [_bson_rank_key(r.get(f), d) for r in rows]
+        keys = [
+            tuple(_bson_rank_key(r.get(f), d) for f, d in sort_by.items())
+            for r in rows
+        ]
         outs = []
         for i in range(n):
             if op == "$documentNumber":
@@ -221,8 +223,12 @@ def eval_swf(docs, sort_by, outputs):
     res = []
     for rows in parts.values():
         if sort_by:
-            f, d = next(iter(sort_by.items()))
-            rows = sorted(rows, key=lambda r: r[f], reverse=d < 0)
+            rows = sorted(
+                rows,
+                key=lambda r: tuple(
+                    _bson_rank_key(r.get(f), d) for f, d in sort_by.items()
+                ),
+            )
         cols = {name: _eval_output(rows, sort_by, name, spec)
                 for name, spec in outputs.items()}
         for i, r in enumerate(rows):
@@ -283,8 +289,9 @@ _RANK_OPS = [{"$rank": {}}, {"$denseRank": {}}, {"$documentNumber": {}}]
 
 @st.composite
 def _swf_specs(draw):
-    sort_kind = draw(st.sampled_from(["asc", "desc", "none"]))
-    sort_by = {"asc": {"seq": 1}, "desc": {"seq": -1}, "none": None}[sort_kind]
+    sort_kind = draw(st.sampled_from(["asc", "desc", "none", "multi"]))
+    sort_by = {"asc": {"seq": 1}, "desc": {"seq": -1}, "none": None,
+               "multi": {"v": -1, "seq": 1}}[sort_kind]
     outputs = {}
     for i in range(draw(st.integers(min_value=1, max_value=3))):
         pool = list(_PLAIN_OPS)
