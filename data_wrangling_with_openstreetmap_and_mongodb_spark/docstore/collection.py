@@ -211,10 +211,20 @@ class DocumentCollection:
                             "classic form; filter with the pipeline update "
                             "(aggregate [{'$set': {f: {'$filter': ...}}}])"
                         )
+                    if f not in out.columns:
+                        # Mongo: $pull on a missing field is a no-op (the
+                        # sibling $push/$addToSet CREATE the field; $pull
+                        # never does) — without this guard F.col(f) fails
+                        # at analysis time
+                        continue
+                    if value is None:
+                        # array_remove cannot remove nulls (returns a null
+                        # array) — Mongo $pull null drops null elements
+                        pulled = F.filter(F.col(f), lambda x: x.isNotNull())
+                    else:
+                        pulled = F.array_remove(F.col(f), _set_literal(value))
                     out = out.withColumn(
-                        f,
-                        F.when(mask, F.array_remove(F.col(f), _set_literal(value)))
-                        .otherwise(F.col(f)),
+                        f, F.when(mask, pulled).otherwise(F.col(f))
                     )
             elif op == "$pop":
                 for f, which in args.items():

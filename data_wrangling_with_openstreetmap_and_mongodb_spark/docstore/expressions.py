@@ -601,9 +601,31 @@ class ExpressionCompiler:
             # their value (position accepts column substrings; instr doesn't)
             return F.position(c(sub), c(s)) - F.lit(1)  # Mongo 0-based, −1 missing
         if op == "$indexOfArray":
+            if isinstance(args, (list, tuple)) and len(args) > 2:
+                # Mongo's optional start/end operands — refuse loudly rather
+                # than silently searching the whole array (raise-on-
+                # unsupported convention); $slice the array first instead
+                raise ValueError(
+                    "$indexOfArray start/end operands are unsupported; "
+                    "apply {'$slice': ...} to the array operand first"
+                )
             arr, search = args[0], args[1]
-            # Mongo 0-based, −1 missing; array_position is 1-based, 0 missing
-            return (F.array_position(c(arr), c(search)) - F.lit(1)).cast("int")
+            ca, cs = c(arr), c(search)
+            # Mongo 0-based, −1 missing; array_position is 1-based, 0 missing.
+            # array_position cannot LOCATE a null search value (it returns
+            # null), but Mongo returns the first null ELEMENT's index — route
+            # a null search through an is-null indicator scan; a null ARRAY
+            # stays null (Mongo returns null for a null/missing array)
+            base = (F.array_position(ca, cs) - F.lit(1)).cast("int")
+            first_null = (
+                F.array_position(F.transform(ca, lambda x: x.isNull()), F.lit(True))
+                - F.lit(1)
+            ).cast("int")
+            return (
+                F.when(ca.isNull(), F.lit(None).cast("int"))
+                .when(cs.isNull(), first_null)
+                .otherwise(base)
+            )
         if op == "$strcasecmp":
             # null/missing coerces to "" like the rest of Mongo's string
             # family ($toUpper/$substr) — without the coalesce a null

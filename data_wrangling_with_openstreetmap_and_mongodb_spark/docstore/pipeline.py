@@ -1601,19 +1601,33 @@ def _apply_exp_moving_avg(
     jobs: list[tuple[str, Any, float]],
 ) -> DataFrame:
     """$expMovingAvg tail pass: group by the partition key, sort by the
-    sortBy key inside each Arrow batch, and run pandas'
-    ``ewm(alpha, adjust=False)`` — exactly Mongo's recurrence
+    FULL compound sortBy inside each Arrow batch (every key, each with its
+    own direction and BSON null placement — asc nulls-first / desc
+    nulls-last, matching the Window-compiled ops in the same stage), and run
+    pandas' ``ewm(alpha, adjust=False)`` — exactly Mongo's recurrence
     (verified bit-identical to the manual fold and to DuckDB's
     ``list_reduce``).  One grouped-pandas exchange on the same key as the
     Window pass; null inputs follow pandas NaN-skip semantics (scope:
     feed non-null numerics, like $integral)."""
     from pyspark.sql import types as T
 
-    sk, sdir = next(iter(spec["sortBy"].items()))
-    pk, skc, bk = "__ema_pk", "__ema_sk", "__ema_bk"
+    pk, bk = "__ema_pk", "__ema_bk"
     work = df.withColumn(
         pk, ec.compile(spec["partitionBy"]) if "partitionBy" in spec else F.lit(0)
-    ).withColumn(skc, F.col(sk))
+    )
+    # Materialize every sortBy key plus a per-key null indicator: pandas'
+    # sort_values has only a GLOBAL na_position, so BSON's per-direction
+    # null placement rides on the indicator (asc → nulls first = indicator
+    # descending, True before False; desc → nulls last = indicator
+    # ascending).  mergesort keeps ties stable across keys.
+    sk_cols: list[str] = []
+    sort_by, sort_asc = [pk], [True]
+    for i, (k, d) in enumerate(spec["sortBy"].items()):
+        kc, nc = f"__ema_sk{i}", f"__ema_skn{i}"
+        work = work.withColumn(kc, F.col(k)).withColumn(nc, F.col(k).isNull())
+        sk_cols += [kc, nc]
+        sort_by += [nc, kc]
+        sort_asc += [d < 0, d >= 0]
     # Spark-side grouping is by a HASH BUCKET of the partition key, not the
     # key itself: many tiny Mongo partitions → few large Arrow batches
     # (per-group applyInPandas overhead dominates at thousands of small
@@ -1629,12 +1643,9 @@ def _apply_exp_moving_avg(
         + [T.StructField(name, T.DoubleType(), True) for name, _, _ in jobs]
     )
     alphas = {name: a for name, _, a in jobs}
-    ascending = sdir >= 0
 
     def ema_fn(pdf):
-        pdf = pdf.sort_values(
-            [pk, skc], kind="mergesort", ascending=[True, ascending]
-        )
+        pdf = pdf.sort_values(sort_by, kind="mergesort", ascending=sort_asc)
         for name, a in alphas.items():
             pdf[name] = (
                 pdf.groupby(pk, sort=False, dropna=False)[f"__ema_in_{name}"]
@@ -1645,7 +1656,7 @@ def _apply_exp_moving_avg(
         return pdf
 
     out = work.groupBy(bk).applyInPandas(ema_fn, schema=out_schema)
-    return out.drop(pk, skc, bk, *in_cols)
+    return out.drop(pk, bk, *sk_cols, *in_cols)
 
 
 class _MergeCompiler(ExpressionCompiler):
@@ -2009,7 +2020,10 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             mx = F.unix_micros(F.lit(hi_raw).cast("timestamp"))
         else:
             mn, mx = F.lit(lo_raw), F.lit(hi_raw)
-        one = df.limit(1).select(mn.alias("__mn"), mx.alias("__mx"))
+        # seed the constant extent row from range(1), NOT df.limit(1):
+        # mongod generates the full [lower, upper) spine even when the
+        # collection is empty, so the extent must not depend on input rows
+        one = df.sparkSession.range(1).select(mn.alias("__mn"), mx.alias("__mx"))
         pkeys = df.select(*parts).distinct() if parts else None
         ext = pkeys.crossJoin(F.broadcast(one)) if pkeys is not None else one
         hi_exclusive = mx

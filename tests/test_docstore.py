@@ -3184,3 +3184,92 @@ class TestCalendarUnits:
                 "output": {"x": {"$shift": {"output": "$v", "by": 1},
                                  "window": {"range": [-1, 0], "unit": "month"}}},
             }}]).collect()
+
+
+class TestAdviceR7Regressions:
+    """The four ADVICE r7 findings, locked as regressions."""
+
+    def test_index_of_array_rejects_start_end(self, spark):
+        """{$indexOfArray: [arr, x, start]} must raise, not silently search
+        the whole array (ADVICE r7 medium)."""
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([([1, 2, 3],)], "xs array<long>")
+        with pytest.raises(ValueError, match="start/end"):
+            aggregate(df, [{"$project": {"i": {"$indexOfArray": ["$xs", 2, 1]}}}])
+
+    def test_index_of_array_null_search(self, spark):
+        """A null search value locates the first null ELEMENT (Mongo), not
+        SQL-null; a null array stays null; absent null stays -1."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame(
+            [(1, [10, None, None, 30]), (2, [1, 2]), (3, None)],
+            "_id long, xs array<long>",
+        )
+        out = aggregate(df, [{"$project": {
+            "_id": 1,
+            "i_null": {"$indexOfArray": ["$xs", None]},
+            "i_val": {"$indexOfArray": ["$xs", 30]},
+        }}])
+        got = {r["_id"]: (r["i_null"], r["i_val"]) for r in out.collect()}
+        assert got[1] == (1, 3)
+        assert got[2] == (-1, -1)
+        assert got[3] == (None, None)
+
+    def test_exp_moving_avg_compound_sortby(self, spark):
+        """$expMovingAvg honors the FULL compound sortBy (ADVICE r7: only
+        the first key was used) — ties on the first key break on the
+        second, each with its own direction; asc nulls sort first."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        rows = [
+            # (g, a, b, v): a has ties; b descending breaks them
+            ("g", 1, 2, 10.0), ("g", 1, 9, 20.0), ("g", None, 1, 30.0),
+            ("g", 2, 5, 40.0), ("g", 2, 7, 50.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, a int, b int, v double")
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"a": 1, "b": -1},
+            "output": {"e": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}}},
+        }}])
+        # BSON order under {a:1, b:-1}: nulls first on a asc, then a=1 with
+        # b desc (9 before 2), then a=2 (7 before 5)
+        order = [30.0, 20.0, 10.0, 50.0, 40.0]
+        ema, expect = None, {}
+        for v in order:
+            ema = v if ema is None else 0.5 * v + 0.5 * ema
+            expect[v] = ema
+        got = {r["v"]: r["e"] for r in out.collect()}
+        assert got == expect
+
+    def test_densify_explicit_bounds_empty_input(self, spark):
+        """$densify with explicit [lower, upper) bounds generates the full
+        spine even when the input collection is EMPTY (ADVICE r7: the
+        extent row was seeded from df.limit(1))."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        df = spark.createDataFrame([], "x long, v double")
+        out = aggregate(df, [{"$densify": {
+            "field": "x", "range": {"step": 2, "bounds": [0, 7]}}}])
+        assert sorted(r["x"] for r in out.collect()) == [0, 2, 4, 6]
+
+    def test_pull_missing_field_and_null(self, spark):
+        """$pull on a missing field is a no-op (was AnalysisException);
+        $pull null drops null elements (array_remove returns null)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
+            DocumentCollection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1, None, 2, None]), (2, None)], "_id long, xs array<long>"
+        )
+        c = DocumentCollection(df, "t")
+        # missing field: unchanged frame, no analysis error
+        out = c.update_many({}, {"$pull": {"nope": 1}}).df
+        assert out.columns == df.columns and out.count() == 2
+        got = {r["_id"]: (list(r["xs"]) if r["xs"] is not None else None)
+               for r in c.update_many({}, {"$pull": {"xs": None}}).df.collect()}
+        assert got == {1: [1, 2], 2: None}
