@@ -1,7 +1,7 @@
 """Sources & sinks layer (SURVEY.md §2.1 S1–S20): CSV (plain, positional,
 metadata-prologue, pipe-delimited sink, good/bad fork), JSON (+lines sink),
 OSM XML parse+shape, generic XML split/extract, stdlib HTML scraping,
-dependency-gated Excel, and the stdlib Avro container codec."""
+dependency-gated Excel, ORC, and the stdlib Avro container codec."""
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.avrox import (
     read_avro,
@@ -39,6 +39,10 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.restx import (
     fetch_pages_distributed,
     http_json_fetcher,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.orcx import (
+    read_orc,
+    write_orc,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.sources.osm import (
     element_tag_counts,
     process_map,
@@ -72,6 +76,7 @@ __all__ = [
     "read_excel",
     "read_file_contents",
     "read_json",
+    "read_orc",
     "read_osm_elements",
     "read_osm_elements_split",
     "read_xls",
@@ -86,5 +91,6 @@ __all__ = [
     "write_avro",
     "write_good_bad",
     "write_jsonl",
+    "write_orc",
     "write_pipe_csv",
 ]

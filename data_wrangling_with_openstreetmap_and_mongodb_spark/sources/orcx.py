@@ -3,11 +3,12 @@ reference surface (the reference repo never reads ORC; VERDICT r4 "What's
 missing" #6).  Same idempotent drop-and-reload contract as the parquet and
 JSON sinks (S19).
 
-Avro is deliberately ABSENT: ``spark-avro`` is an external module since
-Spark 2.4 and its jar is not in this environment — attempting
-``format("avro")`` raises Spark's own clear error, which is strictly better
-than a half-working shim.  On a cluster with the jar deployed,
-``spark.read.format("avro")`` needs no code from this repo.
+Avro lives in ``sources/avrox.py`` — a stdlib Avro 1.11 container
+read/write (split-parallel sync-marker seek), added because ``spark-avro``
+is an external module since Spark 2.4 and its jar is not in this
+environment.  On a cluster with the jar deployed, prefer the native
+``spark.read.format("avro")``; the two produce identical rows
+(``tests/test_avro.py``).
 """
 
 from __future__ import annotations
