@@ -6,25 +6,48 @@ the output always retains the totals):
   {"metric": "catalog_total_runtime", "value": N, "unit": "sec", "sf": ...,
    "n": runs, "r2_subset_total": N, "queries": {<driver-visible only>}}
 
-Protocol notes (round-over-round comparability — see VERDICT r3 ask #1):
-- the inline ``queries`` map is capped to DRIVER-VISIBLE queries at 2-decimal
-  precision so the whole line stays under the driver's 2000-char tail capture;
-  the full catalog detail (every query, 4-decimal medians, all samples) goes to
-  ``BENCH_DETAIL.json`` next to this script;
+Protocol notes (round-over-round comparability):
 - ``r2_subset_total`` is the sum of medians over the FIXED round-2 query set
   (the 59 names benched in BENCH_r02), giving a directly comparable
   cross-round number immune to catalog growth;
-- each query first runs SPARK_GRAFT_BENCH_WARMUP discarded warm-up
-  executions (default 1 — JIT/codegen/Arrow-init cold-start skew was one
-  outlier from flipping an iterative-tier median, VERDICT r4 finding #3),
-  then SPARK_GRAFT_BENCH_RUNS timed runs (default 3) back-to-back and
-  reports the median of the TIMED runs only; the discarded warm-up samples
-  are still recorded in BENCH_DETAIL.json under ``warmup_samples``;
+- "value" is the sum of per-query medians over the whole catalog: the
+  steady-state cost of one full catalog pass.  It GROWS with the catalog —
+  never compare it across rounds; trend ``r2_subset_total``;
+- the inline ``queries`` map is capped to DRIVER-VISIBLE queries at 2-decimal
+  precision so the whole line stays under the driver's 2000-char tail capture;
+  the full catalog detail (every query, 4-decimal medians, all samples) goes
+  to ``BENCH_DETAIL.json`` next to this script.
+
+Session-drift hardening (VERDICT r7 ask #1 — the fixed r2 subset drifted +19%
+r6→r7 with the movers' code untouched, uniform inflation across untouched
+queries = one JVM accumulating heap/GC/codegen-cache pressure over a
+148-query catalog):
+
+- **fresh JVM per chunk**: queries run in SORTED-NAME order, split into
+  chunks of ``SPARK_GRAFT_BENCH_CHUNK`` (default 25), each chunk in its own
+  ``python bench.py --worker`` subprocess with its own SparkSession/JVM.
+  A query's within-session position is therefore bounded by the chunk size
+  no matter how large the catalog grows.  Set CHUNK=0 for the old
+  single-process mode (fast local iteration at sf0.01 where JVM boots
+  dominate);
+- **median-of-5 for sub-second queries**: every query gets
+  ``SPARK_GRAFT_BENCH_RUNS`` (default 3) timed runs after
+  ``SPARK_GRAFT_BENCH_WARMUP`` (default 1) discarded warm-ups; if the
+  3-run median lands under ``SPARK_GRAFT_BENCH_FAST_THRESHOLD`` seconds
+  (default 1.0) the query is topped up to ``SPARK_GRAFT_BENCH_RUNS_FAST``
+  (default 5) total timed runs and the median is taken over all of them —
+  sub-second queries are the ones JIT/GC jitter flips;
+- **position-tagged samples**: BENCH_DETAIL.json records, per query, the
+  ordinal of every execution within its JVM session (``positions``,
+  warm-ups counted) plus the session-relative start offset in seconds
+  (``start_offset``) and its chunk index (``chunk_of``), so
+  position-correlated inflation is visible instead of inferred;
 - execution is forced through the noop sink (format("noop")), which computes
   every output column — ``count()`` lets Catalyst prune projection-only work
   (e.g. a fingerprint column) and under-measures;
-- "value" is the sum of per-query medians over the whole catalog: the
-  steady-state cost of one full catalog pass.
+- per-query ``clearCache()`` so operators that persist shared front-ends
+  (dedup shingle/signature tables) don't leak executor memory into later
+  measurements.
 """
 
 from __future__ import annotations
@@ -33,7 +56,9 @@ import json
 import os
 import re
 import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 # The exact query set benched in round 2 (BENCH_r02.json) — frozen so
@@ -65,52 +90,101 @@ R2_SUBSET = (
 MAX_LINE = 1900
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
-    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+def _env_conf() -> dict:
+    return {
+        "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "runs": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))),
+        "runs_fast": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_FAST", "5"))),
+        "fast_threshold": float(
+            os.environ.get("SPARK_GRAFT_BENCH_FAST_THRESHOLD", "1.0")
+        ),
+        "warmup": max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))),
+        "chunk": max(0, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "25"))),
+    }
 
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES, driver_catalog
+
+def _run_chunk(names: list[str], conf: dict) -> dict[str, dict]:
+    """Run `names` in THIS process's SparkSession; returns per-query detail.
+
+    Called by --worker subprocesses (fresh JVM per chunk) or directly in
+    single-process mode (chunk=0).
+    """
+    os.environ.setdefault("SPARK_GRAFT_CPUS", conf["cpus"])
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
     from data_wrangling_with_openstreetmap_and_mongodb_spark.session import get_spark
 
     spark = get_spark(
         "bench",
-        master=f"local[{cpus}]",
+        master=f"local[{conf['cpus']}]",
         # No console progress bars: the driver tail-captures combined output
         # and a late progress repaint could push the JSON line out of view.
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
-
-    timings: dict[str, float | None] = {}
-    all_samples: dict[str, list[float]] = {}
-    # Warm the JVM + parquet footers once (excluded from per-query timings).
+    sf_dir = conf["sf_dir"]
+    session_t0 = time.perf_counter()
+    # Warm the JVM once per session (excluded from per-query timings):
+    # parquet footers via a real catalog query, then a synthetic
+    # scan→shuffle→noop-write so the codegen compiler, shuffle machinery and
+    # noop sink classload before the first timed sample (fresh-JVM chunks
+    # would otherwise tax each chunk's first queries with one-time costs).
     try:
         QUERIES["pricing_summary"].fn(spark, sf_dir).count()
+        import pyspark.sql.functions as F
+
+        (
+            spark.range(1_000_000)
+            .groupBy((F.col("id") % 97).alias("k"))
+            .agg(F.sum("id").alias("s"), F.avg("id").alias("a"))
+            .write.format("noop").mode("overwrite").save()
+        )
     except Exception as exc:
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
-    warm_samples: dict[str, list[float]] = {}
-    for name, q in QUERIES.items():
-        samples: list[float] = []
-        warms: list[float] = []
+    out: dict[str, dict] = {}
+    position = 0  # ordinal of every timed execution within this JVM session
+    for name in names:
+        q = QUERIES.get(name)
+        if q is None:
+            out[name] = {"err": "unknown query"}
+            continue
+        rec = {
+            "samples": [],
+            "positions": [],
+            "warmup_samples": [],
+            "start_offset": round(time.perf_counter() - session_t0, 2),
+        }
+
+        def timed_exec() -> float:
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
         try:
-            for i in range(warmup + runs):
-                t0 = time.perf_counter()
-                df = q.fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                # first `warmup` executions are discarded cold-start runs
-                (warms if i < warmup else samples).append(dt)
+            for _ in range(conf["warmup"]):
+                position += 1
+                rec["warmup_samples"].append(round(timed_exec(), 4))
+            for _ in range(conf["runs"]):
+                position += 1
+                rec["samples"].append(round(timed_exec(), 4))
+                rec["positions"].append(position)
+            # sub-second queries are the jitter-prone ones: top up to the
+            # fast-run count so their median rests on 5 samples, not 3
+            if (
+                statistics.median(rec["samples"]) < conf["fast_threshold"]
+                and conf["runs_fast"] > conf["runs"]
+            ):
+                for _ in range(conf["runs_fast"] - conf["runs"]):
+                    position += 1
+                    rec["samples"].append(round(timed_exec(), 4))
+                    rec["positions"].append(position)
         except Exception as exc:  # keep benching even if one query regresses
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = None  # null in JSON (NaN is invalid strict JSON)
-            continue
+            rec["err"] = str(exc)[:300]
         finally:
             # per-query isolation: operators that persist shared front-ends
             # (dedup shingle/signature tables) register a NEW cache entry per
@@ -120,9 +194,80 @@ def main() -> None:
                 spark.catalog.clearCache()
             except Exception:
                 pass
-        all_samples[name] = [round(s, 4) for s in samples]
-        warm_samples[name] = [round(s, 4) for s in warms]
-        timings[name] = round(statistics.median(samples), 4)
+        out[name] = rec
+
+    spark.stop()
+    return out
+
+
+def _worker(in_path: str, out_path: str) -> None:
+    with open(in_path) as f:
+        payload = json.load(f)
+    result = _run_chunk(payload["names"], payload["conf"])
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+def main() -> None:
+    conf = _env_conf()
+    sf_dir = conf["sf_dir"]
+
+    # Importing the queries package does NOT start a JVM — safe in the parent.
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES, driver_catalog
+
+    all_names = sorted(QUERIES)  # stable order: insertion order drifts as
+    # the catalog grows; sorted names keep most queries' chunk assignment
+    # (and hence within-session position) stable across rounds
+    chunk = conf["chunk"]
+    chunks = (
+        [all_names[i : i + chunk] for i in range(0, len(all_names), chunk)]
+        if chunk
+        else [all_names]
+    )
+
+    details: dict[str, dict] = {}
+    if chunk == 0:
+        details = _run_chunk(all_names, conf)
+    else:
+        script = os.path.abspath(__file__)
+        for ci, names in enumerate(chunks):
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".json", delete=False
+            ) as fin, tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fout:
+                json.dump({"names": names, "conf": conf}, fin)
+                in_path, out_path = fin.name, fout.name
+            try:
+                proc = subprocess.run(
+                    [sys.executable, script, "--worker", in_path, out_path],
+                    stdout=sys.stderr,  # workers print nothing useful; keep
+                    # stdout clean for the single JSON line
+                    stderr=sys.stderr,
+                )
+                if proc.returncode != 0:
+                    raise RuntimeError(f"worker rc={proc.returncode}")
+                with open(out_path) as f:
+                    got = json.load(f)
+            except Exception as exc:
+                print(f"bench: chunk {ci} failed entirely: {exc}", file=sys.stderr)
+                got = {n: {"err": f"chunk failed: {exc}"[:300]} for n in names}
+            finally:
+                for p in (in_path, out_path):
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+            for n, rec in got.items():
+                rec["chunk"] = ci
+            details.update(got)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    timings: dict[str, float | None] = {}
+    for name in all_names:
+        rec = details.get(name) or {}
+        samples = rec.get("samples") or []
+        timings[name] = round(statistics.median(samples), 4) if samples else None
 
     total = round(sum(t for t in timings.values() if t is not None), 4)
     r2_subset_total = round(
@@ -135,14 +280,30 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "n": runs,
-        "cpus": int(cpus),
+        "n": conf["runs"],
+        "n_fast": conf["runs_fast"],
+        "fast_threshold": conf["fast_threshold"],
+        "cpus": int(conf["cpus"]),
+        "chunk_size": chunk,
+        "n_chunks": len(chunks),
         "r2_subset_total": r2_subset_total,
         "r2_subset_missing": [n for n in R2_SUBSET if timings.get(n) is None],
-        "warmup": warmup,
+        "warmup": conf["warmup"],
         "queries": timings,
-        "samples": all_samples,
-        "warmup_samples": warm_samples,
+        "samples": {n: (details[n].get("samples") or []) for n in all_names if n in details},
+        "warmup_samples": {
+            n: (details[n].get("warmup_samples") or []) for n in all_names if n in details
+        },
+        "positions": {
+            n: (details[n].get("positions") or []) for n in all_names if n in details
+        },
+        "start_offset": {
+            n: details[n].get("start_offset") for n in all_names if n in details
+        },
+        "chunk_of": {n: details[n].get("chunk", 0) for n in all_names if n in details},
+        "errors": {
+            n: details[n]["err"] for n in all_names if details.get(n, {}).get("err")
+        },
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -169,7 +330,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "n": runs,
+                "n": conf["runs"],
                 "r2_subset_total": r2_subset_total,
                 "queries": qmap,
             },
@@ -181,11 +342,13 @@ def main() -> None:
         inline.pop(next(reversed(inline)))  # drop the fastest remaining query
         out = line_for(inline)
 
-    spark.stop()
-    # Printed LAST, after spark.stop(), so no late executor/shutdown chatter
-    # can land between the JSON line and EOF in a combined-stream capture.
+    # Printed LAST so no late executor/shutdown chatter can land between the
+    # JSON line and EOF in a combined-stream capture (workers write to stderr).
     print(out, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2], sys.argv[3])
+    else:
+        main()

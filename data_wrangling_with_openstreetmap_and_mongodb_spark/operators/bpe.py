@@ -151,20 +151,136 @@ def bpe_train(
     return merges, table
 
 
-def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str, int]]) -> DataFrame:
+# Above this merge count the expression path is an expression-depth bomb:
+# one nested transform() per merge builds a K-deep Catalyst tree whose
+# analysis/codegen cost grows superlinearly in K (analyzer recursion and the
+# 64KB generated-method limit fail long before data size matters at a real
+# 8k-32k-merge vocabulary).  200 keeps the whole tree comfortably inside
+# codegen while covering every toy/eval table.
+BPE_EXPRESSION_MAX_MERGES = 200
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+    expression_max_merges: int = BPE_EXPRESSION_MAX_MERGES,
+) -> DataFrame:
     """Apply a trained merge table to a corpus: adds ``bpe_tokens``
     (array<string>) — per-word char split, merges replayed in training
-    order, word boundaries preserved (flatten of per-word symbol arrays)."""
-    words = F.transform(
-        whitespace_tokens(F.col(text_col)), lambda w: F.split(w, "")
+    order, word boundaries preserved (flatten of per-word symbol arrays).
+
+    Two physical strategies, same semantics (equality-tested in
+    tests/test_bpe.py across both paths and vs the pure-Python reference):
+
+    - ``len(merges) <= expression_max_merges``: pure Catalyst — one
+      higher-order ``transform`` fold per merge, JVM-side, inside
+      whole-stage codegen.  Cost grows with the EXPRESSION depth, so this
+      path is capped (see :data:`BPE_EXPRESSION_MAX_MERGES`).
+    - above the cap: an Arrow-batched ``mapInPandas`` encoder.  The merge
+      table ships once per task inside the closure (32k merges ≈ 1 MB);
+      each task encodes every DISTINCT word once through a rank-indexed
+      replay (O(applied_merges x word_len) per word, not O(K x word_len) —
+      only ranks actually present in the word are visited) and reuses it
+      via a per-task cache, so Zipfian corpora pay the encode cost per
+      vocabulary entry, not per token.  No shuffle either way: both paths
+      are a narrow map over the corpus.
+    """
+    if len(merges) <= expression_max_merges:
+        words = F.transform(
+            whitespace_tokens(F.col(text_col)), lambda w: F.split(w, "")
+        )
+
+        # factory, not default-arg capture: PySpark infers the higher-order
+        # lambda's arity from the callable's PARAMETER COUNT, so `lambda s,
+        # a=a, b=b` would be built as an (invalid) 3-arg array lambda
+        def _merger(a: str, b: str):
+            return lambda s: merge_pair_col(s, a, b)
+
+        for a, b, _ in merges:
+            words = F.transform(words, _merger(a, b))
+        return df.withColumn("bpe_tokens", F.flatten(words))
+    return _bpe_encode_arrow(df, text_col, merges)
+
+
+def _encode_word_replay(
+    syms: list[str],
+    pairs: list[tuple[str, str]],
+    rank_of: dict[tuple[str, str], int],
+) -> list[str]:
+    """Sequential-replay BPE encode of one word, rank-indexed.
+
+    Exactly equivalent to applying every merge in training order with one
+    greedy left-to-right non-overlapping pass each (the expression path),
+    but visits only merges whose pair is PRESENT: a pointer sweeps the rank
+    axis once; at each step the lowest present rank >= pointer is applied
+    fully, then the pointer moves past it.  Pairs created by a merge with a
+    rank BELOW the pointer are correctly ignored — sequential replay had
+    already passed them when they did not yet exist.
+    """
+    ptr = 0
+    while True:
+        best = -1
+        for i in range(len(syms) - 1):
+            r = rank_of.get((syms[i], syms[i + 1]), -1)
+            if r >= ptr and (best == -1 or r < best):
+                best = r
+        if best == -1:
+            return syms
+        a, b = pairs[best]
+        ab = a + b
+        out: list[str] = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        ptr = best + 1
+
+
+def _bpe_encode_arrow(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Arrow-batched merge-table replay (the scale path of :func:`bpe_encode`)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    pairs = [(a, b) for a, b, *_ in merges]
+    rank_of = {p: i for i, p in enumerate(pairs)}
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("bpe_tokens", T.ArrayType(T.StringType()), True)]
     )
+    # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) without
+    # UNICODE_CHARACTER_CLASS; Python str \s is unicode-aware — spell the
+    # class out so tokenization matches whitespace_tokens() exactly
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
 
-    # factory, not default-arg capture: PySpark infers the higher-order
-    # lambda's arity from the callable's PARAMETER COUNT, so `lambda s,
-    # a=a, b=b` would be built as an (invalid) 3-arg array lambda
-    def _merger(a: str, b: str):
-        return lambda s: merge_pair_col(s, a, b)
+    def encode_batches(batches):
+        cache: dict[str, list[str]] = {}
 
-    for a, b, _ in merges:
-        words = F.transform(words, _merger(a, b))
-    return df.withColumn("bpe_tokens", F.flatten(words))
+        def enc_text(t):
+            if t is None:
+                return None
+            out: list[str] = []
+            for w in ws.split(t):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = _encode_word_replay(list(w), pairs, rank_of)
+                    cache[w] = got
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["bpe_tokens"] = pdf[text_col].map(enc_text)
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=out_schema)
