@@ -396,7 +396,9 @@ class ExpressionCompiler:
                 for f, d in reversed(list(sort_by.items())):
                     if d not in (1, -1):
                         raise ValueError(f"$sortArray direction must be ±1: {d}")
-                    av, bv = a.getField(f), b.getField(f)
+                    av, bv = a, b
+                    for part in f.split("."):  # dotted keys walk sub-documents
+                        av, bv = av.getField(part), bv.getField(part)
                     out = (
                         F.when(self._lt_total(av, bv), F.lit(-d))
                         .when(self._lt_total(bv, av), F.lit(d))

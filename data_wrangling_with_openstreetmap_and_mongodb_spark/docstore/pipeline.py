@@ -342,6 +342,84 @@ def _apply_uncorrelated_lookup(
     return df.crossJoin(F.broadcast(arr))
 
 
+def _apply_lookup_group(
+    df: DataFrame,
+    from_df: DataFrame,
+    cond: Column,
+    env: dict[str, Column],
+    gspec: dict[str, Any],
+    sort_spec: dict[str, int] | None,
+    limit_n: int | None,
+    alias: str,
+) -> DataFrame:
+    """Aggregated correlated ``$lookup`` sub-pipeline (interior ``$group``):
+    "attach the count/sum/avg of related docs" — the natural Mongo spelling
+    of the reference's top-k-then-fetch J2 family (README.md:976-986).
+
+    Compiled as ONE left join + a two-level hash aggregation, never a
+    per-document sub-pipeline: first ``groupBy(local doc, group key)``
+    computes every accumulator with map-side partial aggregation (the bulk
+    reduction — output is one row per (local, key) pair), then
+    ``groupBy(local doc)`` assembles the per-document array.  The second
+    exchange moves only already-aggregated rows.  Join misses survive both
+    hops via the ``__present`` marker and yield ``[]`` — exactly mongod's
+    empty sub-pipeline result (a keyed ``$group`` over zero docs emits zero
+    docs, and so does ``{_id: null}``, matching ``_apply_group``'s
+    constant-key contract).
+
+    A trailing ``$sort`` orders the ARRAY by group-output fields (the
+    collect is order-free, so order is reimposed with the ``$sortArray``
+    comparator — BSON key order, deterministic under repartitioning);
+    ``$limit`` then slices the sorted array ("top 2 statuses per customer").
+    Accumulator inputs compile against the FOREIGN side (``$f`` →
+    ``__f__.f``) with ``$$var`` resolving through ``let`` — the same
+    ``_accumulator`` table as the top-level ``$group`` stage, so float sums
+    take the exact-decimal ``dsum`` path and ``{$sum: 1}`` is a count."""
+    # compile group expressions against the ALIASED foreign frame so
+    # type-directed accumulator decisions (_is_floating's schema probe)
+    # can resolve the __f__-prefixed columns
+    gec = _ForeignCompiler(from_df.alias("__f__"), "__f__", env)
+    gid = gspec["_id"]
+    if gid is None:
+        # one global group per local doc; mirror _apply_group's {_id: null}
+        # convention (no _id field in the output doc)
+        gid_col = None
+    elif isinstance(gid, dict) and not (
+        len(gid) == 1 and next(iter(gid)).startswith("$")
+    ):
+        gid_col = F.struct(*[gec.compile(v).alias(k) for k, v in gid.items()])
+    else:
+        gid_col = gec.compile(gid)
+    acc_names = [a for a in gspec if a != "_id"]
+    accs = [_accumulator(gec, a, s) for a, s in gspec.items() if a != "_id"]
+
+    aug = from_df.withColumn("__present", F.lit(True))
+    joined = df.join(aug.alias("__f__"), cond, "left")
+    marker = F.col("__f__.__present")
+    local_cols = [F.col(c) for c in df.columns]
+    gkeys = local_cols + ([gid_col.alias("__gid")] if gid_col is not None else [])
+    grouped = joined.groupBy(*gkeys).agg(
+        *accs, F.max(marker).alias("__any")
+    )
+    elem_fields = (
+        [F.col("__gid").alias("_id")] if gid_col is not None else []
+    ) + [F.col(a) for a in acc_names]
+    out = grouped.groupBy(*local_cols).agg(
+        F.collect_list(
+            F.when(F.col("__any"), F.struct(*elem_fields))
+        ).alias(alias)
+    )
+    if sort_spec is not None:
+        aec = ExpressionCompiler(out)
+        out = out.withColumn(
+            alias,
+            aec.compile({"$sortArray": {"input": f"${alias}", "sortBy": sort_spec}}),
+        )
+        if limit_n is not None:
+            out = out.withColumn(alias, F.slice(F.col(alias), 1, limit_n))
+    return out
+
+
 def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$lookup: left outer join collecting matches into an array of structs
     under ``as`` — Mongo 3.2's join stage (not in the 2.x-era reference,
@@ -357,16 +435,27 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
       (referencing foreign fields as ``$f`` and ``let`` variables as
       ``$$v``) becomes the JOIN condition, which is how a correlated
       sub-query distributes: one join, not a per-document sub-pipeline.
-      Residual stages, in Mongo stage order: optional LEADING
-      ``{"$project": {...}}`` (narrows/computes the document the rest of
-      the sub-pipeline sees — the following ``$sort`` may reference its
-      computed fields), optional ``{"$sort": {...}}`` + optional
-      ``{"$limit": n}`` ("top 3 related docs each" — compiled to
-      ``row_number`` over the join partitioned by the LOCAL document, so
-      the limit prunes BEFORE the array builds, never a per-doc
-      sub-pipeline; the result array comes back in sort order via the
-      embedded rank), then optional trailing ``{"$project": {...}}``
-      narrowing the collected structs (when no leading one was given).
+      Residual stages, in Mongo stage order:
+
+      * zero or more ``$unwind`` stages on foreign array fields — applied
+        to the foreign collection BEFORE the join (filter-then-unwind
+        commutes with unwind-then-filter when the join condition does not
+        reference the unwound field; referencing one raises);
+      * EITHER an interior ``{"$group": ...}`` (aggregated lookup — see
+        :func:`_apply_lookup_group`) followed by optional ``$sort`` (array
+        order over group-output fields) + optional ``$limit`` (slice of the
+        sorted array);
+      * OR the document form: optional LEADING ``{"$project": {...}}``
+        (narrows/computes the document the rest of the sub-pipeline sees —
+        the following ``$sort`` may reference its computed fields),
+        optional ``{"$sort": {...}}`` + optional ``{"$limit": n}`` ("top 3
+        related docs each" — compiled to ``row_number`` over the join
+        partitioned by the LOCAL document, so the limit prunes BEFORE the
+        array builds, never a per-doc sub-pipeline; the result array comes
+        back in sort order via the embedded rank), then optional trailing
+        ``{"$project": {...}}`` narrowing the collected structs (when no
+        leading one was given).
+
       ``$limit`` without ``$sort`` raises — its result order would be
       nondeterministic.  Anything else raises.
     """
@@ -393,9 +482,53 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         lec = ExpressionCompiler(df)
         for var, src in (spec.get("let") or {}).items():
             env[var] = lec.compile(src)
+        rest = pipe[1:]
+        # interior $unwind stages apply to the foreign collection BEFORE
+        # the join: $match($expr) is row-level and $unwind only multiplies
+        # rows, so filter∘unwind == unwind∘filter unless the condition
+        # reads the unwound field itself (the element-vs-array ambiguity) —
+        # that case raises
+        u = 0
+        while u < len(rest) and "$unwind" in rest[u]:
+            uspec = rest[u]["$unwind"]
+            upath = uspec["path"] if isinstance(uspec, dict) else uspec
+            ufield = upath[1:].split(".")[0]
+            import json as _json
+
+            if f'"${ufield}' in _json.dumps(pipe[0]["$match"]["$expr"]):
+                raise ValueError(
+                    f"$lookup $unwind of {upath!r} conflicts with the join "
+                    "$expr referencing the same field: the condition would "
+                    "see the array pre-unwind in Mongo but the element here"
+                )
+            from_df = _apply_unwind(from_df, uspec)
+            u += 1
+        rest = rest[u:]
         fec = _ForeignCompiler(from_df, "__f__", env)
         cond = fec.compile_bool(pipe[0]["$match"]["$expr"])
-        rest = pipe[1:]
+        if rest and "$group" in rest[0]:
+            gspec = rest[0]["$group"]
+            g_sort = g_limit = None
+            j = 1
+            if j < len(rest) and "$sort" in rest[j]:
+                g_sort = rest[j]["$sort"]
+                j += 1
+            if j < len(rest) and "$limit" in rest[j]:
+                g_limit = int(rest[j]["$limit"])
+                j += 1
+            if j != len(rest):
+                raise ValueError(
+                    "$lookup aggregated pipeline supports [$match $expr] + "
+                    "$unwind* + $group + optional $sort + optional $limit, "
+                    f"in that order; got residual stage {rest[j]}"
+                )
+            if g_limit is not None and g_sort is None:
+                raise ValueError(
+                    "$lookup $limit needs a preceding $sort (deterministic top-k)"
+                )
+            return _apply_lookup_group(
+                df, from_df, cond, env, gspec, g_sort, g_limit, alias
+            )
         sort_spec = limit_n = proj = None
         proj_leading = False
         i = 0

@@ -1918,3 +1918,59 @@ def ds_lookup_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"$project": {"n_nationkey": 1, "rk": 1,
                       "o_orderkey": "$tops.o_orderkey"}},
     ])
+
+
+@register(
+    "ds_lookup_group",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_custkey, o_orderstatus AS status,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {dsum_sql('o_totalprice')} AS total
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'MACHINERY'
+            GROUP BY c_custkey, o_orderstatus
+        )
+        SELECT c_custkey,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                       ORDER BY status) - 1 AS BIGINT) AS gi,
+               status, n, total
+        FROM g
+    """,
+    doc="AGGREGATED correlated $lookup (interior $group, new r8 — VERDICT "
+    "r7 ask #3): per-customer order stats grouped by status attach as an "
+    "array of group docs, the natural Mongo spelling of the reference's "
+    "top-k-then-fetch J2 family (README.md:976-986).  Compiled as ONE "
+    "left join + two-level hash agg (groupBy(local, key) with map-side "
+    "partials, then groupBy(local) assembling the array) — never a "
+    "per-document sub-pipeline; join misses yield [] and are dropped "
+    "here by the default $unwind, matching the oracle's inner join.  "
+    "Array ORDER is the sub-pipeline's trailing $sort, replayed via "
+    "$unwind includeArrayIndex vs the oracle's rank.  $sum over the "
+    "double column takes the exact-decimal dsum path (order-independent, "
+    "dsum_sql twin).  Gate-only: the $lookup family's driver row is "
+    "ds_graph_reachable_orders; plan pinned in test_plans.py.",
+    tags=("docstore", "join", "agg"),
+    driver_visible=False,
+)
+def ds_lookup_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return aggregate(cust, [
+        {"$match": {"c_mktsegment": "MACHINERY"}},
+        {"$project": {"c_custkey": 1, "_id": 0}},
+        {"$lookup": {"from": orders, "let": {"k": "$c_custkey"}, "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$o_custkey", "$$k"]}}},
+            {"$group": {"_id": "$o_orderstatus",
+                        "n": {"$sum": 1},
+                        "total": {"$sum": "$o_totalprice"}}},
+            {"$sort": {"_id": 1}},
+        ], "as": "by_status"}},
+        {"$unwind": {"path": "$by_status", "includeArrayIndex": "gi"}},
+        {"$project": {"c_custkey": 1, "gi": 1,
+                      "status": "$by_status._id",
+                      "n": "$by_status.n",
+                      "total": "$by_status.total"}},
+    ])

@@ -977,11 +977,13 @@ class TestBucketAutoAndOut:
                     {"$limit": 1},
                 ], "as": "xs"}}])
         with pytest.raises(ValueError, match="residual stage"):
+            # $group is supported since r8 (TestAggregatedLookup) — $skip
+            # inside the correlated sub-pipeline still is not
             aggregate(local, [{"$lookup": {"from": foreign,
                 "let": {"c": "$cid"},
                 "pipeline": [
                     {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
-                    {"$group": {"_id": None}},
+                    {"$skip": 1},
                 ], "as": "xs"}}])
 
     def test_lookup_uncorrelated_pipeline(self, spark):
@@ -3273,3 +3275,186 @@ class TestAdviceR7Regressions:
         got = {r["_id"]: (list(r["xs"]) if r["xs"] is not None else None)
                for r in c.update_many({}, {"$pull": {"xs": None}}).df.collect()}
         assert got == {1: [1, 2], 2: None}
+
+
+class TestAggregatedLookup:
+    """Interior $group (and $unwind) in the correlated $lookup sub-pipeline
+    (VERDICT r7 ask #3): 'attach the count/sum of related docs', compiled
+    as one join + two-level hash agg — never per-document."""
+
+    def _frames(self, spark):
+        cust = spark.createDataFrame(
+            [(1, "alice"), (2, "bob"), (3, "carol")], "ck long, name string"
+        )
+        orders = spark.createDataFrame(
+            [
+                (1, "F", 10.0, ["a", "b"]),
+                (1, "F", 20.0, ["a"]),
+                (1, "O", 5.0, []),
+                (2, "O", 7.0, None),
+            ],
+            "ock long, status string, price double, tags array<string>",
+        )
+        return cust, orders
+
+    def test_group_count_sum(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust, orders = self._frames(spark)
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders,
+            "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$group": {"_id": "$status",
+                            "n": {"$sum": 1},
+                            "total": {"$sum": "$price"}}},
+                {"$sort": {"_id": 1}},
+            ],
+            "as": "by_status",
+        }}])
+        got = {r["ck"]: [(e["_id"], e["n"], e["total"]) for e in r["by_status"]]
+               for r in out.collect()}
+        assert got == {
+            1: [("F", 2, 30.0), ("O", 1, 5.0)],
+            2: [("O", 1, 7.0)],
+            3: [],  # no matches: empty sub-pipeline → []
+        }
+
+    def test_group_global_id_null(self, spark):
+        """{_id: null} inside the lookup: one stats doc per local doc with
+        matches, [] for docs without (mongod: $group over zero docs emits
+        zero docs)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust, orders = self._frames(spark)
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$group": {"_id": None, "n": {"$sum": 1},
+                            "mx": {"$max": "$price"}}},
+            ],
+            "as": "stats",
+        }}])
+        got = {r["ck"]: [(e["n"], e["mx"]) for e in r["stats"]] for r in out.collect()}
+        assert got == {1: [(3, 20.0)], 2: [(1, 7.0)], 3: []}
+
+    def test_group_sort_limit_topk_groups(self, spark):
+        """$sort + $limit after the interior $group: top-1 status by count
+        (desc), ties broken by _id asc — array sliced AFTER the comparator
+        sort."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust, orders = self._frames(spark)
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$group": {"_id": "$status", "n": {"$sum": 1}}},
+                {"$sort": {"n": -1, "_id": 1}},
+                {"$limit": 1},
+            ],
+            "as": "top_status",
+        }}])
+        got = {r["ck"]: [(e["_id"], e["n"]) for e in r["top_status"]]
+               for r in out.collect()}
+        assert got == {1: [("F", 2)], 2: [("O", 1)], 3: []}
+
+    def test_unwind_then_group(self, spark):
+        """Interior $unwind before $group: per-customer tag frequencies.
+        Default unwind semantics drop null/empty arrays (order ock=1 with
+        tags=[] and ock=2 with tags=None contribute nothing)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust, orders = self._frames(spark)
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$unwind": "$tags"},
+                {"$group": {"_id": "$tags", "n": {"$sum": 1}}},
+                {"$sort": {"_id": 1}},
+            ],
+            "as": "tag_counts",
+        }}])
+        got = {r["ck"]: [(e["_id"], e["n"]) for e in r["tag_counts"]]
+               for r in out.collect()}
+        assert got == {1: [("a", 2), ("b", 1)], 2: [], 3: []}
+
+    def test_unwind_document_form_collect(self, spark):
+        """$unwind WITHOUT $group: the collected array contains unwound
+        docs (one element per array element), document form with
+        preserveNullAndEmptyArrays."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust, orders = self._frames(spark)
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": True}},
+                {"$sort": {"price": 1, "tags": 1}},
+                {"$project": {"price": 1, "tags": 1}},
+            ],
+            "as": "unwound",
+        }}])
+        got = {r["ck"]: [(e["price"], e["tags"]) for e in r["unwound"]]
+               for r in out.collect()}
+        assert got[1] == [(5.0, None), (10.0, "a"), (10.0, "b"), (20.0, "a")]
+        assert got[2] == [(7.0, None)] and got[3] == []
+
+    def test_compound_group_key(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust, orders = self._frames(spark)
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$group": {"_id": {"s": "$status"}, "n": {"$sum": 1}}},
+                {"$sort": {"_id.s": 1}},
+            ],
+            "as": "g",
+        }}])
+        got = {r["ck"]: [(e["_id"]["s"], e["n"]) for e in r["g"]] for r in out.collect()}
+        assert got == {1: [("F", 2), ("O", 1)], 2: [("O", 1)], 3: []}
+
+    def test_guards(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust, orders = self._frames(spark)
+        # unwound field referenced by the join $expr → raise
+        with pytest.raises(ValueError, match="conflicts with the join"):
+            aggregate(cust, [{"$lookup": {
+                "from": orders, "let": {"k": "$ck"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$tags", "$$k"]}}},
+                    {"$unwind": "$tags"},
+                    {"$group": {"_id": "$tags", "n": {"$sum": 1}}},
+                ],
+                "as": "x"}}])
+        # $limit after $group without $sort → raise
+        with pytest.raises(ValueError, match="needs a preceding"):
+            aggregate(cust, [{"$lookup": {
+                "from": orders, "let": {"k": "$ck"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                    {"$group": {"_id": "$status", "n": {"$sum": 1}}},
+                    {"$limit": 2},
+                ],
+                "as": "x"}}])
+        # residual stage after the aggregated tail → raise
+        with pytest.raises(ValueError, match="residual stage"):
+            aggregate(cust, [{"$lookup": {
+                "from": orders, "let": {"k": "$ck"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                    {"$group": {"_id": "$status", "n": {"$sum": 1}}},
+                    {"$sort": {"n": -1}},
+                    {"$limit": 1},
+                    {"$project": {"n": 1}},
+                ],
+                "as": "x"}}])

@@ -433,3 +433,20 @@ class TestRound7SessionPlans:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
+
+
+class TestRound8Plans:
+    def test_lookup_group_two_level_agg_broadcast_foreign(self, spark, sf_dir):
+        """Aggregated correlated $lookup (interior $group): one broadcast
+        join + exactly two hash exchanges — groupBy(local, key) computes
+        accumulators with map-side partials, groupBy(local) assembles the
+        array.  Never a per-document sub-pipeline, never a cartesian."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("ds_lookup_group", spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 2
+        # both aggregation levels partial-aggregate before their exchange
+        assert plan.count("HashAggregate") >= 4
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
