@@ -169,6 +169,8 @@ class FindCompiler:
             return col % F.lit(divisor) == F.lit(remainder)
         if op == "$geoWithin":
             return self._geo_within(col, arg)
+        if op == "$geoIntersects":
+            return self._geo_intersects(col, arg)
         if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
             # Mongo bitwise query operators: the mask is an int bitmask or a
             # list of bit POSITIONS.  Integer fields only (Mongo also skips
@@ -312,7 +314,56 @@ class FindCompiler:
             return ang <= F.lit(float(r))
         if shape == "$polygon":
             return point_in_polygon(px, py, [tuple(v) for v in sarg])
+        if shape == "$geometry":
+            return self._geometry_polygon_pred(px, py, sarg)
         raise ValueError(f"unsupported $geoWithin shape: {shape!r}")
+
+    def _geo_intersects(self, col: Column, arg: dict) -> Column:
+        """``$geoIntersects`` with a ``$geometry`` Polygon against a point
+        field: for a POINT query target, intersecting a polygon is
+        containment, so this shares the polygon predicate with
+        ``$geoWithin $geometry``.  (Intersecting line/polygon FIELDS needs
+        geometry-valued storage the legacy-pair shape doesn't carry.)"""
+        if not isinstance(arg, dict) or set(arg) != {"$geometry"}:
+            raise ValueError(
+                f'$geoIntersects takes {{"$geometry": {{...}}}}: {arg!r}'
+            )
+        px, py = self._pair(col)
+        return self._geometry_polygon_pred(px, py, arg["$geometry"])
+
+    @staticmethod
+    def _geometry_polygon_pred(px: Column, py: Column, geom: dict) -> Column:
+        """GeoJSON Polygon containment for a point — even-odd ray casting
+        summed across ALL rings, so holes fall out naturally (a point
+        inside the outer ring AND inside a hole crosses an even total and
+        is excluded, exactly GeoJSON's ring semantics).
+
+        GeoJSON rings are closed (first == last vertex); the closing edge
+        degenerates to a point and contributes nothing, so closed and open
+        rings both work.  Coordinates are [x, y] in the stored pair's own
+        axis order (GeoJSON [lon, lat] against the legacy [lon, lat]
+        pairs).  Documented divergence from mongod: edges are PLANAR
+        segments (the ray-cast treatment every planar shape here uses),
+        not spherical geodesics — for the small polygons these queries use
+        the difference is below the coordinate grid; $centerSphere covers
+        the spherical-cap case exactly."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import (
+            point_in_polygon,
+        )
+
+        if not isinstance(geom, dict) or geom.get("type") != "Polygon":
+            raise ValueError(
+                f"only $geometry type 'Polygon' is supported: {geom!r}"
+            )
+        rings = geom.get("coordinates")
+        if not rings or not isinstance(rings, (list, tuple)):
+            raise ValueError("$geometry Polygon needs a coordinates ring list")
+        pred: Column | None = None
+        for ring in rings:
+            inside = point_in_polygon(px, py, [tuple(v) for v in ring])
+            # even-odd across rings == XOR of per-ring parities
+            pred = inside if pred is None else pred != inside
+        return pred
 
     def _near_pred(self, path: str, col: Column, spec: dict) -> Column:
         """``$near``/``$nearSphere`` as a pure distance-band FILTER.  Mongo

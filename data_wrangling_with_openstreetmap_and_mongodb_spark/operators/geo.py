@@ -205,29 +205,40 @@ def geo_radius_join(
     left_coords: tuple[str, str] = ("lat", "lon"),
     right_coords: tuple[str, str] = ("lat", "lon"),
     distance_field: str = "distance_km",
-    max_abs_lat: float = 75.0,
 ) -> DataFrame:
-    """All (left, right) pairs within ``radius_km`` — grid-bucketed, never
+    """All (left, right) pairs within ``radius_km`` — latitude-band grid
+    over the WHOLE sphere (poles and antimeridian included, r8), never
     all-pairs.
 
-    Scale shape: the right side maps each point to ONE grid cell (sized so
-    a radius-ball never spans more than the 3x3 neighborhood at
-    ``max_abs_lat``); the left side expands to its 9 candidate cells
-    map-side (a x9 row fan-out of narrow key rows, not a shuffle explosion)
-    and equi-joins on the cell key, so candidate pairs are bounded by local
-    density x 9 rather than |L|x|R|.  The exact haversine predicate then
-    decides membership — the grid only over-covers, never misses (each pair
-    meets in exactly ONE cell: the right point's own, so no dedup pass).
+    Scale shape: the sphere splits into latitude bands of height
+    ``dlat = radius/110.574°`` (> the spherical maximum Δlat of
+    ``radius/111.195°``, so a radius-ball spans at most the ±1 bands).
+    Each band owns its own ring of ``nlon(band)`` equal longitude cells,
+    sized from the rigorous longitude bound: a point within central angle
+    σ of a point at latitude φ satisfies ``Δλ ≤ asin(sin σ / cos φ)``
+    (valid while ``|φ|+σ < 90°``; past that the ball wraps the pole and
+    the band collapses to ``nlon = 1`` — the polar cap is one cell).  The
+    cell width is that bound at the band's most poleward edge × 1.001
+    slack, so ±1 cells per ring always cover — including across the
+    antimeridian, where cell indices are computed modulo the ring size
+    (lon −180 and +180 share cell 0).
 
-    Scope: |lat| must stay <= ``max_abs_lat`` (longitude cells degenerate at
-    the poles) and the data must not straddle the antimeridian; both are
-    documented contracts, not runtime scans.
+    The right side maps each point to ONE (band, cell) key; the left side
+    expands map-side to its ≤9 DISTINCT candidate keys (3 bands × ±1 ring
+    positions, ring wrap deduplicated — a bounded row fan-out, not a
+    shuffle explosion) and equi-joins on the key, so candidate pairs are
+    bounded by local density × 9 rather than |L|×|R|.  The exact haversine
+    predicate then decides membership — the grid only over-covers, never
+    misses, and each pair meets in exactly ONE cell (the right point's
+    own, so no dedup pass).
 
-    100 TB note: the x9 fan-out carries FULL left rows through the cell
+    100 TB note: the ×9 fan-out carries FULL left rows through the cell
     shuffle.  With wide rows, project each side to (key, lat, lon) before
     calling and join the matched (key, key, distance) pairs back to the
     full tables afterwards — the fan-out then moves 9 narrow rows instead
-    of 9 wide ones.
+    of 9 wide ones.  Pole-dense data concentrates in the single polar-cap
+    cell per band ring; that skew is inherent to any longitude bucketing
+    (AQE skew-join handles moderate cases).
     """
     rad = float(radius_km)
     if rad <= 0:
@@ -235,13 +246,30 @@ def geo_radius_join(
     import math
 
     dlat = rad / _KM_PER_DEG_LAT
-    dlon = rad / (_KM_PER_DEG_LON_EQ * math.cos(math.radians(float(max_abs_lat))))
+    nbands = max(1, int(math.ceil(180.0 / dlat)))
+    sin_sigma = math.sin(min(rad / EARTH_RADIUS_KM, math.pi / 2))
 
-    def cell(lat: Column, lon: Column) -> tuple[Column, Column]:
-        return (
-            F.floor(lat / F.lit(dlat)).cast("long"),
-            F.floor(lon / F.lit(dlon)).cast("long"),
+    def band(lat: Column) -> Column:
+        b = F.floor((lat + F.lit(90.0)) / F.lit(dlat)).cast("long")
+        return F.least(F.greatest(b, F.lit(0)), F.lit(nbands - 1))
+
+    def nlon(b: Column) -> Column:
+        """Cells in band b's longitude ring (≥1); 1 when the radius ball
+        can wrap the pole from anywhere in the band."""
+        lo = b.cast("double") * F.lit(dlat) - F.lit(90.0)
+        maxabs = F.least(
+            F.greatest(F.abs(lo), F.abs(lo + F.lit(dlat))), F.lit(90.0)
         )
+        ratio = F.lit(sin_sigma) / F.cos(F.radians(maxabs))
+        width_deg = F.degrees(F.asin(F.least(ratio, F.lit(1.0)))) * F.lit(1.001)
+        return F.when(ratio >= F.lit(1.0), F.lit(1).cast("long")).otherwise(
+            F.greatest(F.floor(F.lit(360.0) / width_deg).cast("long"), F.lit(1))
+        )
+
+    def loncell(lon: Column, n: Column) -> Column:
+        # pmod wraps lon=+180 into cell 0 — the same cell as lon=−180
+        raw = F.floor((lon + F.lit(180.0)) * n.cast("double") / F.lit(360.0))
+        return F.pmod(raw.cast("long"), n)
 
     overlap = set(left.columns) & set(right.columns)
     if overlap:
@@ -250,26 +278,31 @@ def geo_radius_join(
         )
     llat, llon = (F.col(c) for c in left_coords)
     rlat, rlon = (F.col(c) for c in right_coords)
-    lcell = cell(llat, llon)
-    lat_off = [-1, -1, -1, 0, 0, 0, 1, 1, 1]
-    lon_off = [-1, 0, 1, -1, 0, 1, -1, 0, 1]
-    neigh = F.array(
-        *[
-            F.struct(
-                (lcell[0] + F.lit(la)).alias("clat"),
-                (lcell[1] + F.lit(lo)).alias("clon"),
+    lband = band(llat)
+    cands = []
+    for db in (-1, 0, 1):
+        b2 = lband + F.lit(db)
+        n2 = nlon(b2)  # safe for out-of-range b2 (cos→0 ⇒ nlon=1); filtered below
+        base = loncell(llon, n2)
+        for dc in (-1, 0, 1):
+            cands.append(
+                F.struct(
+                    b2.alias("cband"),
+                    F.pmod(base + F.lit(dc), n2).alias("ccell"),
+                )
             )
-            for la, lo in zip(lat_off, lon_off)
-        ]
+    neigh = F.filter(
+        F.array_distinct(F.array(*cands)),
+        lambda s: (s["cband"] >= 0) & (s["cband"] < F.lit(nbands)),
     )
     lkeyed = left.select(
         F.struct(*left.columns).alias("__l"), F.explode(neigh).alias("__c")
-    ).select("__l", F.col("__c.clat").alias("__clat"), F.col("__c.clon").alias("__clon"))
-    rc = cell(rlat, rlon)
+    ).select("__l", F.col("__c.cband").alias("__clat"), F.col("__c.ccell").alias("__clon"))
+    rb = band(rlat)
     rkeyed = right.select(
         F.struct(*right.columns).alias("__r"),
-        rc[0].alias("__clat"),
-        rc[1].alias("__clon"),
+        rb.alias("__clat"),
+        loncell(rlon, nlon(rb)).alias("__clon"),
     )
     d = haversine_km(
         F.col("__l." + left_coords[0]),

@@ -22,9 +22,12 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import (
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import register
 
-# closed-form synthetic coordinates: lat in [-70, 69.99], lon in [-170,
-# 169.99] — away from poles and antimeridian (geo_radius_join's documented
-# scope).  Python twin builds the Spark columns; the fragment builds SQL.
+# closed-form synthetic coordinates.  The _lat/_lon pair spans [-70, 69.99]
+# x [-170, 169.99] (mid-latitudes, the common case); the _lat_g/_lon_g pair
+# spans the WHOLE globe [-90, 89.99] x [-180, 179.99] including polar caps
+# and the antimeridian seam — geo_radius_join covers both since r8 (the old
+# |lat|<=75 / no-seam scope is gone).  Python twin builds the Spark
+# columns; the fragment builds SQL.
 
 
 def _lat(key):
@@ -41,6 +44,22 @@ def _lat_sql(key: str) -> str:
 
 def _lon_sql(key: str) -> str:
     return f"((({key}) * 104729) % 34000)::DOUBLE / 100.0 - 170.0"
+
+
+def _lat_g(key):
+    return ((key * F.lit(9973)) % F.lit(18000)).cast("double") / F.lit(100.0) - F.lit(90.0)
+
+
+def _lon_g(key):
+    return ((key * F.lit(7919)) % F.lit(36000)).cast("double") / F.lit(100.0) - F.lit(180.0)
+
+
+def _lat_g_sql(key: str) -> str:
+    return f"((({key}) * 9973) % 18000)::DOUBLE / 100.0 - 90.0"
+
+
+def _lon_g_sql(key: str) -> str:
+    return f"((({key}) * 7919) % 36000)::DOUBLE / 100.0 - 180.0"
 
 
 _Q6 = "FLOOR(({e}) * 1e6 + 0.5) / 1e6"
@@ -254,3 +273,55 @@ def _geohash_oracle() -> str:
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import QUERIES as _Q  # noqa: E402
 
 _Q["geo_geohash_cells"].oracle = _geohash_oracle()
+
+
+@register(
+    "geo_radius_join_wrap",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_custkey, {_lat_g_sql('c_custkey')} AS c_lat,
+                   {_lon_g_sql('c_custkey')} AS c_lon
+            FROM customer
+        ), s AS (
+            SELECT s_suppkey, {_lat_g_sql('s_suppkey')} AS s_lat,
+                   {_lon_g_sql('s_suppkey')} AS s_lon
+            FROM supplier
+        )
+        SELECT c_custkey, s_suppkey,
+               {_Q6.format(e=haversine_km_sql('c_lat', 'c_lon', 's_lat', 's_lon'))}
+                   AS dist_km
+        FROM c, s
+        WHERE {haversine_km_sql('c_lat', 'c_lon', 's_lat', 's_lon')} <= 500.0
+    """,
+    doc="whole-sphere radius join (r8 — VERDICT r7 ask #4): coordinates "
+    "span the FULL globe, [-90, 89.99] x [-180, 179.99], so pairs straddle "
+    "the antimeridian seam and sit inside both polar caps.  The latitude-"
+    "band grid wraps longitude cells modulo the per-band ring size and "
+    "collapses pole-wrapping bands to one cell, so ±1 cells always cover; "
+    "the DuckDB oracle IS the brute-force cross join — parity proves the "
+    "banded grid never drops a seam or polar pair.  Gate-only: the family's "
+    "driver row is geo_near_customers; mid-latitude grid shape pinned by "
+    "geo_radius_join_pairs.",
+    tags=("geo", "join"),
+    driver_visible=False,
+)
+def geo_radius_join_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import geo_radius_join
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat_g(F.col("c_custkey")).alias("c_lat"),
+        _lon_g(F.col("c_custkey")).alias("c_lon"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _lat_g(F.col("s_suppkey")).alias("s_lat"),
+        _lon_g(F.col("s_suppkey")).alias("s_lon"),
+    )
+    pairs = geo_radius_join(
+        c, s, 500.0, ("c_lat", "c_lon"), ("s_lat", "s_lon"), "dist_km"
+    )
+    return pairs.select(
+        "c_custkey", "s_suppkey", quantize6(F.col("dist_km")).alias("dist_km")
+    )

@@ -136,8 +136,10 @@ class TestFindGeoOperators:
             coll.find({"pos": {"$near": [0.0, 0.0]}})
 
     def test_unknown_shape_raises(self, coll):
+        # $geometry is supported since r8 (TestGeoIntersects) — a made-up
+        # shape name still refuses loudly
         with pytest.raises(ValueError, match="geoWithin shape"):
-            coll.find({"pos": {"$geoWithin": {"$geometry": {}}}})
+            coll.find({"pos": {"$geoWithin": {"$sphereBox": []}}})
 
 
 class TestGeoNearStage:
@@ -360,3 +362,136 @@ class TestGeohash:
 
         with pytest.raises(ValueError, match="1..12"):
             geohash(F.lit(0.0), F.lit(0.0), 13)
+
+
+class TestRadiusJoinGlobal:
+    """r8 (VERDICT r7 ask #4): the latitude-band grid covers the WHOLE
+    sphere — antimeridian-crossing pairs and polar-cap pairs included —
+    verified against brute force."""
+
+    def test_matches_brute_force_wrap_and_poles(self, spark):
+        rng = random.Random(11)
+        lpts = [(i, rng.uniform(-90.0, 90.0), rng.uniform(-180.0, 180.0))
+                for i in range(100)]
+        rpts = [(j, rng.uniform(-90.0, 90.0), rng.uniform(-180.0, 180.0))
+                for j in range(80)]
+        # planted: antimeridian straddlers, cross-pole pairs, the pole itself
+        lpts += [(900, 10.0, 179.95), (901, -20.0, -179.9),
+                 (902, 89.2, 30.0), (903, -89.5, -120.0), (904, 90.0, 0.0)]
+        rpts += [(800, 10.05, -179.95), (801, -20.1, 179.98),
+                 (802, 89.3, -150.0), (803, -89.4, 60.0), (804, 89.9, 77.0)]
+        left = spark.createDataFrame(lpts, "lid long, llat double, llon double")
+        right = spark.createDataFrame(rpts, "rid long, rlat double, rlon double")
+        got = {
+            (r["lid"], r["rid"])
+            for r in geo_radius_join(
+                left, right, 200.0, ("llat", "llon"), ("rlat", "rlon")
+            ).collect()
+        }
+        want = {
+            (li, rj)
+            for li, la, lo in lpts
+            for rj, ra, ro in rpts
+            if _py_haversine_km(la, lo, ra, ro) <= 200.0
+        }
+        assert got == want
+        # every planted family actually fired
+        assert (900, 800) in got and (901, 801) in got  # antimeridian
+        assert (902, 802) in got                        # across the north pole
+        assert (904, 804) in got                        # the pole itself
+
+    def test_small_radius_dense_bands(self, spark):
+        """5 km radius (36k-cell rings, 4k bands): tight planted pairs at a
+        cell boundary, the antimeridian, and 89.99° latitude all survive."""
+        lpts = [(1, 48.8566, 2.3522), (2, 0.0, -179.999), (3, 89.99, 10.0),
+                (4, -45.0, 100.0)]
+        rpts = [(10, 48.87, 2.40), (20, 0.01, 179.998), (30, 89.995, -170.0),
+                (40, -45.5, 100.0)]
+        left = spark.createDataFrame(lpts, "lid long, llat double, llon double")
+        right = spark.createDataFrame(rpts, "rid long, rlat double, rlon double")
+        got = {
+            (r["lid"], r["rid"])
+            for r in geo_radius_join(
+                left, right, 5.0, ("llat", "llon"), ("rlat", "rlon")
+            ).collect()
+        }
+        want = {
+            (li, rj)
+            for li, la, lo in lpts
+            for rj, ra, ro in rpts
+            if _py_haversine_km(la, lo, ra, ro) <= 5.0
+        }
+        assert got == want
+        assert (1, 10) in got and (2, 20) in got and (3, 30) in got
+        assert (4, 40) not in got  # 55 km apart
+
+
+class TestGeoIntersects:
+    """find() $geoIntersects / $geoWithin with $geometry Polygon (r8):
+    even-odd ray cast summed across rings, so holes exclude."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, [1.0, 1.0]),    # inside outer, outside hole
+            (2, [5.0, 5.0]),    # inside the hole → excluded
+            (3, [20.0, 20.0]),  # outside entirely
+            (4, [4.0, 8.0]),    # inside outer, above the hole
+            (5, None),          # missing pair → no match
+        ]
+        return spark.createDataFrame(rows, "_id long, pos array<double>")
+
+    # outer 0..10 square, hole 4..6 square; GeoJSON-closed rings
+    _POLY = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+            [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]],
+        ],
+    }
+
+    def test_geo_intersects_polygon_with_hole(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        got = {
+            r["_id"]
+            for r in DocumentCollection(self._docs(spark), "t")
+            .find({"pos": {"$geoIntersects": {"$geometry": self._POLY}}})
+            .collect()
+        }
+        assert got == {1, 4}
+
+    def test_geo_within_geometry_matches_intersects_for_points(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        a = {
+            r["_id"]
+            for r in DocumentCollection(self._docs(spark), "t")
+            .find({"pos": {"$geoWithin": {"$geometry": self._POLY}}})
+            .collect()
+        }
+        assert a == {1, 4}
+
+    def test_open_ring_equivalent(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        poly = {"type": "Polygon",
+                "coordinates": [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]]}
+        got = {
+            r["_id"]
+            for r in DocumentCollection(self._docs(spark), "t")
+            .find({"pos": {"$geoIntersects": {"$geometry": poly}}})
+            .collect()
+        }
+        assert got == {1, 2, 4}  # no hole ring → hole point matches
+
+    def test_guards(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+        coll = DocumentCollection(self._docs(spark), "t")
+        with pytest.raises(ValueError, match="geometry"):
+            coll.find({"pos": {"$geoIntersects": {"$box": [[0, 0], [1, 1]]}}})
+        with pytest.raises(ValueError, match="Polygon"):
+            coll.find({"pos": {"$geoIntersects": {"$geometry": {
+                "type": "LineString", "coordinates": [[0, 0], [1, 1]]}}}})
