@@ -3,8 +3,13 @@ agg → availableNow, bit-identical to batch), gap sessionization as a custom
 stateful operator (applyInPandasWithState), watermarked event-time windows,
 watermark-bounded streaming exact dedup, stream-stream interval join,
 streaming OHLC bars, the streaming MinHash-index dedup probe, and streaming
-count-min sketch maintenance (foreachBatch cell-wise merge)."""
+count-min sketch maintenance (foreachBatch cell-wise merge), and streaming
+as-of enrichment against an SCD2 dimension (foreachBatch interval join)."""
 
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.asof_enrich import (
+    asof_enrich_against_scd2,
+    run_streaming_asof_enrich,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.cms_stream import (
     run_streaming_cms,
 )
@@ -36,7 +41,9 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.windowed impo
 )
 
 __all__ = [
+    "asof_enrich_against_scd2",
     "dedup_stream",
+    "run_streaming_asof_enrich",
     "run_streaming_cms",
     "run_streaming_dedup_probe",
     "stream_stream_interval_join",
