@@ -3,8 +3,9 @@ agg → availableNow, bit-identical to batch), gap sessionization as a custom
 stateful operator (applyInPandasWithState), watermarked event-time windows,
 watermark-bounded streaming exact dedup, stream-stream interval join,
 streaming OHLC bars, the streaming MinHash-index dedup probe, and streaming
-count-min sketch maintenance (foreachBatch cell-wise merge), and streaming
-as-of enrichment against an SCD2 dimension (foreachBatch interval join)."""
+count-min sketch maintenance (foreachBatch cell-wise merge), streaming
+as-of enrichment against an SCD2 dimension (foreachBatch interval join),
+and streaming NB classifier scoring (broadcast model per micro-batch)."""
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.asof_enrich import (
     asof_enrich_against_scd2,
@@ -21,6 +22,9 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.dedup_stream 
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.join import (
     stream_stream_interval_join,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.nb_stream import (
+    run_streaming_nb_scoring,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.ohlc import (
     streaming_ohlc,
@@ -44,6 +48,7 @@ __all__ = [
     "asof_enrich_against_scd2",
     "dedup_stream",
     "run_streaming_asof_enrich",
+    "run_streaming_nb_scoring",
     "run_streaming_cms",
     "run_streaming_dedup_probe",
     "stream_stream_interval_join",
