@@ -351,6 +351,7 @@ def _apply_lookup_group(
     sort_spec: dict[str, int] | None,
     limit_n: int | None,
     alias: str,
+    proj: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Aggregated correlated ``$lookup`` sub-pipeline (interior ``$group``):
     "attach the count/sum/avg of related docs" — the natural Mongo spelling
@@ -367,10 +368,14 @@ def _apply_lookup_group(
     docs, and so does ``{_id: null}``, matching ``_apply_group``'s
     constant-key contract).
 
-    A trailing ``$sort`` orders the ARRAY by group-output fields (the
-    collect is order-free, so order is reimposed with the ``$sortArray``
-    comparator — BSON key order, deterministic under repartitioning);
-    ``$limit`` then slices the sorted array ("top 2 statuses per customer").
+    A trailing ``$project`` (include/rename over the GROUP-OUTPUT fields —
+    the "{status: '$_id', n: 1}" idiom; ``_id`` rides along unless
+    ``{"_id": 0}``, Mongo's include-mode default) reshapes each group doc;
+    a trailing ``$sort`` then orders the ARRAY by the (projected) fields
+    (the collect is order-free, so order is reimposed with the
+    ``$sortArray`` comparator — BSON key order, deterministic under
+    repartitioning); ``$limit`` slices the sorted array ("top 2 statuses
+    per customer").
     Accumulator inputs compile against the FOREIGN side (``$f`` →
     ``__f__.f``) with ``$$var`` resolving through ``let`` — the same
     ``_accumulator`` table as the top-level ``$group`` stage, so float sums
@@ -401,9 +406,49 @@ def _apply_lookup_group(
     grouped = joined.groupBy(*gkeys).agg(
         *accs, F.max(marker).alias("__any")
     )
-    elem_fields = (
-        [F.col("__gid").alias("_id")] if gid_col is not None else []
-    ) + [F.col(a) for a in acc_names]
+    if proj is None:
+        elem_fields = (
+            [F.col("__gid").alias("_id")] if gid_col is not None else []
+        ) + [F.col(a) for a in acc_names]
+    else:
+        avail: dict[str, Column] = {a: F.col(a) for a in acc_names}
+        if gid_col is not None:
+            avail["_id"] = F.col("__gid")
+        elem_fields = []
+        for name, ex in proj.items():
+            if name == "_id" and ex in (0, False):
+                continue
+            if isinstance(ex, bool) or isinstance(ex, int):
+                if not ex:
+                    raise ValueError(
+                        "$lookup group $project is include/rename mode only; "
+                        f"cannot exclude {name!r} (project the keepers instead)"
+                    )
+                if name not in avail:
+                    raise ValueError(
+                        f"$lookup group $project references unknown group "
+                        f"field {name!r}; have {sorted(avail)}"
+                    )
+                elem_fields.append(avail[name].alias(name))
+            elif isinstance(ex, str) and ex.startswith("$"):
+                parts = ex[1:].split(".")
+                if parts[0] not in avail:
+                    raise ValueError(
+                        f"$lookup group $project path {ex!r} must start at a "
+                        f"group-output field; have {sorted(avail)}"
+                    )
+                src = avail[parts[0]]
+                for part in parts[1:]:  # dotted compound-_id sub-fields
+                    src = src.getField(part)
+                elem_fields.append(src.alias(name))
+            else:
+                raise ValueError(
+                    "$lookup group $project supports include (1) and "
+                    f"'$field' renames only, got {name!r}: {ex!r}"
+                )
+        # Mongo include-mode keeps _id unless excluded explicitly
+        if "_id" not in proj and gid_col is not None:
+            elem_fields.insert(0, F.col("__gid").alias("_id"))
     out = grouped.groupBy(*local_cols).agg(
         F.collect_list(
             F.when(F.col("__any"), F.struct(*elem_fields))
@@ -508,8 +553,11 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         cond = fec.compile_bool(pipe[0]["$match"]["$expr"])
         if rest and "$group" in rest[0]:
             gspec = rest[0]["$group"]
-            g_sort = g_limit = None
+            g_proj = g_sort = g_limit = None
             j = 1
+            if j < len(rest) and "$project" in rest[j]:
+                g_proj = rest[j]["$project"]
+                j += 1
             if j < len(rest) and "$sort" in rest[j]:
                 g_sort = rest[j]["$sort"]
                 j += 1
@@ -519,15 +567,15 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             if j != len(rest):
                 raise ValueError(
                     "$lookup aggregated pipeline supports [$match $expr] + "
-                    "$unwind* + $group + optional $sort + optional $limit, "
-                    f"in that order; got residual stage {rest[j]}"
+                    "$unwind* + $group + optional $project + optional $sort "
+                    f"+ optional $limit, in that order; got residual stage {rest[j]}"
                 )
             if g_limit is not None and g_sort is None:
                 raise ValueError(
                     "$lookup $limit needs a preceding $sort (deterministic top-k)"
                 )
             return _apply_lookup_group(
-                df, from_df, cond, env, gspec, g_sort, g_limit, alias
+                df, from_df, cond, env, gspec, g_sort, g_limit, alias, g_proj
             )
         sort_spec = limit_n = proj = None
         proj_leading = False

@@ -325,3 +325,50 @@ def geo_radius_join_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "c_custkey", "s_suppkey", quantize6(F.col("dist_km")).alias("dist_km")
     )
+
+
+# outer ring 0..50 box, hole 15..30 box — corners at .005 offsets so no
+# synthesized point lies on an edge; GeoJSON-closed rings ([x, y] = [lat,
+# lon] in the stored pair's own axis order)
+_GI_OUTER = [[-10.005, -10.005], [40.005, -10.005], [40.005, 50.005],
+             [-10.005, 50.005], [-10.005, -10.005]]
+_GI_HOLE = [[5.005, 10.005], [25.005, 10.005], [25.005, 35.005],
+            [5.005, 35.005], [5.005, 10.005]]
+
+
+@register(
+    "geo_intersects_events",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   {_lat_sql('event_id')} AS x,
+                   {_lon_sql('event_id')} AS y
+            FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM e
+        WHERE ({point_in_polygon_sql('x', 'y', [tuple(v) for v in _GI_OUTER])})
+           <> ({point_in_polygon_sql('x', 'y', [tuple(v) for v in _GI_HOLE])})
+        GROUP BY event_type
+    """,
+    doc="find() $geoIntersects with a $geometry Polygon WITH A HOLE (r8): "
+    "even-odd ray cast per ring XORed across rings, so hole membership "
+    "excludes — the oracle replays the exact same two edge chains and "
+    "XORs them in SQL.  For point fields $geoIntersects is containment, "
+    "shared with $geoWithin $geometry.  Gate-only: the geo family's "
+    "driver row is geo_near_customers.",
+    tags=("geo", "find", "agg"),
+    driver_visible=False,
+)
+def geo_intersects_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.array(_lat(F.col("event_id")), _lon(F.col("event_id"))).alias("pos"),
+    )
+    hits = DocumentCollection(e, "events").find(
+        {"pos": {"$geoIntersects": {"$geometry": {
+            "type": "Polygon", "coordinates": [_GI_OUTER, _GI_HOLE]}}}}
+    )
+    return hits.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -3458,3 +3458,77 @@ class TestAggregatedLookup:
                     {"$project": {"n": 1}},
                 ],
                 "as": "x"}}])
+
+
+class TestAggregatedLookupProject:
+    """Trailing $project after the interior $group (r8): include/rename of
+    group-output fields, _id rides along unless excluded."""
+
+    def test_project_rename_and_sort_on_projected(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust = spark.createDataFrame([(1,), (2,)], "ck long")
+        orders = spark.createDataFrame(
+            [(1, "F", 10.0), (1, "F", 20.0), (1, "O", 5.0), (2, "O", 7.0)],
+            "ock long, status string, price double",
+        )
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$group": {"_id": "$status", "n": {"$sum": 1},
+                            "total": {"$sum": "$price"}}},
+                {"$project": {"status": "$_id", "n": 1, "_id": 0}},
+                {"$sort": {"n": -1, "status": 1}},
+            ],
+            "as": "g",
+        }}])
+        got = {r["ck"]: [tuple(e.asDict().items()) for e in r["g"]]
+               for r in out.collect()}
+        # projected docs contain ONLY (status, n); sorted by projected names
+        assert got[1] == [
+            (("status", "F"), ("n", 2)), (("status", "O"), ("n", 1))]
+        assert got[2] == [(("status", "O"), ("n", 1))]
+
+    def test_id_rides_along_by_default(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust = spark.createDataFrame([(1,)], "ck long")
+        orders = spark.createDataFrame(
+            [(1, "F", 10.0)], "ock long, status string, price double"
+        )
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$group": {"_id": "$status", "n": {"$sum": 1}}},
+                {"$project": {"n": 1}},
+            ],
+            "as": "g",
+        }}])
+        e = out.collect()[0]["g"][0]
+        assert e["_id"] == "F" and e["n"] == 1
+
+    def test_project_guards(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust = spark.createDataFrame([(1,)], "ck long")
+        orders = spark.createDataFrame(
+            [(1, "F", 10.0)], "ock long, status string, price double"
+        )
+        def run(pspec):
+            return aggregate(cust, [{"$lookup": {
+                "from": orders, "let": {"k": "$ck"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                    {"$group": {"_id": "$status", "n": {"$sum": 1}}},
+                    {"$project": pspec},
+                ], "as": "g"}}])
+        with pytest.raises(ValueError, match="unknown group field"):
+            run({"nope": 1})
+        with pytest.raises(ValueError, match="include/rename"):
+            run({"n": 0})
+        with pytest.raises(ValueError, match="group-output field"):
+            run({"x": "$price"})  # raw foreign field: gone after $group
