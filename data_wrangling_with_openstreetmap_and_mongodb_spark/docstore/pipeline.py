@@ -589,8 +589,14 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             proj = rest[i]["$project"]
             proj_leading = True
             i += 1
+        skip_n = 0
         if i < len(rest) and "$sort" in rest[i]:
             sort_spec = rest[i]["$sort"]
+            i += 1
+        if i < len(rest) and "$skip" in rest[i]:
+            # paging inside the sub-pipeline ("the second page of related
+            # docs"): rows ranked skip_n+1..skip_n+limit survive
+            skip_n = int(rest[i]["$skip"])
             i += 1
         if i < len(rest) and "$limit" in rest[i]:
             limit_n = int(rest[i]["$limit"])
@@ -601,12 +607,14 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if i != len(rest):
             raise ValueError(
                 "$lookup pipeline form supports [$match $expr] + optional "
-                "$project + optional $sort + optional $limit + optional "
-                f"trailing $project, in that order; got residual stage {rest[i]}"
+                "$project + optional $sort + optional $skip + optional "
+                "$limit + optional trailing $project, in that order; got "
+                f"residual stage {rest[i]}"
             )
-        if limit_n is not None and sort_spec is None:
+        if (limit_n is not None or skip_n) and sort_spec is None:
             raise ValueError(
-                "$lookup $limit needs a preceding $sort (deterministic top-k)"
+                "$lookup $skip/$limit needs a preceding $sort "
+                "(deterministic paging)"
             )
         proj_cols: dict[str, Column] | None = None
         if proj is not None:
@@ -654,14 +662,22 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             w = Window.partitionBy(*[F.col(c) for c in df.columns]).orderBy(*order_cols)
             ranked = joined.withColumn("__rn", F.row_number().over(w))
             if limit_n is not None:
-                # join-miss rows (marker null) must survive to yield []
+                # prune the tail BEFORE the array builds; join-miss rows
+                # (marker null) must survive to yield [].  Skipped-page head
+                # rows (rn <= skip_n, at most skip_n per doc) also stay in
+                # the frame — a doc whose matches ALL fall inside the
+                # skipped page must still emit [], not disappear — but the
+                # collect excludes them below.
                 ranked = ranked.filter(
-                    (F.col("__rn") <= limit_n) | marker.isNull()
+                    (F.col("__rn") <= skip_n + limit_n) | marker.isNull()
                 )
+            collectable = marker.isNotNull()
+            if skip_n:
+                collectable = collectable & (F.col("__rn") > skip_n)
             arr = F.sort_array(
                 F.collect_list(
                     F.when(
-                        marker.isNotNull(),
+                        collectable,
                         F.struct(F.col("__rn").alias("k"), matched.alias("v")),
                     )
                 )

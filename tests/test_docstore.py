@@ -977,13 +977,13 @@ class TestBucketAutoAndOut:
                     {"$limit": 1},
                 ], "as": "xs"}}])
         with pytest.raises(ValueError, match="residual stage"):
-            # $group is supported since r8 (TestAggregatedLookup) — $skip
-            # inside the correlated sub-pipeline still is not
+            # $group and $sort+$skip paging are supported since r8 —
+            # $addFields inside the correlated sub-pipeline still is not
             aggregate(local, [{"$lookup": {"from": foreign,
                 "let": {"c": "$cid"},
                 "pipeline": [
                     {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
-                    {"$skip": 1},
+                    {"$addFields": {"y": 1}},
                 ], "as": "xs"}}])
 
     def test_lookup_uncorrelated_pipeline(self, spark):
@@ -3532,3 +3532,52 @@ class TestAggregatedLookupProject:
             run({"n": 0})
         with pytest.raises(ValueError, match="group-output field"):
             run({"x": "$price"})  # raw foreign field: gone after $group
+
+
+class TestLookupSkipPaging:
+    """$skip between $sort and $limit in the correlated $lookup document
+    form (r8): 'the second page of related docs'."""
+
+    def test_skip_limit_pages(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust = spark.createDataFrame([(1,), (2,), (3,)], "ck long")
+        orders = spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (1, 30.0), (1, 40.0), (2, 5.0)],
+            "ock long, price double",
+        )
+        def page(skip, limit=None):
+            pipe = [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$sort": {"price": -1}},
+                {"$skip": skip},
+            ]
+            if limit is not None:
+                pipe.append({"$limit": limit})
+            pipe.append({"$project": {"price": 1}})
+            out = aggregate(cust, [{"$lookup": {
+                "from": orders, "let": {"k": "$ck"}, "pipeline": pipe, "as": "p"}}])
+            return {r["ck"]: [e["price"] for e in r["p"]] for r in out.collect()}
+
+        assert page(1, 2) == {1: [30.0, 20.0], 2: [], 3: []}
+        assert page(0, 2) == {1: [40.0, 30.0], 2: [5.0], 3: []}
+        # skip past every match: the doc still emits [], not a missing row
+        assert page(3, 2) == {1: [10.0], 2: [], 3: []}
+        assert page(9, 2) == {1: [], 2: [], 3: []}
+        # $skip without $limit: the rest of the sorted list
+        assert page(2) == {1: [20.0, 10.0], 2: [], 3: []}
+
+    def test_skip_requires_sort(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust = spark.createDataFrame([(1,)], "ck long")
+        orders = spark.createDataFrame([(1, 10.0)], "ock long, price double")
+        with pytest.raises(ValueError, match="deterministic paging"):
+            aggregate(cust, [{"$lookup": {
+                "from": orders, "let": {"k": "$ck"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                    {"$skip": 1},
+                ], "as": "p"}}])
