@@ -1060,9 +1060,18 @@ class ExpressionCompiler:
         captures}``.  Matches and per-group captures come from aligned
         ``regexp_extract_all`` calls over the pattern wrapped in an outer
         group (group 1 = full match, original group i → i+1 — patterns with
-        numeric backreferences are therefore rejected); the 0-based indices
-        are recovered by a left-to-right fold that searches each match
-        forward of the previous one's end."""
+        numeric backreferences are therefore rejected).
+
+        0-based indices come from the SPLIT of the input by the same regex:
+        the regex engine's own between-match segments align 1:1 ahead of
+        each match, so ``idx_i = Σ len(seg_j≤i) + Σ len(match_j<i)`` — one
+        O(1)-per-match fold over lengths.  (The previous
+        substring+position fold was both O(matches × doc_length) per
+        document AND wrong when the matched TEXT also occurred earlier as a
+        non-match — ``\\bsun`` over ``"xsun sun"`` reported idx 1, the raw
+        occurrence, instead of 5, the regex match; caught r8.)  Zero-width-
+        matching patterns would desync split from the match list and raise
+        at runtime via the segment-count assertion."""
         import re as _re
 
         regex = args["regex"]
@@ -1081,8 +1090,10 @@ class ExpressionCompiler:
             F.regexp_extract_all(inp, F.lit(wrapped), F.lit(g + 2))
             for g in range(ngroups)
         ]
+        segs = F.split(inp, regex, -1)
         zipped = F.arrays_zip(
             matches.alias("m"),
+            F.slice(segs, 1, F.size(matches)).alias("s"),
             *[ga.alias(f"g{i}") for i, ga in enumerate(group_arrays)],
         )
         entry_t = "array<struct<match:string,idx:int,captures:array<string>>>"
@@ -1092,24 +1103,29 @@ class ExpressionCompiler:
 
         def _fold(acc: Column, x: Column) -> Column:
             m = x["m"]
-            rest = inp.substr(acc["pos"] + F.lit(1), F.length(inp))
-            off = F.position(m, rest)  # 1-based within the remainder
-            idx = F.when(off > 0, acc["pos"] + off - F.lit(1)).otherwise(
-                acc["pos"]
-            ).cast("int")
+            idx = (acc["pos"] + F.length(x["s"])).cast("int")
             caps = F.array(
                 *[x[f"g{g}"] for g in range(ngroups)]
             ).cast("array<string>")
             entry = F.struct(
                 m.alias("match"), idx.alias("idx"), caps.alias("captures")
             )
-            newpos = (idx + F.greatest(F.length(m), F.lit(1))).cast("int")
             return F.struct(
                 F.concat(acc["res"], F.array(entry)).alias("res"),
-                newpos.alias("pos"),
+                (idx + F.length(m)).cast("int").alias("pos"),
             )
 
-        return F.aggregate(zipped, init, _fold, lambda acc: acc["res"])
+        result = F.aggregate(zipped, init, _fold, lambda acc: acc["res"])
+        # non-zero-width matches guarantee len(segs) == len(matches)+1; a
+        # zero-width-matching pattern breaks that alignment — fail loudly
+        # rather than return wrong indices (null input passes through)
+        ok = inp.isNull() | (F.size(segs) == F.size(matches) + F.lit(1))
+        return F.when(
+            F.assert_true(
+                ok, F.lit("$regexFindAll: zero-width-matching patterns are unsupported")
+            ).isNull(),
+            result,
+        )
 
     def _date_from_parts(self, args: dict) -> Column:
         """``$dateFromParts`` (calendar form): out-of-range parts carry into

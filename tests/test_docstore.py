@@ -3581,3 +3581,76 @@ class TestLookupSkipPaging:
                     {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
                     {"$skip": 1},
                 ], "as": "p"}}])
+
+
+class TestRegexFindAllIndices:
+    """r8 regression: match indices are the regex engine's own positions
+    (split-segment scan), not first-OCCURRENCE positions — \\bsun over
+    'xsun sun' is at 5, not 1 (the old substring+position fold's answer)."""
+
+    def test_true_match_positions_not_occurrences(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [("xsun sun moon sunny",)], "text string"
+        )
+        ec = ExpressionCompiler(df)
+        got = [
+            e.asDict()
+            for e in df.select(
+                ec.compile(
+                    {"$regexFindAll": {"input": "$text", "regex": r"\bsun[a-z]*"}}
+                ).alias("ms")
+            ).collect()[0]["ms"]
+        ]
+        import re
+
+        want = [
+            {"match": m.group(), "idx": m.start(), "captures": []}
+            for m in re.finditer(r"\bsun[a-z]*", "xsun sun moon sunny")
+        ]
+        assert got == want  # [('sun', 5), ('sunny', 14)]
+
+    def test_random_texts_match_python_engine(self, spark):
+        import random
+        import re
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        rng = random.Random(5)
+        texts = [
+            " ".join(
+                rng.choice(["sun", "xsun", "sunny", "asunder", "s", "moon", "su n"])
+                for _ in range(rng.randrange(0, 12))
+            )
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        ec = ExpressionCompiler(df)
+        rows = df.select(
+            "text",
+            ec.compile(
+                {"$regexFindAll": {"input": "$text", "regex": r"\bsun[a-z]*"}}
+            ).alias("ms"),
+        ).collect()
+        for r in rows:
+            got = [(e["match"], e["idx"]) for e in r["ms"]]
+            want = [
+                (m.group(), m.start())
+                for m in re.finditer(r"\bsun[a-z]*", r["text"])
+            ]
+            assert got == want, r["text"]
+
+    def test_zero_width_pattern_raises_at_runtime(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame([("abc",)], "text string")
+        ec = ExpressionCompiler(df)
+        with pytest.raises(Exception, match="zero-width"):
+            df.select(
+                ec.compile(
+                    {"$regexFindAll": {"input": "$text", "regex": "x*"}}
+                ).alias("ms")
+            ).collect()
