@@ -3654,3 +3654,46 @@ class TestRegexFindAllIndices:
                     {"$regexFindAll": {"input": "$text", "regex": "x*"}}
                 ).alias("ms")
             ).collect()
+
+
+class TestExpMovingAvgRandomized:
+    """Randomized lock on the r8 compound-sortBy fix: 200 rows, several
+    partitions, heavy ties on the leading keys, mixed directions — Spark's
+    bucketed grouped-pandas ewm vs the plain Python recurrence over the
+    full BSON ordering."""
+
+    def test_matches_python_recurrence(self, spark):
+        import random
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        rng = random.Random(13)
+        rows = []
+        for i in range(200):
+            rows.append((
+                i,
+                rng.choice(["p", "q", "r"]),          # partition
+                rng.randrange(0, 6),                   # a: heavy ties
+                rng.randrange(0, 4),                   # b: ties too
+                i,                                     # c: unique tiebreak
+                float(rng.randrange(-40, 40)) / 4.0,   # exact quarters
+            ))
+        df = spark.createDataFrame(rows, "_id long, g string, a int, b int, c int, v double")
+        alpha = 0.25
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"a": 1, "b": -1, "c": 1},
+            "output": {"e": {"$expMovingAvg": {"input": "$v", "alpha": alpha}}},
+        }}])
+        got = {r["_id"]: r["e"] for r in out.collect()}
+
+        want = {}
+        by_g: dict = {}
+        for r in rows:
+            by_g.setdefault(r[1], []).append(r)
+        for g, rs in by_g.items():
+            rs.sort(key=lambda r: (r[2], -r[3], r[4]))  # a asc, b desc, c asc
+            ema = None
+            for r in rs:
+                ema = r[5] if ema is None else alpha * r[5] + (1 - alpha) * ema
+                want[r[0]] = ema
+        assert got == want
