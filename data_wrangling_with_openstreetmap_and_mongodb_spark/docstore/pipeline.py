@@ -352,6 +352,7 @@ def _apply_lookup_group(
     limit_n: int | None,
     alias: str,
     proj: dict[str, Any] | None = None,
+    skip_n: int = 0,
 ) -> DataFrame:
     """Aggregated correlated ``$lookup`` sub-pipeline (interior ``$group``):
     "attach the count/sum/avg of related docs" — the natural Mongo spelling
@@ -460,8 +461,18 @@ def _apply_lookup_group(
             alias,
             aec.compile({"$sortArray": {"input": f"${alias}", "sortBy": sort_spec}}),
         )
-        if limit_n is not None:
-            out = out.withColumn(alias, F.slice(F.col(alias), 1, limit_n))
+        if skip_n or limit_n is not None:
+            # paging over the sorted group array: elements skip_n+1 ..
+            # skip_n+limit (to the end when no limit); slice clamps, so a
+            # fully-skipped array becomes []
+            length = (
+                F.lit(limit_n)
+                if limit_n is not None
+                else F.greatest(F.size(F.col(alias)) - F.lit(skip_n), F.lit(0))
+            )
+            out = out.withColumn(
+                alias, F.slice(F.col(alias), F.lit(skip_n + 1), length)
+            )
     return out
 
 
@@ -554,12 +565,16 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if rest and "$group" in rest[0]:
             gspec = rest[0]["$group"]
             g_proj = g_sort = g_limit = None
+            g_skip = 0
             j = 1
             if j < len(rest) and "$project" in rest[j]:
                 g_proj = rest[j]["$project"]
                 j += 1
             if j < len(rest) and "$sort" in rest[j]:
                 g_sort = rest[j]["$sort"]
+                j += 1
+            if j < len(rest) and "$skip" in rest[j]:
+                g_skip = int(rest[j]["$skip"])
                 j += 1
             if j < len(rest) and "$limit" in rest[j]:
                 g_limit = int(rest[j]["$limit"])
@@ -568,14 +583,17 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 raise ValueError(
                     "$lookup aggregated pipeline supports [$match $expr] + "
                     "$unwind* + $group + optional $project + optional $sort "
-                    f"+ optional $limit, in that order; got residual stage {rest[j]}"
+                    f"+ optional $skip + optional $limit, in that order; got "
+                    f"residual stage {rest[j]}"
                 )
-            if g_limit is not None and g_sort is None:
+            if (g_limit is not None or g_skip) and g_sort is None:
                 raise ValueError(
-                    "$lookup $limit needs a preceding $sort (deterministic top-k)"
+                    "$lookup $skip/$limit needs a preceding $sort "
+                    "(deterministic paging)"
                 )
             return _apply_lookup_group(
-                df, from_df, cond, env, gspec, g_sort, g_limit, alias, g_proj
+                df, from_df, cond, env, gspec, g_sort, g_limit, alias, g_proj,
+                g_skip,
             )
         sort_spec = limit_n = proj = None
         proj_leading = False

@@ -253,18 +253,41 @@ def geo_radius_join(
         b = F.floor((lat + F.lit(90.0)) / F.lit(dlat)).cast("long")
         return F.least(F.greatest(b, F.lit(0)), F.lit(nbands - 1))
 
-    def nlon(b: Column) -> Column:
+    def _nlon_py(b: int) -> int:
         """Cells in band b's longitude ring (≥1); 1 when the radius ball
         can wrap the pole from anywhere in the band."""
-        lo = b.cast("double") * F.lit(dlat) - F.lit(90.0)
-        maxabs = F.least(
-            F.greatest(F.abs(lo), F.abs(lo + F.lit(dlat))), F.lit(90.0)
-        )
-        ratio = F.lit(sin_sigma) / F.cos(F.radians(maxabs))
-        width_deg = F.degrees(F.asin(F.least(ratio, F.lit(1.0)))) * F.lit(1.001)
-        return F.when(ratio >= F.lit(1.0), F.lit(1).cast("long")).otherwise(
-            F.greatest(F.floor(F.lit(360.0) / width_deg).cast("long"), F.lit(1))
-        )
+        lo = b * dlat - 90.0
+        maxabs = min(max(abs(lo), abs(lo + dlat)), 90.0)
+        cosb = math.cos(math.radians(maxabs))
+        if cosb <= 0.0 or sin_sigma / cosb >= 1.0:
+            return 1
+        width_deg = math.degrees(math.asin(sin_sigma / cosb)) * 1.001
+        return max(1, int(360.0 // width_deg))
+
+    # The ring sizes are a pure function of the band index — precompute
+    # them driver-side and ship a literal lookup table when it fits (the
+    # expression form costs 9 asin/cos chains PER LEFT ROW and measured 3x
+    # the whole fan-out at sf0.1).  Above the cap (radius < ~5 km →
+    # >4096 bands) fall back to the in-expression computation.
+    if nbands <= 4096:
+        _tab = F.array(*[F.lit(_nlon_py(b)).cast("long") for b in range(nbands)])
+
+        def nlon(b: Column) -> Column:
+            clamped = F.least(F.greatest(b, F.lit(0)), F.lit(nbands - 1))
+            return F.element_at(_tab, (clamped + F.lit(1)).cast("int"))
+
+    else:
+
+        def nlon(b: Column) -> Column:
+            lo = b.cast("double") * F.lit(dlat) - F.lit(90.0)
+            maxabs = F.least(
+                F.greatest(F.abs(lo), F.abs(lo + F.lit(dlat))), F.lit(90.0)
+            )
+            ratio = F.lit(sin_sigma) / F.cos(F.radians(maxabs))
+            width_deg = F.degrees(F.asin(F.least(ratio, F.lit(1.0)))) * F.lit(1.001)
+            return F.when(ratio >= F.lit(1.0), F.lit(1).cast("long")).otherwise(
+                F.greatest(F.floor(F.lit(360.0) / width_deg).cast("long"), F.lit(1))
+            )
 
     def loncell(lon: Column, n: Column) -> Column:
         # pmod wraps lon=+180 into cell 0 — the same cell as lon=−180

@@ -130,6 +130,78 @@ def scd2_from_changes_sql(
     """
 
 
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    validate: bool = True,
+) -> DataFrame:
+    """Incrementally fold NEW change rows into an existing SCD2 dimension
+    (the output shape of :func:`scd2_from_changes`) — the batch-maintenance
+    half of the streaming as-of enrichment loop
+    (``streaming/asof_enrich.py``): historize arrivals periodically, enrich
+    streams against the result continuously.
+
+    Contract (the standard warehouse forward-only assumption): each new
+    change's timestamp must be at or after its key's OPEN episode
+    ``valid_from`` — closed history is immutable.  Under that contract the
+    collapsed episodes are a lossless change log for the affected keys
+    (episode starts never repeat consecutively; only the open episode can
+    extend or close), so rebuilding from episodes + new changes equals
+    rebuilding from the full original changelog (equivalence-tested in
+    tests/test_upsert_scd2.py).  ``validate=True`` enforces the contract
+    with one bounded count action (a violation raises ValueError — a
+    silent accept would corrupt history); pass ``validate=False`` to skip
+    the extra job when the caller already guarantees ordering (e.g. an
+    event-time-watermarked stream).
+
+    Scale shape: only AFFECTED keys (semi-join on the change keys) rebuild
+    through the two-window :func:`scd2_from_changes` pass; untouched keys'
+    episodes move verbatim through an anti-join — no global re-sort, no
+    full-history shuffle.  Existing episode rows re-enter the rebuild with
+    a NULL tiebreak so they order BEFORE any same-timestamp new change
+    (nulls sort first ascending), making replays deterministic.
+    """
+    keys = changes.select(F.col(key_col).alias("key")).distinct()
+    touched = dim.join(keys, "key", "semi")
+    untouched = dim.join(keys, "key", "anti")
+    if validate:
+        open_eps = touched.filter(F.col("is_current")).select(
+            "key", F.col("valid_from").alias("__open_from")
+        )
+        bad = (
+            changes.join(open_eps, changes[key_col] == open_eps["key"])
+            .filter(F.col(ts_col) < F.col("__open_from"))
+            .count()  # bounded contract check (documented driver action)
+        )
+        if bad:
+            raise ValueError(
+                f"scd2_apply_changes: {bad} change(s) predate their key's "
+                "open episode — closed SCD2 history is immutable (replay "
+                "the full changelog through scd2_from_changes instead)"
+            )
+    tb_t = changes.schema[tiebreak_col].dataType
+    old_as_changes = touched.select(
+        F.col("key").alias(key_col),
+        F.col("valid_from").alias(ts_col),
+        F.col("value").alias(value_col),
+        F.lit(None).cast(tb_t).alias(tiebreak_col),
+    )
+    rebuilt = scd2_from_changes(
+        old_as_changes.unionByName(
+            changes.select(key_col, ts_col, value_col, tiebreak_col)
+        ),
+        key_col,
+        ts_col,
+        value_col,
+        tiebreak_col,
+    )
+    return untouched.unionByName(rebuilt)
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

@@ -3697,3 +3697,41 @@ class TestExpMovingAvgRandomized:
                 ema = r[5] if ema is None else alpha * r[5] + (1 - alpha) * ema
                 want[r[0]] = ema
         assert got == want
+
+
+class TestAggregatedLookupSkip:
+    """$skip (+$limit) after $sort in the aggregated $lookup form: paging
+    over the sorted group array; fully-skipped arrays become []."""
+
+    def test_skip_limit_over_groups(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust = spark.createDataFrame([(1,), (2,)], "ck long")
+        orders = spark.createDataFrame(
+            [(1, "A", 1.0), (1, "B", 2.0), (1, "C", 3.0), (2, "A", 4.0)],
+            "ock long, s string, p double",
+        )
+        def run(tail):
+            out = aggregate(cust, [{"$lookup": {
+                "from": orders, "let": {"k": "$ck"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                    {"$group": {"_id": "$s", "n": {"$sum": 1}}},
+                    {"$sort": {"_id": 1}},
+                    *tail,
+                ], "as": "g"}}])
+            return {r["ck"]: [e["_id"] for e in r["g"]] for r in out.collect()}
+
+        assert run([{"$skip": 1}, {"$limit": 1}]) == {1: ["B"], 2: []}
+        assert run([{"$skip": 2}]) == {1: ["C"], 2: []}
+        assert run([{"$skip": 9}]) == {1: [], 2: []}
+        import pytest
+
+        with pytest.raises(ValueError, match="deterministic paging"):
+            aggregate(cust, [{"$lookup": {
+                "from": orders, "let": {"k": "$ck"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                    {"$group": {"_id": "$s", "n": {"$sum": 1}}},
+                    {"$skip": 1},
+                ], "as": "g"}}])
