@@ -495,3 +495,30 @@ class TestGeoIntersects:
         with pytest.raises(ValueError, match="Polygon"):
             coll.find({"pos": {"$geoIntersects": {"$geometry": {
                 "type": "LineString", "coordinates": [[0, 0], [1, 1]]}}}})
+
+
+def test_radius_join_small_radius_expression_path(spark):
+    """radius 2 km → ~10k latitude bands, past the literal-table cap: the
+    in-expression nlon fallback must cover identically (brute-force check
+    with planted boundary pairs, incl. the antimeridian)."""
+    lpts = [(1, 48.8566, 2.3522), (2, 0.0, -179.9995), (3, 60.0, 10.0),
+            (4, -33.86, 151.21)]
+    rpts = [(10, 48.87, 2.36), (20, 0.001, 179.9995), (30, 60.017, 10.0),
+            (40, -33.9, 151.21)]
+    left = spark.createDataFrame(lpts, "lid long, llat double, llon double")
+    right = spark.createDataFrame(rpts, "rid long, rlat double, rlon double")
+    got = {
+        (r["lid"], r["rid"])
+        for r in geo_radius_join(
+            left, right, 2.0, ("llat", "llon"), ("rlat", "rlon")
+        ).collect()
+    }
+    want = {
+        (li, rj)
+        for li, la, lo in lpts
+        for rj, ra, ro in rpts
+        if _py_haversine_km(la, lo, ra, ro) <= 2.0
+    }
+    assert got == want
+    assert (1, 10) in got and (2, 20) in got and (3, 30) in got
+    assert (4, 40) not in got  # ~4.4 km apart
