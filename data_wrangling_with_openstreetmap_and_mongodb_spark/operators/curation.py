@@ -150,6 +150,60 @@ def split_assign_bucket_sql(id_expr: str) -> str:
     return f"({md5_hash32_sql(f'CAST({id_expr} AS VARCHAR)')}) % 100"
 
 
+def shuffle_into_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data sharding: attach
+    ``shard`` (which output shard a row lands in) and ``pos`` (its 1-based
+    position within that shard) — the order training consumes the corpus
+    in, as a pure function of ``(seed, id)``.
+
+    Training pipelines need the corpus in a reproducible "random" order;
+    ``rand()``-based shuffles silently reorder whenever a task retries,
+    and a single global ``orderBy(hash)`` serializes through one range
+    sort.  This is the production shape instead: shard = md5 bucket of the
+    seeded id, order WITHIN each shard by the full md5 draw (id tiebreak)
+    — one hash exchange on ``shard`` plus an in-partition sort, no global
+    sort, no count() pre-pass; a different ``seed`` is a fresh epoch
+    permutation.  Consumers read shards in index order (or round-robin)
+    and rows within a shard by ``pos``; with shards >> executors the
+    concatenated order is statistically indistinguishable from a global
+    permutation for training purposes while staying embarrassingly
+    parallel to WRITE.  Bit-identical SQL twin:
+    :func:`shuffle_shard_sql` / :func:`shuffle_order_sql`.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    sid = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    draw = F.md5(sid)
+    shard = md5_hash32(sid) % n_shards
+    w = Window.partitionBy("shard").orderBy(F.col("__draw"), F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__draw", draw)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__draw")
+    )
+
+
+def shuffle_shard_sql(id_expr: str, n_shards: int, seed: str = "shuffle") -> str:
+    """DuckDB fragment matching :func:`shuffle_into_shards`' shard."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        md5_hash32_sql,
+    )
+
+    sid = f"('{seed}' || ':' || CAST({id_expr} AS VARCHAR))"
+    return f"(({md5_hash32_sql(sid)}) % {n_shards})"
+
+
+def shuffle_order_sql(id_expr: str, seed: str = "shuffle") -> str:
+    """DuckDB fragment matching the within-shard order draw."""
+    return f"md5('{seed}' || ':' || CAST({id_expr} AS VARCHAR))"
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

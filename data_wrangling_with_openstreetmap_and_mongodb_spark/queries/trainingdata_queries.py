@@ -3268,3 +3268,48 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+    shuffle_order_sql,
+    shuffle_shard_sql,
+)
+
+@register(
+    "shuffled_shard_manifest",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   {shard} AS shard,
+                   {draw} AS draw
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY draw, doc_id) AS BIGINT) AS pos
+        FROM s
+""".format(
+        shard=shuffle_shard_sql("doc_id", 16, seed="epoch0"),
+        draw=shuffle_order_sql("doc_id", seed="epoch0"),
+    ),
+    doc="deterministic epoch shuffle for training shards (r8): every "
+    "document gets (shard, pos) as a pure function of (seed, doc_id) — "
+    "md5-bucket shard, within-shard order by the full md5 draw with id "
+    "tiebreak.  One hash exchange + in-partition sort; no global sort, no "
+    "rand(), retry/repartition/engine-stable (a task retry under rand() "
+    "silently reorders the corpus an epoch trains on).  The oracle replays "
+    "both draws bit-for-bit.  Gate-only: composition of the split/sample "
+    "md5 family whose driver rows are pack_training_sequences / "
+    "chunk_training_windows.",
+    tags=("trainingdata", "shuffle"),
+    driver_visible=False,
+)
+def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        shuffle_into_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_into_shards(docs, "doc_id", 16, seed="epoch0").select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos")
+    )

@@ -493,3 +493,46 @@ class TestDsirWeights:
             ).collect()
         )
         assert a == b
+
+
+class TestShuffleIntoShards:
+    """Deterministic epoch shuffle (r8): permutation, determinism across
+    repartitioning, seed independence."""
+
+    def test_permutation_and_determinism(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            shuffle_into_shards,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        a = shuffle_into_shards(df, "id", 8, seed="e0")
+        rows = a.collect()
+        # every row exactly once; positions are 1..count(shard) per shard
+        assert sorted(r["id"] for r in rows) == list(range(500))
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(8)) and len(by_shard) == 8
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+        # deterministic under repartitioning
+        b = shuffle_into_shards(df.repartition(13), "id", 8, seed="e0")
+        assert {(r["id"], r["shard"], r["pos"]) for r in b.collect()} == {
+            (r["id"], r["shard"], r["pos"]) for r in rows
+        }
+        # a different seed is a different permutation
+        c = shuffle_into_shards(df, "id", 8, seed="e1")
+        assert {(r["id"], r["shard"], r["pos"]) for r in c.collect()} != {
+            (r["id"], r["shard"], r["pos"]) for r in rows
+        }
+
+    def test_rejects_bad_shards(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+            shuffle_into_shards,
+        )
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="positive"):
+            shuffle_into_shards(df, "id", 0)
