@@ -339,3 +339,37 @@ def geo_radius_join(
         .filter(F.col(distance_field) <= F.lit(rad))
         .select("__l.*", "__r.*", distance_field)
     )
+
+
+def geo_radius_join_narrow(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    left_id: str,
+    right_id: str,
+    left_coords: tuple[str, str] = ("lat", "lon"),
+    right_coords: tuple[str, str] = ("lat", "lon"),
+    distance_field: str = "distance_km",
+) -> DataFrame:
+    """Wide-row form of :func:`geo_radius_join` — the docstring's 100 TB
+    recipe as code: only ``(id, lat, lon)`` triples ride the ×9 cell
+    fan-out and the cell-key shuffle; the matched ``(left_id, right_id,
+    distance)`` pairs then join the FULL rows back by their unique ids.
+    With payloads of hundreds of columns (documents, embeddings) this
+    moves 9 narrow rows per left point instead of 9 wide ones — the
+    fan-out shuffle shrinks by the payload width while the two id joins
+    shuffle each table exactly once at its natural size.
+
+    ``left_id`` / ``right_id`` must be UNIQUE keys of their tables
+    (duplicate ids would cross-multiply the pair rows on the way back).
+    Same whole-sphere coverage contract as :func:`geo_radius_join`."""
+    lk = left.select(left_id, *left_coords)
+    rk = right.select(right_id, *right_coords)
+    pairs = geo_radius_join(
+        lk, rk, radius_km, left_coords, right_coords, distance_field
+    ).select(left_id, right_id, distance_field)
+    return (
+        pairs.join(left, left_id)
+        .join(right, right_id)
+        .select(*left.columns, *right.columns, distance_field)
+    )

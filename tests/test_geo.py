@@ -522,3 +522,34 @@ def test_radius_join_small_radius_expression_path(spark):
     assert got == want
     assert (1, 10) in got and (2, 20) in got and (3, 30) in got
     assert (4, 40) not in got  # ~4.4 km apart
+
+
+def test_radius_join_narrow_equals_wide(spark):
+    """geo_radius_join_narrow: identical pair set and distances as the
+    direct join, with the wide payload attached back by id."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import (
+        geo_radius_join_narrow,
+    )
+
+    rng = random.Random(3)
+    lpts = [(i, rng.uniform(-60, 60), rng.uniform(-150, 150), f"payload-{i}" * 5)
+            for i in range(80)]
+    rpts = [(j, rng.uniform(-60, 60), rng.uniform(-150, 150), j * 1.5)
+            for j in range(50)]
+    left = spark.createDataFrame(lpts, "lid long, llat double, llon double, blob string")
+    right = spark.createDataFrame(rpts, "rid long, rlat double, rlon double, w double")
+    got = {
+        (r["lid"], r["rid"], round(r["d"], 9), r["blob"], r["w"])
+        for r in geo_radius_join_narrow(
+            left, right, 700.0, "lid", "rid", ("llat", "llon"), ("rlat", "rlon"), "d"
+        ).collect()
+    }
+    want = {
+        (r["lid"], r["rid"], round(r["d"], 9))
+        for r in geo_radius_join(
+            left, right, 700.0, ("llat", "llon"), ("rlat", "rlon"), "d"
+        ).collect()
+    }
+    assert {(a, b, c) for a, b, c, *_ in got} == want
+    for lid, rid, _, blob, w in got:  # payloads reattached faithfully
+        assert blob == f"payload-{lid}" * 5 and w == rid * 1.5
