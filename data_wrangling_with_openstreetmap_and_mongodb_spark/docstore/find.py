@@ -429,26 +429,46 @@ class FindCompiler:
         return self._fold(preds, "or")
 
     def _elem_match(self, e: Column, spec: dict[str, Any]) -> Column:
+        """$elemMatch condition over one array element: scalar operator
+        docs ({"$gte": 5}), and (r8) sub-document FIELD conditions for
+        struct elements ({"k": {"$gt": 5}} / bare {"k": "v"} equality,
+        dotted paths walking nested structs)."""
         preds = []
         for op, arg in spec.items():
-            if op == "$gt":
-                preds.append(e > F.lit(arg))
-            elif op == "$gte":
-                preds.append(e >= F.lit(arg))
-            elif op == "$lt":
-                preds.append(e < F.lit(arg))
-            elif op == "$lte":
-                preds.append(e <= F.lit(arg))
-            elif op == "$eq":
-                preds.append(e == F.lit(arg))
-            elif op == "$ne":
-                preds.append(e != F.lit(arg))
+            if op.startswith("$"):
+                preds.append(self._elem_scalar_pred(e, op, arg))
+                continue
+            sub = e
+            for part in op.split("."):
+                sub = sub[part]
+            if isinstance(arg, dict) and arg and all(
+                k.startswith("$") for k in arg
+            ):
+                for o2, a2 in arg.items():
+                    preds.append(self._elem_scalar_pred(sub, o2, a2))
             else:
-                raise ValueError(f"unsupported $elemMatch operator: {op}")
+                preds.append(sub == F.lit(arg))
         out = preds[0]
         for p in preds[1:]:
             out = out & p
         return out
+
+    def _elem_scalar_pred(self, e: Column, op: str, arg: Any) -> Column:
+        if op == "$gt":
+            return e > F.lit(arg)
+        if op == "$gte":
+            return e >= F.lit(arg)
+        if op == "$lt":
+            return e < F.lit(arg)
+        if op == "$lte":
+            return e <= F.lit(arg)
+        if op == "$eq":
+            return e == F.lit(arg)
+        if op == "$ne":
+            return e != F.lit(arg)
+        if op == "$in":
+            return self._fold([e == F.lit(v) for v in arg], "or")
+        raise ValueError(f"unsupported $elemMatch operator: {op}")
 
     @staticmethod
     def _fold(preds: list[Column], how: str) -> Column:
@@ -479,6 +499,7 @@ def compile_projection(df: DataFrame, projection: dict[str, Any] | None) -> Data
     # (first n, last n when negative) and {"$slice": [skip, n]} (0-based
     # skip then n elements; negative skip counts from the end) — rewritten
     # to the expression-form $slice the compiler already implements.
+    elem_match_cols: dict[str, Column] = {}
     for k, v in list(computed.items()):
         if isinstance(v, dict) and len(v) == 1 and "$slice" in v:
             arg = v["$slice"]
@@ -489,7 +510,24 @@ def compile_projection(df: DataFrame, projection: dict[str, Any] | None) -> Data
                 if n <= 0:
                     raise ValueError("projection $slice count must be positive")
                 computed[k] = {"$slice": [f"${k}", int(skip), int(n)]}
-    if includes or computed:
+        elif isinstance(v, dict) and len(v) == 1 and "$elemMatch" in v:
+            # projection-form $elemMatch: the array narrows to its FIRST
+            # element matching the condition (find()'s $elemMatch matcher,
+            # so operator docs and bare equality both work); no match or a
+            # missing array → null, Mongo's omitted-field on typed storage
+            fc = FindCompiler(df)
+
+            def _matcher(compiler, condition):  # factory: loop-var capture
+                return lambda e: F.coalesce(
+                    compiler._elem_match(e, condition), F.lit(False)
+                )
+
+            filtered = F.filter(F.col(k), _matcher(fc, v["$elemMatch"]))
+            elem_match_cols[k] = F.when(
+                F.size(filtered) > 0, F.slice(filtered, 1, 1)
+            )
+            del computed[k]
+    if includes or computed or elem_match_cols:
         # Mongo include-mode keeps _id unless excluded ({"_id": 0}); on
         # typed storage that applies when an _id COLUMN exists (post-$group
         # frames, user collections) — base tables without one are unchanged.
@@ -502,5 +540,6 @@ def compile_projection(df: DataFrame, projection: dict[str, Any] | None) -> Data
             cols.append(F.col("_id"))
         cols += [F.col(k).alias(k) for k in includes if k != "_id"]
         cols += [ec.compile(v).alias(k) for k, v in computed.items() if k != "_id"]
+        cols += [c.alias(k) for k, c in elem_match_cols.items()]
         return df.select(*cols)
     return df.drop(*[e for e in excludes if e != "_id"])

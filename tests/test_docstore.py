@@ -3735,3 +3735,55 @@ class TestAggregatedLookupSkip:
                     {"$group": {"_id": "$s", "n": {"$sum": 1}}},
                     {"$skip": 1},
                 ], "as": "g"}}])
+
+
+class TestProjectionElemMatch:
+    """Projection-form $elemMatch (r8): the array narrows to its FIRST
+    matching element; no match / missing array → null."""
+
+    def test_elem_match_projection(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
+            DocumentCollection,
+        )
+
+        rows = [
+            (1, [1, 5, 9, 5]), (2, [2, 3]), (3, None), (4, []),
+        ]
+        df = spark.createDataFrame(rows, "_id long, xs array<long>")
+        out = DocumentCollection(df, "t").find(
+            {}, {"_id": 1, "xs": {"$elemMatch": {"$gte": 5}}}
+        )
+        got = {r["_id"]: (list(r["xs"]) if r["xs"] is not None else None)
+               for r in out.collect()}
+        assert got == {1: [5], 2: None, 3: None, 4: None}
+
+    def test_elem_match_projection_subdoc(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
+            DocumentCollection,
+        )
+
+        rows = [(1, [(1, "a"), (7, "b"), (9, "c")]), (2, [(2, "x")])]
+        df = spark.createDataFrame(
+            rows, "_id long, xs array<struct<k:long,v:string>>"
+        )
+        out = DocumentCollection(df, "t").find(
+            {}, {"xs": {"$elemMatch": {"k": {"$gt": 5}}}}
+        )
+        got = {r["_id"]: ([e.asDict() for e in r["xs"]] if r["xs"] else None)
+               for r in out.collect()}
+        assert got == {1: [{"k": 7, "v": "b"}], 2: None}
+
+    def test_two_elem_match_keys_independent(self, spark):
+        """Loop-capture regression: two $elemMatch projections in one doc
+        must each use their OWN condition."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
+            DocumentCollection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1, 8], [3, 4])], "_id long, a array<long>, b array<long>"
+        )
+        out = DocumentCollection(df, "t").find(
+            {}, {"a": {"$elemMatch": {"$gte": 5}}, "b": {"$elemMatch": {"$lte": 3}}}
+        ).collect()[0]
+        assert list(out["a"]) == [8] and list(out["b"]) == [3]
