@@ -655,3 +655,42 @@ def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_date").alias("min_date"),
         F.max("o_date").alias("max_date"),
     )
+
+
+@register(
+    "scd2_incremental_state",
+    oracle=_scd2_oracle(),
+    doc="incremental SCD2 maintenance (r8, operators/upsert.py::"
+    "scd2_apply_changes): the change log splits at 2024-01-16; the first "
+    "half historizes through scd2_from_changes, the second half folds in "
+    "INCREMENTALLY (affected-keys semi/anti split, episode rebuild only "
+    "where changes landed) — and the oracle is the FULL-REPLAY SQL over "
+    "the whole log, so parity proves the incremental path is lossless "
+    "under the forward-only contract (guaranteed here by the time split). "
+    "validate=False: the split itself enforces ordering, and the gate "
+    "should measure the maintenance plan, not the contract-check job.  "
+    "Gate-only: composes the scd2_user_event_state family.",
+    tags=("upsert", "scd2", "window"),
+    driver_visible=False,
+)
+def scd2_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+        scd2_apply_changes,
+        scd2_from_changes,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_id", "event_type", ts_micros(ev).alias("t"))
+    cutoff = F.lit(1705363200000000)  # 2024-01-16T00:00:00Z in micros
+    dim = scd2_from_changes(
+        ev.filter(F.col("t") < cutoff), "user_id", "t", "event_type", "event_id"
+    )
+    return scd2_apply_changes(
+        dim,
+        ev.filter(F.col("t") >= cutoff),
+        "user_id",
+        "t",
+        "event_type",
+        "event_id",
+        validate=False,
+    )
