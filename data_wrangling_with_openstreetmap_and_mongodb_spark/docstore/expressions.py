@@ -481,6 +481,8 @@ class ExpressionCompiler:
             ca, cb = self._binary_args(args)
             return F.array_except(ca, cb)
         if op == "$range":
+            if len(args) > 3:
+                raise ValueError(f"$range takes 2 or 3 operands, got {len(args)}")
             start, end = args[0], args[1]
             step = int(args[2]) if len(args) > 2 else 1
             if step == 0:
@@ -598,6 +600,14 @@ class ExpressionCompiler:
             )
             return F.when(pos == 0, s).otherwise(replaced)
         if op == "$indexOfCP":
+            if isinstance(args, (list, tuple)) and len(args) > 2:
+                # same raise-on-unsupported convention as $indexOfArray's
+                # start/end operands (ADVICE r7) — never silently search
+                # the whole string
+                raise ValueError(
+                    "$indexOfCP start/end operands are unsupported; "
+                    "$substrCP the input first"
+                )
             s, sub = args[0], args[1]
             # compile BOTH operands: '$path'/expression substrings resolve to
             # their value (position accepts column substrings; instr doesn't)

@@ -3787,3 +3787,20 @@ class TestProjectionElemMatch:
             {}, {"a": {"$elemMatch": {"$gte": 5}}, "b": {"$elemMatch": {"$lte": 3}}}
         ).collect()[0]
         assert list(out["a"]) == [8] and list(out["b"]) == [3]
+
+
+class TestArityGuards:
+    """r8 sweep of the $indexOfArray silent-extra-operand class: every
+    positional-args operator must raise on unsupported extras."""
+
+    def test_index_of_cp_and_range_arity(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame([("abc",)], "s string")
+        ec = ExpressionCompiler(df)
+        with pytest.raises(ValueError, match="start/end"):
+            ec.compile({"$indexOfCP": ["$s", "b", 1]})
+        with pytest.raises(ValueError, match="2 or 3 operands"):
+            ec.compile({"$range": [0, 10, 2, 99]})
