@@ -33,7 +33,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import dsum
+from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
+    dsum,
+    quantize6,
+    quantize6_sql,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
     md5_hash32,
     whitespace_tokens,
@@ -202,6 +206,52 @@ def shuffle_shard_sql(id_expr: str, n_shards: int, seed: str = "shuffle") -> str
 def shuffle_order_sql(id_expr: str, seed: str = "shuffle") -> str:
     """DuckDB fragment matching the within-shard order draw."""
     return f"md5('{seed}' || ':' || CAST({id_expr} AS VARCHAR))"
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int,
+    seed: str = "gumbel",
+) -> DataFrame:
+    """Deterministic importance RESAMPLING: take ``k`` rows without
+    replacement with probability ∝ exp(score) — the Gumbel-top-k identity
+    (argmax_k of ``score + Gumbel`` draws IS a weighted sample), which is
+    exactly DSIR's resampling step applied to its log-ratio weights.
+
+    The Gumbel draw derives from the md5 hash family, not ``rand()``:
+    ``u = (md5₃₂(seed:id) + 0.5) / 2³²`` (strictly inside (0,1)), ``g =
+    −ln(−ln u)`` — a pure function of ``(seed, id)``, so retries,
+    repartitioning, and engines agree; a new ``seed`` is a fresh draw.
+    The ranking key quantizes to the 1e-6 grid with the id as tiebreak
+    (transcendental-ulp discipline), and the plan is a
+    TakeOrderedAndProject: per-partition top-k then a k-row merge — no
+    global sort, driver holds k rows only.  SQL twin:
+    :func:`gumbel_key_sql`.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    sid = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    u = (md5_hash32(sid) + F.lit(0.5)) / F.lit(float(1 << 32))
+    g = -F.log(-F.log(u))
+    key = quantize6(F.col(score_col) + g)
+    return (
+        df.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def gumbel_key_sql(id_expr: str, score_expr: str, seed: str = "gumbel") -> str:
+    """DuckDB fragment matching :func:`gumbel_topk_sample`'s ranking key."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
+        md5_hash32_sql,
+    )
+
+    sid = f"('{seed}' || ':' || CAST({id_expr} AS VARCHAR))"
+    u = f"((({md5_hash32_sql(sid)}) + 0.5) / {float(1 << 32)!r})"
+    return quantize6_sql(f"({score_expr}) + (-ln(-ln({u})))")
 
 
 def stratified_sample(

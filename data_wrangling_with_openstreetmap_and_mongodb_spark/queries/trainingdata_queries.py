@@ -3313,3 +3313,59 @@ def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_into_shards(docs, "doc_id", 16, seed="epoch0").select(
         "doc_id", "shard", F.col("pos").cast("long").alias("pos")
     )
+
+
+def _gumbel_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        dsir_weights_sql,
+        gumbel_key_sql,
+    )
+
+    inner = dsir_weights_sql(
+        "documents",
+        "(SELECT * FROM documents WHERE lang = 'en')",
+        "text",
+        "doc_id",
+        n_buckets=4096,
+        alpha=1.0,
+    )
+    key = gumbel_key_sql("id", "weight", seed="epoch0")
+    return f"""
+        WITH perdoc AS ({inner})
+        SELECT id AS doc_id, {key} AS gumbel_key
+        FROM perdoc
+        ORDER BY gumbel_key DESC, doc_id ASC
+        LIMIT 20
+    """
+
+
+@register(
+    "dsir_gumbel_resample",
+    oracle=_gumbel_oracle(),
+    doc="DSIR importance RESAMPLING (r8, operators/curation.py::"
+    "gumbel_topk_sample): 20 documents drawn without replacement with "
+    "probability ∝ exp(DSIR log-ratio weight) via the Gumbel-top-k "
+    "identity, the paper's actual selection step on top of the "
+    "dsir_importance_weights scoring front-end.  The Gumbel draw is a "
+    "pure function of (seed, id) through the md5 family — retry/engine-"
+    "stable, replayed term-for-term in the oracle — and the plan is a "
+    "TakeOrderedAndProject (per-partition top-k merge, driver holds 20 "
+    "rows).  Gate-only: scoring ⊂ dsir_importance_weights, thinning "
+    "family ⊂ mixture_sample/stratified_sample.",
+    tags=("curation", "quality", "topk"),
+    driver_visible=False,
+)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
+        dsir_weights,
+        gumbel_topk_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    perdoc = dsir_weights(
+        d, d.filter(F.col("lang") == "en"), "text", "doc_id",
+        n_buckets=4096, alpha=1.0,
+    )
+    return gumbel_topk_sample(perdoc, "id", "weight", 20, seed="epoch0").select(
+        F.col("id").alias("doc_id"), "gumbel_key"
+    )
