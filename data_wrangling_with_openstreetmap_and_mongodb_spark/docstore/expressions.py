@@ -195,7 +195,24 @@ class ExpressionCompiler:
             )
         if op == "$split":
             s, sep = args
-            return F.split(c(s), F.lit(sep), -1) if isinstance(sep, str) else F.split(c(s), sep)
+            # Mongo's delimiter is a LITERAL string; Spark's split() takes a
+            # Java REGEX — without escaping, {"$split": [s, "."]} would
+            # split on EVERY character (caught r8).  Constant delimiters
+            # re.escape (safe for Java: only punctuation gets escaped);
+            # dynamic delimiter EXPRESSIONS wrap in \Q...\E quoting (scope:
+            # delimiter values containing the literal "\\E" are out of
+            # contract, as documented for Java's own quoting).
+            if isinstance(sep, str) and not sep.startswith("$"):
+                # a constant delimiter ('$'-prefixed strings are path/var
+                # references — spell a literal '$...' via {$literal: ...})
+                import re as _re
+
+                if sep == "":
+                    raise ValueError("$split delimiter must be non-empty (Mongo)")
+                return F.split(c(s), F.lit(_re.escape(sep)), -1)
+            return F.split(
+                c(s), F.concat(F.lit("\\Q"), c(sep), F.lit("\\E")), -1
+            )
         if op == "$strLenCP":
             return F.length(c(args))
         if op == "$toInt":

@@ -3804,3 +3804,37 @@ class TestArityGuards:
             ec.compile({"$indexOfCP": ["$s", "b", 1]})
         with pytest.raises(ValueError, match="2 or 3 operands"):
             ec.compile({"$range": [0, 10, 2, 99]})
+
+
+class TestSplitLiteralDelimiter:
+    """r8 bug fix: Mongo's $split delimiter is LITERAL, Spark's split() is
+    regex — '.' must split on dots, not every character; '|' likewise;
+    dynamic delimiter expressions quote via \\Q...\\E."""
+
+    def test_literal_and_dynamic_delimiters(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [("a.b.c", "."), ("x|y|", "|"), ("k??v", "??"), ("plain", "-")],
+            "s string, d string",
+        )
+        ec = ExpressionCompiler(df)
+        rows = df.select(
+            "s",
+            ec.compile({"$split": ["$s", "."]}).alias("dot"),
+            ec.compile({"$split": ["$s", "$d"]}).alias("dyn"),
+        ).collect()
+        got = {r["s"]: (list(r["dot"]), list(r["dyn"])) for r in rows}
+        assert got["a.b.c"] == (["a", "b", "c"], ["a", "b", "c"])
+        assert got["x|y|"] == (["x|y|"], ["x", "y", ""])  # trailing empty kept
+        assert got["k??v"] == (["k??v"], ["k", "v"])
+        assert got["plain"] == (["plain"], ["plain"])  # absent delim → whole
+
+    def test_empty_delimiter_raises(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame([("abc",)], "s string")
+        with pytest.raises(ValueError, match="non-empty"):
+            ExpressionCompiler(df).compile({"$split": ["$s", ""]})
