@@ -190,9 +190,21 @@ class ExpressionCompiler:
             return fn(c(args))
         if op == "$substr" or op == "$substrCP":
             s, start, length = args
-            return F.substring(
-                F.coalesce(c(s), F.lit("")), int(start) + 1, int(length)
+            base = F.coalesce(c(s), F.lit(""))  # Mongo: null input reads ""
+            st = (
+                F.lit(int(start))
+                if isinstance(start, (int, float))
+                else c(start).cast("int")
             )
+            ln = (
+                F.lit(int(length))
+                if isinstance(length, (int, float))
+                else c(length).cast("int")
+            )
+            # Mongo: a negative length takes the REST of the string (r8 —
+            # substring() with a negative length silently returns "")
+            ln = F.when(ln < 0, F.lit(2147483647)).otherwise(ln)
+            return F.substring(base, st + F.lit(1), ln)
         if op == "$split":
             s, sep = args
             # Mongo's delimiter is a LITERAL string; Spark's split() takes a

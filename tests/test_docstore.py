@@ -3838,3 +3838,25 @@ class TestSplitLiteralDelimiter:
         df = spark.createDataFrame([("abc",)], "s string")
         with pytest.raises(ValueError, match="non-empty"):
             ExpressionCompiler(df).compile({"$split": ["$s", ""]})
+
+
+class TestSubstrSemantics:
+    """r8: $substr negative length → rest of string (Mongo), dynamic
+    start/length expressions supported."""
+
+    def test_negative_length_and_dynamic_operands(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [("hello world", 6, -1), ("hello world", 0, 5), (None, 0, 3)],
+            "s string, st int, ln int",
+        )
+        ec = ExpressionCompiler(df)
+        rows = df.select(
+            ec.compile({"$substr": ["$s", 6, -1]}).alias("tail"),
+            ec.compile({"$substr": ["$s", "$st", "$ln"]}).alias("dyn"),
+        ).collect()
+        got = [(r["tail"], r["dyn"]) for r in rows]
+        assert got[0] == ("world", "world")
+        assert got[1] == ("world", "hello")
+        assert got[2] == ("", "")  # null input reads "" (Mongo)
