@@ -254,10 +254,16 @@ class ExpressionCompiler:
             return F.size(c(args))
         if op == "$arrayElemAt":
             # try_: Mongo yields missing (null) for out-of-range indices;
-            # ANSI element_at would error instead
+            # ANSI element_at would error instead.  The index may be an
+            # EXPRESSION (the {$arrayElemAt: [a, {$subtract: [{$size: a},
+            # 1]}]} last-element idiom — r8)
             arr, idx = args
+            if isinstance(idx, (int, float)):
+                i = int(idx)
+                return F.try_element_at(c(arr), F.lit(i + 1 if i >= 0 else i))
+            ic = c(idx).cast("int")
             return F.try_element_at(
-                c(arr), F.lit(int(idx) + 1 if int(idx) >= 0 else int(idx))
+                c(arr), F.when(ic >= 0, ic + F.lit(1)).otherwise(ic)
             )
         if op == "$in":  # expression form: [needle, haystack-array]
             # BSON total equality per element: a null needle matches a null
@@ -483,17 +489,25 @@ class ExpressionCompiler:
             # out-of-range when n > size, so fall back to the whole array
             return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
         if op == "$slice":
+            # Mongo clamps when a negative start reaches past the front —
+            # {"$slice": [["a"], -3]} is ["a"], where Spark's own negative
+            # start would return [] (caught r8); compute the start from the
+            # size explicitly instead of using Spark's negative-start form
             if len(args) == 2:
                 arr, n = args
                 n = int(n)
-                # Mongo: first n (n>0) / last n (n<0)
-                return F.slice(c(arr), 1 if n > 0 else n, abs(n))
+                ca = c(arr)
+                if n > 0:  # first n
+                    return F.slice(ca, 1, n)
+                start = F.greatest(F.size(ca) + F.lit(n + 1), F.lit(1))
+                return F.slice(ca, start, -n)  # last |n|, clamped
             arr, pos, n = args
             pos = int(pos)
-            # Mongo pos is 0-based from the front (+1 for Spark's 1-based
-            # start) but counted-from-the-end when negative — where Spark's
-            # negative start already matches, so no +1
-            return F.slice(c(arr), pos + 1 if pos >= 0 else pos, int(n))
+            ca = c(arr)
+            if pos >= 0:  # 0-based from the front (+1 for Spark's 1-based)
+                return F.slice(ca, pos + 1, int(n))
+            start = F.greatest(F.size(ca) + F.lit(pos + 1), F.lit(1))
+            return F.slice(ca, start, int(n))
         if op == "$concatArrays":
             return F.concat(*[c(a) for a in args])
         if op == "$setUnion":

@@ -3860,3 +3860,41 @@ class TestSubstrSemantics:
         assert got[0] == ("world", "world")
         assert got[1] == ("world", "hello")
         assert got[2] == ("", "")  # null input reads "" (Mongo)
+
+
+class TestSliceElemAtEdges:
+    """r8: $slice negative starts clamp to the array front (Mongo), and
+    $arrayElemAt takes expression indices."""
+
+    def test_slice_clamping(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame([(["a", "b", "c"],), (["a"],)], "xs array<string>")
+        ec = ExpressionCompiler(df)
+        rows = df.select(
+            ec.compile({"$slice": ["$xs", -2]}).alias("last2"),
+            ec.compile({"$slice": ["$xs", -5]}).alias("last5"),
+            ec.compile({"$slice": ["$xs", -5, 2]}).alias("pos_neg5_n2"),
+            ec.compile({"$slice": ["$xs", 1, 2]}).alias("pos1_n2"),
+        ).collect()
+        assert [list(r["last2"]) for r in rows] == [["b", "c"], ["a"]]
+        assert [list(r["last5"]) for r in rows] == [["a", "b", "c"], ["a"]]
+        # |pos| > size starts from the beginning (Mongo)
+        assert [list(r["pos_neg5_n2"]) for r in rows] == [["a", "b"], ["a"]]
+        assert [list(r["pos1_n2"]) for r in rows] == [["b", "c"], []]
+
+    def test_array_elem_at_dynamic_index(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [(["a", "b", "c"], 1), (["a", "b", "c"], -1), (["a"], 5)],
+            "xs array<string>, i int",
+        )
+        ec = ExpressionCompiler(df)
+        rows = df.select(
+            ec.compile({"$arrayElemAt": ["$xs", "$i"]}).alias("at_i"),
+            ec.compile({"$arrayElemAt": [
+                "$xs", {"$subtract": [{"$size": "$xs"}, 1]}]}).alias("last"),
+        ).collect()
+        assert [r["at_i"] for r in rows] == ["b", "c", None]
+        assert [r["last"] for r in rows] == ["c", "c", "a"]
