@@ -331,6 +331,14 @@ class ExpressionCompiler:
         if op in ("$filter", "$map"):
             var = args.get("as", "this")
             body_key = "cond" if op == "$filter" else "in"
+            allowed = {"input", body_key, "as"} | (
+                {"limit"} if op == "$filter" else set()
+            )
+            extra = set(args) - allowed
+            if extra:
+                # silent-ignore class (ADVICE r7): unknown options must not
+                # quietly change semantics
+                raise ValueError(f"unsupported {op} options: {sorted(extra)}")
 
             def _lam(x: Column) -> Column:
                 prev = self._env.get(var)
@@ -349,7 +357,17 @@ class ExpressionCompiler:
                 return out
 
             fn = F.filter if op == "$filter" else F.transform
-            return fn(c(args["input"]), _lam)
+            out = fn(c(args["input"]), _lam)
+            if op == "$filter" and args.get("limit") is not None:
+                # Mongo 5.2: keep only the first `limit` matches (a null
+                # limit behaves as absent, per mongod)
+                lim = args["limit"]
+                out = F.slice(
+                    out,
+                    1,
+                    int(lim) if isinstance(lim, (int, float)) else c(lim).cast("int"),
+                )
+            return out
         if op == "$reduce":
             def _red(acc: Column, x: Column) -> Column:
                 pv, pt = self._env.get("value"), self._env.get("this")

@@ -3898,3 +3898,31 @@ class TestSliceElemAtEdges:
         ).collect()
         assert [r["at_i"] for r in rows] == ["b", "c", None]
         assert [r["last"] for r in rows] == ["c", "c", "a"]
+
+
+class TestFilterLimitOption:
+    """r8: $filter limit (Mongo 5.2) — first n matches; unknown
+    $filter/$map options raise."""
+
+    def test_filter_limit(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame([([1, 8, 9, 2, 7],)], "xs array<long>")
+        ec = ExpressionCompiler(df)
+        row = df.select(
+            ec.compile({"$filter": {
+                "input": "$xs", "cond": {"$gte": ["$$this", 5]}, "limit": 2,
+            }}).alias("two"),
+            ec.compile({"$filter": {
+                "input": "$xs", "as": "x",
+                "cond": {"$gte": ["$$x", 5]},
+                "limit": {"$add": [1, 0]},
+            }}).alias("dyn"),
+        ).collect()[0]
+        assert list(row["two"]) == [8, 9] and list(row["dyn"]) == [8]
+        import pytest
+
+        with pytest.raises(ValueError, match="unsupported"):
+            ec.compile({"$filter": {"input": "$xs", "cond": True, "bogus": 1}})
+        with pytest.raises(ValueError, match="unsupported"):
+            ec.compile({"$map": {"input": "$xs", "in": "$$this", "limit": 2}})
