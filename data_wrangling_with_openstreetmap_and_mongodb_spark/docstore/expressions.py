@@ -133,6 +133,18 @@ class ExpressionCompiler:
         a, b = args
         return self.compile(a), self.compile(b)
 
+    @staticmethod
+    def _require_keys(op: str, args: dict, allowed: set[str]) -> None:
+        """Raise on unknown option keys (the silent-ignore class, ADVICE
+        r7): a 'timezone' the engine would quietly compute in UTC must
+        refuse instead.  An EXPLICIT UTC timezone is accepted — it is what
+        the engine does anyway."""
+        extra = set(args) - allowed
+        if extra == {"timezone"} and args.get("timezone") in ("UTC", "+00", "+00:00"):
+            return
+        if extra:
+            raise ValueError(f"unsupported {op} options: {sorted(extra)}")
+
     def _op(self, op: str, args: Any) -> Column:
         c = self.compile
         if op == "$literal":
@@ -775,6 +787,7 @@ class ExpressionCompiler:
                 return F.timestamp_millis(src.cast("long"))
             return src.cast("timestamp")
         if op in ("$dateAdd", "$dateSubtract"):
+            self._require_keys(op, args, {"startDate", "unit", "amount"})
             start = c(args["startDate"])
             unit = args["unit"]
             amount = c(args["amount"]).cast("long")
@@ -800,6 +813,7 @@ class ExpressionCompiler:
             # Mongo counts UNIT-BOUNDARY CROSSINGS (UTC, startOfWeek Sunday
             # by default) — not elapsed units.  Truncate both ends to the
             # unit boundary, then count whole units between truncations.
+            self._require_keys(op, args, {"startDate", "endDate", "unit"})
             start, end = c(args["startDate"]), c(args["endDate"])
             unit = args["unit"]
             if unit == "year":
@@ -827,6 +841,7 @@ class ExpressionCompiler:
             tr = lambda d: F.unix_timestamp(F.date_trunc(unit, d))  # noqa: E731
             return ((tr(end) - tr(start)) / secs[unit]).cast("long")
         if op == "$dateTrunc":
+            self._require_keys(op, args, {"date", "unit", "binSize"})
             d = c(args["date"])
             unit = args["unit"]
             if args.get("binSize", 1) != 1:

@@ -3926,3 +3926,29 @@ class TestFilterLimitOption:
             ec.compile({"$filter": {"input": "$xs", "cond": True, "bogus": 1}})
         with pytest.raises(ValueError, match="unsupported"):
             ec.compile({"$map": {"input": "$xs", "in": "$$this", "limit": 2}})
+
+
+class TestDateOpOptionGuards:
+    """r8: date ops refuse unknown options (a non-UTC timezone silently
+    computed in UTC would be a wrong answer); explicit UTC passes."""
+
+    def test_timezone_guards(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [("2024-01-15 10:00:00",)], "s string"
+        ).selectExpr("CAST(s AS TIMESTAMP_NTZ) AS ts")
+        ec = ExpressionCompiler(df)
+        # explicit UTC accepted
+        out = df.select(ec.compile({"$dateTrunc": {
+            "date": "$ts", "unit": "day", "timezone": "UTC"}}).alias("d")).collect()
+        assert str(out[0]["d"]).startswith("2024-01-15 00:00")
+        for spec in (
+            {"$dateTrunc": {"date": "$ts", "unit": "day", "timezone": "America/New_York"}},
+            {"$dateAdd": {"startDate": "$ts", "unit": "day", "amount": 1, "timezone": "+05:00"}},
+            {"$dateDiff": {"startDate": "$ts", "endDate": "$ts", "unit": "day", "startOfWeek": "monday"}},
+        ):
+            with pytest.raises(ValueError, match="unsupported"):
+                ec.compile(spec)
