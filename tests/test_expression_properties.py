@@ -154,6 +154,31 @@ def _ev(doc, e):
         if isinstance(v, str):
             return True
         return v != 0
+    if op == "$slice":  # r8 fuzz: Mongo front-clamping for negative starts
+        arr = _ev(doc, args[0])
+        if arr is None:
+            return None
+        if len(args) == 2:
+            n = args[1]
+            return list(arr[:n]) if n > 0 else list(arr[max(len(arr) + n, 0):])
+        pos, n = args[1], args[2]
+        start = pos if pos >= 0 else max(len(arr) + pos, 0)
+        return list(arr[start : start + n])
+    if op == "$arrayElemAt":
+        arr, idx = _ev(doc, args[0]), _ev(doc, args[1])
+        if arr is None or idx is None:
+            return None
+        i = int(idx)
+        if i < -len(arr) or i >= len(arr):
+            return None
+        return arr[i]
+    if op == "$split":  # literal delimiter (r8)
+        s = _ev(doc, args[0])
+        return None if s is None else s.split(args[1])
+    if op == "$substr":
+        s = _ev(doc, args[0]) or ""
+        start, ln = args[1], args[2]
+        return s[start:] if ln < 0 else s[start : start + ln]
     raise ValueError(op)
 
 
@@ -222,6 +247,28 @@ _ARRAY_EXPR = st.one_of(
         lambda t: {t[0]: {"input": "$xs", "n": t[1]}}
     ),
     st.just({"$median": {"input": "$xs", "method": "approximate"}}),
+    # r8 semantics: $slice clamping, $arrayElemAt dynamic index, $split
+    # literal delimiters, $substr negative length
+    st.integers(min_value=-6, max_value=6).filter(lambda n: n != 0).map(
+        lambda n: {"$slice": ["$xs", n]}
+    ),
+    st.tuples(
+        st.integers(min_value=-6, max_value=4),
+        st.integers(min_value=1, max_value=4),
+    ).map(lambda t: {"$slice": ["$xs", t[0], t[1]]}),
+    st.sampled_from([-7, -2, -1, 0, 1, 2, 7, "$n", "$m"]).map(
+        lambda i: {"$arrayElemAt": ["$xs", i]}
+    ),
+)
+
+_STR2_EXPR = st.one_of(
+    st.sampled_from(["-", "x", "b", "bc"]).map(
+        lambda d: {"$split": ["$s", d]}
+    ),
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=-2, max_value=4),
+    ).map(lambda t: {"$substr": ["$s", t[0], t[1]]}),
 )
 
 _TYPE_EXPR = st.one_of(
@@ -232,8 +279,8 @@ _TYPE_EXPR = st.one_of(
 )
 
 _EXPR = st.one_of(
-    _NUM_EXPR, _BOOL_EXPR, _COND_EXPR, _STR_EXPR, _TRIG_EXPR, _ARRAY_EXPR,
-    _TYPE_EXPR,
+    _NUM_EXPR, _BOOL_EXPR, _COND_EXPR, _STR_EXPR, _STR2_EXPR, _TRIG_EXPR,
+    _ARRAY_EXPR, _TYPE_EXPR,
 )
 
 _DF_CACHE: dict = {}
