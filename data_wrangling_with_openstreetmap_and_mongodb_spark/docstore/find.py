@@ -102,6 +102,19 @@ class FindCompiler:
                 # $minDistance/$maxDistance are SIBLING keys of $near, not
                 # nested — compile the trio as one distance predicate
                 return self._near_pred(key, col, dict(value))
+            if "$options" in value:
+                # $options is a SIBLING modifier of $regex (Mongo), not an
+                # operator: fold it into the pattern as Java inline flags
+                # (i/m/s/x are valid in both engines' regex dialects)
+                value = dict(value)
+                opts = value.pop("$options")
+                if "$regex" not in value:
+                    raise ValueError("$options requires a sibling $regex")
+                bad = set(opts) - set("imsx")
+                if bad:
+                    raise ValueError(f"unsupported $regex options: {sorted(bad)}")
+                if opts:
+                    value["$regex"] = f"(?{opts})" + value["$regex"]
             preds = [self._op_pred(key, col, op, arg) for op, arg in value.items()]
             return self._fold(preds, "and")
         # bare value: equality (scalar-or-member for array fields, like Mongo)

@@ -3952,3 +3952,33 @@ class TestDateOpOptionGuards:
         ):
             with pytest.raises(ValueError, match="unsupported"):
                 ec.compile(spec)
+
+
+class TestRegexOptions:
+    """r8: find() {$regex, $options} sibling modifier — case-insensitive
+    and multiline flags fold into the pattern as Java inline flags."""
+
+    def test_options_flags(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.collection import (
+            DocumentCollection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Hello World"), (2, "hello world"), (3, "line1\nstart here")],
+            "_id long, s string",
+        )
+        c = DocumentCollection(df, "t")
+        got = {r["_id"] for r in c.find({"s": {"$regex": "^hello"}}).collect()}
+        assert got == {2}
+        got = {r["_id"] for r in c.find(
+            {"s": {"$regex": "^hello", "$options": "i"}}).collect()}
+        assert got == {1, 2}
+        got = {r["_id"] for r in c.find(
+            {"s": {"$regex": "^start", "$options": "m"}}).collect()}
+        assert got == {3}
+        with pytest.raises(ValueError, match="unsupported .regex options"):
+            c.find({"s": {"$regex": "x", "$options": "u"}})
+        with pytest.raises(ValueError, match="sibling"):
+            c.find({"s": {"$options": "i"}})
