@@ -450,3 +450,22 @@ class TestRound8Plans:
         assert plan.count("HashAggregate") >= 4
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_epoch_shuffle_one_exchange_no_global_sort(self, spark, sf_dir):
+        """shuffle_into_shards: ONE hash exchange (the shard window), no
+        range partitioning — a global orderBy(hash) would show
+        'Exchange rangepartitioning'."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("shuffled_shard_manifest", spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_gumbel_resample_is_top_k(self, spark, sf_dir):
+        """gumbel_topk_sample: the k-row pick must be a
+        TakeOrderedAndProject (per-partition top-k merge), never a global
+        sort feeding a limit."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("dsir_gumbel_resample", spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
