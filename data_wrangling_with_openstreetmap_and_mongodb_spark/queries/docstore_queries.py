@@ -28,8 +28,12 @@ def _coll(spark: SparkSession, sf_dir: str, name: str) -> DocumentCollection:
         FROM customer
         WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 3000.0
     """,
-    doc="find(query, projection) compiled to filter+select (04/find_cars.py:34)",
+    doc="find(query, projection) compiled to filter+select (04/find_cars.py:34).  "
+    "Rotated out of the driver window in r9 (VERDICT r8 ask #1: find-family "
+    "filter+project shape covered by ds_elem_match/events_with_large_k; slot "
+    "given to ds_lookup_group); still in the local parity gate.",
     tags=("docstore", "filter"),
+    driver_visible=False,
 )
 def ds_find_machinery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "customer").find(
@@ -1948,10 +1952,10 @@ def ds_lookup_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Array ORDER is the sub-pipeline's trailing $sort, replayed via "
     "$unwind includeArrayIndex vs the oracle's rank.  $sum over the "
     "double column takes the exact-decimal dsum path (order-independent, "
-    "dsum_sql twin).  Gate-only: the $lookup family's driver row is "
-    "ds_graph_reachable_orders; plan pinned in test_plans.py.",
+    "dsum_sql twin).  Driver-visible since r9 (rotated in per VERDICT r8 "
+    "ask #1 — novel compiler path deserves an independent row); plan "
+    "pinned in test_plans.py.",
     tags=("docstore", "join", "agg"),
-    driver_visible=False,
 )
 def ds_lookup_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate

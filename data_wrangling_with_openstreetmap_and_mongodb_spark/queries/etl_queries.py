@@ -669,9 +669,8 @@ def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "under the forward-only contract (guaranteed here by the time split). "
     "validate=False: the split itself enforces ordering, and the gate "
     "should measure the maintenance plan, not the contract-check job.  "
-    "Gate-only: composes the scd2_user_event_state family.",
+    "Driver-visible since r9 (VERDICT r8 ask #1 rotation).",
     tags=("upsert", "scd2", "window"),
-    driver_visible=False,
 )
 def scd2_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (

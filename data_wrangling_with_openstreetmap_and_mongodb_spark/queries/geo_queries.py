@@ -299,11 +299,10 @@ _Q["geo_geohash_cells"].oracle = _geohash_oracle()
     "band grid wraps longitude cells modulo the per-band ring size and "
     "collapses pole-wrapping bands to one cell, so ±1 cells always cover; "
     "the DuckDB oracle IS the brute-force cross join — parity proves the "
-    "banded grid never drops a seam or polar pair.  Gate-only: the family's "
-    "driver row is geo_near_customers; mid-latitude grid shape pinned by "
+    "banded grid never drops a seam or polar pair.  Driver-visible since "
+    "r9 (VERDICT r8 ask #1 rotation); mid-latitude grid shape pinned by "
     "geo_radius_join_pairs.",
     tags=("geo", "join"),
-    driver_visible=False,
 )
 def geo_radius_join_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
@@ -355,10 +354,9 @@ _GI_HOLE = [[5.005, 10.005], [25.005, 10.005], [25.005, 35.005],
     "even-odd ray cast per ring XORed across rings, so hole membership "
     "excludes — the oracle replays the exact same two edge chains and "
     "XORs them in SQL.  For point fields $geoIntersects is containment, "
-    "shared with $geoWithin $geometry.  Gate-only: the geo family's "
-    "driver row is geo_near_customers.",
+    "shared with $geoWithin $geometry.  Driver-visible since r9 (VERDICT "
+    "r8 ask #1 rotation).",
     tags=("geo", "find", "agg"),
-    driver_visible=False,
 )
 def geo_intersects_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection

@@ -589,8 +589,12 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
         WHERE c_custkey <= 500
     """,
-    doc="struct + map construction then flatten (F4/F5; data.py:99-125 shape)",
+    doc="struct + map construction then flatten (F4/F5; data.py:99-125 shape).  "
+    "Rotated out of the driver window in r9 (VERDICT r8 ask #1: flat-in/"
+    "flat-out hash can't observe the mid-plan nesting anyway; slot given to "
+    "scd2_incremental_state); still in the local parity gate.",
     tags=("reshape",),
+    driver_visible=False,
 )
 def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
@@ -620,8 +624,12 @@ def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
-    doc="cube: all grouping-set combinations with null markers",
+    doc="cube: all grouping-set combinations with null markers.  Rotated out "
+    "of the driver window in r9 (VERDICT r8 ask #1: Expand+aggregate "
+    "grouping-sets path ⊂ statuses_per_priority hash-agg family; slot given "
+    "to geo_radius_join_wrap); still in the local parity gate.",
     tags=("agg", "cube"),
+    driver_visible=False,
 )
 def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -669,8 +677,13 @@ _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
         FROM customer
         GROUP BY c_nationkey
     """,
-    doc="long→wide pivot with pinned values (inverse of A11 unpivot)",
+    doc="long→wide pivot with pinned values (inverse of A11 unpivot).  "
+    "Rotated out of the driver window in r9 (VERDICT r8 ask #1: pinned-value "
+    "pivot compiles to the same first-agg-then-project hash agg as "
+    "lineitem_measure_stats; slot given to dsir_gumbel_resample); still in "
+    "the local parity gate.",
     tags=("reshape", "agg"),
+    driver_visible=False,
 )
 def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -813,8 +826,13 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_revenue_by_nation",
     oracle=_REVENUE_SQL,
     doc="spark.sql entry over registered views (TPC-H Q5 shape); same string "
-    "runs on both engines — one definition, two executors, one hash",
+    "runs on both engines — one definition, two executors, one hash.  "
+    "Rotated out of the driver window in r9 (VERDICT r8 ask #1: spark.sql "
+    "text lands on the identical Catalyst join+agg+sort plan as "
+    "nation_order_ranking; slot given to geo_intersects_events); still in "
+    "the local parity gate.",
     tags=("sql", "join", "agg"),
+    driver_visible=False,
 )
 def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir)

@@ -3298,11 +3298,9 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation impo
     "tiebreak.  One hash exchange + in-partition sort; no global sort, no "
     "rand(), retry/repartition/engine-stable (a task retry under rand() "
     "silently reorders the corpus an epoch trains on).  The oracle replays "
-    "both draws bit-for-bit.  Gate-only: composition of the split/sample "
-    "md5 family whose driver rows are pack_training_sequences / "
-    "chunk_training_windows.",
+    "both draws bit-for-bit.  Driver-visible since r9 (VERDICT r8 ask #1 "
+    "rotation).",
     tags=("trainingdata", "shuffle"),
-    driver_visible=False,
 )
 def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -3350,10 +3348,8 @@ def _gumbel_oracle() -> str:
     "pure function of (seed, id) through the md5 family — retry/engine-"
     "stable, replayed term-for-term in the oracle — and the plan is a "
     "TakeOrderedAndProject (per-partition top-k merge, driver holds 20 "
-    "rows).  Gate-only: scoring ⊂ dsir_importance_weights, thinning "
-    "family ⊂ mixture_sample/stratified_sample.",
+    "rows).  Driver-visible since r9 (VERDICT r8 ask #1 rotation).",
     tags=("curation", "quality", "topk"),
-    driver_visible=False,
 )
 def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
