@@ -294,10 +294,9 @@ def geo_radius_join(
         raw = F.floor((lon + F.lit(180.0)) * n.cast("double") / F.lit(360.0))
         return F.pmod(raw.cast("long"), n)
 
-    overlap = set(left.columns) & set(right.columns)
-    if overlap:
+    if distance_field in left.columns or distance_field in right.columns:
         raise ValueError(
-            f"left/right column names must be disjoint (alias first): {sorted(overlap)}"
+            f"distance_field {distance_field!r} collides with an input column"
         )
     llat, llon = (F.col(c) for c in left_coords)
     rlat, rlon = (F.col(c) for c in right_coords)
@@ -333,12 +332,39 @@ def geo_radius_join(
         F.col("__r." + right_coords[0]),
         F.col("__r." + right_coords[1]),
     )
+    # Shared column names are legal (the default ("lat","lon") on both
+    # sides is the documented invocation): each side rides the join inside
+    # its own struct so nothing is ambiguous mid-plan, and the output
+    # renames right-side collisions with an ``_r`` suffix (left keeps the
+    # original name), pandas-merge style.
+    rename_right = _suffix_collisions(left.columns, right.columns, distance_field)
     return (
         lkeyed.join(rkeyed, ["__clat", "__clon"])
         .withColumn(distance_field, d)
         .filter(F.col(distance_field) <= F.lit(rad))
-        .select("__l.*", "__r.*", distance_field)
+        .select(
+            *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+            *[F.col(f"__r.{c}").alias(rename_right[c]) for c in right.columns],
+            distance_field,
+        )
     )
+
+
+def _suffix_collisions(
+    lcols: list[str], rcols: list[str], distance_field: str
+) -> dict[str, str]:
+    """Output name for each right column: unchanged unless it collides with
+    a left column, the distance field, or an earlier right output name — then
+    ``_r`` suffixes are appended until unique (deterministic, order-stable)."""
+    taken = set(lcols) | {distance_field}
+    out: dict[str, str] = {}
+    for c in rcols:
+        name = c
+        while name in taken:
+            name += "_r"
+        taken.add(name)
+        out[c] = name
+    return out
 
 
 def geo_radius_join_narrow(
@@ -362,14 +388,34 @@ def geo_radius_join_narrow(
 
     ``left_id`` / ``right_id`` must be UNIQUE keys of their tables
     (duplicate ids would cross-multiply the pair rows on the way back).
-    Same whole-sphere coverage contract as :func:`geo_radius_join`."""
-    lk = left.select(left_id, *left_coords)
-    rk = right.select(right_id, *right_coords)
+    Shared column names between the two tables are fine — the narrow
+    frames use side-prefixed internal names and the output renames
+    right-side collisions with an ``_r`` suffix, exactly like
+    :func:`geo_radius_join`.  Same whole-sphere coverage contract."""
+    lk = left.select(
+        F.col(left_id).alias("__gl_id"),
+        F.col(left_coords[0]).alias("__gl_lat"),
+        F.col(left_coords[1]).alias("__gl_lon"),
+    )
+    rk = right.select(
+        F.col(right_id).alias("__gr_id"),
+        F.col(right_coords[0]).alias("__gr_lat"),
+        F.col(right_coords[1]).alias("__gr_lon"),
+    )
     pairs = geo_radius_join(
-        lk, rk, radius_km, left_coords, right_coords, distance_field
-    ).select(left_id, right_id, distance_field)
+        lk, rk, radius_km, ("__gl_lat", "__gl_lon"), ("__gr_lat", "__gr_lon"),
+        distance_field,
+    ).select("__gl_id", "__gr_id", distance_field)
+    rename_right = _suffix_collisions(left.columns, right.columns, distance_field)
+    # pairs shares lineage with left/right (lk/rk project them), so the
+    # join-back is a self-join — dataset aliases disambiguate.
     return (
-        pairs.join(left, left_id)
-        .join(right, right_id)
-        .select(*left.columns, *right.columns, distance_field)
+        pairs.alias("__p")
+        .join(left.alias("__L"), F.col("__p.__gl_id") == F.col(f"__L.`{left_id}`"))
+        .join(right.alias("__R"), F.col("__p.__gr_id") == F.col(f"__R.`{right_id}`"))
+        .select(
+            *[F.col(f"__L.`{c}`").alias(c) for c in left.columns],
+            *[F.col(f"__R.`{c}`").alias(rename_right[c]) for c in right.columns],
+            F.col(f"__p.`{distance_field}`"),
+        )
     )
