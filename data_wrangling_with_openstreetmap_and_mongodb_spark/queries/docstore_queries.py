@@ -459,6 +459,54 @@ def ds_week_zip_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_split_backslash_e",
+    oracle=r"""
+        SELECT o_orderkey,
+               string_split(o_orderstatus || '\E' || o_orderpriority,
+                            '\E') AS parts,
+               string_split(o_orderstatus || '\E.' || o_orderpriority,
+                            '\E.') AS parts2
+        FROM orders
+        WHERE o_orderkey <= 400
+    """,
+    doc=r"$split with a DYNAMIC delimiter containing the literal sequence "
+    r"\E (r9 — VERDICT r8 item #3): the \Q...\E quoting wrap used to be "
+    r"terminated early by the embedded \E, reinterpreting the tail as "
+    r"regex; the compiler now re-quotes via Java's Pattern.quote idiom "
+    r"(\E → \E\\E\Q).  parts2's delimiter ends in '.', which the old bug "
+    r"would have turned into match-any.  Gate-only: expression edge, "
+    "window surface held by ds_unwind_token_counts.",
+    tags=("docstore", "expr"),
+    driver_visible=False,
+)
+def ds_split_backslash_e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sep = {"$literal": "\\E"}
+    sep2 = {"$literal": "\\E."}
+    return _coll(spark, sf_dir, "orders").aggregate(
+        [
+            {"$match": {"o_orderkey": {"$lte": 400}}},
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    "parts": {
+                        "$split": [
+                            {"$concat": ["$o_orderstatus", sep, "$o_orderpriority"]},
+                            sep,
+                        ]
+                    },
+                    "parts2": {
+                        "$split": [
+                            {"$concat": ["$o_orderstatus", sep2, "$o_orderpriority"]},
+                            sep2,
+                        ]
+                    },
+                }
+            },
+        ]
+    )
+
+
+@register(
     "ds_minmax_topn",
     oracle="""
         SELECT o_orderpriority AS _id,

