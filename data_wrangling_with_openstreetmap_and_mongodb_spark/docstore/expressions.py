@@ -374,14 +374,26 @@ class ExpressionCompiler:
             fn = F.filter if op == "$filter" else F.transform
             out = fn(c(args["input"]), _lam)
             if op == "$filter" and args.get("limit") is not None:
-                # Mongo 5.2: keep only the first `limit` matches (a null
-                # limit behaves as absent, per mongod)
+                # Mongo 5.2: keep only the first `limit` matches.  A null
+                # limit behaves as absent (keep all — r9 fix: a DYNAMIC
+                # expression evaluating to null used to make slice() return
+                # a NULL array); limit < 1 is a mongod error, raised eagerly
+                # for constants and via raise_error for runtime values.
                 lim = args["limit"]
-                out = F.slice(
-                    out,
-                    1,
-                    int(lim) if isinstance(lim, (int, float)) else c(lim).cast("int"),
-                )
+                if isinstance(lim, (int, float)):
+                    if int(lim) < 1:
+                        raise ValueError("$filter limit must be >= 1 (Mongo)")
+                    out = F.slice(out, 1, int(lim))
+                else:
+                    limc = c(lim).cast("int")
+                    eff = F.when(limc.isNull(), F.size(out)).otherwise(limc)
+                    eff = F.when(
+                        eff < 1,
+                        F.raise_error(
+                            F.lit("$filter limit must be >= 1 (Mongo)")
+                        ).cast("int"),
+                    ).otherwise(eff)
+                    out = F.slice(out, 1, eff)
             return out
         if op == "$reduce":
             def _red(acc: Column, x: Column) -> Column:

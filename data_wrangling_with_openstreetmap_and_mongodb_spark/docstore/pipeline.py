@@ -342,6 +342,35 @@ def _apply_uncorrelated_lookup(
     return df.crossJoin(F.broadcast(arr))
 
 
+def _expr_path_roots(expr: Any) -> set[str]:
+    """Root field names the ``$expr`` AST actually references as paths —
+    ``"$items.qty"`` contributes ``items``; ``$$let``-variables, ``$literal``
+    payloads, and plain string literals do NOT (r9, ADVICE r8: the old
+    substring scan of the JSON dump false-positived on prefix-sharing field
+    names like ``$item`` vs ``$items`` and on ``'$field'`` inside string
+    literals)."""
+    roots: set[str] = set()
+
+    def walk(node: Any, is_operand: bool) -> None:
+        if isinstance(node, str):
+            # only OPERAND-position strings are path references in Mongo
+            if is_operand and node.startswith("$") and not node.startswith("$$"):
+                roots.add(node[1:].split(".")[0])
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "$literal":
+                    continue  # literal payloads are data, not references
+                walk(v, True)
+            return
+        if isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item, True)
+
+    walk(expr, True)
+    return roots
+
+
 def _apply_lookup_group(
     df: DataFrame,
     from_df: DataFrame,
@@ -359,11 +388,16 @@ def _apply_lookup_group(
     of the reference's top-k-then-fetch J2 family (README.md:976-986).
 
     Compiled as ONE left join + a two-level hash aggregation, never a
-    per-document sub-pipeline: first ``groupBy(local doc, group key)``
-    computes every accumulator with map-side partial aggregation (the bulk
-    reduction — output is one row per (local, key) pair), then
-    ``groupBy(local doc)`` assembles the per-document array.  The second
-    exchange moves only already-aggregated rows.  Join misses survive both
+    per-document sub-pipeline: each local doc gets an ephemeral row key
+    (``monotonically_increasing_id`` — r9, ADVICE r8: grouping by the full
+    local row collapsed byte-identical local docs into one output row and
+    broke on non-groupable map-typed local columns; Mongo emits one result
+    per INPUT doc), then ``groupBy(row key, group key)`` computes every
+    accumulator with map-side partial aggregation (the bulk reduction —
+    output is one row per (doc, key) pair), then ``groupBy(row key)``
+    assembles the per-document array.  The second exchange moves only
+    already-aggregated rows, and hashing a long key is cheaper than
+    hashing the wide local tuple.  Join misses survive both
     hops via the ``__present`` marker and yield ``[]`` — exactly mongod's
     empty sub-pipeline result (a keyed ``$group`` over zero docs emits zero
     docs, and so does ``{_id: null}``, matching ``_apply_group``'s
@@ -400,12 +434,18 @@ def _apply_lookup_group(
     accs = [_accumulator(gec, a, s) for a, s in gspec.items() if a != "_id"]
 
     aug = from_df.withColumn("__present", F.lit(True))
-    joined = df.join(aug.alias("__f__"), cond, "left")
+    ldf = df.withColumn("__lk_rowid", F.monotonically_increasing_id())
+    joined = ldf.join(aug.alias("__f__"), cond, "left")
     marker = F.col("__f__.__present")
-    local_cols = [F.col(c) for c in df.columns]
-    gkeys = local_cols + ([gid_col.alias("__gid")] if gid_col is not None else [])
+    # local columns ride the (tiny-group) aggs as first() carries — every
+    # row in a __lk_rowid group shares the same local doc, so first() is
+    # deterministic
+    carry = [F.first(F.col(c)).alias(c) for c in df.columns]
+    gkeys = [F.col("__lk_rowid")] + (
+        [gid_col.alias("__gid")] if gid_col is not None else []
+    )
     grouped = joined.groupBy(*gkeys).agg(
-        *accs, F.max(marker).alias("__any")
+        *accs, F.max(marker).alias("__any"), *carry
     )
     if proj is None:
         elem_fields = (
@@ -450,11 +490,12 @@ def _apply_lookup_group(
         # Mongo include-mode keeps _id unless excluded explicitly
         if "_id" not in proj and gid_col is not None:
             elem_fields.insert(0, F.col("__gid").alias("_id"))
-    out = grouped.groupBy(*local_cols).agg(
+    out = grouped.groupBy("__lk_rowid").agg(
+        *[F.first(F.col(c)).alias(c) for c in df.columns],
         F.collect_list(
             F.when(F.col("__any"), F.struct(*elem_fields))
-        ).alias(alias)
-    )
+        ).alias(alias),
+    ).select(*df.columns, alias)
     if sort_spec is not None:
         aec = ExpressionCompiler(out)
         out = out.withColumn(
@@ -545,13 +586,12 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         # reads the unwound field itself (the element-vs-array ambiguity) —
         # that case raises
         u = 0
+        cond_roots = _expr_path_roots(pipe[0]["$match"]["$expr"])
         while u < len(rest) and "$unwind" in rest[u]:
             uspec = rest[u]["$unwind"]
             upath = uspec["path"] if isinstance(uspec, dict) else uspec
             ufield = upath[1:].split(".")[0]
-            import json as _json
-
-            if f'"${ufield}' in _json.dumps(pipe[0]["$match"]["$expr"]):
+            if ufield in cond_roots:
                 raise ValueError(
                     f"$lookup $unwind of {upath!r} conflicts with the join "
                     "$expr referencing the same field: the condition would "
@@ -646,10 +686,15 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         else:
             matched = F.struct(*[F.col(f"__f__.{c}") for c in from_df.columns])
         # a literal marker column distinguishes a join miss from a matched
-        # row whose foreign fields happen to be null
+        # row whose foreign fields happen to be null; the ephemeral row key
+        # preserves one output row per INPUT doc (duplicate local docs no
+        # longer collapse — r9, ADVICE r8) and keeps map-typed local
+        # columns out of grouping keys
         aug = from_df.withColumn("__present", F.lit(True))
-        joined = df.join(aug.alias("__f__"), cond, "left")
+        ldf = df.withColumn("__lk_rowid", F.monotonically_increasing_id())
+        joined = ldf.join(aug.alias("__f__"), cond, "left")
         marker = F.col("__f__.__present")
+        carry = [F.first(F.col(c)).alias(c) for c in df.columns]
         if sort_spec is not None:
             # per-local-document sort/limit: rank matches inside each local
             # document's partition, prune to the limit BEFORE building the
@@ -677,7 +722,7 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                     F.col(f"__f__.{k}").asc() if v >= 0 else F.col(f"__f__.{k}").desc()
                     for k, v in sort_spec.items()
                 ]
-            w = Window.partitionBy(*[F.col(c) for c in df.columns]).orderBy(*order_cols)
+            w = Window.partitionBy(F.col("__lk_rowid")).orderBy(*order_cols)
             ranked = joined.withColumn("__rn", F.row_number().over(w))
             if limit_n is not None:
                 # prune the tail BEFORE the array builds; join-miss rows
@@ -701,33 +746,39 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 )
             )
             return (
-                ranked.groupBy(*[F.col(c) for c in df.columns])
-                .agg(arr.alias(alias))
+                ranked.groupBy("__lk_rowid")
+                .agg(*carry, arr.alias(alias))
                 .withColumn(alias, F.transform(F.col(alias), lambda s: s["v"]))
+                .select(*df.columns, alias)
             )
         return (
-            joined.groupBy(*[F.col(c) for c in df.columns])
+            joined.groupBy("__lk_rowid")
             .agg(
+                *carry,
                 F.collect_list(
                     F.when(marker.isNotNull(), matched)
-                ).alias(alias)
+                ).alias(alias),
             )
+            .select(*df.columns, alias)
         )
 
     local, foreign = spec["localField"], spec["foreignField"]
     matched = F.struct(*[F.col(f"__f__.{c}") for c in from_df.columns])
-    joined = df.join(
+    ldf = df.withColumn("__lk_rowid", F.monotonically_increasing_id())
+    joined = ldf.join(
         from_df.alias("__f__"),
         F.col(local) == F.col(f"__f__.{foreign}"),
         "left",
     )
     return (
-        joined.groupBy(*[F.col(c) for c in df.columns])
+        joined.groupBy("__lk_rowid")
         .agg(
+            *[F.first(F.col(c)).alias(c) for c in df.columns],
             F.collect_list(
                 F.when(F.col(f"__f__.{foreign}").isNotNull(), matched)
-            ).alias(alias)
+            ).alias(alias),
         )
+        .select(*df.columns, alias)
     )
 
 
@@ -747,9 +798,11 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ``maxDepth + 1`` when given, else the reachable-set diameter (cycles
     terminate through the visited set, like Mongo).
 
-    The local document's identity is its full column tuple (same
-    convention as ``$lookup``'s groupBy) — duplicate local rows would
-    collapse, matching the join-back contract documented there.
+    The local document's identity is its full column tuple — duplicate
+    local rows collapse here (unlike ``$lookup``, which since r9 keys its
+    join-back on an ephemeral row id and keeps one output per input doc);
+    the traversal's visited-set logic needs a value-comparable identity,
+    so the contract stays documented rather than keyed.
 
     Engine extension ``"method": "doubling"`` switches to pointer-doubling
     traversal (:func:`_apply_graph_lookup_doubling`): O(log d) rounds

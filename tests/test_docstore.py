@@ -3460,6 +3460,124 @@ class TestAggregatedLookup:
                 "as": "x"}}])
 
 
+class TestLookupRowIdentity:
+    """r9 (ADVICE r8): $lookup keys its join-back on an ephemeral row id —
+    byte-identical local docs each keep their own result row (Mongo emits
+    one per INPUT doc) and map-typed local columns no longer break the
+    groupBy; the $unwind-vs-$expr conflict check walks the AST instead of
+    substring-scanning the JSON dump."""
+
+    def test_duplicate_local_docs_all_forms(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust = spark.createDataFrame(
+            [(1, "alice"), (1, "alice"), (2, "bob")], "ck long, name string"
+        )
+        orders = spark.createDataFrame(
+            [(1, "F", 10.0), (1, "O", 5.0), (2, "O", 7.0)],
+            "ock long, status string, price double",
+        )
+        # equi-join form
+        eq = aggregate(cust, [{"$lookup": {
+            "from": orders, "localField": "ck", "foreignField": "ock",
+            "as": "o"}}]).collect()
+        assert len(eq) == 3
+        assert sorted(len(r["o"]) for r in eq) == [1, 2, 2]
+        # document pipeline form with $sort/$limit
+        doc = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$sort": {"price": -1}},
+                {"$limit": 1},
+            ],
+            "as": "top"}}]).collect()
+        assert len(doc) == 3
+        assert sorted(r["top"][0]["price"] for r in doc) == [7.0, 10.0, 10.0]
+        # aggregated (interior $group) form
+        grp = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$group": {"_id": "$status", "n": {"$sum": 1}}},
+                {"$sort": {"_id": 1}},
+            ],
+            "as": "g"}}]).collect()
+        assert len(grp) == 3
+        both = [r for r in grp if r["ck"] == 1]
+        assert len(both) == 2
+        for r in both:
+            assert [(e["_id"], e["n"]) for e in r["g"]] == [("F", 1), ("O", 1)]
+
+    def test_map_typed_local_column(self, spark):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust = spark.createDataFrame(
+            [(1, {"tier": "gold"}), (2, {"tier": "basic"})],
+            "ck long, attrs map<string,string>",
+        )
+        orders = spark.createDataFrame(
+            [(1, 10.0), (1, 20.0)], "ock long, price double"
+        )
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ock", "$$k"]}}},
+                {"$group": {"_id": None, "total": {"$sum": "$price"}}},
+            ],
+            "as": "g"}}]).collect()
+        got = {r["ck"]: (dict(r["attrs"]), [e["total"] for e in r["g"]])
+               for r in out}
+        assert got == {1: ({"tier": "gold"}, [30.0]),
+                       2: ({"tier": "basic"}, [])}
+
+    def test_unwind_conflict_ast_walk(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        cust = spark.createDataFrame([(1,)], "ck long")
+        orders = spark.createDataFrame(
+            [(1, [5.0, 6.0], ["a", "b"])],
+            "tag long, tags array<double>, items array<string>",
+        )
+        # prefix-sharing: condition references $tag, unwinding $tags — the
+        # old '"$tag' substring scan false-raised here
+        out = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$tag", "$$k"]}}},
+                {"$unwind": "$tags"},
+                {"$group": {"_id": None, "n": {"$sum": 1}}},
+            ],
+            "as": "x"}}]).collect()
+        assert [e["n"] for e in out[0]["x"]] == [2]
+        # a string LITERAL containing '$items' must not trip the check
+        out2 = aggregate(cust, [{"$lookup": {
+            "from": orders, "let": {"k": "$ck"},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$eq": ["$tag", "$$k"]},
+                    {"$ne": [{"$literal": "$items"}, "x"]},
+                ]}}},
+                {"$unwind": "$items"},
+                {"$group": {"_id": "$items", "n": {"$sum": 1}}},
+                {"$sort": {"_id": 1}},
+            ],
+            "as": "y"}}]).collect()
+        assert [(e["_id"], e["n"]) for e in out2[0]["y"]] == [("a", 1), ("b", 1)]
+        # a REAL conflict (condition reads the unwound field) still raises
+        with pytest.raises(ValueError, match="conflicts with the join"):
+            aggregate(cust, [{"$lookup": {
+                "from": orders, "let": {"k": "$ck"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$items", "$$k"]}}},
+                    {"$unwind": "$items"},
+                    {"$group": {"_id": None, "n": {"$sum": 1}}},
+                ],
+                "as": "z"}}])
+
+
 class TestAggregatedLookupProject:
     """Trailing $project after the interior $group (r8): include/rename of
     group-output fields, _id rides along unless excluded."""
@@ -3954,6 +4072,36 @@ class TestFilterLimitOption:
             ec.compile({"$filter": {"input": "$xs", "cond": True, "bogus": 1}})
         with pytest.raises(ValueError, match="unsupported"):
             ec.compile({"$map": {"input": "$xs", "in": "$$this", "limit": 2}})
+
+    def test_filter_limit_null_and_lt1(self, spark):
+        """r9 fix (ADVICE r8): a DYNAMIC limit that evaluates to null at
+        runtime behaves as absent (keep all matches), not a NULL array;
+        limit < 1 raises — eagerly for constants, at runtime for
+        expressions (mongod errors on both)."""
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
+
+        df = spark.createDataFrame(
+            [([1, 8, 9, 2, 7], None), ([4, 6], 1)],
+            "xs array<long>, lim long",
+        )
+        ec = ExpressionCompiler(df)
+        rows = df.select(
+            ec.compile({"$filter": {
+                "input": "$xs", "cond": {"$gte": ["$$this", 5]}, "limit": "$lim",
+            }}).alias("f"),
+        ).collect()
+        assert [list(r["f"]) for r in rows] == [[8, 9, 7], [6]]
+        with pytest.raises(ValueError, match=">= 1"):
+            ec.compile({"$filter": {"input": "$xs", "cond": True, "limit": 0}})
+        bad = spark.createDataFrame([([1, 2], 0)], "xs array<long>, lim long")
+        with pytest.raises(Exception, match=">= 1"):
+            bad.select(
+                ExpressionCompiler(bad).compile({"$filter": {
+                    "input": "$xs", "cond": True, "limit": "$lim",
+                }}).alias("f")
+            ).collect()
 
 
 class TestDateOpOptionGuards:
