@@ -436,6 +436,73 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming as-of dimension enrichment (r8 operator, oracle-gated r9 per
+# VERDICT r8 ask #4): the events table replayed through a real
+# foreachBatch file-stream against an SCD2 dimension historized from the
+# orders changelog; the oracle is the batch as-of join's union-merge SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_asof_enrich_status",
+    oracle="""
+        WITH l AS (SELECT user_id AS k, epoch_us(ts) AS t, 0 AS is_right,
+                          NULL::BIGINT AS tb, event_id, NULL::VARCHAR AS v
+                   FROM events),
+        r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 1 AS is_right,
+                     o_orderkey AS tb, NULL::BIGINT AS event_id,
+                     o_orderstatus AS v
+              FROM orders),
+        u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        c AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY t ASC, is_right DESC, tb ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastv
+              FROM u)
+        SELECT event_id, k AS user_id, lastv AS status_asof
+        FROM c WHERE is_right = 0
+    """,
+    doc="streaming as-of enrichment vs SCD2 (streaming/asof_enrich.py, r8): "
+    "the orders changelog historizes once into an SCD2 dimension "
+    "(scd2_from_changes), then the events table replays through a REAL "
+    "foreachBatch parquet file-stream whose micro-batches interval-join "
+    "the dimension (equi on key + range residual, at most one episode per "
+    "event).  The oracle is the BATCH as-of union-merge SQL over the raw "
+    "changelog — parity proves the SCD2 interval containing ts holds "
+    "exactly the latest change at-or-before ts, through the streaming "
+    "path end-to-end.  Tie semantics (same-ts changes collapse to the "
+    "max-orderkey value) pinned on both sides.  Gate-only: the as-of "
+    "family's driver row is events_asof_last_order.",
+    tags=("streaming", "asof", "scd2"),
+    driver_visible=False,
+)
+def streaming_asof_enrich_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
+        scd2_from_changes,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.asof_enrich import (
+        run_streaming_asof_enrich,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.rollup import stream_events
+
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("__t"),
+        "o_orderstatus",
+        "o_orderkey",
+    )
+    dim = scd2_from_changes(changes, "user_id", "__t", "o_orderstatus", "o_orderkey")
+    ev = stream_events(spark, sf_dir)
+    ev = ev.select("event_id", "user_id", ts_micros(ev).alias("__evt"))
+    tmp = tempfile.mkdtemp(prefix="asof_enrich_")
+    run_streaming_asof_enrich(
+        ev, dim, f"{tmp}/out", f"{tmp}/ckpt", "user_id", "__evt", "status_asof"
+    )
+    return spark.read.parquet(f"{tmp}/out").select(
+        "event_id", "user_id", "status_asof"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gap-based sessionization (batch windows; the streaming stateful variant in
 # streaming/sessionize.py is equivalence-tested against this one).
 # ---------------------------------------------------------------------------

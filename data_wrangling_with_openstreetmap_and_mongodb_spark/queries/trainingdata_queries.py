@@ -3177,9 +3177,10 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "nb_lang_confusion",
-    oracle="""
+# shared by nb_lang_confusion and its streaming twin: training AND scoring
+# replayed bit-for-bit in SQL (quantized log-likelihoods, decimal sums,
+# class-name tiebreak)
+_NB_CONFUSION_ORACLE = """
         WITH base AS (
             SELECT doc_id, lang,
                    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
@@ -3237,7 +3238,12 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n
         FROM pick WHERE rn = 1
         GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "nb_lang_confusion",
+    oracle=_NB_CONFUSION_ORACLE,
     doc="trainable classifier gate: hashed multinomial Naive Bayes "
     "(operators/classify.py) trained on the doc_id%5!=0 split's lang "
     "labels, scored on the held-out fifth, reported as a confusion matrix. "
@@ -3262,6 +3268,56 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = d.filter(F.col("doc_id") % 5 == 0)
     priors, lik = nb_train(train, "text", "lang", num_buckets=1024)
     pred = nb_predict(test, priors, lik, "text", "doc_id", num_buckets=1024)
+    return (
+        test.select(F.col("doc_id").alias("id"), "lang")
+        .join(pred, "id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "streaming_nb_score_confusion",
+    oracle=_NB_CONFUSION_ORACLE,
+    doc="streaming model-based quality/language gating (streaming/"
+    "nb_stream.py, r8): the SAME hashed-NB model as nb_lang_confusion "
+    "(trained batch-side on the doc_id%5!=0 split) scores the held-out "
+    "fifth arriving through a REAL foreachBatch parquet file-stream — the "
+    "bounded model broadcasts into every micro-batch's scoring join, no "
+    "streaming state accumulates.  Identical oracle to the batch gate: "
+    "parity proves micro-batch boundaries cannot move a single "
+    "prediction.  Gate-only: the family's driver row is "
+    "lang_id_confusion.",
+    tags=("streaming", "classify", "text"),
+    driver_visible=False,
+)
+def streaming_nb_score_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.classify import (
+        nb_train,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.nb_stream import (
+        run_streaming_nb_scoring,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    priors, lik = nb_train(train, "text", "lang", num_buckets=1024)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    tmp = tempfile.mkdtemp(prefix="nb_stream_")
+    run_streaming_nb_scoring(
+        stream, priors, lik, f"{tmp}/out", f"{tmp}/ckpt", "text", "doc_id",
+        num_buckets=1024,
+    )
+    pred = spark.read.parquet(f"{tmp}/out")
     return (
         test.select(F.col("doc_id").alias("id"), "lang")
         .join(pred, "id")
