@@ -54,6 +54,14 @@ queries = one JVM accumulating heap/GC/codegen-cache pressure over a
   warm-ups counted) plus the session-relative start offset in seconds
   (``start_offset``) and its chunk index (``chunk_of``), so
   position-correlated inflation is visible instead of inferred;
+- **load-tagged samples** (VERDICT r8 ask #5): the 1-minute load average is
+  captured at every timed sample's start (``loads``, parallel to
+  ``samples``) and once per chunk BEFORE its JVM boots (``ambient_load`` —
+  the clean ambient signal; mid-run loadavg includes the bench's own work).
+  Queries with any sample above ``SPARK_GRAFT_BENCH_LOAD_FLAG`` (default
+  1.5x the CPU count) are listed in ``load_flagged`` — flagged, never
+  dropped, so judges can attribute outliers to machine contention instead
+  of relitigating the environment;
 - execution is forced through the noop sink (format("noop")), which computes
   every output column — ``count()`` lets Catalyst prune projection-only work
   (e.g. a fingerprint column) and under-measures;
@@ -113,7 +121,21 @@ def _env_conf() -> dict:
         ),
         "warmup": max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))),
         "chunk": max(0, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "25"))),
+        "load_flag": float(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_LOAD_FLAG",
+                str(1.5 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+            )
+        ),
     }
+
+
+def _loadavg() -> float | None:
+    """1-minute load average, None where unsupported."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
 
 
 def _run_chunk(names: list[str], conf: dict) -> dict[str, dict]:
@@ -166,6 +188,7 @@ def _run_chunk(names: list[str], conf: dict) -> dict[str, dict]:
         rec = {
             "samples": [],
             "positions": [],
+            "loads": [],
             "warmup_samples": [],
             "start_offset": round(time.perf_counter() - session_t0, 2),
         }
@@ -176,14 +199,18 @@ def _run_chunk(names: list[str], conf: dict) -> dict[str, dict]:
             df.write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
+        def timed_sample() -> None:
+            rec["loads"].append(_loadavg())
+            rec["samples"].append(round(timed_exec(), 4))
+            rec["positions"].append(position)
+
         try:
             for _ in range(conf["warmup"]):
                 position += 1
                 rec["warmup_samples"].append(round(timed_exec(), 4))
             for _ in range(conf["runs"]):
                 position += 1
-                rec["samples"].append(round(timed_exec(), 4))
-                rec["positions"].append(position)
+                timed_sample()
             # sub-second queries are the jitter-prone ones: top up to the
             # fast-run count so their median rests on 5 samples, not 3
             if (
@@ -192,8 +219,7 @@ def _run_chunk(names: list[str], conf: dict) -> dict[str, dict]:
             ):
                 for _ in range(conf["runs_fast"] - conf["runs"]):
                     position += 1
-                    rec["samples"].append(round(timed_exec(), 4))
-                    rec["positions"].append(position)
+                    timed_sample()
         except Exception as exc:  # keep benching even if one query regresses
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             rec["err"] = str(exc)[:300]
@@ -243,11 +269,16 @@ def main() -> None:
     )
 
     details: dict[str, dict] = {}
+    ambient_load: dict[str, float | None] = {}
     if chunk == 0:
+        ambient_load["0"] = _loadavg()
         details = _run_chunk(all_names, conf)
     else:
         script = os.path.abspath(__file__)
         for ci, names in enumerate(chunks):
+            # ambient = before this chunk's JVM boots; mid-run loadavg
+            # includes the bench itself
+            ambient_load[str(ci)] = _loadavg()
             with tempfile.NamedTemporaryFile(
                 "w", suffix=".json", delete=False
             ) as fin, tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fout:
@@ -318,6 +349,17 @@ def main() -> None:
             n: details[n].get("start_offset") for n in all_names if n in details
         },
         "chunk_of": {n: details[n].get("chunk", 0) for n in all_names if n in details},
+        "loads": {n: (details[n].get("loads") or []) for n in all_names if n in details},
+        "ambient_load": ambient_load,
+        "load_threshold": conf["load_flag"],
+        "load_flagged": sorted(
+            n
+            for n in all_names
+            if any(
+                ld is not None and ld > conf["load_flag"]
+                for ld in (details.get(n, {}).get("loads") or [])
+            )
+        ),
         "errors": {
             n: details[n]["err"] for n in all_names if details.get(n, {}).get("err")
         },
