@@ -63,6 +63,8 @@ def connected_components(
     dst_col: str = "id_b",
     max_iters: int = 20,
     checkpoint_mode: str = "local",
+    method: str = "frontier",
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(id, component)`` for every vertex in ``edges``; ``component`` is
     the minimum vertex id in the connected component (deterministic).
@@ -72,7 +74,27 @@ def connected_components(
     the job (VERDICT r3 ask #4) — the cluster-safe setting for long runs;
     ``'local'`` (default) keeps the faster executor-local blocks.  Measured
     at sf0.1 (ngram-pairs cluster collapse): see PLANS.md §checkpoint-modes.
+
+    ``method`` (r9 — VERDICT r8 ask #6, the 30–100x diameter story):
+
+    - ``"frontier"`` (default): pure min-label propagation — sync rounds
+      grow LINEARLY with component diameter.  Right for near-dup clusters
+      (duplicates of one source link to each other; diameters of 2–5) and
+      fully oracle-checkable.
+    - ``"doubling"``: each sync adds a pointer-jumping pass
+      (``label(v) ← label(label(v))`` — labels are vertex ids, so the hop
+      is one more equi-join) that halves remaining chain distance: sync
+      rounds grow with **log2(diameter)**.  One extra shuffle per sync, so
+      it loses on tiny diameters and wins asymptotically — measured
+      crossover in PLANS.md §cc-diameter-scaling.
+
+    Non-convergence within ``max_iters`` now RAISES (was: silently returned
+    partial labels — a correctness hazard for high-diameter graphs).
+    ``stats`` (optional dict) receives ``rounds`` (sync count) and
+    ``propagations`` for measurement harnesses.
     """
+    if method not in ("frontier", "doubling"):
+        raise ValueError(f"unknown method: {method!r} (frontier/doubling)")
     # Eager checkpoint of the RAW edges, before symmetrization: the edge
     # input is typically an expensive near-dup pipeline (candidate join +
     # verification), and building the symmetric view first would reference —
@@ -109,21 +131,51 @@ def connected_components(
             (F.coalesce("nlabel", "label") < F.col("label")).alias("__chg"),
         )
 
+    def jump(lbls):
+        # pointer jumping: adopt the label OF my label (labels are vertex
+        # ids, so this is one equi-join against the label table itself) —
+        # halves remaining chain distance per pass, labels stay monotone
+        # (label(u) <= u for every vertex u)
+        l2 = lbls.select(F.col("id").alias("__jid"), F.col("label").alias("__jl"))
+        return lbls.join(l2, F.col("label") == F.col("__jid"), "left").select(
+            "id",
+            F.coalesce("__jl", "label").alias("label"),
+            (F.col("__chg") | (F.coalesce("__jl", "label") < F.col("label"))).alias(
+                "__chg"
+            ),
+        )
+
     # Two propagation rounds per materialization+convergence check: each
     # driver sync (checkpoint job + count) costs a scheduling barrier, and
     # near-dup clusters have tiny diameters — composing rounds pairwise
     # usually converges in ONE sync instead of two.  Checking only the
     # SECOND round's change flag is sound: propagation is deterministic and
     # monotone, so a round with zero changes means fixpoint regardless of
-    # what the round before it did.
+    # what the round before it did (in doubling mode the jump's change flag
+    # OR-folds in, so a jump-only improvement also keeps the loop alive).
+    rounds = 0
+    converged = False
     for _ in range((max_iters + 1) // 2):
-        updated = _truncate(
-            propagate(propagate(labels).drop("__chg")), checkpoint_mode, eager=False
-        )
+        rounds += 1
+        step = propagate(propagate(labels).drop("__chg"))
+        if method == "doubling":
+            step = jump(step)
+        updated = _truncate(step, checkpoint_mode, eager=False)
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["propagations"] = rounds * 2
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} ({rounds} syncs, method={method!r}); raise "
+            "max_iters or use method='doubling' for high-diameter graphs"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -134,6 +186,8 @@ def dedup_clusters(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     checkpoint_mode: str = "local",
+    method: str = "frontier",
+    max_iters: int = 20,
 ) -> DataFrame:
     """Cluster assignment + canonical pick over a corpus and its near-dup
     pairs: ``(id, cluster, is_canonical)``.
@@ -142,7 +196,9 @@ def dedup_clusters(
     canonical member is the cluster's minimum id (deterministic, stable
     across runs — the property retries and incremental reruns need).
     """
-    comp = connected_components(pairs, src_col, dst_col, checkpoint_mode=checkpoint_mode)
+    comp = connected_components(
+        pairs, src_col, dst_col, max_iters, checkpoint_mode, method
+    )
     ids = df.select(F.col(id_col).alias("id"))
     joined = ids.join(comp, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("cluster")
@@ -158,6 +214,8 @@ def dedup_keep_best(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     checkpoint_mode: str = "local",
+    method: str = "frontier",
+    max_iters: int = 20,
 ) -> DataFrame:
     """:func:`dedup_clusters` with a QUALITY-aware canonical pick:
     ``(id, cluster, is_canonical)`` where each cluster's survivor is its
@@ -171,7 +229,9 @@ def dedup_keep_best(
     cluster ids remain the min-id component labels so incremental reruns
     keep stable cluster identities even as better members arrive.
     """
-    comp = connected_components(pairs, src_col, dst_col, checkpoint_mode=checkpoint_mode)
+    comp = connected_components(
+        pairs, src_col, dst_col, max_iters, checkpoint_mode, method
+    )
     ids = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q"))
     clustered = ids.join(comp, "id", "left").select(
         "id", "__q", F.coalesce("component", F.col("id")).alias("cluster")

@@ -88,8 +88,13 @@ def upsert_supplier_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="max/min + time-of-occurrence argmax (01/ercot_coast_stats.py:33-41; A10). "
     "Scalar max_by/min_by: group extremes are unique in the testdata (verified); "
     "under ties both engines pick arbitrarily — add a window-rank tiebreak "
-    "(A13 shape) where uniqueness matters.",
+    "(A13 shape) where uniqueness matters.  Rotated out of the driver "
+    "window in r9 (VERDICT r8 ask #8 standing rule: one-hash-agg plan "
+    "shared with statuses_per_priority/pricing_summary, accumulator-only "
+    "difference; slot given to streaming_nb_score_confusion); still in the "
+    "local parity gate.",
     tags=("agg", "argmax"),
+    driver_visible=False,
 )
 def extreme_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -468,10 +473,10 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "changelog — parity proves the SCD2 interval containing ts holds "
     "exactly the latest change at-or-before ts, through the streaming "
     "path end-to-end.  Tie semantics (same-ts changes collapse to the "
-    "max-orderkey value) pinned on both sides.  Gate-only: the as-of "
-    "family's driver row is events_asof_last_order.",
+    "max-orderkey value) pinned on both sides.  Driver-visible from birth "
+    "(r9 — VERDICT r8 ask #8 standing rule: a novel streaming family lands "
+    "with its own independent row; dedup_ngram_jaccard evicted).",
     tags=("streaming", "asof", "scd2"),
-    driver_visible=False,
 )
 def streaming_asof_enrich_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -390,8 +390,12 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcasts into the rank join and the shingle table keeps its cached "
     "id-partitioning into the rank window (sf0.1: 2.67s → 1.74s median, "
     "r3 ask #3); a vocabulary too big to broadcast uses the default "
-    "shuffle strategy instead.",
+    "shuffle strategy instead.  Rotated out of the driver window in r9 "
+    "(VERDICT r8 ask #8 standing rule: this pairs front-end is a strict "
+    "subset of dedup_near_clusters' compiler path; slot given to "
+    "streaming_asof_enrich_status); still in the local parity gate.",
     tags=("dedup", "join"),
+    driver_visible=False,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -3286,10 +3290,10 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded model broadcasts into every micro-batch's scoring join, no "
     "streaming state accumulates.  Identical oracle to the batch gate: "
     "parity proves micro-batch boundaries cannot move a single "
-    "prediction.  Gate-only: the family's driver row is "
-    "lang_id_confusion.",
+    "prediction.  Driver-visible from birth (r9 — VERDICT r8 ask #8 "
+    "standing rule: a novel streaming family lands with its own "
+    "independent row; extreme_value_events evicted).",
     tags=("streaming", "classify", "text"),
-    driver_visible=False,
 )
 def streaming_nb_score_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -51,6 +51,43 @@ def test_long_path_converges_within_iteration_cap(spark):
     assert set(comp.values()) == {0}
 
 
+def test_doubling_equals_frontier(spark):
+    """Pointer-doubling CC (r9): identical labels to min-label propagation
+    on a mixed graph (chains, star, singles-by-absence, reversed edges)."""
+    import random
+
+    rng = random.Random(11)
+    pairs = [(i, i + 1) for i in range(30)]                  # long chain
+    pairs += [(100, 100 + j) for j in range(1, 8)]           # star
+    pairs += [(rng.randint(200, 240), rng.randint(200, 240)) for _ in range(40)]
+    pairs += [(301, 300), (303, 302)]                        # reversed pairs
+    e = _edges(spark, pairs)
+    want = {r["id"]: r["component"]
+            for r in connected_components(e, max_iters=40).collect()}
+    got = {r["id"]: r["component"]
+           for r in connected_components(e, method="doubling").collect()}
+    assert got == want
+
+
+def test_doubling_log_rounds_on_deep_chain(spark):
+    """A 64-vertex path: frontier moves the min label 2 hops per sync
+    (~diameter/2 syncs), doubling converges in O(log2 diameter) syncs —
+    and the stats hook reports both."""
+    import pytest
+
+    e = _edges(spark, [(i, i + 1) for i in range(63)])
+    st_f, st_d = {}, {}
+    connected_components(e, max_iters=80, stats=st_f)
+    connected_components(e, method="doubling", max_iters=40, stats=st_d)
+    assert st_f["converged"] and st_d["converged"]
+    assert st_f["rounds"] >= 30  # linear in diameter
+    assert st_d["rounds"] < st_f["rounds"]
+    assert st_d["rounds"] <= 7  # log-ish, not linear
+    # non-convergence now raises loudly instead of returning partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iters=8)
+
+
 def test_dedup_clusters_singletons_and_canonicals(spark):
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
