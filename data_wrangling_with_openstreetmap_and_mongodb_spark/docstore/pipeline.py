@@ -798,11 +798,14 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ``maxDepth + 1`` when given, else the reachable-set diameter (cycles
     terminate through the visited set, like Mongo).
 
-    The local document's identity is its full column tuple — duplicate
-    local rows collapse here (unlike ``$lookup``, which since r9 keys its
-    join-back on an ephemeral row id and keeps one output per input doc);
-    the traversal's visited-set logic needs a value-comparable identity,
-    so the contract stays documented rather than keyed.
+    Like ``$lookup`` (r9), the local document's identity is an ephemeral
+    row key (``monotonically_increasing_id``, pinned by an eager
+    localCheckpoint so every lineage fork reads the same ids): duplicate
+    local docs each keep their own traversal and output row (Mongo emits
+    one per input doc), map-typed local columns work, and — the scale
+    win — the frontier/visited state carries ``(row key, value)`` pairs
+    instead of full local tuples, so per-round shuffles are narrow no
+    matter how wide the local documents are.
 
     Engine extension ``"method": "doubling"`` switches to pointer-doubling
     traversal (:func:`_apply_graph_lookup_doubling`): O(log d) rounds
@@ -823,14 +826,18 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     depth_field = spec.get("depthField")
     max_depth = spec.get("maxDepth")
 
-    ec = ExpressionCompiler(df)
-    doc_cols = list(df.columns)
-    frontier = df.select(
-        *doc_cols, ec.compile(spec["startWith"]).alias("__v")
-    ).distinct()
+    # eager checkpoint pins the row ids: every lineage fork below (frontier
+    # seed, visited set, final join-back) must read the SAME id per doc
+    ldf = df.withColumn(
+        "__gl_rowid", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    ec = ExpressionCompiler(ldf)
+    frontier = ldf.select(
+        "__gl_rowid", ec.compile(spec["startWith"]).alias("__v")
+    )
     foreign = from_df.alias("__g__")
-    reached = None  # (doc_cols..., foreign struct, __depth)
-    visited = frontier.select(*doc_cols, "__v")  # values already expanded
+    reached = None  # (__gl_rowid, foreign struct, __depth)
+    visited = frontier  # values already expanded
     depth = 0
     while True:
         if max_depth is not None and depth > int(max_depth):
@@ -840,7 +847,7 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         hits = frontier.alias("__l__").join(
             foreign, F.col("__l__.__v") == F.col(f"__g__.{conn_to}")
         ).select(
-            *[F.col(f"__l__.{c}").alias(c) for c in doc_cols],
+            F.col("__l__.__gl_rowid").alias("__gl_rowid"),
             F.struct(*[F.col(f"__g__.{c}") for c in from_df.columns]).alias("__doc"),
             F.col(f"__g__.{conn_from}").alias("__next"),
             F.lit(depth).alias("__depth"),
@@ -853,27 +860,25 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         # no separate hits-empty action: an empty hits makes the next
         # frontier empty, which the single loop-bottom check catches —
         # one driver action per round, not two
-        step = hits.select(*doc_cols, "__doc", "__depth").dropDuplicates(
-            [*doc_cols, "__doc"]
+        step = hits.select("__gl_rowid", "__doc", "__depth").dropDuplicates(
+            ["__gl_rowid", "__doc"]
         )
         reached = step if reached is None else reached.unionByName(step)
-        # NULL-SAFE anti-join: doc identity columns may legitimately hold
+        # NULL-SAFE on the VALUE: traversal values may legitimately hold
         # nulls (the org chart's root has reportsTo null); a plain
         # equi-anti-join would never match those rows against the visited
-        # set and a cycle through them would loop forever
-        cand = hits.select(*doc_cols, F.col("__next").alias("__v")).distinct()
-        anti_cond = None
-        for c in [*doc_cols, "__v"]:
-            eq = F.col(f"__c__.{c}").eqNullSafe(F.col(f"__vis__.{c}"))
-            anti_cond = eq if anti_cond is None else (anti_cond & eq)
+        # set and a cycle through them would loop forever.  The row key is
+        # never null — plain equality there.
+        cand = hits.select("__gl_rowid", F.col("__next").alias("__v")).distinct()
+        anti_cond = (
+            F.col("__c__.__gl_rowid") == F.col("__vis__.__gl_rowid")
+        ) & F.col("__c__.__v").eqNullSafe(F.col("__vis__.__v"))
         frontier = (
             cand.alias("__c__")
             .join(visited.alias("__vis__"), anti_cond, "left_anti")
             .localCheckpoint()
         )
-        visited = visited.unionByName(
-            frontier.select(*doc_cols, "__v")
-        ).localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
         depth += 1
         if frontier.isEmpty():
             break
@@ -884,22 +889,24 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             ) + ">"
         )
         return df.withColumn(alias, empty_struct)
-    return _graph_collect(df, doc_cols, reached, from_df, alias, depth_field)
+    return _graph_collect(ldf, list(df.columns), reached, from_df, alias, depth_field)
 
 
 def _graph_collect(
-    df: DataFrame,
-    doc_cols: list[str],
+    ldf: DataFrame,
+    out_cols: list[str],
     reached: DataFrame,
     from_df: DataFrame,
     alias: str,
     depth_field: str | None,
 ) -> DataFrame:
-    """Shared $graphLookup tail: collapse ``reached`` (doc_cols…, __doc,
-    __depth) to shallowest-depth members, collect the array, and null-safe
-    join it back onto the local frame (empty array for no-reach docs)."""
+    """Shared $graphLookup tail: collapse ``reached`` (__gl_rowid, __doc,
+    __depth) to shallowest-depth members, collect the array, and join it
+    back onto the row-keyed local frame (empty array for no-reach docs)."""
     # a doc reached via several depths keeps its SHALLOWEST depth (Mongo)
-    best = reached.groupBy(*doc_cols, "__doc").agg(F.min("__depth").alias("__depth"))
+    best = reached.groupBy("__gl_rowid", "__doc").agg(
+        F.min("__depth").alias("__depth")
+    )
     member = (
         # Mongo inlines depthField INTO the reached doc
         F.struct(
@@ -912,18 +919,10 @@ def _graph_collect(
         if depth_field
         else F.col("__doc")
     )
-    arrays = best.groupBy(*doc_cols).agg(
+    arrays = best.groupBy("__gl_rowid").agg(
         F.collect_list(member).alias(alias)
     )
-    # null-safe join back (doc identity columns may legitimately hold nulls)
-    back_cond = None
-    for c in doc_cols:
-        eq = F.col(f"__ol__.{c}").eqNullSafe(F.col(f"__oa__.{c}"))
-        back_cond = eq if back_cond is None else (back_cond & eq)
-    out = df.alias("__ol__").join(arrays.alias("__oa__"), back_cond, "left").select(
-        *[F.col(f"__ol__.{c}").alias(c) for c in doc_cols],
-        F.col(f"__oa__.{alias}").alias(alias),
-    )
+    out = ldf.join(arrays, "__gl_rowid", "left").select(*out_cols, alias)
     # docs that reached nothing get an EMPTY array, not null (Mongo)
     fill = F.coalesce(F.col(alias), F.array().cast(arrays.schema[alias].dataType))
     return out.withColumn(alias, fill)
@@ -958,11 +957,11 @@ def _apply_graph_lookup_doubling(df: DataFrame, spec: dict[str, Any]) -> DataFra
     depth_field = spec.get("depthField")
     max_depth = spec.get("maxDepth")
 
-    ec = ExpressionCompiler(df)
-    doc_cols = list(df.columns)
-    starts = df.select(
-        *doc_cols, ec.compile(spec["startWith"]).alias("__v")
-    ).distinct()
+    ldf = df.withColumn(
+        "__gl_rowid", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    ec = ExpressionCompiler(ldf)
+    starts = ldf.select("__gl_rowid", ec.compile(spec["startWith"]).alias("__v"))
 
     # value graph; null endpoints can never equi-match a traversal step
     edges = (
@@ -1028,14 +1027,14 @@ def _apply_graph_lookup_doubling(df: DataFrame, spec: dict[str, Any]) -> DataFra
         .join(closure.alias("__c"), F.col("__s.__v") == F.col("__c.__src"))
         .join(foreign, F.col("__c.__dst") == F.col(f"__g__.{conn_to}"))
         .select(
-            *[F.col(f"__s.{c}").alias(c) for c in doc_cols],
+            F.col("__s.__gl_rowid").alias("__gl_rowid"),
             F.struct(*[F.col(f"__g__.{c}") for c in from_df.columns]).alias("__doc"),
             F.col("__c.__d").alias("__depth"),
         )
     )
     if max_depth is not None:
         reached = reached.filter(F.col("__depth") <= int(max_depth))
-    return _graph_collect(df, doc_cols, reached, from_df, alias, depth_field)
+    return _graph_collect(ldf, list(df.columns), reached, from_df, alias, depth_field)
 
 
 def _apply_vector_search(df: DataFrame, spec: dict[str, Any]) -> DataFrame:

@@ -923,6 +923,35 @@ class TestBucketAutoAndOut:
         assert sorted(x["id"] for x in out[0]["reach"]) == ["a", "b"]
         assert out[0]["note"] is None
 
+    def test_graph_lookup_duplicate_locals_and_map_column(self, spark):
+        """r9 row-identity: byte-identical local docs each keep their own
+        traversal result (Mongo emits one per input doc), and map-typed
+        local columns ride through (they never enter grouping keys now) —
+        both modes."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame(
+            [("x", "a", {"k": "1"}), ("x", "a", {"k": "1"}), ("y", "c", {"k": "2"})],
+            "id string, start string, attrs map<string,string>",
+        )
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", None)], "nid string, nxt string"
+        )
+        for method in ("frontier", "doubling"):
+            out = aggregate(local, [{"$graphLookup": {
+                "from": edges, "startWith": "$start",
+                "connectFromField": "nxt", "connectToField": "nid",
+                "as": "reach", "method": method,
+            }}]).collect()
+            assert len(out) == 3, method
+            xs = [r for r in out if r["id"] == "x"]
+            assert len(xs) == 2, method
+            for r in xs:
+                assert sorted(x["nid"] for x in r["reach"]) == ["a", "b", "c"]
+                assert dict(r["attrs"]) == {"k": "1"}
+            (y,) = [r for r in out if r["id"] == "y"]
+            assert [x["nid"] for x in y["reach"]] == ["c"]
+
     def test_lookup_pipeline_form(self, spark):
         """Correlated $lookup (let + pipeline): the leading $match $expr
         becomes the join condition; trailing $project narrows the structs."""
