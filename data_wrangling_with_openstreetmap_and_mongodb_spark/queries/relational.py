@@ -367,8 +367,8 @@ def distinct_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFram
     """,
     doc="group-first representative doc (README.md:919-920,985-986).  "
     "Rotated out of the driver window in r4: per-group representative "
-    "pick covered by extreme_value_events' visible argmax row (and the "
-    "N-ary $topN family generalizes both); slot given to the new BPE "
+    "pick covered by extreme_value_events' argmax row (gate-only itself "
+    "since r9; the N-ary $topN family generalizes both); slot given to the new BPE "
     "training family (ask #8 hygiene); still in the local parity gate.",
     tags=("window", "topk"),
     driver_visible=False,
