@@ -3304,17 +3304,14 @@ def streaming_nb_score_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.nb_stream import (
         run_streaming_nb_scoring,
     )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.rollup import stream_table
 
     d = load_table(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 5 != 0)
     test = d.filter(F.col("doc_id") % 5 == 0)
     priors, lik = nb_train(train, "text", "lang", num_buckets=1024)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .filter(F.col("doc_id") % 5 == 0)
+    stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
     )
     tmp = tempfile.mkdtemp(prefix="nb_stream_")
     run_streaming_nb_scoring(

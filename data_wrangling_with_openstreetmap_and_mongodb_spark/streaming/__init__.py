@@ -33,6 +33,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.rollup import
     hourly_rollup_plan,
     run_streaming_hourly_rollup,
     stream_events,
+    stream_table,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.sessionize import (
     sessionize_batch,
@@ -60,5 +61,6 @@ __all__ = [
     "sessionize_stream",
     "sessionize_stream_flushing",
     "stream_events",
+    "stream_table",
     "windowed_event_counts",
 ]

@@ -30,18 +30,29 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import
 _sink_counter = itertools.count()
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the events table (schema pinned from a batch peek —
-    streaming sources require an explicit schema)."""
-    path = f"{sf_dir}/events.parquet"
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-stream over ``<sf_dir>/<table>.parquet`` (schema pinned from a
+    batch peek — streaming sources require an explicit schema).  Handles
+    both layouts: a single parquet FILE (the driver testdata shape — the
+    file-stream source wants a directory basePath, so stream the parent
+    with a glob filter) and a parquet DIRECTORY of part files (any
+    Spark-written table, e.g. the derived scale sets)."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
-    # The table may be a single parquet file; the file-stream source wants a
-    # directory basePath, so stream the parent with a glob filter.
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table."""
+    return stream_table(spark, sf_dir, "events")
 
 
 def hourly_rollup_plan(events: DataFrame) -> DataFrame:
