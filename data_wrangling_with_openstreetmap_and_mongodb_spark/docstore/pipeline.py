@@ -765,9 +765,14 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     local, foreign = spec["localField"], spec["foreignField"]
     matched = F.struct(*[F.col(f"__f__.{c}") for c in from_df.columns])
     ldf = df.withColumn("__lk_rowid", F.monotonically_increasing_id())
+    # Mongo equality: a null/missing localField matches foreign docs whose
+    # foreignField is null/missing (r9 — plain SQL == silently dropped
+    # those matches); the __present marker distinguishes a join miss from
+    # a matched row whose foreignField is null
+    aug = from_df.withColumn("__present", F.lit(True))
     joined = ldf.join(
-        from_df.alias("__f__"),
-        F.col(local) == F.col(f"__f__.{foreign}"),
+        aug.alias("__f__"),
+        F.col(local).eqNullSafe(F.col(f"__f__.{foreign}")),
         "left",
     )
     return (
@@ -775,7 +780,7 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         .agg(
             *[F.first(F.col(c)).alias(c) for c in df.columns],
             F.collect_list(
-                F.when(F.col(f"__f__.{foreign}").isNotNull(), matched)
+                F.when(F.col("__f__.__present"), matched)
             ).alias(alias),
         )
         .select(*df.columns, alias)
