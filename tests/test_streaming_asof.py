@@ -104,3 +104,23 @@ def test_batch_helper_each_event_matches_at_most_one_episode(spark):
     out = asof_enrich_against_scd2(events, dim, "user", "ts", "status_asof")
     assert out.count() == len(_events())
     assert set(out.columns) == {"event_id", "user", "ts", "status_asof"}
+
+
+def test_enrich_plan_is_equi_join_with_range_residual(spark):
+    """The per-micro-batch enrichment must plan as ONE EQUI join on the
+    key with the interval bounds as a residual join condition — never a
+    cartesian/BNLJ over the batch.  Catalyst picks SortMergeJoin from the
+    window-derived dim's unknown stats (AQE converts to broadcast at
+    runtime when the dim is small); the scale contract is the join KEY:
+    the batch shuffles at most once on it and the dim probe is O(batch)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+    changes = spark.createDataFrame(
+        _changes(), "user long, ts long, status string, change_id long"
+    )
+    dim = scd2_from_changes(changes, "user", "ts", "status", "change_id")
+    events = spark.createDataFrame(_events(), "event_id long, user long, ts long")
+    plan = executed_plan(asof_enrich_against_scd2(events, dim, "user", "ts"))
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
