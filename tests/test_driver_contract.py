@@ -46,6 +46,16 @@ def test_novel_operator_families_are_driver_visible():
         "pack_training_sequences",
         "dedup_exact_substring",  # sliding-window ExactSubstr (r7)
         "geo_near_customers",  # first geospatial row (r7)
+        # r9 rotation (VERDICT r8 asks #1/#8): the six r8 families plus the
+        # two new streaming families, each with an independent driver row
+        "ds_lookup_group",
+        "geo_radius_join_wrap",
+        "geo_intersects_events",
+        "shuffled_shard_manifest",
+        "dsir_gumbel_resample",
+        "scd2_incremental_state",
+        "streaming_asof_enrich_status",
+        "streaming_nb_score_confusion",
     ):
         assert novel in dc, novel
     for hidden in (
@@ -57,6 +67,16 @@ def test_novel_operator_families_are_driver_visible():
         # r7 second-session rotations (each still oracle-gated at sf0.01):
         "ann_ivf_kmeans_topk",  # near-dup of ann_ivfpq_topk's probe shape
         "span_dedup_documents",  # subsumed by dedup_exact_substring
+        # r9 evictions (each shape-covered by a visible family row and
+        # still oracle-gated at sf0.01):
+        "profile_orders",
+        "ds_find_machinery_customers",
+        "cube_order_counts",
+        "pivot_segment_counts",
+        "nest_unnest_roundtrip",
+        "sql_revenue_by_nation",
+        "dedup_ngram_jaccard",
+        "extreme_value_events",
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 
