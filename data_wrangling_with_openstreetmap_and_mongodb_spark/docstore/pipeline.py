@@ -676,11 +676,28 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             )
         proj_cols: dict[str, Column] | None = None
         if proj is not None:
-            fields = [
-                (name, fec.compile(expr) if not isinstance(expr, int) else F.col(f"__f__.{name}"))
-                for name, expr in proj.items()
-                if name != "_id"
+            entries = {n: e for n, e in proj.items() if n != "_id"}
+            excluded = [
+                n for n, e in entries.items()
+                if isinstance(e, (bool, int)) and not e
             ]
+            if excluded and len(excluded) != len(entries):
+                raise ValueError(
+                    "$lookup $project cannot mix include and exclude "
+                    f"(except _id): excluded {excluded} alongside includes"
+                )
+            if excluded:
+                # exclusion mode (r9 — a 0/False value used to be silently
+                # treated as an include): keep every other foreign column
+                keep = [c for c in from_df.columns if c not in set(excluded)]
+                if not keep:
+                    raise ValueError("$lookup $project excludes every field")
+                fields = [(c, F.col(f"__f__.{c}")) for c in keep]
+            else:
+                fields = [
+                    (name, fec.compile(expr) if not isinstance(expr, int) else F.col(f"__f__.{name}"))
+                    for name, expr in entries.items()
+                ]
             proj_cols = dict(fields)
             matched = F.struct(*[c.alias(n) for n, c in fields])
         else:

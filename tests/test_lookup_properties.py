@@ -265,3 +265,36 @@ def test_equi_form_matches_reference_incl_null_keys(spark):
     # the null-key local doc matched the null-fk foreign doc (Mongo)
     null_row = next(r for r in rows if r["k"] is None)
     assert [e["status"] for e in null_row["m"]] == ["O"]
+
+
+def test_doc_form_project_exclusion_mode(spark):
+    """r9 fix: a 0/False value in the sub-pipeline $project EXCLUDES the
+    field (Mongo) — it used to be silently treated as an include; mixing
+    include and exclude (except _id) raises."""
+    import pytest
+
+    l, f = _frames(spark)
+    rows = aggregate(
+        l,
+        [{"$lookup": {
+            "from": f, "let": {"lk": "$k"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$fk", "$$lk"]}}},
+                {"$project": {"price": 0}},
+            ],
+            "as": "m"}}],
+    ).collect()
+    one = next(r for r in rows if r["k"] == 1)
+    elem = one["m"][0].asDict()
+    assert set(elem) == {"fk", "status"}
+    with pytest.raises(ValueError, match="mix include and exclude"):
+        aggregate(
+            l,
+            [{"$lookup": {
+                "from": f, "let": {"lk": "$k"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$fk", "$$lk"]}}},
+                    {"$project": {"price": 0, "status": 1}},
+                ],
+                "as": "m"}}],
+        )
