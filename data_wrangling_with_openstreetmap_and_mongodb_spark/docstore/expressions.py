@@ -386,13 +386,17 @@ class ExpressionCompiler:
                     out = F.slice(out, 1, int(lim))
                 else:
                     limc = c(lim).cast("int")
-                    eff = F.when(limc.isNull(), F.size(out)).otherwise(limc)
-                    eff = F.when(
-                        eff < 1,
+                    # guard ONLY the non-null branch: a null limit means
+                    # keep-all, and its size(out) fallback may legitimately
+                    # be 0 on an empty match result (r9 follow-up — the
+                    # first fix routed that 0 through the <1 guard)
+                    guarded = F.when(
+                        limc < 1,
                         F.raise_error(
                             F.lit("$filter limit must be >= 1 (Mongo)")
                         ).cast("int"),
-                    ).otherwise(eff)
+                    ).otherwise(limc)
+                    eff = F.when(limc.isNull(), F.size(out)).otherwise(guarded)
                     out = F.slice(out, 1, eff)
             return out
         if op == "$reduce":

@@ -4112,7 +4112,7 @@ class TestFilterLimitOption:
         from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import ExpressionCompiler
 
         df = spark.createDataFrame(
-            [([1, 8, 9, 2, 7], None), ([4, 6], 1)],
+            [([1, 8, 9, 2, 7], None), ([4, 6], 1), ([1, 2], None)],
             "xs array<long>, lim long",
         )
         ec = ExpressionCompiler(df)
@@ -4121,7 +4121,9 @@ class TestFilterLimitOption:
                 "input": "$xs", "cond": {"$gte": ["$$this", 5]}, "limit": "$lim",
             }}).alias("f"),
         ).collect()
-        assert [list(r["f"]) for r in rows] == [[8, 9, 7], [6]]
+        # third row: null limit over an EMPTY match result is [] — its
+        # size(out)=0 fallback must not trip the <1 guard
+        assert [list(r["f"]) for r in rows] == [[8, 9, 7], [6], []]
         with pytest.raises(ValueError, match=">= 1"):
             ec.compile({"$filter": {"input": "$xs", "cond": True, "limit": 0}})
         bad = spark.createDataFrame([([1, 2], 0)], "xs array<long>, lim long")
