@@ -854,9 +854,7 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         "__gl_rowid", F.monotonically_increasing_id()
     ).localCheckpoint()
     ec = ExpressionCompiler(ldf)
-    frontier = ldf.select(
-        "__gl_rowid", ec.compile(spec["startWith"]).alias("__v")
-    )
+    frontier = _graph_seed(ldf, ec, spec["startWith"])
     foreign = from_df.alias("__g__")
     reached = None  # (__gl_rowid, foreign struct, __depth)
     visited = frontier  # values already expanded
@@ -912,6 +910,22 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         )
         return df.withColumn(alias, empty_struct)
     return _graph_collect(ldf, list(df.columns), reached, from_df, alias, depth_field)
+
+
+def _graph_seed(ldf: DataFrame, ec: "ExpressionCompiler", start_with: Any) -> DataFrame:
+    """(__gl_rowid, __v) seed frontier.  Mongo seeds EVERY element when
+    ``startWith`` evaluates to an array (r9) — exploded here, with
+    null/empty arrays seeding nothing (the doc still emits [] through the
+    join-back); per-doc duplicate seed values collapse."""
+    from pyspark.sql.types import ArrayType
+
+    raw = ec.compile(start_with)
+    seeded = ldf.select("__gl_rowid", raw.alias("__v"))
+    if isinstance(seeded.schema["__v"].dataType, ArrayType):
+        seeded = ldf.select(
+            "__gl_rowid", F.explode(raw).alias("__v")
+        ).distinct()
+    return seeded
 
 
 def _graph_collect(
@@ -983,7 +997,7 @@ def _apply_graph_lookup_doubling(df: DataFrame, spec: dict[str, Any]) -> DataFra
         "__gl_rowid", F.monotonically_increasing_id()
     ).localCheckpoint()
     ec = ExpressionCompiler(ldf)
-    starts = ldf.select("__gl_rowid", ec.compile(spec["startWith"]).alias("__v"))
+    starts = _graph_seed(ldf, ec, spec["startWith"])
 
     # value graph; null endpoints can never equi-match a traversal step
     edges = (

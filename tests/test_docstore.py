@@ -952,6 +952,31 @@ class TestBucketAutoAndOut:
             (y,) = [r for r in out if r["id"] == "y"]
             assert [x["nid"] for x in y["reach"]] == ["c"]
 
+    def test_graph_lookup_array_start_with(self, spark):
+        """Mongo: an array-valued startWith seeds the traversal from EVERY
+        element (r9); null/empty arrays seed nothing but still emit []."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame(
+            [("multi", ["a", "x"]), ("none", []), ("nil", None)],
+            "id string, starts array<string>",
+        )
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", None), ("x", "y"), ("y", None), ("z", None)],
+            "nid string, nxt string",
+        )
+        for method in ("frontier", "doubling"):
+            out = {
+                r["id"]: sorted((e["nid"], e["d"]) for e in r["reach"])
+                for r in aggregate(local, [{"$graphLookup": {
+                    "from": edges, "startWith": "$starts",
+                    "connectFromField": "nxt", "connectToField": "nid",
+                    "as": "reach", "depthField": "d", "method": method,
+                }}]).collect()
+            }
+            assert out["multi"] == [("a", 0), ("b", 1), ("x", 0), ("y", 1)], method
+            assert out["none"] == [] and out["nil"] == [], method
+
     def test_lookup_pipeline_form(self, spark):
         """Correlated $lookup (let + pipeline): the leading $match $expr
         becomes the join condition; trailing $project narrows the structs."""
