@@ -560,6 +560,11 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     alias = spec["as"]
     if not isinstance(from_df, DataFrame):
         raise ValueError("$lookup 'from' must be a DataFrame (no shared catalog)")
+    extra = set(spec) - {"from", "as", "localField", "foreignField", "let", "pipeline"}
+    if extra:
+        # silent-ignore class: unknown options must not quietly change
+        # join semantics
+        raise ValueError(f"unsupported $lookup options: {sorted(extra)}")
 
     if "pipeline" in spec:
         pipe = list(spec["pipeline"])
@@ -838,6 +843,24 @@ def _apply_graph_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     from_df: DataFrame = spec["from"]
     if not isinstance(from_df, DataFrame):
         raise ValueError("$graphLookup 'from' must be a DataFrame (no shared catalog)")
+    extra = set(spec) - {
+        "from", "startWith", "connectFromField", "connectToField", "as",
+        "depthField", "maxDepth", "method", "restrictSearchWithMatch",
+    }
+    if extra:
+        # silent-ignore class: an unknown option must not quietly change
+        # traversal semantics
+        raise ValueError(f"unsupported $graphLookup options: {sorted(extra)}")
+    rsm = spec.get("restrictSearchWithMatch")
+    if rsm is not None:
+        # Mongo: documents failing the restriction are invisible to the
+        # traversal — neither collected nor followed — so a plain pre-filter
+        # of the foreign collection IS the semantics (r9; previously
+        # silently ignored)
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import FindCompiler
+
+        from_df = from_df.filter(FindCompiler(from_df).compile(rsm))
+        spec = {**spec, "from": from_df}
     method = spec.get("method", "frontier")
     if method == "doubling":
         return _apply_graph_lookup_doubling(df, spec)

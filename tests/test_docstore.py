@@ -977,6 +977,42 @@ class TestBucketAutoAndOut:
             assert out["multi"] == [("a", 0), ("b", 1), ("x", 0), ("y", 1)], method
             assert out["none"] == [] and out["nil"] == [], method
 
+    def test_graph_lookup_restrict_search_with_match(self, spark):
+        """restrictSearchWithMatch (r9 — was silently ignored): docs
+        failing the restriction are invisible to the traversal, neither
+        collected NOR followed (the chain breaks at them); unknown options
+        on $graphLookup and $lookup raise."""
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        local = spark.createDataFrame([("s", "a")], "id string, start string")
+        edges = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 0), ("c", None, 1)],
+            "nid string, nxt string, ok long",
+        )
+        for method in ("frontier", "doubling"):
+            out = aggregate(local, [{"$graphLookup": {
+                "from": edges, "startWith": "$start",
+                "connectFromField": "nxt", "connectToField": "nid",
+                "as": "reach", "method": method,
+                "restrictSearchWithMatch": {"ok": 1},
+            }}]).collect()
+            # b fails the restriction: not collected, and the a→b→c chain
+            # breaks there so c is unreachable too
+            assert sorted(e["nid"] for e in out[0]["reach"]) == ["a"], method
+        with pytest.raises(ValueError, match="unsupported \\$graphLookup"):
+            aggregate(local, [{"$graphLookup": {
+                "from": edges, "startWith": "$start",
+                "connectFromField": "nxt", "connectToField": "nid",
+                "as": "reach", "bogus": 1,
+            }}])
+        with pytest.raises(ValueError, match="unsupported \\$lookup"):
+            aggregate(local, [{"$lookup": {
+                "from": edges, "localField": "start",
+                "foreignField": "nid", "as": "m", "bogus": 1,
+            }}])
+
     def test_lookup_pipeline_form(self, spark):
         """Correlated $lookup (let + pipeline): the leading $match $expr
         becomes the join condition; trailing $project narrows the structs."""
