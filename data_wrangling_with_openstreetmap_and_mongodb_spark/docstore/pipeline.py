@@ -524,9 +524,14 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     groupBy(collect_list); the foreign side should be the smaller one
     (broadcast fires under the threshold).
 
-    Two forms:
+    Three forms:
 
     - ``localField``/``foreignField``: plain equi-join.
+    - ``localField``/``foreignField`` + ``pipeline`` (Mongo 5.0 concise
+      correlated form): the equality match applies IN ADDITION to the
+      pipeline — desugared below to the ``let`` form with the equality
+      AND-ed into the leading ``$match $expr`` (total ``$eq``: null local
+      keys match null foreign keys, same as the plain form's eqNullSafe).
     - ``let`` + ``pipeline`` (Mongo 3.6 correlated form): the pipeline's
       FIRST stage must be ``{"$match": {"$expr": cond}}`` — the condition
       (referencing foreign fields as ``$f`` and ``let`` variables as
@@ -565,6 +570,46 @@ def _apply_lookup(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         # silent-ignore class: unknown options must not quietly change
         # join semantics
         raise ValueError(f"unsupported $lookup options: {sorted(extra)}")
+
+    if "pipeline" in spec and ("localField" in spec or "foreignField" in spec):
+        # Mongo 5.0 concise correlated form: the localField/foreignField
+        # equality applies IN ADDITION to the pipeline (server desugars it to
+        # a let + leading $match $expr — replayed here so the equality can
+        # never be silently dropped, which over-matched before r10).
+        if "localField" not in spec or "foreignField" not in spec:
+            raise ValueError(
+                "$lookup concise correlated form needs BOTH localField and "
+                "foreignField alongside pipeline"
+            )
+        var = "__concise_local"
+        let = dict(spec.get("let") or {})
+        if var in let:  # pragma: no cover - pathological name collision
+            raise ValueError(f"$lookup let variable {var!r} is reserved")
+        let[var] = "$" + spec["localField"]
+        eq_expr: dict[str, Any] = {
+            "$eq": [f"$${var}", "$" + spec["foreignField"]]
+        }
+        pipe = list(spec["pipeline"])
+        if (
+            pipe
+            and isinstance(pipe[0], dict)
+            and "$match" in pipe[0]
+            and isinstance(pipe[0]["$match"], dict)
+            and "$expr" in pipe[0]["$match"]
+        ):
+            # AND the equality into the user's correlated condition so the
+            # compiler still sees exactly one leading $match $expr
+            pipe = [
+                {"$match": {"$expr": {"$and": [eq_expr, pipe[0]["$match"]["$expr"]]}}}
+            ] + pipe[1:]
+        else:
+            pipe = [{"$match": {"$expr": eq_expr}}] + pipe
+        spec = {
+            "from": from_df,
+            "as": alias,
+            "let": let,
+            "pipeline": pipe,
+        }
 
     if "pipeline" in spec:
         pipe = list(spec["pipeline"])
@@ -2121,7 +2166,15 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         ).otherwise(F.col(keys[0])),
     ).withColumn("__src", F.lit(True))
     tgt = target.withColumn("__tgt", F.lit(True))
-    joined = tgt.alias("t").join(src.alias("s"), keys, "full_outer")
+    # Null-safe key equality (r10, found by the $merge fuzz tier): a null
+    # 'on' value is a VALUE under BSON total equality — a null-key source
+    # doc must match the null-key target row, not insert a duplicate next
+    # to it (the name-list join form compiles to EqualTo, which silently
+    # did exactly that; same class as the r9 $lookup null-key fix).
+    key_cond = F.lit(True)
+    for k in keys:
+        key_cond = key_cond & F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+    joined = tgt.alias("t").join(src.alias("s"), key_cond, "full_outer")
     matched = F.col("t.__tgt").isNotNull() & F.col("s.__src").isNotNull()
     src_only = F.col("t.__tgt").isNull()
 
@@ -2154,7 +2207,14 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 f"key(s): {bad_keys}"
             )
 
-    out_cols: list[Column] = [F.col(k) for k in keys]
+    # with an explicit (null-safe) join condition there is no merged USING
+    # column: the output key is whichever side has the row (equal when both)
+    def key_val(k: str) -> Column:
+        return F.when(F.col("t.__tgt").isNotNull(), F.col(f"t.{k}")).otherwise(
+            F.col(f"s.{k}")
+        )
+
+    out_cols: list[Column] = [key_val(k).alias(k) for k in keys]
     fail_conds = []
     if when_matched == "fail":
         fail_conds.append(("whenMatched", matched))
@@ -2172,7 +2232,7 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         which = "/".join(w for w, _ in fail_conds)
         out_cols[0] = (
             F.when(cond, F.raise_error(F.lit(f"$merge: {which}=fail hit")))
-            .otherwise(F.col(keys[0]))
+            .otherwise(key_val(keys[0]))
             .alias(keys[0])
         )
     value_cols = [c for c in target.columns if c not in keys]

@@ -298,3 +298,98 @@ def test_doc_form_project_exclusion_mode(spark):
                 ],
                 "as": "m"}}],
         )
+
+
+# -- Mongo 5.0 concise correlated form (r10, ADVICE r9 medium) ----------------
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_DOC_TAILS)
+def test_concise_correlated_matches_reference(spark, tail):
+    """localField/foreignField + pipeline: the equality applies IN ADDITION
+    to the pipeline (it used to be silently dropped — every local doc got
+    every pipeline-passing foreign doc)."""
+    l, f = _frames(spark)
+    spec = {
+        "from": f,
+        "localField": "k",
+        "foreignField": "fk",
+        "pipeline": tail,
+        "as": "m",
+    }
+    rows = aggregate(l, [{"$lookup": spec}]).collect()
+    sort_spec = next((s["$sort"] for s in tail if "$sort" in s), None)
+    skip_n = next((s["$skip"] for s in tail if "$skip" in s), 0)
+    limit_n = next((s["$limit"] for s in tail if "$limit" in s), None)
+    ordered = sort_spec is not None
+    got = _spark_pairs(rows, "m", ("fk", "status", "price"), ordered)
+    want = _canon_pairs(
+        eval_doc_form(LOCAL, FOREIGN, sort_spec, skip_n, limit_n),
+        ("fk", "status", "price"),
+        ordered,
+    )
+    assert got == want
+    assert len(rows) == len(LOCAL)
+
+
+def test_concise_correlated_ands_extra_match(spark):
+    """A leading $match $expr in the concise pipeline AND-merges with the
+    equality instead of replacing it."""
+    l, f = _frames(spark)
+    rows = aggregate(
+        l,
+        [{"$lookup": {
+            "from": f, "localField": "k", "foreignField": "fk",
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$status", "F"]}}}],
+            "as": "m"}}],
+    ).collect()
+    want = _canon_pairs(
+        [
+            (ld, [fd for fd in FOREIGN
+                  if _total_eq(fd["fk"], ld["k"]) and fd["status"] == "F"])
+            for ld in LOCAL
+        ],
+        ("fk", "status", "price"),
+        ordered=False,
+    )
+    got = _spark_pairs(rows, "m", ("fk", "status", "price"), ordered=False)
+    assert got == want
+    # over-match regression: local k=1 has 2 'F' foreign docs, not all 4 'F'
+    one = next(r for r in rows if r["k"] == 1)
+    assert len(one["m"]) == 2
+
+
+def test_concise_correlated_respects_let_vars(spark):
+    """User let-vars coexist with the desugared equality variable."""
+    l, f = _frames(spark)
+    rows = aggregate(
+        l,
+        [{"$lookup": {
+            "from": f, "localField": "k", "foreignField": "fk",
+            "let": {"lw": "$w"},
+            "pipeline": [{"$match": {"$expr": {"$gt": ["$price", "$$lw"]}}}],
+            "as": "m"}}],
+    ).collect()
+    # local k=1 (w=2.0) matches fk=1 docs with price > 2.0 — all three of
+    # fk=1's docs qualify, but NOT fk=2's 5.25 (also > 2.0): the desugared
+    # equality still constrains the join alongside the user's $$lw condition
+    one = next(r for r in rows if r["k"] == 1)
+    assert sorted(e["price"] for e in one["m"]) == [5.0, 7.5, 10.0]
+    assert all(e["fk"] == 1 for e in one["m"])
+    assert len(rows) == len(LOCAL)
+
+
+def test_concise_correlated_requires_both_fields(spark):
+    import pytest
+
+    l, f = _frames(spark)
+    for partial in ({"localField": "k"}, {"foreignField": "fk"}):
+        with pytest.raises(ValueError, match="BOTH localField and foreignField"):
+            aggregate(
+                l,
+                [{"$lookup": {"from": f, "pipeline": [], "as": "m", **partial}}],
+            )
