@@ -392,6 +392,14 @@ def geo_radius_join_narrow(
     frames use side-prefixed internal names and the output renames
     right-side collisions with an ``_r`` suffix, exactly like
     :func:`geo_radius_join`.  Same whole-sphere coverage contract."""
+    # same guard as the wide form (r10, ADVICE r9): the inner
+    # geo_radius_join only sees the renamed __gl_/__gr_ frames, so a left
+    # column named like the distance field would otherwise duplicate in
+    # the join-back output (right-side collisions are _r-renamed instead)
+    if distance_field in left.columns:
+        raise ValueError(
+            f"distance_field {distance_field!r} collides with an input column"
+        )
     lk = left.select(
         F.col(left_id).alias("__gl_id"),
         F.col(left_coords[0]).alias("__gl_lat"),

@@ -90,8 +90,10 @@ def connected_components(
 
     Non-convergence within ``max_iters`` now RAISES (was: silently returned
     partial labels — a correctness hazard for high-diameter graphs).
-    ``stats`` (optional dict) receives ``rounds`` (sync count) and
-    ``propagations`` for measurement harnesses.
+    ``stats`` (optional dict) receives ``rounds`` (sync count),
+    ``propagations`` (min-label passes: 2/sync), and ``jumps`` (pointer
+    jumps: 1/sync in doubling mode, else 0) for measurement harnesses —
+    per-sync shuffle work is ``propagations + jumps``.
     """
     if method not in ("frontier", "doubling"):
         raise ValueError(f"unknown method: {method!r} (frontier/doubling)")
@@ -168,7 +170,12 @@ def connected_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
+        # per-sync shuffle passes: two min-label propagations, plus one
+        # pointer-jump join in doubling mode (r10, ADVICE r9 — the probe
+        # harness compares per-sync work across methods, so the jump pass
+        # must count)
         stats["propagations"] = rounds * 2
+        stats["jumps"] = rounds if method == "doubling" else 0
         stats["converged"] = converged
     if not converged:
         raise RuntimeError(

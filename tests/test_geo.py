@@ -601,3 +601,34 @@ def test_radius_join_narrow_default_coords_shared_payload(spark):
     assert [(x["id"], x["id_r"], x["tag"], x["tag_r"]) for x in rows] == [
         (1, 7, "L1", "R7")
     ]
+
+
+def test_radius_join_narrow_rejects_left_distance_field_collision(spark):
+    """r10 (ADVICE r9): the narrow wrapper validates distance_field against
+    the ORIGINAL left columns — the inner join only sees the renamed
+    __gl_/__gr_ frames, so without the guard a left 'distance_km' column
+    silently duplicated in the output.  Right collisions keep the _r rename."""
+    import pytest
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.geo import (
+        geo_radius_join_narrow,
+    )
+
+    l = spark.createDataFrame(
+        [(1, 10.0, 20.0, 7.0)],
+        "id long, lat double, lon double, distance_km double",
+    )
+    r = spark.createDataFrame(
+        [(7, 10.3, 20.3)], "id long, lat double, lon double"
+    )
+    with pytest.raises(ValueError, match="distance_field"):
+        geo_radius_join_narrow(l, r, 500.0, "id", "id")
+    # a RIGHT-side 'distance_km' column renames instead of raising
+    out = geo_radius_join_narrow(
+        l.select("id", "lat", "lon"), r.withColumn("distance_km", r["id"] * 1.0),
+        500.0, "id", "id",
+    )
+    assert out.columns == [
+        "id", "lat", "lon", "id_r", "lat_r", "lon_r", "distance_km_r",
+        "distance_km",
+    ]

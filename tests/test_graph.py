@@ -83,6 +83,11 @@ def test_doubling_log_rounds_on_deep_chain(spark):
     assert st_f["rounds"] >= 30  # linear in diameter
     assert st_d["rounds"] < st_f["rounds"]
     assert st_d["rounds"] <= 7  # log-ish, not linear
+    # per-sync shuffle accounting (r10, ADVICE r9): two min-label passes per
+    # sync in both methods, plus one pointer-jump join per sync in doubling
+    assert st_f["propagations"] == st_f["rounds"] * 2 and st_f["jumps"] == 0
+    assert st_d["propagations"] == st_d["rounds"] * 2
+    assert st_d["jumps"] == st_d["rounds"]
     # non-convergence now raises loudly instead of returning partial labels
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, max_iters=8)
