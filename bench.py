@@ -121,12 +121,27 @@ def _env_conf() -> dict:
         ),
         "warmup": max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))),
         "chunk": max(0, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "25"))),
+        # Ambient-contention flag threshold.  Calibration (r10, VERDICT r9
+        # ask #3): r9's run carried 1-min loads of 2.7-8.4 and demonstrably
+        # swung sub-second medians ~1.8x, yet the old default (1.5x cpus =
+        # 48) never fired.  0.2x cpus (= 6.4 on the 32-cpu driver box) trips
+        # on exactly that contention band while staying above the owned-run
+        # floor (the bench itself contributes ~0 to the 1-min average taken
+        # BEFORE each sample).  Falls back to os.cpu_count() when
+        # SPARK_GRAFT_CPUS is unset (ADVICE r9) so a smaller box still flags.
         "load_flag": float(
             os.environ.get(
                 "SPARK_GRAFT_BENCH_LOAD_FLAG",
-                str(1.5 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+                str(0.2 * int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))),
             )
         ),
+        # One full re-run of the frozen r2 subset chunk when any of its
+        # samples landed above the flag threshold (protocol-preserving: the
+        # retry replays chunk 0 in the same frozen order in its own fresh
+        # JVM, so cross-round comparability holds; a per-query retry would
+        # not — session position is worth 2-3x on sub-second queries).
+        "retry_flagged": os.environ.get("SPARK_GRAFT_BENCH_RETRY_FLAGGED", "1")
+        not in ("0", "", "false"),
     }
 
 
@@ -268,8 +283,46 @@ def main() -> None:
         else [all_names]
     )
 
+    def _flagged(recs: dict[str, dict]) -> list[str]:
+        return sorted(
+            n
+            for n, rec in recs.items()
+            if any(
+                ld is not None and ld > conf["load_flag"]
+                for ld in (rec.get("loads") or [])
+            )
+        )
+
+    def _run_worker(names: list[str], script: str, label: str) -> dict[str, dict]:
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".json", delete=False
+        ) as fin, tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fout:
+            json.dump({"names": names, "conf": conf}, fin)
+            in_path, out_path = fin.name, fout.name
+        try:
+            proc = subprocess.run(
+                [sys.executable, script, "--worker", in_path, out_path],
+                stdout=sys.stderr,  # workers print nothing useful; keep
+                # stdout clean for the single JSON line
+                stderr=sys.stderr,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(f"worker rc={proc.returncode}")
+            with open(out_path) as f:
+                return json.load(f)
+        except Exception as exc:
+            print(f"bench: chunk {label} failed entirely: {exc}", file=sys.stderr)
+            return {n: {"err": f"chunk failed: {exc}"[:300]} for n in names}
+        finally:
+            for p in (in_path, out_path):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
     details: dict[str, dict] = {}
     ambient_load: dict[str, float | None] = {}
+    r2_retry_info: dict | None = None
     if chunk == 0:
         ambient_load["0"] = _loadavg()
         details = _run_chunk(all_names, conf)
@@ -279,31 +332,36 @@ def main() -> None:
             # ambient = before this chunk's JVM boots; mid-run loadavg
             # includes the bench itself
             ambient_load[str(ci)] = _loadavg()
-            with tempfile.NamedTemporaryFile(
-                "w", suffix=".json", delete=False
-            ) as fin, tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fout:
-                json.dump({"names": names, "conf": conf}, fin)
-                in_path, out_path = fin.name, fout.name
-            try:
-                proc = subprocess.run(
-                    [sys.executable, script, "--worker", in_path, out_path],
-                    stdout=sys.stderr,  # workers print nothing useful; keep
-                    # stdout clean for the single JSON line
-                    stderr=sys.stderr,
-                )
-                if proc.returncode != 0:
-                    raise RuntimeError(f"worker rc={proc.returncode}")
-                with open(out_path) as f:
-                    got = json.load(f)
-            except Exception as exc:
-                print(f"bench: chunk {ci} failed entirely: {exc}", file=sys.stderr)
-                got = {n: {"err": f"chunk failed: {exc}"[:300]} for n in names}
-            finally:
-                for p in (in_path, out_path):
-                    try:
-                        os.unlink(p)
-                    except OSError:
-                        pass
+            got = _run_worker(names, script, str(ci))
+            if ci == 0 and conf["retry_flagged"]:
+                # pinned-subset retry (r10): when any frozen-subset sample
+                # was taken under ambient load, replay the WHOLE chunk once
+                # (same frozen order, fresh JVM = the exact r2 protocol) and
+                # keep whichever attempt carried fewer flagged samples — the
+                # discarded attempt stays in BENCH_DETAIL for audit.
+                first_flagged = _flagged(got)
+                if first_flagged:
+                    ambient_load["r2_retry"] = _loadavg()
+                    retry = _run_worker(names, script, "r2_retry")
+                    retry_flagged = _flagged(retry)
+                    retry_errs = [n for n, r in retry.items() if r.get("err")]
+                    use_retry = (
+                        len(retry_flagged) < len(first_flagged) and not retry_errs
+                    )
+                    r2_retry_info = {
+                        "first_flagged": first_flagged,
+                        "retry_flagged": retry_flagged,
+                        "attempt_used": "retry" if use_retry else "first",
+                        "discarded_attempt": {
+                            n: {
+                                "samples": r.get("samples") or [],
+                                "loads": r.get("loads") or [],
+                            }
+                            for n, r in (got if use_retry else retry).items()
+                        },
+                    }
+                    if use_retry:
+                        got = retry
             for n, rec in got.items():
                 rec["chunk"] = ci
             details.update(got)
@@ -352,6 +410,7 @@ def main() -> None:
         "loads": {n: (details[n].get("loads") or []) for n in all_names if n in details},
         "ambient_load": ambient_load,
         "load_threshold": conf["load_flag"],
+        "r2_retry": r2_retry_info,
         "load_flagged": sorted(
             n
             for n in all_names
