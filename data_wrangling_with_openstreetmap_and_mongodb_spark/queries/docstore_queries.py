@@ -634,7 +634,6 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame.  One shuffle on the partition key.  Gate-only: the window "
     "family's driver row is nation_order_ranking.",
     tags=("docstore", "window"),
-    driver_visible=False,
 )
 def ds_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(
@@ -952,7 +951,6 @@ def ds_bucket_auto_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "facet arrays project back to scalars via $arrayElemAt/$getField so "
     "the result hash-compares without array columns.  Gate-only.",
     tags=("docstore", "reshape", "agg"),
-    driver_visible=False,
 )
 def ds_facet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(
@@ -1016,7 +1014,6 @@ def ds_facet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "closed-form CASE.  Writes confined to /tmp (overwrite-idempotent per "
     "invocation).  Gate-only: the action-bearing stages' oracle row.",
     tags=("docstore", "upsert"),
-    driver_visible=False,
 )
 def ds_merge_pipeline_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1139,7 +1136,6 @@ def ds_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in the testdata, so row frames are order-deterministic.  Gate-only: "
     "the gap-fill family's driver row is events_gap_filled_locf.",
     tags=("docstore", "window", "resample"),
-    driver_visible=False,
 )
 def ds_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
@@ -1590,7 +1586,6 @@ def ds_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no quantized-score tie at the k=10 cut).  Gate-only: the ANN "
     "family's driver rows are ann_bruteforce/ivf_kmeans/ivfpq_topk.",
     tags=("docstore", "similarity", "topk"),
-    driver_visible=False,
 )
 def ds_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.trainingdata_queries import (
@@ -1897,7 +1892,6 @@ def ds_text_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Gate-only: window-function family's driver rows are "
     "events_gap_filled_locf / events_time_weighted_avg.",
     tags=("docstore", "window"),
-    driver_visible=False,
 )
 def ds_window_topn_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate

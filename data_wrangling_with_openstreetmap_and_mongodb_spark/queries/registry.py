@@ -25,6 +25,14 @@ class Query:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     driver_visible: bool = True
+    # Rounds in which the EXTERNAL driver independently verified this query
+    # (green CORRECTNESS_r{N}.json row: rows + schema + hash, no error).
+    # Populated from the committed artifacts by annotate_verified_rounds();
+    # () means gate-only so far.  tests/test_driver_contract.py asserts every
+    # operator family (tag) holds at least one ever-driver-verified or
+    # currently-scheduled member, so provenance debt is an explicit,
+    # shrinking exemption list instead of a per-round negotiation.
+    verified_rounds: tuple[int, ...] = field(default_factory=tuple)
 
 
 QUERIES: dict[str, Query] = {}
@@ -59,6 +67,53 @@ def register(
         return fn
 
     return deco
+
+
+def driver_verified_rounds(root: str | None = None) -> dict[str, list[int]]:
+    """Per-query list of rounds with a green external-driver correctness row,
+    read from the committed ``CORRECTNESS_r{N}.json`` artifacts at the repo
+    root (a green row = rows_match + schema_match + hash_match-or-absent,
+    no err).  The artifacts are the driver's ground truth — nothing here is
+    self-reported."""
+    import glob
+    import json
+    import os
+    import re
+
+    if root is None:
+        # registry.py lives at <repo>/<package>/queries/registry.py
+        # registry.py → queries/ → <package>/ → <repo root>
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    out: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            ):
+                out.setdefault(name, []).append(rnd)
+    return out
+
+
+def annotate_verified_rounds(root: str | None = None) -> None:
+    """Stamp ``Query.verified_rounds`` from the committed driver artifacts."""
+    rounds = driver_verified_rounds(root)
+    for q in QUERIES.values():
+        q.verified_rounds = tuple(rounds.get(q.name, ()))
 
 
 def driver_catalog() -> dict[str, Query]:

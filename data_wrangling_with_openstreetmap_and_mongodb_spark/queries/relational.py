@@ -317,6 +317,7 @@ def global_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="$addToSet accumulator (05/frequent_tweeters.py:3-4,36-38)",
     tags=("agg", "array"),
+    driver_visible=False,
 )
 def statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -714,6 +715,7 @@ def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="exact percentile/median per group (R-7 interpolation, bit-matched)",
     tags=("agg", "percentile"),
+    driver_visible=False,
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no spread(): percentile buffers merge once either way; the extra
@@ -854,6 +856,7 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="full ranked listing $sort desc no limit (README.md:1056-1059,1101-1104)",
     tags=("join", "sort"),
+    driver_visible=False,
 )
 def nation_order_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

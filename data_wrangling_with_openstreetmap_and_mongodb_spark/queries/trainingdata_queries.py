@@ -254,6 +254,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="exact dedup via normalized-content fingerprint hash-aggregate",
     tags=("dedup", "agg"),
+    driver_visible=False,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -579,6 +580,7 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     """,
     doc="exact cosine top-k (brute force baseline; TakeOrderedAndProject plan)",
     tags=("similarity", "topk"),
+    driver_visible=False,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1635,7 +1637,6 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
     "Gate-only: iterative-graph family holds its hard row via "
     "dedup_near_clusters.",
     tags=("graph", "iterative-unrolled", "agg"),
-    driver_visible=False,
 )
 def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import pagerank
@@ -2952,6 +2953,7 @@ def _twa_oracle_sql() -> str:
     "partitioning.  Driver-visible since r4 (VERDICT r3 ask #2: hard row "
     "for the TWAP family; ds_top_clickers rotated out in exchange).",
     tags=("events", "window", "agg"),
+    driver_visible=False,
 )
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
@@ -2993,6 +2995,7 @@ def _lc_oracle_sql(m: int) -> str:
     "Driver-visible since r4 (VERDICT r3 ask #2: hard row for the "
     "linear-counting family; ann_lsh_topk rotated out in exchange).",
     tags=("sketch", "agg", "approx"),
+    driver_visible=False,
 )
 def lc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
@@ -3110,6 +3113,7 @@ def _chunk_oracle_sql(chunk_size: int, overlap: int) -> str:
     "birth (r3 ask #8 hygiene): novel family, orders_by_dayofweek rotated "
     "out in exchange.",
     tags=("curation", "chunking", "explode"),
+    driver_visible=False,
 )
 def chunk_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (

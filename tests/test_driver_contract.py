@@ -56,6 +56,21 @@ def test_novel_operator_families_are_driver_visible():
         "scd2_incremental_state",
         "streaming_asof_enrich_status",
         "streaming_nb_score_confusion",
+        # r10 rotation (VERDICT r9 ask #1): the six never-driver-verified
+        # compiler families get independent rows — $setWindowFields
+        # (topn_median = mixed-dir $topN + running $median; time_range =
+        # unix_micros range frames), $merge (whenMatched pipeline), $fill
+        # (linear interpolation), $facet/$bucketAuto, pagerank, and the
+        # Atlas $vectorSearch facade — plus the streaming OHLC family
+        # driver-visible from birth (ask #6)
+        "ds_window_topn_median",
+        "ds_window_time_range",
+        "ds_merge_pipeline_apply",
+        "ds_fill_linear",
+        "ds_facet_summary",
+        "supplier_customer_pagerank",
+        "ds_vector_search",
+        "streaming_ohlc_15min",
     ):
         assert novel in dc, novel
     for hidden in (
@@ -77,6 +92,17 @@ def test_novel_operator_families_are_driver_visible():
         "sql_revenue_by_nation",
         "dedup_ngram_jaccard",
         "extreme_value_events",
+        # r10 evictions (VERDICT r9 ask #1's candidates; every one is
+        # shape-covered by a still-visible family row and keeps its sf0.01
+        # oracle gate):
+        "ann_bruteforce_topk",      # ⊂ ANN family (ann_ivfpq_topk visible)
+        "dedup_exact_groups",       # ⊂ md5 hash-agg (dedup_exact_substring)
+        "statuses_per_priority",    # ⊂ group-count (pricing_summary)
+        "lc_distinct_users",        # ⊂ sketch family (cms_token_counts)
+        "events_time_weighted_avg", # ⊂ window/rate (ds_window_time_range in)
+        "chunk_training_windows",   # ⊂ chunk/pack (pack_training_sequences)
+        "value_percentiles",        # ⊂ quantiles (ds_window_topn_median in)
+        "nation_order_ranking",     # ⊂ sort/rank (events_with_large_k)
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 
@@ -139,3 +165,83 @@ def test_no_oracle_emits_hugeint_columns(duck):
         if hug:
             offenders[name] = hug
     assert not offenders, offenders
+
+
+# Tag families with no ever-driver-verified member yet (r10 snapshot): each
+# line is explicit provenance DEBT — a future rotation pays it down by making
+# one member driver-visible, then DELETING the line once its green row lands.
+# Adding a NEW tag to the catalog without either a driver-visible member or
+# an entry here fails test_every_tag_family_has_driver_provenance, so the
+# invariant is permanent (VERDICT r9 ask #7), not a per-round negotiation.
+GATE_ONLY_TAGS = {
+    "bucket",        # ds_bucket_balances / ds_bucket_auto_exact ($bucket[Auto])
+    "dates",         # ds_date_parts
+    "densify",       # ds_densify_monthly (calendar-unit spine)
+    "diff",          # orders_snapshot_diff
+    "eval",          # ann_recall_at_k (recall harness over ANN rows)
+    "expr",          # expression-compiler gates (fuzz tier + strict parity)
+    "funnel",        # funnel_view_click_purchase
+    "hof",           # ds_expr_embedding_stats (higher-order functions)
+    "incremental",   # dedup_incremental_minhash
+    "normalize",     # unicode_normalization_audit
+    "pipeline",      # corpus_pipeline_audit (composite corpus pipeline)
+    "quantization",  # embedding_int8_stats
+    "range",         # event_pairs_within_30min (range self-join)
+    "rate",          # ds_window_integral / ds_window_ema
+    "redact",        # ds_redact_nested ($redact tree walk)
+    "retention",     # weekly_retention_cohorts
+    "sampling",      # mixture_sampled_counts
+}
+
+
+def test_every_tag_family_has_driver_provenance():
+    """Every operator family (tag) must hold >=1 member that EITHER has a
+    green external-driver row in a committed CORRECTNESS artifact OR is
+    driver-visible right now (scheduled for one this round) — unless the
+    family is explicitly listed as gate-only debt above."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import (
+        annotate_verified_rounds,
+    )
+
+    annotate_verified_rounds()
+    by_tag: dict[str, list] = {}
+    for q in QUERIES.values():
+        for t in q.tags:
+            by_tag.setdefault(t, []).append(q)
+    dc = driver_catalog()
+    unproven = sorted(
+        t
+        for t, qs in by_tag.items()
+        if not any(q.verified_rounds or q.name in dc for q in qs)
+    )
+    assert unproven == sorted(
+        t for t in unproven if t in GATE_ONLY_TAGS
+    ), f"tags with no driver provenance and no exemption: "\
+       f"{[t for t in unproven if t not in GATE_ONLY_TAGS]}"
+    # the exemption list may only SHRINK: a tag that gained provenance must
+    # drop off the list (keeps the debt ledger honest)
+    stale = sorted(
+        t
+        for t in GATE_ONLY_TAGS
+        if t in by_tag
+        and any(q.verified_rounds for q in by_tag[t])
+    )
+    assert not stale, f"GATE_ONLY_TAGS entries now verified — delete: {stale}"
+    # and every listed tag must still exist in the catalog
+    ghost = sorted(t for t in GATE_ONLY_TAGS if t not in by_tag)
+    assert not ghost, f"GATE_ONLY_TAGS entries for nonexistent tags: {ghost}"
+
+
+def test_rotated_in_families_gain_rows_next_artifact():
+    """The r10 rotation names are pinned driver-visible; once the round-10
+    artifact lands, annotate_verified_rounds picks them up automatically
+    (this test just guards the schedule, the invariant test above guards
+    the outcome)."""
+    dc = driver_catalog()
+    for name in (
+        "ds_window_topn_median", "ds_window_time_range",
+        "ds_merge_pipeline_apply", "ds_fill_linear", "ds_facet_summary",
+        "supplier_customer_pagerank", "ds_vector_search",
+        "streaming_ohlc_15min",
+    ):
+        assert name in dc and QUERIES[name].oracle is not None, name
