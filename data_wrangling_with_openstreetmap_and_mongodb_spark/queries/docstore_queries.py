@@ -577,8 +577,8 @@ def ds_minmax_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the partition).  Integer outputs keep window accumulation "
     "engine-exact (running float sums would depend on each engine's "
     "segment-tree summation).  One shuffle on the partition key, no "
-    "self-joins.  Gate-only: the window family's hard row is "
-    "nation_order_ranking.",
+    "self-joins.  Gate-only: the window family's hard rows are "
+    "ds_window_time_range / ds_window_topn_median (driver rows since r10).",
     tags=("docstore", "window"),
     driver_visible=False,
 )
@@ -631,8 +631,9 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unix_micros(sortBy) with the bounds scaled to microseconds — the "
     "oracle replays the identical frame over epoch_us.  RANGE semantics "
     "make ties (equal timestamps) engine-independent: all peers join the "
-    "frame.  One shuffle on the partition key.  Gate-only: the window "
-    "family's driver row is nation_order_ranking.",
+    "frame.  One shuffle on the partition key.  Driver row since r10 "
+    "(VERDICT r9 ask #1): the $setWindowFields range-frame compiler's "
+    "first independent correctness row.",
     tags=("docstore", "window"),
 )
 def ds_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,7 +682,8 @@ def ds_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the oracle replays the identical frame.  Trailing/leading/"
     "running bounds all exercised; sums stay on the BIGINT key (window "
     "float sums are frame-order-dependent), MIN is order-independent.  "
-    "Gate-only: the window family's driver row is nation_order_ranking.",
+    "Gate-only: the $setWindowFields family's driver rows are "
+    "ds_window_time_range / ds_window_topn_median (r10).",
     tags=("docstore", "window"),
     driver_visible=False,
 )
@@ -949,7 +951,8 @@ def ds_bucket_auto_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="$facet: two sub-pipelines over the same input collapse to one "
     "document (each facet one lazy sub-plan + a 1×1 cross join), then the "
     "facet arrays project back to scalars via $arrayElemAt/$getField so "
-    "the result hash-compares without array columns.  Gate-only.",
+    "the result hash-compares without array columns.  Driver row since "
+    "r10: the $facet family's first independent correctness row.",
     tags=("docstore", "reshape", "agg"),
 )
 def ds_facet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1012,7 +1015,8 @@ def ds_facet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref + literal]}}}] — matched rows gain +1000, unmatched source docs "
     "discard, untouched target rows pass through.  The oracle is the "
     "closed-form CASE.  Writes confined to /tmp (overwrite-idempotent per "
-    "invocation).  Gate-only: the action-bearing stages' oracle row.",
+    "invocation).  Driver row since r10: the $merge compiler's first "
+    "independent correctness row (action-bearing stages).",
     tags=("docstore", "upsert"),
 )
 def ds_merge_pipeline_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,8 +1137,9 @@ def ds_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort key is pre-converted to epoch MICROS on both sides so the "
     "interpolation arithmetic is performed on identical doubles; "
     "leading/trailing nulls stay null.  (user_id, ts) is collision-free "
-    "in the testdata, so row frames are order-deterministic.  Gate-only: "
-    "the gap-fill family's driver row is events_gap_filled_locf.",
+    "in the testdata, so row frames are order-deterministic.  Driver row "
+    "since r10: $fill linear's first independent correctness row "
+    "(events_gap_filled_locf covers the LOCF shape).",
     tags=("docstore", "window", "resample"),
 )
 def ds_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,8 +1588,10 @@ def ds_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so ranking and values are engine-exact), score surfaced through "
     "{$meta: 'vectorSearchScore'} in the trailing $project.  Same "
     "TakeOrderedAndProject plan as ann_bruteforce_topk (whose data has "
-    "no quantized-score tie at the k=10 cut).  Gate-only: the ANN "
-    "family's driver rows are ann_bruteforce/ivf_kmeans/ivfpq_topk.",
+    "no quantized-score tie at the k=10 cut).  Driver row since r10: the "
+    "Atlas-facade family's first independent correctness row "
+    "(ann_bruteforce_topk rotated out r10; its exact-cosine ranking rides "
+    "here, the IVF family keeps ann_ivfpq_topk).",
     tags=("docstore", "similarity", "topk"),
 )
 def ds_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1889,8 +1896,8 @@ def ds_text_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     "$integral cost rule, now in the operator docstring).  The oracle "
     "replays the pick as an ordered-list group aggregate joined back and "
     "the median as DuckDB's interpolated window median, both quantized.  "
-    "Gate-only: window-function family's driver rows are "
-    "events_gap_filled_locf / events_time_weighted_avg.",
+    "Driver row since r10: the densest $setWindowFields path (mixed-dir "
+    "$topN + running $median) gets its own independent correctness row.",
     tags=("docstore", "window"),
 )
 def ds_window_topn_median(spark: SparkSession, sf_dir: str) -> DataFrame:

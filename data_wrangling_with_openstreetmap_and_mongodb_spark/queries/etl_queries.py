@@ -587,7 +587,9 @@ def _ohlc_oracle() -> str:
     "total order (min_by/max_by ↔ arg_min/arg_max), volume via the "
     "quantized order-independent sum.  The time-series resampling "
     "primitive at any scale: no window sort, no shuffle beyond the "
-    "aggregation.  Gate-only: the driver window is full.",
+    "aggregation.  Gate-only: the OHLC family's driver row is "
+    "streaming_ohlc_15min (r10), which replays these exact bars through "
+    "the real streaming path against the same oracle.",
     tags=("events", "timeseries", "agg"),
     driver_visible=False,
 )

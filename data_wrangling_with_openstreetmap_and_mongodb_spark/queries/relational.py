@@ -315,7 +315,8 @@ def global_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY o_orderpriority
     """,
-    doc="$addToSet accumulator (05/frequent_tweeters.py:3-4,36-38)",
+    doc="$addToSet accumulator (05/frequent_tweeters.py:3-4,36-38)"
+    "  Driver r1-r9; evicted in the r10 rotation (group-count family keeps pricing_summary / text_quality_by_source), still oracle-gated at sf0.01.",
     tags=("agg", "array"),
     driver_visible=False,
 )
@@ -713,7 +714,8 @@ def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY event_type
     """,
-    doc="exact percentile/median per group (R-7 interpolation, bit-matched)",
+    doc="exact percentile/median per group (R-7 interpolation, bit-matched)"
+    "  Driver r1-r9; evicted in the r10 rotation (quantile family covered by ds_window_topn_median's new driver row + the ds_minmax_topn gate), still oracle-gated at sf0.01.",
     tags=("agg", "percentile"),
     driver_visible=False,
 )
@@ -854,7 +856,8 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         ORDER BY cnt DESC, n_name ASC
     """,
-    doc="full ranked listing $sort desc no limit (README.md:1056-1059,1101-1104)",
+    doc="full ranked listing $sort desc no limit (README.md:1056-1059,1101-1104)"
+    "  Driver r1-r9; evicted in the r10 rotation (sort/rank family keeps events_with_large_k's driver row), still oracle-gated at sf0.01.",
     tags=("join", "sort"),
     driver_visible=False,
 )

@@ -252,7 +252,8 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         GROUP BY fingerprint
     """,
-    doc="exact dedup via normalized-content fingerprint hash-aggregate",
+    doc="exact dedup via normalized-content fingerprint hash-aggregate"
+    "  Driver r1-r9; evicted in the r10 rotation (md5 hash-agg family keeps dedup_exact_substring's driver row), still oracle-gated at sf0.01.",
     tags=("dedup", "agg"),
     driver_visible=False,
 )
@@ -578,7 +579,8 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
         ORDER BY cosine DESC, id ASC
         LIMIT 10
     """,
-    doc="exact cosine top-k (brute force baseline; TakeOrderedAndProject plan)",
+    doc="exact cosine top-k (brute force baseline; TakeOrderedAndProject plan)"
+    "  Driver r1-r9; evicted in the r10 rotation (exact-cosine ranking shape-covered by ds_vector_search's driver row and the IVF family's ann_ivfpq_topk), still oracle-gated at sf0.01.",
     tags=("similarity", "topk"),
     driver_visible=False,
 )
@@ -1634,8 +1636,9 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
     "shipment graph — entity-importance scoring in pure DataFrame algebra: "
     "N via a cross-joined count row (no driver action), dsum contributions, "
     "fixed-depth unrolled trajectory the oracle replays exactly.  "
-    "Gate-only: iterative-graph family holds its hard row via "
-    "dedup_near_clusters.",
+    "Driver row since r10: the unrolled-iteration family's own "
+    "independent correctness row (dedup_near_clusters keeps the "
+    "sync-loop form's).",
     tags=("graph", "iterative-unrolled", "agg"),
 )
 def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2951,7 +2954,8 @@ def _twa_oracle_sql() -> str:
     "irregular state series; integer-microsecond weights keep the weighted "
     "sum dsum-exact, one lead window + one hash-agg sharing the key "
     "partitioning.  Driver-visible since r4 (VERDICT r3 ask #2: hard row "
-    "for the TWAP family; ds_top_clickers rotated out in exchange).",
+    "for the TWAP family; ds_top_clickers rotated out in exchange)."
+    "  Driver r1-r9; evicted in the r10 rotation (windowed-rate shape covered by ds_window_time_range's new driver row + the ds_window_integral gate), still oracle-gated at sf0.01.",
     tags=("events", "window", "agg"),
     driver_visible=False,
 )
@@ -2993,7 +2997,8 @@ def _lc_oracle_sql(m: int) -> str:
     "(approx_distinct_users stays rows-only by construction; THIS distinct "
     "sketch hash-verifies).  Accuracy vs exact asserted in test_sketch.  "
     "Driver-visible since r4 (VERDICT r3 ask #2: hard row for the "
-    "linear-counting family; ann_lsh_topk rotated out in exchange).",
+    "linear-counting family; ann_lsh_topk rotated out in exchange)."
+    "  Driver r1-r9; evicted in the r10 rotation (sketch family keeps cms_token_counts' driver row), still oracle-gated at sf0.01.",
     tags=("sketch", "agg", "approx"),
     driver_visible=False,
 )
@@ -3111,7 +3116,8 @@ def _chunk_oracle_sql(chunk_size: int, overlap: int) -> str:
     "inherits the document scan's partitioning — the property that lets a "
     "100 TB corpus chunk without a single exchange.  Driver-visible from "
     "birth (r3 ask #8 hygiene): novel family, orders_by_dayofweek rotated "
-    "out in exchange.",
+    "out in exchange."
+    "  Driver r1-r9; evicted in the r10 rotation (chunk/pack family keeps pack_training_sequences' driver row; chunk_token_id_windows gate unchanged), still oracle-gated at sf0.01.",
     tags=("curation", "chunking", "explode"),
     driver_visible=False,
 )
