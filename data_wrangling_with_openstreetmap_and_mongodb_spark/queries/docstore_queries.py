@@ -908,17 +908,19 @@ def ds_union_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH t AS (
             SELECT o_totalprice AS k,
-                   ntile(8) OVER (ORDER BY o_totalprice) AS b
+                   ntile(8) OVER (ORDER BY o_totalprice) AS b0
             FROM orders
+        ), t2 AS (
+            SELECT k, min(b0) OVER (PARTITION BY k) AS b FROM t
         )
         SELECT min(k) AS lo, max(k) AS hi, CAST(count(*) AS BIGINT) AS count
-        FROM t GROUP BY b
+        FROM t2 GROUP BY b
     """,
     doc="$bucketAuto exact mode: 8 equal-population buckets via ntile over "
-    "a global sort — Mongo's equal-count contract, replayed by DuckDB's "
-    "ntile (bucket min/max/count are tie-invariant: equal keys spanning a "
-    "boundary yield the same aggregates regardless of which copy lands "
-    "where).  The _id struct flattens to (lo, hi) for the hash compare.  "
+    "a global sort, equal keys coalesced into their first occurrence's "
+    "bucket (r10 — Mongo extends the current bucket through ties, so "
+    "identical keys never split; the oracle replays min-ntile-per-key).  "
+    "The _id struct flattens to (lo, hi) for the hash compare.  "
     "Exact mode is the mongod-fidelity path; scaleMode='approx' (no "
     "global sort) is the 100 TB path and has its own golden matrix.  "
     "Gate-only.",
