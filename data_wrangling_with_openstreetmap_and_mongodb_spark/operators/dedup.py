@@ -746,6 +746,19 @@ def simhash_near_pairs(
 
     Blocking: split the signature into (max_hamming+1) chunks; join per
     chunk, then verify exact Hamming via bit_count(xor).
+
+    SCALE LIMIT (measured, PLANS.md §dedup-band-scaling): fixed-width
+    chunk blocking is collision-bound — random chunk matches contribute
+    ~n²/2^chunk_bits candidates per chunk (at 150k docs and 15-bit chunks
+    that is already 235M candidates for ~2M true pairs).  The constant is
+    small but the exponent is 2: for corpora approaching 2^chunk_bits
+    documents, widen the block key — combinatorial multi-chunk keys
+    (any (max_hamming+1)-subset of ≥2 chunks still guarantees recall 1 by
+    pigeonhole when the subset count exceeds the hamming budget) or a
+    wider signature.  For corpus-scale threshold similarity prefer
+    :func:`minhash_lsh_pairs` (measured output-bound: candidate excess
+    ~1% of true pairs at every scale) or the incremental
+    :func:`minhash_band_index` probe path.
     """
     chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // chunks
