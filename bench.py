@@ -125,10 +125,17 @@ def _env_conf() -> dict:
         # ask #3): r9's run carried 1-min loads of 2.7-8.4 and demonstrably
         # swung sub-second medians ~1.8x, yet the old default (1.5x cpus =
         # 48) never fired.  0.2x cpus (= 6.4 on the 32-cpu driver box) trips
-        # on exactly that contention band while staying above the owned-run
-        # floor (the bench itself contributes ~0 to the 1-min average taken
-        # BEFORE each sample).  Falls back to os.cpu_count() when
-        # SPARK_GRAFT_CPUS is unset (ADVICE r9) so a smaller box still flags.
+        # on that contention band.  Interpretation scope: the flag is
+        # calibrated for CHUNK 0 (the frozen r2 subset) — fresh JVM, light
+        # queries, so the lagging 1-min average there is genuinely ambient
+        # (measured 1.2-4.6 on an idle box) and a trip drives the
+        # protocol-preserving retry below.  In LATER catalog chunks the
+        # average includes decay from the bench's own preceding chunks
+        # (heavy dedup/ANN stages saturate 32 cores), so load_flagged
+        # entries there are context for reading per-sample data against
+        # ambient_load, not rerun triggers.  Falls back to os.cpu_count()
+        # when SPARK_GRAFT_CPUS is unset (ADVICE r9) so a smaller box still
+        # flags.
         "load_flag": float(
             os.environ.get(
                 "SPARK_GRAFT_BENCH_LOAD_FLAG",
