@@ -393,3 +393,27 @@ def test_concise_correlated_requires_both_fields(spark):
                 l,
                 [{"$lookup": {"from": f, "pipeline": [], "as": "m", **partial}}],
             )
+
+
+def test_concise_correlated_composes_with_group_form(spark):
+    """The concise desugar feeds the aggregated-$lookup branch unchanged:
+    equality + interior $group per local doc."""
+    l, f = _frames(spark)
+    rows = aggregate(
+        l,
+        [{"$lookup": {
+            "from": f, "localField": "k", "foreignField": "fk",
+            "pipeline": [
+                {"$group": {"_id": "$status", "n": {"$sum": 1}}},
+                {"$sort": {"_id": 1}},
+            ],
+            "as": "g"}}],
+    ).collect()
+    got = _spark_pairs(rows, "g", ("_id", "n"), ordered=True)
+    want = _canon_pairs(
+        eval_group_form(LOCAL, FOREIGN, "n", "count", sort_tail=True),
+        ("_id", "n"),
+        ordered=True,
+    )
+    assert got == want
+    assert len(rows) == len(LOCAL)
