@@ -469,3 +469,52 @@ class TestRound8Plans:
 
         plan = executed_plan(q("dsir_gumbel_resample", spark, sf_dir))
         assert "TakeOrderedAndProject" in plan
+
+
+class TestRound10Plans:
+    """Plan pins for the round-10 compiler changes: the $merge null-safe key
+    join must stay an EQUI join, and $bucketAuto's tie-coalescing peers
+    frame must not add an exchange."""
+
+    def test_null_safe_full_outer_join_is_equi(self, spark):
+        """The exact join shape _apply_merge builds (eqNullSafe key
+        condition on a full outer): Catalyst extracts EqualNullSafe as an
+        equi-join key — (coalesce(k, 0), isnull(k)) — so the plan is a
+        SortMergeJoin/ShuffledHashJoin, NEVER a BroadcastNestedLoopJoin.
+        At 100 TB a BNLJ here would be fatal; this pin fails if a Spark
+        upgrade or refactor ever drops the null-safe condition out of
+        equi-key extraction."""
+        import pyspark.sql.functions as F
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        t = spark.range(1000).select(F.col("id").alias("k"), F.lit(True).alias("__tgt"))
+        s = spark.range(500).select(F.col("id").alias("k"), F.lit(True).alias("__src"))
+        j = t.alias("t").join(
+            s.alias("s"), F.col("t.k").eqNullSafe(F.col("s.k")), "full_outer"
+        )
+        plan = executed_plan(j)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+    def test_bucket_auto_exact_tie_coalesce_adds_no_exchange(self, spark):
+        """r10's ties-never-split rewrite uses a peers-only RANGE frame over
+        the SAME global sort as the ntile window — one single-partition
+        exchange total, not a second hash exchange on the key."""
+        import pyspark.sql.functions as F
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        df = spark.range(2000).select(((F.col("id") % 37) * 1.5).alias("price"))
+        out = aggregate(
+            df,
+            [{"$bucketAuto": {"groupBy": "$price", "buckets": 4,
+                              "scaleMode": "exact"}}],
+        )
+        plan = executed_plan(out)
+        # exactly one data exchange: the single-partition window sort (the
+        # final tiny groupBy on __b rides AQE's coalesced read of it)
+        assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+        assert plan.count("Exchange SinglePartition") <= 1, plan[:1500]
