@@ -255,6 +255,16 @@ def _apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.groupBy(*keys).agg(*aggs).drop(*drop_cols)
 
 
+def _check_options(stage: str, spec: dict, allowed: set[str]) -> None:
+    """Silent-ignore class guard (r10 sweep): an unknown/misspelled option
+    must not quietly change a stage's semantics — the concise-$lookup
+    over-match and the r8/r9 ADVICE findings were all this class.  Raises
+    on any spec key outside the stage's documented surface."""
+    extra = set(spec) - allowed
+    if extra:
+        raise ValueError(f"unsupported {stage} options: {sorted(extra)}")
+
+
 def _apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
     """$unwind '$path' — Mongo 2.x drops docs with null/missing/empty arrays,
     which is exactly `explode` (not `explode_outer`); SURVEY.md §7.
@@ -266,6 +276,10 @@ def _apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
     preserve = False
     index_name = None
     if isinstance(spec, dict):
+        _check_options(
+            "$unwind", spec,
+            {"path", "preserveNullAndEmptyArrays", "includeArrayIndex"},
+        )
         path = spec["path"]
         preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
         index_name = spec.get("includeArrayIndex")
@@ -1274,6 +1288,7 @@ def _apply_bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ``boundaries`` (ascending; [lo, hi) per Mongo), out-of-range docs to
     ``default`` (error without one, like Mongo), accumulators in ``output``
     (default {count: {$sum: 1}}).  One conditional projection + hash-agg."""
+    _check_options("$bucket", spec, {"groupBy", "boundaries", "default", "output"})
     ec = ExpressionCompiler(df)
     key = ec.compile(spec["groupBy"])
     bounds = spec["boundaries"]
@@ -1394,6 +1409,10 @@ def _apply_bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ``approx_percentile``) and is the only mode whose plan survives a
     100 TB keyspace; ``exact`` exists for mongod-fidelity on small keys.
     """
+    _check_options(
+        "$bucketAuto", spec,
+        {"groupBy", "buckets", "granularity", "scaleMode", "output"},
+    )
     ec = ExpressionCompiler(df)
     key = ec.compile(spec["groupBy"])
     n = int(spec["buckets"])
@@ -1598,6 +1617,7 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
     Pure Window API — one shuffle on the partition key, no self-joins.
     """
+    _check_options("$setWindowFields", spec, {"partitionBy", "sortBy", "output"})
     ec = ExpressionCompiler(df)
     part_cols = [ec.compile(spec["partitionBy"])] if "partitionBy" in spec else []
     w = Window.partitionBy(*part_cols)
@@ -2189,6 +2209,9 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     is the action-bearing stage by definition; everything before it stays
     one lazy plan.
     """
+    _check_options(
+        "$merge", spec, {"into", "on", "whenMatched", "whenNotMatched", "let"}
+    )
     into = str(spec["into"])
     on = spec.get("on", "_id")
     keys = [on] if isinstance(on, str) else list(on)
@@ -2410,7 +2433,11 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         # the spine CONSTRUCTS new docs carrying `field`, which needs a
         # top-level column (same restriction as $unwind)
         raise ValueError("$densify of a nested path: project the field first")
+    _check_options("$densify", spec, {"field", "range"})
     rng = spec["range"]
+    _check_options(
+        "$densify range", rng, {"step", "unit", "bounds", "partitionByFields"}
+    )
     step = int(rng["step"])
     unit = rng.get("unit")
     parts = rng.get("partitionByFields", [])
@@ -2517,6 +2544,7 @@ def _apply_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     locf window mirrors ``operators/events.gap_fill_locf``'s fill pass;
     linear adds one backward + one forward running frame over the same
     partition shuffle — still a single exchange."""
+    _check_options("$fill", spec, {"partitionBy", "sortBy", "output"})
     parts = spec.get("partitionBy", [])
     if isinstance(parts, str):
         parts = [parts.lstrip("$")]
@@ -2534,6 +2562,11 @@ def _apply_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
     out = df
     for name, how in spec["output"].items():
+        _check_options(f"$fill output.{name}", how, {"value", "method"})
+        if "value" in how and "method" in how:
+            raise ValueError(
+                f"$fill output.{name}: 'value' and 'method' are exclusive"
+            )
         if "value" in how:
             # Mongo's value form takes an EXPRESSION (constants included)
             out = out.withColumn(
@@ -2743,6 +2776,7 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             # $lookup's 'from'), or {'coll': DataFrame, 'pipeline': [...]}
             other = spec
             if isinstance(spec, dict):
+                _check_options("$unionWith", spec, {"coll", "pipeline"})
                 other = aggregate(spec["coll"], spec.get("pipeline", []))
             if not isinstance(other, DataFrame):
                 raise ValueError("$unionWith takes a DataFrame (no shared catalog)")

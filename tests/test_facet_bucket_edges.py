@@ -176,3 +176,55 @@ class TestFacetEdges:
     def test_facet_requires_a_facet(self, spark):
         with pytest.raises(ValueError, match="at least one facet"):
             aggregate(self._docs(spark), [{"$facet": {}}])
+
+
+class TestUnknownOptionGuards:
+    """r10 silent-ignore sweep: every option-bearing stage raises on
+    unknown/misspelled spec keys instead of quietly defaulting (the class
+    behind the concise-$lookup over-match and two prior ADVICE findings)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "x", 10.0)], "id long, kind string, price double"
+        )
+
+    def test_stage_specs_reject_unknown_options(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        df = self._docs(spark)
+        tgt = str(tmp_path / "t")
+        df.write.parquet(tgt)
+        cases = [
+            {"$unwind": {"path": "$kind", "preserveNulls": True}},
+            {"$bucket": {"groupBy": "$price", "boundaries": [0, 10, 20],
+                         "defualt": "other"}},
+            {"$bucketAuto": {"groupBy": "$price", "buckets": 2,
+                             "granularty": "R5"}},
+            {"$merge": {"into": tgt, "on": "id", "whenMatchd": "replace"}},
+            {"$densify": {"field": "price", "range": {"step": 1,
+                          "bounds": "full", "partitionBy": ["kind"]}}},
+            {"$fill": {"sortBy": {"id": 1}, "partition": "$kind",
+                       "output": {"price": {"method": "locf"}}}},
+            {"$fill": {"sortBy": {"id": 1},
+                       "output": {"price": {"method": "locf", "vlue": 0}}}},
+            {"$setWindowFields": {"partitonBy": "$kind", "sortBy": {"id": 1},
+                                  "output": {"n": {"$count": {}}}}},
+            {"$unionWith": {"coll": df, "pipline": []}},
+        ]
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        for stage in cases:
+            with pytest.raises(ValueError, match="unsupported .* options"):
+                aggregate(df, [stage])
+
+    def test_fill_value_and_method_are_exclusive(self, spark):
+        import pytest
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        with pytest.raises(ValueError, match="exclusive"):
+            aggregate(self._docs(spark), [{"$fill": {
+                "sortBy": {"id": 1},
+                "output": {"price": {"method": "locf", "value": 0}}}}])
