@@ -2433,14 +2433,23 @@ def _apply_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         # the spine CONSTRUCTS new docs carrying `field`, which needs a
         # top-level column (same restriction as $unwind)
         raise ValueError("$densify of a nested path: project the field first")
-    _check_options("$densify", spec, {"field", "range"})
+    _check_options("$densify", spec, {"field", "range", "partitionByFields"})
     rng = spec["range"]
+    # Mongo's documented shape puts partitionByFields at the TOP level as a
+    # sibling of field/range; the range-level placement is kept as a legacy
+    # alias (earlier revisions only read it there).  Specifying both is
+    # ambiguous and rejected.
     _check_options(
         "$densify range", rng, {"step", "unit", "bounds", "partitionByFields"}
     )
     step = int(rng["step"])
     unit = rng.get("unit")
-    parts = rng.get("partitionByFields", [])
+    if "partitionByFields" in spec and "partitionByFields" in rng:
+        raise ValueError(
+            "$densify: partitionByFields given both at top level and inside "
+            "range; use the top-level (Mongo) placement only"
+        )
+    parts = spec.get("partitionByFields", rng.get("partitionByFields", []))
     bounds = rng.get("bounds", "partition")
     cal_months = None
     if unit is not None:
@@ -2562,6 +2571,11 @@ def _apply_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
     out = df
     for name, how in spec["output"].items():
+        if not isinstance(how, dict):
+            raise ValueError(
+                f"$fill output.{name}: spec must be a document with 'value' "
+                f"or 'method', got {how!r}"
+            )
         _check_options(f"$fill output.{name}", how, {"value", "method"})
         if "value" in how and "method" in how:
             raise ValueError(

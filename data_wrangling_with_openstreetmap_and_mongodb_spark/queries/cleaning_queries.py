@@ -23,8 +23,12 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import
         FROM part
         GROUP BY ptype
     """,
-    doc="C6/C7 enum lowering + trim in the agg key (04/autos.py:153-157)",
+    doc="C6/C7 enum lowering + trim in the agg key (04/autos.py:153-157).  "
+    "Evicted from the driver window in the r11 rotation (driver-green "
+    "r1-r10; cleaning family stays visible via type_audit_events, agg "
+    "shapes via pricing_summary); still oracle-gated at sf0.01.",
     tags=("cleaning", "agg"),
+    driver_visible=False,
 )
 def clean_enum_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")

@@ -216,8 +216,12 @@ def ds_regex_find(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x > 0.28)) > 0
     """,
-    doc="$elemMatch over an array column → exists() higher-order predicate",
+    doc="$elemMatch over an array column → exists() higher-order predicate.  "
+    "Evicted from the driver window in the r11 rotation (driver-green "
+    "r1-r10; filter family stays visible via events_with_large_k); still "
+    "oracle-gated at sf0.01.",
     tags=("docstore", "filter", "array"),
+    driver_visible=False,
 )
 def ds_elem_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "embeddings").find(
@@ -292,11 +296,10 @@ def ds_compound_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "[lo, hi) boundaries with a default catch-all and custom output "
     "accumulators — one conditional projection + hash-agg; heterogeneous "
     "Mongo _ids (numeric boundaries + string default) surface as their "
-    "string forms since a Spark column is monotyped.  Gate-only: the "
-    "window is full; grouping/accumulator families hold hard rows via "
-    "pricing_summary and ds_value_stats_by_type.",
+    "string forms since a Spark column is monotyped.  Driver-visible "
+    "since the r11 rotation (VERDICT r10 ask #1: the bucket family's "
+    "first driver row, carrying the r10 tie/null boundary semantics).",
     tags=("docstore", "agg", "bucket"),
-    driver_visible=False,
 )
 def ds_bucket_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "customer").aggregate(
@@ -744,10 +747,10 @@ def ds_window_month_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agree exactly.  High-value orders are sparse per (priority, month), "
     "so the spine genuinely inserts gap rows ($ifNull renders them 0).  "
     "Reference analogue: the day-of-week/time bucketing family "
-    "(README.md:1202-1211).  Gate-only alongside driver row "
-    "events_gap_filled_locf (the spine+fill family).",
+    "(README.md:1202-1211).  Driver-visible since the r11 rotation "
+    "(VERDICT r10 ask #1: the densify family's first driver row — the "
+    "calendar-unit spine path).",
     tags=("docstore", "densify"),
-    driver_visible=False,
 )
 def ds_densify_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(
@@ -1484,11 +1487,10 @@ def ds_lookup_proj_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-for-bit regardless of order; the derivative is a pure IEEE "
     "division chain mirrored op-for-op.  Two shuffles, both inherent: "
     "the ts-dedup keys on (user_id, ts), then the window and the final "
-    "$group SHARE the (user_id) exchange (plan-pinned).  Gate-only: the "
-    "window family's driver rows are sessionize_events / "
-    "events_time_weighted_avg.",
+    "$group SHARE the (user_id) exchange (plan-pinned).  Driver-visible "
+    "since the r11 rotation (VERDICT r10 ask #1: the rate family's first "
+    "driver row — the detagg-quantized trapezoid/derivative paths).",
     tags=("docstore", "window", "rate"),
-    driver_visible=False,
 )
 def ds_window_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(
@@ -1684,10 +1686,10 @@ def ds_atlas_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SECRET-tagged subdocument prunes to a null struct whose bal the "
     "trailing projection surfaces as SQL NULL.  The whole stage is one "
     "codegen'd projection + filter (no shuffle), replayed in the oracle "
-    "as the equivalent CASE/WHERE.  Gate-only: a projection/filter "
-    "composition, not a novel family (P1/P3 shapes carry the driver rows).",
+    "as the equivalent CASE/WHERE.  Driver-visible since the r11 "
+    "rotation (VERDICT r10 ask #1: the redact family's first driver row, "
+    "freshly fuzz-hardened in r10).",
     tags=("docstore", "redact", "project"),
-    driver_visible=False,
 )
 def ds_redact_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(

@@ -517,8 +517,14 @@ def streaming_asof_enrich_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="gap sessionization: lag + running-sum windows then collapse "
     "(window-function surface; streaming twin via applyInPandasWithState). "
     "Microsecond resolution: DuckDB truncates nano-timestamps to micros, so "
-    "both engines sessionize the same integers (exact `div`, not fp division).",
+    "both engines sessionize the same integers (exact `div`, not fp "
+    "division).  Evicted from the driver window in the r11 rotation "
+    "(driver-green r1-r10; the sessionization shape stays covered via the "
+    "streaming twin's equivalence tests and the window family's visible "
+    "rows ds_window_topn_median / ds_window_time_range); still "
+    "oracle-gated at sf0.01.",
     tags=("window", "sessionization"),
+    driver_visible=False,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -551,9 +557,9 @@ def _funnel_oracle() -> str:
     "qualifying event, so counts are deterministic under any partition "
     "order.  One filtered agg + one user-keyed equi-join per stage "
     "(shuffles bounded by stage count; co-located on a user-partitioned "
-    "event store).  Gate-only: the driver window is full.",
+    "event store).  Driver-visible since the r11 rotation (VERDICT r10 "
+    "ask #1: the funnel family's first driver row).",
     tags=("events", "funnel", "join"),
-    driver_visible=False,
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
@@ -628,6 +634,36 @@ def streaming_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_ohlc(spark, sf_dir, _OHLC_BUCKET_US)
 
 
+@register(
+    "streaming_pair_events",
+    oracle="""
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30*60*1000000
+    """,
+    doc="STREAM-STREAM interval self-join (streaming/join.py, r11 — VERDICT "
+    "r10 ask #5): the events table replayed through a real file-stream "
+    "into the dual-watermark + time-band join (the mandatory state-bounding "
+    "pair: state is O(band x per-key rate), not O(stream)), append mode + "
+    "availableNow, pairs deduplicated to id_a < id_b.  The oracle is the "
+    "quadratic batch ground truth — parity proves the banded join emits "
+    "each qualifying pair exactly once through micro-batched state, "
+    "whatever the replay's batch boundaries; batch/stream equivalence is "
+    "additionally pinned in tests/test_streaming_join.py.  Driver-visible "
+    "from birth (the r9 standing rule for novel streaming families).",
+    tags=("streaming", "join", "range"),
+)
+def streaming_pair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.join import (
+        run_streaming_pair_events,
+    )
+
+    return run_streaming_pair_events(spark, sf_dir, band_minutes=30)
+
+
 _RETENTION_PERIOD_US = 7 * 24 * 3600 * 1_000_000  # weekly cohorts
 
 
@@ -647,9 +683,9 @@ def _retention_oracle() -> str:
     doc="cohort retention triangle (operators/events.py::retention_cohorts): "
     "users cohorted by first-seen week, distinct-user counts per (cohort, "
     "week offset) — two hash-aggs + one user-keyed equi-join, every value "
-    "integer-exact.  Gate-only: the driver window is full.",
+    "integer-exact.  Driver-visible since the r11 rotation (VERDICT r10 "
+    "ask #1: the retention family's first driver row).",
     tags=("events", "retention", "agg"),
-    driver_visible=False,
 )
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (

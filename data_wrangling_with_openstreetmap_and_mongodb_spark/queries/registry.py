@@ -97,6 +97,10 @@ def driver_verified_rounds(root: str | None = None) -> dict[str, list[int]]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # malformed artifact (e.g. top-level list) — skip it like an
+            # unreadable one instead of raising at rows.items()
+            continue
         for name, row in rows.items():
             if not isinstance(row, dict) or row.get("err"):
                 continue

@@ -339,8 +339,12 @@ def statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_orderstatus = 'F'
     """,
-    doc="distinct('created.user') + find(pred).count() (README.md:882,868)",
+    doc="distinct('created.user') + find(pred).count() (README.md:882,868).  "
+    "Evicted from the driver window in the r11 rotation (driver-green "
+    "r1-r10; global-agg/distinct shapes covered by pricing_summary and "
+    "ds_value_stats_by_type); still oracle-gated at sf0.01.",
     tags=("agg",),
+    driver_visible=False,
 )
 def distinct_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -228,8 +228,13 @@ def _sql_lang_score(lang: str) -> str:
         FROM scores
         GROUP BY lang, detected
     """,
-    doc="stopword-hit language-ID heuristic vs labeled lang column",
+    doc="stopword-hit language-ID heuristic vs labeled lang column.  "
+    "Evicted from the driver window in the r11 rotation (driver-green "
+    "r1-r10; text-agg shape covered by text_quality_by_source, classify "
+    "family by streaming_nb_score_confusion); still oracle-gated at "
+    "sf0.01.",
     tags=("text", "agg"),
+    driver_visible=False,
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -513,8 +518,13 @@ def _simhash_oracle_sql(max_hamming: int) -> str:
     "dedup_simhash",
     oracle=_simhash_oracle_sql(max_hamming=3),
     doc="SimHash Hamming-distance near-dup pairs with pigeonhole blocking "
-    "(md5-based bit votes; oracle-reproducible signature construction)",
+    "(md5-based bit votes; oracle-reproducible signature construction).  "
+    "Evicted from the driver window in the r11 rotation (driver-green "
+    "r2-r10; LSH family stays visible via dedup_minhash_lsh; the new "
+    "combinatorial key_chunks mode is recall-1 property-tested in "
+    "tests/test_dedup_properties.py); still oracle-gated at sf0.01.",
     tags=("dedup", "lsh"),
+    driver_visible=False,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -535,8 +545,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.vec_id < b.vec_id
           AND {quantize6_sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} >= 0.3
     """,
-    doc="embedding-cosine near-dup pairs (brute force; LSH variant separate)",
+    doc="embedding-cosine near-dup pairs (brute force; LSH variant separate).  "
+    "Evicted from the driver window in the r11 rotation (driver-green "
+    "r2-r10; dedup family stays visible via dedup_minhash_lsh and "
+    "dedup_near_clusters, cosine ranking via ds_vector_search); still "
+    "oracle-gated at sf0.01.",
     tags=("dedup", "similarity"),
+    driver_visible=False,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1731,8 +1746,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(fps) AS fp FROM mins
     """,
     doc="winnowing document fingerprints (rolling-hash k-gram window minima, "
-    "MOSS scheme): partial-copy detection joins on fp.",
+    "MOSS scheme): partial-copy detection joins on fp.  Evicted from the "
+    "driver window in the r11 rotation (driver-green r3-r10; fingerprint "
+    "shapes covered by dedup_exact_substring's sliding-window row); still "
+    "oracle-gated at sf0.01.",
     tags=("text", "fingerprint"),
+    driver_visible=False,
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1973,10 +1992,13 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idiom — one shuffle + one window sort, never a non-equi nested loop).  "
     "Oracle replays the same keyed-timeline algorithm in SQL; tie semantics "
     "(right-before-left at equal t, max-orderkey among simultaneous orders) "
-    "are pinned in both engines.  Driver-visible since r3's final rotation "
-    "(the as-of family deserves a hard row; order_age_days rotated to the "
-    "gate); planted-interleaving unit tests pin the operator.",
+    "are pinned in both engines.  Driver-visible r3-r10; evicted in the "
+    "r11 rotation (the as-of family's hard row moved to "
+    "streaming_asof_enrich_status, driver-green r9/r10, plus the new "
+    "streaming_pair_events interval-join row); planted-interleaving unit "
+    "tests pin the operator; still oracle-gated at sf0.01.",
     tags=("join", "asof", "window"),
+    driver_visible=False,
 )
 def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
@@ -2023,10 +2045,10 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(key, time-bin) — a window of length hi−lo spans ≤2 bins — plus an "
     "exact filter; candidates are bounded by per-key bin density, never the "
     "per-key cross product Catalyst would nested-loop for the raw non-equi "
-    "condition.  Oracle is the quadratic ground truth.  Gate-only: window "
-    "is full; bin soundness additionally property-tested.",
+    "condition.  Oracle is the quadratic ground truth; bin soundness "
+    "additionally property-tested.  Driver-visible since the r11 rotation "
+    "(VERDICT r10 ask #1: the range family's first driver row).",
     tags=("join", "range", "window"),
-    driver_visible=False,
 )
 def event_pairs_within_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
@@ -2385,9 +2407,9 @@ def _mixture_oracle() -> str:
     "25%, everything else kept — membership a pure salted-hash function of "
     "the id (stable under retries/repartitioning/engines, never rand()), "
     "one codegen'd filter.  Per-source kept counts are integer-exact.  "
-    "Gate-only: the driver window is full.",
+    "Driver-visible since the r11 rotation (VERDICT r10 ask #1: the "
+    "sampling family's first driver row).",
     tags=("curation", "sampling"),
-    driver_visible=False,
 )
 def mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -2419,10 +2441,10 @@ def mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accent-stripping would change.  The ASCII corpus is a fixed point "
     "(both counts 0 — asserted against the DuckDB nfc_normalize/"
     "strip_accents twins); planted accented/decomposed fixtures pin the "
-    "interesting cases in test_normalize.  Gate-only: the driver window "
-    "is full.",
+    "interesting cases in test_normalize.  Driver-visible since the r11 "
+    "rotation (VERDICT r10 ask #1: the normalize family's first driver "
+    "row — the one pandas-UDF-justified corpus op).",
     tags=("text", "normalize", "pandas-udf"),
-    driver_visible=False,
 )
 def unicode_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.normalize import (
@@ -3168,11 +3190,13 @@ def chunk_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapses once to a vocabulary-sized (word, freq) table, so each "
     "merge iteration costs one explode + hash-agg over the VOCABULARY, "
     "not the corpus — the property that makes cluster BPE training "
-    "tractable at 100 TB.  Driver-visible from birth (r3 ask #8 hygiene: "
-    "BPE vocabulary training is a novel family; top_order_per_priority — "
-    "a representative-pick shape covered by extreme_value_events — "
-    "rotated out in exchange).",
+    "tractable at 100 TB.  Driver-visible r4-r10 (from birth, r3 ask #8); "
+    "evicted in the r11 rotation (explode+hash-agg-over-vocabulary shape "
+    "covered by visible agg rows; the full merge loop keeps its "
+    "merge-for-merge pytest vs the pure-Python reference); still "
+    "oracle-gated at sf0.01.",
     tags=("curation", "bpe", "agg", "topk"),
+    driver_visible=False,
 )
 def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.bpe import (

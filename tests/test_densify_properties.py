@@ -125,6 +125,37 @@ def test_densify_partition_bounds_require_parts(spark):
                                      "range": {"step": 1, "bounds": "partition"}}}])
 
 
+def test_densify_top_level_partition_by_fields(spark):
+    """Mongo's documented $densify shape puts partitionByFields at the TOP
+    level as a sibling of field/range (ADVICE r10); it must behave exactly
+    like the legacy range-level placement."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    legacy = aggregate(
+        df,
+        [{"$densify": {"field": "v",
+                       "range": {"step": 2, "bounds": "partition",
+                                 "partitionByFields": ["p"]}}}],
+    ).collect()
+    mongo = aggregate(
+        df,
+        [{"$densify": {"field": "v", "partitionByFields": ["p"],
+                       "range": {"step": 2, "bounds": "partition"}}}],
+    ).collect()
+    key = lambda r: (repr(r["p"]), repr(r["v"]), repr(r["tag"]))
+    assert sorted(mongo, key=key) == sorted(legacy, key=key)
+
+
+def test_densify_both_partition_placements_rejected(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="both at top level and inside"):
+        aggregate(
+            df,
+            [{"$densify": {"field": "v", "partitionByFields": ["p"],
+                           "range": {"step": 1, "bounds": "full",
+                                     "partitionByFields": ["p"]}}}],
+        )
+
+
 def test_densify_explicit_bounds_on_empty_input_still_generates(spark):
     """mongod generates the full [lo, hi) spine even over an empty
     collection — the extent must not be seeded from input rows."""

@@ -38,7 +38,6 @@ def test_novel_operator_families_are_driver_visible():
     # ds_unwind_token_counts.
     dc = driver_catalog()
     for novel in (
-        "winnowing_fingerprints",
         "ann_ivfpq_topk",  # the IVF probe family's row since the r7 rotation
         "decontaminate_ngrams",
         "pii_redaction_audit",
@@ -71,6 +70,20 @@ def test_novel_operator_families_are_driver_visible():
         "supplier_customer_pagerank",
         "ds_vector_search",
         "streaming_ohlc_15min",
+        # r11 rotation (VERDICT r10 ask #1): nine never-driver-verified
+        # tag families get independent rows — bucket, densify, rate,
+        # redact, funnel, retention, range, sampling, normalize — plus the
+        # stream-stream interval join driver-visible from birth (ask #5)
+        "ds_bucket_balances",
+        "ds_densify_monthly",
+        "ds_window_integral",
+        "ds_redact_nested",
+        "funnel_view_click_purchase",
+        "weekly_retention_cohorts",
+        "event_pairs_within_30min",
+        "mixture_sampled_counts",
+        "unicode_normalization_audit",
+        "streaming_pair_events",
     ):
         assert novel in dc, novel
     for hidden in (
@@ -103,6 +116,19 @@ def test_novel_operator_families_are_driver_visible():
         "chunk_training_windows",   # ⊂ chunk/pack (pack_training_sequences)
         "value_percentiles",        # ⊂ quantiles (ds_window_topn_median in)
         "nation_order_ranking",     # ⊂ sort/rank (events_with_large_k)
+        # r11 evictions (VERDICT r10 ask #1; every one is driver-green
+        # through r10, shape-covered by a still-visible family row, and
+        # keeps its sf0.01 oracle gate):
+        "clean_enum_part_types",       # ⊂ cleaning (type_audit_events)
+        "ds_elem_match",               # ⊂ filter (events_with_large_k)
+        "distinct_customers_with_orders",  # ⊂ agg (pricing_summary)
+        "lang_id_confusion",           # ⊂ text-agg (text_quality_by_source)
+        "events_asof_last_order",      # ⊂ asof (streaming_asof_enrich_status)
+        "dedup_embedding_cosine",      # ⊂ dedup/similarity (minhash + vector_search)
+        "dedup_simhash",               # ⊂ dedup/lsh (dedup_minhash_lsh)
+        "bpe_first_merge_pairs",       # ⊂ explode+agg (visible agg rows)
+        "winnowing_fingerprints",      # ⊂ fingerprint (dedup_exact_substring)
+        "sessionize_events",           # ⊂ window (topn_median/time_range)
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 
@@ -174,23 +200,21 @@ def test_no_oracle_emits_hugeint_columns(duck):
 # an entry here fails test_every_tag_family_has_driver_provenance, so the
 # invariant is permanent (VERDICT r9 ask #7), not a per-round negotiation.
 GATE_ONLY_TAGS = {
-    "bucket",        # ds_bucket_balances / ds_bucket_auto_exact ($bucket[Auto])
+    # r11 rotation (VERDICT r10 ask #1) paid down 9 of the 17 r10 entries:
+    # bucket (ds_bucket_balances), densify (ds_densify_monthly), funnel
+    # (funnel_view_click_purchase), normalize (unicode_normalization_audit),
+    # range (event_pairs_within_30min), rate (ds_window_integral), redact
+    # (ds_redact_nested), retention (weekly_retention_cohorts), sampling
+    # (mixture_sampled_counts) — each now driver-visible; their lines are
+    # DELETED per the shrink-only rule.
     "dates",         # ds_date_parts
-    "densify",       # ds_densify_monthly (calendar-unit spine)
     "diff",          # orders_snapshot_diff
     "eval",          # ann_recall_at_k (recall harness over ANN rows)
     "expr",          # expression-compiler gates (fuzz tier + strict parity)
-    "funnel",        # funnel_view_click_purchase
     "hof",           # ds_expr_embedding_stats (higher-order functions)
     "incremental",   # dedup_incremental_minhash
-    "normalize",     # unicode_normalization_audit
     "pipeline",      # corpus_pipeline_audit (composite corpus pipeline)
     "quantization",  # embedding_int8_stats
-    "range",         # event_pairs_within_30min (range self-join)
-    "rate",          # ds_window_integral / ds_window_ema
-    "redact",        # ds_redact_nested ($redact tree walk)
-    "retention",     # weekly_retention_cohorts
-    "sampling",      # mixture_sampled_counts
 }
 
 
@@ -233,15 +257,16 @@ def test_every_tag_family_has_driver_provenance():
 
 
 def test_rotated_in_families_gain_rows_next_artifact():
-    """The r10 rotation names are pinned driver-visible; once the round-10
+    """The r11 rotation names are pinned driver-visible; once the round-11
     artifact lands, annotate_verified_rounds picks them up automatically
     (this test just guards the schedule, the invariant test above guards
     the outcome)."""
     dc = driver_catalog()
     for name in (
-        "ds_window_topn_median", "ds_window_time_range",
-        "ds_merge_pipeline_apply", "ds_fill_linear", "ds_facet_summary",
-        "supplier_customer_pagerank", "ds_vector_search",
-        "streaming_ohlc_15min",
+        "ds_bucket_balances", "ds_densify_monthly", "ds_window_integral",
+        "ds_redact_nested", "funnel_view_click_purchase",
+        "weekly_retention_cohorts", "event_pairs_within_30min",
+        "mixture_sampled_counts", "unicode_normalization_audit",
+        "streaming_pair_events",
     ):
         assert name in dc and QUERIES[name].oracle is not None, name

@@ -180,6 +180,16 @@ def test_fill_locf_requires_sort(spark):
                                   "output": {"x": {"method": "locf"}}}}])
 
 
+def test_fill_scalar_output_spec_raises_clearly(spark):
+    """{'x': 'locf'} (scalar instead of {'method': 'locf'}) must raise a
+    direct type error, not iterate the string's characters into a confusing
+    unknown-option list (ADVICE r10)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="must be a document"):
+        aggregate(df, [{"$fill": {"partitionBy": "$g", "sortBy": {"k": 1},
+                                  "output": {"x": "locf"}}}])
+
+
 def test_fill_unknown_method_raises(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError, match="unsupported \\$fill output"):
