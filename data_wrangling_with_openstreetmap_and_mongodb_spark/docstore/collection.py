@@ -25,6 +25,18 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import (
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
 
 
+def _eq_null_safe(v):
+    """Single-arg lambda factory for higher-order functions: a default-arg
+    lambda (``lambda x, v=...``) counts as TWO parameters to PySpark's
+    lambda-arity inspection — filter would silently bind the array INDEX to
+    v, exists rejects it outright (both found by the update fuzz tier)."""
+    return lambda x: x.eqNullSafe(v)
+
+
+def _neq_null_safe(v):
+    return lambda x: ~x.eqNullSafe(v)
+
+
 def _set_literal(value: Any):
     """Classic-update $set literal → Column: scalars via ``lit``, dicts as
     literal embedded documents (struct, like Mongo), lists as literal
@@ -142,6 +154,10 @@ class DocumentCollection:
                     out = out.withColumn(f, F.when(mask, val).otherwise(prev))
             elif op == "$unset":
                 for f in [args] if isinstance(args, str) else list(args):
+                    if f not in out.columns:
+                        # Mongo: $unset on a missing field is a no-op —
+                        # without this guard F.col(f) fails at analysis time
+                        continue
                     out = out.withColumn(
                         f, F.when(mask, F.lit(None)).otherwise(F.col(f))
                     )
@@ -193,9 +209,15 @@ class DocumentCollection:
                                 val = F.array_append(val, nv)
                             else:
                                 # $addToSet appends only if absent, keeping
-                                # the existing order (NOT a sort/dedup pass)
+                                # the existing order (NOT a sort/dedup pass).
+                                # Membership via exists+eqNullSafe, NOT
+                                # array_contains: contains returns NULL for
+                                # a null value (or a null-holding array with
+                                # no match), which would re-append an
+                                # already-present null every update
                                 val = F.when(
-                                    F.array_contains(val, nv), val
+                                    F.exists(val, _eq_null_safe(nv)),
+                                    val,
                                 ).otherwise(F.array_append(val, nv))
                     else:
                         val = cur if op == "$push" else F.array_distinct(cur)
@@ -217,12 +239,12 @@ class DocumentCollection:
                         # never does) — without this guard F.col(f) fails
                         # at analysis time
                         continue
-                    if value is None:
-                        # array_remove cannot remove nulls (returns a null
-                        # array) — Mongo $pull null drops null elements
-                        pulled = F.filter(F.col(f), lambda x: x.isNotNull())
-                    else:
-                        pulled = F.array_remove(F.col(f), _set_literal(value))
+                    # one null-safe rendering for BOTH cases: keep elements
+                    # NOT null-safe-equal to the literal (value None drops
+                    # null elements; array_remove would instead null the
+                    # whole array for a null value and skips null elements'
+                    # comparisons for non-null values)
+                    pulled = F.filter(F.col(f), _neq_null_safe(_set_literal(value)))
                     out = out.withColumn(
                         f, F.when(mask, pulled).otherwise(F.col(f))
                     )
@@ -230,6 +252,10 @@ class DocumentCollection:
                 for f, which in args.items():
                     if which not in (1, -1):
                         raise ValueError(f"$pop takes 1 or -1, got {which!r}")
+                    if f not in out.columns:
+                        # Mongo: $pop on a missing field is a no-op —
+                        # without this guard F.col(f) fails at analysis time
+                        continue
                     n = F.size(F.col(f))
                     trimmed = (
                         F.slice(F.col(f), 1, F.greatest(n - 1, F.lit(0)))

@@ -736,32 +736,92 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS)
     return agg.select("id", sig.alias("simhash"))
 
 
+def _simhash_chunk_layout(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, widths as even as integer division allows
+    (the first ``bits % n_chunks`` chunks get the extra bit)."""
+    base, rem = divmod(bits, n_chunks)
+    if base < 1:
+        raise ValueError(f"{n_chunks} chunks over {bits} bits: chunks need >=1 bit")
+    out, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_block_keys(
+    sig: F.Column, max_hamming: int, key_chunks: int = 1, bits: int = SIMHASH_BITS
+) -> F.Column:
+    """Array of ``struct(block, key)`` LSH keys for a simhash signature.
+
+    Combinatorial multi-chunk blocking (the collision-bound fix, VERDICT
+    r10 ask #2): split the signature into ``m = max_hamming + key_chunks``
+    chunks and emit every ``key_chunks``-subset concatenation as a key.  A
+    pair within Hamming distance ``max_hamming`` damages at most
+    ``max_hamming`` chunks, so at least ``key_chunks`` chunks agree — the
+    subset made of those agreeing chunks is emitted identically by both
+    docs (pigeonhole ⇒ recall 1, property-tested against the quadratic
+    scan).  ``key_chunks=1`` is the classic (max_hamming+1)-chunk scheme.
+
+    Why widen: random-collision candidates scale as
+    C(m, k)·n²/2^(k·bits/m).  At bits=60, max_hamming=3: k=1 gives 4 keys
+    of 15 bits (~n²/2^13 effective); k=2 gives 10 keys of 24 bits
+    (~n²/2^20.7) — ~200× fewer random candidates for 2.5× the key rows,
+    which is what keeps the self-join output-bound as n approaches and
+    passes 2^15 documents.
+    """
+    from itertools import combinations
+
+    if key_chunks < 1:
+        raise ValueError(f"key_chunks must be >= 1, got {key_chunks}")
+    m = max_hamming + key_chunks
+    layout = _simhash_chunk_layout(bits, m)
+
+    def chunk_val(c: int) -> F.Column:
+        off, w = layout[c]
+        return F.shiftrightunsigned(sig, off).bitwiseAND(F.lit((1 << w) - 1))
+
+    entries = []
+    for blk, combo in enumerate(combinations(range(m), key_chunks)):
+        key = F.lit(0).cast("long")
+        for c in combo:
+            _, w = layout[c]
+            key = F.shiftleft(key, w).bitwiseOR(chunk_val(c))
+        entries.append(F.struct(F.lit(blk).alias("block"), key.alias("key")))
+    return F.array(*entries)
+
+
 def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    key_chunks: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — EXACT with
     respect to the signature: pigeonhole blocking has recall 1 (any pair
-    within the distance shares at least one of (max_hamming+1) exact chunks),
-    so the output equals the quadratic scan's, at sub-quadratic cost.
+    within the distance shares at least one emitted block key, see
+    :func:`simhash_block_keys`), so the output equals the quadratic scan's,
+    at sub-quadratic cost.
 
-    Blocking: split the signature into (max_hamming+1) chunks; join per
-    chunk, then verify exact Hamming via bit_count(xor).
+    Blocking: ``key_chunks=1`` (default, oracle-reproducible) splits the
+    signature into (max_hamming+1) chunks and joins per chunk;
+    ``key_chunks>=2`` switches to combinatorial multi-chunk keys — wider
+    keys, C(max_hamming+key_chunks, key_chunks) of them per doc.  Both
+    verify exact Hamming via bit_count(xor), so the OUTPUT is identical;
+    only the candidate volume changes.
 
-    SCALE LIMIT (measured, PLANS.md §dedup-band-scaling): fixed-width
-    chunk blocking is collision-bound — random chunk matches contribute
+    SCALE GUIDANCE (measured, PLANS.md §dedup-band-scaling): single-chunk
+    blocking is collision-bound — random chunk matches contribute
     ~n²/2^chunk_bits candidates per chunk (at 150k docs and 15-bit chunks
-    that is already 235M candidates for ~2M true pairs).  The constant is
-    small but the exponent is 2: for corpora approaching 2^chunk_bits
-    documents, widen the block key — combinatorial multi-chunk keys
-    (any (max_hamming+1)-subset of ≥2 chunks still guarantees recall 1 by
-    pigeonhole when the subset count exceeds the hamming budget) or a
-    wider signature.  For corpus-scale threshold similarity prefer
-    :func:`minhash_lsh_pairs` (measured output-bound: candidate excess
-    ~1% of true pairs at every scale) or the incremental
+    that is already 235M candidates for ~2M true pairs).  ``key_chunks=2``
+    is the corpus-scale setting: 24-bit keys cut random candidates ~200×
+    (measured at 30×: candidates track TRUE pairs, the MinHash shape,
+    instead of corpus²).  For threshold-Jaccard similarity prefer
+    :func:`minhash_lsh_pairs` or the incremental
     :func:`minhash_band_index` probe path.
     """
-    chunks = max_hamming + 1
-    chunk_bits = SIMHASH_BITS // chunks
     # persisted: one (id, simhash) row per document, read by both sides of
     # the chunk self-join — without it the 60-buffer vote aggregation runs
     # twice (same structural-reuse rationale as minhash_lsh_pairs)
@@ -770,19 +830,9 @@ def simhash_near_pairs(
         "id",
         "simhash",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
+            simhash_block_keys(F.col("simhash"), max_hamming, key_chunks)
         ).alias("ck"),
-    ).select("id", "simhash", "ck.chunk", "ck.key")
+    ).select("id", "simhash", F.col("ck.block").alias("chunk"), F.col("ck.key").alias("key"))
     a = with_chunks.alias("a")
     b = with_chunks.alias("b")
     return (

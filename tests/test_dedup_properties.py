@@ -74,3 +74,89 @@ def test_table_diff_matches_dict_reference(spark, old, new):
         elif old[k] != new[k]:
             want[k] = "changed"
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SimHash combinatorial multi-chunk block keys (VERDICT r10 ask #2): recall 1
+# vs the quadratic Hamming scan, for every key_chunks tier.
+# ---------------------------------------------------------------------------
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+    SIMHASH_BITS,
+    _simhash_chunk_layout,
+    simhash_block_keys,
+    simhash_near_pairs,
+)
+
+
+def test_simhash_chunk_layout_partitions_the_signature():
+    for m in (1, 2, 4, 5, 6, 7, 59, 60):
+        layout = _simhash_chunk_layout(SIMHASH_BITS, m)
+        assert len(layout) == m
+        # contiguous, non-overlapping, covering all 60 bits
+        off = 0
+        for o, w in layout:
+            assert o == off and w >= 1
+            off += w
+        assert off == SIMHASH_BITS
+    with pytest.raises(ValueError, match=">=1 bit"):
+        _simhash_chunk_layout(SIMHASH_BITS, 61)
+
+
+@pytest.mark.parametrize(
+    "max_hamming,key_chunks", [(1, 2), (2, 2), (3, 2), (3, 3), (4, 2), (3, 1)]
+)
+def test_simhash_block_keys_recall_one(spark, max_hamming, key_chunks):
+    """Pigeonhole recall: ANY pair of signatures within max_hamming shares
+    at least one emitted (block, key) — evaluated through the Spark
+    expression itself (one job for 300 random pairs), not a Python mirror."""
+    from math import comb
+
+    rnd = random.Random(20260816 * (max_hamming + 1) + key_chunks)
+    rows = []
+    for _ in range(300):
+        a = rnd.getrandbits(SIMHASH_BITS)
+        d = rnd.randint(0, max_hamming)
+        b = a
+        for pos in rnd.sample(range(SIMHASH_BITS), d):
+            b ^= 1 << pos
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "sa long, sb long")
+    ka = simhash_block_keys(F.col("sa"), max_hamming, key_chunks)
+    kb = simhash_block_keys(F.col("sb"), max_hamming, key_chunks)
+    out = df.select(
+        F.arrays_overlap(ka, kb).alias("shared"), F.size(ka).alias("nk")
+    ).collect()
+    assert all(r["shared"] for r in out)
+    # keys per doc = C(max_hamming + key_chunks, key_chunks)
+    want_nk = comb(max_hamming + key_chunks, key_chunks)
+    assert all(r["nk"] == want_nk for r in out)
+
+
+def test_simhash_block_keys_rejects_bad_key_chunks():
+    with pytest.raises(ValueError, match="key_chunks"):
+        simhash_block_keys(F.lit(0).cast("long"), 3, 0)
+
+
+def test_simhash_near_pairs_key_chunks_output_identical(spark, sf_dir):
+    """key_chunks only changes the CANDIDATE generation; the verified output
+    must equal the classic single-chunk blocking (itself oracle-verified
+    against the quadratic scan) pair-for-pair, hamming-for-hamming."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=3, key_chunks=2
+        ).collect()
+    }
+    assert wide == base and len(base) > 0

@@ -21,6 +21,14 @@ the duplicate-pair workload scales honestly):
 
 Results land in PLANS.md "dedup-band-scaling" by hand.
 
+r11 adds the `simhash_k2` section (VERDICT r10 ask #2): the combinatorial
+2-chunk block keys (`key_chunks=2`, 10 keys x 24 bits instead of 4 x 15)
+measured against the same corpus replicas — the row that shows candidates
+tracking TRUE pairs instead of corpus².  SPARK_GRAFT_PROBE_SECTIONS
+(comma list of minhash/simhash/simhash_k2, default all) selects sections,
+so the new row doesn't force a re-run of the already-documented k=1
+collision-bound measurement.
+
 Usage: SPARK_GRAFT_CPUS=32 python tools/dedup_scale_probe.py
 """
 
@@ -40,11 +48,11 @@ def main() -> None:
     import pyspark.sql.functions as F
 
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
-        SIMHASH_BITS,
         _shingle_rows,
         _sig_and_bands,
         minhash_lsh_pairs,
         simhash,
+        simhash_block_keys,
         simhash_near_pairs,
     )
     from data_wrangling_with_openstreetmap_and_mongodb_spark.session import get_spark
@@ -63,72 +71,38 @@ def main() -> None:
     sf1 = os.path.join(REPO, ".scaledata", "sf1")
     if os.path.exists(os.path.join(sf1, "documents.parquet")):
         dirs["10x"] = sf1
+    else:
+        # full sf1 not built this session: a documents-only 10x replica is
+        # enough for the dedup tier (same scheme, same workload)
+        dirs["10x"] = _ensure_docs_scale(
+            spark, "/root/testdata/sf0.1", os.path.join(REPO, ".scaledata", "docs10"), 10
+        )
     dirs["30x"] = _ensure_docs_scale(
         spark, "/root/testdata/sf0.1", os.path.join(REPO, ".scaledata", "docs30"), 30
     )
 
-    results: dict[str, dict] = {}
-    for tag, d in dirs.items():
-        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-        n_docs = docs.count()
-        row: dict = {"docs": n_docs}
+    sections = set(
+        os.environ.get(
+            "SPARK_GRAFT_PROBE_SECTIONS", "minhash,simhash,simhash_k2"
+        ).split(",")
+    )
 
-        # -- MinHash LSH ----------------------------------------------------
-        # candidate volume from the operator's own band table (the exact
-        # rows its bucket self-join moves), then the full verified pipeline
-        # timed end-to-end
+    def _simhash_candidates(docs, key_chunks: int) -> tuple[int, float]:
+        """Distinct candidate-pair count from the operator's own block-key
+        table (the exact rows its self-join moves) + wall seconds."""
         t0 = time.perf_counter()
-        shingle_rows = _shingle_rows(docs, "text", "doc_id", 3).persist()
-        _, band_rows = _sig_and_bands(shingle_rows, 64, 16, 42)
-        a, b = band_rows.alias("a"), band_rows.alias("b")
-        n_cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select("a.id", "b.id")
-            .dropDuplicates()
-            .count()
-        )
-        cand_sec = round(time.perf_counter() - t0, 1)
-        shingle_rows.unpersist()
-        t0 = time.perf_counter()
-        n_pairs = minhash_lsh_pairs(
-            docs, "text", "doc_id", num_hashes=64, bands=16, n=3, threshold=0.8
-        ).count()
-        row["minhash"] = {
-            "candidates": n_cand,
-            "cand_sec": cand_sec,
-            "pairs": n_pairs,
-            "pipeline_sec": round(time.perf_counter() - t0, 1),
-        }
-        spark.catalog.clearCache()
-
-        # -- SimHash ---------------------------------------------------------
-        t0 = time.perf_counter()
-        chunks, cb = 4, SIMHASH_BITS // 4
         sh = simhash(docs, "text", "doc_id").persist()
-        with_chunks = sh.select(
+        with_keys = sh.select(
             "id",
             F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * cb)
-                        .bitwiseAND(F.lit((1 << cb) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ])
+                simhash_block_keys(F.col("simhash"), 3, key_chunks)
             ).alias("ck"),
-        ).select("id", "ck.chunk", "ck.key")
-        a, b = with_chunks.alias("a"), with_chunks.alias("b")
-        n_scand = (
+        ).select("id", "ck.block", "ck.key")
+        a, b = with_keys.alias("a"), with_keys.alias("b")
+        n = (
             a.join(
                 b,
-                (F.col("a.chunk") == F.col("b.chunk"))
+                (F.col("a.block") == F.col("b.block"))
                 & (F.col("a.key") == F.col("b.key"))
                 & (F.col("a.id") < F.col("b.id")),
             )
@@ -136,17 +110,77 @@ def main() -> None:
             .dropDuplicates()
             .count()
         )
-        scand_sec = round(time.perf_counter() - t0, 1)
+        sec = round(time.perf_counter() - t0, 1)
         sh.unpersist()
-        t0 = time.perf_counter()
-        n_spairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).count()
-        row["simhash"] = {
-            "candidates": n_scand,
-            "cand_sec": scand_sec,
-            "pairs": n_spairs,
-            "pipeline_sec": round(time.perf_counter() - t0, 1),
-        }
-        spark.catalog.clearCache()
+        return n, sec
+
+    results: dict[str, dict] = {}
+    for tag, d in dirs.items():
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        n_docs = docs.count()
+        row: dict = {"docs": n_docs}
+
+        # -- SimHash combinatorial 2-chunk keys (r11) -------------------------
+        if "simhash_k2" in sections:
+            n_k2, k2_sec = _simhash_candidates(docs, key_chunks=2)
+            t0 = time.perf_counter()
+            n_k2pairs = simhash_near_pairs(
+                docs, "text", "doc_id", max_hamming=3, key_chunks=2
+            ).count()
+            row["simhash_k2"] = {
+                "candidates": n_k2,
+                "cand_sec": k2_sec,
+                "pairs": n_k2pairs,
+                "pipeline_sec": round(time.perf_counter() - t0, 1),
+            }
+            spark.catalog.clearCache()
+
+        # -- MinHash LSH ----------------------------------------------------
+        # candidate volume from the operator's own band table (the exact
+        # rows its bucket self-join moves), then the full verified pipeline
+        # timed end-to-end
+        if "minhash" in sections:
+            t0 = time.perf_counter()
+            shingle_rows = _shingle_rows(docs, "text", "doc_id", 3).persist()
+            _, band_rows = _sig_and_bands(shingle_rows, 64, 16, 42)
+            a, b = band_rows.alias("a"), band_rows.alias("b")
+            n_cand = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.id") < F.col("b.id")),
+                )
+                .select("a.id", "b.id")
+                .dropDuplicates()
+                .count()
+            )
+            cand_sec = round(time.perf_counter() - t0, 1)
+            shingle_rows.unpersist()
+            t0 = time.perf_counter()
+            n_pairs = minhash_lsh_pairs(
+                docs, "text", "doc_id", num_hashes=64, bands=16, n=3, threshold=0.8
+            ).count()
+            row["minhash"] = {
+                "candidates": n_cand,
+                "cand_sec": cand_sec,
+                "pairs": n_pairs,
+                "pipeline_sec": round(time.perf_counter() - t0, 1),
+            }
+            spark.catalog.clearCache()
+
+        # -- SimHash single-chunk (classic, collision-bound) ------------------
+        if "simhash" in sections:
+            n_scand, scand_sec = _simhash_candidates(docs, key_chunks=1)
+            t0 = time.perf_counter()
+            n_spairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).count()
+            row["simhash"] = {
+                "candidates": n_scand,
+                "cand_sec": scand_sec,
+                "pairs": n_spairs,
+                "pipeline_sec": round(time.perf_counter() - t0, 1),
+            }
+            spark.catalog.clearCache()
 
         results[tag] = row
         print(f"{tag}: {json.dumps(row)}", flush=True)
