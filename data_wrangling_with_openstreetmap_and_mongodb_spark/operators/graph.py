@@ -264,6 +264,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 0,
     checkpoint_mode: str = "reliable",
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """Damped PageRank by a fixed number of power iterations — ``(id, pr)``.
 
@@ -299,20 +300,38 @@ def pagerank(
     durability for speed on local[N].  Values are unchanged either way —
     truncation only cuts lineage, so the trajectory oracle holds in every
     mode.  Barrier cost measured at sf0.1: see PLANS.md §checkpoint-modes.
+
+    ``pre_materialized=True`` checkpoints the DISTINCT EDGE SET once up
+    front (mode per ``checkpoint_mode``), so each unrolled iteration reads
+    materialized edges through id-keyed shuffles instead of re-deriving
+    the upstream edge pipeline (e.g. a lineitem⋈orders join) ``iters``
+    times.  Values are identical (trajectory oracle holds; asserted in the
+    probe before timing).  Measured, not asserted —
+    tools/pagerank_materialize_probe.py → PLANS.md
+    §pagerank-edge-materialization: on the catalog query's lineitem⋈orders
+    derivation, 1.44× faster at sf0.1 (600k edge rows) and 1.30× at 10×
+    (6M rows) — unlike a ``.persist()`` of the tiny node/rank frames
+    (measured 2.4× SLOWER, see below), one lineage cut on the BULKY
+    derived table is a win at every tested scale, and the margin grows
+    with derivation cost.  The 100 TB recipe is pre_materialized=True (or
+    persist/write the edge table yourself); the default stays False only
+    because trivially-derived ad-hoc graphs don't need the barrier.
     """
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import dsum
 
-    # Deliberately NOT persisted: at tested scales Catalyst re-derives the
-    # edge/node sets cheaply inside each iteration's collapsed plan and AQE
-    # coalesces the tiny shuffles, while a cache boundary pins the pre-AQE
-    # partition layout and pays per-stage scheduling on every cached read
-    # (measured 2.4× slower at sf0.1).  On a REAL graph — where `edges` is
-    # an expensive multi-table join — persist (or write out) the edge set
-    # before calling this, exactly as dedup_clusters checkpoints its pair
-    # pipeline; the operator composes with either choice.
+    # Deliberately NOT persisted by default: at tested scales Catalyst
+    # re-derives the edge/node sets cheaply inside each iteration's
+    # collapsed plan and AQE coalesces the tiny shuffles, while a cache
+    # boundary pins the pre-AQE partition layout and pays per-stage
+    # scheduling on every cached read (measured 2.4× slower at sf0.1).  On
+    # a REAL graph — where `edges` is an expensive multi-table join — pass
+    # pre_materialized=True (or persist/write the edge set yourself); the
+    # operator composes with either choice.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    if pre_materialized:
+        e = _truncate(e, checkpoint_mode, eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

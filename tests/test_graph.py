@@ -255,6 +255,20 @@ class TestCheckpointModes:
             ).collect()
         }
         assert lcl == plain
+        # pre-materializing the edge set (the 100 TB recipe, measured in
+        # PLANS.md §pagerank-edge-materialization) is also lineage-only
+        pre = {
+            r["id"]: r["pr"]
+            for r in pagerank(
+                edges, iters=6, pre_materialized=True, checkpoint_mode="local"
+            ).collect()
+        }
+        assert pre == plain
+        pre_rel = {
+            r["id"]: r["pr"]
+            for r in pagerank(edges, iters=6, pre_materialized=True).collect()
+        }
+        assert pre_rel == plain
 
     def test_exactly_one_canonical_per_cluster(self, spark):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
