@@ -532,6 +532,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_k2",
+    oracle=_simhash_oracle_sql(max_hamming=3),
+    doc="SimHash near-dup pairs through the COMBINATORIAL 2-chunk block "
+    "keys (r11, operators/dedup.py::simhash_block_keys — 10 keys x 24 "
+    "bits instead of 4 x 15, the corpus-scale setting measured in "
+    "PLANS.md §dedup-band-scaling).  The oracle is the QUADRATIC "
+    "signature scan, so hash parity here pins both recall 1 (pigeonhole) "
+    "and precision of the wider blocking against ground truth, "
+    "independent of the property tier.  Gate-only: output-identical to "
+    "dedup_simhash by construction, so it shares that family's "
+    "provenance (driver-green ≤r10).",
+    tags=("dedup", "lsh"),
+    driver_visible=False,
+)
+def dedup_simhash_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "text", "doc_id", max_hamming=3, key_chunks=2)
+
+
+@register(
     "dedup_embedding_cosine",
     oracle=f"""
         WITH n AS (

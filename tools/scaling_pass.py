@@ -45,7 +45,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     dirs = {
         "sf0.1": "/root/testdata/sf0.1",
-        "sf1": os.path.join(REPO, ".scaledata", "sf1"),
+        # override when only the tables a query set touches were replicated
+        # (e.g. .scaledata/r11x10 holds customer/orders/events/documents)
+        "sf1": os.environ.get(
+            "SPARK_GRAFT_SCALE10_DIR", os.path.join(REPO, ".scaledata", "sf1")
+        ),
     }
     out: dict[str, dict] = {}
     for name in names:
