@@ -82,8 +82,10 @@ def ds_top_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY event_type
     """,
-    doc="$group accumulators $sum/$avg/$min/$max (05/avg_city_pop_for_indian_regions.py:39-43)",
+    doc="$group accumulators $sum/$avg/$min/$max (05/avg_city_pop_for_indian_regions.py:39-43)"
+    "  Evicted from the driver window in the r11 second wave (driver-green through r10; global-agg shape covered by pricing_summary and ds_facet_summary); still oracle-gated at sf0.01.",
     tags=("docstore", "agg"),
+    driver_visible=False,
 )
 def ds_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(
@@ -116,8 +118,10 @@ def ds_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY count DESC, _id ASC
         LIMIT 15
     """,
-    doc="$project computed + $unwind + $group + $sort/$limit (05/region_cities.py:27-37)",
+    doc="$project computed + $unwind + $group + $sort/$limit (05/region_cities.py:27-37)"
+    "  Evicted from the driver window in the r11 second wave (driver-green through r10; the $unwind stage keeps its pipeline fuzz tiers and sf0.01 gate); still oracle-gated at sf0.01.",
     tags=("docstore", "explode", "topk"),
+    driver_visible=False,
 )
 def ds_unwind_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "documents").aggregate(
@@ -340,9 +344,9 @@ def ds_bucket_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DuckDB's list_reduce: 0.0+x1 == x1 in IEEE, then the same "
     "left-to-right double adds), $group rolls up per label.  Exercises the "
     "$$variable environment against a real column, not a fixture.  "
-    "Gate-only: the window is full.",
+    "Driver-visible since the r11 second wave (the hof/expr families' "
+    "first driver row).",
     tags=("docstore", "expr", "hof"),
-    driver_visible=False,
 )
 def ds_expr_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "embeddings").aggregate(
@@ -1809,10 +1813,9 @@ def ds_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(carry-free case of the interval-arithmetic lowering), orders group "
     "by it — count plus exact min/max prices.  The oracle's date_trunc "
     "equals the decompose-rebuild path iff both part extraction and "
-    "reconstruction are correct.  Gate-only: expression-composition shape "
-    "(A12 derived-key grouping carries driver rows).",
+    "reconstruction are correct.  Driver-visible since the r11 second wave "
+    "(the dates/expr families' first driver row).",
     tags=("docstore", "expr", "dates"),
-    driver_visible=False,
 )
 def ds_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(

@@ -54,8 +54,10 @@ SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 h, ~median inter-event gap ×1.6
         FROM supplier s
         LEFT JOIN upd u ON s.s_nationkey = u.s_nationkey
     """,
-    doc="find_one+set+save upsert loop as broadcast left-join + coalesce (04/update.py:56-76)",
+    doc="find_one+set+save upsert loop as broadcast left-join + coalesce (04/update.py:56-76)"
+    "  Evicted from the driver window in the r11 second wave (driver-green through r10; upsert family covered by ds_merge_pipeline_apply and scd2_incremental_state); still oracle-gated at sf0.01.",
     tags=("join", "upsert"),
+    driver_visible=False,
 )
 def upsert_supplier_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
@@ -128,8 +130,10 @@ def extreme_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM long
         GROUP BY measure
     """,
-    doc="column-wise wide→long aggregation via unpivot (01/excel_csv.py:34-44; A11)",
+    doc="column-wise wide→long aggregation via unpivot (01/excel_csv.py:34-44; A11)"
+    "  Evicted from the driver window in the r11 second wave (driver-green through r10; hash-agg shape covered by pricing_summary; the unpivot keeps its gate); still oracle-gated at sf0.01.",
     tags=("agg", "unpivot"),
+    driver_visible=False,
 )
 def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no spread(): the unpivot+agg arithmetic is lighter than the extra

@@ -476,8 +476,10 @@ def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_custkey IN (SELECT o_custkey FROM topc)
         GROUP BY o.o_custkey
     """,
-    doc="top-k agg then per-key find (README.md:911-920) as broadcast left-semi join",
+    doc="top-k agg then per-key find (README.md:911-920) as broadcast left-semi join"
+    "  Evicted from the driver window in the r11 second wave (driver-green through r10; join+topk shapes covered by ds_lookup_group and bm25_keyword_topk); still oracle-gated at sf0.01.",
     tags=("join", "topk"),
+    driver_visible=False,
 )
 def orders_of_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

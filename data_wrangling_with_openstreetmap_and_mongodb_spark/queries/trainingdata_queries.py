@@ -141,8 +141,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
         GROUP BY source
     """,
-    doc="composite quality scoring (length/punct/stopword/word-length bands)",
+    doc="composite quality scoring (length/punct/stopword/word-length bands)"
+    "  Evicted from the driver window in the r11 second wave (driver-green through r10; text/quality shapes covered by pii_redaction_audit and dsir_gumbel_resample); still oracle-gated at sf0.01.",
     tags=("text", "agg"),
+    driver_visible=False,
 )
 def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -711,7 +713,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hard rows (ann_bruteforce_topk, ann_ivf_kmeans_topk) are driver-"
     "visible.",
     tags=("similarity", "topk", "eval"),
-    driver_visible=False,
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
@@ -1408,7 +1409,6 @@ _pipeline_split_bucket = _split_bucket_sql_fn("doc_id")
     "token_count; the oracle replays every stage.  Gate-only: each stage "
     "holds its own hard row.",
     tags=("curation", "pipeline", "agg"),
-    driver_visible=False,
 )
 def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -1472,7 +1472,6 @@ def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "old extract, every 101st repriced in the new).  Gate-only: fingerprint "
     "+ outer-join families carry hard rows elsewhere.",
     tags=("quality", "join", "diff"),
-    driver_visible=False,
 )
 def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import table_diff
@@ -2347,10 +2346,9 @@ def _int8_oracle() -> str:
     "deterministic mean scale, exact integer sum of squared quantized "
     "coefficients (pins every qvec element), and saturation counts — the "
     "4x-memory compression tier for 100 TB vector corpora.  Oracle replays "
-    "the quantizer element-for-element in SQL.  Gate-only: the driver "
-    "window is full.",
+    "the quantizer element-for-element in SQL.  Driver-visible since the "
+    "r11 second wave (the quantization family's first driver row).",
     tags=("similarity", "quantization"),
-    driver_visible=False,
 )
 def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
@@ -2551,9 +2549,9 @@ def _minhash_incremental_oracle_sql(
     "buckets via equi-join, and verifies candidates by signature "
     "agreement.  The production daily-increment shape at 100 TB.  Oracle "
     "replays signatures, buckets, candidates, and estimates in SQL.  "
-    "Gate-only: the driver window is full.",
+    "Driver-visible since the r11 second wave (the incremental family's "
+    "first driver row).",
     tags=("dedup", "lsh", "incremental"),
-    driver_visible=False,
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
@@ -2911,8 +2909,10 @@ def _gap_fill_oracle_sql() -> str:
     "sequence-explode — never a cross join against a global calendar — and "
     "spine, join, and fill window share one key partitioning.  "
     "Driver-visible since r4 (VERDICT r3 ask #2: hard row for the gap-fill "
-    "family; orders_in_range rotated out in exchange).",
+    "family; orders_in_range rotated out in exchange)."
+    "  Evicted from the driver window in the r11 second wave (driver-green r4-r10; spine+fill family covered by ds_fill_linear's driver row); still oracle-gated at sf0.01.",
     tags=("events", "window", "resample"),
+    driver_visible=False,
 )
 def events_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros

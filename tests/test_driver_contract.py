@@ -84,6 +84,16 @@ def test_novel_operator_families_are_driver_visible():
         "mixture_sampled_counts",
         "unicode_normalization_audit",
         "streaming_pair_events",
+        # r11 second wave: the last eight gate-only families (GATE_ONLY_TAGS
+        # is now empty) — dates/expr, diff, eval, hof, incremental,
+        # pipeline, quantization
+        "ds_date_parts",
+        "orders_snapshot_diff",
+        "ann_recall_at_k",
+        "ds_expr_embedding_stats",
+        "dedup_incremental_minhash",
+        "corpus_pipeline_audit",
+        "embedding_int8_stats",
     ):
         assert novel in dc, novel
     for hidden in (
@@ -122,13 +132,22 @@ def test_novel_operator_families_are_driver_visible():
         "clean_enum_part_types",       # ⊂ cleaning (type_audit_events)
         "ds_elem_match",               # ⊂ filter (events_with_large_k)
         "distinct_customers_with_orders",  # ⊂ agg (pricing_summary)
-        "lang_id_confusion",           # ⊂ text-agg (text_quality_by_source)
+        "lang_id_confusion",           # ⊂ text-agg (was text_quality_by_source)
         "events_asof_last_order",      # ⊂ asof (streaming_asof_enrich_status)
         "dedup_embedding_cosine",      # ⊂ dedup/similarity (minhash + vector_search)
         "dedup_simhash",               # ⊂ dedup/lsh (dedup_minhash_lsh)
         "bpe_first_merge_pairs",       # ⊂ explode+agg (visible agg rows)
         "winnowing_fingerprints",      # ⊂ fingerprint (dedup_exact_substring)
         "sessionize_events",           # ⊂ window (topn_median/time_range)
+        # r11 second-wave evictions (driver-green through r10,
+        # shape-covered, catalog-gated):
+        "ds_value_stats_by_type",      # ⊂ agg (pricing_summary, ds_facet_summary)
+        "ds_unwind_token_counts",      # ⊂ explode+topk (pipeline fuzz + gate)
+        "upsert_supplier_acctbal",     # ⊂ upsert (ds_merge_pipeline_apply, scd2)
+        "lineitem_measure_stats",      # ⊂ hash-agg (pricing_summary)
+        "orders_of_top_customers",     # ⊂ join+topk (ds_lookup_group, bm25)
+        "text_quality_by_source",      # ⊂ text/quality (pii_redaction, dsir)
+        "events_gap_filled_locf",      # ⊂ spine+fill (ds_fill_linear)
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 
@@ -199,22 +218,21 @@ def test_no_oracle_emits_hugeint_columns(duck):
 # Adding a NEW tag to the catalog without either a driver-visible member or
 # an entry here fails test_every_tag_family_has_driver_provenance, so the
 # invariant is permanent (VERDICT r9 ask #7), not a per-round negotiation.
-GATE_ONLY_TAGS = {
-    # r11 rotation (VERDICT r10 ask #1) paid down 9 of the 17 r10 entries:
-    # bucket (ds_bucket_balances), densify (ds_densify_monthly), funnel
-    # (funnel_view_click_purchase), normalize (unicode_normalization_audit),
-    # range (event_pairs_within_30min), rate (ds_window_integral), redact
+GATE_ONLY_TAGS: set[str] = {
+    # EMPTY since round 11 — the ledger is fully paid down.  The r11 first
+    # wave (VERDICT r10 ask #1) rotated in bucket (ds_bucket_balances),
+    # densify (ds_densify_monthly), funnel (funnel_view_click_purchase),
+    # normalize (unicode_normalization_audit), range
+    # (event_pairs_within_30min), rate (ds_window_integral), redact
     # (ds_redact_nested), retention (weekly_retention_cohorts), sampling
-    # (mixture_sampled_counts) — each now driver-visible; their lines are
-    # DELETED per the shrink-only rule.
-    "dates",         # ds_date_parts
-    "diff",          # orders_snapshot_diff
-    "eval",          # ann_recall_at_k (recall harness over ANN rows)
-    "expr",          # expression-compiler gates (fuzz tier + strict parity)
-    "hof",           # ds_expr_embedding_stats (higher-order functions)
-    "incremental",   # dedup_incremental_minhash
-    "pipeline",      # corpus_pipeline_audit (composite corpus pipeline)
-    "quantization",  # embedding_int8_stats
+    # (mixture_sampled_counts); the second wave closed the remaining eight:
+    # dates+expr (ds_date_parts), diff (orders_snapshot_diff), eval
+    # (ann_recall_at_k), hof+expr (ds_expr_embedding_stats), incremental
+    # (dedup_incremental_minhash), pipeline (corpus_pipeline_audit),
+    # quantization (embedding_int8_stats).  Every operator family now has
+    # either a green external-driver row or a currently-scheduled member;
+    # adding a NEW tag without one fails the provenance test below, so any
+    # future entry here is a conscious, documented debt.
 }
 
 
@@ -268,5 +286,8 @@ def test_rotated_in_families_gain_rows_next_artifact():
         "weekly_retention_cohorts", "event_pairs_within_30min",
         "mixture_sampled_counts", "unicode_normalization_audit",
         "streaming_pair_events",
+        "ds_date_parts", "orders_snapshot_diff", "ann_recall_at_k",
+        "ds_expr_embedding_stats", "dedup_incremental_minhash",
+        "corpus_pipeline_audit", "embedding_int8_stats",
     ):
         assert name in dc and QUERIES[name].oracle is not None, name
