@@ -266,7 +266,8 @@ def avg_balance_by_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     doc="two-level $group re-aggregation (05/avg_population.py:35-42).  "
     "Hidden from the driver window (r3) to give dedup_near_clusters a hard "
     "row: chained hash-agg shape keeps visible coverage via "
-    "avg_balance_by_nation_segment + ds_value_stats_by_type; stays in the "
+    "pricing_summary (avg_balance_by_nation_segment and "
+    "ds_value_stats_by_type carried it r1-r10); stays in the "
     "local sf0.01 parity gate.",
     tags=("agg",),
     driver_visible=False,
@@ -316,7 +317,8 @@ def global_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
     """,
     doc="$addToSet accumulator (05/frequent_tweeters.py:3-4,36-38)"
-    "  Driver r1-r9; evicted in the r10 rotation (group-count family keeps pricing_summary / text_quality_by_source), still oracle-gated at sf0.01.",
+    "  Driver r1-r9; evicted in the r10 rotation (group-count family keeps "
+    "pricing_summary), still oracle-gated at sf0.01.",
     tags=("agg", "array"),
     driver_visible=False,
 )
@@ -341,8 +343,9 @@ def statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="distinct('created.user') + find(pred).count() (README.md:882,868).  "
     "Evicted from the driver window in the r11 rotation (driver-green "
-    "r1-r10; global-agg/distinct shapes covered by pricing_summary and "
-    "ds_value_stats_by_type); still oracle-gated at sf0.01.",
+    "r1-r10; global-agg/distinct shapes covered by pricing_summary — "
+    "ds_value_stats_by_type carried a row r1-r10 before its own "
+    "second-wave eviction); still oracle-gated at sf0.01.",
     tags=("agg",),
     driver_visible=False,
 )

@@ -100,8 +100,9 @@ def _sql_stop_list(lang: str) -> str:
     doc="token counting, whitespace + BPE-ish regex pre-tokenization "
     "(training-data text op; integer sums are exact so plain AVG "
     "hash-matches).  Gate-only since round 5: a linear text-scan agg shape "
-    "covered by text_quality_by_source's hard row — rotated out for "
-    "ds_graph_reachable_orders ($graphLookup, a novel traversal family).",
+    "(text_quality_by_source held its hard row r1-r10; since the r11 "
+    "second wave the visible text rows are pii_redaction_audit and "
+    "decontaminate_ngrams) — rotated out for ds_graph_reachable_orders.",
     tags=("text", "agg"),
     driver_visible=False,
 )
@@ -232,9 +233,10 @@ def _sql_lang_score(lang: str) -> str:
     """,
     doc="stopword-hit language-ID heuristic vs labeled lang column.  "
     "Evicted from the driver window in the r11 rotation (driver-green "
-    "r1-r10; text-agg shape covered by text_quality_by_source, classify "
-    "family by streaming_nb_score_confusion); still oracle-gated at "
-    "sf0.01.",
+    "r1-r10; text-agg provenance held by text_quality_by_source's r1-r10 "
+    "artifacts — itself rotated out in the second wave — with "
+    "pii_redaction_audit the still-visible text row and classify covered "
+    "by streaming_nb_score_confusion); still oracle-gated at sf0.01.",
     tags=("text", "agg"),
     driver_visible=False,
 )
@@ -709,9 +711,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(two tiny top-k frames, a 10×10 join); the oracle replays both "
     "pipelines and intersects.  Scale shape: brute force runs on a "
     "SAMPLE at 100 TB (the eval set), never the corpus — the operators "
-    "don't care which.  Gate-only: eval composition of families whose "
-    "hard rows (ann_bruteforce_topk, ann_ivf_kmeans_topk) are driver-"
-    "visible.",
+    "don't care which.  Driver-visible since the r11 second wave (the "
+    "eval family's first driver row).",
     tags=("similarity", "topk", "eval"),
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,8 +1407,8 @@ _pipeline_split_bucket = _split_bucket_sql_fn("doc_id")
     "train/val/test split → per-(split, lang) audit of doc counts, token "
     "totals, and quality — the publishable corpus datasheet.  Composes "
     "rule_filter flags, dedup_exact, split_assign, quality_score, "
-    "token_count; the oracle replays every stage.  Gate-only: each stage "
-    "holds its own hard row.",
+    "token_count; the oracle replays every stage.  Driver-visible since "
+    "the r11 second wave (the pipeline family's first driver row).",
     tags=("curation", "pipeline", "agg"),
 )
 def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1469,8 +1470,8 @@ def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by key + content fingerprint, unchanged majority never emitted — the "
     "extract-validation op of a warehouse pipeline.  Snapshots are "
     "deterministic derivations of orders (every 97th key missing from the "
-    "old extract, every 101st repriced in the new).  Gate-only: fingerprint "
-    "+ outer-join families carry hard rows elsewhere.",
+    "old extract, every 101st repriced in the new).  Driver-visible since "
+    "the r11 second wave (the diff family's first driver row).",
     tags=("quality", "join", "diff"),
 )
 def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2247,8 +2248,8 @@ def _bigram_oracle() -> str:
     "log-probability) with their quantized perplexities.  Bigrams form "
     "map-side from each doc's token array (no self-join); the scoring "
     "shuffle is bounded by distinct bigrams.  Gate-only: composition "
-    "sibling of doc_unigram_logprob (quality family's driver row is "
-    "text_quality_by_source).",
+    "sibling of doc_unigram_logprob (the quality family's visible row "
+    "is dsir_gumbel_resample since the r11 second wave).",
     tags=("text", "quality", "topk"),
     driver_visible=False,
 )

@@ -87,13 +87,21 @@ def run_streaming_pair_events(
     ``state_partitions`` sizes the join's state store like the rollup
     runner (per-user buffered rows, thousands of keys — not the batch
     shuffle default).
+
+    Sink: parquet files (the asof-enrich runner's pattern), NOT the memory
+    sink — the pair output scales with corpus size (unlike the ohlc/rollup
+    aggregates), and a memory sink buffers every row in the driver JVM for
+    the session's lifetime, so repeated bench/parity invocations would pile
+    up full pair sets in driver heap (caught in the r11 review).
     """
+    import tempfile
+
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
     from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.rollup import (
         stream_events,
     )
 
-    name = f"pair_events_sink_{next(_pair_sink_counter)}"
+    tmp = tempfile.mkdtemp(prefix=f"pair_events_{next(_pair_sink_counter)}_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -121,8 +129,9 @@ def run_streaming_pair_events(
             ).alias("delta_us"),
         )
         q = (
-            pairs.writeStream.format("memory")
-            .queryName(name)
+            pairs.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -130,4 +139,4 @@ def run_streaming_pair_events(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return spark.read.parquet(f"{tmp}/out")

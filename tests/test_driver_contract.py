@@ -218,22 +218,22 @@ def test_no_oracle_emits_hugeint_columns(duck):
 # Adding a NEW tag to the catalog without either a driver-visible member or
 # an entry here fails test_every_tag_family_has_driver_provenance, so the
 # invariant is permanent (VERDICT r9 ask #7), not a per-round negotiation.
-GATE_ONLY_TAGS: set[str] = {
-    # EMPTY since round 11 — the ledger is fully paid down.  The r11 first
-    # wave (VERDICT r10 ask #1) rotated in bucket (ds_bucket_balances),
-    # densify (ds_densify_monthly), funnel (funnel_view_click_purchase),
-    # normalize (unicode_normalization_audit), range
-    # (event_pairs_within_30min), rate (ds_window_integral), redact
-    # (ds_redact_nested), retention (weekly_retention_cohorts), sampling
-    # (mixture_sampled_counts); the second wave closed the remaining eight:
-    # dates+expr (ds_date_parts), diff (orders_snapshot_diff), eval
-    # (ann_recall_at_k), hof+expr (ds_expr_embedding_stats), incremental
-    # (dedup_incremental_minhash), pipeline (corpus_pipeline_audit),
-    # quantization (embedding_int8_stats).  Every operator family now has
-    # either a green external-driver row or a currently-scheduled member;
-    # adding a NEW tag without one fails the provenance test below, so any
-    # future entry here is a conscious, documented debt.
-}
+# EMPTY since round 11 — the ledger is fully paid down.  The r11 first
+# wave (VERDICT r10 ask #1) rotated in bucket (ds_bucket_balances),
+# densify (ds_densify_monthly), funnel (funnel_view_click_purchase),
+# normalize (unicode_normalization_audit), range (event_pairs_within_30min),
+# rate (ds_window_integral), redact (ds_redact_nested), retention
+# (weekly_retention_cohorts), sampling (mixture_sampled_counts); the second
+# wave closed the remaining eight: dates+expr (ds_date_parts), diff
+# (orders_snapshot_diff), eval (ann_recall_at_k), hof+expr
+# (ds_expr_embedding_stats), incremental (dedup_incremental_minhash),
+# pipeline (corpus_pipeline_audit), quantization (embedding_int8_stats).
+# Every operator family now has either a green external-driver row or a
+# currently-scheduled member; adding a NEW tag without one fails the
+# provenance test below, so any future entry here is a conscious,
+# documented debt.  (`set()`, not `{}` — a brace literal with only
+# comments is an empty DICT.)
+GATE_ONLY_TAGS: set[str] = set()
 
 
 def test_every_tag_family_has_driver_provenance():

@@ -81,11 +81,21 @@ def main() -> None:
         spark, "/root/testdata/sf0.1", os.path.join(REPO, ".scaledata", "docs30"), 30
     )
 
-    sections = set(
-        os.environ.get(
-            "SPARK_GRAFT_PROBE_SECTIONS", "minhash,simhash,simhash_k2"
+    KNOWN_SECTIONS = {"minhash", "simhash", "simhash_k2"}
+    sections = {
+        s.strip()
+        for s in os.environ.get(
+            "SPARK_GRAFT_PROBE_SECTIONS", ",".join(sorted(KNOWN_SECTIONS))
         ).split(",")
-    )
+        if s.strip()
+    }
+    unknown = sections - KNOWN_SECTIONS
+    if unknown:
+        # fail loudly: a typo would otherwise silently skip a measurement
+        raise SystemExit(
+            f"unknown SPARK_GRAFT_PROBE_SECTIONS {sorted(unknown)}; "
+            f"known: {sorted(KNOWN_SECTIONS)}"
+        )
 
     def _simhash_candidates(docs, key_chunks: int) -> tuple[int, float]:
         """Distinct candidate-pair count from the operator's own block-key

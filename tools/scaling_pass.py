@@ -43,13 +43,15 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # override when only the tables a query set touches were replicated
+    # (e.g. .scaledata/r11x10 holds customer/orders/events/documents); the
+    # result key is then the replica dir's basename, NOT 'sf1', so partial-
+    # replica measurements are never recorded as genuine sf1 numbers
+    ten_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR")
+    ten_label = os.path.basename(ten_dir.rstrip("/")) if ten_dir else "sf1"
     dirs = {
         "sf0.1": "/root/testdata/sf0.1",
-        # override when only the tables a query set touches were replicated
-        # (e.g. .scaledata/r11x10 holds customer/orders/events/documents)
-        "sf1": os.environ.get(
-            "SPARK_GRAFT_SCALE10_DIR", os.path.join(REPO, ".scaledata", "sf1")
-        ),
+        ten_label: ten_dir or os.path.join(REPO, ".scaledata", "sf1"),
     }
     out: dict[str, dict] = {}
     for name in names:
@@ -73,8 +75,8 @@ def main() -> None:
                     spark.catalog.clearCache()
                 except Exception:
                     pass
-        if rec.get("sf0.1") and rec.get("sf1"):
-            rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        if rec.get("sf0.1") and rec.get(ten_label):
+            rec["ratio"] = round(rec[ten_label] / rec["sf0.1"], 2)
         out[name] = rec
         print(json.dumps({name: rec}), flush=True)
     spark.stop()
