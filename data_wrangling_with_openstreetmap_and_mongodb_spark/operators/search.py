@@ -433,3 +433,64 @@ def phrase_match_counts(
         )
         out = side if out is None else out.join(side, ["id", "anchor"])
     return out.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of N rankings:
+    ``(id, rrf_score, n_legs)``, fused score descending, id ascending on
+    ties — the standard hybrid-retrieval combiner (lexical BM25 + vector
+    ANN) that needs no score calibration because it consumes only RANKS.
+
+    Each input carries ``(id, rank)`` with rank 1-based (see
+    :func:`ranked`); a document absent from a leg contributes nothing
+    (the usual RRF convention).  ``rrf_score = Σ_legs 1 / (k_rrf + rank)``
+    accumulated with the quantized order-independent ``dsum``, so the fused
+    ranking hash-matches a SQL oracle at any parallelism and leg order.
+
+    Scale shape: the legs are already top-k-bounded retrieval outputs
+    (tens of rows each at any corpus size — the candidate generators bound
+    them, not this combiner), so the union + hash-agg + top-k here is
+    driver-trivial; nothing in the fusion touches the corpus.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    legs = [
+        r.select(
+            "id",
+            (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank").cast("double"))).alias(
+                "__contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return (
+        u.groupBy("id")
+        .agg(
+            dsum("__contrib").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_legs"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(topk)
+    )
+
+
+def ranked(df: DataFrame, score_col: str, id_col: str = "id") -> DataFrame:
+    """1-based rank by ``score_col`` descending with id-ascending tiebreak:
+    ``(id, rank)`` — the adapter from a scored top-k leg to
+    :func:`rrf_fuse` input.  The single-partition window is deliberate and
+    safe ONLY because inputs are top-k-bounded legs (k rows); rank a
+    corpus-wide score per-partition/bucket before fusing if you ever feed
+    an unbounded frame."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return df.select(
+        F.col(id_col).alias("id"), F.row_number().over(w).alias("rank")
+    )

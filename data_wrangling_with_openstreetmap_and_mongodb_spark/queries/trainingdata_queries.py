@@ -2177,6 +2177,86 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "score", "n_terms_hit")
 
 
+def _hybrid_rrf_oracle() -> str:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bm25_topk_sql,
+    )
+
+    lex = bm25_topk_sql(
+        "documents", "text", "doc_id", terms=["spark", "window", "join"], k=10
+    )
+    vec = f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id AS id,
+               {quantize6_sql('''list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qe, q.qe)))''')} AS cosine
+        FROM embeddings e, q
+        ORDER BY cosine DESC, id ASC
+        LIMIT 10
+    """
+    return f"""
+        WITH lex AS ({lex}),
+        vec AS ({vec}),
+        lex_r AS (
+            SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+            FROM lex
+        ),
+        vec_r AS (
+            SELECT id, row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank
+            FROM vec
+        ),
+        legs AS (
+            SELECT id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib FROM lex_r
+            UNION ALL
+            SELECT id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib FROM vec_r
+        )
+        SELECT id AS doc_id, {dsum_sql('contrib')} AS rrf_score,
+               CAST(COUNT(*) AS BIGINT) AS n_legs
+        FROM legs GROUP BY id
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT 10
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    doc="hybrid retrieval via reciprocal-rank fusion (r11, "
+    "operators/search.py::rrf_fuse — Cormack/Clarke/Büttcher 2009): the "
+    "BM25 lexical top-10 for {spark, window, join} fused with the exact "
+    "cosine top-10 for the vec_id=0 query point, score = Σ 1/(60+rank), "
+    "no score calibration needed because RRF consumes only ranks.  The "
+    "corpus is touched only by the two candidate generators (both already "
+    "driver-provenanced families); the fusion itself is a union + "
+    "quantized hash-agg + top-k over two 10-row legs — driver-trivial at "
+    "any corpus size.  The oracle replays both legs AND the fusion.  "
+    "Gate-only: a composition of the search and similarity families' "
+    "verified rows.",
+    tags=("search", "similarity", "topk"),
+    driver_visible=False,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        bm25_topk,
+        ranked,
+        rrf_fuse,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, "text", "doc_id", terms=["spark", "window", "join"], k=10)
+    vec = cosine_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10)
+    fused = rrf_fuse(
+        [ranked(lex, "score"), ranked(vec, "cosine")], k_rrf=60, topk=10
+    )
+    return fused.select(
+        F.col("id").alias("doc_id"), "rrf_score", "n_legs"
+    )
+
+
 def _unigram_oracle() -> str:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
         unigram_logprob_sql,

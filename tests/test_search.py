@@ -251,3 +251,61 @@ def test_phrase_match_is_case_insensitive(spark):
     idx = positional_index(df, "text", "doc_id")
     got = {r.id: r.n_matches for r in phrase_match_counts(idx, ["the", "QUICK"]).collect()}
     assert got == {1: 1}
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (r11): hand-computed fusion semantics.
+# ---------------------------------------------------------------------------
+def test_rrf_fuse_matches_hand_computation(spark):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        ranked,
+        rrf_fuse,
+    )
+
+    # leg A ranks: 10 > 20 > 30; leg B ranks: 30 > 10 (20 absent from B)
+    a = spark.createDataFrame(
+        [(10, 0.9), (20, 0.5), (30, 0.1)], "id long, s double"
+    )
+    b = spark.createDataFrame([(30, 0.8), (10, 0.2)], "id long, s double")
+    got = {
+        r["id"]: (r["rrf_score"], r["n_legs"])
+        for r in rrf_fuse([ranked(a, "s"), ranked(b, "s")], k_rrf=60).collect()
+    }
+
+    def q(x):  # the engine's 1e-6 quantized sum
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    want = {
+        10: (q(1 / 61) + q(1 / 62), 2),  # rank 1 in A, rank 2 in B
+        30: (q(1 / 63) + q(1 / 61), 2),  # rank 3 in A, rank 1 in B
+        20: (q(1 / 62), 1),              # rank 2 in A only
+    }
+    assert got == want
+    # absent-leg convention: 20 contributes nothing from B, n_legs counts it
+
+
+def test_rrf_fuse_tiebreak_and_topk(spark):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
+        rrf_fuse,
+    )
+    import pytest
+
+    # identical ranks in a single leg → equal scores; id ascending breaks
+    # the tie deterministically and topk trims on the total order
+    leg = spark.createDataFrame([(5, 1), (3, 1), (9, 2)], "id long, rank int")
+    rows = rrf_fuse([leg], k_rrf=60, topk=2).collect()
+    assert [r["id"] for r in rows] == [3, 5]
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
+
+
+def test_ranked_is_one_based_with_id_tiebreak(spark):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import ranked
+
+    df = spark.createDataFrame(
+        [(7, 0.5), (2, 0.5), (4, 0.9)], "id long, s double"
+    )
+    got = {r["id"]: r["rank"] for r in ranked(df, "s").collect()}
+    assert got == {4: 1, 2: 2, 7: 3}
