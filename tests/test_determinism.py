@@ -13,6 +13,14 @@ PARTITION_SENSITIVE = [
     "avg_of_avgs_by_nation",  # two-level float aggregation
     "hourly_event_rollup",  # many small groups
     "text_quality_by_source",  # composite float scoring
+    # r11 driver-window rotations with float paths (the rows the external
+    # driver hash-checks fresh this round):
+    "ds_window_integral",  # trapezoid fold + derivative division chain
+    "ds_bucket_balances",  # conditional buckets + max over doubles
+    "weekly_retention_cohorts",  # integer-exact, pins the cohort join
+    "event_pairs_within_30min",  # banded self-join membership
+    "mixture_sampled_counts",  # salted-hash membership must not see layout
+    "hybrid_search_rrf",  # rank windows + quantized fused sum
 ]
 
 
