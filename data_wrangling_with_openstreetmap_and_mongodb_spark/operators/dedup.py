@@ -816,7 +816,9 @@ def simhash_near_pairs(
     blocking is collision-bound — random chunk matches contribute
     ~n²/2^chunk_bits candidates per chunk (at 150k docs and 15-bit chunks
     that is already 235M candidates for ~2M true pairs).  ``key_chunks=2``
-    is the corpus-scale setting: 24-bit keys cut random candidates ~200×
+    is the RECOMMENDED setting above ~10⁵ docs (and the setting the
+    driver-visible ``dedup_simhash_k2`` catalog row runs since r12):
+    24-bit keys cut random candidates ~200×
     (measured at 30×: candidates track TRUE pairs, the MinHash shape,
     instead of corpus²).  For threshold-Jaccard similarity prefer
     :func:`minhash_lsh_pairs` or the incremental

@@ -7,15 +7,17 @@ row objects one at a time.
 
 Two decode tiers:
 
-- REAL stdlib codecs for uncompressed formats: 24-bit BI_RGB BMP
-  (:func:`decode_bmp` — struct-parsed headers, bottom-up/top-down row order,
-  4-byte row padding, BGR→RGB) and 16-bit PCM WAV (:func:`decode_wav` —
-  RIFF chunk walk, fmt/data chunks, interleaved int16 frames).  No external
-  libraries; encode and decode are independent implementations (the WAV
-  encoder is CPython's ``wave`` module, the decoder is a hand-written RIFF
-  parser; the BMP pair is validated against hand-crafted golden bytes).
+- REAL stdlib codecs: 24-bit BI_RGB BMP (:func:`decode_bmp` — struct-parsed
+  headers, bottom-up/top-down row order, 4-byte row padding, BGR→RGB),
+  16-bit PCM WAV (:func:`decode_wav` — RIFF chunk walk, fmt/data chunks,
+  interleaved int16 frames), and 8-bit grey/RGB/RGBA PNG
+  (:func:`decode_png` — chunk framing with CRC-32 verification, zlib
+  inflate, all five scanline unfilters).  No external libraries; encode and
+  decode are independent implementations (the WAV encoder is CPython's
+  ``wave`` module, the decoder is a hand-written RIFF parser; the BMP/PNG
+  pairs are validated against hand-crafted golden bytes).
 - A deterministic byte-level fake for ``text/plain`` payloads, standing in
-  for codecs the container genuinely lacks (PNG/JPEG/MP3 …) — those raise
+  for codecs the container genuinely lacks (JPEG/MP3 …) — those raise
   ``NotImplementedError`` at the dispatch.
 
 Payloads derive from driver-provided tables (``documents``): deterministic
@@ -151,10 +153,190 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     return rate, ch, np.frombuffer(data, dtype="<i2")
 
 
+# ---------------------------------------------------------------------------
+# Real stdlib PNG codec (zlib is in the standard library, so the most common
+# real-world image format needs no external dependency): 8-bit greyscale /
+# RGB / RGBA, all five scanline filters.  Palette (type 3), 16-bit depth and
+# Adam7 interlace raise NotImplementedError — explicit gaps, never a silent
+# mis-decode.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (supported subset)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(px: np.ndarray, row_filters=None) -> bytes:
+    """Encode a uint8 array as an 8-bit PNG: ``(h, w)`` → greyscale (color
+    type 0), ``(h, w, 3)`` → RGB (2), ``(h, w, 4)`` → RGBA (6).
+
+    ``row_filters`` picks the scanline filter per row (default: row ``y``
+    uses filter ``y % 5``, so any image taller than 4 rows exercises every
+    filter type — None/Sub/Up/Average/Paeth all have to be applied AND
+    inverted correctly for a round trip to be pixel-exact).  Filtering is
+    vectorized per row (the encoder only needs the RAW previous row, so
+    there is no sequential dependency on the encode side)."""
+    import zlib
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch} (want 1/3/4)")
+    bpp = ch  # bytes per pixel at bit depth 8
+    raw = px.reshape(h, w * ch).astype(np.int16)
+    zero = np.zeros(w * ch, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        f = (y % 5) if row_filters is None else int(row_filters[y])
+        cur = raw[y]
+        prior = raw[y - 1] if y else zero
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - (left + prior) // 2
+        elif f == 4:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, upleft)),
+                dtype=np.int16,
+                count=w * ch,
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Decode an 8-bit greyscale/RGB/RGBA PNG to a uint8 ``(h, w)`` /
+    ``(h, w, 3)`` / ``(h, w, 4)`` array.
+
+    Full format walk: signature, big-endian chunk framing with CRC-32
+    verification on every chunk, IHDR validation, multi-IDAT concatenation,
+    zlib inflate, then sequential scanline unfiltering (Sub/Average/Paeth
+    reference the RECONSTRUCTED left neighbor, so the inner loop is
+    inherently order-dependent; Up/None vectorize).  Palette, sub-8/16-bit
+    depth and interlace raise ``NotImplementedError``; framing/CRC damage
+    raises ``ValueError``."""
+    import zlib
+
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 8 <= len(b):
+        length, ctype = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(b):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    if not saw_iend:
+        raise ValueError("truncated PNG (no complete IEND chunk)")
+    w, h, depth, color_type, comp, filt_method, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if comp != 0 or filt_method != 0:
+        raise ValueError(f"bad IHDR compression/filter method ({comp}/{filt_method})")
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced grey/RGB/RGBA PNG supported "
+            f"(got depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    bpp = ch
+    stride = w * ch
+    data = zlib.decompress(bytes(idat))
+    if len(data) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG pixel data length {len(data)} != expected {(stride + 1) * h}"
+        )
+    prior = bytearray(stride)
+    rows = []
+    for y in range(h):
+        off = y * (stride + 1)
+        f = data[off]
+        line = bytearray(data[off + 1 : off + 1 + stride])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                upleft = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prior[x], upleft)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG scanline filter {f} at row {y}")
+        prior = line
+        rows.append(bytes(line))
+    px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, ch)
+    return np.ascontiguousarray(px[:, :, 0] if ch == 1 else px)
+
+
 def decode_payload(payload: bytes, fmt: str) -> dict:
-    """Codec dispatch.  ``image/bmp`` and ``audio/wav`` decode for REAL via
-    the stdlib codecs above; ``text/plain`` keeps the deterministic
-    byte-level fake; everything else (PNG/JPEG/MP3 …) raises — the
+    """Codec dispatch.  ``image/bmp``, ``image/png`` and ``audio/wav`` decode
+    for REAL via the stdlib codecs above/below; ``text/plain`` keeps the
+    deterministic byte-level fake; everything else (JPEG/MP3 …) raises — the
     container has no codec libraries, and a wrong answer is worse than an
     explicit gap."""
     if fmt == "text/plain":
@@ -162,6 +344,10 @@ def decode_payload(payload: bytes, fmt: str) -> dict:
     if fmt == "image/bmp":
         px = decode_bmp(payload)
         h, w, _ = px.shape
+        return {"kind": "image", "width": w, "height": h, "pixels": px}
+    if fmt == "image/png":
+        px = decode_png(payload)
+        h, w = px.shape[:2]
         return {"kind": "image", "width": w, "height": h, "pixels": px}
     if fmt == "audio/wav":
         rate, ch, samples = decode_wav(payload)
@@ -478,3 +664,105 @@ def extract_media_features(with_payload: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return with_payload.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real-codec PNG pipeline: closed-form per-doc PNGs (grey/RGB/RGBA cycling,
+# every scanline filter exercised), decoded back by the independent chunk
+# walker above, features exact-rational so a SQL oracle replays them
+# symbolically.  Same contract as the BMP/WAV pipeline: the round trip only
+# matches if chunk framing, CRCs, inflate and all five unfilters are right.
+# ---------------------------------------------------------------------------
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, png_type string, width long, height long, n_channels long, "
+    "n_samples long, mean_c0 double, mean_luma double, mean_alpha double"
+)
+
+_PNG_KIND = {0: "grey", 1: "rgb", 2: "rgba"}
+
+
+def _png_plan(doc_id: int) -> bytes:
+    """Closed-form PNG spec per doc: color type cycles grey/RGB/RGBA with
+    ``doc_id % 3`` over a ``(5+d%4) × (3+d%3)`` canvas (widths 5-8, heights
+    3-5).  Pixel ``i`` (row-major, top-down): grey ``v=(d+7i)%256``; RGB
+    ``r=(d+i)%256, g=(d+2i)%256, b=(d+3i)%256``; RGBA adds ``a=(d+5i)%256``.
+    Row ``y`` is stored with scanline filter ``(d+y)%5``, so the corpus
+    exercises None/Sub/Up/Average/Paeth at every canvas width and channel
+    count."""
+    d = int(doc_id)
+    w, h = 5 + d % 4, 3 + d % 3
+    i = np.arange(w * h, dtype=np.int64)
+    kind = d % 3
+    if kind == 0:
+        px = ((d + 7 * i) % 256).astype(np.uint8).reshape(h, w)
+    else:
+        planes = [(d + i) % 256, (d + 2 * i) % 256, (d + 3 * i) % 256]
+        if kind == 2:
+            planes.append((d + 5 * i) % 256)
+        px = np.stack(planes, axis=-1).astype(np.uint8).reshape(h, w, len(planes))
+    return encode_png(px, row_filters=[(d + y) % 5 for y in range(h)])
+
+
+def synthesize_png_payloads(docs: DataFrame) -> DataFrame:
+    """Attach a REAL encoded PNG payload (per :func:`_png_plan`) to each
+    document — Arrow-batched, map-only, partition-preserving."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = _png_plan(doc_id)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "meta": {"format": "image/png", "n_bytes": len(payload)},
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+def extract_png_features(with_payload: DataFrame) -> DataFrame:
+    """Decode real PNG payloads (any supported channel count) and emit typed
+    features as exact integer sums divided once — the same bit-reproducible
+    contract as :func:`extract_media_features`.  ``mean_luma`` is the
+    0.299/0.587/0.114 mix for RGB(A) and the grey mean for greyscale (a grey
+    pixel's luma is itself); ``mean_alpha`` is NULL unless RGBA."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                d = decode_payload(bytes(payload), meta["format"])
+                px = d["pixels"].astype(np.int64)
+                ch = 1 if px.ndim == 2 else px.shape[-1]
+                h, w = d["height"], d["width"]
+                n = w * h
+                row = {
+                    "doc_id": doc_id,
+                    "png_type": _PNG_KIND[{1: 0, 3: 1, 4: 2}[ch]],
+                    "width": w, "height": h, "n_channels": ch, "n_samples": n,
+                    "mean_c0": None, "mean_luma": None, "mean_alpha": None,
+                }
+                if ch == 1:
+                    s0 = int(px.sum())
+                    row.update(mean_c0=s0 / n, mean_luma=s0 / n)
+                else:
+                    sr, sg, sb = (int(px[:, :, c].sum()) for c in range(3))
+                    row.update(
+                        mean_c0=sr / n,
+                        mean_luma=0.299 * (sr / n) + 0.587 * (sg / n) + 0.114 * (sb / n),
+                    )
+                    if ch == 4:
+                        row.update(mean_alpha=int(px[:, :, 3].sum()) / n)
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)

@@ -63,8 +63,10 @@ def clean_enum_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tagged
         GROUP BY field
     """,
-    doc="C19/A12 type audit: unpivot → classify → set-agg (03/audit.py:37-59)",
+    doc="C19/A12 type audit: unpivot → classify → set-agg (03/audit.py:37-59)"
+    "  Evicted from the driver window in the r12 rotation (driver-green r1-r11); still oracle-gated at sf0.01.",
     tags=("cleaning", "audit"),
+    driver_visible=False,
 )
 def type_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

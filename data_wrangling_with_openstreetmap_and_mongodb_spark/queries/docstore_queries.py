@@ -930,9 +930,9 @@ def ds_union_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The _id struct flattens to (lo, hi) for the hash compare.  "
     "Exact mode is the mongod-fidelity path; scaleMode='approx' (no "
     "global sort) is the 100 TB path and has its own golden matrix.  "
-    "Gate-only.",
+    "Gate-only."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("docstore", "agg", "bucket"),
-    driver_visible=False,
 )
 def ds_bucket_auto_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _coll(spark, sf_dir, "orders").aggregate(
@@ -1283,8 +1283,10 @@ def ds_lookup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "#6): the frontier-loop + shallowest-depth traversal is a genuinely "
     "novel family vs dedup_near_clusters' label propagation; "
     "text_token_stats (linear text-agg shape under text_quality_by_source) "
-    "rotated out in exchange.",
+    "rotated out in exchange."
+    "  Evicted from the driver window in the r12 rotation (driver-green r5-r11; graph family keeps supplier_customer_pagerank); still oracle-gated at sf0.01.",
     tags=("docstore", "graph", "iterative"),
+    driver_visible=False,
 )
 def ds_graph_reachable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1543,9 +1545,9 @@ def ds_window_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "complement as (1 - 0.3)), with a quantize6 guard on both sides.  "
     "$top(sortBy ts desc) picks the last EMA without a second window "
     "pass.  Gate-only: the stateful-pandas family's driver row is "
-    "sessionize_events.",
+    "sessionize_events."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("docstore", "window", "rate", "pandas-udf"),
-    driver_visible=False,
 )
 def ds_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(

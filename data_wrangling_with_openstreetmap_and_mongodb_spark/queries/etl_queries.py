@@ -256,8 +256,10 @@ _WAV_S = "(((doc_id*11 + i*17) % 2048) - 1024)"
     "against DuckDB recomputing the formulas symbolically.  Exact-rational "
     "features: one float division over exact integer sums — no "
     "summation-order drift.  Map-only plan, no shuffle; rotated in for "
-    "multimodal_payload_features (fake-codec variant, now gate-only).",
+    "multimodal_payload_features (fake-codec variant, now gate-only)."
+    "  Evicted from the driver window in the r12 rotation (driver-green r5-r11; codec family row is now multimodal_png_decode); still oracle-gated at sf0.01.",
     tags=("multimodal", "pandas-udf", "codec"),
+    driver_visible=False,
 )
 def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -270,6 +272,91 @@ def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize6(F.col("mean_r")).alias("mean_r"),
         quantize6(F.col("rms")).alias("rms"),
         "peak",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (r12, VERDICT r11 ask #2): closed-form per-doc PNGs cycling
+# grey/RGB/RGBA with doc_id%3, row y stored with scanline filter (d+y)%5 —
+# chunk framing, CRC-32s, zlib inflate and all five unfilters must be right
+# for the symbolically-recomputed features to hash-match.
+# ---------------------------------------------------------------------------
+_PNG_A = "((doc_id + 5*i) % 256)"
+_PNG_V = "((doc_id + 7*i) % 256)"
+
+
+@register(
+    "multimodal_png_decode",
+    oracle=f"""
+        WITH canvas AS (
+            SELECT doc_id, doc_id % 3 AS kind,
+                   5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+                   (5 + doc_id % 4) * (3 + doc_id % 3) AS n
+            FROM documents
+        ), grey AS (
+            SELECT doc_id, 'grey' AS png_type,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(1 AS BIGINT) AS n_channels, CAST(n AS BIGINT) AS n_samples,
+                   {quantize6_sql(
+                       "CAST(list_sum(list_transform(range(n), i -> "
+                       + _PNG_V + ")) AS DOUBLE) / n")} AS mean_c0,
+                   {quantize6_sql(
+                       "CAST(list_sum(list_transform(range(n), i -> "
+                       + _PNG_V + ")) AS DOUBLE) / n")} AS mean_luma,
+                   CAST(NULL AS DOUBLE) AS mean_alpha
+            FROM canvas WHERE kind = 0
+        ), rgbsum AS (
+            SELECT doc_id, kind, n,
+                   list_sum(list_transform(range(n), i -> {_BMP_R})) AS sr,
+                   list_sum(list_transform(range(n), i -> {_BMP_G})) AS sg,
+                   list_sum(list_transform(range(n), i -> {_BMP_B})) AS sb,
+                   list_sum(list_transform(range(n), i -> {_PNG_A})) AS sa,
+                   w, h
+            FROM canvas WHERE kind IN (1, 2)
+        ), color AS (
+            SELECT doc_id,
+                   CASE kind WHEN 1 THEN 'rgb' ELSE 'rgba' END AS png_type,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(CASE kind WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS n_channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   {quantize6_sql("CAST(sr AS DOUBLE) / n")} AS mean_c0,
+                   {quantize6_sql(
+                       "0.299*(CAST(sr AS DOUBLE)/n) + 0.587*(CAST(sg AS DOUBLE)/n)"
+                       " + 0.114*(CAST(sb AS DOUBLE)/n)")} AS mean_luma,
+                   CASE WHEN kind = 2
+                        THEN {quantize6_sql("CAST(sa AS DOUBLE) / n")}
+                        ELSE CAST(NULL AS DOUBLE) END AS mean_alpha
+            FROM rgbsum
+        )
+        SELECT * FROM grey UNION ALL SELECT * FROM color
+    """,
+    doc="REAL stdlib PNG codec (operators/multimodal.py::encode_png/"
+    "decode_png, VERDICT r11 ask #2): per-doc closed-form 8-bit PNGs cycle "
+    "greyscale/RGB/RGBA (doc_id%3) over 5-8 × 3-5 canvases, each row stored "
+    "with scanline filter (doc_id+y)%5 so the corpus exercises "
+    "None/Sub/Up/Average/Paeth at every width and channel count; payloads "
+    "are decoded back via the independent chunk walker (CRC-32 verified, "
+    "multi-IDAT, zlib inflate, sequential unfilter) in Arrow-batched "
+    "mapInPandas, and the channel means/luma mix hash-match DuckDB "
+    "recomputing the pixel formulas symbolically.  Exact-rational features "
+    "(one float division over exact integer sums).  Map-only plan, no "
+    "shuffle.  The multimodal family's driver row since r12 "
+    "(multimodal_media_decode rotated out, driver-green r5-r11).",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        extract_png_features,
+        synthesize_png_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_png_features(synthesize_png_payloads(d))
+    return feats.select(
+        "doc_id", "png_type", "width", "height", "n_channels", "n_samples",
+        quantize6(F.col("mean_c0")).alias("mean_c0"),
+        quantize6(F.col("mean_luma")).alias("mean_luma"),
+        quantize6(F.col("mean_alpha")).alias("mean_alpha"),
     )
 
 
@@ -437,8 +524,10 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY epoch_hour, event_type
     """,
-    doc="Structured Streaming rollup (readStream → complete-mode agg → availableNow)",
+    doc="Structured Streaming rollup (readStream → complete-mode agg → availableNow)"
+    "  Evicted from the driver window in the r12 rotation (driver-green r1-r11; streaming family keeps 4 visible rows); still oracle-gated at sf0.01.",
     tags=("streaming", "agg"),
+    driver_visible=False,
 )
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_hourly_rollup(spark, sf_dir)
@@ -759,10 +848,12 @@ def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split granularity → aggregate.  Writes confined to /tmp "
     "(overwrite-idempotent per invocation).  Driver-visible: novel family "
     "(first non-parquet binary round-trip source with an oracle), rotated "
-    "in for avg_balance_by_nation_segment per the r7 window policy.",
+    "in for avg_balance_by_nation_segment per the r7 window policy."
+    "  Evicted from the driver window in the r12 rotation (driver-green r7-r11); still oracle-gated at sf0.01.",
     # pandas-udf: the reader is a mapInPandas decode over an in-memory
     # splits frame (byte-range tasks), the documented codec-boundary shape
     tags=("source", "avro", "roundtrip", "pandas-udf"),
+    driver_visible=False,
 )
 def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -86,8 +86,10 @@ _Q6 = "FLOOR(({e}) * 1e6 + 0.5) / 1e6"
     doc="$geoNear (first-stage, spherical legacy [lon, lat] pairs): "
     "customers within 0.25 rad central angle of a fixed point, nearest "
     "first, quantized distance + key tiebreak at the cut.  One scan, no "
-    "join; the sort is a top-k (TakeOrderedAndProject) after the limit.",
+    "join; the sort is a top-k (TakeOrderedAndProject) after the limit."
+    "  Evicted from the driver window in the r12 rotation (driver-green r7-r11; geo family rows are geo_geohash_cells + radius/intersects); still oracle-gated at sf0.01.",
     tags=("geo", "docstore", "topk"),
+    driver_visible=False,
 )
 def geo_near_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
@@ -236,9 +238,9 @@ def geo_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cell with per-cell mean balance.  Prefix-truncation of the same key "
     "gives every coarser granularity; the natural cluster/join/layout key "
     "for point data at scale.  The oracle replays the bit math op-for-op "
-    "in SQL (geohash_sql).",
+    "in SQL (geohash_sql)."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("geo", "agg"),
-    driver_visible=False,
 )
 def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import davg

@@ -49,8 +49,10 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    doc="$match+$group compound key w/ $sum/$avg (05/avg_population.py:35-42; README.md:1140-1144)",
+    doc="$match+$group compound key w/ $sum/$avg (05/avg_population.py:35-42; README.md:1140-1144)"
+    "  Evicted from the driver window in the r12 rotation (driver-green r1-r11; stays entry()'s flagship and in the pinned r2 bench subset); still oracle-gated at sf0.01.",
     tags=("agg", "flagship"),
+    driver_visible=False,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -185,8 +187,10 @@ def nations_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE k IS NOT NULL AND k > 50
         GROUP BY event_type
     """,
-    doc="$exists + dot-path predicate (05/most_common_city_name.py:39; 04/dot_find.py:18)",
+    doc="$exists + dot-path predicate (05/most_common_city_name.py:39; 04/dot_find.py:18)"
+    "  Evicted from the driver window in the r12 rotation (driver-green r1-r11); still oracle-gated at sf0.01.",
     tags=("filter", "json"),
+    driver_visible=False,
 )
 def events_with_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

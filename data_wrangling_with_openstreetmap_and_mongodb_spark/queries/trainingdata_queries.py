@@ -359,8 +359,10 @@ def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overlapping cuts merge, documents rebuild from surviving tokens.  "
     "Catches duplicated passages at ANY offset (unlike span_dedup's "
     "disjoint chunks) plus internal repetition.  Shingle text never "
-    "shuffles — md5 map-side, only (hash, id, pos) moves.",
+    "shuffles — md5 map-side, only (hash, id, pos) moves."
+    "  Evicted from the driver window in the r12 rotation (driver-green r7-r11); still oracle-gated at sf0.01.",
     tags=("dedup", "curation"),
+    driver_visible=False,
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import exact_substring_dedup
@@ -484,8 +486,10 @@ def _minhash_oracle_sql(
     oracle=_minhash_oracle_sql(num_hashes=64, bands=16, threshold=0.8),
     doc="MinHash+LSH banded near-dup candidates, Jaccard-verified.  The "
     "md5-based permutation family makes the whole pipeline (signatures, "
-    "band buckets, candidate set) oracle-reproducible in SQL.",
+    "band buckets, candidate set) oracle-reproducible in SQL."
+    "  Evicted from the driver window in the r12 rotation (driver-green r2-r11; lsh family row is now dedup_simhash_k2 + dedup_incremental_minhash); still oracle-gated at sf0.01.",
     tags=("dedup", "lsh"),
+    driver_visible=False,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -546,9 +550,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and precision of the wider blocking against ground truth, "
     "independent of the property tier.  Gate-only: output-identical to "
     "dedup_simhash by construction, so it shares that family's "
-    "provenance (driver-green ≤r10).",
+    "provenance (driver-green ≤r10)."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("dedup", "lsh"),
-    driver_visible=False,
 )
 def dedup_simhash_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1276,9 +1280,9 @@ def diversity_sampled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact quantized cosine within each cell only (per the algorithm's "
     "definition) — the modern sub-quadratic embedding dedup.  Gate-only: "
     "the trajectory + pairwise-cosine primitives carry hard driver rows "
-    "via ann_ivf_kmeans_topk and dedup_embedding_cosine.",
+    "via ann_ivf_kmeans_topk and dedup_embedding_cosine."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("similarity", "dedup", "kmeans"),
-    driver_visible=False,
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
@@ -1504,9 +1508,9 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the wrong thing); SQL-standard peer semantics at equal timestamps + "
     "quantized in-window accumulation make it order-independent and "
     "engine-identical.  Gate-only: window-frame families carry hard rows "
-    "via sessionize_events and top_order_per_priority.",
+    "via sessionize_events and top_order_per_priority."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("window", "datetime", "events"),
-    driver_visible=False,
 )
 def events_trailing_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
@@ -1540,9 +1544,9 @@ def events_trailing_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equi-joins — work bounded by the rarest term's postings, the classic "
     "search-engine phrase plan.  Oracle counts consecutive-bigram ground "
     "truth.  Gate-only: postings explode + equi-join families carry hard "
-    "rows via bm25_keyword_topk and ds_unwind_token_counts.",
+    "rows via bm25_keyword_topk and ds_unwind_token_counts."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("search", "text", "join"),
-    driver_visible=False,
 )
 def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
@@ -1701,8 +1705,10 @@ _IVFPQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
     "k-means cells, product-quantized RESIDUALS (v − centroid), and "
     "per-cell asymmetric-distance ranking over codes only.  The oracle "
     "replays coarse training, residual computation, residual PQ training, "
-    "encode, probe selection, and the dsum ADC ranking bit-for-bit.",
+    "encode, probe selection, and the dsum ADC ranking bit-for-bit."
+    "  Evicted from the driver window in the r12 rotation (driver-green r3-r11; ivf/pq/kmeans covered by ann_recall_at_k + semantic_dedup_embeddings); still oracle-gated at sf0.01.",
     tags=("similarity", "topk", "ivf", "pq", "kmeans"),
+    driver_visible=False,
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
@@ -1817,9 +1823,9 @@ split_bucket_sql = split_assign_bucket_sql("doc_id")
     "fraction, top-token share, distinct-token ratio): the standard "
     "drop-degenerate-text filters for pretraining corpora.  Gate-only: its "
     "primitives (explode, window lead, hash-agg, id-join) all carry hard "
-    "driver rows elsewhere.",
+    "driver rows elsewhere."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("text", "curation"),
-    driver_visible=False,
 )
 def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -1858,8 +1864,10 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count + fraction.  Trigrams for the same measured reason as "
     "dedup_ngram_jaccard (tiny corpus vocabulary); production uses longer "
     "n-grams.  The benchmark's distinct shingles broadcast — the corpus "
-    "never shuffles by shingle.",
+    "never shuffles by shingle."
+    "  Evicted from the driver window in the r12 rotation (driver-green r3-r11; replaced by decontaminate_bloom); still oracle-gated at sf0.01.",
     tags=("text", "curation", "join"),
+    driver_visible=False,
 )
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -1888,9 +1896,9 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="deterministic hash-bucketed train/val/test assignment (90/5/5) "
     "rolled up by language: split membership is a pure function of doc_id — "
     "stable across runs, retries, and engines (never rand()).  Gate-only: "
-    "md5-hash + group-count families carry hard driver rows elsewhere.",
+    "md5-hash + group-count families carry hard driver rows elsewhere."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("curation", "agg"),
-    driver_visible=False,
 )
 def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -1920,9 +1928,9 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exactly-k-per-stratum deterministic sample (md5-rank per language, "
     "doc_id tiebreak): reproducible sampling with no count() pre-pass and no "
     "rand().  Gate-only: window row_number + md5 rank carry hard driver rows "
-    "elsewhere.",
+    "elsewhere."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("curation", "window"),
-    driver_visible=False,
 )
 def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -1972,8 +1980,10 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "such a 3-member chain).  Oracle replays the components via a recursive "
     "CTE.  Driver-visible since r3's final rotation (novel iterative family "
     "deserves a hard row; avg_of_avgs_by_nation rotated to the gate); the "
-    "loop is additionally pinned by planted-chain unit tests.",
+    "loop is additionally pinned by planted-chain unit tests."
+    "  Evicted from the driver window in the r12 rotation (driver-green r3-r11; graph/iterative row is now dedup_keep_best_docs); still oracle-gated at sf0.01.",
     tags=("dedup", "graph", "iterative"),
+    driver_visible=False,
 )
 def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
@@ -2127,8 +2137,10 @@ def _pii_oracle() -> str:
     "supplier digit-run ids make the id_number pattern fire on every row "
     "(non-degenerate); planted email/phone/IP fixtures pin the other "
     "patterns in test_privacy.  Driver-visible since round 3's second "
-    "rotation (novel privacy family).",
+    "rotation (novel privacy family)."
+    "  Evicted from the driver window in the r12 rotation (driver-green r3-r11); still oracle-gated at sf0.01.",
     tags=("privacy", "text", "agg"),
+    driver_visible=False,
 )
 def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.privacy import (
@@ -2163,8 +2175,10 @@ def _bm25_oracle() -> str:
     "scoring sum is the quantized order-independent dsum, so ranking and "
     "the oracle hash-match at any parallelism; final top-k is "
     "TakeOrderedAndProject.  Driver-visible since round 3's second "
-    "rotation (novel search family).",
+    "rotation (novel search family)."
+    "  Evicted from the driver window in the r12 rotation (driver-green r3-r11; search family rows are now hybrid_search_rrf + phrase_search_docs); still oracle-gated at sf0.01.",
     tags=("search", "text", "topk"),
+    driver_visible=False,
 )
 def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
@@ -2234,9 +2248,9 @@ def _hybrid_rrf_oracle() -> str:
     "quantized hash-agg + top-k over two 10-row legs — driver-trivial at "
     "any corpus size.  The oracle replays both legs AND the fusion.  "
     "Gate-only: a composition of the search and similarity families' "
-    "verified rows.",
+    "verified rows."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("search", "similarity", "topk"),
-    driver_visible=False,
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
@@ -2329,9 +2343,9 @@ def _bigram_oracle() -> str:
     "map-side from each doc's token array (no self-join); the scoring "
     "shuffle is bounded by distinct bigrams.  Gate-only: composition "
     "sibling of doc_unigram_logprob (the quality family's visible row "
-    "is dsir_gumbel_resample since the r11 second wave).",
+    "is dsir_gumbel_resample since the r11 second wave)."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("text", "quality", "topk"),
-    driver_visible=False,
 )
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
@@ -2470,8 +2484,10 @@ def _pack_oracle() -> str:
     "hash-sharded so the running sum parallelizes instead of serializing "
     "on one global window.  Integer-exact output pins the whole "
     "assignment row-for-row.  Driver-visible since round 3's second "
-    "rotation (novel packing family).",
+    "rotation (novel packing family)."
+    "  Evicted from the driver window in the r12 rotation (driver-green r3-r11; chunking row is now chunk_token_id_windows); still oracle-gated at sf0.01.",
     tags=("curation", "window"),
+    driver_visible=False,
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -2693,8 +2709,10 @@ def _cms_oracle_sql(depth: int, width: int, top_k: int, seed: int = 7) -> str:
     "est > exact where buckets collide).  Driver-visible, taking the sketch "
     "family's hard row from rows-only approx_distinct_users: a sketch whose "
     "every bit is externally verifiable is strictly stronger driver "
-    "evidence than one that cannot be.",
+    "evidence than one that cannot be."
+    "  Evicted from the driver window in the r12 rotation (driver-green r3-r11; sketch family row is now decontaminate_bloom); still oracle-gated at sf0.01.",
     tags=("sketch", "agg", "approx"),
+    driver_visible=False,
 )
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.sketch import (
@@ -2775,9 +2793,9 @@ def _bloom_decontam_oracle_sql(n_bits: int, n_hashes: int) -> str:
     "the oracle must reproduce them: bit p set ⟺ p ∈ the benchmark "
     "position set, so the SQL replays the filter exactly.  Gate-only: the "
     "window is full; the decontamination family's hard row is "
-    "decontaminate_ngrams.",
+    "decontaminate_ngrams."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("sketch", "curation", "join"),
-    driver_visible=False,
 )
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -2940,9 +2958,9 @@ def _chunk_id_windows_oracle_sql(vocab_size: int, chunk: int, overlap: int) -> s
     "stage itself is pure array algebra (no Exchange beyond the encoder's "
     "own — plan-asserted in test_curation); chunks inherit the encoded "
     "table's partitioning.  Gate-only: the chunking family's driver row is "
-    "chunk_training_windows.",
+    "chunk_training_windows."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("text", "curation", "chunking"),
-    driver_visible=False,
 )
 def chunk_token_id_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -3035,9 +3053,9 @@ def _gap_interp_oracle_sql() -> str:
     "surrounding observed closes — the interpolate half of the "
     "locf/interpolate resample pair; quantized so the float path is "
     "engine-exact.  Gate-only: the window is full; shares its spine/"
-    "close machinery with events_gap_filled_locf.",
+    "close machinery with events_gap_filled_locf."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("events", "window", "resample"),
-    driver_visible=False,
 )
 def events_gap_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
@@ -3184,9 +3202,9 @@ def lc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rather than the smallest id; cluster labels stay the min-id components "
     "so identities are stable across incremental reruns.  Oracle replays "
     "components recursively and the pick as a rank window.  Gate-only: the "
-    "iterative family's hard row is dedup_near_clusters.",
+    "iterative family's hard row is dedup_near_clusters."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("dedup", "graph", "iterative"),
-    driver_visible=False,
 )
 def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import (
@@ -3392,9 +3410,9 @@ _NB_CONFUSION_ORACLE = """
     "model build, scores accumulate in decimal (dsum), ties break by class "
     "name — the oracle replays training AND scoring bit-for-bit.  "
     "Gate-only: the text-classification family's driver row is "
-    "lang_id_confusion (heuristic n-gram scorer, same confusion shape).",
+    "lang_id_confusion (heuristic n-gram scorer, same confusion shape)."
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
     tags=("classify", "text", "join"),
-    driver_visible=False,
 )
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.classify import (
@@ -3491,8 +3509,10 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation impo
     "rand(), retry/repartition/engine-stable (a task retry under rand() "
     "silently reorders the corpus an epoch trains on).  The oracle replays "
     "both draws bit-for-bit.  Driver-visible since r9 (VERDICT r8 ask #1 "
-    "rotation).",
+    "rotation)."
+    "  Evicted from the driver window in the r12 rotation (driver-green r9-r11; sampling covered by stratified_sample_documents + train_split_assign); still oracle-gated at sf0.01.",
     tags=("trainingdata", "shuffle"),
+    driver_visible=False,
 )
 def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (

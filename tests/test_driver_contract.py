@@ -38,19 +38,11 @@ def test_novel_operator_families_are_driver_visible():
     # ds_unwind_token_counts.
     dc = driver_catalog()
     for novel in (
-        "ann_ivfpq_topk",  # the IVF probe family's row since the r7 rotation
-        "decontaminate_ngrams",
-        "pii_redaction_audit",
-        "bm25_keyword_topk",
-        "pack_training_sequences",
-        "dedup_exact_substring",  # sliding-window ExactSubstr (r7)
-        "geo_near_customers",  # first geospatial row (r7)
         # r9 rotation (VERDICT r8 asks #1/#8): the six r8 families plus the
         # two new streaming families, each with an independent driver row
         "ds_lookup_group",
         "geo_radius_join_wrap",
         "geo_intersects_events",
-        "shuffled_shard_manifest",
         "dsir_gumbel_resample",
         "scd2_incremental_state",
         "streaming_asof_enrich_status",
@@ -94,6 +86,28 @@ def test_novel_operator_families_are_driver_visible():
         "dedup_incremental_minhash",
         "corpus_pipeline_audit",
         "embedding_int8_stats",
+        # r12 rotation (VERDICT r11 ask #1: never-driver-verified residual
+        # burn-down, 51 → 33) — 17 gate-only shapes gain their first rows,
+        # newest/highest-novelty first, plus the new PNG codec and the
+        # multi-chunk SimHash (asks #2/#4) driver-visible from birth
+        "hybrid_search_rrf",
+        "multimodal_png_decode",
+        "dedup_simhash_k2",
+        "ds_window_ema",
+        "ds_bucket_auto_exact",
+        "geo_geohash_cells",
+        "semantic_dedup_embeddings",
+        "train_split_assign",
+        "doc_bigram_logprob",
+        "decontaminate_bloom",
+        "chunk_token_id_windows",
+        "events_gap_interpolated",
+        "dedup_keep_best_docs",
+        "nb_lang_confusion",
+        "text_repetition_metrics",
+        "stratified_sample_documents",
+        "events_trailing_avg_1h",
+        "phrase_search_docs",
     ):
         assert novel in dc, novel
     for hidden in (
@@ -148,6 +162,28 @@ def test_novel_operator_families_are_driver_visible():
         "orders_of_top_customers",     # ⊂ join+topk (ds_lookup_group, bm25)
         "text_quality_by_source",      # ⊂ text/quality (pii_redaction, dsir)
         "events_gap_filled_locf",      # ⊂ spine+fill (ds_fill_linear)
+        # r12 evictions (VERDICT r11 ask #1's rotation; every one carries
+        # 3-11 rounds of green driver provenance, is shape-covered by a
+        # still-visible or newly-rotated family row, and keeps its sf0.01
+        # oracle gate):
+        "type_audit_events",           # ⊂ cleaning/audit (r1-r11 provenance)
+        "pricing_summary",             # ⊂ hash-agg; stays entry()'s flagship
+        "events_with_large_k",         # ⊂ filter (r1-r11 provenance)
+        "streaming_hourly_rollup",     # ⊂ streaming (4 rows still visible)
+        "dedup_minhash_lsh",           # ⊂ lsh (dedup_simhash_k2 + incremental in)
+        "ann_ivfpq_topk",              # ⊂ ivf/pq (ann_recall_at_k, semantic_dedup in)
+        "decontaminate_ngrams",        # ⊂ decontamination (bloom variant in)
+        "dedup_near_clusters",         # ⊂ graph/iterative (dedup_keep_best_docs in)
+        "pii_redaction_audit",         # ⊂ privacy/text-agg (r3-r11 provenance)
+        "bm25_keyword_topk",           # ⊂ search (hybrid_search_rrf + phrase in)
+        "pack_training_sequences",     # ⊂ chunking (chunk_token_id_windows in)
+        "cms_token_counts",            # ⊂ sketch (decontaminate_bloom in)
+        "ds_graph_reachable_orders",   # ⊂ graph (supplier_customer_pagerank)
+        "multimodal_media_decode",     # ⊂ codec (multimodal_png_decode in)
+        "dedup_exact_substring",       # ⊂ dedup/curation (r7-r11 provenance)
+        "etl_avro_roundtrip",          # ⊂ source/avro (r7-r11 provenance)
+        "geo_near_customers",          # ⊂ geo (geohash in + radius/intersects)
+        "shuffled_shard_manifest",     # ⊂ sampling (stratified + split in)
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 
@@ -275,19 +311,19 @@ def test_every_tag_family_has_driver_provenance():
 
 
 def test_rotated_in_families_gain_rows_next_artifact():
-    """The r11 rotation names are pinned driver-visible; once the round-11
+    """The r12 rotation names are pinned driver-visible; once the round-12
     artifact lands, annotate_verified_rounds picks them up automatically
     (this test just guards the schedule, the invariant test above guards
     the outcome)."""
     dc = driver_catalog()
     for name in (
-        "ds_bucket_balances", "ds_densify_monthly", "ds_window_integral",
-        "ds_redact_nested", "funnel_view_click_purchase",
-        "weekly_retention_cohorts", "event_pairs_within_30min",
-        "mixture_sampled_counts", "unicode_normalization_audit",
-        "streaming_pair_events",
-        "ds_date_parts", "orders_snapshot_diff", "ann_recall_at_k",
-        "ds_expr_embedding_stats", "dedup_incremental_minhash",
-        "corpus_pipeline_audit", "embedding_int8_stats",
+        "hybrid_search_rrf", "multimodal_png_decode", "dedup_simhash_k2",
+        "ds_window_ema", "ds_bucket_auto_exact", "geo_geohash_cells",
+        "semantic_dedup_embeddings", "train_split_assign",
+        "doc_bigram_logprob", "decontaminate_bloom",
+        "chunk_token_id_windows", "events_gap_interpolated",
+        "dedup_keep_best_docs", "nb_lang_confusion",
+        "text_repetition_metrics", "stratified_sample_documents",
+        "events_trailing_avg_1h", "phrase_search_docs",
     ):
         assert name in dc and QUERIES[name].oracle is not None, name

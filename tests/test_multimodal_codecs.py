@@ -15,11 +15,15 @@ import pytest
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
     decode_bmp,
     decode_payload,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
     extract_media_features,
+    extract_png_features,
     synthesize_media_payloads,
+    synthesize_png_payloads,
 )
 
 FIXTURES = Path(__file__).parent / "fixtures"
@@ -103,14 +107,98 @@ class TestWav:
             decode_wav(b"nope")
 
 
+class TestPng:
+    def test_decode_golden_fixture(self):
+        """Hand-assembled canonical bytes (filter-0 scanlines, stored-block
+        deflate — built independently of encode_png): the decoder must walk
+        the chunk framing, verify CRCs, inflate, and strip the filter
+        bytes."""
+        b = (FIXTURES / "golden_2x2.png").read_bytes()
+        assert np.array_equal(decode_png(b), GOLDEN_2X2)
+
+    @pytest.mark.parametrize("ch", [1, 3, 4])
+    @pytest.mark.parametrize("w,h", [(5, 3), (8, 5), (1, 1), (2, 7)])
+    def test_roundtrip_every_channel_count(self, ch, w, h):
+        rng = np.random.RandomState(ch * 100 + w * 10 + h)  # test-only rand
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(encode_png(px))  # default: filter y%5 per row
+        assert out.shape == shape and np.array_equal(out, px)
+
+    @pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+    def test_roundtrip_each_filter_uniform(self, f):
+        """Every scanline filter applied to EVERY row (not just the y%5 mix)
+        must invert exactly — Sub/Average/Paeth reference the reconstructed
+        left neighbor, the decoder's sequential path."""
+        rng = np.random.RandomState(f)  # test-only rand
+        px = rng.randint(0, 256, size=(6, 7, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px, row_filters=[f] * 6)), px)
+
+    def test_multi_idat_concatenation(self):
+        """Pixel data split across several IDAT chunks is one zlib stream."""
+        import struct as st
+        import zlib
+
+        b = encode_png(GOLDEN_2X2)
+        # locate the single IDAT and split its payload into two chunks
+        pos = 8
+        out = b[:8]
+        while pos + 8 <= len(b):
+            length, ctype = st.unpack_from(">I4s", b, pos)
+            data = b[pos + 8 : pos + 8 + length]
+            if ctype == b"IDAT":
+                for part in (data[:3], data[3:]):
+                    out += (
+                        st.pack(">I", len(part)) + b"IDAT" + part
+                        + st.pack(">I", zlib.crc32(b"IDAT" + part) & 0xFFFFFFFF)
+                    )
+            else:
+                out += b[pos : pos + 12 + length]
+            pos += 12 + length
+        assert np.array_equal(decode_png(out), GOLDEN_2X2)
+
+    def test_crc_and_framing_damage_raises(self):
+        b = bytearray(encode_png(GOLDEN_2X2))
+        b[20] ^= 0xFF  # flip a byte inside IHDR → CRC mismatch
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(b))
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"XX" + encode_png(GOLDEN_2X2)[2:])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(encode_png(GOLDEN_2X2)[:-8])
+
+    def test_unsupported_variants_raise(self):
+        import struct as st
+        import zlib
+
+        def with_ihdr(depth, color_type, interlace):
+            ihdr = st.pack(">IIBBBBB", 2, 2, depth, color_type, 0, 0, interlace)
+            b = bytearray(encode_png(GOLDEN_2X2))
+            b[16:29] = ihdr
+            st.pack_into(
+                ">I", b, 29, zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+            )
+            return bytes(b)
+
+        with pytest.raises(NotImplementedError, match="depth=16"):
+            decode_png(with_ihdr(16, 2, 0))
+        with pytest.raises(NotImplementedError, match="color_type=3"):
+            decode_png(with_ihdr(8, 3, 0))
+        with pytest.raises(NotImplementedError, match="interlace=1"):
+            decode_png(with_ihdr(8, 2, 1))
+
+
 class TestDispatch:
     def test_unknown_format_raises(self):
         with pytest.raises(NotImplementedError, match="no codec"):
-            decode_payload(b"\x89PNG...", "image/png")
+            decode_payload(b"\xff\xd8\xff...", "image/jpeg")
 
     def test_real_formats_dispatch(self):
         img = decode_payload(encode_bmp(GOLDEN_2X2), "image/bmp")
         assert img["kind"] == "image" and (img["width"], img["height"]) == (2, 2)
+        png = decode_payload(encode_png(GOLDEN_2X2), "image/png")
+        assert png["kind"] == "image" and (png["width"], png["height"]) == (2, 2)
+        assert np.array_equal(png["pixels"], GOLDEN_2X2)
         aud = decode_payload(
             encode_wav(8000, 1, np.array([5], dtype=np.int16)), "audio/wav"
         )
@@ -237,3 +325,44 @@ class TestMediaPipeline:
                 assert r["rms"] == math.sqrt(int((s * s).sum()) / ns)
                 assert r["peak"] == int(np.abs(s).max())
                 assert r["width"] is None and r["mean_luma"] is None
+
+
+class TestPngPipeline:
+    def test_png_features_match_closed_form(self, spark):
+        """End-to-end synthesize→decode over Spark: recovered features equal
+        the closed-form pixel formulas — which only happens if chunk
+        framing, CRCs, inflate and every scanline unfilter are exact
+        (row y of doc d is stored with filter (d+y)%5)."""
+        docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+        rows = {
+            r["doc_id"]: r
+            for r in extract_png_features(synthesize_png_payloads(docs)).collect()
+        }
+        assert len(rows) == 24
+        for d in range(24):
+            r = rows[d]
+            w, h = 5 + d % 4, 3 + d % 3
+            n = w * h
+            i = np.arange(n, dtype=np.int64)
+            kind = d % 3
+            assert (r["width"], r["height"], r["n_samples"]) == (w, h, n)
+            if kind == 0:
+                s0 = int(((d + 7 * i) % 256).sum())
+                assert (r["png_type"], r["n_channels"]) == ("grey", 1)
+                assert r["mean_c0"] == s0 / n and r["mean_luma"] == s0 / n
+                assert r["mean_alpha"] is None
+            else:
+                sr = int(((d + i) % 256).sum())
+                sg = int(((d + 2 * i) % 256).sum())
+                sb = int(((d + 3 * i) % 256).sum())
+                assert r["png_type"] == ("rgb" if kind == 1 else "rgba")
+                assert r["n_channels"] == (3 if kind == 1 else 4)
+                assert r["mean_c0"] == sr / n
+                assert r["mean_luma"] == (
+                    0.299 * (sr / n) + 0.587 * (sg / n) + 0.114 * (sb / n)
+                )
+                if kind == 2:
+                    sa = int(((d + 5 * i) % 256).sum())
+                    assert r["mean_alpha"] == sa / n
+                else:
+                    assert r["mean_alpha"] is None

@@ -190,3 +190,70 @@ def test_custom_sessionizer_matches_native_session_window(spark):
     }
     assert custom == native_set
     assert len(custom) > 6  # multiple sessions per user actually formed
+
+
+def test_flushing_state_bounded_and_drops_late_rows(spark, tmp_path):
+    """VERDICT r11 ask #6 (sessionizer half): the state store's own metrics
+    pin the contract — `numRowsTotal` (open sessions) tracks ACTIVE users,
+    not total users seen (idle sessions time out and leave the store), and
+    a row behind the watermark is dropped and counted, never reopening a
+    flushed session."""
+    import os
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.sessionize import (
+        sessionize_stream_flushing,
+    )
+
+    SEC = 1_000_000_000
+    B = 1_600_000_000 * SEC
+    gap_ns = 100 * SEC
+    # 8 batches: each introduces a NEW user (3 events) who then goes idle;
+    # user 99 keeps one event per batch so the watermark advances and idle
+    # sessions flush.  Then one late row (user 0, far behind watermark) and
+    # a final watermark push.
+    batches = []
+    for k in range(8):
+        t = B + k * 1000 * SEC
+        batches.append([(k, t), (k, t + 10 * SEC), (k, t + 20 * SEC), (99, t)])
+    batches.append([(0, B + 5 * SEC)])  # late: watermark is ~B+7000s by now
+    batches.append([(99, B + 9000 * SEC)])
+    src = tmp_path / "flush_bound"
+    src.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = src / f"batch_{i:03d}.parquet"
+        spark.createDataFrame(rows, "user_id long, ts long").toPandas().to_parquet(p)
+        os.utime(p, (base + i * 10, base + i * 10))
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream_flushing(stream, gap_ns)
+        .writeStream.format("memory")
+        .queryName("flush_bound_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    state_rows = [s["numRowsTotal"] for p in progress for s in p["stateOperators"]]
+    # 9 distinct users stream through, but only ~2 are ever active at once
+    # (the current batch's user + the watermark driver): open-session state
+    # must track ACTIVE users (measured plateau: 3), not users seen
+    assert max(state_rows) <= 4, state_rows
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for s in p["stateOperators"]
+    )
+    assert dropped == 1  # the late user-0 row
+    # and the late row did not reopen/extend user 0's flushed session
+    sessions = [
+        (r["user_id"], r["start_ns"], r["n_events"])
+        for r in spark.table("flush_bound_out").collect()
+        if r["user_id"] == 0
+    ]
+    assert sessions == [(0, B, 3)]
