@@ -191,11 +191,11 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="C4/Gopher-style rule filter with per-rule drop-reason counts by "
     "source — the keep/drop audit stage of a curation pipeline (rules fire "
-    "individually so the reason histogram is inspectable).  Gate-only: "
-    "composes the same surface statistics text_quality_by_source oracles "
-    "with a hard driver row.",
+    "individually so the reason histogram is inspectable).  Gate-only "
+    "through r11 (composes the statistics text_quality_by_source oracled); "
+    "rotated INTO the driver window in r12 (VERDICT r11 ask #1: "
+    "never-driver-verified residual burn-down).",
     tags=("text", "curation", "agg"),
-    driver_visible=False,
 )
 def c4_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
@@ -3560,8 +3560,10 @@ def _gumbel_oracle() -> str:
     "pure function of (seed, id) through the md5 family — retry/engine-"
     "stable, replayed term-for-term in the oracle — and the plan is a "
     "TakeOrderedAndProject (per-partition top-k merge, driver holds 20 "
-    "rows).  Driver-visible since r9 (VERDICT r8 ask #1 rotation).",
+    "rows).  Driver-visible r9-r11 (VERDICT r8 ask #1 rotation)."
+    "  Evicted from the driver window in the r12 rotation (driver-green r9-r11; sampling family keeps mixture_sampled_counts + stratified_sample_documents + train_split_assign visible); still oracle-gated at sf0.01.",
     tags=("curation", "quality", "topk"),
+    driver_visible=False,
 )
 def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (

@@ -43,7 +43,6 @@ def test_novel_operator_families_are_driver_visible():
         "ds_lookup_group",
         "geo_radius_join_wrap",
         "geo_intersects_events",
-        "dsir_gumbel_resample",
         "scd2_incremental_state",
         "streaming_asof_enrich_status",
         "streaming_nb_score_confusion",
@@ -87,9 +86,9 @@ def test_novel_operator_families_are_driver_visible():
         "corpus_pipeline_audit",
         "embedding_int8_stats",
         # r12 rotation (VERDICT r11 ask #1: never-driver-verified residual
-        # burn-down, 51 → 33) — 17 gate-only shapes gain their first rows,
-        # newest/highest-novelty first, plus the new PNG codec and the
-        # multi-chunk SimHash (asks #2/#4) driver-visible from birth
+        # burn-down, 51 → 33) — 18 gate-only shapes gain their first rows,
+        # newest/highest-novelty first, plus the new PNG codec (ask #2)
+        # driver-visible from birth and the multi-chunk SimHash (ask #4)
         "hybrid_search_rrf",
         "multimodal_png_decode",
         "dedup_simhash_k2",
@@ -108,6 +107,7 @@ def test_novel_operator_families_are_driver_visible():
         "stratified_sample_documents",
         "events_trailing_avg_1h",
         "phrase_search_docs",
+        "c4_rule_audit",
     ):
         assert novel in dc, novel
     for hidden in (
@@ -324,6 +324,6 @@ def test_rotated_in_families_gain_rows_next_artifact():
         "chunk_token_id_windows", "events_gap_interpolated",
         "dedup_keep_best_docs", "nb_lang_confusion",
         "text_repetition_metrics", "stratified_sample_documents",
-        "events_trailing_avg_1h", "phrase_search_docs",
+        "events_trailing_avg_1h", "phrase_search_docs", "c4_rule_audit",
     ):
         assert name in dc and QUERIES[name].oracle is not None, name

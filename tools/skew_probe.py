@@ -126,7 +126,7 @@ def straggler_ratio(spark, sf_dir: str) -> dict:
     }
 
 
-def run_query(spark, name, sf_dir, runs=2):
+def run_query(spark, name, sf_dir, runs=1):
     from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
 
     fn = QUERIES[name].fn
@@ -161,13 +161,16 @@ def main() -> None:
         print("building skewed 10x events ...", file=sys.stderr)
         build_skewed_events(spark)
 
-    layout = {
-        "uniform": straggler_ratio(spark, UNIF10),
-        "zipf1.2": straggler_ratio(spark, SKEW10),
-    }
-    print(json.dumps({"layout": layout}))
+    if "--skip-layout" not in names:
+        layout = {
+            "uniform": straggler_ratio(spark, UNIF10),
+            "zipf1.2": straggler_ratio(spark, SKEW10),
+        }
+        print(json.dumps({"layout": layout}), flush=True)
+    names = [n for n in names if not n.startswith("--")]
 
     for name in names:
+        print(f"running {name} ...", file=sys.stderr, flush=True)
         t_u, _ = run_query(spark, name, UNIF10)
         t_s, plan = run_query(spark, name, SKEW10)
         skew_markers = {
@@ -185,7 +188,8 @@ def main() -> None:
                     "over_3x": t_s > 3 * t_u,
                     **skew_markers,
                 }
-            )
+            ),
+            flush=True,
         )
 
 
