@@ -1776,49 +1776,47 @@ def _apply_set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 )
                 out = out.withColumn(name, res)
             else:
-                # trapezoidal rule over the frame: collect (t, v) in frame
-                # order and left-fold; each term quantizes to the 1e-6
-                # grid and accumulates EXACTLY in a 38-digit decimal
-                # (order-independent, engine-exact — the detagg treatment
-                # applied inside the fold), one double division at the
-                # end.  Null inputs poison the fold to null (documented
-                # scope: $integral needs non-null numerics).  COST MODEL:
-                # the fold re-evaluates per row, so a frame of w rows
-                # costs O(w) per row — O(n·w) per partition, quadratic
-                # for whole-partition frames.  Partition so windows stay
-                # bounded (per-entity series), or pre-aggregate; a few
-                # huge partitions are the wrong shape for this operator.
-                # The sort key scales into `unit` BEFORE the fold: Spark's
-                # floor(double) returns a LONG, so quantized terms must fit
-                # int64 — raw-microsecond deltas × values overflow it
-                # silently (caught by the ds_window_integral oracle), while
-                # unit-scaled terms stay small; the scaling division is the
-                # same IEEE op on both engines, so exactness is preserved.
-                pair = F.struct(
-                    (key.cast("double") / F.lit(scale)).alias("t"),
-                    val.alias("v"),
+                # trapezoidal rule, evaluated as a PREFIX SUM instead of a
+                # collect_list + per-row fold: each row's trapezoid term
+                # references only its partition predecessor (one lag), and
+                # window frames are contiguous runs, so
+                #   integral(frame) = SUM(term) OVER frame − first-frame-
+                #   row's term (whose predecessor lies OUTSIDE the frame).
+                # Each term quantizes to the 1e-6 grid and accumulates
+                # EXACTLY in a 38-digit decimal (order-independent,
+                # engine-exact — the detagg treatment), one double
+                # division at the end.  Null inputs poison the whole frame
+                # to null (documented scope: $integral needs non-null
+                # numerics) via an explicit bad-row count — SUM alone
+                # would silently SKIP nulls and return a wrong partial
+                # integral.  COST MODEL: O(1) per row (running/sliding
+                # frame aggregation) — LINEAR per partition.  The previous
+                # fold shape re-evaluated O(w) work per row, quadratic for
+                # whole-partition frames: the r12 zipf(1.2) skew probe
+                # measured a 206k-row hot user at >45× the uniform
+                # layout's wall time before this rewrite (PLANS.md
+                # §user-key-skew), while uniform keys never exposed it.
+                # The sort key scales into `unit` BEFORE the term: Spark's
+                # floor(double) returns a LONG, so quantized terms must
+                # fit int64 — raw-microsecond deltas × values overflow it
+                # silently (caught by the ds_window_integral oracle),
+                # while unit-scaled terms stay small; the scaling division
+                # is the same IEEE op on both engines.
+                t = key.cast("double") / F.lit(scale)
+                term = (t - F.lag(t).over(w)) * (val + F.lag(val).over(w)) / F.lit(2.0)
+                q = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+                # q is null at the partition head (no predecessor) — benign;
+                # any OTHER null q inside the frame past its first row is a
+                # genuine null input and must poison the result
+                bad = (q.isNull() & (F.row_number().over(w) > F.lit(1))).cast("int")
+                n_bad = F.sum(bad).over(this_w) - F.first(bad).over(this_w)
+                zero = F.lit(0).cast("decimal(38,0)")
+                s_excl = F.coalesce(F.sum(q).over(this_w), zero) - F.coalesce(
+                    F.first(q).over(this_w), zero
                 )
-                arr = F.collect_list(pair).over(this_w)
-                init = F.struct(
-                    F.lit(None).cast("double").alias("pt"),
-                    F.lit(None).cast("double").alias("pv"),
-                    F.lit(0).cast("decimal(38,0)").alias("acc"),
+                res = F.when(n_bad > 0, F.lit(None).cast("double")).otherwise(
+                    s_excl.cast("double") / F.lit(1e6)
                 )
-
-                def _trap_merge(a, x):
-                    term = (x["t"] - a["pt"]) * (x["v"] + a["pv"]) / F.lit(2.0)
-                    q = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast(
-                        "decimal(38,0)"
-                    )
-                    acc = F.when(a["pt"].isNull(), a["acc"]).otherwise(
-                        a["acc"] + q
-                    )
-                    return F.struct(
-                        x["t"].alias("pt"), x["v"].alias("pv"), acc.alias("acc")
-                    )
-
-                folded = F.aggregate(arr, init, _trap_merge)
-                res = folded["acc"].cast("double") / F.lit(1e6)
                 out = out.withColumn(name, res)
             continue
         if op in ("$locf", "$linearFill"):

@@ -1604,6 +1604,55 @@ class TestBucketAutoAndOut:
                 "partitionBy": "$g", "sortBy": {"x": 1},
                 "output": {"a": {"$integral": {"input": "$v", "unit": "hour"}}}}}])
 
+    def test_window_integral_sliding_frame_and_null_poison(self, spark):
+        """The r12 prefix-sum rewrite of $integral (linear, replacing the
+        O(n·w) collect_list fold) must keep the fold's exact semantics on
+        the two paths the running-frame driver query never touches: a
+        sliding documents frame whose FIRST row sits mid-partition (its
+        trapezoid term references a predecessor OUTSIDE the frame and must
+        be excluded), and null inputs poisoning the frame to null instead
+        of being silently skipped by SUM."""
+        import datetime as dt
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1, 0, 0), 0.0),
+            ("a", dt.datetime(2024, 1, 1, 1, 0), 2.0),
+            ("a", dt.datetime(2024, 1, 1, 3, 0), 4.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+        out = aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"ts": 1},
+            "output": {"seg": {"$integral": {"input": "$v", "unit": "hour"},
+                               "window": {"documents": [-1, 0]}}},
+        }}])
+        got = {r["ts"].hour: r["seg"] for r in out.collect()}
+        # hour 0: single-row frame → 0; hour 1: (0+2)/2·1h = 1;
+        # hour 3: frame {1h,3h} → (2+4)/2·2h = 6 — NOT 7: the 1h row's own
+        # term (predecessor 0h) lies outside the frame and must drop
+        assert got == {0: 0.0, 1: 1.0, 3: 6.0}
+
+        nrows = [
+            ("n", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            ("n", dt.datetime(2024, 1, 1, 1, 0), None),
+            ("n", dt.datetime(2024, 1, 1, 2, 0), 3.0),
+        ]
+        ndf = spark.createDataFrame(nrows, "g string, ts timestamp, v double")
+        nout = aggregate(ndf, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"ts": 1},
+            "output": {"run": {"$integral": {"input": "$v", "unit": "hour"},
+                               "window": {"documents": ["unbounded", "current"]}},
+                       "all": {"$integral": {"input": "$v", "unit": "hour"}}},
+        }}])
+        ngot = {r["ts"].hour: (r["run"], r["all"]) for r in nout.collect()}
+        # running: head row has no terms (0.0); every frame containing a
+        # null-valued trapezoid term is poisoned to null, never a partial
+        # sum (SUM would have skipped the nulls and returned 2.0 at hour 2)
+        assert ngot[0] == (0.0, None)
+        assert ngot[1] == (None, None)
+        assert ngot[2] == (None, None)
+
     def test_densify_nested_field_raises(self, spark):
         import pytest
 
