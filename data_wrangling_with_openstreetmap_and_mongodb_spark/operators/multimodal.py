@@ -10,9 +10,10 @@ Two decode tiers:
 - REAL stdlib codecs: 24-bit BI_RGB BMP (:func:`decode_bmp` — struct-parsed
   headers, bottom-up/top-down row order, 4-byte row padding, BGR→RGB),
   16-bit PCM WAV (:func:`decode_wav` — RIFF chunk walk, fmt/data chunks,
-  interleaved int16 frames), and 8-bit grey/RGB/RGBA PNG
+  interleaved int16 frames), and 8-bit grey/RGB/palette(+tRNS)/RGBA PNG
   (:func:`decode_png` — chunk framing with CRC-32 verification, zlib
-  inflate, all five scanline unfilters).  No external libraries; encode and
+  inflate, all five scanline unfilters, PLTE/tRNS expansion).  No external
+  libraries; encode and
   decode are independent implementations (the WAV encoder is CPython's
   ``wave`` module, the decoder is a hand-written RIFF parser; the BMP/PNG
   pairs are validated against hand-crafted golden bytes).
@@ -156,14 +157,15 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
 # ---------------------------------------------------------------------------
 # Real stdlib PNG codec (zlib is in the standard library, so the most common
 # real-world image format needs no external dependency): 8-bit greyscale /
-# RGB / RGBA, all five scanline filters.  Palette (type 3), 16-bit depth and
-# Adam7 interlace raise NotImplementedError — explicit gaps, never a silent
-# mis-decode.
+# RGB / palette (PLTE, optional tRNS alpha) / RGBA, all five scanline
+# filters.  Sub-8/16-bit depth and Adam7 interlace raise
+# NotImplementedError — explicit gaps, never a silent mis-decode.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel (supported subset)
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# color type -> samples per pixel in the FILTERED stream (supported subset;
+# palette type 3 carries 1 index byte per pixel and expands after unfilter)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -246,22 +248,27 @@ def encode_png(px: np.ndarray, row_filters=None) -> bytes:
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """Decode an 8-bit greyscale/RGB/RGBA PNG to a uint8 ``(h, w)`` /
-    ``(h, w, 3)`` / ``(h, w, 4)`` array.
+    """Decode an 8-bit greyscale/RGB/palette/RGBA PNG to a uint8 ``(h, w)``
+    / ``(h, w, 3)`` / ``(h, w, 4)`` array.
 
     Full format walk: signature, big-endian chunk framing with CRC-32
     verification on every chunk, IHDR validation, multi-IDAT concatenation,
     zlib inflate, then sequential scanline unfiltering (Sub/Average/Paeth
     reference the RECONSTRUCTED left neighbor, so the inner loop is
-    inherently order-dependent; Up/None vectorize).  Palette, sub-8/16-bit
-    depth and interlace raise ``NotImplementedError``; framing/CRC damage
-    raises ``ValueError``."""
+    inherently order-dependent; Up/None vectorize).  Palette images (color
+    type 3, 8-bit indices) expand through PLTE to RGB — or to RGBA when a
+    tRNS chunk supplies per-entry alpha — with out-of-range indices a
+    ``ValueError``, never a silent wrap.  Sub-8/16-bit depth and interlace
+    raise ``NotImplementedError``; framing/CRC damage raises
+    ``ValueError``."""
     import zlib
 
     if b[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
+    trns = None
     idat = bytearray()
     saw_iend = False
     while pos + 8 <= len(b):
@@ -274,6 +281,12 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError(f"PLTE length {length} not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -291,9 +304,11 @@ def decode_png(b: bytes) -> np.ndarray:
         raise ValueError(f"bad IHDR compression/filter method ({comp}/{filt_method})")
     if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
         raise NotImplementedError(
-            f"only 8-bit non-interlaced grey/RGB/RGBA PNG supported "
+            f"only 8-bit non-interlaced grey/RGB/palette/RGBA PNG supported "
             f"(got depth={depth}, color_type={color_type}, interlace={interlace})"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG (color type 3) missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
     bpp = ch
     stride = w * ch
@@ -330,6 +345,22 @@ def decode_png(b: bytes) -> np.ndarray:
         prior = line
         rows.append(bytes(line))
     px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, ch)
+    if color_type == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"(PLTE has {len(plte)} entries)"
+            )
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is None:
+            return np.ascontiguousarray(rgb)
+        # tRNS: alpha per palette entry; entries past its end are opaque
+        alpha_tab = np.full(len(plte), 255, dtype=np.uint8)
+        alpha_tab[: len(trns)] = trns[: len(plte)]
+        return np.ascontiguousarray(
+            np.concatenate([rgb, alpha_tab[idx][:, :, None]], axis=-1)
+        )
     return np.ascontiguousarray(px[:, :, 0] if ch == 1 else px)
 
 

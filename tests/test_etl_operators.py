@@ -95,7 +95,12 @@ class TestMultimodal:
         assert feats[1]["fingerprint"] == hashlib.md5(b"hello world").hexdigest()
 
     def test_unknown_codec_raises(self):
+        # PNG decodes for real since r12; JPEG remains a genuine gap
         with pytest.raises(NotImplementedError):
+            decode_payload(b"\xff\xd8\xff", "image/jpeg")
+        # and a PNG payload routed with the right format hits the real
+        # codec's validation, not the honest-gap dispatch
+        with pytest.raises(ValueError, match="signature|truncated"):
             decode_payload(b"\x89PNG", "image/png")
 
     def test_resize_stub_contract(self, spark):

@@ -182,10 +182,61 @@ class TestPng:
 
         with pytest.raises(NotImplementedError, match="depth=16"):
             decode_png(with_ihdr(16, 2, 0))
-        with pytest.raises(NotImplementedError, match="color_type=3"):
-            decode_png(with_ihdr(8, 3, 0))
+        with pytest.raises(NotImplementedError, match="depth=4"):
+            decode_png(with_ihdr(4, 3, 0))
         with pytest.raises(NotImplementedError, match="interlace=1"):
             decode_png(with_ihdr(8, 2, 1))
+
+    @staticmethod
+    def _palette_png(indices, plte, trns=None):
+        """Hand-assemble an 8-bit palette PNG (filter-0 scanlines,
+        stored-block deflate) — independent of encode_png, which has no
+        palette writer."""
+        import struct as st
+        import zlib
+
+        h = len(indices)
+        w = len(indices[0])
+        scan = b"".join(b"\x00" + bytes(row) for row in indices)
+
+        def chunk(t, d):
+            return (
+                st.pack(">I", len(d)) + t + d
+                + st.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", st.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        )
+        out += chunk(b"PLTE", b"".join(bytes(c) for c in plte))
+        if trns is not None:
+            out += chunk(b"tRNS", bytes(trns))
+        return out + chunk(b"IDAT", zlib.compress(scan, 0)) + chunk(b"IEND", b"")
+
+    def test_palette_decodes_through_plte(self):
+        plte = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+        b = self._palette_png([[0, 1], [2, 3]], plte)
+        assert np.array_equal(decode_png(b), GOLDEN_2X2)
+
+    def test_palette_trns_yields_rgba(self):
+        """tRNS supplies per-entry alpha; entries past its end are opaque."""
+        plte = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+        b = self._palette_png([[0, 1], [2, 3]], plte, trns=[255, 128])
+        px = decode_png(b)
+        assert px.shape == (2, 2, 4)
+        assert np.array_equal(px[:, :, :3], GOLDEN_2X2)
+        assert px[:, :, 3].tolist() == [[255, 128], [255, 255]]
+
+    def test_palette_errors(self):
+        plte = [(255, 0, 0), (0, 255, 0)]
+        with pytest.raises(ValueError, match="out of range"):
+            decode_png(self._palette_png([[0, 5]], plte))
+        # strip the PLTE chunk entirely → explicit error, not a KeyError
+        b = self._palette_png([[0, 1]], plte)
+        plte_at = b.index(b"PLTE") - 4
+        plte_len = 8 + 6 + 4  # header + 2 RGB entries + crc
+        with pytest.raises(ValueError, match="missing PLTE"):
+            decode_png(b[:plte_at] + b[plte_at + plte_len :])
 
 
 class TestDispatch:

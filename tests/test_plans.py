@@ -518,3 +518,18 @@ class TestRound10Plans:
         # final tiny groupBy on __b rides AQE's coalesced read of it)
         assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
         assert plan.count("Exchange SinglePartition") <= 1, plan[:1500]
+
+    def test_integral_has_no_per_row_fold(self, spark, sf_dir):
+        """The r12 $integral rewrite: the physical plan must contain window
+        SUM/lag expressions, and NO collect_list feeding an aggregate() HOF
+        — the shape the zipf skew probe measured at O(n·w) per partition
+        (>45× wall on a 206k-row hot user, PLANS.md §user-key-skew)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        df = q("ds_window_integral", spark, sf_dir)
+        plan = executed_plan(df)
+        assert "collect_list" not in plan, plan[:1500]
+        assert "Window" in plan
+        # one user exchange feeds every window stage: the dedup groupBy and
+        # the integral windows all hash on the same key
+        assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
