@@ -83,3 +83,33 @@ def test_resample_matches_index_map(vals, ch, out_frames):
     for j in (0, out_frames - 1):
         src = (j * frames) // out_frames
         assert np.array_equal(out[j * ch : (j + 1) * ch], grid[src])
+
+
+@st.composite
+def png_images(draw):
+    """Arbitrary 8-bit image + per-row filter choices: grey/RGB/RGBA shapes,
+    pixel bytes that collide with chunk ids and filter markers, and filter
+    assignments hypothesis picks freely (not just the y%5 default)."""
+    w = draw(st.integers(min_value=1, max_value=9))
+    h = draw(st.integers(min_value=1, max_value=7))
+    ch = draw(st.sampled_from([1, 3, 4]))
+    data = draw(st.binary(min_size=w * h * ch, max_size=w * h * ch))
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = np.frombuffer(data, dtype=np.uint8).reshape(shape)
+    filters = draw(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=h, max_size=h)
+    )
+    return px, filters
+
+
+@settings(max_examples=120, deadline=None)
+@given(png_images())
+def test_png_roundtrip_identity(img):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px, filters = img
+    out = decode_png(encode_png(px, row_filters=filters))
+    assert out.shape == px.shape and np.array_equal(out, px)
