@@ -247,6 +247,58 @@ def encode_png(px: np.ndarray, row_filters=None) -> bytes:
     )
 
 
+def encode_palette_png(
+    indices: np.ndarray, plte: np.ndarray, trns: bytes | None = None,
+    row_filters=None,
+) -> bytes:
+    """Encode an ``(h, w)`` uint8 index array as an 8-bit palette PNG
+    (color type 3): PLTE from the ``(n, 3)`` uint8 palette, optional tRNS
+    per-entry alpha.  Scanline filters operate on the INDEX bytes (bpp=1),
+    same per-row filter choice as :func:`encode_png` (default ``y % 5``)."""
+    import zlib
+
+    indices = np.asarray(indices, dtype=np.uint8)
+    plte = np.asarray(plte, dtype=np.uint8)
+    if plte.ndim != 2 or plte.shape[1] != 3 or not 1 <= len(plte) <= 256:
+        raise ValueError(f"palette must be (n<=256, 3) uint8, got {plte.shape}")
+    if int(indices.max(initial=0)) >= len(plte):
+        raise ValueError("index out of palette range")
+    h, w = indices.shape
+    raw = indices.reshape(h, w).astype(np.int16)
+    zero = np.zeros(w, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        f = (y % 5) if row_filters is None else int(row_filters[y])
+        cur = raw[y]
+        prior = raw[y - 1] if y else zero
+        left = np.concatenate([np.zeros(1, dtype=np.int16), cur[:-1]])
+        upleft = np.concatenate([np.zeros(1, dtype=np.int16), prior[:-1]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - (left + prior) // 2
+        elif f == 4:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, upleft)),
+                dtype=np.int16,
+                count=w,
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte.tobytes())
+    if trns is not None:
+        chunks += _png_chunk(b"tRNS", bytes(trns))
+    return chunks + _png_chunk(b"IDAT", zlib.compress(bytes(out))) + _png_chunk(b"IEND", b"")
+
+
 def decode_png(b: bytes) -> np.ndarray:
     """Decode an 8-bit greyscale/RGB/palette/RGBA PNG to a uint8 ``(h, w)``
     / ``(h, w, 3)`` / ``(h, w, 4)`` array.
@@ -797,3 +849,44 @@ def extract_png_features(with_payload: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return with_payload.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
+
+
+def _palette_png_plan(doc_id: int) -> bytes:
+    """Closed-form palette PNG per doc: an 8-entry palette with entry ``j``
+    = ``((d+37j)%256, (d+59j)%256, (d+83j)%256)``, index map ``(d+i)%8``
+    over the usual ``(5+d%4) × (3+d%3)`` canvas, row ``y`` filtered with
+    ``(d+y)%5``; ODD docs add a 4-entry tRNS (``alpha_j = (d+11j)%256``,
+    later entries opaque) so both the RGB and RGBA expansion paths carry
+    oracle coverage."""
+    d = int(doc_id)
+    w, h = 5 + d % 4, 3 + d % 3
+    j = np.arange(8, dtype=np.int64)
+    plte = np.stack(
+        [(d + 37 * j) % 256, (d + 59 * j) % 256, (d + 83 * j) % 256], axis=-1
+    ).astype(np.uint8)
+    idx = ((d + np.arange(w * h, dtype=np.int64)) % 8).astype(np.uint8).reshape(h, w)
+    trns = bytes(int((d + 11 * k) % 256) for k in range(4)) if d % 2 else None
+    return encode_palette_png(idx, plte, trns=trns, row_filters=[(d + y) % 5 for y in range(h)])
+
+
+def synthesize_palette_png_payloads(docs: DataFrame) -> DataFrame:
+    """Attach a REAL palette PNG payload (per :func:`_palette_png_plan`) to
+    each document — Arrow-batched, map-only, partition-preserving."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = _palette_png_plan(doc_id)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "meta": {"format": "image/png", "n_bytes": len(payload)},
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)

@@ -360,6 +360,74 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Palette PNG (color type 3, r12): 8-entry PLTE from closed-form channel
+# formulas, index map (d+i)%8, odd docs add a 4-entry tRNS — the decoder's
+# PLTE/tRNS expansion replayed symbolically.  j below is the palette index
+# of pixel i.
+_PLT_J = "((doc_id + i) % 8)"
+_PLT_R = f"((doc_id + 37*{_PLT_J}) % 256)"
+_PLT_G = f"((doc_id + 59*{_PLT_J}) % 256)"
+_PLT_B = f"((doc_id + 83*{_PLT_J}) % 256)"
+_PLT_A = f"(CASE WHEN {_PLT_J} < 4 THEN (doc_id + 11*{_PLT_J}) % 256 ELSE 255 END)"
+
+
+@register(
+    "multimodal_palette_decode",
+    oracle=f"""
+        WITH canvas AS (
+            SELECT doc_id, doc_id % 2 AS odd,
+                   (5 + doc_id % 4) * (3 + doc_id % 3) AS n,
+                   5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h
+            FROM documents
+        ), s AS (
+            SELECT doc_id, odd, n, w, h,
+                   list_sum(list_transform(range(n), i -> {_PLT_R})) AS sr,
+                   list_sum(list_transform(range(n), i -> {_PLT_G})) AS sg,
+                   list_sum(list_transform(range(n), i -> {_PLT_B})) AS sb,
+                   list_sum(list_transform(range(n), i -> {_PLT_A})) AS sa
+            FROM canvas
+        )
+        SELECT doc_id,
+               CASE WHEN odd = 1 THEN 'rgba' ELSE 'rgb' END AS png_type,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(CASE WHEN odd = 1 THEN 4 ELSE 3 END AS BIGINT) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               {quantize6_sql("CAST(sr AS DOUBLE) / n")} AS mean_c0,
+               {quantize6_sql(
+                   "0.299*(CAST(sr AS DOUBLE)/n) + 0.587*(CAST(sg AS DOUBLE)/n)"
+                   " + 0.114*(CAST(sb AS DOUBLE)/n)")} AS mean_luma,
+               CASE WHEN odd = 1
+                    THEN {quantize6_sql("CAST(sa AS DOUBLE) / n")}
+                    ELSE CAST(NULL AS DOUBLE) END AS mean_alpha
+        FROM s
+    """,
+    doc="Palette-PNG decode path (operators/multimodal.py::"
+    "encode_palette_png/_palette_png_plan, r12): per-doc 8-entry PLTE from "
+    "closed-form channel formulas, index map (d+i)%8, scanline filter "
+    "(d+y)%5 on the INDEX bytes; odd docs add a 4-entry tRNS so both the "
+    "PLTE→RGB and PLTE+tRNS→RGBA expansions are exercised.  Features of "
+    "the decoded result hash-match DuckDB replaying palette lookup + alpha "
+    "table symbolically.  Map-only.  Gate-only (window full): the codec "
+    "family's driver row is multimodal_png_decode.",
+    tags=("multimodal", "pandas-udf", "codec"),
+    driver_visible=False,
+)
+def multimodal_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        extract_png_features,
+        synthesize_palette_png_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_png_features(synthesize_palette_png_payloads(d))
+    return feats.select(
+        "doc_id", "png_type", "width", "height", "n_channels", "n_samples",
+        quantize6(F.col("mean_c0")).alias("mean_c0"),
+        quantize6(F.col("mean_luma")).alias("mean_luma"),
+        quantize6(F.col("mean_alpha")).alias("mean_alpha"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real image resize: decode BMP → nearest-neighbor sample → re-encode →
 # re-decode → features.  The NN index map is pure integer arithmetic

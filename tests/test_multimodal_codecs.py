@@ -417,3 +417,35 @@ class TestPngPipeline:
                     assert r["mean_alpha"] == sa / n
                 else:
                     assert r["mean_alpha"] is None
+
+
+class TestPaletteEncoder:
+    def test_encode_palette_roundtrip_all_filters(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            encode_palette_png,
+        )
+
+        rng = np.random.RandomState(11)  # test-only rand
+        plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.randint(0, 16, size=(6, 7), dtype=np.uint8)
+        for f in range(5):
+            out = decode_png(encode_palette_png(idx, plte, row_filters=[f] * 6))
+            assert np.array_equal(out, plte[idx]), f
+        # tRNS: alpha rides entry index; entries past its end opaque
+        out = decode_png(encode_palette_png(idx, plte, trns=bytes([7, 9])))
+        assert out.shape == (6, 7, 4)
+        assert np.array_equal(out[:, :, :3], plte[idx])
+        alpha_tab = np.full(16, 255, dtype=np.uint8)
+        alpha_tab[:2] = [7, 9]
+        assert np.array_equal(out[:, :, 3], alpha_tab[idx])
+
+    def test_encode_palette_validation(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            encode_palette_png,
+        )
+
+        plte = np.zeros((4, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="out of palette range"):
+            encode_palette_png(np.array([[5]], dtype=np.uint8), plte)
+        with pytest.raises(ValueError, match="palette must be"):
+            encode_palette_png(np.array([[0]], dtype=np.uint8), np.zeros((4, 4), dtype=np.uint8))
