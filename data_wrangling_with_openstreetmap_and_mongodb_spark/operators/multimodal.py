@@ -10,10 +10,12 @@ Two decode tiers:
 - REAL stdlib codecs: 24-bit BI_RGB BMP (:func:`decode_bmp` — struct-parsed
   headers, bottom-up/top-down row order, 4-byte row padding, BGR→RGB),
   16-bit PCM WAV (:func:`decode_wav` — RIFF chunk walk, fmt/data chunks,
-  interleaved int16 frames), and 8-bit grey/RGB/palette(+tRNS)/RGBA PNG
+  interleaved int16 frames), 8-bit grey/RGB/palette(+tRNS)/RGBA PNG
   (:func:`decode_png` — chunk framing with CRC-32 verification, zlib
-  inflate, all five scanline unfilters, PLTE/tRNS expansion).  No external
-  libraries; encode and
+  inflate, all five scanline unfilters, PLTE/tRNS expansion), and
+  multi-frame GIF87a/89a (:func:`decode_gif` — full GIF-variant LZW with
+  growing code widths, global/local color tables, interlace, GCE delays).
+  No external libraries; encode and
   decode are independent implementations (the WAV encoder is CPython's
   ``wave`` module, the decoder is a hand-written RIFF parser; the BMP/PNG
   pairs are validated against hand-crafted golden bytes).
@@ -417,11 +419,11 @@ def decode_png(b: bytes) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, fmt: str) -> dict:
-    """Codec dispatch.  ``image/bmp``, ``image/png`` and ``audio/wav`` decode
-    for REAL via the stdlib codecs above/below; ``text/plain`` keeps the
-    deterministic byte-level fake; everything else (JPEG/MP3 …) raises — the
-    container has no codec libraries, and a wrong answer is worse than an
-    explicit gap."""
+    """Codec dispatch.  ``image/bmp``, ``image/png``, ``image/gif``
+    (multi-frame) and ``audio/wav`` decode for REAL via the stdlib codecs in
+    this module; ``text/plain`` keeps the deterministic byte-level fake;
+    everything else (JPEG/MP3 …) raises — the container has no codec
+    libraries, and a wrong answer is worse than an explicit gap."""
     if fmt == "text/plain":
         return _fake_decode(payload)
     if fmt == "image/bmp":
@@ -432,6 +434,17 @@ def decode_payload(payload: bytes, fmt: str) -> dict:
         px = decode_png(payload)
         h, w = px.shape[:2]
         return {"kind": "image", "width": w, "height": h, "pixels": px}
+    if fmt == "image/gif":
+        frames, delays = decode_gif(payload)
+        h, w = frames[0].shape[:2]
+        return {
+            "kind": "animation",
+            "width": w,
+            "height": h,
+            "n_frames": len(frames),
+            "frames": frames,
+            "delays": delays,
+        }
     if fmt == "audio/wav":
         rate, ch, samples = decode_wav(payload)
         return {
@@ -890,3 +903,346 @@ def synthesize_palette_png_payloads(docs: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib GIF codec: the multi-frame (video-shaped) format — frame
+# extraction through a REAL container instead of the byte-slicing fake.
+# Decoder implements full GIF-variant LZW (growing code widths to 12 bits,
+# clear/end codes), 87a/89a headers, global AND local color tables, Adam-less
+# 4-pass interlace, and Graphic Control Extension delays.  The encoder emits
+# a VALID literal-only LZW stream (clear codes re-issued before the code
+# width would grow — the classic "uncompressed GIF" construction), so the
+# two directions share no compression logic.
+# ---------------------------------------------------------------------------
+
+
+def _gif_pack_codes(codes: list[int], min_code_size: int) -> bytes:
+    """LSB-first bit-pack LZW codes at the width the DECODER will track:
+    width starts at min_code_size+1 and grows when the dict (which gains one
+    entry per emitted code after the first post-clear code) reaches 2^width."""
+    clear = 1 << min_code_size
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    dict_size = clear + 2
+    prev_was_clear = True
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width = min_code_size + 1
+            dict_size = clear + 2
+            prev_was_clear = True
+        elif code == clear + 1:
+            break
+        else:
+            if prev_was_clear:
+                prev_was_clear = False  # first code after clear adds nothing
+            else:
+                dict_size += 1
+                if dict_size == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    return [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    plte: np.ndarray,
+    delays_cs: list[int] | None = None,
+    interlace: bool = False,
+    local_palettes: list[np.ndarray | None] | None = None,
+) -> bytes:
+    """Encode ``(h, w)`` uint8 index frames as a GIF89a: global color table
+    from ``plte`` (padded to the next power of two, max 256 entries), one
+    image block per frame (optional per-frame local color table overriding
+    the global one), literal-only LZW (valid stream, no dict reuse),
+    optional interlaced row order, per-frame delay in centiseconds via a
+    Graphic Control Extension."""
+    plte = np.asarray(plte, dtype=np.uint8)
+    if plte.ndim != 2 or plte.shape[1] != 3 or not 1 <= len(plte) <= 256:
+        raise ValueError(f"palette must be (n<=256, 3) uint8, got {plte.shape}")
+    h, w = frames[0].shape
+
+    def table_bits(n):
+        bits = 1
+        while (1 << bits) < n:
+            bits += 1
+        return max(bits, 1)
+
+    gbits = table_bits(len(plte))
+    gct = plte.tobytes() + b"\x00" * ((1 << gbits) * 3 - len(plte) * 3)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gbits - 1), 0, 0)
+    out += gct
+    for fi, fr in enumerate(frames):
+        fr = np.asarray(fr, dtype=np.uint8)
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        lct = None if local_palettes is None else local_palettes[fi]
+        active = plte if lct is None else np.asarray(lct, dtype=np.uint8)
+        if int(fr.max(initial=0)) >= len(active):
+            raise ValueError("index out of color-table range")
+        if delays_cs is not None:
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delays_cs[fi], 0, 0)
+        flags = 0
+        lbits = 0
+        if lct is not None:
+            lbits = table_bits(len(lct))
+            flags |= 0x80 | (lbits - 1)
+        if interlace:
+            flags |= 0x40
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, flags)
+        if lct is not None:
+            out += active.tobytes() + b"\x00" * ((1 << lbits) * 3 - len(active) * 3)
+        # indices in stored row order
+        ys = _gif_interlace_order(h) if interlace else range(h)
+        literals = [int(v) for y in ys for v in fr[y]]
+        min_code = max(table_bits(len(active)), 2)
+        clear = 1 << min_code
+        codes = []
+        for i, lit in enumerate(literals):
+            if i % 200 == 0:
+                codes.append(clear)  # re-clear before the width would grow
+            codes.append(lit)
+        if not literals:
+            codes.append(clear)
+        codes.append(clear + 1)  # end of information
+        packed = _gif_pack_codes(codes, min_code)
+        out.append(min_code)
+        for off in range(0, len(packed), 255):
+            chunk = packed[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """Full GIF-variant LZW: growing code width (to 12 bits), clear resets,
+    end-of-information; raises on corrupt streams instead of guessing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: list[int] | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(dictionary) or not dictionary[code]:
+                raise ValueError(f"bad first LZW code {code}")
+            entry = dictionary[code]
+        elif code < len(dictionary) and (dictionary[code] or code < clear):
+            entry = dictionary[code]
+            dictionary.append(prev + [entry[0]])
+        elif code == len(dictionary):
+            entry = prev + [prev[0]]
+            dictionary.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code} (dict size {len(dictionary)})")
+        out.extend(entry)
+        if prev is not None and len(dictionary) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def decode_gif(b: bytes) -> tuple[list[np.ndarray], list[int | None]]:
+    """Decode a GIF87a/89a to ``(frames, delays)``: one ``(h, w, 3)`` uint8
+    RGB array per image block (local color table wins over the global one;
+    interlaced frames are deinterlaced), and the preceding Graphic Control
+    Extension's delay in centiseconds (None when absent).  Malformed
+    framing, missing color tables, and out-of-range indices raise
+    ``ValueError``."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 1 << ((flags & 0x07) + 1)
+        gct = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=pos).reshape(-1, 3)
+        pos += n * 3
+    frames: list[np.ndarray] = []
+    delays: list[int | None] = []
+    pending_delay: int | None = None
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return frames, delays
+        if block == 0x21:  # extension: label + sub-blocks
+            label = b[pos]
+            pos += 1
+            while True:
+                size = b[pos]
+                pos += 1
+                if size == 0:
+                    break
+                if label == 0xF9 and size == 4:
+                    pending_delay = struct.unpack_from("<H", b, pos + 1)[0]
+                pos += size
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        fx, fy, fw, fh, fflags = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if (fx, fy) != (0, 0) or (fw, fh) != (w, h):
+            raise NotImplementedError(
+                "sub-canvas GIF frames (compositing) not supported"
+            )
+        table = gct
+        if fflags & 0x80:
+            n = 1 << ((fflags & 0x07) + 1)
+            table = np.frombuffer(
+                b, dtype=np.uint8, count=n * 3, offset=pos
+            ).reshape(-1, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF frame has neither local nor global color table")
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"bad LZW minimum code size {min_code}")
+        data = bytearray()
+        while True:
+            size = b[pos]
+            pos += 1
+            if size == 0:
+                break
+            data += b[pos : pos + size]
+            pos += size
+        idx = np.array(
+            _gif_lzw_decode(bytes(data), min_code, fw * fh), dtype=np.int64
+        ).reshape(fh, fw)
+        if fflags & 0x40:  # interlaced: stored rows map to pass order
+            order = _gif_interlace_order(fh)
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError(
+                f"GIF index {int(idx.max())} out of color-table range ({len(table)})"
+            )
+        frames.append(np.ascontiguousarray(table[idx].astype(np.uint8)))
+        delays.append(pending_delay)
+        pending_delay = None
+    raise ValueError("truncated GIF (no trailer)")
+
+
+GIF_FRAME_SCHEMA = (
+    "doc_id long, frame_id long, delay_cs long, width long, height long, "
+    "n_samples long, mean_c0 double, mean_luma double"
+)
+
+
+def _gif_plan(doc_id: int) -> bytes:
+    """Closed-form multi-frame GIF per doc: ``1 + d%3`` frames on the usual
+    ``(5+d%4) × (3+d%3)`` canvas, 16-entry palette
+    ``j → ((d+29j)%256, (d+53j)%256, (d+71j)%256)``, frame ``f`` pixel ``i``
+    (row-major) indexing entry ``(d+f+i)%16``, delay ``4+f`` cs."""
+    d = int(doc_id)
+    w, h = 5 + d % 4, 3 + d % 3
+    j = np.arange(16, dtype=np.int64)
+    plte = np.stack(
+        [(d + 29 * j) % 256, (d + 53 * j) % 256, (d + 71 * j) % 256], axis=-1
+    ).astype(np.uint8)
+    i = np.arange(w * h, dtype=np.int64)
+    frames = [
+        ((d + f + i) % 16).astype(np.uint8).reshape(h, w)
+        for f in range(1 + d % 3)
+    ]
+    return encode_gif(frames, plte, delays_cs=[4 + f for f in range(len(frames))])
+
+
+def synthesize_gif_payloads(docs: DataFrame) -> DataFrame:
+    """Attach a REAL multi-frame GIF payload (per :func:`_gif_plan`) to each
+    document — Arrow-batched, map-only, partition-preserving."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = _gif_plan(doc_id)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "meta": {"format": "image/gif", "n_bytes": len(payload)},
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+def extract_gif_frames(with_payload: DataFrame) -> DataFrame:
+    """Decode real multi-frame GIFs and emit ONE ROW PER FRAME — the 1→N
+    frame-extraction contract (the video decode shape) through a REAL
+    codec, superseding :func:`sample_frames`' byte-slicing stand-in for
+    this format.  Features are exact integer sums divided once, the
+    bit-reproducible contract shared with the other codec extractors."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                if meta["format"] != "image/gif":
+                    continue
+                frames, delays = decode_gif(bytes(payload))
+                for fi, (px, delay) in enumerate(zip(frames, delays)):
+                    px = px.astype(np.int64)
+                    h, w, _ = px.shape
+                    n = w * h
+                    sr, sg, sb = (int(px[:, :, c].sum()) for c in range(3))
+                    out.append(
+                        {
+                            "doc_id": doc_id, "frame_id": fi,
+                            "delay_cs": delay, "width": w, "height": h,
+                            "n_samples": n,
+                            "mean_c0": sr / n,
+                            "mean_luma": 0.299 * (sr / n) + 0.587 * (sg / n)
+                            + 0.114 * (sb / n),
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=GIF_FRAME_SCHEMA)

@@ -428,6 +428,73 @@ def multimodal_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-frame GIF (r12): real container + full LZW decode, one OUTPUT ROW
+# PER FRAME — the video-shaped 1→N frame extraction through a real codec.
+# j below is the 16-entry palette index of frame fr's pixel i.
+_GIF_J = "((doc_id + fr + i) % 16)"
+_GIF_R = f"((doc_id + 29*{_GIF_J}) % 256)"
+_GIF_G = f"((doc_id + 53*{_GIF_J}) % 256)"
+_GIF_B = f"((doc_id + 71*{_GIF_J}) % 256)"
+
+
+@register(
+    "multimodal_gif_frames",
+    oracle=f"""
+        WITH canvas AS (
+            SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+                   (5 + doc_id % 4) * (3 + doc_id % 3) AS n,
+                   1 + doc_id % 3 AS nf
+            FROM documents
+        ), per_frame AS (
+            SELECT doc_id, w, h, n, unnest(range(nf)) AS fr
+            FROM canvas
+        ), s AS (
+            SELECT doc_id, fr, w, h, n,
+                   list_sum(list_transform(range(n), i -> {_GIF_R})) AS sr,
+                   list_sum(list_transform(range(n), i -> {_GIF_G})) AS sg,
+                   list_sum(list_transform(range(n), i -> {_GIF_B})) AS sb
+            FROM per_frame
+        )
+        SELECT doc_id,
+               CAST(fr AS BIGINT) AS frame_id,
+               CAST(4 + fr AS BIGINT) AS delay_cs,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(n AS BIGINT) AS n_samples,
+               {quantize6_sql("CAST(sr AS DOUBLE) / n")} AS mean_c0,
+               {quantize6_sql(
+                   "0.299*(CAST(sr AS DOUBLE)/n) + 0.587*(CAST(sg AS DOUBLE)/n)"
+                   " + 0.114*(CAST(sb AS DOUBLE)/n)")} AS mean_luma
+        FROM s
+    """,
+    doc="Multi-frame GIF decode (operators/multimodal.py::encode_gif/"
+    "decode_gif/extract_gif_frames, r12): per-doc closed-form GIF89a with "
+    "1-3 frames, 16-entry palette, per-frame Graphic Control delays; the "
+    "decoder walks the container (global color table, extensions, "
+    "sub-block framing) and a FULL GIF-variant LZW (growing code widths, "
+    "clear/end codes — the encoder emits literal-only streams, so the two "
+    "directions share no compression logic), then emits one row per frame "
+    "— the video-shaped 1→N frame extraction through a real codec.  "
+    "Features hash-match DuckDB replaying the palette formulas per "
+    "(doc, frame).  Map-only.  Gate-only (window full): the codec family's "
+    "driver row is multimodal_png_decode.",
+    tags=("multimodal", "pandas-udf", "codec"),
+    driver_visible=False,
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        extract_gif_frames,
+        synthesize_gif_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = extract_gif_frames(synthesize_gif_payloads(d))
+    return frames.select(
+        "doc_id", "frame_id", "delay_cs", "width", "height", "n_samples",
+        quantize6(F.col("mean_c0")).alias("mean_c0"),
+        quantize6(F.col("mean_luma")).alias("mean_luma"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real image resize: decode BMP → nearest-neighbor sample → re-encode →
 # re-decode → features.  The NN index map is pure integer arithmetic

@@ -113,3 +113,36 @@ def test_png_roundtrip_identity(img):
     px, filters = img
     out = decode_png(encode_png(px, row_filters=filters))
     assert out.shape == px.shape and np.array_equal(out, px)
+
+
+@st.composite
+def gifs(draw):
+    w = draw(st.integers(min_value=1, max_value=8))
+    h = draw(st.integers(min_value=1, max_value=12))
+    n_colors = draw(st.integers(min_value=2, max_value=32))
+    n_frames = draw(st.integers(min_value=1, max_value=3))
+    plte = np.frombuffer(
+        draw(st.binary(min_size=n_colors * 3, max_size=n_colors * 3)), dtype=np.uint8
+    ).reshape(-1, 3)
+    frames = [
+        np.frombuffer(draw(st.binary(min_size=w * h, max_size=w * h)), dtype=np.uint8)
+        .reshape(h, w) % n_colors
+        for _ in range(n_frames)
+    ]
+    interlace = draw(st.booleans())
+    return frames, plte, interlace
+
+
+@settings(max_examples=80, deadline=None)
+@given(gifs())
+def test_gif_roundtrip_identity(g):
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    frames, plte, interlace = g
+    out, delays = decode_gif(encode_gif(frames, plte, interlace=interlace))
+    assert len(out) == len(frames) and delays == [None] * len(frames)
+    for f, o in zip(frames, out):
+        assert np.array_equal(o, plte[f])

@@ -449,3 +449,133 @@ class TestPaletteEncoder:
             encode_palette_png(np.array([[5]], dtype=np.uint8), plte)
         with pytest.raises(ValueError, match="palette must be"):
             encode_palette_png(np.array([[0]], dtype=np.uint8), np.zeros((4, 4), dtype=np.uint8))
+
+
+class TestGif:
+    def _rng(self, seed=3):
+        return np.random.RandomState(seed)  # test-only rand
+
+    def test_multiframe_roundtrip_with_delays(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = self._rng()
+        plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        frames = [rng.randint(0, 16, size=(7, 9), dtype=np.uint8) for _ in range(3)]
+        out, delays = decode_gif(encode_gif(frames, plte, delays_cs=[10, 20, 30]))
+        assert delays == [10, 20, 30]
+        for f, o in zip(frames, out):
+            assert np.array_equal(o, plte[f])
+
+    def test_interlaced_frame_deinterlaces(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = self._rng(5)
+        plte = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+        fr = rng.randint(0, 8, size=(11, 4), dtype=np.uint8)  # >8 rows: all 4 passes
+        out, _ = decode_gif(encode_gif([fr], plte, interlace=True))
+        assert np.array_equal(out[0], plte[fr])
+
+    def test_local_color_table_overrides_global(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = self._rng(7)
+        gct = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        lct = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+        f0 = rng.randint(0, 16, size=(5, 6), dtype=np.uint8)
+        f1 = rng.randint(0, 8, size=(5, 6), dtype=np.uint8)
+        out, _ = decode_gif(encode_gif([f0, f1], gct, local_palettes=[None, lct]))
+        assert np.array_equal(out[0], gct[f0])
+        assert np.array_equal(out[1], lct[f1])
+
+    def test_large_frame_crosses_subblocks_and_clears(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = self._rng(9)
+        plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        big = rng.randint(0, 16, size=(40, 60), dtype=np.uint8)  # 2400 px
+        out, _ = decode_gif(encode_gif([big], plte))
+        assert np.array_equal(out[0], plte[big])
+
+    @staticmethod
+    def _container(codes, min_code, w, h, plte):
+        """Assemble a one-frame GIF around a hand-chosen LZW code stream —
+        the decoder's DICTIONARY paths (the literal-only encoder never emits
+        dict references or the KwKwK case)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            _gif_pack_codes,
+        )
+
+        gct = plte.tobytes()
+        bits = 2  # 4-entry table
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        out += gct
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        packed = _gif_pack_codes(codes, min_code)
+        out.append(min_code)
+        out.append(len(packed))
+        out += packed
+        out.append(0)
+        out.append(0x3B)
+        return bytes(out)
+
+    def test_lzw_dictionary_reference_and_kwkwk(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+        )
+
+        plte = np.arange(12, dtype=np.uint8).reshape(4, 3)
+        # KwKwK: clear,1,6,2,end → pixels [1,1,1,2]
+        out, _ = decode_gif(self._container([4, 1, 6, 2, 5], 2, 2, 2, plte))
+        assert np.array_equal(out[0].reshape(-1, 3), plte[[1, 1, 1, 2]])
+        # plain dict reference: clear,1,1,6,end → dict[6]=[1,1] → [1,1,1,1]
+        out2, _ = decode_gif(self._container([4, 1, 1, 6, 5], 2, 2, 2, plte))
+        assert np.array_equal(out2[0].reshape(-1, 3), plte[[1, 1, 1, 1]])
+
+    def test_gif_errors(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = self._rng(11)
+        plte = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+        fr = rng.randint(0, 4, size=(3, 3), dtype=np.uint8)
+        good = encode_gif([fr], plte)
+        with pytest.raises(ValueError, match="signature"):
+            decode_gif(b"XX" + good[2:])
+        with pytest.raises(ValueError, match="trailer"):
+            decode_gif(good[:-1])
+        # sub-canvas frame (compositing) is an honest gap
+        b = bytearray(good)
+        at = bytes(b).index(b"\x2c")
+        struct.pack_into("<H", b, at + 1, 1)  # frame x-offset 1
+        with pytest.raises(NotImplementedError, match="sub-canvas"):
+            decode_gif(bytes(b))
+        # out-of-range index at encode
+        with pytest.raises(ValueError, match="out of color-table range"):
+            encode_gif([np.full((2, 2), 9, dtype=np.uint8)], plte)
+
+    def test_dispatch_animation(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            encode_gif,
+        )
+
+        rng = self._rng(13)
+        plte = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+        frames = [rng.randint(0, 4, size=(3, 5), dtype=np.uint8) for _ in range(2)]
+        d = decode_payload(encode_gif(frames, plte), "image/gif")
+        assert d["kind"] == "animation" and d["n_frames"] == 2
+        assert (d["width"], d["height"]) == (5, 3)
