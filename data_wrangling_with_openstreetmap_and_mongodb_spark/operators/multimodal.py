@@ -127,11 +127,66 @@ def encode_wav(rate: int, channels: int, samples: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def _mulaw_expand_table() -> np.ndarray:
+    """G.711 μ-law byte → linear int16 (the standard segment expansion:
+    complement, 4-bit mantissa biased by 0x84, 3-bit exponent shift).
+    Anchors: 0xFF → 0, 0x00 → -32124, 0x80 → +32124."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _alaw_expand_table() -> np.ndarray:
+    """G.711 A-law byte → linear int16 (XOR 0x55 toggle, segment 0/1
+    special-cased, others shift).  Anchors: 0x55 → -8, 0xD5 → +8,
+    0x2A → -32256, 0xAA → +32256."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if (a & 0x80) else -t
+    return out
+
+
+_G711_TABLES = {6: _alaw_expand_table(), 7: _mulaw_expand_table()}
+_G711_NAMES = {6: "alaw", 7: "mulaw"}
+
+
+def encode_wav_g711(rate: int, channels: int, raw: bytes, law: str) -> bytes:
+    """Wrap already-companded G.711 bytes (``law`` = 'mulaw'/'alaw') in a
+    RIFF/WAVE container: format tag 7/6, 8 bits per sample — the telephony
+    WAV flavor.  The payload bytes pass through untouched; this is container
+    framing only (decode expands them, so encode and decode stay
+    independent implementations)."""
+    tag = {"mulaw": 7, "alaw": 6}[law]
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * channels, channels, 8)
+    data = raw
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a 16-bit PCM WAV: walk the RIFF chunk list (word-aligned, so
-    junk/LIST chunks skip correctly), read ``fmt `` and ``data``, return
-    ``(sample_rate, n_channels, interleaved int16 samples)``.  Non-PCM or
-    non-16-bit audio raises ``NotImplementedError``."""
+    """Decode a WAV: walk the RIFF chunk list (word-aligned, so junk/LIST
+    chunks skip correctly), read ``fmt `` and ``data``, return
+    ``(sample_rate, n_channels, interleaved int16 samples)``.  Supports
+    16-bit PCM (format 1) and 8-bit G.711 μ-law/A-law (formats 7/6 —
+    expanded to linear int16 via the standard segment tables).  Anything
+    else raises ``NotImplementedError``."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt_chunk = data = None
@@ -149,11 +204,15 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     audio_fmt, ch, rate, _brate, _align, bits = struct.unpack_from(
         "<HHIIHH", fmt_chunk, 0
     )
-    if audio_fmt != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only 16-bit PCM WAV supported (got format={audio_fmt}, bits={bits})"
-        )
-    return rate, ch, np.frombuffer(data, dtype="<i2")
+    if audio_fmt == 1 and bits == 16:
+        return rate, ch, np.frombuffer(data, dtype="<i2")
+    if audio_fmt in _G711_TABLES and bits == 8:
+        table = _G711_TABLES[audio_fmt]
+        return rate, ch, table[np.frombuffer(data, dtype=np.uint8)]
+    raise NotImplementedError(
+        f"only 16-bit PCM and 8-bit G.711 mu/A-law WAV supported "
+        f"(got format={audio_fmt}, bits={bits})"
+    )
 
 
 # ---------------------------------------------------------------------------

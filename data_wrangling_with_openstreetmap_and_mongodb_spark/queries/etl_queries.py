@@ -495,6 +495,109 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G.711 telephony WAV (r12): closed-form companded bytes wrapped in a real
+# fmt-7/6 RIFF container; decode expands via the standard segment tables and
+# the oracle replays the SAME expansion formula in SQL — independent
+# implementations of the spec meeting on exact integers.
+_G711_B = "((doc_id*7 + i*13) % 256)"
+_MU_U = f"xor({_G711_B}, 255)"
+_MU_T = f"((({_MU_U} & 15) * 8 + 132) << (({_MU_U} & 112) // 16))"
+_MU_S = f"(CASE WHEN ({_MU_U} & 128) != 0 THEN 132 - {_MU_T} ELSE {_MU_T} - 132 END)"
+_AL_A = f"xor({_G711_B}, 85)"
+_AL_T = (
+    f"(CASE ({_AL_A} & 112) // 16"
+    f" WHEN 0 THEN ({_AL_A} & 15) * 16 + 8"
+    f" WHEN 1 THEN ({_AL_A} & 15) * 16 + 264"
+    f" ELSE ((({_AL_A} & 15) * 16 + 264) << (({_AL_A} & 112) // 16 - 1)) END)"
+)
+_AL_S = f"(CASE WHEN ({_AL_A} & 128) != 0 THEN {_AL_T} ELSE -{_AL_T} END)"
+
+
+@register(
+    "multimodal_wav_g711",
+    oracle=f"""
+        WITH aud AS (
+            SELECT doc_id, doc_id % 2 AS odd, 1 + doc_id % 2 AS ch,
+                   (30 + doc_id % 7) * (1 + doc_id % 2) AS n
+            FROM documents
+        ), s AS (
+            SELECT doc_id, odd, ch, n,
+                   CASE WHEN odd = 0
+                        THEN list_sum(list_transform(range(n),
+                             i -> CAST({_MU_S} AS BIGINT) * {_MU_S}))
+                        ELSE list_sum(list_transform(range(n),
+                             i -> CAST({_AL_S} AS BIGINT) * {_AL_S})) END AS ss,
+                   CASE WHEN odd = 0
+                        THEN list_max(list_transform(range(n), i -> abs({_MU_S})))
+                        ELSE list_max(list_transform(range(n), i -> abs({_AL_S}))) END AS pk
+            FROM aud
+        )
+        SELECT doc_id,
+               CASE WHEN odd = 0 THEN 'mulaw' ELSE 'alaw' END AS law,
+               CAST(ch AS BIGINT) AS n_channels,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               {quantize6_sql("sqrt(CAST(ss AS DOUBLE) / n)")} AS rms,
+               CAST(pk AS BIGINT) AS peak
+        FROM s
+    """,
+    doc="G.711 mu-law/A-law WAV decode (operators/multimodal.py::"
+    "encode_wav_g711/decode_wav, r12): per-doc closed-form companded bytes "
+    "(b_i = (7d+13i)%256, even docs mu-law / odd A-law, mono/stereo) wrap "
+    "in a real fmt-7/6 RIFF container; decode expands to linear int16 via "
+    "the standard segment tables (anchors pinned in tests: mu 0xFF→0, "
+    "0x00→-32124; A 0x55→-8, 0x2A→-32256) and RMS/peak of the expansion "
+    "hash-match DuckDB replaying the SAME G.711 formula in integer SQL.  "
+    "Map-only.  Gate-only (window full): the codec family's driver row is "
+    "multimodal_png_decode.",
+    tags=("multimodal", "pandas-udf", "codec"),
+    driver_visible=False,
+)
+def multimodal_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                ch = 1 + did % 2
+                n = (30 + did % 7) * ch
+                i = np.arange(n, dtype=np.int64)
+                raw = ((did * 7 + i * 13) % 256).astype(np.uint8).tobytes()
+                law = "mulaw" if did % 2 == 0 else "alaw"
+                rate, ch2, s = decode_wav(encode_wav_g711(8000, ch, raw, law))
+                s = s.astype(np.int64)
+                out.append(
+                    {
+                        "doc_id": doc_id, "law": law, "n_channels": ch2,
+                        "sample_rate": rate, "n_samples": len(s),
+                        "rms": float(np.sqrt(int((s * s).sum()) / len(s))),
+                        "peak": int(np.abs(s).max()),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    feats = d.mapInPandas(
+        run,
+        schema="doc_id long, law string, n_channels long, sample_rate long, "
+        "n_samples long, rms double, peak long",
+    )
+    return feats.select(
+        "doc_id", "law", "n_channels", "sample_rate", "n_samples",
+        quantize6(F.col("rms")).alias("rms"), "peak",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real image resize: decode BMP → nearest-neighbor sample → re-encode →
 # re-decode → features.  The NN index map is pure integer arithmetic

@@ -579,3 +579,49 @@ class TestGif:
         d = decode_payload(encode_gif(frames, plte), "image/gif")
         assert d["kind"] == "animation" and d["n_frames"] == 2
         assert (d["width"], d["height"]) == (5, 3)
+
+
+class TestG711:
+    def test_expansion_anchor_values(self):
+        """Spec anchors for both laws (independent of the oracle SQL, which
+        re-derives the same formula): mu-law 0xFF→0 / 0x00→-32124 /
+        0x80→+32124; A-law 0x55→-8 / 0xD5→+8 / 0x2A→-32256 / 0xAA→+32256."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            _alaw_expand_table,
+            _mulaw_expand_table,
+        )
+
+        mu, al = _mulaw_expand_table(), _alaw_expand_table()
+        assert (mu[0xFF], mu[0x00], mu[0x80]) == (0, -32124, 32124)
+        assert (al[0x55], al[0xD5], al[0x2A], al[0xAA]) == (-8, 8, -32256, 32256)
+        # sign symmetry: flipping the sign bit negates (mu complements, so
+        # bytes b and b^0x80 are the +/- pair)
+        for b in range(256):
+            assert mu[b] == -mu[b ^ 0x80]
+            assert al[b] == -al[b ^ 0x80]
+
+    def test_container_roundtrip_and_odd_padding(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            _mulaw_expand_table,
+            decode_wav,
+            encode_wav_g711,
+        )
+
+        raw = bytes(range(256))
+        rate, ch, s = decode_wav(encode_wav_g711(8000, 1, raw, "mulaw"))
+        assert (rate, ch) == (8000, 1)
+        assert np.array_equal(
+            s, _mulaw_expand_table()[np.frombuffer(raw, dtype=np.uint8)]
+        )
+        # odd data length pads the RIFF chunk but not the samples
+        rate, ch, s = decode_wav(encode_wav_g711(16000, 2, raw[:-1], "alaw"))
+        assert (rate, ch, len(s)) == (16000, 2, 255)
+
+    def test_pcm_path_unchanged_and_other_formats_still_raise(self):
+        r, c, s = decode_wav(encode_wav(8000, 1, np.array([1, -2, 3], dtype=np.int16)))
+        assert (r, c, s.tolist()) == (8000, 1, [1, -2, 3])
+        b = bytearray(encode_wav(8000, 1, np.array([1], dtype=np.int16)))
+        fmt_at = bytes(b).index(b"fmt ") + 8
+        struct.pack_into("<H", b, fmt_at, 3)  # IEEE float: still a real gap
+        with pytest.raises(NotImplementedError, match="PCM"):
+            decode_wav(bytes(b))
