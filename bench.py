@@ -42,13 +42,20 @@ queries = one JVM accumulating heap/GC/codegen-cache pressure over a
   iteration at sf0.01 where JVM boots dominate — NOTE: single-process mode
   also folds the r2 subset into the one session, so its r2_subset_total is
   not comparable to chunked runs);
-- **median-of-5 for sub-second queries**: every query gets
+- **median-of-5 for fast queries**: every query gets
   ``SPARK_GRAFT_BENCH_RUNS`` (default 3) timed runs after
   ``SPARK_GRAFT_BENCH_WARMUP`` (default 1) discarded warm-ups; if the
   3-run median lands under ``SPARK_GRAFT_BENCH_FAST_THRESHOLD`` seconds
-  (default 1.0) the query is topped up to ``SPARK_GRAFT_BENCH_RUNS_FAST``
-  (default 5) total timed runs and the median is taken over all of them —
-  sub-second queries are the ones JIT/GC jitter flips;
+  (default 2.0 — raised from 1.0 in r13, VERDICT r12 ask #4: r12's
+  BENCH_DETAIL showed sub-2s queries with 2.2-2.6x intra-run sample
+  spreads at n=3, producing phantom round-over-round regressions) the
+  query is topped up to ``SPARK_GRAFT_BENCH_RUNS_FAST`` (default 5)
+  total timed runs and the median is taken over all of them — short
+  queries are the ones JIT/GC jitter flips;
+- **min alongside median** (also r13, same ask): BENCH_DETAIL.json carries
+  per-query ``mins`` plus ``r2_subset_total_min``; the min is the
+  jitter-free floor, so a genuine regression moves BOTH statistics while
+  scheduler noise moves only the median — compare rounds on that basis;
 - **position-tagged samples**: BENCH_DETAIL.json records, per query, the
   ordinal of every execution within its JVM session (``positions``,
   warm-ups counted) plus the session-relative start offset in seconds
@@ -123,7 +130,7 @@ def _env_conf() -> dict:
         "runs": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))),
         "runs_fast": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_FAST", "5"))),
         "fast_threshold": float(
-            os.environ.get("SPARK_GRAFT_BENCH_FAST_THRESHOLD", "1.0")
+            os.environ.get("SPARK_GRAFT_BENCH_FAST_THRESHOLD", "2.0")
         ),
         "warmup": max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))),
         "chunk": max(0, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "25"))),
@@ -408,10 +415,12 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     timings: dict[str, float | None] = {}
+    mins: dict[str, float | None] = {}
     for name in all_names:
         rec = details.get(name) or {}
         samples = rec.get("samples") or []
         timings[name] = round(statistics.median(samples), 4) if samples else None
+        mins[name] = round(min(samples), 4) if samples else None
 
     def _flag_threshold_for(name: str) -> float:
         """Per-sample flag threshold (see module docstring): chunk 0 uses
@@ -443,9 +452,13 @@ def main() -> None:
         "chunk_size": chunk,
         "n_chunks": len(chunks),
         "r2_subset_total": r2_subset_total,
+        "r2_subset_total_min": round(
+            sum(mins.get(n) or 0.0 for n in R2_SUBSET if mins.get(n) is not None), 4
+        ),
         "r2_subset_missing": [n for n in R2_SUBSET if timings.get(n) is None],
         "warmup": conf["warmup"],
         "queries": timings,
+        "mins": mins,
         "samples": {n: (details[n].get("samples") or []) for n in all_names if n in details},
         "warmup_samples": {
             n: (details[n].get("warmup_samples") or []) for n in all_names if n in details

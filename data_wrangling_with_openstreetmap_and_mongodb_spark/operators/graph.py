@@ -65,6 +65,7 @@ def connected_components(
     checkpoint_mode: str = "local",
     method: str = "frontier",
     stats: dict | None = None,
+    rounds_per_sync: int = 2,
 ) -> DataFrame:
     """``(id, component)`` for every vertex in ``edges``; ``component`` is
     the minimum vertex id in the connected component (deterministic).
@@ -91,9 +92,22 @@ def connected_components(
     Non-convergence within ``max_iters`` now RAISES (was: silently returned
     partial labels — a correctness hazard for high-diameter graphs).
     ``stats`` (optional dict) receives ``rounds`` (sync count),
-    ``propagations`` (min-label passes: 2/sync), and ``jumps`` (pointer
-    jumps: 1/sync in doubling mode, else 0) for measurement harnesses —
-    per-sync shuffle work is ``propagations + jumps``.
+    ``propagations`` (min-label passes: rounds_per_sync/sync), and ``jumps``
+    (pointer jumps: 1/sync in doubling mode, else 0) for measurement
+    harnesses — per-sync shuffle work is ``propagations + jumps``.
+
+    ``rounds_per_sync`` (r13 — the sync-cadence knob, the CC analogue of
+    pagerank's ``checkpoint_every``): propagation rounds composed between
+    each materialization + driver convergence check.  Each sync costs a
+    checkpoint job and a scheduling barrier; each extra composed round
+    deepens lineage and may be wasted past the fixpoint.  Default 2 (the
+    r7-r12 behavior).  Checking only the LAST composed round's change flag
+    stays sound at any cadence: propagation is deterministic and monotone,
+    so one change-free round means fixpoint regardless of what earlier
+    rounds did.  Measured on the 10× keep-best shape (diameter ≤ 5,
+    PLANS.md §cc-knobs-10x): cadence 2 is within noise of 4 and both beat
+    1 — syncs are ~15%% of wall there, so the knob matters more on a real
+    cluster's slower checkpoint path than on local[32].
     """
     if method not in ("frontier", "doubling"):
         raise ValueError(f"unknown method: {method!r} (frontier/doubling)")
@@ -147,19 +161,23 @@ def connected_components(
             ),
         )
 
-    # Two propagation rounds per materialization+convergence check: each
-    # driver sync (checkpoint job + count) costs a scheduling barrier, and
-    # near-dup clusters have tiny diameters — composing rounds pairwise
-    # usually converges in ONE sync instead of two.  Checking only the
-    # SECOND round's change flag is sound: propagation is deterministic and
-    # monotone, so a round with zero changes means fixpoint regardless of
-    # what the round before it did (in doubling mode the jump's change flag
-    # OR-folds in, so a jump-only improvement also keeps the loop alive).
+    # rounds_per_sync propagation rounds per materialization+convergence
+    # check (default 2): each driver sync (checkpoint job + count) costs a
+    # scheduling barrier, and near-dup clusters have tiny diameters —
+    # composing rounds usually converges in ONE sync instead of several.
+    # Checking only the LAST composed round's change flag is sound:
+    # propagation is deterministic and monotone, so a round with zero
+    # changes means fixpoint regardless of what the rounds before it did
+    # (in doubling mode the jump's change flag OR-folds in, so a jump-only
+    # improvement also keeps the loop alive).
+    per = max(1, rounds_per_sync)
     rounds = 0
     converged = False
-    for _ in range((max_iters + 1) // 2):
+    for _ in range((max_iters + per - 1) // per):
         rounds += 1
-        step = propagate(propagate(labels).drop("__chg"))
+        step = propagate(labels)
+        for _ in range(per - 1):
+            step = propagate(step.drop("__chg"))
         if method == "doubling":
             step = jump(step)
         updated = _truncate(step, checkpoint_mode, eager=False)
@@ -170,11 +188,11 @@ def connected_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
-        # per-sync shuffle passes: two min-label propagations, plus one
-        # pointer-jump join in doubling mode (r10, ADVICE r9 — the probe
-        # harness compares per-sync work across methods, so the jump pass
-        # must count)
-        stats["propagations"] = rounds * 2
+        # per-sync shuffle passes: rounds_per_sync min-label propagations,
+        # plus one pointer-jump join in doubling mode (r10, ADVICE r9 — the
+        # probe harness compares per-sync work across methods, so the jump
+        # pass must count)
+        stats["propagations"] = rounds * per
         stats["jumps"] = rounds if method == "doubling" else 0
         stats["converged"] = converged
     if not converged:
@@ -195,6 +213,7 @@ def dedup_clusters(
     checkpoint_mode: str = "local",
     method: str = "frontier",
     max_iters: int = 20,
+    rounds_per_sync: int = 2,
 ) -> DataFrame:
     """Cluster assignment + canonical pick over a corpus and its near-dup
     pairs: ``(id, cluster, is_canonical)``.
@@ -204,7 +223,8 @@ def dedup_clusters(
     across runs — the property retries and incremental reruns need).
     """
     comp = connected_components(
-        pairs, src_col, dst_col, max_iters, checkpoint_mode, method
+        pairs, src_col, dst_col, max_iters, checkpoint_mode, method,
+        rounds_per_sync=rounds_per_sync,
     )
     ids = df.select(F.col(id_col).alias("id"))
     joined = ids.join(comp, "id", "left").select(
@@ -223,6 +243,7 @@ def dedup_keep_best(
     checkpoint_mode: str = "local",
     method: str = "frontier",
     max_iters: int = 20,
+    rounds_per_sync: int = 2,
 ) -> DataFrame:
     """:func:`dedup_clusters` with a QUALITY-aware canonical pick:
     ``(id, cluster, is_canonical)`` where each cluster's survivor is its
@@ -237,7 +258,8 @@ def dedup_keep_best(
     keep stable cluster identities even as better members arrive.
     """
     comp = connected_components(
-        pairs, src_col, dst_col, max_iters, checkpoint_mode, method
+        pairs, src_col, dst_col, max_iters, checkpoint_mode, method,
+        rounds_per_sync=rounds_per_sync,
     )
     ids = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q"))
     clustered = ids.join(comp, "id", "left").select(

@@ -12,16 +12,21 @@ Two decode tiers:
   16-bit PCM WAV (:func:`decode_wav` — RIFF chunk walk, fmt/data chunks,
   interleaved int16 frames), 8-bit grey/RGB/palette(+tRNS)/RGBA PNG
   (:func:`decode_png` — chunk framing with CRC-32 verification, zlib
-  inflate, all five scanline unfilters, PLTE/tRNS expansion), and
+  inflate, all five scanline unfilters, PLTE/tRNS expansion),
   multi-frame GIF87a/89a (:func:`decode_gif` — full GIF-variant LZW with
-  growing code widths, global/local color tables, interlace, GCE delays).
+  growing code widths, global/local color tables, interlace, GCE delays),
+  and baseline sequential JPEG (:func:`decode_jpeg` — marker walk, DQT/DHT
+  read from the file, Huffman entropy decode with unstuffing + restart
+  markers, dequantize/dezigzag/IDCT, YCbCr→RGB, 4:2:0 upsampling).
   No external libraries; encode and
   decode are independent implementations (the WAV encoder is CPython's
   ``wave`` module, the decoder is a hand-written RIFF parser; the BMP/PNG
-  pairs are validated against hand-crafted golden bytes).
+  pairs are validated against hand-crafted golden bytes; the JPEG decoder
+  is validated against a test-side double-loop IDCT reference and
+  closed-form constant-block fixtures).
 - A deterministic byte-level fake for ``text/plain`` payloads, standing in
-  for codecs the container genuinely lacks (JPEG/MP3 …) — those raise
-  ``NotImplementedError`` at the dispatch.
+  for codecs the container genuinely lacks (MP3, video containers …) —
+  those raise ``NotImplementedError`` at the dispatch.
 
 Payloads derive from driver-provided tables (``documents``): deterministic
 input, same plumbing as a real corpus.
@@ -169,7 +174,11 @@ def encode_wav_g711(rate: int, channels: int, raw: bytes, law: str) -> bytes:
     framing only (decode expands them, so encode and decode stay
     independent implementations)."""
     tag = {"mulaw": 7, "alaw": 6}[law]
-    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * channels, channels, 8)
+    # non-PCM format tags require the cbSize extension field (18-byte fmt
+    # chunk) per the WAVE spec; strict decoders reject a bare 16-byte fmt
+    fmt = struct.pack(
+        "<HHIIHHH", tag, channels, rate, rate * channels, channels, 8, 0
+    )
     data = raw
     body = (
         b"WAVE"
@@ -478,16 +487,21 @@ def decode_png(b: bytes) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, fmt: str) -> dict:
-    """Codec dispatch.  ``image/bmp``, ``image/png``, ``image/gif``
-    (multi-frame) and ``audio/wav`` decode for REAL via the stdlib codecs in
-    this module; ``text/plain`` keeps the deterministic byte-level fake;
-    everything else (JPEG/MP3 …) raises — the container has no codec
-    libraries, and a wrong answer is worse than an explicit gap."""
+    """Codec dispatch.  ``image/bmp``, ``image/png``, ``image/jpeg``
+    (baseline sequential), ``image/gif`` (multi-frame) and ``audio/wav``
+    decode for REAL via the stdlib codecs in this module; ``text/plain``
+    keeps the deterministic byte-level fake; everything else (MP3 …)
+    raises — the container has no codec libraries, and a wrong answer is
+    worse than an explicit gap."""
     if fmt == "text/plain":
         return _fake_decode(payload)
     if fmt == "image/bmp":
         px = decode_bmp(payload)
         h, w, _ = px.shape
+        return {"kind": "image", "width": w, "height": h, "pixels": px}
+    if fmt == "image/jpeg":
+        px = decode_jpeg(payload)
+        h, w = px.shape[:2]
         return {"kind": "image", "width": w, "height": h, "pixels": px}
     if fmt == "image/png":
         px = decode_png(payload)
@@ -1137,6 +1151,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]
         if prev is not None and len(dictionary) == (1 << width) and width < 12:
             width += 1
         prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW stream ended early: got {len(out)} of {n_pixels} pixels"
+        )
     return out[:n_pixels]
 
 
@@ -1149,6 +1167,8 @@ def decode_gif(b: bytes) -> tuple[list[np.ndarray], list[int | None]]:
     ``ValueError``."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (bad signature)")
+    if len(b) < 13:
+        raise ValueError(f"truncated GIF (logical screen descriptor, {len(b)} bytes)")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
     gct = None
@@ -1159,25 +1179,40 @@ def decode_gif(b: bytes) -> tuple[list[np.ndarray], list[int | None]]:
     frames: list[np.ndarray] = []
     delays: list[int | None] = []
     pending_delay: int | None = None
+
+    def _byte_at(p: int, what: str) -> int:
+        # keep the documented contract: malformed framing is ValueError,
+        # never a bare IndexError from a payload truncated mid-block
+        if p >= len(b):
+            raise ValueError(f"truncated GIF ({what} at byte {p} of {len(b)})")
+        return b[p]
+
     while pos < len(b):
         block = b[pos]
         pos += 1
         if block == 0x3B:  # trailer
             return frames, delays
         if block == 0x21:  # extension: label + sub-blocks
-            label = b[pos]
+            label = _byte_at(pos, "extension label")
             pos += 1
             while True:
-                size = b[pos]
+                size = _byte_at(pos, "extension sub-block size")
                 pos += 1
                 if size == 0:
                     break
+                if pos + size > len(b):
+                    raise ValueError(
+                        f"truncated GIF (extension sub-block of {size} bytes "
+                        f"at byte {pos} of {len(b)})"
+                    )
                 if label == 0xF9 and size == 4:
                     pending_delay = struct.unpack_from("<H", b, pos + 1)[0]
                 pos += size
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(b):
+            raise ValueError(f"truncated GIF (image descriptor at byte {pos})")
         fx, fy, fw, fh, fflags = struct.unpack_from("<HHHHB", b, pos)
         pos += 9
         if (fx, fy) != (0, 0) or (fw, fh) != (w, h):
@@ -1193,16 +1228,21 @@ def decode_gif(b: bytes) -> tuple[list[np.ndarray], list[int | None]]:
             pos += n * 3
         if table is None:
             raise ValueError("GIF frame has neither local nor global color table")
-        min_code = b[pos]
+        min_code = _byte_at(pos, "LZW minimum code size")
         pos += 1
         if not 2 <= min_code <= 8:
             raise ValueError(f"bad LZW minimum code size {min_code}")
         data = bytearray()
         while True:
-            size = b[pos]
+            size = _byte_at(pos, "image sub-block size")
             pos += 1
             if size == 0:
                 break
+            if pos + size > len(b):
+                raise ValueError(
+                    f"truncated GIF (image sub-block of {size} bytes at "
+                    f"byte {pos} of {len(b)})"
+                )
             data += b[pos : pos + size]
             pos += size
         idx = np.array(
@@ -1305,3 +1345,622 @@ def extract_gif_frames(with_payload: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return with_payload.mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline sequential JPEG (ITU-T T.81 / JFIF), stdlib + numpy: the single
+# most common image format in any real multimodal corpus.  Decode is the
+# full baseline path — marker walk, DQT/DHT/SOF0/SOS/DRI parsing, Huffman
+# entropy decode with byte unstuffing and restart markers, dequantize,
+# dezigzag, 8x8 IDCT, level shift, and YCbCr->RGB — reading ALL tables from
+# the file, so it decodes third-party baseline JPEGs, not just this
+# encoder's.  Encode is the forward path (level shift, DCT, quantize,
+# zigzag, DC-diff + AC run-length Huffman) with flat 8-bit canonical code
+# tables — valid-but-uncompressed DHTs chosen so the encoder shares no code
+# assignment logic with the decoder's generic table builder.  Progressive
+# (SOF2), extended/lossless/arithmetic SOFs, and 16-bit quant tables raise
+# NotImplementedError — explicit gaps, never a silent mis-decode.  Rounding
+# is floor(x+0.5) at both the IDCT and color-convert steps so the pixel
+# pipeline is engine-replayable (DuckDB FLOOR matches; numpy round() would
+# tie half-to-even).
+# ---------------------------------------------------------------------------
+
+# zigzag scan order (T.81 Figure 5): _JPEG_ZIGZAG[k] = raster index of the
+# k-th zigzag coefficient
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 DCT-II basis C with C[u,x] = c(u)/2 * cos((2x+1)u*pi/16),
+    c(0)=1/sqrt(2) else 1 — forward S = C @ s @ C.T, inverse s = C.T @ S @ C
+    (the T.81 normalization: a constant block c has DC exactly 8c)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return c / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+
+_DCT_M = _dct_matrix()
+
+# Flat encoder-side Huffman spec: every symbol gets an 8-bit canonical code
+# equal to its position in HUFFVAL (176 symbols < 255, so no code is the
+# forbidden all-ones).  Valid per T.81, zero compression — the decoder
+# builds its tables generically from the DHT segment, so any table works.
+_ENC_DC_VALS = list(range(12))  # DC categories 0..11
+_ENC_AC_VALS = [0x00] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0xF0]  # EOB, (run,size), ZRL
+
+
+def _enc_bits_vals(vals: list[int]) -> tuple[bytes, bytes]:
+    bits = [0] * 16
+    bits[7] = len(vals)  # all codes 8 bits long
+    return bytes(bits), bytes(vals)
+
+
+# default quantization tables for encode: DC step 8 (divides the constant
+# -block DC 8*(v-128) exactly), AC step 16
+_JPEG_DEFAULT_Q = np.full(64, 16, dtype=np.int64)
+_JPEG_DEFAULT_Q[0] = 8
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:  # pad with 1-bits per T.81
+            self.write(1, 1)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _jpeg_value_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    *,
+    ycbcr: bool = False,
+    subsample: bool = False,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 array as a baseline JFIF JPEG: ``(h, w)`` → grayscale,
+    ``(h, w, 3)`` → color (RGB by default; ``ycbcr=True`` treats the planes
+    as already-YCbCr, the exactness path the oracle uses).  ``subsample``
+    picks 4:2:0 (2x2 luma sampling, chroma from 2x2 plane means); default
+    is 4:4:4.  Quant tables are zigzag-ordered length-64 int arrays
+    (default: DC step 8, AC step 16).  Dimensions not multiples of the MCU
+    size pad by edge replication.  ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that many MCUs."""
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and px.shape[2] != 3:
+        raise ValueError(f"expected (h,w) or (h,w,3), got {px.shape}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql = np.asarray(
+        _JPEG_DEFAULT_Q if quant_luma is None else quant_luma, dtype=np.int64
+    )
+    qc = np.asarray(
+        _JPEG_DEFAULT_Q if quant_chroma is None else quant_chroma, dtype=np.int64
+    )
+
+    if gray:
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        p = px.astype(np.float64)
+        if ycbcr:
+            y, cb, cr = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+        else:
+            r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            y, cb, cr = (
+                np.clip(np.floor(v + 0.5), 0, 255) for v in (y, cb, cr)
+            )
+        if subsample:
+            # pad to even dims (edge), then 2x2 plane means for chroma
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            def pad_even(a):
+                return np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb2 = pad_even(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr2 = pad_even(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes = [y, np.floor(cb2 + 0.5), np.floor(cr2 + 0.5)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # pad every plane to its full MCU-grid size by edge replication and
+    # pre-compute quantized zigzag coefficient blocks
+    blocks: list[dict[tuple[int, int], np.ndarray]] = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samp[ci]
+        tw, th = mcux * hi * 8, mcuy * vi * 8
+        ph, pw = plane.shape
+        plane = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
+        q = ql if qids[ci] == 0 else qc
+        qr = np.empty(64, dtype=np.float64)
+        qr[_JPEG_ZIGZAG] = q  # raster-order steps
+        per: dict[tuple[int, int], np.ndarray] = {}
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                s = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_M @ s @ _DCT_M.T
+                code = np.floor(coef.reshape(64) / qr + 0.5).astype(np.int64)
+                per[(bx, by)] = code[_JPEG_ZIGZAG]  # zigzag order
+        blocks.append(per)
+
+    # header segments
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes(int(v) for v in ql))
+    if not gray:
+        out += _seg(0xDB, b"\x01" + bytes(int(v) for v in qc))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    out += _seg(0xC0, sof)
+    dc_bits, dc_vals = _enc_bits_vals(_ENC_DC_VALS)
+    ac_bits, ac_vals = _enc_bits_vals(_ENC_AC_VALS)
+    out += _seg(0xC4, b"\x00" + dc_bits + dc_vals)  # DC table 0
+    out += _seg(0xC4, b"\x10" + ac_bits + ac_vals)  # AC table 0
+    if not gray:
+        out += _seg(0xC4, b"\x01" + dc_bits + dc_vals)
+        out += _seg(0xC4, b"\x11" + ac_bits + ac_vals)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    # entropy-coded scan: flat 8-bit codes (symbol value IS the code)
+    bw = _JpegBitWriter()
+    pred = [0] * ncomp
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        zz = blocks[ci][(mx * hi + bxx, my * vi + byy)]
+                        dc = int(zz[0])
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t = _jpeg_category(diff)
+                        dc_sym = _ENC_DC_VALS.index(t)
+                        bw.write(dc_sym, 8)
+                        if t:
+                            bw.write(_jpeg_value_bits(diff, t), t)
+                        k = 1
+                        while k < 64:
+                            run = 0
+                            while k < 64 and zz[k] == 0:
+                                run += 1
+                                k += 1
+                            if k == 64:
+                                bw.write(_ENC_AC_VALS.index(0x00), 8)  # EOB
+                                break
+                            while run > 15:
+                                bw.write(_ENC_AC_VALS.index(0xF0), 8)  # ZRL
+                                run -= 16
+                            v = int(zz[k])
+                            s = _jpeg_category(v)
+                            bw.write(_ENC_AC_VALS.index((run << 4) | s), 8)
+                            bw.write(_jpeg_value_bits(v, s), s)
+                            k += 1
+            mcu_count += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _build_huff_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (length, code) → symbol map from a DHT payload."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if k >= len(vals):
+                raise ValueError("DHT: fewer values than BITS counts")
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops (raises) at any real marker unless it is an expected
+    RSTn consumed via :meth:`restart`."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.b = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _next_byte(self) -> int:
+        if self.pos >= len(self.b):
+            raise ValueError("truncated JPEG entropy segment")
+        v = self.b[self.pos]
+        self.pos += 1
+        if v == 0xFF:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated JPEG entropy segment (lone 0xFF)")
+            m = self.b[self.pos]
+            if m == 0x00:
+                self.pos += 1  # stuffed literal 0xFF
+            else:
+                raise ValueError(f"unexpected marker 0xff{m:02x} in entropy data")
+        return v
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self.acc = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+    def receive_extend(self, t: int) -> int:
+        if t == 0:
+            return 0
+        v = self.read_bits(t)
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    def restart(self, expect: int) -> None:
+        """Consume an RSTn marker at a byte boundary; reset bit state."""
+        self.n = 0
+        if self.pos + 2 > len(self.b):
+            raise ValueError("truncated JPEG (missing restart marker)")
+        if self.b[self.pos] != 0xFF or self.b[self.pos + 1] != 0xD0 + expect:
+            raise ValueError(
+                f"expected RST{expect} at byte {self.pos}, got "
+                f"{self.b[self.pos:self.pos+2].hex()}"
+            )
+        self.pos += 2
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Decode a baseline sequential JFIF JPEG to a uint8 array: ``(h, w)``
+    for grayscale, ``(h, w, 3)`` RGB for color (YCbCr converted with the
+    JFIF constants, floor(x+0.5) rounding).  Reads quantization and Huffman
+    tables from the file; handles 4:4:4 and subsampled (e.g. 4:2:0) scans
+    via per-component MCU grids with nearest-replication upsampling, DRI/
+    RSTn restart intervals, and byte unstuffing.  Progressive, extended,
+    lossless, and arithmetic SOFs plus 16-bit DQTs raise
+    ``NotImplementedError``; malformed or truncated framing raises
+    ``ValueError``."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    sof = None
+    dri = 0
+
+    def need(n: int, what: str) -> None:
+        if pos + n > len(b):
+            raise ValueError(f"truncated JPEG ({what} at byte {pos} of {len(b)})")
+
+    while True:
+        need(2, "marker")
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}, got 0x{b[pos]:02x}")
+        while pos < len(b) and b[pos] == 0xFF and b[pos + 1 : pos + 2] == b"\xff":
+            pos += 1  # fill bytes
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG ended (EOI) before a scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        need(2, "segment length")
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        if seglen < 2:
+            raise ValueError(f"bad segment length {seglen}")
+        need(seglen, "segment body")
+        seg = b[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                if i + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                zz = np.frombuffer(seg, dtype=np.uint8, count=64, offset=i + 1)
+                raster = np.empty(64, dtype=np.int64)
+                raster[_JPEG_ZIGZAG] = zz
+                qt[tq] = raster
+                i += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                if i + 17 > len(seg):
+                    raise ValueError("truncated DHT")
+                bits = seg[i + 1 : i + 17]
+                nvals = sum(bits)
+                if i + 17 + nvals > len(seg):
+                    raise ValueError("truncated DHT values")
+                vals = seg[i + 17 : i + 17 + nvals]
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huff_table(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision JPEG")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + ci * 3 : 9 + ci * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            sof = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kinds = {0xC2: "progressive", 0xC3: "lossless", 0xC1: "extended"}
+            raise NotImplementedError(
+                f"{kinds.get(marker, 'non-baseline')} JPEG (SOF 0x{marker:02x}) "
+                "not supported — baseline sequential (SOF0) only"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS: entropy decode follows
+            if sof is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cid, tt = seg[1 + si * 2 : 3 + si * 2]
+                comp = next(c for c in sof["comps"] if c["id"] == cid)
+                scan.append({**comp, "dc": tt >> 4, "ac": tt & 15})
+            fh, fw = sof["h"], sof["w"]
+            hmax = max(c["h"] for c in scan)
+            vmax = max(c["v"] for c in scan)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            planes = [
+                np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.uint8)
+                for c in scan
+            ]
+            br = _JpegBitReader(b, pos)
+            pred = [0] * ns
+            rst_idx = 0
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcu_count and mcu_count % dri == 0:
+                        br.restart(rst_idx)
+                        rst_idx = (rst_idx + 1) % 8
+                        pred = [0] * ns
+                    for si, c in enumerate(scan):
+                        q = qt.get(c["tq"])
+                        if q is None:
+                            raise ValueError(f"missing quant table {c['tq']}")
+                        dct = dc_tabs.get(c["dc"])
+                        act = ac_tabs.get(c["ac"])
+                        if dct is None or act is None:
+                            raise ValueError("missing Huffman table for scan")
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                t = br.read_huff(dct)
+                                pred[si] += br.receive_extend(t)
+                                zz = np.zeros(64, dtype=np.int64)
+                                zz[0] = pred[si]
+                                k = 1
+                                while k < 64:
+                                    rs = br.read_huff(act)
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError(
+                                            "AC run past coefficient 63"
+                                        )
+                                    zz[k] = br.receive_extend(s)
+                                    k += 1
+                                raster = np.zeros(64, dtype=np.float64)
+                                raster[_JPEG_ZIGZAG] = zz
+                                coef = (raster * q).reshape(8, 8)
+                                blk = _DCT_M.T @ coef @ _DCT_M + 128.0
+                                blk = np.clip(np.floor(blk + 0.5), 0, 255)
+                                y0 = (my * c["v"] + byy) * 8
+                                x0 = (mx * c["h"] + bxx) * 8
+                                planes[si][y0 : y0 + 8, x0 : x0 + 8] = blk
+                    mcu_count += 1
+            # upsample to full resolution by nearest replication, crop
+            full = []
+            for si, c in enumerate(scan):
+                p = planes[si]
+                ry, rx = vmax // c["v"], hmax // c["h"]
+                if ry > 1 or rx > 1:
+                    p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+                full.append(p[:fh, :fw])
+            if ns == 1:
+                return np.ascontiguousarray(full[0])
+            if ns != 3:
+                raise NotImplementedError(f"{ns}-component JPEG")
+            y = full[0].astype(np.float64)
+            cb = full[1].astype(np.float64) - 128.0
+            cr = full[2].astype(np.float64) - 128.0
+            r = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255)
+            g = np.clip(
+                np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
+            )
+            bch = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255)
+            return np.ascontiguousarray(
+                np.stack([r, g, bch], axis=-1).astype(np.uint8)
+            )
+        elif marker in (0xD9,):
+            raise ValueError("JPEG ended (EOI) before a scan")
+        # APPn / COM / others: skipped
+    raise ValueError("unreachable")
+
+
+JPEG_FEATURE_SCHEMA = (
+    "doc_id long, jpeg_type string, width long, height long, "
+    "n_samples long, mean_c0 double, mean_luma double"
+)
+
+
+def _jpeg_plan(doc_id: int) -> bytes:
+    """Closed-form baseline JPEG per doc: a ``(1+d%2) x (1+d%3)`` grid of
+    constant 8x8 blocks (canvas 8-16 x 8-24).  Even docs are grayscale with
+    block ``k`` (row-major) value ``(d+17k)%256``; odd docs are 4:4:4 color
+    with YCbCr planes ``Y=(d+17k)%256, Cb=(d+31k)%256, Cr=(d+47k)%256``.
+    Constant blocks make the lossy pipeline EXACT: the only nonzero
+    coefficient is DC ``8*(v-128)``, the DC quant step is 8, so
+    dequant+IDCT+floor(x+0.5) returns ``v`` bit-for-bit and the oracle can
+    replay the whole decode (including YCbCr->RGB) in closed-form SQL."""
+    d = int(doc_id)
+    bw, bh = 1 + d % 2, 1 + d % 3
+    k = np.arange(bw * bh, dtype=np.int64).reshape(bh, bw)
+    yv = ((d + 17 * k) % 256).astype(np.uint8)
+    up = np.repeat(np.repeat(yv, 8, axis=0), 8, axis=1)
+    if d % 2 == 0:
+        return encode_jpeg(up)
+    cbv = np.repeat(np.repeat(((d + 31 * k) % 256).astype(np.uint8), 8, 0), 8, 1)
+    crv = np.repeat(np.repeat(((d + 47 * k) % 256).astype(np.uint8), 8, 0), 8, 1)
+    return encode_jpeg(np.stack([up, cbv, crv], axis=-1), ycbcr=True)
+
+
+def synthesize_jpeg_payloads(docs: DataFrame) -> DataFrame:
+    """Attach a REAL baseline JPEG payload (per :func:`_jpeg_plan`) to each
+    document — Arrow-batched, map-only, partition-preserving."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = _jpeg_plan(doc_id)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "meta": {"format": "image/jpeg", "n_bytes": len(payload)},
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+def extract_jpeg_features(with_payload: DataFrame) -> DataFrame:
+    """Decode real baseline JPEGs and emit typed features as exact integer
+    sums divided once — the bit-reproducible contract shared with the other
+    codec extractors.  ``mean_c0`` is the R-channel (or gray) mean,
+    ``mean_luma`` the 0.299/0.587/0.114 mix (gray = itself)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["format"] != "image/jpeg":
+                    continue
+                px = decode_jpeg(bytes(payload)).astype(np.int64)
+                gray = px.ndim == 2
+                h, w = px.shape[:2]
+                n = w * h
+                if gray:
+                    s0 = int(px.sum())
+                    mean_c0 = mean_luma = s0 / n
+                else:
+                    sr, sg, sb = (int(px[:, :, c].sum()) for c in range(3))
+                    mean_c0 = sr / n
+                    mean_luma = (
+                        0.299 * (sr / n) + 0.587 * (sg / n) + 0.114 * (sb / n)
+                    )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "jpeg_type": "gray" if gray else "ycbcr",
+                        "width": w, "height": h, "n_samples": n,
+                        "mean_c0": mean_c0, "mean_luma": mean_luma,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=JPEG_FEATURE_SCHEMA)

@@ -711,6 +711,19 @@ def diversity_sample(
     )
 
 
+def auto_n_centroids(n_rows: int, target_cell: int = 250) -> int:
+    """Corpus-proportional SemDeDup cell count: ``max(8, n_rows //
+    target_cell)`` keeps cells constant-size as the corpus grows, which is
+    what keeps :func:`semantic_dedup_pairs` linear — within-cell exact
+    cosine is O(cell²), so cells must NOT grow with the corpus.  Callers at
+    scale should derive ``n_centroids`` from this (train k-means at that k)
+    rather than inherit a fixed count from an oracle-pinned configuration.
+    Measured (r13, tools/semdedup_scale_probe.py): 10× corpus at the pinned
+    8 cells = 7.5× wall (super-linear, cells grew 10×); at the scaled 80
+    cells = ~1× per-row wall (cells constant)."""
+    return max(8, int(n_rows) // max(1, int(target_cell)))
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -754,6 +767,13 @@ def semantic_dedup_pairs(
     a scalar left fold, hence to the DuckDB oracle — see
     ``dedup.embedding_near_pairs``), quantize-to-1e-6 before the threshold;
     dot and norms commute under id canonicalization.
+
+    Scale rule: ``n_centroids`` must grow ∝ corpus so cells stay
+    constant-size (:func:`auto_n_centroids`); the catalog row pins 8 cells
+    only for oracle reproducibility.  Measured (r13,
+    tools/semdedup_scale_probe.py, 2k → 20k vectors): pinned 8 cells → 7.5×
+    wall at 10× data; scaled 80 cells → ~linear.  ``sub_blocks`` is the
+    orthogonal knob for a single hot cell the centroid layout can't split.
     """
     import numpy as np
     import pandas as pd

@@ -302,8 +302,10 @@ def ds_compound_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Mongo _ids (numeric boundaries + string default) surface as their "
     "string forms since a Spark column is monotyped.  Driver-visible "
     "since the r11 rotation (VERDICT r10 ask #1: the bucket family's "
-    "first driver row, carrying the r10 tie/null boundary semantics).",
+    "first driver row, carrying the r10 tie/null boundary semantics)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r11-r12; bucket family covered by ds_bucket_auto_exact (visible)); still oracle-gated at sf0.01.",
     tags=("docstore", "agg", "bucket"),
+    driver_visible=False,
 )
 def ds_bucket_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "customer").aggregate(
@@ -345,8 +347,10 @@ def ds_bucket_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     "left-to-right double adds), $group rolls up per label.  Exercises the "
     "$$variable environment against a real column, not a fixture.  "
     "Driver-visible since the r11 second wave (the hof/expr families' "
-    "first driver row).",
+    "first driver row)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r11-r12; expr/HOF shapes covered by ds_regex_extract (in) and ds_window_ema (visible)); still oracle-gated at sf0.01.",
     tags=("docstore", "expr", "hof"),
+    driver_visible=False,
 )
 def ds_expr_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "embeddings").aggregate(
@@ -533,10 +537,8 @@ def ds_split_backslash_e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(docstore/pipeline.py::_accumulator): each is ONE hash-agg + array "
     "ops — no window, no second shuffle; the (o_totalprice, o_orderkey) "
     "compound sortBy makes top3 tie-stable so the oracle replays the exact "
-    "arrays.  Gate-only: accumulator ops on the already-hard-rowed $group "
-    "family, not a novel family.",
+    "arrays.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("docstore", "agg", "topk"),
-    driver_visible=False,
 )
 def ds_minmax_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(
@@ -584,10 +586,8 @@ def ds_minmax_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the partition).  Integer outputs keep window accumulation "
     "engine-exact (running float sums would depend on each engine's "
     "segment-tree summation).  One shuffle on the partition key, no "
-    "self-joins.  Gate-only: the window family's hard rows are "
-    "ds_window_time_range / ds_window_topn_median (driver rows since r10).",
+    "self-joins.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("docstore", "window"),
-    driver_visible=False,
 )
 def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(
@@ -640,8 +640,10 @@ def ds_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "make ties (equal timestamps) engine-independent: all peers join the "
     "frame.  One shuffle on the partition key.  Driver row since r10 "
     "(VERDICT r9 ask #1): the $setWindowFields range-frame compiler's "
-    "first independent correctness row.",
+    "first independent correctness row."
+    "  Evicted from the driver window in the r13 rotation (driver-green r10-r12; window family re-rowed by ds_window_running (in this round)); still oracle-gated at sf0.01.",
     tags=("docstore", "window"),
+    driver_visible=False,
 )
 def ds_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(
@@ -753,8 +755,10 @@ def ds_window_month_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Reference analogue: the day-of-week/time bucketing family "
     "(README.md:1202-1211).  Driver-visible since the r11 rotation "
     "(VERDICT r10 ask #1: the densify family's first driver row — the "
-    "calendar-unit spine path).",
+    "calendar-unit spine path)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r11-r12; calendar-spine shape covered by events_gap_interpolated (visible)); still oracle-gated at sf0.01.",
     tags=("docstore", "densify"),
+    driver_visible=False,
 )
 def ds_densify_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(
@@ -845,9 +849,8 @@ def ds_date_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the reference runs via save() loops (04/update.py), rendered "
     "immutably.  o_comment doesn't exist in the table, so $set CREATES it "
     "('expedite' on matches, null elsewhere — Mongo's new-field path).  "
-    "Gate-only: a conditional-projection shape.",
+    "Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("docstore", "upsert"),
-    driver_visible=False,
 )
 def ds_update_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _coll(spark, sf_dir, "orders").update_many(
@@ -961,8 +964,10 @@ def ds_bucket_auto_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document (each facet one lazy sub-plan + a 1×1 cross join), then the "
     "facet arrays project back to scalars via $arrayElemAt/$getField so "
     "the result hash-compares without array columns.  Driver row since "
-    "r10: the $facet family's first independent correctness row.",
+    "r10: the $facet family's first independent correctness row."
+    "  Evicted from the driver window in the r13 rotation (driver-green r10-r12; bucket family covered by ds_bucket_auto_exact (visible)); still oracle-gated at sf0.01.",
     tags=("docstore", "reshape", "agg"),
+    driver_visible=False,
 )
 def ds_facet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(
@@ -1025,8 +1030,10 @@ def ds_facet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "discard, untouched target rows pass through.  The oracle is the "
     "closed-form CASE.  Writes confined to /tmp (overwrite-idempotent per "
     "invocation).  Driver row since r10: the $merge compiler's first "
-    "independent correctness row (action-bearing stages).",
+    "independent correctness row (action-bearing stages)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r10-r12; docstore mutation family re-rowed by ds_update_many (in)); still oracle-gated at sf0.01.",
     tags=("docstore", "upsert"),
+    driver_visible=False,
 )
 def ds_merge_pipeline_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1148,8 +1155,10 @@ def ds_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "leading/trailing nulls stay null.  (user_id, ts) is collision-free "
     "in the testdata, so row frames are order-deterministic.  Driver row "
     "since r10: $fill linear's first independent correctness row "
-    "(events_gap_filled_locf covers the LOCF shape).",
+    "(events_gap_filled_locf covers the LOCF shape)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r10-r12; spine+fill covered by events_gap_interpolated (visible)); still oracle-gated at sf0.01.",
     tags=("docstore", "window", "resample"),
+    driver_visible=False,
 )
 def ds_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
@@ -1205,10 +1214,8 @@ def ds_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "$unwind includeArrayIndex replays the ARRAY ORDER against the "
     "oracle's rank, not just the membership.  Window and groupBy share "
     "the partition key, so the plan is one join + one shuffle.  "
-    "Gate-only: the docstore join family's driver row is "
-    "ds_graph_reachable_orders.",
+    "Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("docstore", "join", "window"),
-    driver_visible=False,
 )
 def ds_lookup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -1495,8 +1502,10 @@ def ds_lookup_proj_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the ts-dedup keys on (user_id, ts), then the window and the final "
     "$group SHARE the (user_id) exchange (plan-pinned).  Driver-visible "
     "since the r11 rotation (VERDICT r10 ask #1: the rate family's first "
-    "driver row — the detagg-quantized trapezoid/derivative paths).",
+    "driver row — the detagg-quantized trapezoid/derivative paths)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r11-r12; range-frame rate family covered by events_trailing_avg_1h (visible)); still oracle-gated at sf0.01.",
     tags=("docstore", "window", "rate"),
+    driver_visible=False,
 )
 def ds_window_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(
@@ -1601,8 +1610,10 @@ def ds_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no quantized-score tie at the k=10 cut).  Driver row since r10: the "
     "Atlas-facade family's first independent correctness row "
     "(ann_bruteforce_topk rotated out r10; its exact-cosine ranking rides "
-    "here, the IVF family keeps ann_ivfpq_topk).",
+    "here, the IVF family keeps ann_ivfpq_topk)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r10-r12; Atlas facade family re-rowed by ds_atlas_search (in)); still oracle-gated at sf0.01.",
     tags=("docstore", "similarity", "topk"),
+    driver_visible=False,
 )
 def ds_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.trainingdata_queries import (
@@ -1654,10 +1665,8 @@ def _atlas_search_oracle() -> str:
     "after quantization, so sub-1e-6 score splits cannot reorder the "
     "k=10 boundary across engines), score surfaced via {$meta: "
     "'searchScore'}.  idField names the id column (typed tables have no "
-    "implicit _id).  Gate-only: the search family's driver row is "
-    "bm25_keyword_topk (different query terms here).",
+    "implicit _id).  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("docstore", "search", "topk"),
-    driver_visible=False,
 )
 def ds_atlas_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "documents").aggregate(
@@ -1694,8 +1703,10 @@ def ds_atlas_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codegen'd projection + filter (no shuffle), replayed in the oracle "
     "as the equivalent CASE/WHERE.  Driver-visible since the r11 "
     "rotation (VERDICT r10 ask #1: the redact family's first driver row, "
-    "freshly fuzz-hardened in r10).",
+    "freshly fuzz-hardened in r10)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r11-r12; doc-tree recursion keeps its sf0.01 gate + property tier); still oracle-gated at sf0.01.",
     tags=("docstore", "redact", "project"),
+    driver_visible=False,
 )
 def ds_redact_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
@@ -1768,10 +1779,8 @@ def ds_redact_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unwound and grouped — count per matched token plus the corpus-minimum "
     "match index, which pins every recovered position.  The oracle replays "
     "positions from first principles: tokenize, running-length window for "
-    "each token's character offset, filter to ^s[a-z]+$.  Gate-only: an "
-    "expression + unwind + group composition (F1/A1 carry driver rows).",
+    "each token's character offset, filter to ^s[a-z]+$.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("docstore", "expr", "regex"),
-    driver_visible=False,
 )
 def ds_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "documents").aggregate(
@@ -1816,8 +1825,10 @@ def ds_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by it — count plus exact min/max prices.  The oracle's date_trunc "
     "equals the decompose-rebuild path iff both part extraction and "
     "reconstruction are correct.  Driver-visible since the r11 second wave "
-    "(the dates/expr families' first driver row).",
+    "(the dates/expr families' first driver row)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r11-r12; date-expr shapes covered by events_ohlc_15min (in) and the expr gate); still oracle-gated at sf0.01.",
     tags=("docstore", "expr", "dates"),
+    driver_visible=False,
 )
 def ds_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(
@@ -1906,8 +1917,10 @@ def ds_text_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replays the pick as an ordered-list group aggregate joined back and "
     "the median as DuckDB's interpolated window median, both quantized.  "
     "Driver row since r10: the densest $setWindowFields path (mixed-dir "
-    "$topN + running $median) gets its own independent correctness row.",
+    "$topN + running $median) gets its own independent correctness row."
+    "  Evicted from the driver window in the r13 rotation (driver-green r10-r12; N-ary ranked-pick shape re-rowed by ds_minmax_topn (in)); still oracle-gated at sf0.01.",
     tags=("docstore", "window"),
+    driver_visible=False,
 )
 def ds_window_topn_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
@@ -2012,8 +2025,10 @@ def ds_lookup_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double column takes the exact-decimal dsum path (order-independent, "
     "dsum_sql twin).  Driver-visible since r9 (rotated in per VERDICT r8 "
     "ask #1 — novel compiler path deserves an independent row); plan "
-    "pinned in test_plans.py.",
+    "pinned in test_plans.py."
+    "  Evicted from the driver window in the r13 rotation (driver-green r9-r12; correlated-$lookup family re-rowed by ds_lookup_topn (in)); still oracle-gated at sf0.01.",
     tags=("docstore", "join", "agg"),
+    driver_visible=False,
 )
 def ds_lookup_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate

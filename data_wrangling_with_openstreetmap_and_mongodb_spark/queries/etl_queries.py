@@ -407,10 +407,8 @@ _PLT_A = f"(CASE WHEN {_PLT_J} < 4 THEN (doc_id + 11*{_PLT_J}) % 256 ELSE 255 EN
     "(d+y)%5 on the INDEX bytes; odd docs add a 4-entry tRNS so both the "
     "PLTE→RGB and PLTE+tRNS→RGBA expansions are exercised.  Features of "
     "the decoded result hash-match DuckDB replaying palette lookup + alpha "
-    "table symbolically.  Map-only.  Gate-only (window full): the codec "
-    "family's driver row is multimodal_png_decode.",
+    "table symbolically.  Map-only.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("multimodal", "pandas-udf", "codec"),
-    driver_visible=False,
 )
 def multimodal_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
@@ -475,10 +473,8 @@ _GIF_B = f"((doc_id + 71*{_GIF_J}) % 256)"
     "directions share no compression logic), then emits one row per frame "
     "— the video-shaped 1→N frame extraction through a real codec.  "
     "Features hash-match DuckDB replaying the palette formulas per "
-    "(doc, frame).  Map-only.  Gate-only (window full): the codec family's "
-    "driver row is multimodal_png_decode.",
+    "(doc, frame).  Map-only.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("multimodal", "pandas-udf", "codec"),
-    driver_visible=False,
 )
 def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
@@ -548,10 +544,8 @@ _AL_S = f"(CASE WHEN ({_AL_A} & 128) != 0 THEN {_AL_T} ELSE -{_AL_T} END)"
     "the standard segment tables (anchors pinned in tests: mu 0xFF→0, "
     "0x00→-32124; A 0x55→-8, 0x2A→-32256) and RMS/peak of the expansion "
     "hash-match DuckDB replaying the SAME G.711 formula in integer SQL.  "
-    "Map-only.  Gate-only (window full): the codec family's driver row is "
-    "multimodal_png_decode.",
+    "Map-only.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("multimodal", "pandas-udf", "codec"),
-    driver_visible=False,
 )
 def multimodal_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -595,6 +589,84 @@ def multimodal_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "law", "n_channels", "sample_rate", "n_samples",
         quantize6(F.col("rms")).alias("rms"), "peak",
+    )
+
+
+# Baseline JPEG (r13): real forward-DCT encode + full baseline decode.  The
+# per-doc images are grids of CONSTANT 8x8 blocks, which makes the lossy
+# pipeline exact (only the DC coefficient is nonzero, the DC quant step 8
+# divides 8*(v-128), and floor(x+0.5) recovers v bit-for-bit), so the oracle
+# can replay the whole decode — including the JFIF YCbCr→RGB conversion —
+# symbolically.  k below is the block index (row-major) of a doc's grid.
+_JY = "((doc_id + 17*k) % 256)"
+_JCB = "((doc_id + 31*k) % 256)"
+_JCR = "((doc_id + 47*k) % 256)"
+_JR = f"GREATEST(0, LEAST(255, FLOOR({_JY} + 1.402*({_JCR} - 128) + 0.5)))"
+_JG = (
+    f"GREATEST(0, LEAST(255, FLOOR({_JY} - 0.344136*({_JCB} - 128)"
+    f" - 0.714136*({_JCR} - 128) + 0.5)))"
+)
+_JB = f"GREATEST(0, LEAST(255, FLOOR({_JY} + 1.772*({_JCB} - 128) + 0.5)))"
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle=f"""
+        WITH canvas AS (
+            SELECT doc_id, doc_id % 2 AS odd,
+                   1 + doc_id % 2 AS bw, 1 + doc_id % 3 AS bh,
+                   (1 + doc_id % 2) * (1 + doc_id % 3) AS nb
+            FROM documents
+        ), s AS (
+            SELECT doc_id, odd, bw, bh, nb,
+                   list_sum(list_transform(range(nb),
+                       k -> CASE WHEN odd = 0 THEN {_JY} ELSE {_JR} END)) AS sr,
+                   list_sum(list_transform(range(nb),
+                       k -> CASE WHEN odd = 0 THEN {_JY} ELSE {_JG} END)) AS sg,
+                   list_sum(list_transform(range(nb),
+                       k -> CASE WHEN odd = 0 THEN {_JY} ELSE {_JB} END)) AS sb
+            FROM canvas
+        )
+        SELECT doc_id,
+               CASE WHEN odd = 0 THEN 'gray' ELSE 'ycbcr' END AS jpeg_type,
+               CAST(8 * bw AS BIGINT) AS width,
+               CAST(8 * bh AS BIGINT) AS height,
+               CAST(64 * nb AS BIGINT) AS n_samples,
+               {quantize6_sql("CAST(sr AS DOUBLE) / nb")} AS mean_c0,
+               CASE WHEN odd = 0
+                    THEN {quantize6_sql("CAST(sr AS DOUBLE) / nb")}
+                    ELSE {quantize6_sql(
+                        "0.299*(CAST(sr AS DOUBLE)/nb)"
+                        " + 0.587*(CAST(sg AS DOUBLE)/nb)"
+                        " + 0.114*(CAST(sb AS DOUBLE)/nb)")} END AS mean_luma
+        FROM s
+    """,
+    doc="Baseline sequential JPEG decode (operators/multimodal.py::"
+    "encode_jpeg/decode_jpeg, NEW r13, VERDICT r12 ask #5 — the single most "
+    "common image format in a real multimodal corpus): per-doc grids of "
+    "constant 8x8 blocks, even docs grayscale, odd docs 4:4:4 YCbCr color; "
+    "the decoder walks markers, reads DQT/DHT from the file, Huffman-decodes "
+    "the entropy segment (byte unstuffing), dequantizes, dezigzags, runs the "
+    "8x8 IDCT and the JFIF YCbCr->RGB conversion.  Constant blocks make the "
+    "lossy path exact (DC-only, step 8), so RGB means hash-match DuckDB "
+    "replaying the closed-form pipeline.  Arrow-batched, map-only.  "
+    "Driver-visible from birth.  Real-image loss bounds, AC Huffman paths, "
+    "restart markers, 4:2:0, and an independent double-loop IDCT reference "
+    "are pinned in tests/test_multimodal_codecs.py::TestJpeg.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        extract_jpeg_features,
+        synthesize_jpeg_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_jpeg_features(synthesize_jpeg_payloads(d))
+    return feats.select(
+        "doc_id", "jpeg_type", "width", "height", "n_samples",
+        quantize6(F.col("mean_c0")).alias("mean_c0"),
+        quantize6(F.col("mean_luma")).alias("mean_luma"),
     )
 
 
@@ -806,8 +878,10 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path end-to-end.  Tie semantics (same-ts changes collapse to the "
     "max-orderkey value) pinned on both sides.  Driver-visible from birth "
     "(r9 — VERDICT r8 ask #8 standing rule: a novel streaming family lands "
-    "with its own independent row; dedup_ngram_jaccard evicted).",
+    "with its own independent row; dedup_ngram_jaccard evicted)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r9-r12; streaming family keeps streaming_pair_events + streaming_ohlc_15min visible, as-of/SCD2 shape re-rowed by scd2_user_event_state (in)); still oracle-gated at sf0.01.",
     tags=("streaming", "asof", "scd2"),
+    driver_visible=False,
 )
 def streaming_asof_enrich_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -924,11 +998,8 @@ def _ohlc_oracle() -> str:
     "total order (min_by/max_by ↔ arg_min/arg_max), volume via the "
     "quantized order-independent sum.  The time-series resampling "
     "primitive at any scale: no window sort, no shuffle beyond the "
-    "aggregation.  Gate-only: the OHLC family's driver row is "
-    "streaming_ohlc_15min (r10), which replays these exact bars through "
-    "the real streaming path against the same oracle.",
+    "aggregation.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("events", "timeseries", "agg"),
-    driver_visible=False,
 )
 def events_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
@@ -1045,9 +1116,8 @@ def _scd2_oracle() -> str:
     "(operators/upsert.py::scd2_from_changes): each user's event-type "
     "episodes with exclusive validity intervals, consecutive repeats "
     "collapsed, open episode flagged current — two window passes sharing "
-    "ONE shuffle, no self-join.  Gate-only: the driver window is full.",
+    "ONE shuffle, no self-join.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("upsert", "scd2", "window"),
-    driver_visible=False,
 )
 def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (
@@ -1137,8 +1207,10 @@ def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "under the forward-only contract (guaranteed here by the time split). "
     "validate=False: the split itself enforces ordering, and the gate "
     "should measure the maintenance plan, not the contract-check job.  "
-    "Driver-visible since r9 (VERDICT r8 ask #1 rotation).",
+    "Driver-visible since r9 (VERDICT r8 ask #1 rotation)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r9-r12; SCD2 family re-rowed by scd2_user_event_state (in)); still oracle-gated at sf0.01.",
     tags=("upsert", "scd2", "window"),
+    driver_visible=False,
 )
 def scd2_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import (

@@ -214,7 +214,6 @@ _PENTAGON = [(-20.005, -30.005), (40.005, -25.005), (55.005, 20.005),
     "grouped count by segment.  Vertices sit at .005 offsets so no point "
     "lies on an edge.",
     tags=("geo", "find", "agg"),
-    driver_visible=False,
 )
 def geo_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
@@ -303,8 +302,10 @@ _Q["geo_geohash_cells"].oracle = _geohash_oracle()
     "the DuckDB oracle IS the brute-force cross join — parity proves the "
     "banded grid never drops a seam or polar pair.  Driver-visible since "
     "r9 (VERDICT r8 ask #1 rotation); mid-latitude grid shape pinned by "
-    "geo_radius_join_pairs.",
+    "geo_radius_join_pairs."
+    "  Evicted from the driver window in the r13 rotation (driver-green r9-r12; geo family keeps geo_geohash_cells visible + geo_polygon_customers (in)); still oracle-gated at sf0.01.",
     tags=("geo", "join"),
+    driver_visible=False,
 )
 def geo_radius_join_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
@@ -357,8 +358,10 @@ _GI_HOLE = [[5.005, 10.005], [25.005, 10.005], [25.005, 35.005],
     "excludes — the oracle replays the exact same two edge chains and "
     "XORs them in SQL.  For point fields $geoIntersects is containment, "
     "shared with $geoWithin $geometry.  Driver-visible since r9 (VERDICT "
-    "r8 ask #1 rotation).",
+    "r8 ask #1 rotation)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r9-r12; even-odd ray-cast shape re-rowed by geo_polygon_customers (in)); still oracle-gated at sf0.01.",
     tags=("geo", "find", "agg"),
+    driver_visible=False,
 )
 def geo_intersects_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection

@@ -716,8 +716,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipelines and intersects.  Scale shape: brute force runs on a "
     "SAMPLE at 100 TB (the eval set), never the corpus — the operators "
     "don't care which.  Driver-visible since the r11 second wave (the "
-    "eval family's first driver row).",
+    "eval family's first driver row)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r11-r12; ANN family re-rowed by ann_ivf_topk + ann_pq_topk (in)); still oracle-gated at sf0.01.",
     tags=("similarity", "topk", "eval"),
+    driver_visible=False,
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
@@ -783,11 +785,8 @@ def _ann_ivf_oracle_sql(n_centroids: int, nprobe: int, k: int) -> str:
     oracle=_ann_ivf_oracle_sql(n_centroids=8, nprobe=3, k=10),
     doc="IVF-flat ANN top-k: sampled coarse centroids, quantized nearest-"
     "centroid assignment, nprobe cells probed, exact rank inside. "
-    "Gate-only since round 3's second rotation: the IVF probe family keeps "
-    "its hard row via ann_ivf_kmeans_topk (same probe path plus the full "
-    "training trajectory); this slot went to a novel operator family.",
+    "Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("similarity", "topk", "ivf"),
-    driver_visible=False,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1256,11 +1255,8 @@ def _semantic_dedup_oracle_sql(n_centroids: int, iters: int, threshold: float) -
     doc="cluster-balanced diversity sample: k-means cells flatten embedding-"
     "space density, exactly-k-per-cell by deterministic md5 rank — the "
     "rare-domain-preserving sampling stage of embedding curation.  "
-    "Gate-only: its primitives (k-means trajectory, stratified window "
-    "rank) carry hard driver rows via ann_ivf_kmeans_topk and "
-    "top_order_per_priority.",
+    "Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("similarity", "curation", "kmeans"),
-    driver_visible=False,
 )
 def diversity_sampled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
@@ -1323,11 +1319,8 @@ _PQ_CODEBOOK_CACHE: dict[tuple[str, int, int, int], list[tuple[int, int, list[fl
     "encoded to m codes, query ranked via a broadcast distance table over "
     "codes only — the compressed-corpus half of an IVF-PQ index.  The "
     "oracle replays the full training trajectory, encode, and dsum ADC "
-    "ranking.  Gate-only since ann_ivfpq_topk landed: the combined index "
-    "strictly supersedes flat PQ (same trajectory machinery plus coarse "
-    "cells and residuals) and holds the family's hard driver row.",
+    "ranking.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("similarity", "topk", "pq", "kmeans"),
-    driver_visible=False,
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
@@ -1596,10 +1589,8 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and referential integrity (orders→customer, lineitem→orders) as one "
     "integer-exact rule table — the publish-gate audit of a production "
     "table pipeline.  FK checks are left-anti joins (broadcast parent "
-    "keys).  Gate-only: its primitives (hash-agg, anti-join) carry hard "
-    "rows elsewhere.",
+    "keys).  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("quality", "audit", "join"),
-    driver_visible=False,
 )
 def orders_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.quality import (
@@ -1677,8 +1668,10 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
     "fixed-depth unrolled trajectory the oracle replays exactly.  "
     "Driver row since r10: the unrolled-iteration family's own "
     "independent correctness row (dedup_near_clusters keeps the "
-    "sync-loop form's).",
+    "sync-loop form's)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r10-r12; iterative-graph family covered by dedup_keep_best_docs (visible)); still oracle-gated at sf0.01.",
     tags=("graph", "iterative-unrolled", "agg"),
+    driver_visible=False,
 )
 def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import pagerank
@@ -2293,10 +2286,8 @@ def _unigram_oracle() -> str:
     "corpus's own token distribution — the train-nothing perplexity filter. "
     "Two hash-aggregates + one token join (AQE broadcasts the vocab); both "
     "averaging levels use the quantized deterministic davg and ln is "
-    "bit-identical across engines, so the oracle hash-matches.  Gate-only: "
-    "the driver window is full.",
+    "bit-identical across engines, so the oracle hash-matches.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("text", "quality", "agg"),
-    driver_visible=False,
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
@@ -2442,8 +2433,10 @@ def _int8_oracle() -> str:
     "coefficients (pins every qvec element), and saturation counts — the "
     "4x-memory compression tier for 100 TB vector corpora.  Oracle replays "
     "the quantizer element-for-element in SQL.  Driver-visible since the "
-    "r11 second wave (the quantization family's first driver row).",
+    "r11 second wave (the quantization family's first driver row)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r11-r12; embedding-expression family covered by diversity_sampled_embeddings (in)); still oracle-gated at sf0.01.",
     tags=("similarity", "quantization"),
+    driver_visible=False,
 )
 def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
@@ -2871,10 +2864,8 @@ def _vocab_encode_oracle_sql(vocab_size: int) -> str:
     "vocab_size=16 is below the corpus vocabulary so real UNK mass "
     "appears.  The per-doc output pins the whole sequence with scalars "
     "(first/last id, id sum, position-weighted sum) — array columns "
-    "deliberately avoided in the driver-compare path.  Gate-only: the "
-    "window is full.",
+    "deliberately avoided in the driver-compare path.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("text", "curation", "agg"),
-    driver_visible=False,
 )
 def vocab_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
@@ -3445,8 +3436,10 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parity proves micro-batch boundaries cannot move a single "
     "prediction.  Driver-visible from birth (r9 — VERDICT r8 ask #8 "
     "standing rule: a novel streaming family lands with its own "
-    "independent row; extreme_value_events evicted).",
+    "independent row; extreme_value_events evicted)."
+    "  Evicted from the driver window in the r13 rotation (driver-green r9-r12; shares its oracle bit-exactly with nb_lang_confusion (visible), streaming family keeps two rows visible); still oracle-gated at sf0.01.",
     tags=("streaming", "classify", "text"),
+    driver_visible=False,
 )
 def streaming_nb_score_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -38,53 +38,41 @@ def test_novel_operator_families_are_driver_visible():
     # ds_unwind_token_counts.
     dc = driver_catalog()
     for novel in (
-        # r9 rotation (VERDICT r8 asks #1/#8): the six r8 families plus the
-        # two new streaming families, each with an independent driver row
-        "ds_lookup_group",
-        "geo_radius_join_wrap",
-        "geo_intersects_events",
-        "scd2_incremental_state",
-        "streaming_asof_enrich_status",
-        "streaming_nb_score_confusion",
-        # r10 rotation (VERDICT r9 ask #1): the six never-driver-verified
-        # compiler families get independent rows — $setWindowFields
-        # (topn_median = mixed-dir $topN + running $median; time_range =
-        # unix_micros range frames), $merge (whenMatched pipeline), $fill
-        # (linear interpolation), $facet/$bucketAuto, pagerank, and the
-        # Atlas $vectorSearch facade — plus the streaming OHLC family
-        # driver-visible from birth (ask #6)
-        "ds_window_topn_median",
-        "ds_window_time_range",
-        "ds_merge_pipeline_apply",
-        "ds_fill_linear",
-        "ds_facet_summary",
-        "supplier_customer_pagerank",
-        "ds_vector_search",
+        # still-visible rows from earlier rotations
         "streaming_ohlc_15min",
-        # r11 rotation (VERDICT r10 ask #1): nine never-driver-verified
-        # tag families get independent rows — bucket, densify, rate,
-        # redact, funnel, retention, range, sampling, normalize — plus the
-        # stream-stream interval join driver-visible from birth (ask #5)
-        "ds_bucket_balances",
-        "ds_densify_monthly",
-        "ds_window_integral",
-        "ds_redact_nested",
         "funnel_view_click_purchase",
         "weekly_retention_cohorts",
         "event_pairs_within_30min",
         "mixture_sampled_counts",
         "unicode_normalization_audit",
         "streaming_pair_events",
-        # r11 second wave: the last eight gate-only families (GATE_ONLY_TAGS
-        # is now empty) — dates/expr, diff, eval, hof, incremental,
-        # pipeline, quantization
-        "ds_date_parts",
         "orders_snapshot_diff",
-        "ann_recall_at_k",
-        "ds_expr_embedding_stats",
         "dedup_incremental_minhash",
         "corpus_pipeline_audit",
-        "embedding_int8_stats",
+        # r13 rotation (VERDICT r12 asks #1/#6): twenty never-driver-verified
+        # queries gain their first rows, led by the three r12 codec paths
+        # born gate-only, plus the bounds-oracle re-home of the HLL row —
+        # and multimodal_jpeg_decode driver-visible from birth (ask #5)
+        "multimodal_palette_decode",
+        "multimodal_gif_frames",
+        "multimodal_wav_g711",
+        "ds_window_running",
+        "ds_minmax_topn",
+        "ds_lookup_topn",
+        "ds_atlas_search",
+        "ds_update_many",
+        "ds_regex_extract",
+        "events_ohlc_15min",
+        "scd2_user_event_state",
+        "geo_polygon_customers",
+        "shipping_priority_top10",
+        "ann_ivf_topk",
+        "ann_pq_topk",
+        "diversity_sampled_embeddings",
+        "doc_unigram_logprob",
+        "orders_integrity_audit",
+        "vocab_encode_stats",
+        "approx_distinct_users",
         # r12 rotation (VERDICT r11 ask #1: never-driver-verified residual
         # burn-down, 51 → 33) — 18 gate-only shapes gain their first rows,
         # newest/highest-novelty first, plus the new PNG codec (ask #2)
@@ -115,7 +103,6 @@ def test_novel_operator_families_are_driver_visible():
         "ds_sort_skip_limit",
         "top_tokens",
         "multimodal_frame_index",
-        "ann_ivf_topk",
         # r7 second-session rotations (each still oracle-gated at sf0.01):
         "ann_ivf_kmeans_topk",  # near-dup of ann_ivfpq_topk's probe shape
         "span_dedup_documents",  # subsumed by dedup_exact_substring
@@ -184,6 +171,31 @@ def test_novel_operator_families_are_driver_visible():
         "etl_avro_roundtrip",          # ⊂ source/avro (r7-r11 provenance)
         "geo_near_customers",          # ⊂ geo (geohash in + radius/intersects)
         "shuffled_shard_manifest",     # ⊂ sampling (stratified + split in)
+        # r13 evictions (VERDICT r12 ask #1's rotation; every one carries
+        # 2-4 rounds of green driver provenance, is shape-covered by a
+        # still-visible or newly-rotated family row, and keeps its sf0.01
+        # oracle gate — per-query rationale in each doc's eviction note):
+        "ds_window_time_range",        # ⊂ window (ds_window_running in)
+        "ds_window_topn_median",       # ⊂ ranked-pick (ds_minmax_topn in)
+        "ds_facet_summary",            # ⊂ bucket (ds_bucket_auto_exact visible)
+        "ds_merge_pipeline_apply",     # ⊂ mutation (ds_update_many in)
+        "ds_fill_linear",              # ⊂ spine+fill (events_gap_interpolated)
+        "ds_vector_search",            # ⊂ Atlas facade (ds_atlas_search in)
+        "ds_lookup_group",             # ⊂ $lookup (ds_lookup_topn in)
+        "ds_bucket_balances",          # ⊂ bucket (ds_bucket_auto_exact visible)
+        "ds_expr_embedding_stats",     # ⊂ expr/HOF (ds_regex_extract in)
+        "ds_densify_monthly",          # ⊂ spine (events_gap_interpolated)
+        "ds_window_integral",          # ⊂ range-frame (events_trailing_avg_1h)
+        "ds_redact_nested",            # r11-r12 provenance + property tier
+        "ds_date_parts",               # ⊂ date-expr (events_ohlc_15min in)
+        "streaming_asof_enrich_status",  # ⊂ streaming/asof (scd2_user_event_state in)
+        "scd2_incremental_state",      # ⊂ scd2 (scd2_user_event_state in)
+        "geo_radius_join_wrap",        # ⊂ geo (geo_polygon_customers in)
+        "geo_intersects_events",       # ⊂ ray-cast (geo_polygon_customers in)
+        "ann_recall_at_k",             # ⊂ ANN (ann_ivf_topk + ann_pq_topk in)
+        "supplier_customer_pagerank",  # ⊂ iterative graph (dedup_keep_best_docs)
+        "embedding_int8_stats",        # ⊂ embedding-expr (diversity_sampled in)
+        "streaming_nb_score_confusion",  # oracle shared with nb_lang_confusion
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 
@@ -193,11 +205,11 @@ def test_every_registered_query_is_verified_somewhere():
     # Oracle-less queries (engine-private sketches) need either a driver
     # rows-check (visible) or a dedicated accuracy pytest, listed here so the
     # exemption is explicit and auditable.
-    ACCURACY_PINNED = {
-        # HLL registers are engine-private; ±5% accuracy vs exact counts is
-        # asserted in tests/test_scale.py::test_approx_distinct_within_rsd_bound
-        "approx_distinct_users",
-    }
+    # EMPTY since r13: approx_distinct_users (the one structurally
+    # oracle-less query) gained a bounds-style oracle — exact counts plus a
+    # TRUE-asserted approx_within_5pct column — so the registry has no
+    # permanently-unverifiable entries left (VERDICT r12 ask #6).
+    ACCURACY_PINNED: set[str] = set()
     for q in QUERIES.values():
         if q.oracle is None:
             assert q.driver_visible or q.name in ACCURACY_PINNED, (
@@ -311,19 +323,19 @@ def test_every_tag_family_has_driver_provenance():
 
 
 def test_rotated_in_families_gain_rows_next_artifact():
-    """The r12 rotation names are pinned driver-visible; once the round-12
+    """The r13 rotation names are pinned driver-visible; once the round-13
     artifact lands, annotate_verified_rounds picks them up automatically
     (this test just guards the schedule, the invariant test above guards
     the outcome)."""
     dc = driver_catalog()
     for name in (
-        "hybrid_search_rrf", "multimodal_png_decode", "dedup_simhash_k2",
-        "ds_window_ema", "ds_bucket_auto_exact", "geo_geohash_cells",
-        "semantic_dedup_embeddings", "train_split_assign",
-        "doc_bigram_logprob", "decontaminate_bloom",
-        "chunk_token_id_windows", "events_gap_interpolated",
-        "dedup_keep_best_docs", "nb_lang_confusion",
-        "text_repetition_metrics", "stratified_sample_documents",
-        "events_trailing_avg_1h", "phrase_search_docs", "c4_rule_audit",
+        "multimodal_palette_decode", "multimodal_gif_frames",
+        "multimodal_wav_g711", "ds_window_running", "ds_minmax_topn",
+        "ds_lookup_topn", "ds_atlas_search", "ds_update_many",
+        "ds_regex_extract", "events_ohlc_15min", "scd2_user_event_state",
+        "geo_polygon_customers", "shipping_priority_top10", "ann_ivf_topk",
+        "ann_pq_topk", "diversity_sampled_embeddings", "doc_unigram_logprob",
+        "orders_integrity_audit", "vocab_encode_stats",
+        "approx_distinct_users",
     ):
         assert name in dc and QUERIES[name].oracle is not None, name

@@ -568,6 +568,41 @@ class TestGif:
         with pytest.raises(ValueError, match="out of color-table range"):
             encode_gif([np.full((2, 2), 9, dtype=np.uint8)], plte)
 
+    def test_gif_truncated_mid_block_is_valueerror(self):
+        """A payload cut mid-block raises ValueError (the docstring
+        contract), never a bare IndexError from the block walk."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = self._rng(17)
+        plte = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+        fr = rng.randint(0, 4, size=(3, 3), dtype=np.uint8)
+        good = encode_gif([fr], plte, delays_cs=[10])
+        # cut at EVERY prefix length: each must raise ValueError or
+        # NotImplementedError, never IndexError/struct.error
+        for cut in range(8, len(good)):
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_gif(good[:cut])
+        # extension introducer with the label byte cut off
+        ext_at = good.index(b"\x21")
+        with pytest.raises(ValueError, match="truncated GIF"):
+            decode_gif(good[:ext_at] + b"\x21")
+
+    def test_lzw_early_end_is_named_error(self):
+        """An end-of-information code before n_pixels are produced raises a
+        codec-level error naming the shortfall, not a reshape failure."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+        )
+
+        plte = np.arange(12, dtype=np.uint8).reshape(4, 3)
+        # 2x2 frame needs 4 pixels but the stream ends after 2:
+        # clear, 1, 2, end
+        with pytest.raises(ValueError, match="ended early: got 2 of 4"):
+            decode_gif(self._container([4, 1, 2, 5], 2, 2, 2, plte))
+
     def test_dispatch_animation(self):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
             encode_gif,
@@ -617,6 +652,21 @@ class TestG711:
         rate, ch, s = decode_wav(encode_wav_g711(16000, 2, raw[:-1], "alaw"))
         assert (rate, ch, len(s)) == (16000, 2, 255)
 
+    def test_fmt_chunk_has_cbsize_extension(self):
+        """Non-PCM format tags carry the 18-byte fmt chunk (cbSize=0) the
+        WAVE spec requires, so strict third-party decoders accept it."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            encode_wav_g711,
+        )
+
+        for law in ("mulaw", "alaw"):
+            b = encode_wav_g711(8000, 1, b"\x00\x01", law)
+            at = b.index(b"fmt ")
+            (size,) = struct.unpack_from("<I", b, at + 4)
+            assert size == 18
+            (cbsize,) = struct.unpack_from("<H", b, at + 8 + 16)
+            assert cbsize == 0
+
     def test_pcm_path_unchanged_and_other_formats_still_raise(self):
         r, c, s = decode_wav(encode_wav(8000, 1, np.array([1, -2, 3], dtype=np.int16)))
         assert (r, c, s.tolist()) == (8000, 1, [1, -2, 3])
@@ -625,3 +675,261 @@ class TestG711:
         struct.pack_into("<H", b, fmt_at, 3)  # IEEE float: still a real gap
         with pytest.raises(NotImplementedError, match="PCM"):
             decode_wav(bytes(b))
+
+
+class TestJpeg:
+    @staticmethod
+    def _rng(seed):
+        return np.random.RandomState(seed)
+
+    def test_constant_block_gray_exact(self):
+        """Constant 8x8 blocks survive the lossy pipeline EXACTLY: the only
+        nonzero coefficient is DC 8*(v-128), the DC quant step is 8, so
+        dequant + IDCT + floor(x+0.5) returns v bit-for-bit."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        vals = np.array([[0, 255], [128, 1], [200, 77]], dtype=np.uint8)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        out = decode_jpeg(encode_jpeg(px))
+        assert out.shape == (24, 16)
+        assert np.array_equal(out, px)
+
+    def test_constant_block_ycbcr_color_exact(self):
+        """4:4:4 color with direct YCbCr planes: decoded RGB equals the
+        closed-form JFIF conversion (floor(x+0.5), clamp) of the original
+        constants — the exactness contract the catalog oracle replays."""
+        import math
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        cases = [(120, 90, 200), (0, 0, 0), (255, 255, 255), (77, 180, 33)]
+        for Y, CB, CR in cases:
+            img = np.stack(
+                [np.full((8, 8), v, np.uint8) for v in (Y, CB, CR)], axis=-1
+            )
+            rgb = decode_jpeg(encode_jpeg(img, ycbcr=True))
+            cb, cr = CB - 128.0, CR - 128.0
+            exp = [
+                max(0, min(255, math.floor(Y + 1.402 * cr + 0.5))),
+                max(0, min(255, math.floor(Y - 0.344136 * cb - 0.714136 * cr + 0.5))),
+                max(0, min(255, math.floor(Y + 1.772 * cb + 0.5))),
+            ]
+            for c in range(3):
+                assert (rgb[:, :, c] == exp[c]).all(), (Y, CB, CR, c)
+
+    def test_random_near_lossless_roundtrip(self):
+        """q=1 tables: the only loss is DCT-coefficient rounding, so random
+        images round-trip within a couple of levels — this exercises the
+        full AC Huffman path (runs, EOB, large categories) in both
+        directions."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = self._rng(7)
+        q1 = np.ones(64, dtype=np.int64)
+        gray = rng.randint(0, 256, size=(24, 17), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(gray, quant_luma=q1))
+        assert out.shape == gray.shape
+        assert int(np.abs(out.astype(int) - gray.astype(int)).max()) <= 2
+        rgb = rng.randint(0, 256, size=(17, 13, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(rgb, quant_luma=q1, quant_chroma=q1))
+        assert out.shape == rgb.shape
+        # RGB->YCbCr->RGB adds its own +-2 of integer rounding
+        assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 4
+
+    def test_restart_markers_roundtrip(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = self._rng(11)
+        q1 = np.ones(64, dtype=np.int64)
+        gray = rng.randint(0, 256, size=(16, 40), dtype=np.uint8)  # 10 MCUs
+        b = encode_jpeg(gray, quant_luma=q1, restart_interval=3)
+        assert b"\xff\xd0" in b or b"\xff\xd1" in b  # RSTn actually emitted
+        out = decode_jpeg(b)
+        assert int(np.abs(out.astype(int) - gray.astype(int)).max()) <= 2
+
+    def test_subsampled_420_constant_chroma_exact(self):
+        """4:2:0: four different constant luma blocks per MCU + constant
+        chroma — the subsampled chroma block is the mean of constants (= the
+        constant), so the decode is exact and pins the MCU block layout and
+        the replication upsampler."""
+        import math
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        y = np.repeat(
+            np.repeat(np.array([[40, 90], [140, 190]], np.uint8), 8, 0), 8, 1
+        )
+        img = np.stack(
+            [y, np.full((16, 16), 100, np.uint8), np.full((16, 16), 160, np.uint8)],
+            axis=-1,
+        )
+        rgb = decode_jpeg(encode_jpeg(img, ycbcr=True, subsample=True))
+        cb, cr = 100 - 128.0, 160 - 128.0
+        for by in range(2):
+            for bx in range(2):
+                Y = float(y[by * 8, bx * 8])
+                exp_r = max(0, min(255, math.floor(Y + 1.402 * cr + 0.5)))
+                blk = rgb[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk[:, :, 0] == exp_r).all(), (bx, by)
+
+    def test_decoder_against_independent_idct(self):
+        """Hand-packed entropy segment (test-side bit packer, spec Annex-K
+        DC table, custom 4-bit AC table — none of the encoder's machinery)
+        with chosen coefficients; expected pixels from a double-loop IDCT
+        written here, independently of the decoder's matrix form."""
+        import math
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+        )
+
+        ZZ = [  # spec zigzag, duplicated here for independence
+             0,  1,  8, 16,  9,  2,  3, 10,
+            17, 24, 32, 25, 18, 11,  4,  5,
+            12, 19, 26, 33, 40, 48, 41, 34,
+            27, 20, 13,  6,  7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36,
+            29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46,
+            53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        # Annex-K DC luminance table
+        dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = list(range(12))
+        # custom AC table: EOB, sizes 1-5 at run 0, run 2 size 3, ZRL,
+        # all 4-bit canonical codes
+        ac_syms = [0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x23, 0xF0]
+        ac_bits = [0, 0, 0, len(ac_syms)] + [0] * 12
+        def canonical(bits, vals):
+            code, k, out = 0, 0, {}
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[vals[k]] = (ln, code)
+                    k += 1
+                    code += 1
+                code <<= 1
+            return out
+        dc_map = canonical(dc_bits, dc_vals)
+        ac_map = canonical(ac_bits, ac_syms)
+
+        # quant table (zigzag order): step k+1 so dequant actually scales
+        qzz = [k + 1 for k in range(64)]
+        # chosen zigzag coefficients: DC=5, zz[1]=-3, zz[4]=7 (run 2, size 3)
+        coefs = {0: 5, 1: -3, 4: 7}
+
+        bitsbuf = []
+        def put(v, n):
+            for i in range(n - 1, -1, -1):
+                bitsbuf.append((v >> i) & 1)
+        def put_code(m, sym):
+            ln, code = m[sym]
+            put(code, ln)
+        def vbits(v, t):
+            return v if v >= 0 else v + (1 << t) - 1
+        put_code(dc_map, 3)          # DC category 3
+        put(vbits(5, 3), 3)          # DC value 5
+        put_code(ac_map, 0x01 * 0 + 0x02)  # zz1: size 2
+        put(vbits(-3, 2), 2)
+        put_code(ac_map, 0x23)       # run 2, size 3 -> zz4
+        put(vbits(7, 3), 3)
+        put_code(ac_map, 0x00)       # EOB
+        while len(bitsbuf) % 8:
+            bitsbuf.append(1)
+        entropy = bytearray()
+        for i in range(0, len(bitsbuf), 8):
+            byte = int("".join(map(str, bitsbuf[i : i + 8])), 2)
+            entropy.append(byte)
+            if byte == 0xFF:
+                entropy.append(0x00)
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        jpg = (
+            b"\xff\xd8"
+            + seg(0xDB, b"\x00" + bytes(qzz))
+            + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+            + seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+            + bytes(entropy)
+            + b"\xff\xd9"
+        )
+        out = decode_jpeg(jpg)
+
+        # independent reference: double-loop IDCT over the dequantized grid
+        S = [[0.0] * 8 for _ in range(8)]
+        for zk, v in coefs.items():
+            S[ZZ[zk] // 8][ZZ[zk] % 8] = v * qzz[zk]
+        def cc(u):
+            return 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+        exp = np.zeros((8, 8), dtype=np.uint8)
+        for x in range(8):
+            for yy in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        acc += (
+                            cc(u) * cc(v) / 4.0 * S[u][v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * yy + 1) * v * math.pi / 16)
+                        )
+                exp[x][yy] = max(0, min(255, math.floor(acc + 128.0 + 0.5)))
+        assert np.array_equal(out, exp)
+
+    def test_error_paths(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = self._rng(13)
+        px = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+        good = encode_jpeg(px)
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"XX" + good[2:])
+        # every truncation (except dropping only the EOI, which a lenient
+        # baseline decoder tolerates) raises ValueError, never IndexError
+        for cut in range(2, len(good) - 2):
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_jpeg(good[:cut])
+        # progressive SOF is an honest gap
+        b = bytearray(good)
+        at = bytes(b).index(b"\xff\xc0")
+        b[at + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(b))
+        # 16-bit quant table is an honest gap
+        b = bytearray(good)
+        at = bytes(b).index(b"\xff\xdb")
+        b[at + 4] = 0x10
+        with pytest.raises(NotImplementedError, match="16-bit"):
+            decode_jpeg(bytes(b))
+
+    def test_dispatch_and_plan(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            _jpeg_plan,
+            decode_payload,
+        )
+
+        d = decode_payload(_jpeg_plan(4), "image/jpeg")
+        assert d["kind"] == "image" and (d["width"], d["height"]) == (8, 16)
+        # closed-form gray: block k value (4+17k)%256, blocks stacked 1 wide
+        assert (d["pixels"][:8] == 4).all() and (d["pixels"][8:] == 21).all()
+        d = decode_payload(_jpeg_plan(3), "image/jpeg")
+        assert d["pixels"].shape == (8, 16, 3)

@@ -47,11 +47,18 @@ def test_approx_distinct_within_rsd_bound(spark, sf_dir):
         .collect()
     }
     approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["approx_distinct_users"].fn(spark, sf_dir).collect()
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+    # the catalog query's bounds-oracle contract (r13): exact side exact,
+    # boolean TRUE everywhere — the same assertion the driver hash makes
+    rows = QUERIES["approx_distinct_users"].fn(spark, sf_dir).collect()
+    assert {r["event_type"]: r["exact_users"] for r in rows} == exact
+    assert all(r["approx_within_5pct"] for r in rows)
 
 
 def test_salted_count_distinct_equals_exact(spark, sf_dir):
