@@ -39,6 +39,7 @@ import operator
 import random
 from functools import reduce
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -191,6 +192,88 @@ def _assign_to_centroids(
     )
 
 
+# Above this many centroids the HOF expression path loses: the broadcast
+# nested-loop join evaluates an INTERPRETED fold per (row, centroid) pair,
+# so assignment cost is n·k·dim outside codegen.  Measured (r13,
+# tools/semdedup_scale_probe.py, 20k×64d rows): k=80 assignment via the
+# expression path pushed SemDeDup to 24.7s where the k=8 run took 9.6s —
+# the "scaled cells" configuration was LOSING to the pinned one until
+# assignment went vectorized.  The packed path moves the same arithmetic
+# into one Arrow batch per partition (numpy outer products,
+# dims-sequential so the IEEE op order — and hence every quantized cosine
+# — is bit-identical to the fold; equivalence-tested in
+# tests/test_dedup_similarity.py).
+_ASSIGN_PACKED_MIN_K = 16
+
+
+def _assign_packed(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment: ``(id, cluster, v)`` with
+    the exact :func:`_assign_to_centroids` semantics (quantized cosine,
+    lowest ``c_id`` on ties) — the k ≥ ~16 scale path.  ``v`` keeps the
+    input column's element type so downstream packing/persisting plans are
+    unchanged."""
+    import pandas as pd
+
+    c_ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    vtype = df.schema[vec_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # dims-sequential accumulation == the HOF scalar left fold
+            acc = np.zeros((mat.shape[0], cmat.shape[0]))
+            na = np.zeros(mat.shape[0])
+            nc = np.zeros(cmat.shape[0])
+            for d_ in range(mat.shape[1]):
+                acc = acc + np.multiply.outer(mat[:, d_], cmat[:, d_])
+                na = na + mat[:, d_] * mat[:, d_]
+                nc = nc + cmat[:, d_] * cmat[:, d_]
+            cos = acc / np.multiply.outer(np.sqrt(na), np.sqrt(nc))
+            qi = np.floor(cos * 1e6 + 0.5)  # int compare == quantize6 compare
+            best = qi.max(axis=1, keepdims=True)
+            sentinel = int(c_ids.max()) + 1
+            pick = np.where(qi == best, c_ids[None, :], sentinel).min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cluster": pick,
+                    "v": list(pdf[vec_col]),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"id long, cluster long, v {vtype}"
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Nearest-centroid assignment, auto-dispatching on k: the codegen'd
+    broadcast expression for small centroid sets, the Arrow-batched packed
+    kernel (:func:`_assign_packed`) once k reaches ``_ASSIGN_PACKED_MIN_K``
+    — identical output either way (quantized cosine, min-c_id ties;
+    equivalence-tested)."""
+    if not centroids:
+        raise ValueError("assign_to_centroids: empty centroid list")
+    if len(centroids) >= _ASSIGN_PACKED_MIN_K:
+        return _assign_packed(df, vec_col, id_col, centroids)
+    cdf = df.sparkSession.createDataFrame(
+        centroids, "c_id bigint, c_vec array<double>"
+    )
+    return _assign_to_centroids(df, vec_col, id_col, cdf)
+
+
 def _probe_rank(
     assigned: DataFrame, cents: DataFrame, query: list[float], k: int, nprobe: int
 ) -> DataFrame:
@@ -273,8 +356,7 @@ def kmeans_centroids(
     ]
     dim = len(cents[0][1])
     for _ in range(iters):
-        cdf = df.sparkSession.createDataFrame(cents, "c_id bigint, c_vec array<double>")
-        assigned = _assign_to_centroids(base, "v", "id", cdf)
+        assigned = assign_to_centroids(base, "v", "id", cents)
         comp = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -305,7 +387,7 @@ def ivf_flat_topk_trained(
     better cell balance → better recall at equal nprobe."""
     cents = kmeans_centroids(df, vec_col, id_col, n_centroids, iters)
     cdf = df.sparkSession.createDataFrame(cents, "c_id bigint, c_vec array<double>")
-    assigned = _assign_to_centroids(df, vec_col, id_col, F.broadcast(cdf))
+    assigned = assign_to_centroids(df, vec_col, id_col, cents)
     return _probe_rank(assigned, cdf, query, k, nprobe)
 
 
@@ -320,8 +402,7 @@ def ivf_write_index(
     layout: the production index build.  Reads of ``nprobe`` cells then prune
     at the file listing (PartitionFilters), touching only probed data — the
     100 TB probe path (:func:`ivf_probe_partitioned`)."""
-    cdf = df.sparkSession.createDataFrame(centroids, "c_id bigint, c_vec array<double>")
-    assigned = _assign_to_centroids(df, vec_col, id_col, cdf)
+    assigned = assign_to_centroids(df, vec_col, id_col, centroids)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
 
@@ -702,10 +783,9 @@ def diversity_sample(
         stratified_sample,
     )
 
-    cdf = df.sparkSession.createDataFrame(
-        centroids, "c_id bigint, c_vec array<double>"
+    assigned = assign_to_centroids(df, vec_col, id_col, centroids).select(
+        "id", "cluster"
     )
-    assigned = _assign_to_centroids(df, vec_col, id_col, cdf).select("id", "cluster")
     return stratified_sample(assigned, "cluster", "id", k_per_cluster).select(
         "id", "cluster", "rk"
     )
@@ -718,9 +798,10 @@ def auto_n_centroids(n_rows: int, target_cell: int = 250) -> int:
     cosine is O(cell²), so cells must NOT grow with the corpus.  Callers at
     scale should derive ``n_centroids`` from this (train k-means at that k)
     rather than inherit a fixed count from an oracle-pinned configuration.
-    Measured (r13, tools/semdedup_scale_probe.py): 10× corpus at the pinned
-    8 cells = 7.5× wall (super-linear, cells grew 10×); at the scaled 80
-    cells = ~1× per-row wall (cells constant)."""
+    Measured (r13, tools/semdedup_scale_probe.py → PLANS.md
+    §semdedup-cell-scaling): 10× corpus at the pinned 8 cells = 6.6× wall
+    (super-linear, cells grew 10×); at the scaled 80 cells = 0.95× wall
+    (flat — constant cells, 10× more of them, parallel slack absorbs it)."""
     return max(8, int(n_rows) // max(1, int(target_cell)))
 
 
@@ -771,17 +852,13 @@ def semantic_dedup_pairs(
     Scale rule: ``n_centroids`` must grow ∝ corpus so cells stay
     constant-size (:func:`auto_n_centroids`); the catalog row pins 8 cells
     only for oracle reproducibility.  Measured (r13,
-    tools/semdedup_scale_probe.py, 2k → 20k vectors): pinned 8 cells → 7.5×
-    wall at 10× data; scaled 80 cells → ~linear.  ``sub_blocks`` is the
+    tools/semdedup_scale_probe.py, 2k → 20k vectors): pinned 8 cells → 6.6×
+    wall at 10× data; scaled 80 cells → 0.95× (flat).  ``sub_blocks`` is the
     orthogonal knob for a single hot cell the centroid layout can't split.
     """
-    import numpy as np
     import pandas as pd
 
-    cdf = df.sparkSession.createDataFrame(
-        centroids, "c_id bigint, c_vec array<double>"
-    )
-    assigned = _assign_to_centroids(df, vec_col, id_col, cdf)
+    assigned = assign_to_centroids(df, vec_col, id_col, centroids)
     nb = max(1, sub_blocks)
     packed = (
         assigned.withColumn(
@@ -895,7 +972,7 @@ def ivfpq_residuals(
     already removed the cell mean).  Plain elementwise IEEE subtraction, so
     the SQL twin is exact."""
     cdf = df.sparkSession.createDataFrame(coarse, "c_id bigint, c_vec array<double>")
-    assigned = _assign_to_centroids(df, vec_col, id_col, cdf)
+    assigned = assign_to_centroids(df, vec_col, id_col, coarse)
     return assigned.join(
         F.broadcast(cdf), assigned["cluster"] == cdf["c_id"]
     ).select(

@@ -847,3 +847,47 @@ def test_semantic_dedup_sub_blocking_output_invariant(spark):
     ]
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) > 50  # the tight cluster produces many pairs
+
+
+def test_packed_assignment_matches_expression_path(spark, sf_dir):
+    """The Arrow-batched nearest-centroid kernel (k >= _ASSIGN_PACKED_MIN_K)
+    must reproduce the HOF expression path's assignment EXACTLY — quantized
+    cosine, lowest-c_id ties — on real embeddings with a centroid count
+    above the dispatch threshold (r13: the semdedup scale probe found the
+    expression path interpreting n*k cosine folds, 2.5x the whole query at
+    k=80)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        _ASSIGN_PACKED_MIN_K,
+        _assign_packed,
+        _assign_to_centroids,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = max(20, _ASSIGN_PACKED_MIN_K + 4)
+    cents = kmeans_centroids(e, "embedding", "vec_id", n_centroids=k, iters=1)
+    cdf = spark.createDataFrame(cents, "c_id bigint, c_vec array<double>")
+    expr = {
+        r["id"]: r["cluster"]
+        for r in _assign_to_centroids(e, "embedding", "vec_id", cdf).collect()
+    }
+    packed = {
+        r["id"]: r["cluster"]
+        for r in _assign_packed(e, "embedding", "vec_id", cents).collect()
+    }
+    assert packed == expr
+    assert len(packed) == e.count()
+    # v keeps the input element type (downstream pack/persist plans unchanged)
+    vt = dict(_assign_packed(e, "embedding", "vec_id", cents).dtypes)["v"]
+    assert vt == dict(e.dtypes)["embedding"]
+
+
+def test_auto_n_centroids_rule():
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        auto_n_centroids,
+    )
+
+    assert auto_n_centroids(2_000) == 8        # the sf0.1 pin reproduced
+    assert auto_n_centroids(20_000) == 80      # 10x corpus -> 10x cells
+    assert auto_n_centroids(100) == 8          # floor
