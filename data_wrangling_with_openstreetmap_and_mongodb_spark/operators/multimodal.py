@@ -233,9 +233,17 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel in the FILTERED stream (supported subset;
-# palette type 3 carries 1 index byte per pixel and expands after unfilter)
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+# color type -> samples per pixel in the FILTERED stream (palette type 3
+# carries 1 index per pixel and expands after unfilter)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# spec-valid bit depths per color type (PNG spec, ISO/IEC 15948 §11.2.2)
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -260,28 +268,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(px: np.ndarray, row_filters=None) -> bytes:
-    """Encode a uint8 array as an 8-bit PNG: ``(h, w)`` → greyscale (color
-    type 0), ``(h, w, 3)`` → RGB (2), ``(h, w, 4)`` → RGBA (6).
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    ``row_filters`` picks the scanline filter per row (default: row ``y``
-    uses filter ``y % 5``, so any image taller than 4 rows exercises every
-    filter type — None/Sub/Up/Average/Paeth all have to be applied AND
-    inverted correctly for a round trip to be pixel-exact).  Filtering is
-    vectorized per row (the encoder only needs the RAW previous row, so
-    there is no sequential dependency on the encode side)."""
-    import zlib
 
-    px = np.asarray(px, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    color_type = {1: 0, 3: 2, 4: 6}.get(ch)
-    if color_type is None:
-        raise ValueError(f"unsupported channel count {ch} (want 1/3/4)")
-    bpp = ch  # bytes per pixel at bit depth 8
-    raw = px.reshape(h, w * ch).astype(np.int16)
-    zero = np.zeros(w * ch, dtype=np.int16)
+def _png_filter_scanlines(
+    raw: np.ndarray, bpp: int, row_filters=None
+) -> bytes:
+    """Apply PNG scanline filters to a ``(h, stride)`` int16 byte matrix
+    (default: row ``y`` uses filter ``y % 5``).  Vectorized per row — the
+    encoder only needs the RAW previous row, so there is no sequential
+    dependency on the encode side."""
+    h, stride = raw.shape
+    zero = np.zeros(stride, dtype=np.int16)
     out = bytearray()
     for y in range(h):
         f = (y % 5) if row_filters is None else int(row_filters[y])
@@ -301,14 +303,51 @@ def encode_png(px: np.ndarray, row_filters=None) -> bytes:
             pred = np.fromiter(
                 (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, upleft)),
                 dtype=np.int16,
-                count=w * ch,
+                count=stride,
             )
             filt = cur - pred
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out.append(f)
         out += (filt % 256).astype(np.uint8).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return bytes(out)
+
+
+def encode_png(px: np.ndarray, row_filters=None, interlace: bool = False) -> bytes:
+    """Encode a uint8 array as an 8-bit PNG: ``(h, w)`` → greyscale (color
+    type 0), ``(h, w, 3)`` → RGB (2), ``(h, w, 4)`` → RGBA (6).
+
+    ``row_filters`` picks the scanline filter per row (default: row ``y``
+    uses filter ``y % 5``, so any image taller than 4 rows exercises every
+    filter type — None/Sub/Up/Average/Paeth all have to be applied AND
+    inverted correctly for a round trip to be pixel-exact).
+    ``interlace=True`` (r13) writes Adam7: each pass extracts its pixel
+    grid, filters independently (filter memory resets per pass, per the
+    spec), and the passes concatenate into one zlib stream."""
+    import zlib
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch} (want 1/3/4)")
+    bpp = ch  # bytes per pixel at bit depth 8
+    if not interlace:
+        raw = px.reshape(h, w * ch).astype(np.int16)
+        out = _png_filter_scanlines(raw, bpp, row_filters)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            raw = sub.reshape(ph, pw * ch).astype(np.int16)
+            parts.append(_png_filter_scanlines(raw, bpp, row_filters=None))
+        out = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -369,19 +408,85 @@ def encode_palette_png(
     return chunks + _png_chunk(b"IDAT", zlib.compress(bytes(out))) + _png_chunk(b"IEND", b"")
 
 
-def decode_png(b: bytes) -> np.ndarray:
-    """Decode an 8-bit greyscale/RGB/palette/RGBA PNG to a uint8 ``(h, w)``
-    / ``(h, w, 3)`` / ``(h, w, 4)`` array.
+def _png_unfilter(data: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Invert PNG scanline filters over ``h`` rows of ``stride`` bytes
+    (``data`` is exactly ``h*(stride+1)`` filtered bytes).  Sequential:
+    Sub/Average/Paeth reference the RECONSTRUCTED left neighbor."""
+    prior = bytearray(stride)
+    rows = []
+    for y in range(h):
+        off = y * (stride + 1)
+        f = data[off]
+        line = bytearray(data[off + 1 : off + 1 + stride])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                upleft = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prior[x], upleft)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG scanline filter {f} at row {y}")
+        prior = line
+        rows.append(bytes(line))
+    return b"".join(rows)
 
-    Full format walk: signature, big-endian chunk framing with CRC-32
-    verification on every chunk, IHDR validation, multi-IDAT concatenation,
-    zlib inflate, then sequential scanline unfiltering (Sub/Average/Paeth
-    reference the RECONSTRUCTED left neighbor, so the inner loop is
-    inherently order-dependent; Up/None vectorize).  Palette images (color
-    type 3, 8-bit indices) expand through PLTE to RGB — or to RGBA when a
-    tRNS chunk supplies per-entry alpha — with out-of-range indices a
-    ``ValueError``, never a silent wrap.  Sub-8/16-bit depth and interlace
-    raise ``NotImplementedError``; framing/CRC damage raises
+
+def _png_rows_to_samples(
+    rows: bytes, h: int, stride: int, w: int, ch: int, depth: int
+) -> np.ndarray:
+    """Unfiltered row bytes → ``(h, w, ch)`` sample array (uint8, or uint16
+    at depth 16; sub-8-bit samples are the RAW 1/2/4-bit values — scaling
+    to 8-bit is the caller's per-color-type concern)."""
+    if depth == 8:
+        return (
+            np.frombuffer(rows, dtype=np.uint8)
+            .reshape(h, stride)[:, : w * ch]
+            .reshape(h, w, ch)
+        )
+    if depth == 16:
+        return (
+            np.frombuffer(rows, dtype=">u2")
+            .reshape(h, stride // 2)[:, : w * ch]
+            .reshape(h, w, ch)
+            .astype(np.uint16)
+        )
+    # 1/2/4-bit (ch == 1 only: grey or palette indices), MSB-first packing
+    bits = np.unpackbits(
+        np.frombuffer(rows, dtype=np.uint8).reshape(h, stride), axis=1
+    )
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (
+        bits.reshape(h, stride * 8 // depth, depth) @ weights
+    ).astype(np.uint8)
+    return vals[:, :w].reshape(h, w, 1)
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Decode a PNG to a pixel array: greyscale → ``(h, w)``, grey+alpha →
+    ``(h, w, 2)``, RGB → ``(h, w, 3)``, RGBA → ``(h, w, 4)``; dtype uint8,
+    or uint16 for 16-bit images (no silent precision loss).
+
+    Full baseline coverage (r13 closed the depth/interlace gaps): all five
+    color types, bit depths 1/2/4/8/16 per the spec's valid combinations,
+    and Adam7 interlace (seven passes, filter memory reset per pass,
+    scattered back on the pass grids).  Sub-8-bit greys scale to 8-bit
+    (×255/85/17 — exact); palette indices stay raw at any depth and expand
+    through PLTE to RGB — or RGBA when a tRNS chunk supplies per-entry
+    alpha — with out-of-range indices a ``ValueError``, never a silent
+    wrap.  Signature, big-endian chunk framing with CRC-32 verification on
+    every chunk, IHDR validation, multi-IDAT concatenation, zlib inflate.
+    Invalid depth/color-type combinations and framing/CRC damage raise
     ``ValueError``."""
     import zlib
 
@@ -424,49 +529,52 @@ def decode_png(b: bytes) -> np.ndarray:
     )
     if comp != 0 or filt_method != 0:
         raise ValueError(f"bad IHDR compression/filter method ({comp}/{filt_method})")
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit non-interlaced grey/RGB/palette/RGBA PNG supported "
-            f"(got depth={depth}, color_type={color_type}, interlace={interlace})"
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if depth not in _PNG_VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"invalid PNG depth {depth} for color type {color_type} "
+            f"(spec allows {_PNG_VALID_DEPTHS[color_type]})"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG (color type 3) missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
-    bpp = ch
-    stride = w * ch
     data = zlib.decompress(bytes(idat))
-    if len(data) != (stride + 1) * h:
-        raise ValueError(
-            f"PNG pixel data length {len(data)} != expected {(stride + 1) * h}"
+
+    def sub_image(pw: int, ph: int, offset: int) -> tuple[np.ndarray, int]:
+        stride = (pw * ch * depth + 7) // 8
+        bpp = max(1, ch * depth // 8)
+        need = (stride + 1) * ph
+        if offset + need > len(data):
+            raise ValueError(
+                f"PNG pixel data length {len(data)} < expected {offset + need}"
+            )
+        rows = _png_unfilter(data[offset : offset + need], ph, stride, bpp)
+        return _png_rows_to_samples(rows, ph, stride, pw, ch, depth), need
+
+    if interlace == 0:
+        px, used = sub_image(w, h, 0)
+    else:  # Adam7: seven passes, filter memory reset per pass
+        px = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
         )
-    prior = bytearray(stride)
-    rows = []
-    for y in range(h):
-        off = y * (stride + 1)
-        f = data[off]
-        line = bytearray(data[off + 1 : off + 1 + stride])
-        if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prior[x]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                upleft = prior[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(left, prior[x], upleft)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG scanline filter {f} at row {y}")
-        prior = line
-        rows.append(bytes(line))
-    px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, ch)
+        used = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, n_used = sub_image(pw, ph, used)
+            used += n_used
+            px[y0::dy, x0::dx] = sub
+    if used != len(data):
+        raise ValueError(
+            f"PNG pixel data length {len(data)} != expected {used}"
+        )
+    if color_type == 0 and depth < 8:
+        px = (px * np.uint8({1: 255, 2: 85, 4: 17}[depth])).astype(np.uint8)
     if color_type == 3:
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
@@ -848,7 +956,7 @@ PNG_FEATURE_SCHEMA = (
     "n_samples long, mean_c0 double, mean_luma double, mean_alpha double"
 )
 
-_PNG_KIND = {0: "grey", 1: "rgb", 2: "rgba"}
+_PNG_KIND = {0: "grey", 1: "rgb", 2: "rgba", 3: "grey_alpha"}
 
 
 def _png_plan(doc_id: int) -> bytes:
@@ -915,13 +1023,19 @@ def extract_png_features(with_payload: DataFrame) -> DataFrame:
                 n = w * h
                 row = {
                     "doc_id": doc_id,
-                    "png_type": _PNG_KIND[{1: 0, 3: 1, 4: 2}[ch]],
+                    "png_type": _PNG_KIND[{1: 0, 2: 3, 3: 1, 4: 2}[ch]],
                     "width": w, "height": h, "n_channels": ch, "n_samples": n,
                     "mean_c0": None, "mean_luma": None, "mean_alpha": None,
                 }
                 if ch == 1:
                     s0 = int(px.sum())
                     row.update(mean_c0=s0 / n, mean_luma=s0 / n)
+                elif ch == 2:  # grey + alpha (color type 4, r13)
+                    s0 = int(px[:, :, 0].sum())
+                    row.update(
+                        mean_c0=s0 / n, mean_luma=s0 / n,
+                        mean_alpha=int(px[:, :, 1].sum()) / n,
+                    )
                 else:
                     sr, sg, sb = (int(px[:, :, c].sum()) for c in range(3))
                     row.update(

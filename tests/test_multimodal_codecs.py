@@ -167,7 +167,10 @@ class TestPng:
         with pytest.raises(ValueError, match="truncated"):
             decode_png(encode_png(GOLDEN_2X2)[:-8])
 
-    def test_unsupported_variants_raise(self):
+    def test_invalid_variants_raise(self):
+        """r13 closed the depth/interlace gaps, so the remaining rejections
+        are spec-INVALID combinations (ValueError, not NotImplementedError)
+        and header/data mismatches."""
         import struct as st
         import zlib
 
@@ -180,12 +183,120 @@ class TestPng:
             )
             return bytes(b)
 
-        with pytest.raises(NotImplementedError, match="depth=16"):
+        with pytest.raises(ValueError, match="invalid PNG depth"):
+            decode_png(with_ihdr(16, 3, 0))  # 16-bit palette: spec-invalid
+        with pytest.raises(ValueError, match="invalid PNG depth"):
+            decode_png(with_ihdr(4, 2, 0))  # 4-bit RGB: spec-invalid
+        with pytest.raises(ValueError, match="interlace"):
+            decode_png(with_ihdr(8, 2, 7))  # unknown interlace method
+        with pytest.raises(ValueError, match="color type"):
+            decode_png(with_ihdr(8, 5, 0))  # no such color type
+        # valid combo whose data length no longer matches the mangled header
+        with pytest.raises(ValueError, match="pixel data length"):
             decode_png(with_ihdr(16, 2, 0))
-        with pytest.raises(NotImplementedError, match="depth=4"):
-            decode_png(with_ihdr(4, 3, 0))
-        with pytest.raises(NotImplementedError, match="interlace=1"):
-            decode_png(with_ihdr(8, 2, 1))
+
+    @pytest.mark.parametrize("ch", [1, 3, 4])
+    @pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (7, 5), (8, 8), (13, 11)])
+    def test_adam7_interlace_roundtrip(self, ch, w, h):
+        """Adam7 encode→decode is pixel-exact for every channel count and
+        for dimensions that leave some passes empty (w or h < pass step) —
+        the pass-grid scatter and per-pass filter reset both have to be
+        right."""
+        rng = np.random.RandomState(ch * 100 + w * 10 + h)  # test-only rand
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(encode_png(px, interlace=True))
+        assert out.shape == shape and np.array_equal(out, px)
+
+    @staticmethod
+    def _assemble_png(w, h, depth, color_type, row_chunks, plte=None,
+                      interlace=0):
+        """Hand-assemble a PNG from pre-packed scanline payloads
+        (``row_chunks`` = list of per-row packed sample bytes, filter 0) —
+        independent of encode_png, which writes 8-bit only."""
+        import struct as st
+        import zlib
+
+        def chunk(t, d):
+            return (
+                st.pack(">I", len(d)) + t + d
+                + st.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        scan = b"".join(b"\x00" + r for r in row_chunks)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", st.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+    def test_16bit_grey_and_rgb_decode(self):
+        """16-bit samples decode to uint16 with no precision loss."""
+        import struct as st
+
+        vals = [[0, 65535, 256], [12345, 1, 65280]]
+        rows = [b"".join(st.pack(">H", v) for v in r) for r in vals]
+        out = decode_png(self._assemble_png(3, 2, 16, 0, rows))
+        assert out.dtype == np.uint16 and out.tolist() == vals
+        # RGB16: one pixel
+        row = st.pack(">HHH", 65535, 0, 513)
+        out = decode_png(self._assemble_png(1, 1, 16, 2, [row]))
+        assert out.dtype == np.uint16 and out.tolist() == [[[65535, 0, 513]]]
+
+    @pytest.mark.parametrize("depth,scale", [(1, 255), (2, 85), (4, 17)])
+    def test_sub8_grey_scales_exactly(self, depth, scale):
+        """1/2/4-bit greys: MSB-first unpacking, row-end bit padding
+        dropped, values scaled by the exact 255/(2^d-1) factor."""
+        maxv = (1 << depth) - 1
+        w = 5  # not a multiple of 8/depth: exercises padding crop
+        vals = [(i * 3) % (maxv + 1) for i in range(w)]
+        packed = 0
+        nbits = 0
+        out_bytes = bytearray()
+        for v in vals:
+            packed = (packed << depth) | v
+            nbits += depth
+            if nbits == 8:
+                out_bytes.append(packed)
+                packed, nbits = 0, 0
+        if nbits:
+            out_bytes.append(packed << (8 - nbits))
+        out = decode_png(self._assemble_png(w, 1, depth, 0, [bytes(out_bytes)]))
+        assert out.tolist() == [[v * scale for v in vals]]
+
+    def test_sub8_palette_decode(self):
+        """2-bit palette indices expand through PLTE."""
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+        # indices 0,1,2,3 in one packed byte (2 bits each, MSB-first)
+        row = bytes([0b00011011])
+        out = decode_png(self._assemble_png(4, 1, 2, 3, [row], plte=plte))
+        assert out.tolist() == [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]]
+        ]
+
+    def test_grey_alpha_decode(self):
+        """Color type 4 (grey + alpha) → (h, w, 2)."""
+        rows = [bytes([10, 255, 200, 128])]  # two pixels: (g, a) pairs
+        out = decode_png(self._assemble_png(2, 1, 8, 4, rows))
+        assert out.shape == (1, 2, 2)
+        assert out.tolist() == [[[10, 255], [200, 128]]]
+
+    def test_16bit_interlaced_decode(self):
+        """Adam7 at depth 16: a 2x2 image hits passes 1/6/7 only; the
+        assembler packs each pass's rows in pass order."""
+        import struct as st
+
+        # pixels: (0,0)=1000 (pass1), (1,0)=2000 (pass6), row y=1 (pass7):
+        # (0,1)=3000, (1,1)=4000
+        chunks = [
+            st.pack(">H", 1000),            # pass 1: 1x1
+            st.pack(">H", 2000),            # pass 6: 1x1 (x0=1, dy=2)
+            st.pack(">HH", 3000, 4000),     # pass 7: 2x1 (y0=1)
+        ]
+        out = decode_png(self._assemble_png(2, 2, 16, 0, chunks, interlace=1))
+        assert out.dtype == np.uint16
+        assert out.tolist() == [[1000, 2000], [3000, 4000]]
 
     @staticmethod
     def _palette_png(indices, plte, trns=None):
@@ -242,6 +353,10 @@ class TestPng:
 class TestDispatch:
     def test_unknown_format_raises(self):
         with pytest.raises(NotImplementedError, match="no codec"):
+            decode_payload(b"\xff\xfb\x90...", "audio/mp3")
+        # image/jpeg dispatches to the real r13 codec now; a malformed
+        # payload is the codec's ValueError, not a missing-codec gap
+        with pytest.raises(ValueError, match="truncated JPEG"):
             decode_payload(b"\xff\xd8\xff...", "image/jpeg")
 
     def test_real_formats_dispatch(self):
