@@ -15,9 +15,11 @@ Two decode tiers:
   inflate, all five scanline unfilters, PLTE/tRNS expansion),
   multi-frame GIF87a/89a (:func:`decode_gif` — full GIF-variant LZW with
   growing code widths, global/local color tables, interlace, GCE delays),
-  and baseline sequential JPEG (:func:`decode_jpeg` — marker walk, DQT/DHT
-  read from the file, Huffman entropy decode with unstuffing + restart
-  markers, dequantize/dezigzag/IDCT, YCbCr→RGB, 4:2:0 upsampling).
+  and JPEG — baseline sequential AND progressive/SOF2 (:func:`decode_jpeg`
+  — marker walk, DQT/DHT read from the file, Huffman entropy decode with
+  unstuffing + restart markers, spectral selection + successive
+  approximation + EOB runs for progressive, dequantize/dezigzag/IDCT,
+  YCbCr→RGB, 4:2:0 upsampling).
   No external libraries; encode and
   decode are independent implementations (the WAV encoder is CPython's
   ``wave`` module, the decoder is a hand-written RIFF parser; the BMP/PNG
@@ -1510,9 +1512,11 @@ _DCT_M = _dct_matrix()
 # forbidden all-ones).  Valid per T.81, zero compression — the decoder
 # builds its tables generically from the DHT segment, so any table works.
 _ENC_DC_VALS = list(range(12))  # DC categories 0..11
-_ENC_AC_VALS = [0x00] + [
+# EOB0..EOB14 (progressive EOB-run lengths; baseline uses only 0x00), the
+# (run, size) matrix, and ZRL — 176 symbols, all 8-bit codes
+_ENC_AC_VALS = [r << 4 for r in range(15)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
-] + [0xF0]  # EOB, (run,size), ZRL
+] + [0xF0]
 
 
 def _enc_bits_vals(vals: list[int]) -> tuple[bytes, bytes]:
@@ -1561,6 +1565,178 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+_AC_IDX = {v: i for i, v in enumerate(_ENC_AC_VALS)}
+_DC_IDX = {v: i for i, v in enumerate(_ENC_DC_VALS)}
+
+
+def _encode_jpeg_progressive_scans(
+    blocks, samp, ncomp, mcux, mcuy, w, h, hmax, vmax
+) -> bytes:
+    """Emit the progressive (SOF2) scan script over pre-quantized zigzag
+    blocks: interleaved DC-first (Al=1) → DC-refine (raw bits) → per
+    component AC-first (Ss=1..63, Al=1, EOB runs) → AC-refine (magnitude
+    correction bits).  Every successive-approximation mechanism the decoder
+    implements gets exercised: point transforms, multi-block EOB runs, and
+    correction bits buffered through runs and emitted after the next code.
+    """
+    out = bytearray()
+
+    def sos_hdr(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (tid << 4) | tid])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    def mcu_block_order(ci: int):
+        hi, vi = samp[ci]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        yield blocks[ci][(mx * hi + bxx, my * vi + byy)]
+
+    def ni_block_order(ci: int):
+        """Non-interleaved grid: ceil of the component's OWN dimensions."""
+        hi, vi = samp[ci]
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        for by in range(-(-chh // 8)):
+            for bx in range(-(-cw // 8)):
+                yield blocks[ci][(bx, by)]
+
+    # --- scan 1: DC first, interleaved, Al=1 -------------------------------
+    bw = _JpegBitWriter()
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        dc = int(blocks[ci][(mx * hi + bxx, my * vi + byy)][0]) >> 1
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t = _jpeg_category(diff)
+                        bw.write(_DC_IDX[t], 8)
+                        if t:
+                            bw.write(_jpeg_value_bits(diff, t), t)
+    bw.flush()
+    out += _seg(0xDA, sos_hdr(list(range(ncomp)), 0, 0, 0, 1)) + bw.out
+
+    # --- scan 2: DC refine, interleaved, Ah=1 Al=0 (raw bits, no codes) ----
+    bw = _JpegBitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        dc = int(blocks[ci][(mx * hi + bxx, my * vi + byy)][0])
+                        bw.write(dc & 1, 1)
+    bw.flush()
+    out += _seg(0xDA, sos_hdr(list(range(ncomp)), 0, 0, 1, 0)) + bw.out
+
+    # --- per component: AC first then AC refine ----------------------------
+    for ci in range(ncomp):
+        # AC first: Ss=1 Se=63 Ah=0 Al=1, values at half magnitude
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            bw.write(_AC_IDX[r << 4], 8)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for zz in ni_block_order(ci):
+            v64 = [int(v) for v in zz]
+            vals = [v >> 1 if v >= 0 else -((-v) >> 1) for v in v64]
+            last = max((k for k in range(1, 64) if vals[k]), default=0)
+            if last == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for k in range(1, last + 1):
+                v = vals[k]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    bw.write(_AC_IDX[0xF0], 8)
+                    r -= 16
+                s = _jpeg_category(v)
+                bw.write(_AC_IDX[(r << 4) | s], 8)
+                bw.write(_jpeg_value_bits(v, s), s)
+                r = 0
+            if last < 63:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.flush()
+        out += _seg(0xDA, sos_hdr([ci], 1, 63, 0, 1)) + bw.out
+
+        # AC refine: Ah=1 Al=0 — correction bits + newly-significant ±1
+        bw = _JpegBitWriter()
+        eobrun = 0
+        pending: list[int] = []
+
+        def flush_eob_refine():
+            nonlocal eobrun, pending
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                bw.write(_AC_IDX[r << 4], 8)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+
+        for zz in ni_block_order(ci):
+            v64 = [int(v) for v in zz]
+            t = [abs(v) for v in v64]  # Al=0: magnitude at this scale
+            last = max((k for k in range(1, 64) if t[k]), default=0)
+            r = 0
+            br_bits: list[int] = []
+            for k in range(1, last + 1):
+                if t[k] == 0:
+                    r += 1
+                elif t[k] > 1:
+                    br_bits.append(t[k] & 1)
+                else:  # newly significant at this scan (magnitude 1)
+                    flush_eob_refine()
+                    while r > 15:
+                        bw.write(_AC_IDX[0xF0], 8)
+                        for bit in br_bits:
+                            bw.write(bit, 1)
+                        br_bits = []
+                        r -= 16
+                    bw.write(_AC_IDX[(r << 4) | 1], 8)
+                    bw.write(1 if v64[k] > 0 else 0, 1)
+                    for bit in br_bits:
+                        bw.write(bit, 1)
+                    br_bits = []
+                    r = 0
+            if r > 0 or br_bits or last < 63:
+                eobrun += 1
+                pending.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob_refine()
+        flush_eob_refine()
+        bw.flush()
+        out += _seg(0xDA, sos_hdr([ci], 1, 63, 1, 0)) + bw.out
+    return bytes(out)
+
+
 def encode_jpeg(
     px: np.ndarray,
     *,
@@ -1569,15 +1745,22 @@ def encode_jpeg(
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode a uint8 array as a baseline JFIF JPEG: ``(h, w)`` → grayscale,
+    """Encode a uint8 array as a JFIF JPEG: ``(h, w)`` → grayscale,
     ``(h, w, 3)`` → color (RGB by default; ``ycbcr=True`` treats the planes
     as already-YCbCr, the exactness path the oracle uses).  ``subsample``
     picks 4:2:0 (2x2 luma sampling, chroma from 2x2 plane means); default
     is 4:4:4.  Quant tables are zigzag-ordered length-64 int arrays
     (default: DC step 8, AC step 16).  Dimensions not multiples of the MCU
     size pad by edge replication.  ``restart_interval`` > 0 emits DRI +
-    RSTn markers every that many MCUs."""
+    RSTn markers every that many MCUs (sequential mode only).
+    ``progressive=True`` (r13) writes SOF2 with the standard scan script —
+    interleaved DC first/refine, per-component AC first/refine with EOB
+    runs — exercising every successive-approximation mechanism the decoder
+    implements; the two modes share only the forward DCT/quantization, so
+    cross-mode decode equality is a real equivalence check
+    (tests/test_multimodal_codecs.py::TestJpegProgressive)."""
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and px.shape[2] != 3:
@@ -1657,7 +1840,7 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     dc_bits, dc_vals = _enc_bits_vals(_ENC_DC_VALS)
     ac_bits, ac_vals = _enc_bits_vals(_ENC_AC_VALS)
     out += _seg(0xC4, b"\x00" + dc_bits + dc_vals)  # DC table 0
@@ -1665,6 +1848,16 @@ def encode_jpeg(
     if not gray:
         out += _seg(0xC4, b"\x01" + dc_bits + dc_vals)
         out += _seg(0xC4, b"\x11" + ac_bits + ac_vals)
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "restart_interval with progressive encode not supported"
+            )
+        out += _encode_jpeg_progressive_scans(
+            blocks, samp, ncomp, mcux, mcuy, w, h, hmax, vmax
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -1806,14 +1999,59 @@ class _JpegBitReader:
         self.pos += 2
 
 
+def _jpeg_reconstruct(comps, coefs, qt, fw: int, fh: int) -> np.ndarray:
+    """Shared back half of both JPEG decode paths: dequantize + batched 8x8
+    IDCT + replication upsample + crop + JFIF YCbCr→RGB over accumulated
+    ZIGZAG-order coefficient grids (one ``(ny, nx, 64)`` int array per
+    frame component).  The batched ``_DCT_M.T @ X @ _DCT_M`` keeps the
+    per-element float op order of the single-block form."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for si, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError(f"missing quant table {c['tq']}")
+        arr = coefs[si]
+        ny, nx = arr.shape[:2]
+        raster = np.zeros((ny, nx, 64), dtype=np.float64)
+        raster[:, :, _JPEG_ZIGZAG] = arr
+        deq = (raster * q.astype(np.float64)).reshape(ny, nx, 8, 8)
+        blk = np.matmul(np.matmul(_DCT_M.T, deq), _DCT_M) + 128.0
+        blk = np.clip(np.floor(blk + 0.5), 0, 255).astype(np.uint8)
+        plane = blk.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:fh, :fw])
+    if len(comps) == 1:
+        return np.ascontiguousarray(full[0])
+    if len(comps) != 3:
+        raise NotImplementedError(f"{len(comps)}-component JPEG")
+    y = full[0].astype(np.float64)
+    cb = full[1].astype(np.float64) - 128.0
+    cr = full[2].astype(np.float64) - 128.0
+    r = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255)
+    g = np.clip(np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255)
+    bch = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255)
+    return np.ascontiguousarray(
+        np.stack([r, g, bch], axis=-1).astype(np.uint8)
+    )
+
+
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF JPEG to a uint8 array: ``(h, w)``
-    for grayscale, ``(h, w, 3)`` RGB for color (YCbCr converted with the
-    JFIF constants, floor(x+0.5) rounding).  Reads quantization and Huffman
-    tables from the file; handles 4:4:4 and subsampled (e.g. 4:2:0) scans
-    via per-component MCU grids with nearest-replication upsampling, DRI/
-    RSTn restart intervals, and byte unstuffing.  Progressive, extended,
-    lossless, and arithmetic SOFs plus 16-bit DQTs raise
+    """Decode a JFIF JPEG to a uint8 array: ``(h, w)`` for grayscale,
+    ``(h, w, 3)`` RGB for color (JFIF YCbCr constants, floor(x+0.5)
+    rounding).  Handles BOTH baseline sequential (SOF0) and progressive
+    (SOF2, r13): spectral selection, successive approximation (DC shift/OR
+    refinement, AC magnitude-correction refinement), EOB runs, interleaved
+    DC scans and per-component AC scans over non-interleaved block grids.
+    Reads quantization and Huffman tables from the file; 4:4:4 and
+    subsampled (e.g. 4:2:0) frames via per-component MCU grids with
+    nearest-replication upsampling; DRI/RSTn restart intervals (MCU-counted
+    in interleaved scans, block-counted in non-interleaved); byte
+    unstuffing.  Extended/lossless/arithmetic SOFs, 16-bit DQTs, and
+    non-interleaved multi-scan SEQUENTIAL files raise
     ``NotImplementedError``; malformed or truncated framing raises
     ``ValueError``."""
     if b[:2] != b"\xff\xd8":
@@ -1824,6 +2062,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     sof = None
     dri = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    scans_seen = 0
 
     def need(n: int, what: str) -> None:
         if pos + n > len(b):
@@ -1837,7 +2078,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             pos += 1  # fill bytes
         marker = b[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and scans_seen:
+                return _jpeg_reconstruct(
+                    sof["comps"], coefs, qt, sof["w"], sof["h"]
+                )
             raise ValueError("JPEG ended (EOI) before a scan")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -1874,119 +2119,276 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = seg[i + 17 : i + 17 + nvals]
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huff_table(bits, vals)
                 i += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision JPEG")
+            if fh == 0 or fw == 0:
+                raise ValueError(f"empty JPEG frame ({fw}x{fh})")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3 : 9 + ci * 3]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            sof = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            for c in comps:
+                # non-interleaved block grid: ceil of the COMPONENT's own
+                # sample dimensions (T.81 A.2.2), inside the MCU-padded grid
+                cw = -(-fw * c["h"] // hmax)
+                chh = -(-fh * c["v"] // vmax)
+                c["bx_ni"], c["by_ni"] = -(-cw // 8), -(-chh // 8)
+            sof = {
+                "h": fh, "w": fw, "comps": comps,
+                "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            }
+            progressive = marker == 0xC2
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kinds = {0xC2: "progressive", 0xC3: "lossless", 0xC1: "extended"}
+            kinds = {0xC3: "lossless", 0xC1: "extended"}
             raise NotImplementedError(
                 f"{kinds.get(marker, 'non-baseline')} JPEG (SOF 0x{marker:02x}) "
-                "not supported — baseline sequential (SOF0) only"
+                "not supported — baseline sequential (SOF0) and progressive "
+                "(SOF2) only"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             (dri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS: entropy decode follows
             if sof is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
+            if not seg:
+                raise ValueError("truncated SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS component list")
             scan = []
+            sidx = []
             for si in range(ns):
                 cid, tt = seg[1 + si * 2 : 3 + si * 2]
-                comp = next(c for c in sof["comps"] if c["id"] == cid)
-                scan.append({**comp, "dc": tt >> 4, "ac": tt & 15})
-            fh, fw = sof["h"], sof["w"]
-            hmax = max(c["h"] for c in scan)
-            vmax = max(c["v"] for c in scan)
-            mcux = -(-fw // (8 * hmax))
-            mcuy = -(-fh // (8 * vmax))
-            planes = [
-                np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.uint8)
-                for c in scan
-            ]
+                ci = next(
+                    (i for i, c in enumerate(sof["comps"]) if c["id"] == cid),
+                    None,
+                )
+                if ci is None:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                scan.append({**sof["comps"][ci], "dc": tt >> 4, "ac": tt & 15})
+                sidx.append(ci)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             br = _JpegBitReader(b, pos)
-            pred = [0] * ns
-            rst_idx = 0
-            mcu_count = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if dri and mcu_count and mcu_count % dri == 0:
-                        br.restart(rst_idx)
-                        rst_idx = (rst_idx + 1) % 8
-                        pred = [0] * ns
-                    for si, c in enumerate(scan):
-                        q = qt.get(c["tq"])
-                        if q is None:
-                            raise ValueError(f"missing quant table {c['tq']}")
-                        dct = dc_tabs.get(c["dc"])
-                        act = ac_tabs.get(c["ac"])
-                        if dct is None or act is None:
-                            raise ValueError("missing Huffman table for scan")
-                        for byy in range(c["v"]):
-                            for bxx in range(c["h"]):
-                                t = br.read_huff(dct)
-                                pred[si] += br.receive_extend(t)
-                                zz = np.zeros(64, dtype=np.int64)
-                                zz[0] = pred[si]
-                                k = 1
-                                while k < 64:
-                                    rs = br.read_huff(act)
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r == 15:
-                                            k += 16
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError(
-                                            "AC run past coefficient 63"
-                                        )
-                                    zz[k] = br.receive_extend(s)
-                                    k += 1
-                                raster = np.zeros(64, dtype=np.float64)
-                                raster[_JPEG_ZIGZAG] = zz
-                                coef = (raster * q).reshape(8, 8)
-                                blk = _DCT_M.T @ coef @ _DCT_M + 128.0
-                                blk = np.clip(np.floor(blk + 0.5), 0, 255)
-                                y0 = (my * c["v"] + byy) * 8
-                                x0 = (mx * c["h"] + bxx) * 8
-                                planes[si][y0 : y0 + 8, x0 : x0 + 8] = blk
-                    mcu_count += 1
-            # upsample to full resolution by nearest replication, crop
-            full = []
-            for si, c in enumerate(scan):
-                p = planes[si]
-                ry, rx = vmax // c["v"], hmax // c["h"]
-                if ry > 1 or rx > 1:
-                    p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-                full.append(p[:fh, :fw])
-            if ns == 1:
-                return np.ascontiguousarray(full[0])
-            if ns != 3:
-                raise NotImplementedError(f"{ns}-component JPEG")
-            y = full[0].astype(np.float64)
-            cb = full[1].astype(np.float64) - 128.0
-            cr = full[2].astype(np.float64) - 128.0
-            r = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255)
-            g = np.clip(
-                np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
-            )
-            bch = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255)
-            return np.ascontiguousarray(
-                np.stack([r, g, bch], axis=-1).astype(np.uint8)
-            )
-        elif marker in (0xD9,):
-            raise ValueError("JPEG ended (EOI) before a scan")
+            if not progressive:
+                if ns != len(sof["comps"]):
+                    raise NotImplementedError(
+                        f"non-interleaved multi-scan JPEG (scan has {ns} of "
+                        f"{len(sof['comps'])} components)"
+                    )
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        f"bad baseline scan header Ss={ss} Se={se} "
+                        f"Ah={ah} Al={al}"
+                    )
+                _jpeg_scan_sequential(br, sof, scan, sidx, coefs, dri,
+                                      dc_tabs, ac_tabs)
+                return _jpeg_reconstruct(
+                    sof["comps"], coefs, qt, sof["w"], sof["h"]
+                )
+            _jpeg_scan_progressive(br, sof, scan, sidx, coefs, dri,
+                                   dc_tabs, ac_tabs, ss, se, ah, al)
+            scans_seen += 1
+            pos = br.pos
         # APPn / COM / others: skipped
     raise ValueError("unreachable")
 
+
+def _jpeg_scan_sequential(br, sof, scan, sidx, coefs, dri, dc_tabs, ac_tabs):
+    """Baseline interleaved scan: full DC+AC per block, MCU order."""
+    pred = [0] * len(scan)
+    rst_idx = 0
+    mcu_count = 0
+    for my in range(sof["mcuy"]):
+        for mx in range(sof["mcux"]):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                pred = [0] * len(scan)
+            for si, c in enumerate(scan):
+                dct = dc_tabs.get(c["dc"])
+                act = ac_tabs.get(c["ac"])
+                if dct is None or act is None:
+                    raise ValueError("missing Huffman table for scan")
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        t = br.read_huff(dct)
+                        pred[si] += br.receive_extend(t)
+                        zz = coefs[sidx[si]][my * c["v"] + byy, mx * c["h"] + bxx]
+                        zz[0] = pred[si]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_huff(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past coefficient 63")
+                            zz[k] = br.receive_extend(s)
+                            k += 1
+            mcu_count += 1
+
+
+def _jpeg_scan_progressive(br, sof, scan, sidx, coefs, dri, dc_tabs, ac_tabs,
+                           ss, se, ah, al):
+    """One progressive scan (T.81 G.2): DC scans may interleave components;
+    AC scans are single-component over the non-interleaved block grid.
+    First scans (Ah=0) establish values at the Al point transform; refine
+    scans (Ah>0) add one magnitude bit.  EOB runs span blocks whose band
+    has no NEW nonzero coefficients; their correction bits ride along."""
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError(f"DC progressive scan with Se={se}")
+        rst_idx = 0
+        count = 0
+        pred = [0] * len(scan)
+
+        def dc_block(si, by, bx):
+            zz = coefs[sidx[si]][by, bx]
+            if ah == 0:
+                t = br.read_huff(dc_tabs[scan[si]["dc"]])
+                pred[si] += br.receive_extend(t)
+                zz[0] = pred[si] << al
+            else:
+                if br.read_bit():
+                    zz[0] |= 1 << al
+
+        if ah == 0:
+            for c in scan:
+                if dc_tabs.get(c["dc"]) is None:
+                    raise ValueError("missing DC Huffman table for scan")
+        if len(scan) > 1:  # interleaved: MCU order
+            for my in range(sof["mcuy"]):
+                for mx in range(sof["mcux"]):
+                    if dri and count and count % dri == 0:
+                        br.restart(rst_idx)
+                        rst_idx = (rst_idx + 1) % 8
+                        pred = [0] * len(scan)
+                    for si, c in enumerate(scan):
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                dc_block(si, my * c["v"] + byy, mx * c["h"] + bxx)
+                    count += 1
+        else:  # single component: its own non-interleaved grid
+            c = scan[0]
+            for by in range(c["by_ni"]):
+                for bx in range(c["bx_ni"]):
+                    if dri and count and count % dri == 0:
+                        br.restart(rst_idx)
+                        rst_idx = (rst_idx + 1) % 8
+                        pred = [0] * len(scan)
+                    dc_block(0, by, bx)
+                    count += 1
+        return
+
+    # AC scan: single component required by the spec
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must cover exactly one component")
+    if not 1 <= ss <= se <= 63:
+        raise ValueError(f"bad spectral selection Ss={ss} Se={se}")
+    c = scan[0]
+    act = ac_tabs.get(c["ac"])
+    if act is None:
+        raise ValueError("missing AC Huffman table for scan")
+    grid = coefs[sidx[0]]
+    eobrun = 0
+    rst_idx = 0
+    count = 0
+    p1 = 1 << al
+    for by in range(c["by_ni"]):
+        for bx in range(c["bx_ni"]):
+            if dri and count and count % dri == 0:
+                br.restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                eobrun = 0
+            count += 1
+            zz = grid[by, bx]
+            if ah == 0:  # first AC scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.read_huff(act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past spectral band end")
+                    zz[k] = br.receive_extend(s) << al
+                    k += 1
+                continue
+            # AC refinement scan (T.81 G.2 / the correction-bit walk)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.read_huff(act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break  # rest of band via the EOB-run path below
+                        newval = 0  # ZRL: 16 zero-history skips, no new value
+                    elif s == 1:
+                        newval = p1 if br.read_bit() else -p1
+                    else:
+                        raise ValueError(
+                            f"AC refinement code with size {s} (must be 1)"
+                        )
+                    # advance past r zero-history slots, correcting nonzero
+                    # ones as they pass
+                    while k <= se:
+                        if zz[k] != 0:
+                            if br.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] > 0 else -p1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # block belongs to an EOB run: correction bits only
+                while k <= se:
+                    if zz[k] != 0 and br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                    k += 1
+                eobrun -= 1
 
 JPEG_FEATURE_SCHEMA = (
     "doc_id long, jpeg_type string, width long, height long, "
@@ -1995,14 +2397,17 @@ JPEG_FEATURE_SCHEMA = (
 
 
 def _jpeg_plan(doc_id: int) -> bytes:
-    """Closed-form baseline JPEG per doc: a ``(1+d%2) x (1+d%3)`` grid of
-    constant 8x8 blocks (canvas 8-16 x 8-24).  Even docs are grayscale with
-    block ``k`` (row-major) value ``(d+17k)%256``; odd docs are 4:4:4 color
-    with YCbCr planes ``Y=(d+17k)%256, Cb=(d+31k)%256, Cr=(d+47k)%256``.
-    Constant blocks make the lossy pipeline EXACT: the only nonzero
-    coefficient is DC ``8*(v-128)``, the DC quant step is 8, so
-    dequant+IDCT+floor(x+0.5) returns ``v`` bit-for-bit and the oracle can
-    replay the whole decode (including YCbCr->RGB) in closed-form SQL."""
+    """Closed-form JPEG per doc: a ``(1+d%2) x (1+d%3)`` grid of constant
+    8x8 blocks (canvas 8-16 x 8-24).  Even docs are grayscale BASELINE
+    (SOF0) with block ``k`` (row-major) value ``(d+17k)%256``; odd docs are
+    4:4:4 color PROGRESSIVE (SOF2, r13 — so the driver row drives both
+    entropy paths) with YCbCr planes ``Y=(d+17k)%256, Cb=(d+31k)%256,
+    Cr=(d+47k)%256``.  Constant blocks make the lossy pipeline EXACT under
+    either coding: the only nonzero coefficient is DC ``8*(v-128)``, the DC
+    quant step is 8, and the progressive DC scan pair (shift then OR)
+    reassembles the same value — so dequant+IDCT+floor(x+0.5) returns ``v``
+    bit-for-bit and the oracle replays the whole decode (including
+    YCbCr->RGB) in closed-form SQL, identical for both codings."""
     d = int(doc_id)
     bw, bh = 1 + d % 2, 1 + d % 3
     k = np.arange(bw * bh, dtype=np.int64).reshape(bh, bw)
@@ -2012,7 +2417,9 @@ def _jpeg_plan(doc_id: int) -> bytes:
         return encode_jpeg(up)
     cbv = np.repeat(np.repeat(((d + 31 * k) % 256).astype(np.uint8), 8, 0), 8, 1)
     crv = np.repeat(np.repeat(((d + 47 * k) % 256).astype(np.uint8), 8, 0), 8, 1)
-    return encode_jpeg(np.stack([up, cbv, crv], axis=-1), ycbcr=True)
+    return encode_jpeg(
+        np.stack([up, cbv, crv], axis=-1), ycbcr=True, progressive=True
+    )
 
 
 def synthesize_jpeg_payloads(docs: DataFrame) -> DataFrame:

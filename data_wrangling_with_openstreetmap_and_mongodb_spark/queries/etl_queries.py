@@ -641,18 +641,22 @@ _JB = f"GREATEST(0, LEAST(255, FLOOR({_JY} + 1.772*({_JCB} - 128) + 0.5)))"
                         " + 0.114*(CAST(sb AS DOUBLE)/nb)")} END AS mean_luma
         FROM s
     """,
-    doc="Baseline sequential JPEG decode (operators/multimodal.py::"
+    doc="JPEG decode, baseline AND progressive (operators/multimodal.py::"
     "encode_jpeg/decode_jpeg, NEW r13, VERDICT r12 ask #5 — the single most "
     "common image format in a real multimodal corpus): per-doc grids of "
-    "constant 8x8 blocks, even docs grayscale, odd docs 4:4:4 YCbCr color; "
-    "the decoder walks markers, reads DQT/DHT from the file, Huffman-decodes "
-    "the entropy segment (byte unstuffing), dequantizes, dezigzags, runs the "
-    "8x8 IDCT and the JFIF YCbCr->RGB conversion.  Constant blocks make the "
-    "lossy path exact (DC-only, step 8), so RGB means hash-match DuckDB "
-    "replaying the closed-form pipeline.  Arrow-batched, map-only.  "
-    "Driver-visible from birth.  Real-image loss bounds, AC Huffman paths, "
-    "restart markers, 4:2:0, and an independent double-loop IDCT reference "
-    "are pinned in tests/test_multimodal_codecs.py::TestJpeg.",
+    "constant 8x8 blocks, even docs grayscale BASELINE (SOF0), odd docs "
+    "4:4:4 YCbCr color PROGRESSIVE (SOF2: spectral selection, successive "
+    "approximation, EOB runs — both entropy paths run inside this one "
+    "driver row); the decoder walks markers, reads DQT/DHT from the file, "
+    "Huffman-decodes (byte unstuffing), dequantizes, dezigzags, runs the "
+    "8x8 IDCT and the JFIF YCbCr->RGB conversion.  Constant blocks make "
+    "the lossy path exact under either coding (DC-only, step 8), so RGB "
+    "means hash-match DuckDB replaying the closed-form pipeline.  "
+    "Arrow-batched, map-only.  Driver-visible from birth.  Real-image loss "
+    "bounds, AC Huffman paths, restart markers, 4:2:0, "
+    "sequential-vs-progressive decode equivalence, and an independent "
+    "double-loop IDCT reference are pinned in "
+    "tests/test_multimodal_codecs.py::TestJpeg/TestJpegProgressive.",
     tags=("multimodal", "pandas-udf", "codec"),
 )
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

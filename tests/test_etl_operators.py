@@ -95,11 +95,13 @@ class TestMultimodal:
         assert feats[1]["fingerprint"] == hashlib.md5(b"hello world").hexdigest()
 
     def test_unknown_codec_raises(self):
-        # PNG decodes for real since r12; JPEG remains a genuine gap
-        with pytest.raises(NotImplementedError):
+        # MP3 remains a genuine gap; PNG (r12) and JPEG (r13) decode for
+        # real, so malformed payloads hit the codecs' validation, not the
+        # honest-gap dispatch
+        with pytest.raises(NotImplementedError, match="no codec"):
+            decode_payload(b"\xff\xfb\x90", "audio/mp3")
+        with pytest.raises(ValueError, match="truncated JPEG"):
             decode_payload(b"\xff\xd8\xff", "image/jpeg")
-        # and a PNG payload routed with the right format hits the real
-        # codec's validation, not the honest-gap dispatch
         with pytest.raises(ValueError, match="signature|truncated"):
             decode_payload(b"\x89PNG", "image/png")
 

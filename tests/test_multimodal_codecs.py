@@ -1023,17 +1023,71 @@ class TestJpeg:
         for cut in range(2, len(good) - 2):
             with pytest.raises((ValueError, NotImplementedError)):
                 decode_jpeg(good[:cut])
-        # progressive SOF is an honest gap
+        # progressive (SOF2) is SUPPORTED since r13 — relabeling a
+        # sequential stream as SOF2 makes its baseline-style scan header
+        # malformed (a DC progressive scan cannot have Se=63)
         b = bytearray(good)
         at = bytes(b).index(b"\xff\xc0")
         b[at + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="DC progressive scan"):
+            decode_jpeg(bytes(b))
+        # lossless SOF stays an honest gap
+        b = bytearray(good)
+        b[at + 1] = 0xC3
+        with pytest.raises(NotImplementedError, match="lossless"):
             decode_jpeg(bytes(b))
         # 16-bit quant table is an honest gap
         b = bytearray(good)
         at = bytes(b).index(b"\xff\xdb")
         b[at + 4] = 0x10
         with pytest.raises(NotImplementedError, match="16-bit"):
+            decode_jpeg(bytes(b))
+
+    def test_crafted_malformed_segments_are_valueerror(self):
+        """Segment CONTENT shorter than its internal structure (valid outer
+        framing, crafted inner fields) raises ValueError — never
+        struct.error / StopIteration / ZeroDivisionError."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = self._rng(19)
+        good = encode_jpeg(rng.randint(0, 256, size=(8, 8), dtype=np.uint8))
+        sof_at = good.index(b"\xff\xc0")
+        # zero sampling factors
+        b = bytearray(good)
+        b[sof_at + 11] = 0x00  # component 1 h/v byte
+        with pytest.raises(ValueError, match="sampling factors"):
+            decode_jpeg(bytes(b))
+        # SOS references a component id the SOF never declared
+        sos_at = good.index(b"\xff\xda")
+        b = bytearray(good)
+        b[sos_at + 5] = 9  # scan component id
+        with pytest.raises(ValueError, match="unknown component"):
+            decode_jpeg(bytes(b))
+        # component count larger than the segment carries
+        b = bytearray(good)
+        b[sof_at + 9] = 4  # nc=4 but only one component follows
+        with pytest.raises(ValueError, match="truncated SOF"):
+            decode_jpeg(bytes(b))
+        # zero-dimension frame
+        b = bytearray(good)
+        struct.pack_into(">H", b, sof_at + 5, 0)  # height = 0
+        with pytest.raises(ValueError, match="empty JPEG frame"):
+            decode_jpeg(bytes(b))
+        # non-interleaved multi-scan (scan covers a component subset) is an
+        # honest gap, not a silent first-scan-only decode
+        color = encode_jpeg(
+            rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        )
+        b = bytearray(color)
+        at = bytes(b).index(b"\xff\xda")
+        struct.pack_into(">H", b, at + 2, 2 + 1 + 2 + 3)  # seglen for ns=1
+        b[at + 4] = 1  # ns=1: scan covers only component 1 of 3
+        # rebuild a consistent SOS body: comp 1, tables 0, spectral bytes
+        b[at + 5 : at + 12] = bytes([1, 0x00, 0x00, 0x3F, 0x00]) + b[at + 10 : at + 12]
+        with pytest.raises(NotImplementedError, match="non-interleaved"):
             decode_jpeg(bytes(b))
 
     def test_dispatch_and_plan(self):
@@ -1048,3 +1102,92 @@ class TestJpeg:
         assert (d["pixels"][:8] == 4).all() and (d["pixels"][8:] == 21).all()
         d = decode_payload(_jpeg_plan(3), "image/jpeg")
         assert d["pixels"].shape == (8, 16, 3)
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) coverage: the progressive and sequential encoders
+    share only the forward DCT/quantization (identical coefficient grids),
+    and the two decode ENTROPY paths are disjoint code — so bit-identical
+    decode between the two encodings of the same image verifies spectral
+    selection, successive approximation (DC shift/OR, AC magnitude
+    correction), EOB runs, and the scan script against the already-pinned
+    sequential path."""
+
+    @staticmethod
+    def _rng(seed):
+        return np.random.RandomState(seed)
+
+    def _assert_equiv(self, px, **kw):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        seq = decode_jpeg(encode_jpeg(px, **kw))
+        prog = decode_jpeg(encode_jpeg(px, progressive=True, **kw))
+        assert prog.shape == seq.shape
+        assert np.array_equal(prog, seq), (
+            int(np.abs(prog.astype(int) - seq.astype(int)).max())
+        )
+
+    @pytest.mark.parametrize("w,h", [(8, 8), (17, 13), (24, 40)])
+    def test_gray_random_equivalence(self, w, h):
+        q1 = np.ones(64, dtype=np.int64)
+        px = self._rng(w * h).randint(0, 256, size=(h, w), dtype=np.uint8)
+        self._assert_equiv(px, quant_luma=q1)
+        self._assert_equiv(px)  # default tables: sparser ACs, more EOB runs
+
+    @pytest.mark.parametrize("subsample", [False, True])
+    def test_color_random_equivalence(self, subsample):
+        q1 = np.ones(64, dtype=np.int64)
+        px = self._rng(42).randint(0, 256, size=(21, 19, 3), dtype=np.uint8)
+        self._assert_equiv(px, quant_luma=q1, quant_chroma=q1,
+                           subsample=subsample)
+        self._assert_equiv(px, subsample=subsample)
+
+    def test_sparse_image_exercises_multiblock_eob_runs(self):
+        """A flat image with a few hot pixels: most blocks have all-zero AC
+        bands in BOTH progressive AC scans, so multi-block EOB runs (with
+        correction bits riding refine-scan runs) are the dominant path."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            encode_jpeg,
+        )
+
+        px = np.full((48, 48), 128, dtype=np.uint8)
+        px[3, 5] = 255
+        px[30, 41] = 0
+        px[45, 2] = 77
+        b = encode_jpeg(px, progressive=True)
+        assert b"\xff\xc2" in b and b"\xff\xc0" not in b  # SOF2, no SOF0
+        self._assert_equiv(px)
+        # and under q=1 (dense small coefficients -> correction-bit heavy)
+        self._assert_equiv(px, quant_luma=np.ones(64, dtype=np.int64))
+
+    def test_constant_blocks_stay_exact_through_progressive(self):
+        """The catalog exactness contract holds for SOF2 too: constant
+        blocks decode bit-exactly (DC-only, both DC scans reassemble the
+        full predictor)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        vals = np.array([[0, 255], [128, 1], [200, 77]], dtype=np.uint8)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        assert np.array_equal(decode_jpeg(encode_jpeg(px, progressive=True)), px)
+
+    def test_progressive_error_paths(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = self._rng(3).randint(0, 256, size=(8, 8), dtype=np.uint8)
+        good = encode_jpeg(px, progressive=True)
+        # every truncation raises cleanly (EOI is REQUIRED for progressive —
+        # it triggers reconstruction — so sweep to the very end)
+        for cut in range(2, len(good)):
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_jpeg(good[:cut])
+        with pytest.raises(ValueError, match="restart_interval"):
+            encode_jpeg(px, progressive=True, restart_interval=2)

@@ -533,3 +533,37 @@ class TestRound10Plans:
         # one user exchange feeds every window stage: the dedup groupBy and
         # the integral windows all hash on the same key
         assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+
+
+class TestRound13Plans:
+    """Shuffle-shape claims of the r13 tier, pinned."""
+
+    def test_jpeg_decode_is_map_only(self, spark, sf_dir):
+        """The JPEG synthesize→decode pipeline is two chained mapInPandas
+        over the documents scan — binary payloads must never shuffle."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        plan = executed_plan(q("multimodal_jpeg_decode", spark, sf_dir))
+        assert plan.count("MapInPandas") == 2, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+
+    def test_packed_assignment_is_one_arrow_pass(self, spark, sf_dir):
+        """assign_to_centroids above the k threshold: one MapInPandas over
+        the embedding scan — no broadcast nested-loop join, no per-pair
+        expression evaluation (the r13 semdedup probe's find)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            _ASSIGN_PACKED_MIN_K,
+            assign_to_centroids,
+        )
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        e = load_table(spark, sf_dir, "embeddings")
+        k = _ASSIGN_PACKED_MIN_K
+        cents = [
+            (i, [float((i + j) % 7) for j in range(64)]) for i in range(k)
+        ]
+        plan = executed_plan(assign_to_centroids(e, "embedding", "vec_id", cents))
+        assert "MapInPandas" in plan, plan[:1500]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]

@@ -191,10 +191,22 @@ def part2(spark, out):
             n=2,
         )
         spark.catalog.clearCache()
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            simhash_near_pairs,
+        )
+
+        sh = simhash_near_pairs(docs, "text", "doc_id", key_chunks=2)
+        rec["simhash_pairs"] = sh.count()
+        rec["simhash_wall_s"] = timed(
+            lambda: simhash_near_pairs(docs, "text", "doc_id", key_chunks=2)
+            .write.format("noop").mode("overwrite").save(),
+            n=2,
+        )
+        spark.catalog.clearCache()
         out[label] = rec
         print(json.dumps({label: rec}), flush=True)
     u, z = out["uniform"], out["zipf_plant"]
-    for fam in ("ngram", "minhash"):
+    for fam in ("ngram", "minhash", "simhash"):
         pw = z[f"{fam}_wall_s"] / max(u[f"{fam}_wall_s"], 1e-9)
         # per-emitted-pair normalization: clusters legitimately emit ~m²/2
         pp = (z[f"{fam}_wall_s"] / max(z[f"{fam}_pairs"], 1)) / (
