@@ -598,7 +598,8 @@ def decode_png(b: bytes) -> np.ndarray:
 
 def decode_payload(payload: bytes, fmt: str) -> dict:
     """Codec dispatch.  ``image/bmp``, ``image/png``, ``image/jpeg``
-    (baseline sequential), ``image/gif`` (multi-frame) and ``audio/wav``
+    (baseline sequential AND progressive), ``image/gif`` (multi-frame) and
+    ``audio/wav``
     decode for REAL via the stdlib codecs in this module; ``text/plain``
     keeps the deterministic byte-level fake; everything else (MP3 …)
     raises — the container has no codec libraries, and a wrong answer is
