@@ -5,7 +5,9 @@ watermark-bounded streaming exact dedup, stream-stream interval join,
 streaming OHLC bars, the streaming MinHash-index dedup probe, and streaming
 count-min sketch maintenance (foreachBatch cell-wise merge), streaming
 as-of enrichment against an SCD2 dimension (foreachBatch interval join),
-and streaming NB classifier scoring (broadcast model per micro-batch)."""
+streaming NB classifier scoring (broadcast model per micro-batch), and
+streaming multimodal decode (stateless Arrow-batched codec maps applied to
+a readStream unchanged — the media-ingest landing-zone shape, r13)."""
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.asof_enrich import (
     asof_enrich_against_scd2,
@@ -22,6 +24,10 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.dedup_stream 
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.join import (
     stream_stream_interval_join,
+)
+from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.media_decode import (
+    run_streaming_media_decode,
+    streaming_media_features,
 )
 from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.nb_stream import (
     run_streaming_nb_scoring,
@@ -49,7 +55,9 @@ __all__ = [
     "asof_enrich_against_scd2",
     "dedup_stream",
     "run_streaming_asof_enrich",
+    "run_streaming_media_decode",
     "run_streaming_nb_scoring",
+    "streaming_media_features",
     "run_streaming_cms",
     "run_streaming_dedup_probe",
     "stream_stream_interval_join",
