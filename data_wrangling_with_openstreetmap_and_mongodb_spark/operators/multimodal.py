@@ -1711,16 +1711,24 @@ def _encode_jpeg_progressive_scans(
             for k in range(1, last + 1):
                 if t[k] == 0:
                     r += 1
-                elif t[k] > 1:
+                    continue
+                # ANY nonzero (correction or newly-significant) settles
+                # overdue ZRLs first — eager emission keeps each ZRL's
+                # correction bits inside its own 16-slot span (the decoder
+                # consumes them DURING that ZRL's advance; deferring until
+                # the next newly-significant desyncs the stream — found by
+                # the r13 hypothesis tier on its first run)
+                while r > 15:
+                    flush_eob_refine()
+                    bw.write(_AC_IDX[0xF0], 8)
+                    r -= 16
+                    for bit in br_bits:
+                        bw.write(bit, 1)
+                    br_bits = []
+                if t[k] > 1:
                     br_bits.append(t[k] & 1)
                 else:  # newly significant at this scan (magnitude 1)
                     flush_eob_refine()
-                    while r > 15:
-                        bw.write(_AC_IDX[0xF0], 8)
-                        for bit in br_bits:
-                            bw.write(bit, 1)
-                        br_bits = []
-                        r -= 16
                     bw.write(_AC_IDX[(r << 4) | 1], 8)
                     bw.write(1 if v64[k] > 0 else 0, 1)
                     for bit in br_bits:
@@ -1822,13 +1830,16 @@ def encode_jpeg(
         q = ql if qids[ci] == 0 else qc
         qr = np.empty(64, dtype=np.float64)
         qr[_JPEG_ZIGZAG] = q  # raster-order steps
-        per: dict[tuple[int, int], np.ndarray] = {}
-        for by in range(th // 8):
-            for bx in range(tw // 8):
-                s = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _DCT_M @ s @ _DCT_M.T
-                code = np.floor(coef.reshape(64) / qr + 0.5).astype(np.int64)
-                per[(bx, by)] = code[_JPEG_ZIGZAG]  # zigzag order
+        # batched forward DCT: all blocks of the plane in one matmul pair
+        # (same per-element op sequence as the per-block form)
+        ny, nx = th // 8, tw // 8
+        b4 = plane.reshape(ny, 8, nx, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.matmul(np.matmul(_DCT_M, b4), _DCT_M.T)
+        codes = np.floor(coef.reshape(ny, nx, 64) / qr + 0.5).astype(np.int64)
+        zzs = codes[:, :, _JPEG_ZIGZAG]  # zigzag order
+        per: dict[tuple[int, int], np.ndarray] = {
+            (bx, by): zzs[by, bx] for by in range(ny) for bx in range(nx)
+        }
         blocks.append(per)
 
     # header segments

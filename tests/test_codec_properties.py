@@ -146,3 +146,63 @@ def test_gif_roundtrip_identity(g):
     assert len(out) == len(frames) and delays == [None] * len(frames)
     for f, o in zip(frames, out):
         assert np.array_equal(o, plte[f])
+
+
+@st.composite
+def jpeg_images(draw):
+    w = draw(st.integers(min_value=1, max_value=20))
+    h = draw(st.integers(min_value=1, max_value=20))
+    color = draw(st.booleans())
+    shape = (h, w, 3) if color else (h, w)
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    return np.random.RandomState(seed).randint(  # seeded: shrinkable fuzz
+        0, 256, size=shape, dtype=np.uint8
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(jpeg_images(), st.booleans(), st.booleans())
+def test_jpeg_roundtrip_bounded_and_mode_equivalent(img, progressive, subsample):
+    """Random images, every mode pairing: (1) q=1 roundtrip loss is bounded
+    by DCT-rounding (+ color-convert integer rounding for RGB), and
+    (2) progressive and sequential encodings of the same image decode
+    BIT-IDENTICALLY — the modes share only the forward DCT/quantization,
+    so equality pins both entropy paths against each other."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    if subsample and img.ndim == 2:
+        subsample = False  # grayscale has no chroma to subsample
+    q1 = np.ones(64, dtype=np.int64)
+    kw = dict(quant_luma=q1, quant_chroma=q1, subsample=subsample)
+    seq = decode_jpeg(encode_jpeg(img, **kw))
+    assert seq.shape == img.shape
+    if not subsample:  # 4:2:0 chroma averaging is real loss, skip the bound
+        tol = 2 if img.ndim == 2 else 4
+        assert int(np.abs(seq.astype(int) - img.astype(int)).max()) <= tol
+    prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+    assert np.array_equal(prog, seq)
+
+
+@settings(max_examples=40, deadline=None)
+@given(jpeg_images(), st.data())
+def test_jpeg_truncation_always_raises_cleanly(img, data):
+    """Any prefix cut of a valid JPEG (either coding) raises ValueError or
+    NotImplementedError — never IndexError/struct.error/StopIteration."""
+    import pytest
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    progressive = data.draw(st.booleans())
+    b = encode_jpeg(img, progressive=progressive)
+    # progressive needs EOI to reconstruct, so every cut must raise; for
+    # sequential, dropping ONLY the EOI still decodes (lenient trailing)
+    hi = len(b) if progressive else len(b) - 2
+    cut = data.draw(st.integers(min_value=2, max_value=max(2, hi - 1)))
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(b[:cut])
