@@ -9,8 +9,9 @@ Two decode tiers:
 
 - REAL stdlib codecs: 24-bit BI_RGB BMP (:func:`decode_bmp` — struct-parsed
   headers, bottom-up/top-down row order, 4-byte row padding, BGR→RGB),
-  16-bit PCM WAV (:func:`decode_wav` — RIFF chunk walk, fmt/data chunks,
-  interleaved int16 frames), 8-bit grey/RGB/palette(+tRNS)/RGBA PNG
+  WAV (:func:`decode_wav` — RIFF chunk walk, fmt/data chunks; 16-bit PCM,
+  8-bit G.711 mu/A-law expansion, and 4-bit IMA/DVI ADPCM with per-block
+  predictor state and the stereo 4-byte interleave, r13), 8-bit grey/RGB/palette(+tRNS)/RGBA PNG
   (:func:`decode_png` — chunk framing with CRC-32 verification, zlib
   inflate, all five scanline unfilters, PLTE/tRNS expansion),
   multi-frame GIF87a/89a (:func:`decode_gif` — full GIF-variant LZW with
@@ -168,6 +169,72 @@ def _alaw_expand_table() -> np.ndarray:
 _G711_TABLES = {6: _alaw_expand_table(), 7: _mulaw_expand_table()}
 _G711_NAMES = {6: "alaw", 7: "mulaw"}
 
+# IMA/DVI ADPCM (WAV format tag 0x11): the canonical 89-entry step-size
+# table and the 3-bit index adjustment table (public spec constants)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM step: (new_predictor, new_index) after decoding one
+    4-bit code against the current state."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    return predictor, index
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int) -> np.ndarray:
+    """Decode IMA ADPCM WAV data (format 0x11) to interleaved int16: per
+    block, a 4-byte header per channel (int16 predictor, step index,
+    reserved), then nibble data — sequential low-nibble-first for mono,
+    interleaved in 4-byte/8-nibble groups per channel for stereo.  The
+    header predictor is the block's first output sample."""
+    if block_align < 4 * channels or block_align % 4:
+        raise ValueError(f"bad ADPCM blockAlign {block_align}")
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for boff in range(0, len(data) - len(data) % block_align, block_align):
+        block = data[boff : boff + block_align]
+        preds = []
+        idxs = []
+        for c in range(channels):
+            p, i = struct.unpack_from("<hB", block, c * 4)
+            if i > 88:
+                raise ValueError(f"ADPCM step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+            out[c].append(p)
+        body = block[4 * channels :]
+        # nibble groups: 4 bytes (8 samples) per channel, round-robin
+        for goff in range(0, len(body), 4 * channels):
+            for c in range(channels):
+                word = body[goff + c * 4 : goff + (c + 1) * 4]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        out[c].append(preds[c])
+    n = min(len(ch) for ch in out)
+    inter = np.empty(n * channels, dtype=np.int16)
+    for c in range(channels):
+        inter[c::channels] = out[c][:n]
+    return inter
+
 
 def encode_wav_g711(rate: int, channels: int, raw: bytes, law: str) -> bytes:
     """Wrap already-companded G.711 bytes (``law`` = 'mulaw'/'alaw') in a
@@ -220,9 +287,11 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     if audio_fmt in _G711_TABLES and bits == 8:
         table = _G711_TABLES[audio_fmt]
         return rate, ch, table[np.frombuffer(data, dtype=np.uint8)]
+    if audio_fmt == 0x11 and bits == 4:  # IMA/DVI ADPCM (r13)
+        return rate, ch, _ima_adpcm_decode(data, ch, _align)
     raise NotImplementedError(
-        f"only 16-bit PCM and 8-bit G.711 mu/A-law WAV supported "
-        f"(got format={audio_fmt}, bits={bits})"
+        f"only 16-bit PCM, 8-bit G.711 mu/A-law, and 4-bit IMA ADPCM WAV "
+        f"supported (got format={audio_fmt}, bits={bits})"
     )
 
 
@@ -1800,7 +1869,10 @@ def encode_jpeg(
             y, cb, cr = (
                 np.clip(np.floor(v + 0.5), 0, 255) for v in (y, cb, cr)
             )
-        if subsample:
+        mode = (
+            "420" if subsample is True else str(subsample) if subsample else None
+        )
+        if mode == "420":
             # pad to even dims (edge), then 2x2 plane means for chroma
             ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
             def pad_even(a):
@@ -1809,9 +1881,20 @@ def encode_jpeg(
             cr2 = pad_even(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             planes = [y, np.floor(cb2 + 0.5), np.floor(cr2 + 0.5)]
             samp = [(2, 2), (1, 1), (1, 1)]
-        else:
+        elif mode == "422":
+            # horizontal-only chroma halving (asymmetric sampling factors)
+            pw = (w + 1) // 2 * 2
+            def pad_w(a):
+                return np.pad(a, ((0, 0), (0, pw - w)), mode="edge")
+            cb2 = pad_w(cb).reshape(h, pw // 2, 2).mean(axis=2)
+            cr2 = pad_w(cr).reshape(h, pw // 2, 2).mean(axis=2)
+            planes = [y, np.floor(cb2 + 0.5), np.floor(cr2 + 0.5)]
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif mode is None:
             planes = [y, cb, cr]
             samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown subsample mode {subsample!r} (420/422)")
         qids = [0, 1, 1]
 
     hmax = max(s[0] for s in samp)

@@ -1191,3 +1191,194 @@ class TestJpegProgressive:
                 decode_jpeg(good[:cut])
         with pytest.raises(ValueError, match="restart_interval"):
             encode_jpeg(px, progressive=True, restart_interval=2)
+
+
+class TestJpeg422:
+    def test_422_constant_chroma_exact_and_equivalent(self):
+        """4:2:2 (asymmetric 2x1 luma sampling): constant chroma survives
+        the horizontal halving exactly, pinning the MCU layout and the
+        horizontal-only replication upsampler — and the progressive coding
+        of the same image decodes identically."""
+        import math
+
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        # two CONSTANT 8x8 luma blocks side by side (one 16x8 MCU at 2x1)
+        y = np.repeat(np.repeat(np.array([[40, 90]], np.uint8), 8, axis=0), 8, axis=1)
+        img = np.stack(
+            [y, np.full((8, 16), 100, np.uint8), np.full((8, 16), 160, np.uint8)],
+            axis=-1,
+        )
+        rgb = decode_jpeg(encode_jpeg(img, ycbcr=True, subsample="422"))
+        cr = 160 - 128.0
+        for x in range(16):
+            Y = float(y[0, x])
+            exp_r = max(0, min(255, math.floor(Y + 1.402 * cr + 0.5)))
+            assert (rgb[:, x, 0] == exp_r).all(), x
+        prog = decode_jpeg(
+            encode_jpeg(img, ycbcr=True, subsample="422", progressive=True)
+        )
+        assert np.array_equal(prog, rgb)
+
+    def test_422_random_equivalence_and_unknown_mode(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, size=(11, 9, 3), dtype=np.uint8)
+        seq = decode_jpeg(encode_jpeg(img, subsample="422"))
+        prog = decode_jpeg(encode_jpeg(img, subsample="422", progressive=True))
+        assert seq.shape == img.shape and np.array_equal(prog, seq)
+        with pytest.raises(ValueError, match="subsample mode"):
+            encode_jpeg(img, subsample="411")
+
+
+class TestImaAdpcm:
+    """IMA/DVI ADPCM WAV (format 0x11, r13): hand-walked golden blocks
+    against an independently-written reference stepper, the stereo 4-byte
+    interleave layout, a test-side encoder roundtrip, and error paths."""
+
+    STEP = None  # filled from the module table (structural checks below)
+
+    @staticmethod
+    def _ref_step(pred, idx, nib, steps):
+        """Reference stepper written with //-arithmetic (exactly equivalent
+        to the decoder's shift form for nonnegative steps) — a second
+        implementation of the spec, not a copy."""
+        step = steps[idx]
+        diff = step // 8
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step // 2
+        if nib & 1:
+            diff += step // 4
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx += (-1, -1, -1, -1, 2, 4, 6, 8)[nib & 7]
+        return pred, max(0, min(88, idx))
+
+    @staticmethod
+    def _container(channels, block):
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, channels, 8000, 4000, len(block), 4, 2, 0
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(block)) + block
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_step_table_structure(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            _IMA_STEP_TABLE,
+        )
+
+        assert len(_IMA_STEP_TABLE) == 89
+        assert _IMA_STEP_TABLE[0] == 7 and _IMA_STEP_TABLE[88] == 32767
+        assert all(
+            b > a for a, b in zip(_IMA_STEP_TABLE, _IMA_STEP_TABLE[1:])
+        )
+        # ~1.1 geometric growth (the table's defining property)
+        ratios = [
+            b / a for a, b in zip(_IMA_STEP_TABLE[8:], _IMA_STEP_TABLE[9:])
+        ]
+        assert all(1.05 < r < 1.13 for r in ratios)
+
+    def test_mono_golden_block_matches_reference(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            _IMA_STEP_TABLE,
+            decode_wav,
+        )
+
+        # header: predictor=100, index=10, reserved; nibbles low-first:
+        # bytes 0x21 -> (1, 2), 0x9F -> (15, 9), 0x80 -> (0, 8)
+        block = struct.pack("<hBB", 100, 10, 0) + bytes([0x21, 0x9F, 0x80, 0x73])
+        rate, ch, s = decode_wav(self._container(1, block))
+        assert (rate, ch) == (8000, 1)
+        pred, idx = 100, 10
+        want = [100]
+        for nib in (1, 2, 15, 9, 0, 8, 3, 7):
+            pred, idx = self._ref_step(pred, idx, nib, _IMA_STEP_TABLE)
+            want.append(pred)
+        assert s.tolist() == want
+
+    def test_stereo_interleave_layout(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            _IMA_STEP_TABLE,
+            decode_wav,
+        )
+
+        hdr = struct.pack("<hBB", 1000, 20, 0) + struct.pack("<hBB", -2000, 40, 0)
+        # one 4-byte word per channel: ch0 nibbles all 1, ch1 all 9
+        block = hdr + bytes([0x11] * 4) + bytes([0x99] * 4)
+        rate, ch, s = decode_wav(self._container(2, block))
+        assert ch == 2
+        left, right = s[0::2].tolist(), s[1::2].tolist()
+        p, i = 1000, 20
+        wl = [1000]
+        for _ in range(8):
+            p, i = self._ref_step(p, i, 1, _IMA_STEP_TABLE)
+            wl.append(p)
+        assert left == wl
+        p, i = -2000, 40
+        wr = [-2000]
+        for _ in range(8):
+            p, i = self._ref_step(p, i, 9, _IMA_STEP_TABLE)
+            wr.append(p)
+        assert right == wr
+
+    def test_encoder_roundtrip_tracks_signal(self):
+        """Test-side IMA encoder (standard bit-by-bit quantization): a
+        smooth signal decodes back within a few quantization steps."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            _IMA_STEP_TABLE,
+            decode_wav,
+        )
+
+        n = 505  # one block: 4-byte header + 252 nibble bytes
+        t = np.arange(n)
+        sig = (6000 * np.sin(t / 9.0) + 2000 * np.sin(t / 37.0)).astype(int)
+
+        pred, idx = int(sig[0]), 32  # warm start: skip the attack transient
+        nibbles = []
+        for x in sig[1:]:
+            step = _IMA_STEP_TABLE[idx]
+            delta = int(x) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            pred, idx = self._ref_step(pred, idx, nib, _IMA_STEP_TABLE)
+            nibbles.append(nib)
+        body = bytearray(struct.pack("<hBB", int(sig[0]), 32, 0))
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            body.append(lo | (hi << 4))
+        rate, ch, out = decode_wav(self._container(1, bytes(body)))
+        assert len(out) == n
+        err = np.abs(out.astype(int) - sig[: len(out)])
+        assert int(err.max()) < 1200 and float(err.mean()) < 120
+
+    def test_error_paths(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        block = struct.pack("<hBB", 0, 99, 0) + bytes([0x00] * 4)
+        with pytest.raises(ValueError, match="step index"):
+            decode_wav(self._container(1, block))
+        bad = struct.pack("<hBB", 0, 0, 0) + bytes([0x00])  # align % 4 != 0
+        with pytest.raises(ValueError, match="blockAlign"):
+            decode_wav(self._container(1, bad))
