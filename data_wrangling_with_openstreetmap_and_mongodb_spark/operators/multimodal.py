@@ -27,9 +27,13 @@ Two decode tiers:
   pairs are validated against hand-crafted golden bytes; the JPEG decoder
   is validated against a test-side double-loop IDCT reference and
   closed-form constant-block fixtures).
+- MP3 FRAME-HEADER decode (r14): sync walk, version/layer/bitrate/
+  sample-rate tables, frame-size arithmetic, ID3v2/v1 skip, VBR detection
+  and exact duration — the framing metadata a corpus pipeline routes on.
+  PCM synthesis (Huffman + MDCT) stays a documented exclusion.
 - A deterministic byte-level fake for ``text/plain`` payloads, standing in
-  for codecs the container genuinely lacks (MP3, video containers …) —
-  those raise ``NotImplementedError`` at the dispatch.
+  for codecs the container genuinely lacks (video containers …) — those
+  raise ``NotImplementedError`` at the dispatch.
 
 Payloads derive from driver-provided tables (``documents``): deterministic
 input, same plumbing as a real corpus.
@@ -200,17 +204,39 @@ def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
     return predictor, index
 
 
-def _ima_adpcm_decode(data: bytes, channels: int, block_align: int) -> np.ndarray:
+def _ima_adpcm_decode(
+    data: bytes, channels: int, block_align: int, n_samples: int | None = None
+) -> np.ndarray:
     """Decode IMA ADPCM WAV data (format 0x11) to interleaved int16: per
     block, a 4-byte header per channel (int16 predictor, step index,
     reserved), then nibble data — sequential low-nibble-first for mono,
     interleaved in 4-byte/8-nibble groups per channel for stereo.  The
-    header predictor is the block's first output sample."""
+    header predictor is the block's first output sample.
+
+    ``n_samples`` is the WAV ``fact`` chunk's dwSampleLength (frames per
+    channel): when given, a SHORT final block is decoded too and the output
+    truncates to exactly that length, so third-party files whose last block
+    is not full don't grow pad-nibble ghost samples.  Without it (fact
+    absent) the legacy full-blocks-only behavior holds: any
+    ``len(data) % block_align`` remainder is dropped."""
     if block_align < 4 * channels or block_align % 4:
         raise ValueError(f"bad ADPCM blockAlign {block_align}")
     out: list[list[int]] = [[] for _ in range(channels)]
-    for boff in range(0, len(data) - len(data) % block_align, block_align):
+    if n_samples is None:
+        end = len(data) - len(data) % block_align
+    else:
+        end = len(data)
+    for boff in range(0, end, block_align):
         block = data[boff : boff + block_align]
+        if len(block) < 4 * channels:
+            raise ValueError(
+                f"truncated ADPCM block header at byte {boff} "
+                f"({len(block)} < {4 * channels})"
+            )
+        if len(block[4 * channels :]) % (4 * channels):
+            raise ValueError(
+                f"partial ADPCM nibble group in final block at byte {boff}"
+            )
         preds = []
         idxs = []
         for c in range(channels):
@@ -230,6 +256,12 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int) -> np.ndarra
                         preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
                         out[c].append(preds[c])
     n = min(len(ch) for ch in out)
+    if n_samples is not None:
+        if n_samples > n:
+            raise ValueError(
+                f"fact dwSampleLength {n_samples} exceeds decoded {n} frames"
+            )
+        n = n_samples
     inter = np.empty(n * channels, dtype=np.int16)
     for c in range(channels):
         inter[c::channels] = out[c][:n]
@@ -258,6 +290,45 @@ def encode_wav_g711(rate: int, channels: int, raw: bytes, law: str) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_adpcm(
+    rate: int,
+    channels: int,
+    block_align: int,
+    data: bytes,
+    n_samples: int | None = None,
+) -> bytes:
+    """Wrap pre-built IMA ADPCM block data (format 0x11: per-channel 4-byte
+    headers + 4-bit nibble groups, as :func:`_ima_adpcm_decode` reads them)
+    in a RIFF/WAVE container: 20-byte fmt chunk (cbSize=2 +
+    wSamplesPerBlock, the spec shape for compressed formats) plus a
+    ``fact`` chunk carrying ``n_samples`` (dwSampleLength) when given — the
+    authoritative length for streams whose final block is short.  Container
+    framing only; the block bytes pass through untouched, so encode and
+    decode stay independent implementations."""
+    if block_align < 4 * channels or block_align % 4:
+        raise ValueError(f"bad ADPCM blockAlign {block_align}")
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, channels, rate,
+        max(1, rate * block_align // spb),
+        block_align, 4, 2, spb,
+    )
+    fact = (
+        b"fact" + struct.pack("<II", 4, n_samples)
+        if n_samples is not None
+        else b""
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a WAV: walk the RIFF chunk list (word-aligned, so junk/LIST
     chunks skip correctly), read ``fmt `` and ``data``, return
@@ -268,6 +339,7 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt_chunk = data = None
+    fact_samples = None
     pos = 12
     while pos + 8 <= len(b):
         cid, sz = struct.unpack_from("<4sI", b, pos)
@@ -276,6 +348,10 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
             fmt_chunk = b[pos : pos + sz]
         elif cid == b"data":
             data = b[pos : pos + sz]
+        elif cid == b"fact" and sz >= 4:
+            # dwSampleLength: frames per channel — authoritative for
+            # compressed formats whose final block may be short
+            (fact_samples,) = struct.unpack_from("<I", b, pos)
         pos += sz + (sz & 1)  # RIFF chunks are 2-byte aligned
     if fmt_chunk is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -288,7 +364,7 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
         table = _G711_TABLES[audio_fmt]
         return rate, ch, table[np.frombuffer(data, dtype=np.uint8)]
     if audio_fmt == 0x11 and bits == 4:  # IMA/DVI ADPCM (r13)
-        return rate, ch, _ima_adpcm_decode(data, ch, _align)
+        return rate, ch, _ima_adpcm_decode(data, ch, _align, fact_samples)
     raise NotImplementedError(
         f"only 16-bit PCM, 8-bit G.711 mu/A-law, and 4-bit IMA ADPCM WAV "
         f"supported (got format={audio_fmt}, bits={bits})"
@@ -384,30 +460,67 @@ def _png_filter_scanlines(
     return bytes(out)
 
 
-def encode_png(px: np.ndarray, row_filters=None, interlace: bool = False) -> bytes:
-    """Encode a uint8 array as an 8-bit PNG: ``(h, w)`` → greyscale (color
-    type 0), ``(h, w, 3)`` → RGB (2), ``(h, w, 4)`` → RGBA (6).
+def _png_pack_rows(sub: np.ndarray, depth: int) -> np.ndarray:
+    """``(h, w, ch)`` sample array → ``(h, stride)`` int16 byte matrix (the
+    shape the scanline filters operate on): identity bytes at depth 8,
+    big-endian sample pairs at 16, MSB-first bit packing at 1/2/4 (each
+    row — and each interlace pass — packs independently, per the spec)."""
+    h, w, ch = sub.shape
+    if depth == 8:
+        return sub.reshape(h, w * ch).astype(np.int16)
+    if depth == 16:
+        be = sub.reshape(h, w * ch).astype(">u2")
+        return (
+            np.frombuffer(be.tobytes(), dtype=np.uint8)
+            .reshape(h, w * ch * 2)
+            .astype(np.int16)
+        )
+    per_byte = 8 // depth
+    stride = (w + per_byte - 1) // per_byte
+    out = np.zeros((h, stride), dtype=np.int16)
+    vals = sub[:, :, 0].astype(np.int64)
+    for x in range(w):
+        shift = depth * (per_byte - 1 - x % per_byte)
+        out[:, x // per_byte] |= (vals[:, x] << shift).astype(np.int16)
+    return out
 
-    ``row_filters`` picks the scanline filter per row (default: row ``y``
-    uses filter ``y % 5``, so any image taller than 4 rows exercises every
-    filter type — None/Sub/Up/Average/Paeth all have to be applied AND
-    inverted correctly for a round trip to be pixel-exact).
-    ``interlace=True`` (r13) writes Adam7: each pass extracts its pixel
-    grid, filters independently (filter memory resets per pass, per the
-    spec), and the passes concatenate into one zlib stream."""
+
+def encode_png(
+    px: np.ndarray, row_filters=None, interlace: bool = False, depth: int = 8
+) -> bytes:
+    """Encode a sample array as a PNG: ``(h, w)`` → greyscale (color type
+    0), ``(h, w, 2)`` → grey+alpha (4), ``(h, w, 3)`` → RGB (2),
+    ``(h, w, 4)`` → RGBA (6).
+
+    ``depth`` (r14) selects the bit depth over the spec's valid
+    combinations: 16 takes uint16 samples (big-endian on the wire), 1/2/4
+    are greyscale-only with MSB-first bit packing (values must fit the
+    depth); anything else is a ``ValueError``.  ``row_filters`` picks the
+    scanline filter per row (default: row ``y`` uses filter ``y % 5``, so
+    any image taller than 4 rows exercises every filter type —
+    None/Sub/Up/Average/Paeth all have to be applied AND inverted correctly
+    for a round trip to be pixel-exact).  ``interlace=True`` (r13) writes
+    Adam7: each pass extracts its pixel grid, packs and filters
+    independently (filter memory resets per pass, per the spec), and the
+    passes concatenate into one zlib stream."""
     import zlib
 
-    px = np.asarray(px, dtype=np.uint8)
+    px = np.asarray(px, dtype=np.uint16 if depth == 16 else np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
-    color_type = {1: 0, 3: 2, 4: 6}.get(ch)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if color_type is None:
-        raise ValueError(f"unsupported channel count {ch} (want 1/3/4)")
-    bpp = ch  # bytes per pixel at bit depth 8
+        raise ValueError(f"unsupported channel count {ch} (want 1/2/3/4)")
+    if depth not in _PNG_VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"bit depth {depth} invalid for color type {color_type}"
+        )
+    if depth < 8 and int(px.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample exceeds {depth}-bit range")
+    bpp = max(1, depth * ch // 8)  # filter distance in BYTES, per the spec
     if not interlace:
-        raw = px.reshape(h, w * ch).astype(np.int16)
-        out = _png_filter_scanlines(raw, bpp, row_filters)
+        out = _png_filter_scanlines(_png_pack_rows(px, depth), bpp, row_filters)
     else:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
@@ -415,10 +528,13 @@ def encode_png(px: np.ndarray, row_filters=None, interlace: bool = False) -> byt
             ph, pw = sub.shape[:2]
             if ph == 0 or pw == 0:
                 continue
-            raw = sub.reshape(ph, pw * ch).astype(np.int16)
-            parts.append(_png_filter_scanlines(raw, bpp, row_filters=None))
+            parts.append(
+                _png_filter_scanlines(
+                    _png_pack_rows(sub, depth), bpp, row_filters=None
+                )
+            )
         out = b"".join(parts)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -665,16 +781,212 @@ def decode_png(b: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, 0] if ch == 1 else px)
 
 
+# ---------------------------------------------------------------------------
+# MP3 frame-HEADER walk (r14, VERDICT r13 ask #7): the container has no
+# audio codec libraries and a from-scratch MDCT synthesis is out of scope,
+# but the FRAMING layer — sync walk, version/layer/bitrate/samplerate
+# tables, frame-size arithmetic, ID3 skip, VBR detection, duration — is
+# pure public-spec integer math and is what a corpus pipeline actually
+# needs (validate/measure/route audio shards).  PCM synthesis stays an
+# explicit NotImplementedError.
+# ---------------------------------------------------------------------------
+
+# bitrate tables, kbps, indexes 1..14 (0 = free-format, 15 = invalid);
+# keyed by (version_group, layer) where version_group 1 = MPEG1 and
+# 2 = MPEG2/2.5 (which share tables; their layer II and III also coincide)
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample-rate tables by the header's 2-bit version field
+# (3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5, 1 = reserved)
+_MP3_SAMPLE_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+_MP3_VERSION_NAMES = {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}
+
+
+def _mp3_frame_params(h: int) -> tuple[str, int, int, int, int, int, int]:
+    """Parse a 32-bit frame header → (version, layer, bitrate_kbps,
+    sample_rate, padding, n_channels, frame_bytes).  Raises ValueError on
+    reserved/invalid fields, NotImplementedError on free-format streams
+    (bitrate index 0: frame size is not derivable from the header)."""
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise ValueError(f"lost MP3 frame sync (header 0x{h:08x})")
+    vbits = (h >> 19) & 3
+    lbits = (h >> 17) & 3
+    if vbits == 1:
+        raise ValueError("reserved MPEG version")
+    if lbits == 0:
+        raise ValueError("reserved MP3 layer")
+    layer = 4 - lbits  # bits 3/2/1 = layers I/II/III
+    vgroup = 1 if vbits == 3 else 2
+    bidx = (h >> 12) & 0xF
+    if bidx == 15:
+        raise ValueError("invalid bitrate index 15")
+    if bidx == 0:
+        raise NotImplementedError("free-format MP3 (bitrate index 0)")
+    # MPEG2/2.5 layers II and III share one table
+    table = _MP3_BITRATES[(vgroup, min(layer, 2) if vgroup == 2 else layer)]
+    br = table[bidx - 1]
+    sidx = (h >> 10) & 3
+    if sidx == 3:
+        raise ValueError("reserved sample-rate index")
+    sr = _MP3_SAMPLE_RATES[vbits][sidx]
+    pad = (h >> 9) & 1
+    mode = (h >> 6) & 3
+    ch = 1 if mode == 3 else 2
+    if layer == 1:
+        size = (12 * br * 1000 // sr + pad) * 4
+    elif layer == 2 or vgroup == 1:
+        size = 144 * br * 1000 // sr + pad
+    else:  # layer III, MPEG2/2.5: half-size frames
+        size = 72 * br * 1000 // sr + pad
+    return _MP3_VERSION_NAMES[vbits], layer, br, sr, pad, ch, size
+
+
+def _mp3_samples_per_frame(version: str, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2 or version == "MPEG1":
+        return 1152
+    return 576  # layer III, MPEG2/2.5
+
+
+def decode_mp3_headers(b: bytes) -> dict:
+    """Walk every MP3 frame header in ``b`` and return the stream's framing
+    metadata: ``{"kind": "audio_meta", "version", "layer", "sample_rate",
+    "n_channels", "n_frames", "n_samples", "duration_s", "avg_bitrate_kbps",
+    "is_vbr", "n_bytes"}``.
+
+    Skips a leading ID3v2 tag (synchsafe size) and a trailing 128-byte
+    ID3v1 ``TAG`` block; requires version/layer/sample-rate to stay
+    constant across frames (a mixed stream is a framing error) while
+    bitrate may vary per frame (VBR — reported via ``is_vbr`` and the
+    exact average).  A frame extending past the payload end is a
+    ``ValueError`` (truncation, never a silent partial decode); free-format
+    streams raise ``NotImplementedError``.  HEADERS ONLY: no PCM synthesis
+    (Huffman + MDCT are out of scope per SCALING.md; use the WAV family
+    for sample-level oracles)."""
+    pos = 0
+    end = len(b)
+    if b[:3] == b"ID3" and len(b) >= 10:
+        syn = b[6:10]
+        if any(x & 0x80 for x in syn):
+            raise ValueError("bad ID3v2 synchsafe size")
+        pos = 10 + ((syn[0] << 21) | (syn[1] << 14) | (syn[2] << 7) | syn[3])
+    if end - pos >= 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    frames = 0
+    bitrate_sum = 0
+    bitrates = set()
+    sig = None
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError(f"truncated MP3 header at byte {pos}")
+        (h,) = struct.unpack_from(">I", b, pos)
+        version, layer, br, sr, _pad, ch, size = _mp3_frame_params(h)
+        if sig is None:
+            sig = (version, layer, sr, ch)
+        elif sig != (version, layer, sr, ch):
+            raise ValueError(
+                f"mixed MP3 stream at byte {pos}: {sig} -> "
+                f"{(version, layer, sr, ch)}"
+            )
+        if pos + size > end:
+            raise ValueError(
+                f"truncated MP3 frame at byte {pos} (needs {size})"
+            )
+        frames += 1
+        bitrate_sum += br
+        bitrates.add(br)
+        pos += size
+    if not frames:
+        raise ValueError("no MP3 frames in payload")
+    version, layer, sr, ch = sig
+    spf = _mp3_samples_per_frame(version, layer)
+    return {
+        "kind": "audio_meta",
+        "version": version,
+        "layer": layer,
+        "sample_rate": sr,
+        "n_channels": ch,
+        "n_frames": frames,
+        "n_samples": frames * spf,
+        "duration_s": frames * spf / sr,
+        "avg_bitrate_kbps": bitrate_sum / frames,
+        "is_vbr": len(bitrates) > 1,
+        "n_bytes": len(b),
+    }
+
+
+def encode_mp3_frames(
+    version: str,
+    layer: int,
+    sample_rate: int,
+    frame_specs: list[tuple[int, int]],
+    channels: int = 1,
+    id3v2_bytes: int = 0,
+) -> bytes:
+    """Build a syntactically-valid MP3 stream: one frame per
+    ``(bitrate_kbps, padding)`` spec, bodies filled with a deterministic
+    byte pattern (the header walk never reads them), optionally prefixed
+    with a zeroed ID3v2 tag of ``id3v2_bytes`` payload bytes.  Framing
+    builder only — no audio is encoded, so :func:`decode_mp3_headers`
+    stays an independent implementation of the same public tables."""
+    vbits = {v: k for k, v in _MP3_VERSION_NAMES.items()}[version]
+    vgroup = 1 if vbits == 3 else 2
+    sidx = _MP3_SAMPLE_RATES[vbits].index(sample_rate)
+    table = _MP3_BITRATES[(vgroup, min(layer, 2) if vgroup == 2 else layer)]
+    out = bytearray()
+    if id3v2_bytes:
+        if id3v2_bytes >= 1 << 28:
+            raise ValueError("ID3v2 size exceeds synchsafe range")
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3v2_bytes >> s) & 0x7F for s in (21, 14, 7, 0)]
+        )
+        out += bytes(id3v2_bytes)
+    for k, (br, pad) in enumerate(frame_specs):
+        bidx = table.index(br) + 1
+        h = (
+            (0x7FF << 21) | (vbits << 19) | ((4 - layer) << 17) | (1 << 16)
+            | (bidx << 12) | (sidx << 10) | (pad << 9)
+            | ((3 if channels == 1 else 0) << 6)
+        )
+        if layer == 1:
+            size = (12 * br * 1000 // sample_rate + pad) * 4
+        elif layer == 2 or vgroup == 1:
+            size = 144 * br * 1000 // sample_rate + pad
+        else:
+            size = 72 * br * 1000 // sample_rate + pad
+        frame = bytearray(struct.pack(">I", h))
+        body = bytes(((k * 7 + j * 13) % 256) for j in range(size - 4))
+        # body bytes must never fake a sync word (0xFF 0xE0+): the walker
+        # jumps frame-to-frame so it wouldn't see them, but keep the
+        # stream honest for third-party parsers
+        frame += body.replace(b"\xff", b"\x7f")
+        out += frame
+    return bytes(out)
+
+
 def decode_payload(payload: bytes, fmt: str) -> dict:
     """Codec dispatch.  ``image/bmp``, ``image/png``, ``image/jpeg``
     (baseline sequential AND progressive), ``image/gif`` (multi-frame) and
     ``audio/wav``
-    decode for REAL via the stdlib codecs in this module; ``text/plain``
-    keeps the deterministic byte-level fake; everything else (MP3 …)
-    raises — the container has no codec libraries, and a wrong answer is
-    worse than an explicit gap."""
+    decode for REAL via the stdlib codecs in this module; ``audio/mpeg``
+    (MP3) decodes FRAME HEADERS only (:func:`decode_mp3_headers` — framing
+    metadata, no PCM synthesis); ``text/plain`` keeps the deterministic
+    byte-level fake; everything else raises — the container has no codec
+    libraries, and a wrong answer is worse than an explicit gap."""
     if fmt == "text/plain":
         return _fake_decode(payload)
+    if fmt in ("audio/mpeg", "audio/mp3"):
+        return decode_mp3_headers(payload)
     if fmt == "image/bmp":
         px = decode_bmp(payload)
         h, w, _ = px.shape
@@ -1063,6 +1375,74 @@ def synthesize_png_payloads(docs: DataFrame) -> DataFrame:
             out = []
             for doc_id in pdf["doc_id"]:
                 payload = _png_plan(doc_id)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "meta": {"format": "image/png", "n_bytes": len(payload)},
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+def _png_variant_plan(doc_id: int) -> bytes:
+    """Closed-form spec for the r13 decode paths born row-less (VERDICT r13
+    ask #5): variant cycles with ``doc_id % 4`` —
+
+    * v0: Adam7-INTERLACED 8-bit RGB over a ``(9+d%5) × (10+d%3)`` canvas
+      (wide/tall enough that all seven passes are non-empty):
+      ``r=(d+11i)%256, g=(d+23i)%256, b=(d+31i)%256``;
+    * v1: 16-BIT greyscale, ``(6+d%4) × (5+d%3)``,
+      ``g=(257d+101i)%65536`` (big-endian sample pairs, uint16 out);
+    * v2: 4-BIT greyscale, ``(7+d%5) × (6+d%3)``, raw ``(d+i)%16`` —
+      decoded samples scale ×17 to 8-bit exactly;
+    * v3: GREY+ALPHA 8-bit, ``(5+d%4) × (4+d%3)``,
+      ``g=(d+7i)%256, a=(d+13i)%256``.
+
+    Non-interlaced variants store row ``y`` with scanline filter
+    ``(d+y)%5``; pixel index ``i`` is row-major top-down."""
+    d = int(doc_id)
+    v = d % 4
+    if v == 0:
+        w, h = 9 + d % 5, 10 + d % 3
+        i = np.arange(w * h, dtype=np.int64)
+        px = np.stack(
+            [(d + 11 * i) % 256, (d + 23 * i) % 256, (d + 31 * i) % 256],
+            axis=-1,
+        ).astype(np.uint8).reshape(h, w, 3)
+        return encode_png(px, interlace=True)
+    if v == 1:
+        w, h = 6 + d % 4, 5 + d % 3
+        i = np.arange(w * h, dtype=np.int64)
+        px = ((257 * d + 101 * i) % 65536).astype(np.uint16).reshape(h, w)
+        return encode_png(px, depth=16, row_filters=[(d + y) % 5 for y in range(h)])
+    if v == 2:
+        w, h = 7 + d % 5, 6 + d % 3
+        i = np.arange(w * h, dtype=np.int64)
+        px = ((d + i) % 16).astype(np.uint8).reshape(h, w)
+        return encode_png(px, depth=4, row_filters=[(d + y) % 5 for y in range(h)])
+    w, h = 5 + d % 4, 4 + d % 3
+    i = np.arange(w * h, dtype=np.int64)
+    px = np.stack([(d + 7 * i) % 256, (d + 13 * i) % 256], axis=-1).astype(
+        np.uint8
+    ).reshape(h, w, 2)
+    return encode_png(px, row_filters=[(d + y) % 5 for y in range(h)])
+
+
+def synthesize_png_variant_payloads(docs: DataFrame) -> DataFrame:
+    """Attach a REAL depth/interlace-variant PNG payload (per
+    :func:`_png_variant_plan`) to each document — Arrow-batched, map-only,
+    partition-preserving."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = _png_variant_plan(doc_id)
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -2171,6 +2551,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             raise ValueError(f"expected marker at byte {pos}, got 0x{b[pos]:02x}")
         while pos < len(b) and b[pos] == 0xFF and b[pos + 1 : pos + 2] == b"\xff":
             pos += 1  # fill bytes
+        need(2, "marker")  # payload may END in fill bytes (0xFF 0xFF...)
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

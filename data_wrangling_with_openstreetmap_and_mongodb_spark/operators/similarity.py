@@ -235,11 +235,36 @@ def _assign_packed(
                 acc = acc + np.multiply.outer(mat[:, d_], cmat[:, d_])
                 na = na + mat[:, d_] * mat[:, d_]
                 nc = nc + cmat[:, d_] * cmat[:, d_]
+            # Degenerate-vector semantics must match the HOF expression path
+            # under the repo's calling convention (Spark 4 ANSI on):
+            #   * a ZERO-NORM row or centroid makes the cosine divisor 0 —
+            #     the expression path raises DIVIDE_BY_ZERO, so raise here
+            #     too instead of silently minting NaN;
+            #   * a NaN COMPONENT gives a NaN divisor (not zero — no ANSI
+            #     raise) and Spark's total order ranks NaN ABOVE every
+            #     float, so max_by picks the NaN cosine with the lowest
+            #     c_id tie-break — mirror it by comparing NaN as +inf.
+            # Without either, `qi == best` was false everywhere for an
+            # all-NaN row and the row landed on a nonexistent sentinel
+            # cluster that downstream c_id inner joins silently dropped.
+            if (na == 0).any():
+                bad = pdf[id_col].to_numpy()[na == 0][:3].tolist()
+                raise ValueError(
+                    f"assign_to_centroids: zero-norm vector(s), ids {bad} "
+                    "(cosine undefined; the expression path raises "
+                    "DIVIDE_BY_ZERO on these)"
+                )
+            if (nc == 0).any():
+                raise ValueError(
+                    "assign_to_centroids: zero-norm centroid "
+                    f"c_id={c_ids[nc == 0][:3].tolist()} (cosine undefined)"
+                )
             cos = acc / np.multiply.outer(np.sqrt(na), np.sqrt(nc))
             qi = np.floor(cos * 1e6 + 0.5)  # int compare == quantize6 compare
-            best = qi.max(axis=1, keepdims=True)
+            qcmp = np.where(np.isnan(qi), np.inf, qi)
+            best = qcmp.max(axis=1, keepdims=True)
             sentinel = int(c_ids.max()) + 1
-            pick = np.where(qi == best, c_ids[None, :], sentinel).min(axis=1)
+            pick = np.where(qcmp == best, c_ids[None, :], sentinel).min(axis=1)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),

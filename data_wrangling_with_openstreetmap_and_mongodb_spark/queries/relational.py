@@ -768,9 +768,13 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "would shuffle every key.  Bounds-style oracle (r13): the output carries "
     "exact_users plus approx_within_5pct = |est-exact|/exact <= 0.05; DuckDB "
     "replays the exact side and asserts TRUE, so the hash match verifies the "
-    "sketch's accuracy contract on the driver's own data.  The ±5% bound is "
-    "2.5 sigma at rsd=0.02 and HLL++ is deterministic per dataset, so the "
-    "row is stable.  Point accuracy additionally asserted in "
+    "sketch's accuracy contract on the driver's own data.  The bound is "
+    "max(5% of exact, 2): 5% is 2.5 sigma at rsd=0.02, and the ±2 absolute "
+    "floor (mirroring tests/test_scale.py's max(0.05*n, 2)) keeps tiny "
+    "groups stable — below n=40 a single-register artifact legitimately "
+    "exceeds 5% without violating the rsd contract (ADVICE r13).  HLL++ is "
+    "deterministic per dataset, so the row is stable.  Point accuracy "
+    "additionally asserted in "
     "tests/test_scale.py::test_approx_distinct_within_rsd_bound.",
     tags=("agg", "approx"),
 )
@@ -787,7 +791,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
+            <= F.greatest(0.05 * F.col("exact_users"), F.lit(2.0))
         ).alias("approx_within_5pct"),
     )
 

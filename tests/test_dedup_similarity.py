@@ -883,6 +883,61 @@ def test_packed_assignment_matches_expression_path(spark, sf_dir):
     assert vt == dict(e.dtypes)["embedding"]
 
 
+def test_packed_assignment_degenerate_vectors_match(spark):
+    """Degenerate-vector parity across the k-dispatch (ADVICE r13): a
+    NaN-component vector makes every cosine NaN, and Spark's total order
+    ranks NaN above all floats, so the HOF path assigns the LOWEST c_id —
+    the packed kernel must do the same (it used to fall through to a
+    nonexistent sentinel cluster, silently dropped by downstream inner
+    joins on c_id).  A ZERO-NORM vector or centroid makes the divisor 0,
+    which the expression path rejects under ANSI (DIVIDE_BY_ZERO) — the
+    packed kernel must raise too, not silently mint NaN."""
+    import pytest
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+        _ASSIGN_PACKED_MIN_K,
+        _assign_packed,
+        _assign_to_centroids,
+    )
+
+    k = _ASSIGN_PACKED_MIN_K
+    dim = 4
+    cents = [(10 + i, [float(i + 1), 1.0, float(k - i), 2.0]) for i in range(k)]
+    cdf = spark.createDataFrame(cents, "c_id bigint, c_vec array<double>")
+
+    nan_rows = [
+        (2, [float("nan"), 1.0, 1.0, 1.0]),  # NaN component -> all-NaN cosines
+        (3, [1.0, 2.0, 3.0, 4.0]),           # healthy control row
+    ]
+    df = spark.createDataFrame(nan_rows, "vec_id bigint, embedding array<double>")
+    expr = {
+        r["id"]: r["cluster"]
+        for r in _assign_to_centroids(df, "embedding", "vec_id", cdf).collect()
+    }
+    packed = {
+        r["id"]: r["cluster"]
+        for r in _assign_packed(df, "embedding", "vec_id", cents).collect()
+    }
+    assert packed == expr
+    assert packed[2] == 10  # lowest c_id, not a phantom cluster
+    assert all(c in {c0 for c0, _ in cents} for c in packed.values())
+
+    # zero-norm ROW: expression path raises DIVIDE_BY_ZERO under ANSI; the
+    # packed kernel raises its own explicit ValueError naming the ids.
+    zdf = spark.createDataFrame(
+        [(1, [0.0] * dim)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        _assign_to_centroids(zdf, "embedding", "vec_id", cdf).collect()
+    with pytest.raises(Exception, match="zero-norm vector"):
+        _assign_packed(zdf, "embedding", "vec_id", cents).collect()
+
+    # zero-norm CENTROID: same contract on the centroid side.
+    cents_zero = [(10, [0.0] * dim)] + cents[1:]
+    with pytest.raises(Exception, match="zero-norm centroid"):
+        _assign_packed(df, "embedding", "vec_id", cents_zero).collect()
+
+
 def test_auto_n_centroids_rule():
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
         auto_n_centroids,

@@ -353,11 +353,29 @@ class TestPng:
 class TestDispatch:
     def test_unknown_format_raises(self):
         with pytest.raises(NotImplementedError, match="no codec"):
+            decode_payload(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+        # audio/mp3 dispatches to the r14 header walk now; a 7-byte payload
+        # whose header promises a 417-byte frame is the walker's truncation
+        # ValueError, not a missing-codec gap
+        with pytest.raises(ValueError, match="truncated MP3"):
             decode_payload(b"\xff\xfb\x90...", "audio/mp3")
         # image/jpeg dispatches to the real r13 codec now; a malformed
         # payload is the codec's ValueError, not a missing-codec gap
         with pytest.raises(ValueError, match="truncated JPEG"):
             decode_payload(b"\xff\xd8\xff...", "image/jpeg")
+
+    def test_jpeg_trailing_fill_bytes_are_valueerror(self):
+        """ADVICE r13: a payload truncated at a run of 0xFF fill bytes used
+        to IndexError past the buffer after the fill-skip loop — third-party
+        JPEGs legitimately pad with fill bytes, so the marker walk must
+        re-check bounds and raise the documented ValueError."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+        )
+
+        for tail in (b"\xff\xff", b"\xff\xff\xff", b"\xff\xff\xff\xff"):
+            with pytest.raises(ValueError, match="truncated JPEG"):
+                decode_jpeg(b"\xff\xd8" + tail)
 
     def test_real_formats_dispatch(self):
         img = decode_payload(encode_bmp(GOLDEN_2X2), "image/bmp")
@@ -1264,9 +1282,9 @@ class TestImaAdpcm:
         return pred, max(0, min(88, idx))
 
     @staticmethod
-    def _container(channels, block):
+    def _container(channels, block, align=None):
         fmt = struct.pack(
-            "<HHIIHHHH", 0x11, channels, 8000, 4000, len(block), 4, 2, 0
+            "<HHIIHHHH", 0x11, channels, 8000, 4000, align or len(block), 4, 2, 0
         )
         body = (
             b"WAVE"
@@ -1382,3 +1400,213 @@ class TestImaAdpcm:
         bad = struct.pack("<hBB", 0, 0, 0) + bytes([0x00])  # align % 4 != 0
         with pytest.raises(ValueError, match="blockAlign"):
             decode_wav(self._container(1, bad))
+
+    @staticmethod
+    def _container_fact(channels, block_align, data, n_frames):
+        """Container with a `fact` chunk (dwSampleLength) before `data` —
+        the layout every spec-conforming non-PCM WAV writer emits."""
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, channels, 8000, 4000, block_align, 4, 2, 0
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n_frames)
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_fact_chunk_truncates_short_final_block(self):
+        """ADVICE r13: without `fact`, a short final block's pad nibbles
+        decode as ghost trailing samples (or the remainder drops entirely).
+        With `fact`, the short block IS decoded and output truncates to
+        dwSampleLength exactly."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            _IMA_STEP_TABLE,
+            decode_wav,
+        )
+
+        # block_align=12: full block = header(4) + 8 nibble bytes = 17 frames
+        full = struct.pack("<hBB", 100, 10, 0) + bytes(
+            [0x21, 0x9F, 0x80, 0x73, 0x11, 0x22, 0x33, 0x44]
+        )
+        # short final block: header + ONE 4-byte group = 9 decodable frames,
+        # of which fact says only 5 are real (the rest are encoder padding)
+        short = struct.pack("<hBB", -50, 5, 0) + bytes([0x55, 0x66, 0x77, 0x88])
+        data = full + short
+
+        n_frames = 17 + 5
+        rate, ch, s = decode_wav(self._container_fact(1, 12, data, n_frames))
+        assert (rate, ch) == (8000, 1)
+        assert len(s) == n_frames
+        # the short block's samples are real decoded output, not ghosts
+        pred, idx = -50, 5
+        want = [-50]
+        for nib in (5, 5, 6, 6, 7, 7, 8, 8):
+            pred, idx = self._ref_step(pred, idx, nib, _IMA_STEP_TABLE)
+            want.append(pred)
+        assert s[17:].tolist() == want[:5]
+
+        # fallback without fact: remainder (the short block) drops silently
+        rate, ch, legacy = decode_wav(self._container(1, data, align=12))
+        assert len(legacy) == 17
+        assert legacy.tolist() == s[:17].tolist()
+
+        # fact larger than decodable output is a framing lie -> ValueError
+        with pytest.raises(ValueError, match="dwSampleLength"):
+            decode_wav(self._container_fact(1, 12, data, 100))
+
+    def test_encode_wav_adpcm_container_roundtrip(self):
+        """encode_wav_adpcm is framing-only (the block bytes pass through),
+        so container-then-decode must equal decoding the same blocks via a
+        hand-built container — including the fact-chunk truncation path."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav_adpcm,
+        )
+
+        full = struct.pack("<hBB", 100, 10, 0) + bytes(
+            [0x21, 0x9F, 0x80, 0x73, 0x11, 0x22, 0x33, 0x44]
+        )
+        short = struct.pack("<hBB", -50, 5, 0) + bytes([0x55, 0x66, 0x77, 0x88])
+        rate, ch, s = decode_wav(encode_wav_adpcm(8000, 1, 12, full + short, 22))
+        assert (rate, ch, len(s)) == (8000, 1, 22)
+        want = decode_wav(self._container_fact(1, 12, full + short, 22))[2]
+        assert s.tolist() == want.tolist()
+        # without n_samples: legacy full-blocks-only
+        _, _, legacy = decode_wav(encode_wav_adpcm(8000, 1, 12, full + short))
+        assert len(legacy) == 17
+        with pytest.raises(ValueError, match="blockAlign"):
+            encode_wav_adpcm(8000, 1, 7, full)
+
+
+class TestPngDepthVariants:
+    """r14 encode_png depth/grey-alpha support against the r13 decoder:
+    every spec-valid (depth, color-type) combination round-trips exactly,
+    plain AND Adam7-interlaced."""
+
+    def test_16bit_roundtrips_exact(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        for ch in (1, 2, 3, 4):
+            for il in (False, True):
+                shape = (9, 11) if ch == 1 else (9, 11, ch)
+                px = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+                got = decode_png(encode_png(px, depth=16, interlace=il))
+                assert got.dtype == np.uint16
+                assert np.array_equal(got.reshape(px.shape), px), (ch, il)
+
+    def test_sub8_grey_scales_exact(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(11)
+        for d, scale in ((1, 255), (2, 85), (4, 17)):
+            for il in (False, True):
+                px = rng.integers(0, 1 << d, size=(10, 13), dtype=np.uint8)
+                got = decode_png(encode_png(px, depth=d, interlace=il))
+                assert np.array_equal(got, px * scale), (d, il)
+
+    def test_grey_alpha_8bit_roundtrip(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(13)
+        for il in (False, True):
+            px = rng.integers(0, 256, size=(7, 6, 2), dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(px, interlace=il)), px)
+
+    def test_invalid_combinations_raise(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="invalid for color type"):
+            encode_png(rgb, depth=2)  # sub-8 is greyscale-only
+        with pytest.raises(ValueError, match="invalid for color type"):
+            encode_png(np.zeros((4, 4)), depth=12)
+        with pytest.raises(ValueError, match="range"):
+            encode_png(np.full((4, 4), 4, dtype=np.uint8), depth=2)
+
+
+class TestMp3Headers:
+    """r14 MP3 frame-header walk (VERDICT r13 ask #7): framing metadata
+    from the public header tables — no PCM synthesis.  The builder and the
+    walker are independent implementations of the same tables (builder
+    indexes INTO them; walker derives size/duration arithmetic)."""
+
+    def test_cbr_mpeg1_layer3(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_mp3_headers,
+            encode_mp3_frames,
+        )
+
+        b = encode_mp3_frames(
+            "MPEG1", 3, 44100, [(128, 0), (128, 1), (128, 0)], channels=2
+        )
+        # hand arithmetic: 144*128000/44100 = 417 (+pad)
+        assert len(b) == 417 + 418 + 417
+        m = decode_mp3_headers(b)
+        assert m["n_frames"] == 3 and not m["is_vbr"]
+        assert m["n_samples"] == 3 * 1152 and m["n_channels"] == 2
+        assert m["avg_bitrate_kbps"] == 128.0
+        assert abs(m["duration_s"] - 3 * 1152 / 44100) < 1e-12
+
+    def test_vbr_mpeg25_with_id3v2_and_id3v1(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_mp3_headers,
+            encode_mp3_frames,
+        )
+
+        b = encode_mp3_frames(
+            "MPEG2.5", 3, 8000, [(8, 0), (24, 1), (64, 0)], id3v2_bytes=200
+        )
+        m = decode_mp3_headers(b + b"TAG" + bytes(125))
+        assert m["is_vbr"] and m["n_frames"] == 3
+        assert m["n_samples"] == 3 * 576  # MPEG2.5 L3: half-size frames
+        assert m["avg_bitrate_kbps"] == 32.0
+        assert m["n_channels"] == 1 and m["sample_rate"] == 8000
+
+    def test_layer1_and_layer2_frame_sizes(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_mp3_headers,
+            encode_mp3_frames,
+        )
+
+        m1 = decode_mp3_headers(encode_mp3_frames("MPEG1", 1, 32000, [(96, 0), (96, 1)]))
+        assert m1["layer"] == 1 and m1["n_samples"] == 2 * 384
+        m2 = decode_mp3_headers(encode_mp3_frames("MPEG2", 2, 24000, [(48, 0)]))
+        assert m2["layer"] == 2 and m2["n_samples"] == 1152
+
+    def test_error_paths(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_mp3_headers,
+            encode_mp3_frames,
+        )
+
+        good = encode_mp3_frames("MPEG1", 3, 44100, [(128, 0), (128, 0)])
+        with pytest.raises(ValueError, match="truncated MP3 frame"):
+            decode_mp3_headers(good[:-10])
+        with pytest.raises(ValueError, match="frame sync"):
+            decode_mp3_headers(b"\x00\x01\x02\x03\x04")
+        with pytest.raises(ValueError, match="no MP3 frames"):
+            decode_mp3_headers(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+        # mixed sample-rate streams are a framing error
+        mixed = good + encode_mp3_frames("MPEG1", 3, 48000, [(128, 0)])
+        with pytest.raises(ValueError, match="mixed MP3 stream"):
+            decode_mp3_headers(mixed)
+        # free-format: size not derivable -> explicit NotImplementedError
+        free = bytearray(good[:4])
+        free[2] &= 0x0F  # bitrate index 0
+        with pytest.raises(NotImplementedError, match="free-format"):
+            decode_mp3_headers(bytes(free))
