@@ -431,9 +431,9 @@ _ZIPPED = {
     "(pairwise with the reversed token list) in one $project → $group "
     "(docstore/expressions.py; VERDICT r3 ask #6).  Gate-only: expression "
     "ops, not a novel family — the window holds ds_cond_price_buckets for "
-    "this surface.",
+    "this surface."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "expr"),
-    driver_visible=False,
 )
 def ds_week_zip_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _pair(i: int, j: int):
@@ -473,10 +473,12 @@ def ds_week_zip_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ds_split_backslash_e",
     oracle=r"""
         SELECT o_orderkey,
-               string_split(o_orderstatus || '\E' || o_orderpriority,
-                            '\E') AS parts,
-               string_split(o_orderstatus || '\E.' || o_orderpriority,
-                            '\E.') AS parts2
+               array_to_string(
+                   string_split(o_orderstatus || '\E' || o_orderpriority,
+                                '\E'), '|') AS parts,
+               array_to_string(
+                   string_split(o_orderstatus || '\E.' || o_orderpriority,
+                                '\E.'), '|') AS parts2
         FROM orders
         WHERE o_orderkey <= 400
     """,
@@ -485,15 +487,16 @@ def ds_week_zip_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"terminated early by the embedded \E, reinterpreting the tail as "
     r"regex; the compiler now re-quotes via Java's Pattern.quote idiom "
     r"(\E → \E\\E\Q).  parts2's delimiter ends in '.', which the old bug "
-    r"would have turned into match-any.  Gate-only: expression edge, "
-    "window surface held by ds_unwind_token_counts.",
+    r"would have turned into match-any.  Split arrays join to '|' strings "
+    r"(the driver's pandas canonicalization can't sort list cells — the "
+    r"ds_minmax_topn lesson, applied before this query's first driver row)."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "expr"),
-    driver_visible=False,
 )
 def ds_split_backslash_e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sep = {"$literal": "\\E"}
     sep2 = {"$literal": "\\E."}
-    return _coll(spark, sf_dir, "orders").aggregate(
+    out = _coll(spark, sf_dir, "orders").aggregate(
         [
             {"$match": {"o_orderkey": {"$lte": 400}}},
             {
@@ -515,21 +518,32 @@ def ds_split_backslash_e(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ]
     )
+    return out.select(
+        "o_orderkey",
+        F.array_join("parts", "|").alias("parts"),
+        F.array_join("parts2", "|").alias("parts2"),
+    )
 
 
 @register(
     "ds_minmax_topn",
     oracle="""
         SELECT o_orderpriority AS _id,
-               list_slice(list_sort(list(o_totalprice)), 1, 3) AS lo3,
-               list_slice(list_sort(list(o_totalprice), 'DESC'), 1, 3) AS hi3,
-               list_transform(
+               array_to_string(list_transform(
+                   list_slice(list_sort(list(o_totalprice)), 1, 3),
+                   x -> CAST(CAST(floor(x * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               ), ',') AS lo3,
+               array_to_string(list_transform(
+                   list_slice(list_sort(list(o_totalprice), 'DESC'), 1, 3),
+                   x -> CAST(CAST(floor(x * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               ), ',') AS hi3,
+               array_to_string(list_transform(
                    list_slice(
                        list_sort(list(struct_pack(k0 := o_totalprice,
                                                   k1 := o_orderkey,
                                                   v := o_orderkey)), 'DESC'),
                        1, 3),
-                   s -> s.v) AS top3_keys
+                   s -> CAST(s.v AS VARCHAR)), ',') AS top3_keys
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -537,11 +551,16 @@ def ds_split_backslash_e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(docstore/pipeline.py::_accumulator): each is ONE hash-agg + array "
     "ops — no window, no second shuffle; the (o_totalprice, o_orderkey) "
     "compound sortBy makes top3 tie-stable so the oracle replays the exact "
-    "arrays.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
+    "arrays.  Output arrays join to comma strings (prices as exact cents so "
+    "float rendering never differs across engines) — the driver "
+    "canonicalizes via pandas sort_values over raw cells, which cannot hash "
+    "list-typed values (the r13 red row; same shape cure as "
+    "ds_window_topn_median).  Driver-visible since the r13 rotation "
+    "(VERDICT r12 ask #1: never-driver-verified residual burn-down).",
     tags=("docstore", "agg", "topk"),
 )
 def ds_minmax_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _coll(spark, sf_dir, "orders").aggregate(
+    out = _coll(spark, sf_dir, "orders").aggregate(
         [
             {
                 "$group": {
@@ -558,6 +577,24 @@ def ds_minmax_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             }
         ]
+    )
+
+    def _cents_csv(c: str):
+        return F.array_join(
+            F.transform(
+                F.col(c),
+                lambda x: F.floor(x * 100 + F.lit(0.5)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias(c)
+
+    return out.select(
+        "_id",
+        _cents_csv("lo3"),
+        _cents_csv("hi3"),
+        F.array_join(
+            F.transform(F.col("top3_keys"), lambda x: x.cast("string")), ","
+        ).alias("top3_keys"),
     )
 
 
@@ -692,9 +729,9 @@ def ds_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running bounds all exercised; sums stay on the BIGINT key (window "
     "float sums are frame-order-dependent), MIN is order-independent.  "
     "Gate-only: the $setWindowFields family's driver rows are "
-    "ds_window_time_range / ds_window_topn_median (r10).",
+    "ds_window_time_range / ds_window_topn_median (r10)."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "window"),
-    driver_visible=False,
 )
 def ds_window_month_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(
@@ -807,9 +844,9 @@ def ds_densify_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine-independent of either engine's session timezone or tz "
     "database; Olson-zone DST behavior is pinned by the golden sweep in "
     "test_docstore (spring-forward skip, fall-back repeat).  Gate-only: "
-    "the date-format family's driver row is orders_by_dayofweek.",
+    "the date-format family's driver row is orders_by_dayofweek."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "datetime"),
-    driver_visible=False,
 )
 def ds_date_format_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(
@@ -868,9 +905,9 @@ def ds_update_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="$sortByCount: group-count + sort desc (count ties ordered by _id — "
     "deterministic, strictly stronger than Mongo's unspecified tie order).  "
-    "Gate-only: an A1 group-count shape under top_event_types' family.",
+    "Gate-only: an A1 group-count shape under top_event_types' family."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "agg"),
-    driver_visible=False,
 )
 def ds_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "orders").aggregate(
@@ -892,9 +929,9 @@ def ds_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and supplier nation keys union (bag semantics, like Mongo) and "
     "group-count.  Compiles to unionByName over two pruned scans — no "
     "shuffle until the final hash-agg.  Gate-only: union shape (F2/F3 "
-    "family).",
+    "family)."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "reshape", "agg"),
-    driver_visible=False,
 )
 def ds_union_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
@@ -1094,9 +1131,9 @@ def ds_merge_pipeline_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle computes spine size and collision count in closed form.  One "
     "extent agg + sequence explode + anti-join — never a global calendar "
     "cross join.  Gate-only: the gap-fill/resample family's driver row is "
-    "events_gap_filled_locf.",
+    "events_gap_filled_locf."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "resample"),
-    driver_visible=False,
 )
 def ds_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     dens = _coll(spark, sf_dir, "events").aggregate(
@@ -1355,9 +1392,9 @@ def ds_graph_reachable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "through untouched, unmatched source docs insert TRANSFORMED.  The "
     "oracle is the closed-form UNION.  Writes confined to /tmp "
     "(overwrite-idempotent per invocation).  Gate-only: the merge "
-    "family's driver row is upsert_supplier_acctbal.",
+    "family's driver row is upsert_supplier_acctbal."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "upsert"),
-    driver_visible=False,
 )
 def ds_merge_insert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1418,9 +1455,9 @@ def ds_merge_insert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resolves through the projection rather than the foreign schema.  "
     "Same one-join one-exchange window plan as ds_lookup_topn; the "
     "$unwind includeArrayIndex again replays array ORDER against the "
-    "oracle rank.  Gate-only: near-dup of ds_lookup_topn's shape.",
+    "oracle rank.  Gate-only: near-dup of ds_lookup_topn's shape."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "join", "window"),
-    driver_visible=False,
 )
 def ds_lookup_proj_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -1555,8 +1592,10 @@ def ds_window_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "$top(sortBy ts desc) picks the last EMA without a second window "
     "pass.  Gate-only: the stateful-pandas family's driver row is "
     "sessionize_events."
-    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; window family keeps ds_window_running visible + ds_window_month_range (in)); still oracle-gated at sf0.01.",
     tags=("docstore", "window", "rate", "pandas-udf"),
+    driver_visible=False,
 )
 def ds_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coll(spark, sf_dir, "events").aggregate(
@@ -1875,9 +1914,9 @@ def ds_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by (lang, source).  The $path option names the searched field (typed "
     "storage's stand-in for the text index), matching the $geoNear `key` "
     "treatment.  Gate-only: the text-search family's scored/ranked row is "
-    "bm25_keyword_topk (driver) and its stage form ds_atlas_search.",
+    "bm25_keyword_topk (driver) and its stage form ds_atlas_search."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "find", "text"),
-    driver_visible=False,
 )
 def ds_text_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = _coll(spark, sf_dir, "documents").find(
@@ -1974,9 +2013,9 @@ def ds_window_topn_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mongod's own 'uncorrelated subquery cached across documents').  "
     "Array ORDER is the sub-pipeline's $sort (replayed via $unwind "
     "includeArrayIndex vs the oracle's rank).  Gate-only: the $lookup "
-    "family's hard rows are ds_lookup_topn / ds_lookup_proj_sort.",
+    "family's hard rows are ds_lookup_topn / ds_lookup_proj_sort."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("docstore", "join"),
-    driver_visible=False,
 )
 def ds_lookup_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate

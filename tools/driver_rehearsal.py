@@ -3,11 +3,16 @@
 Runs EVERY query in __spark_entry__.queries() sequentially in ONE plain
 SparkSession (no engine confs beyond what ensure_runtime_confs sets at
 call time — exactly the driver's calling convention) and compares each
-against its oracle_sql() twin in DuckDB under sorted-column, stringified,
-order-insensitive row equality — the strictest local mirror of the
+against its oracle_sql() twin in DuckDB under THE DRIVER'S OWN
+canonicalization: toPandas(), columns sorted by name, pandas
+``sort_values`` over the RAW cells (NOT per-cell str() — that masked the
+r13 ``ds_minmax_topn`` crash, where list-typed cells are unhashable under
+pandas' lexsort and the real driver errored while this tool was green),
+then stringified row equality.  This is the strictest local mirror of the
 driver's rows+schema+hash check, INCLUDING the cross-query session effects
 (conf leakage, temp-view collisions, accumulated JVM state) that
-per-query pytest sessions cannot see.
+per-query pytest sessions cannot see — and now including output-SHAPE
+compatibility with the driver's pandas canonicalization.
 
 The per-query pytest gates (tests/test_oracle_parity.py strict tier) stay
 the CI signal; this tool is the pre-round end-to-end sanity pass:
@@ -24,6 +29,24 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _canon(pdf):
+    """The driver's canonicalization, verbatim in shape: sort columns by
+    name, pandas ``sort_values`` over the RAW cells — list/ndarray cells
+    are unhashable under pandas' lexsort, so an array-typed output column
+    raises here exactly as it does in the real driver (the r13
+    ``ds_minmax_topn`` red row; the old per-cell str() canonicalization
+    masked it) — then stringify rows for comparison."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols).reset_index(drop=True)
+    rows = [
+        tuple(str(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return cols, rows
 
 
 def main() -> int:
@@ -57,17 +80,11 @@ def main() -> int:
     for name, fn in qs.items():
         try:
             df = fn(spark, sf)
-            cols = sorted(df.columns)
-            got = sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+            cols, got = _canon(df.toPandas())
             if name not in osql:
                 print(f"{name:40s} rows-only  rows={len(got)}", flush=True)
                 continue
-            rel = con.sql(osql[name])
-            wcols = sorted(rel.columns)
-            idx = [rel.columns.index(c) for c in wcols]
-            want = sorted(
-                tuple(str(r[j]) for j in idx) for r in rel.fetchall()
-            )
+            wcols, want = _canon(con.sql(osql[name]).df())
             ok = cols == wcols and got == want
             print(
                 f"{name:40s} {'OK' if ok else 'FAIL'}  rows={len(got)}",
