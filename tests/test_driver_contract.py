@@ -38,26 +38,40 @@ def test_novel_operator_families_are_driver_visible():
     # ds_unwind_token_counts.
     dc = driver_catalog()
     for novel in (
-        # still-visible rows from earlier rotations
-        "streaming_ohlc_15min",
-        "funnel_view_click_purchase",
-        "weekly_retention_cohorts",
-        "event_pairs_within_30min",
-        "mixture_sampled_counts",
-        "unicode_normalization_audit",
-        "streaming_pair_events",
-        "orders_snapshot_diff",
-        "dedup_incremental_minhash",
-        "corpus_pipeline_audit",
-        # r13 rotation (VERDICT r12 asks #1/#6): twenty never-driver-verified
-        # queries gain their first rows, led by the three r12 codec paths
-        # born gate-only, plus the bounds-oracle re-home of the HLL row —
-        # and multimodal_jpeg_decode driver-visible from birth (ask #5)
+        # r14 rotation (VERDICT r13 ask #4): the FINAL sixteen
+        # never-driver-verified shapes gain rows — residual hits 0 —
+        # plus the repaired ds_minmax_topn (the r13 red row, arrays now
+        # joined to strings)
+        "ds_minmax_topn",
+        "ds_date_format_tz",
+        "ds_densify_hourly",
+        "ds_lookup_proj_sort",
+        "ds_lookup_uncorrelated",
+        "ds_merge_insert_pipeline",
+        "ds_sort_by_count",
+        "ds_split_backslash_e",
+        "ds_text_find",
+        "ds_union_with",
+        "ds_week_zip_replace",
+        "ds_window_month_range",
+        "dsir_importance_weights",
+        "geo_radius_join_pairs",
+        "geo_within_box_events",
+        "multimodal_bmp_resize",
+        "multimodal_wav_resample",
+        # r14 NEW rows, driver-visible from birth (VERDICT r13 asks #5-#7):
+        # the r13 codec paths born row-less, the streaming decode runner,
+        # and the MP3 header walk
+        "multimodal_png_variants",
+        "multimodal_adpcm_decode",
+        "multimodal_mp3_headers",
+        "streaming_media_decode",
+        # r13 rotation survivors (each holds a green r13 row)
         "multimodal_palette_decode",
         "multimodal_gif_frames",
         "multimodal_wav_g711",
+        "multimodal_jpeg_decode",
         "ds_window_running",
-        "ds_minmax_topn",
         "ds_lookup_topn",
         "ds_atlas_search",
         "ds_update_many",
@@ -73,29 +87,16 @@ def test_novel_operator_families_are_driver_visible():
         "orders_integrity_audit",
         "vocab_encode_stats",
         "approx_distinct_users",
-        # r12 rotation (VERDICT r11 ask #1: never-driver-verified residual
-        # burn-down, 51 → 33) — 18 gate-only shapes gain their first rows,
-        # newest/highest-novelty first, plus the new PNG codec (ask #2)
-        # driver-visible from birth and the multi-chunk SimHash (ask #4)
-        "hybrid_search_rrf",
+        # r12 rotation survivors (green r12+r13 rows)
         "multimodal_png_decode",
         "dedup_simhash_k2",
-        "ds_window_ema",
         "ds_bucket_auto_exact",
-        "geo_geohash_cells",
         "semantic_dedup_embeddings",
-        "train_split_assign",
-        "doc_bigram_logprob",
-        "decontaminate_bloom",
-        "chunk_token_id_windows",
-        "events_gap_interpolated",
         "dedup_keep_best_docs",
         "nb_lang_confusion",
         "text_repetition_metrics",
         "stratified_sample_documents",
         "events_trailing_avg_1h",
-        "phrase_search_docs",
-        "c4_rule_audit",
     ):
         assert novel in dc, novel
     for hidden in (
@@ -196,6 +197,31 @@ def test_novel_operator_families_are_driver_visible():
         "supplier_customer_pagerank",  # ⊂ iterative graph (dedup_keep_best_docs)
         "embedding_int8_stats",        # ⊂ embedding-expr (diversity_sampled in)
         "streaming_nb_score_confusion",  # oracle shared with nb_lang_confusion
+        # r14 evictions (VERDICT r13 ask #4's final residual rotation;
+        # every one carries 2-4 rounds of green driver provenance, is
+        # shape-covered by a still-visible or newly-rotated family row,
+        # and keeps its sf0.01 oracle gate — rationale in each doc's
+        # eviction note):
+        "corpus_pipeline_audit",       # ⊂ pipeline (visible agg/window rows)
+        "dedup_incremental_minhash",   # ⊂ minhash (dedup_simhash_k2 visible)
+        "event_pairs_within_30min",    # ⊂ banded join (geo_radius_join_pairs in)
+        "funnel_view_click_purchase",  # ⊂ sequence-agg (events_ohlc/scd2 rows)
+        "mixture_sampled_counts",      # ⊂ sampling (stratified visible)
+        "orders_snapshot_diff",        # ⊂ diff (ds_merge_insert_pipeline in)
+        "streaming_pair_events",       # ⊂ streaming (streaming_media_decode NEW)
+        "unicode_normalization_audit", # ⊂ normalize (ds_text_find in)
+        "weekly_retention_cohorts",    # ⊂ cohort re-agg (ds_week_zip_replace in)
+        "streaming_ohlc_15min",        # ⊂ streaming (batch twin stays visible)
+        "c4_rule_audit",               # ⊂ rule-audit (text_repetition visible)
+        "chunk_token_id_windows",      # ⊂ chunking (vocab_encode_stats visible)
+        "decontaminate_bloom",         # ⊂ sketch (approx_distinct_users visible)
+        "doc_bigram_logprob",          # ⊂ LM (doc_unigram_logprob visible)
+        "ds_window_ema",               # ⊂ window (ds_window_running visible)
+        "events_gap_interpolated",     # ⊂ spine+fill (ds_densify_hourly in)
+        "geo_geohash_cells",           # ⊂ geo (radius_join + within_box in)
+        "hybrid_search_rrf",           # ⊂ search (ds_atlas_search visible)
+        "phrase_search_docs",          # ⊂ search (ds_atlas_search visible)
+        "train_split_assign",          # ⊂ split (stratified + dsir in)
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 
@@ -257,6 +283,31 @@ def test_no_oracle_emits_hugeint_columns(duck):
         ]
         if hug:
             offenders[name] = hug
+    assert not offenders, offenders
+
+
+def test_no_oracle_emits_nested_columns(duck):
+    """The driver canonicalizes results with pandas ``sort_values`` over raw
+    cells, and list/struct/map cells are unhashable under pandas' lexsort —
+    an array-typed output column ERRORS the driver row even when values are
+    hash-identical (found live: ds_minmax_topn, the r13 red row).  Every
+    catalog query must join nested outputs to strings (the
+    ds_window_topn_median pattern) on BOTH sides; oracle-side types are the
+    cheap proxy since the gate asserts schema parity."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        rel = duck.sql(q.oracle)
+        nested = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if "[]" in str(t) or str(t).startswith(("STRUCT", "MAP", "LIST"))
+        ]
+        if nested:
+            offenders[name] = nested
     assert not offenders, offenders
 
 
@@ -323,19 +374,22 @@ def test_every_tag_family_has_driver_provenance():
 
 
 def test_rotated_in_families_gain_rows_next_artifact():
-    """The r13 rotation names are pinned driver-visible; once the round-13
+    """The r14 rotation names are pinned driver-visible; once the round-14
     artifact lands, annotate_verified_rounds picks them up automatically
     (this test just guards the schedule, the invariant test above guards
-    the outcome)."""
+    the outcome).  This is the FINAL residual wave: with these 21 and the
+    artifact they produce, every catalog query has held a driver row."""
     dc = driver_catalog()
     for name in (
-        "multimodal_palette_decode", "multimodal_gif_frames",
-        "multimodal_wav_g711", "ds_window_running", "ds_minmax_topn",
-        "ds_lookup_topn", "ds_atlas_search", "ds_update_many",
-        "ds_regex_extract", "events_ohlc_15min", "scd2_user_event_state",
-        "geo_polygon_customers", "shipping_priority_top10", "ann_ivf_topk",
-        "ann_pq_topk", "diversity_sampled_embeddings", "doc_unigram_logprob",
-        "orders_integrity_audit", "vocab_encode_stats",
-        "approx_distinct_users",
+        "ds_minmax_topn", "ds_date_format_tz", "ds_densify_hourly",
+        "ds_lookup_proj_sort", "ds_lookup_uncorrelated",
+        "ds_merge_insert_pipeline", "ds_sort_by_count",
+        "ds_split_backslash_e", "ds_text_find", "ds_union_with",
+        "ds_week_zip_replace", "ds_window_month_range",
+        "dsir_importance_weights", "geo_radius_join_pairs",
+        "geo_within_box_events", "multimodal_bmp_resize",
+        "multimodal_wav_resample", "multimodal_png_variants",
+        "multimodal_adpcm_decode", "multimodal_mp3_headers",
+        "streaming_media_decode",
     ):
         assert name in dc and QUERIES[name].oracle is not None, name
