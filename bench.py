@@ -75,6 +75,11 @@ queries = one JVM accumulating heap/GC/codegen-cache pressure over a
   and the absolute rule buried real contention under 27 self-load flags in
   r10.  Flagged, never dropped, so judges can attribute outliers to machine
   contention instead of relitigating the environment;
+- **flag-and-retry for EVERY chunk** (r14 — VERDICT r13 ask #3): any chunk
+  with a flagged sample (absolute rule for chunk 0, ambient-relative for
+  the rest) is replayed once in a fresh JVM in the same order; the attempt
+  with fewer flagged samples is kept and the discarded attempt stays in
+  BENCH_DETAIL (``r2_retry`` for chunk 0, ``chunk_retries`` for the rest);
 - execution is forced through the noop sink (format("noop")), which computes
   every output column — ``count()`` lets Catalyst prune projection-only work
   (e.g. a fingerprint column) and under-measures;
@@ -169,11 +174,16 @@ def _env_conf() -> dict:
                 str(0.4 * int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))),
             )
         ),
-        # One full re-run of the frozen r2 subset chunk when any of its
-        # samples landed above the flag threshold (protocol-preserving: the
-        # retry replays chunk 0 in the same frozen order in its own fresh
-        # JVM, so cross-round comparability holds; a per-query retry would
-        # not — session position is worth 2-3x on sub-second queries).
+        # One full re-run of ANY chunk whose samples landed above its flag
+        # threshold (r14 extends the r10 r2-subset-only protocol to the
+        # whole window — VERDICT r13 ask #3: the catalog chunks carrying
+        # the round's three biggest apparent regressions ran at ambient
+        # load 9.6-13.7 with no retry).  Protocol-preserving: the retry
+        # replays the chunk in the same order in its own fresh JVM, so
+        # cross-round comparability holds; a per-query retry would not —
+        # session position is worth 2-3x on sub-second queries.  Chunk 0
+        # retries on the absolute threshold, later chunks on the
+        # ambient-relative rule (their loadavg carries bench self-load).
         # NOTE: the retry only exists in the chunked path; with
         # SPARK_GRAFT_BENCH_CHUNK=0 (single-process local iteration) it is a
         # deliberate no-op — an in-process replay would not reproduce the r2
@@ -322,12 +332,13 @@ def main() -> None:
         else [all_names]
     )
 
-    def _flagged(recs: dict[str, dict]) -> list[str]:
+    def _flagged(recs: dict[str, dict], threshold: float | None = None) -> list[str]:
+        thr = conf["load_flag"] if threshold is None else threshold
         return sorted(
             n
             for n, rec in recs.items()
             if any(
-                ld is not None and ld > conf["load_flag"]
+                ld is not None and ld > thr
                 for ld in (rec.get("loads") or [])
             )
         )
@@ -362,6 +373,7 @@ def main() -> None:
     details: dict[str, dict] = {}
     ambient_load: dict[str, float | None] = {}
     r2_retry_info: dict | None = None
+    chunk_retries: dict[str, dict] = {}
     if chunk == 0:
         ambient_load["0"] = _loadavg()
         details = _run_chunk(all_names, conf)
@@ -370,24 +382,43 @@ def main() -> None:
         for ci, names in enumerate(chunks):
             # ambient = before this chunk's JVM boots; mid-run loadavg
             # includes the bench itself
-            ambient_load[str(ci)] = _loadavg()
+            amb = _loadavg()
+            ambient_load[str(ci)] = amb
             got = _run_worker(names, script, str(ci))
-            if ci == 0 and conf["retry_flagged"]:
-                # pinned-subset retry (r10): when any frozen-subset sample
-                # was taken under ambient load, replay the WHOLE chunk once
-                # (same frozen order, fresh JVM = the exact r2 protocol) and
-                # keep whichever attempt carried fewer flagged samples — the
-                # discarded attempt stays in BENCH_DETAIL for audit.
-                first_flagged = _flagged(got)
+            if conf["retry_flagged"]:
+                # flag-and-retry, EVERY chunk (r14 — VERDICT r13 ask #3:
+                # r13's three biggest apparent regressions sat in catalog
+                # chunks running at ambient load 9.6-13.7 with no retry,
+                # while the r2 subset retried correctly).  Chunk 0 keeps the
+                # absolute threshold (its ambient is genuinely pre-bench);
+                # later chunks use the ambient-relative rule, same as the
+                # flag reporting, so the bench's own decayed load never
+                # triggers a retry.  One retry per chunk, fresh JVM, same
+                # order (protocol-preserving); keep whichever attempt
+                # carried fewer flagged samples — the discarded attempt
+                # stays in BENCH_DETAIL for audit.
+                thr = (
+                    conf["load_flag"]
+                    if ci == 0 or amb is None
+                    else amb + conf["load_margin"]
+                )
+                first_flagged = _flagged(got, thr)
                 if first_flagged:
-                    ambient_load["r2_retry"] = _loadavg()
-                    retry = _run_worker(names, script, "r2_retry")
-                    retry_flagged = _flagged(retry)
+                    label = "r2_retry" if ci == 0 else f"c{ci}_retry"
+                    amb2 = _loadavg()
+                    ambient_load[label] = amb2
+                    retry = _run_worker(names, script, label)
+                    thr2 = (
+                        conf["load_flag"]
+                        if ci == 0 or amb2 is None
+                        else amb2 + conf["load_margin"]
+                    )
+                    retry_flagged = _flagged(retry, thr2)
                     retry_errs = [n for n, r in retry.items() if r.get("err")]
                     use_retry = (
                         len(retry_flagged) < len(first_flagged) and not retry_errs
                     )
-                    r2_retry_info = {
+                    info = {
                         "first_flagged": first_flagged,
                         "retry_flagged": retry_flagged,
                         # errors are part of WHY a retry was rejected
@@ -405,8 +436,15 @@ def main() -> None:
                             for n, r in (got if use_retry else retry).items()
                         },
                     }
+                    if ci == 0:
+                        r2_retry_info = info
+                    else:
+                        chunk_retries[str(ci)] = info
                     if use_retry:
                         got = retry
+                        # the flag threshold for this chunk's kept samples
+                        # must use the KEPT attempt's pre-boot ambient
+                        ambient_load[str(ci)] = amb2
             for n, rec in got.items():
                 rec["chunk"] = ci
             details.update(got)
@@ -475,6 +513,7 @@ def main() -> None:
         "load_threshold": conf["load_flag"],
         "load_margin": conf["load_margin"],
         "r2_retry": r2_retry_info,
+        "chunk_retries": chunk_retries,
         "load_flagged": sorted(
             n
             for n in all_names
