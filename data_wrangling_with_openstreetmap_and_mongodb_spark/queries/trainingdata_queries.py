@@ -3233,8 +3233,11 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
     # method="doubling": measured on THIS query's 10x edge replica (r13,
-    # PLANS.md §cc-knobs-10x) — doubling 3.3s vs frontier 6.6s median (and
-    # neutral at sf0.1), identical components either way
+    # PLANS.md §cc-knobs-10x) — doubling 3.3s vs frontier 6.6s median —
+    # and EXACTLY neutral at sf0.1 (r14 A/B, n=5 alternating: 4.554 vs
+    # 4.545s median, mins identical; PLANS.md §cc-method-ab) — identical
+    # components either way.  The r13 driver row's 9.87s was bench-chunk
+    # load contamination, not the pin.
     return dedup_keep_best(d, pairs, "doc_id", "n_chars", method="doubling").select(
         F.col("id").alias("doc_id"), "cluster", "is_canonical"
     )
