@@ -206,3 +206,146 @@ def test_jpeg_truncation_always_raises_cleanly(img, data):
     cut = data.draw(st.integers(min_value=2, max_value=max(2, hi - 1)))
     with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg(b[:cut])
+
+
+@st.composite
+def png_depth_images(draw):
+    """Arbitrary (pixels, depth, channels, interlace) over the full spec
+    matrix the r14 encoder supports: 1/2/4-bit grey, 8-bit everything,
+    16-bit everything, plain and Adam7."""
+    depth = draw(st.sampled_from([1, 2, 4, 8, 16]))
+    ch = 1 if depth < 8 else draw(st.sampled_from([1, 2, 3, 4]))
+    w = draw(st.integers(min_value=1, max_value=11))
+    h = draw(st.integers(min_value=1, max_value=9))
+    n = w * h * ch
+    if depth == 16:
+        vals = draw(st.lists(st.integers(0, 65535), min_size=n, max_size=n))
+        px = np.array(vals, dtype=np.uint16)
+    else:
+        vals = draw(
+            st.lists(st.integers(0, (1 << depth) - 1), min_size=n, max_size=n)
+        )
+        px = np.array(vals, dtype=np.uint8)
+    px = px.reshape((h, w) if ch == 1 else (h, w, ch))
+    return px, depth, draw(st.booleans())
+
+
+@settings(max_examples=120, deadline=None)
+@given(png_depth_images())
+def test_png_depth_roundtrip_identity(img):
+    """r14 depth/grey-alpha support: decode(encode(px, depth)) equals px
+    exactly — ×(255/(2^d−1)) for sub-8 greys (the decoder's documented
+    8-bit scaling), identity elsewhere — for every spec-valid
+    (depth, color-type, interlace) combination, at every width that
+    stresses the bit-packing tail byte and the Adam7 pass grids."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px, depth, interlace = img
+    out = decode_png(encode_png(px, depth=depth, interlace=interlace))
+    scale = {1: 255, 2: 85, 4: 17}.get(depth, 1)
+    want = px.astype(np.uint16) * scale if depth < 8 else px
+    assert out.shape == px.shape
+    assert np.array_equal(out.astype(np.uint32), want.astype(np.uint32))
+    if depth == 16:
+        assert out.dtype == np.uint16
+
+
+@st.composite
+def mp3_streams(draw):
+    version = draw(st.sampled_from(["MPEG1", "MPEG2", "MPEG2.5"]))
+    layer = draw(st.sampled_from([1, 2, 3]))
+    rates = {
+        "MPEG1": (44100, 48000, 32000),
+        "MPEG2": (22050, 24000, 16000),
+        "MPEG2.5": (11025, 12000, 8000),
+    }[version]
+    sr = draw(st.sampled_from(rates))
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        _MP3_BITRATES,
+    )
+
+    vg = 1 if version == "MPEG1" else 2
+    table = _MP3_BITRATES[(vg, min(layer, 2) if vg == 2 else layer)]
+    k = draw(st.integers(min_value=1, max_value=6))
+    specs = [
+        (draw(st.sampled_from(table)), draw(st.integers(0, 1)))
+        for _ in range(k)
+    ]
+    return version, layer, sr, specs, draw(st.sampled_from([1, 2])), draw(
+        st.integers(0, 3)
+    ) * 37
+
+
+@settings(max_examples=120, deadline=None)
+@given(mp3_streams())
+def test_mp3_header_walk_roundtrip(s):
+    """The walker must recover frame count, sample totals, exact average
+    bitrate, VBR flag and channel count from ANY stream the builder can
+    express — every version x layer x samplerate x bitrate-index x padding
+    combination, with and without ID3v2 — and any truncation of the last
+    frame must raise ValueError, never mis-count."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_mp3_headers,
+        encode_mp3_frames,
+    )
+
+    version, layer, sr, specs, ch, id3 = s
+    b = encode_mp3_frames(version, layer, sr, specs, channels=ch, id3v2_bytes=id3)
+    m = decode_mp3_headers(b)
+    assert m["version"] == version and m["layer"] == layer
+    assert m["sample_rate"] == sr and m["n_channels"] == ch
+    assert m["n_frames"] == len(specs)
+    assert m["is_vbr"] == (len({br for br, _ in specs}) > 1)
+    assert m["avg_bitrate_kbps"] == sum(br for br, _ in specs) / len(specs)
+    spf = 384 if layer == 1 else (1152 if layer == 2 or version == "MPEG1" else 576)
+    assert m["n_samples"] == len(specs) * spf
+    assert m["n_bytes"] == len(b)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_mp3_headers(b[:-1])
+
+
+@st.composite
+def adpcm_streams(draw):
+    ch = draw(st.sampled_from([1, 2]))
+    groups = draw(st.integers(min_value=1, max_value=4))  # per full block
+    align = 4 * ch + 4 * ch * groups
+    n_blocks = draw(st.integers(min_value=1, max_value=3))
+    blocks = []
+    frames_full = 1 + 8 * groups
+    for _ in range(n_blocks):
+        hdr = b""
+        for _ in range(ch):
+            pred = draw(st.integers(-32768, 32767))
+            idx = draw(st.integers(0, 88))
+            hdr += int.to_bytes(pred & 0xFFFF, 2, "little") + bytes([idx, 0])
+        body = draw(
+            st.binary(min_size=4 * ch * groups, max_size=4 * ch * groups)
+        )
+        blocks.append(hdr + body)
+    total_frames = n_blocks * frames_full
+    n_samples = draw(st.integers(min_value=1, max_value=total_frames))
+    return ch, align, b"".join(blocks), n_samples, total_frames
+
+
+@settings(max_examples=100, deadline=None)
+@given(adpcm_streams())
+def test_adpcm_fact_truncation_is_prefix(s):
+    """For ANY block data and ANY fact length <= decodable frames, the
+    fact-truncated output must be exactly the prefix of the untruncated
+    decode — fact changes LENGTH, never values (mono and stereo)."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    ch, align, data, n_samples, total = s
+    _, _, full = decode_wav(encode_wav_adpcm(8000, ch, align, data))
+    _, _, cut = decode_wav(encode_wav_adpcm(8000, ch, align, data, n_samples))
+    assert len(full) == total * ch
+    assert len(cut) == n_samples * ch
+    assert cut.tolist() == full[: n_samples * ch].tolist()
