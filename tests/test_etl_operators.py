@@ -95,10 +95,12 @@ class TestMultimodal:
         assert feats[1]["fingerprint"] == hashlib.md5(b"hello world").hexdigest()
 
     def test_unknown_codec_raises(self):
-        # MP3 remains a genuine gap; PNG (r12) and JPEG (r13) decode for
-        # real, so malformed payloads hit the codecs' validation, not the
-        # honest-gap dispatch
+        # video containers remain a genuine gap; PNG (r12), JPEG (r13) and
+        # MP3 headers (r14) decode for real, so malformed payloads hit the
+        # codecs' validation, not the honest-gap dispatch
         with pytest.raises(NotImplementedError, match="no codec"):
+            decode_payload(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+        with pytest.raises(ValueError, match="truncated MP3"):
             decode_payload(b"\xff\xfb\x90", "audio/mp3")
         with pytest.raises(ValueError, match="truncated JPEG"):
             decode_payload(b"\xff\xd8\xff", "image/jpeg")
