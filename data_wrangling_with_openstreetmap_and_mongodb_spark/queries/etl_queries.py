@@ -1223,10 +1223,14 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = synthesize_png_payloads(d)
     root = tempfile.mkdtemp(prefix="stream_media_row_")
     pdir, out, ckpt = f"{root}/payloads", f"{root}/out", f"{root}/ckpt"
-    # two writes -> >=2 files, so maxFilesPerTrigger=1 forces >=2
-    # micro-batches and chunking-invariance is actually exercised
-    payloads.filter("doc_id % 2 = 0").write.mode("append").parquet(pdir)
-    payloads.filter("doc_id % 2 = 1").write.mode("append").parquet(pdir)
+    # two writes of two files each -> exactly 4 files, so
+    # maxFilesPerTrigger=1 forces 4 micro-batches and chunking-invariance
+    # is actually exercised — while the batch COUNT stays constant across
+    # scale (without the repartition, files ∝ input partitions and the
+    # per-file trigger made the 10x probe 3.4x on trigger overhead alone;
+    # a real landing zone sizes maxFilesPerTrigger for bytes, not 1)
+    payloads.filter("doc_id % 2 = 0").repartition(2).write.mode("append").parquet(pdir)
+    payloads.filter("doc_id % 2 = 1").repartition(2).write.mode("append").parquet(pdir)
     run_streaming_media_decode(
         spark, pdir, out, ckpt, fmt="image/png", max_files_per_trigger=1
     )
