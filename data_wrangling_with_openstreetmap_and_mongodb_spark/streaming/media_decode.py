@@ -27,6 +27,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal im
     PAYLOAD_SCHEMA,
     extract_gif_frames,
     extract_jpeg_features,
+    extract_media_features,
     extract_png_features,
 )
 
@@ -34,6 +35,10 @@ _EXTRACTORS = {
     "image/jpeg": extract_jpeg_features,
     "image/png": extract_png_features,
     "image/gif": extract_gif_frames,
+    # BMP images and every supported WAV flavor (16-bit PCM, G.711 mu/A-law,
+    # IMA ADPCM incl. fact truncation) — the audio landing-zone shape (r14)
+    "image/bmp": extract_media_features,
+    "audio/wav": extract_media_features,
 }
 
 

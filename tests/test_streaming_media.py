@@ -69,3 +69,28 @@ def test_unknown_format_raises(spark, sf_dir):
     payloads = synthesize_jpeg_payloads(docs)
     with pytest.raises(NotImplementedError, match="no streaming extractor"):
         streaming_media_features(payloads, "audio/mp3")
+
+
+def test_streaming_wav_decode_equals_batch(spark, sf_dir, tmp_path):
+    """r14: the audio extractor through the stream — BMP/WAV payloads
+    (incl. G.711 and stereo) decode to the batch extractor's rows exactly,
+    whatever the micro-batch chunking."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    payloads = synthesize_media_payloads(docs)
+    pdir = str(tmp_path / "payloads")
+    payloads.filter("doc_id % 2 = 0").write.mode("append").parquet(pdir)
+    payloads.filter("doc_id % 2 = 1").write.mode("append").parquet(pdir)
+    run_streaming_media_decode(
+        spark, pdir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        fmt="audio/wav", max_files_per_trigger=1,
+    )
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = extract_media_features(spark.read.parquet(pdir))
+    cols = [c for c in want.columns]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() == 40
