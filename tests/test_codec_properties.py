@@ -349,3 +349,45 @@ def test_adpcm_fact_truncation_is_prefix(s):
     assert len(full) == total * ch
     assert len(cut) == n_samples * ch
     assert cut.tolist() == full[: n_samples * ch].tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(jpeg_images(), st.data())
+def test_jpeg_fill_bytes_before_markers_decode_identically(img, data):
+    """The spec allows any number of 0xFF fill bytes before a marker;
+    third-party encoders emit them (ADVICE r13 found the walker could read
+    past the end at a fill-run truncation).  Inserting fill runs before
+    header-segment markers must not change the decode — and truncating at
+    an injected fill run must raise ValueError, never IndexError."""
+    import pytest
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    b = encode_jpeg(img, progressive=data.draw(st.booleans()))
+    # walk header segments (stop at SOS: beyond it 0xFF runs are entropy
+    # stuffing, not fill) and inject a fill run before each marker
+    out = bytearray(b[:2])
+    pos = 2
+    sos_seen = False
+    while pos < len(b) and not sos_seen:
+        assert b[pos] == 0xFF
+        marker = b[pos + 1]
+        out += bytes([0xFF] * data.draw(st.integers(0, 3)))
+        if marker == 0xDA:
+            sos_seen = True
+            out += b[pos:]
+            break
+        import struct as _s
+
+        (seglen,) = _s.unpack_from(">H", b, pos + 2)
+        out += b[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    filled = bytes(out)
+    assert np.array_equal(decode_jpeg(filled), decode_jpeg(b))
+    # truncation inside the padded header must raise cleanly
+    cut = data.draw(st.integers(min_value=2, max_value=len(filled) - len(b) + pos + 1))
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(filled[:cut])
