@@ -1924,7 +1924,9 @@ def extract_gif_frames(with_payload: DataFrame) -> DataFrame:
 # zigzag, DC-diff + AC run-length Huffman) with flat 8-bit canonical code
 # tables — valid-but-uncompressed DHTs chosen so the encoder shares no code
 # assignment logic with the decoder's generic table builder.  Progressive
-# (SOF2), extended/lossless/arithmetic SOFs, and 16-bit quant tables raise
+# (SOF2) is fully supported at 8-bit, and extended sequential (SOF1)
+# encodes/decodes at 12-bit with pq=1 16-bit quant tables (r14);
+# lossless/arithmetic SOFs and 12-bit progressive raise
 # NotImplementedError — explicit gaps, never a silent mis-decode.  Rounding
 # is floor(x+0.5) at both the IDCT and color-convert steps so the pixel
 # pipeline is engine-replayable (DuckDB FLOOR matches; numpy round() would
@@ -1966,6 +1968,13 @@ _ENC_DC_VALS = list(range(12))  # DC categories 0..11
 # (run, size) matrix, and ZRL — 176 symbols, all 8-bit codes
 _ENC_AC_VALS = [r << 4 for r in range(15)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0xF0]
+# 12-bit alphabets (r14, T.81 tables F.1/F.2): DC categories 0..15, AC
+# sizes 1..14 — 16 and 15+16*14+1 = 240 symbols, still all-8-bit canonical
+# (code 255, the forbidden all-ones, stays unused)
+_ENC_DC_VALS12 = list(range(16))
+_ENC_AC_VALS12 = [r << 4 for r in range(15)] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
 ] + [0xF0]
 
 
@@ -2204,6 +2213,7 @@ def encode_jpeg(
     quant_chroma: np.ndarray | None = None,
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Encode a uint8 array as a JFIF JPEG: ``(h, w)`` → grayscale,
     ``(h, w, 3)`` → color (RGB by default; ``ycbcr=True`` treats the planes
@@ -2218,8 +2228,20 @@ def encode_jpeg(
     runs — exercising every successive-approximation mechanism the decoder
     implements; the two modes share only the forward DCT/quantization, so
     cross-mode decode equality is a real equivalence check
-    (tests/test_multimodal_codecs.py::TestJpegProgressive)."""
-    px = np.asarray(px, dtype=np.uint8)
+    (tests/test_multimodal_codecs.py::TestJpegProgressive).
+    ``precision=12`` (r14) writes EXTENDED SEQUENTIAL (SOF1): uint16
+    samples < 4096, level shift 2048, pq=1 16-bit quant tables, DC/AC
+    Huffman alphabets widened to categories 15/14 per T.81 — progressive
+    stays 8-bit (the decoder's documented scope)."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 12 and progressive:
+        raise ValueError("12-bit progressive encode not supported (SOF1 only)")
+    px = np.asarray(px, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and int(px.max(initial=0)) > 4095:
+        raise ValueError("12-bit JPEG sample exceeds 4095")
+    center = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     gray = px.ndim == 2
     if not gray and px.shape[2] != 3:
         raise ValueError(f"expected (h,w) or (h,w,3), got {px.shape}")
@@ -2244,10 +2266,10 @@ def encode_jpeg(
         else:
             r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
             y = 0.299 * r + 0.587 * g + 0.114 * b
-            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
             y, cb, cr = (
-                np.clip(np.floor(v + 0.5), 0, 255) for v in (y, cb, cr)
+                np.clip(np.floor(v + 0.5), 0, maxv) for v in (y, cb, cr)
             )
         mode = (
             "420" if subsample is True else str(subsample) if subsample else None
@@ -2296,7 +2318,7 @@ def encode_jpeg(
         # batched forward DCT: all blocks of the plane in one matmul pair
         # (same per-element op sequence as the per-block form)
         ny, nx = th // 8, tw // 8
-        b4 = plane.reshape(ny, 8, nx, 8).transpose(0, 2, 1, 3) - 128.0
+        b4 = plane.reshape(ny, 8, nx, 8).transpose(0, 2, 1, 3) - center
         coef = np.matmul(np.matmul(_DCT_M, b4), _DCT_M.T)
         codes = np.floor(coef.reshape(ny, nx, 64) / qr + 0.5).astype(np.int64)
         zzs = codes[:, :, _JPEG_ZIGZAG]  # zigzag order
@@ -2308,16 +2330,35 @@ def encode_jpeg(
     # header segments
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, b"\x00" + bytes(int(v) for v in ql))
+    if precision == 12:
+        # pq=1 (16-bit elements) — the spec pairs it with 12-bit samples
+        def _dqt(tid, q):
+            return _seg(
+                0xDB, bytes([0x10 | tid]) + b"".join(
+                    struct.pack(">H", int(v)) for v in q
+                )
+            )
+    else:
+        if int(ql.max()) > 255 or int(qc.max()) > 255:
+            raise ValueError("8-bit JPEG quant values must fit a byte")
+
+        def _dqt(tid, q):
+            return _seg(0xDB, bytes([tid]) + bytes(int(v) for v in q))
+
+    out += _dqt(0, ql)
     if not gray:
-        out += _seg(0xDB, b"\x01" + bytes(int(v) for v in qc))
+        out += _dqt(1, qc)
     ncomp = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
-    out += _seg(0xC2 if progressive else 0xC0, sof)
-    dc_bits, dc_vals = _enc_bits_vals(_ENC_DC_VALS)
-    ac_bits, ac_vals = _enc_bits_vals(_ENC_AC_VALS)
+    sof_marker = 0xC2 if progressive else (0xC1 if precision == 12 else 0xC0)
+    out += _seg(sof_marker, sof)
+    # 12-bit widens the alphabets: DC categories 0..15, AC sizes 1..14
+    enc_dc_vals = _ENC_DC_VALS if precision == 8 else _ENC_DC_VALS12
+    enc_ac_vals = _ENC_AC_VALS if precision == 8 else _ENC_AC_VALS12
+    dc_bits, dc_vals = _enc_bits_vals(enc_dc_vals)
+    ac_bits, ac_vals = _enc_bits_vals(enc_ac_vals)
     out += _seg(0xC4, b"\x00" + dc_bits + dc_vals)  # DC table 0
     out += _seg(0xC4, b"\x10" + ac_bits + ac_vals)  # AC table 0
     if not gray:
@@ -2363,7 +2404,7 @@ def encode_jpeg(
                         diff = dc - pred[ci]
                         pred[ci] = dc
                         t = _jpeg_category(diff)
-                        dc_sym = _ENC_DC_VALS.index(t)
+                        dc_sym = enc_dc_vals.index(t)
                         bw.write(dc_sym, 8)
                         if t:
                             bw.write(_jpeg_value_bits(diff, t), t)
@@ -2374,14 +2415,14 @@ def encode_jpeg(
                                 run += 1
                                 k += 1
                             if k == 64:
-                                bw.write(_ENC_AC_VALS.index(0x00), 8)  # EOB
+                                bw.write(enc_ac_vals.index(0x00), 8)  # EOB
                                 break
                             while run > 15:
-                                bw.write(_ENC_AC_VALS.index(0xF0), 8)  # ZRL
+                                bw.write(enc_ac_vals.index(0xF0), 8)  # ZRL
                                 run -= 16
                             v = int(zz[k])
                             s = _jpeg_category(v)
-                            bw.write(_ENC_AC_VALS.index((run << 4) | s), 8)
+                            bw.write(enc_ac_vals.index((run << 4) | s), 8)
                             bw.write(_jpeg_value_bits(v, s), s)
                             k += 1
             mcu_count += 1
@@ -2474,12 +2515,17 @@ class _JpegBitReader:
         self.pos += 2
 
 
-def _jpeg_reconstruct(comps, coefs, qt, fw: int, fh: int) -> np.ndarray:
+def _jpeg_reconstruct(comps, coefs, qt, fw: int, fh: int, prec: int = 8) -> np.ndarray:
     """Shared back half of both JPEG decode paths: dequantize + batched 8x8
     IDCT + replication upsample + crop + JFIF YCbCr→RGB over accumulated
     ZIGZAG-order coefficient grids (one ``(ny, nx, 64)`` int array per
     frame component).  The batched ``_DCT_M.T @ X @ _DCT_M`` keeps the
-    per-element float op order of the single-block form."""
+    per-element float op order of the single-block form.  ``prec`` sets
+    the level shift / clamp (128/255 at 8-bit, 2048/4095 at 12-bit — r14);
+    12-bit output is uint16, no silent precision loss."""
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     full = []
@@ -2492,8 +2538,8 @@ def _jpeg_reconstruct(comps, coefs, qt, fw: int, fh: int) -> np.ndarray:
         raster = np.zeros((ny, nx, 64), dtype=np.float64)
         raster[:, :, _JPEG_ZIGZAG] = arr
         deq = (raster * q.astype(np.float64)).reshape(ny, nx, 8, 8)
-        blk = np.matmul(np.matmul(_DCT_M.T, deq), _DCT_M) + 128.0
-        blk = np.clip(np.floor(blk + 0.5), 0, 255).astype(np.uint8)
+        blk = np.matmul(np.matmul(_DCT_M.T, deq), _DCT_M) + center
+        blk = np.clip(np.floor(blk + 0.5), 0, maxv).astype(dtype)
         plane = blk.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
@@ -2504,13 +2550,13 @@ def _jpeg_reconstruct(comps, coefs, qt, fw: int, fh: int) -> np.ndarray:
     if len(comps) != 3:
         raise NotImplementedError(f"{len(comps)}-component JPEG")
     y = full[0].astype(np.float64)
-    cb = full[1].astype(np.float64) - 128.0
-    cr = full[2].astype(np.float64) - 128.0
-    r = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255)
-    g = np.clip(np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255)
-    bch = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255)
+    cb = full[1].astype(np.float64) - center
+    cr = full[2].astype(np.float64) - center
+    r = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, maxv)
+    g = np.clip(np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, maxv)
+    bch = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, maxv)
     return np.ascontiguousarray(
-        np.stack([r, g, bch], axis=-1).astype(np.uint8)
+        np.stack([r, g, bch], axis=-1).astype(dtype)
     )
 
 
@@ -2525,7 +2571,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     subsampled (e.g. 4:2:0) frames via per-component MCU grids with
     nearest-replication upsampling; DRI/RSTn restart intervals (MCU-counted
     in interleaved scans, block-counted in non-interleaved); byte
-    unstuffing.  Extended/lossless/arithmetic SOFs, 16-bit DQTs, and
+    unstuffing.  Extended sequential (SOF1) decodes too, at 8- OR 12-bit
+    precision (r14: pq=1 16-bit DQTs, 2048 level shift, 4095 clamp, uint16
+    out).  Lossless/arithmetic SOFs, 12-bit PROGRESSIVE, and
     non-interleaved multi-scan SEQUENTIAL files raise
     ``NotImplementedError``; malformed or truncated framing raises
     ``ValueError``."""
@@ -2557,7 +2605,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             if progressive and scans_seen:
                 return _jpeg_reconstruct(
-                    sof["comps"], coefs, qt, sof["w"], sof["h"]
+                    sof["comps"], coefs, qt, sof["w"], sof["h"], sof["prec"]
                 )
             raise ValueError("JPEG ended (EOI) before a scan")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -2569,19 +2617,22 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         need(seglen, "segment body")
         seg = b[pos + 2 : pos + seglen]
         pos += seglen
-        if marker == 0xDB:  # DQT: one or more tables
+        if marker == 0xDB:  # DQT: one or more tables (pq=1 → 16-bit, r14)
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                if i + 65 > len(seg):
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT element precision {pq}")
+                width = 1 + pq
+                if i + 1 + 64 * width > len(seg):
                     raise ValueError("truncated DQT")
-                zz = np.frombuffer(seg, dtype=np.uint8, count=64, offset=i + 1)
+                zz = np.frombuffer(
+                    seg, dtype=">u2" if pq else np.uint8, count=64, offset=i + 1
+                )
                 raster = np.empty(64, dtype=np.int64)
                 raster[_JPEG_ZIGZAG] = zz
                 qt[tq] = raster
-                i += 65
+                i += 1 + 64 * width
         elif marker == 0xC4:  # DHT: one or more tables
             i = 0
             while i < len(seg):
@@ -2595,12 +2646,22 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = seg[i + 17 : i + 17 + nvals]
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huff_table(bits, vals)
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 extended / SOF2
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
+            # baseline SOF0 is 8-bit by definition; extended sequential
+            # SOF1 (Huffman) allows 12-bit (r14); 12-bit PROGRESSIVE is
+            # spec-legal but out of scope — explicit, never mis-decoded
+            if marker == 0xC0 and prec != 8:
+                raise ValueError(f"baseline SOF0 must be 8-bit, got {prec}")
+            if marker == 0xC1 and prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision JPEG")
+            if marker == 0xC2 and prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit progressive JPEG (extended sequential "
+                    "SOF1 carries the 12-bit path)"
+                )
             if fh == 0 or fw == 0:
                 raise ValueError(f"empty JPEG frame ({fw}x{fh})")
             if len(seg) < 6 + 3 * nc:
@@ -2623,7 +2684,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 chh = -(-fh * c["v"] // vmax)
                 c["bx_ni"], c["by_ni"] = -(-cw // 8), -(-chh // 8)
             sof = {
-                "h": fh, "w": fw, "comps": comps,
+                "h": fh, "w": fw, "comps": comps, "prec": prec,
                 "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
             }
             progressive = marker == 0xC2
@@ -2631,13 +2692,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
                 for c in comps
             ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kinds = {0xC3: "lossless", 0xC1: "extended"}
+            kinds = {0xC3: "lossless"}
             raise NotImplementedError(
                 f"{kinds.get(marker, 'non-baseline')} JPEG (SOF 0x{marker:02x}) "
-                "not supported — baseline sequential (SOF0) and progressive "
-                "(SOF2) only"
+                "not supported — sequential (SOF0/SOF1 incl. 12-bit) and "
+                "8-bit progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -2680,7 +2741,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 _jpeg_scan_sequential(br, sof, scan, sidx, coefs, dri,
                                       dc_tabs, ac_tabs)
                 return _jpeg_reconstruct(
-                    sof["comps"], coefs, qt, sof["w"], sof["h"]
+                    sof["comps"], coefs, qt, sof["w"], sof["h"], sof["prec"]
                 )
             _jpeg_scan_progressive(br, sof, scan, sidx, coefs, dri,
                                    dc_tabs, ac_tabs, ss, se, ah, al)
@@ -2896,6 +2957,52 @@ def _jpeg_plan(doc_id: int) -> bytes:
     return encode_jpeg(
         np.stack([up, cbv, crv], axis=-1), ycbcr=True, progressive=True
     )
+
+
+def _jpeg12_plan(doc_id: int) -> bytes:
+    """Closed-form 12-BIT JPEG per doc (r14, extended sequential SOF1): the
+    same constant-block grid as :func:`_jpeg_plan` but with 12-bit sample
+    formulas — even docs greyscale ``(d+17k)%4096``, odd docs 4:4:4 YCbCr
+    ``Y=(d+17k)%4096, Cb=(d+31k)%4096, Cr=(d+47k)%4096``.  Constant blocks
+    keep the lossy pipeline exact at any precision (DC ``8*(v-2048)``, DC
+    quant step 8), so the oracle replays the decode — including the
+    2048-centered, 4095-clamped YCbCr→RGB — symbolically."""
+    d = int(doc_id)
+    bw, bh = 1 + d % 2, 1 + d % 3
+    k = np.arange(bw * bh, dtype=np.int64).reshape(bh, bw)
+    yv = ((d + 17 * k) % 4096).astype(np.uint16)
+    up = np.repeat(np.repeat(yv, 8, axis=0), 8, axis=1)
+    if d % 2 == 0:
+        return encode_jpeg(up, precision=12)
+    cbv = np.repeat(np.repeat(((d + 31 * k) % 4096).astype(np.uint16), 8, 0), 8, 1)
+    crv = np.repeat(np.repeat(((d + 47 * k) % 4096).astype(np.uint16), 8, 0), 8, 1)
+    return encode_jpeg(
+        np.stack([up, cbv, crv], axis=-1), ycbcr=True, precision=12
+    )
+
+
+def synthesize_jpeg12_payloads(docs: DataFrame) -> DataFrame:
+    """Attach a REAL 12-bit extended-sequential JPEG payload (per
+    :func:`_jpeg12_plan`) to each document — Arrow-batched, map-only,
+    partition-preserving."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = _jpeg12_plan(doc_id)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "meta": {"format": "image/jpeg", "n_bytes": len(payload)},
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)
 
 
 def synthesize_jpeg_payloads(docs: DataFrame) -> DataFrame:

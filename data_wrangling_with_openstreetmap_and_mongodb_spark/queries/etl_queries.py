@@ -550,8 +550,10 @@ _AL_S = f"(CASE WHEN ({_AL_A} & 128) != 0 THEN {_AL_T} ELSE -{_AL_T} END)"
     "the standard segment tables (anchors pinned in tests: mu 0xFF→0, "
     "0x00→-32124; A 0x55→-8, 0x2A→-32256) and RMS/peak of the expansion "
     "hash-match DuckDB replaying the SAME G.711 formula in integer SQL.  "
-    "Map-only.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
+    "Map-only.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down)."
+    "  Evicted from the driver window in the r14 second wave (driver-green r13; the WAV family keeps multimodal_adpcm_decode + multimodal_wav_resample visible and the G.711 expansion stays golden-anchored in pytest) to seat multimodal_jpeg12_decode, NEW r14 and driver-visible from birth; still oracle-gated at sf0.01.",
     tags=("multimodal", "pandas-udf", "codec"),
+    driver_visible=False,
 )
 def multimodal_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -673,6 +675,79 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     feats = extract_jpeg_features(synthesize_jpeg_payloads(d))
+    return feats.select(
+        "doc_id", "jpeg_type", "width", "height", "n_samples",
+        quantize6(F.col("mean_c0")).alias("mean_c0"),
+        quantize6(F.col("mean_luma")).alias("mean_luma"),
+    )
+
+
+# 12-bit extended sequential (SOF1, r14): same constant-block exactness at
+# precision 12 — level shift 2048, clamp 4095, pq=1 16-bit quant tables
+_J12Y = "((doc_id + 17*k) % 4096)"
+_J12CB = "((doc_id + 31*k) % 4096)"
+_J12CR = "((doc_id + 47*k) % 4096)"
+_J12R = f"GREATEST(0, LEAST(4095, FLOOR({_J12Y} + 1.402*({_J12CR} - 2048) + 0.5)))"
+_J12G = (
+    f"GREATEST(0, LEAST(4095, FLOOR({_J12Y} - 0.344136*({_J12CB} - 2048)"
+    f" - 0.714136*({_J12CR} - 2048) + 0.5)))"
+)
+_J12B = f"GREATEST(0, LEAST(4095, FLOOR({_J12Y} + 1.772*({_J12CB} - 2048) + 0.5)))"
+
+
+@register(
+    "multimodal_jpeg12_decode",
+    oracle=f"""
+        WITH canvas AS (
+            SELECT doc_id, doc_id % 2 AS odd,
+                   1 + doc_id % 2 AS bw, 1 + doc_id % 3 AS bh,
+                   (1 + doc_id % 2) * (1 + doc_id % 3) AS nb
+            FROM documents
+        ), s AS (
+            SELECT doc_id, odd, bw, bh, nb,
+                   list_sum(list_transform(range(nb),
+                       k -> CASE WHEN odd = 0 THEN {_J12Y} ELSE {_J12R} END)) AS sr,
+                   list_sum(list_transform(range(nb),
+                       k -> CASE WHEN odd = 0 THEN {_J12Y} ELSE {_J12G} END)) AS sg,
+                   list_sum(list_transform(range(nb),
+                       k -> CASE WHEN odd = 0 THEN {_J12Y} ELSE {_J12B} END)) AS sb
+            FROM canvas
+        )
+        SELECT doc_id,
+               CASE WHEN odd = 0 THEN 'gray' ELSE 'ycbcr' END AS jpeg_type,
+               CAST(8 * bw AS BIGINT) AS width,
+               CAST(8 * bh AS BIGINT) AS height,
+               CAST(64 * nb AS BIGINT) AS n_samples,
+               {quantize6_sql("CAST(sr AS DOUBLE) / nb")} AS mean_c0,
+               CASE WHEN odd = 0
+                    THEN {quantize6_sql("CAST(sr AS DOUBLE) / nb")}
+                    ELSE {quantize6_sql(
+                        "0.299*(CAST(sr AS DOUBLE)/nb)"
+                        " + 0.587*(CAST(sg AS DOUBLE)/nb)"
+                        " + 0.114*(CAST(sb AS DOUBLE)/nb)")} END AS mean_luma
+        FROM s
+    """,
+    doc="12-BIT JPEG decode, extended sequential SOF1 (operators/"
+    "multimodal.py::encode_jpeg(precision=12)/decode_jpeg, NEW r14 — the "
+    "medical/scientific-imaging precision, closing the r13 scope line): "
+    "pq=1 16-bit quantization tables, DC/AC Huffman alphabets widened to "
+    "categories 15/14 per T.81, level shift 2048, clamp 4095, uint16 "
+    "output.  Same constant-block exactness device as the 8-bit row, so "
+    "the 12-bit channel means — including the 2048-centered YCbCr→RGB — "
+    "hash-match DuckDB replaying the closed-form pipeline.  Arrow-batched, "
+    "map-only.  Driver-visible from birth (the standing rule for new codec "
+    "paths).  Random-image loss bounds and the 8-bit-path regression are "
+    "pinned in tests/test_multimodal_codecs.py::TestJpeg12.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        extract_jpeg_features,
+        synthesize_jpeg12_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_jpeg_features(synthesize_jpeg12_payloads(d))
     return feats.select(
         "doc_id", "jpeg_type", "width", "height", "n_samples",
         quantize6(F.col("mean_c0")).alias("mean_c0"),

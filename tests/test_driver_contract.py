@@ -61,15 +61,17 @@ def test_novel_operator_families_are_driver_visible():
         "multimodal_wav_resample",
         # r14 NEW rows, driver-visible from birth (VERDICT r13 asks #5-#7):
         # the r13 codec paths born row-less, the streaming decode runner,
-        # and the MP3 header walk
+        # the MP3 header walk, and 12-bit extended-sequential JPEG (the
+        # r14 second wave — multimodal_wav_g711, driver-green r13, ceded
+        # its seat)
         "multimodal_png_variants",
         "multimodal_adpcm_decode",
         "multimodal_mp3_headers",
+        "multimodal_jpeg12_decode",
         "streaming_media_decode",
         # r13 rotation survivors (each holds a green r13 row)
         "multimodal_palette_decode",
         "multimodal_gif_frames",
-        "multimodal_wav_g711",
         "multimodal_jpeg_decode",
         "ds_window_running",
         "ds_lookup_topn",
@@ -222,6 +224,8 @@ def test_novel_operator_families_are_driver_visible():
         "hybrid_search_rrf",           # ⊂ search (ds_atlas_search visible)
         "phrase_search_docs",          # ⊂ search (ds_atlas_search visible)
         "train_split_assign",          # ⊂ split (stratified + dsir in)
+        # r14 second wave: seat for multimodal_jpeg12_decode (NEW)
+        "multimodal_wav_g711",         # ⊂ WAV (adpcm + wav_resample visible)
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 
@@ -390,6 +394,6 @@ def test_rotated_in_families_gain_rows_next_artifact():
         "geo_within_box_events", "multimodal_bmp_resize",
         "multimodal_wav_resample", "multimodal_png_variants",
         "multimodal_adpcm_decode", "multimodal_mp3_headers",
-        "streaming_media_decode",
+        "multimodal_jpeg12_decode", "streaming_media_decode",
     ):
         assert name in dc and QUERIES[name].oracle is not None, name

@@ -1054,11 +1054,17 @@ class TestJpeg:
         b[at + 1] = 0xC3
         with pytest.raises(NotImplementedError, match="lossless"):
             decode_jpeg(bytes(b))
-        # 16-bit quant table is an honest gap
+        # pq=1 (16-bit) DQT parses for real since r14 — flipping the nibble
+        # WITHOUT doubling the payload is now a framing truncation
         b = bytearray(good)
         at = bytes(b).index(b"\xff\xdb")
         b[at + 4] = 0x10
-        with pytest.raises(NotImplementedError, match="16-bit"):
+        with pytest.raises(ValueError, match="truncated DQT"):
+            decode_jpeg(bytes(b))
+        # and an invalid pq nibble is a ValueError, not a silent skip
+        b = bytearray(good)
+        b[at + 4] = 0x20
+        with pytest.raises(ValueError, match="DQT element precision"):
             decode_jpeg(bytes(b))
 
     def test_crafted_malformed_segments_are_valueerror(self):
@@ -1610,3 +1616,90 @@ class TestMp3Headers:
         free[2] &= 0x0F  # bitrate index 0
         with pytest.raises(NotImplementedError, match="free-format"):
             decode_mp3_headers(bytes(free))
+
+
+class TestJpeg12:
+    """12-bit extended sequential JPEG (SOF1, r14): pq=1 16-bit DQTs,
+    widened Huffman alphabets, 2048 level shift, 4095 clamp, uint16 out."""
+
+    def test_constant_blocks_exact(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((16, 16), 3000, dtype=np.uint16)
+        out = decode_jpeg(encode_jpeg(img, precision=12))
+        assert out.dtype == np.uint16 and np.array_equal(out, img)
+        # YCbCr constant: decode converts to RGB with the 2048 center
+        y, cb, cr = 1234, 1234, 1234
+        img3 = np.full((8, 8, 3), y, dtype=np.uint16)
+        out3 = decode_jpeg(encode_jpeg(img3, ycbcr=True, precision=12))
+        r = max(0, min(4095, int(np.floor(y + 1.402 * (cr - 2048) + 0.5))))
+        g = max(0, min(4095, int(np.floor(
+            y - 0.344136 * (cb - 2048) - 0.714136 * (cr - 2048) + 0.5))))
+        b = max(0, min(4095, int(np.floor(y + 1.772 * (cb - 2048) + 0.5))))
+        assert out3[0, 0].tolist() == [r, g, b]
+        assert len(np.unique(out3.reshape(-1, 3), axis=0)) == 1
+
+    def test_random_images_bounded_loss(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(5)
+        g = rng.integers(0, 4096, (24, 17), dtype=np.uint16)
+        out = decode_jpeg(encode_jpeg(g, precision=12))
+        # default tables: DC step 8, AC step 16 — same bound as 8-bit,
+        # now a tiny fraction of the 12-bit range
+        assert int(np.abs(out.astype(int) - g.astype(int)).max()) <= 64
+        c = rng.integers(0, 4096, (16, 16, 3), dtype=np.uint16)
+        outc = decode_jpeg(encode_jpeg(c, precision=12))
+        assert outc.dtype == np.uint16
+        assert int(np.abs(outc.astype(int) - c.astype(int)).max()) <= 192
+
+    def test_restart_markers_and_errors(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 4096, (32, 32), dtype=np.uint16)
+        a = decode_jpeg(encode_jpeg(img, precision=12))
+        b = decode_jpeg(encode_jpeg(img, precision=12, restart_interval=2))
+        assert np.array_equal(a, b)
+        with pytest.raises(ValueError, match="exceeds 4095"):
+            encode_jpeg(np.full((4, 4), 5000, dtype=np.uint16), precision=12)
+        with pytest.raises(ValueError, match="12-bit progressive"):
+            encode_jpeg(img, precision=12, progressive=True)
+        with pytest.raises(ValueError, match="precision must be"):
+            encode_jpeg(np.zeros((4, 4), dtype=np.uint8), precision=10)
+
+    def test_8bit_path_regression(self):
+        """The precision plumbing must leave the 8-bit pipeline untouched:
+        SOF0 marker, 8-bit DQT, uint8 out, same bytes as before the r14
+        change for a fixed image."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (12, 11, 3), dtype=np.uint8)
+        b = encode_jpeg(img)
+        assert b"\xff\xc0" in b and b"\xff\xc1" not in b
+        out = decode_jpeg(b)
+        assert out.dtype == np.uint8 and out.shape == img.shape
+
+    def test_12bit_sof1_markers_on_wire(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            encode_jpeg,
+        )
+
+        b = encode_jpeg(np.full((8, 8), 100, dtype=np.uint16), precision=12)
+        assert b"\xff\xc1" in b and b"\xff\xc0" not in b
+        # DQT pq nibble = 1 (16-bit elements): segment payload starts 0x10
+        at = b.index(b"\xff\xdb")
+        assert b[at + 4] == 0x10
