@@ -2586,6 +2586,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     sof = None
     dri = 0
     progressive = False
+    lossless = False
     coefs: list[np.ndarray] | None = None
     scans_seen = 0
 
@@ -2646,13 +2647,14 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = seg[i + 17 : i + 17 + nvals]
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huff_table(bits, vals)
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 extended / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 ext/2 prog/3 lossless
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             # baseline SOF0 is 8-bit by definition; extended sequential
             # SOF1 (Huffman) allows 12-bit (r14); 12-bit PROGRESSIVE is
-            # spec-legal but out of scope — explicit, never mis-decoded
+            # spec-legal but out of scope — explicit, never mis-decoded;
+            # lossless SOF3 (r14) allows the spec's full 2..16
             if marker == 0xC0 and prec != 8:
                 raise ValueError(f"baseline SOF0 must be 8-bit, got {prec}")
             if marker == 0xC1 and prec not in (8, 12):
@@ -2662,6 +2664,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     f"{prec}-bit progressive JPEG (extended sequential "
                     "SOF1 carries the 12-bit path)"
                 )
+            if marker == 0xC3 and not (2 <= prec <= 16):
+                raise ValueError(f"lossless JPEG precision {prec} out of 2..16")
             if fh == 0 or fw == 0:
                 raise ValueError(f"empty JPEG frame ({fw}x{fh})")
             if len(seg) < 6 + 3 * nc:
@@ -2688,17 +2692,21 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
             }
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
+            if lossless and (hmax != 1 or vmax != 1):
+                raise NotImplementedError(
+                    "subsampled lossless JPEG (all components must be 1x1)"
+                )
             coefs = [
                 np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
                 for c in comps
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kinds = {0xC3: "lossless"}
             raise NotImplementedError(
-                f"{kinds.get(marker, 'non-baseline')} JPEG (SOF 0x{marker:02x}) "
-                "not supported — sequential (SOF0/SOF1 incl. 12-bit) and "
-                "8-bit progressive (SOF2) only"
+                f"non-baseline JPEG (SOF 0x{marker:02x}) not supported — "
+                "sequential (SOF0/SOF1 incl. 12-bit), 8-bit progressive "
+                "(SOF2), and lossless (SOF3) only"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -2727,6 +2735,26 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             br = _JpegBitReader(b, pos)
+            if lossless:
+                if ns != len(sof["comps"]):
+                    raise NotImplementedError(
+                        "multi-scan lossless JPEG (scan must carry every "
+                        "component)"
+                    )
+                if not (1 <= ss <= 7) or se != 0 or ah != 0:
+                    raise ValueError(
+                        f"bad lossless scan header Ss={ss} Se={se} Ah={ah}"
+                    )
+                if al != 0:
+                    raise NotImplementedError(
+                        f"lossless point transform Pt={al}"
+                    )
+                if dri:
+                    raise NotImplementedError(
+                        "restart intervals in lossless JPEG"
+                    )
+                return _jpeg_scan_lossless(br, sof, scan, sidx, dri,
+                                           dc_tabs, ss)
             if not progressive:
                 if ns != len(sof["comps"]):
                     raise NotImplementedError(
@@ -2749,6 +2777,146 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             pos = br.pos
         # APPn / COM / others: skipped
     raise ValueError("unreachable")
+
+
+def encode_jpeg_lossless(
+    px: np.ndarray, predictor: int = 1, precision: int | None = None
+) -> bytes:
+    """Encode an array as a LOSSLESS JPEG (SOF3, Huffman — T.81 Annex H,
+    the DICOM/medical flavor, r14): per-sample mod-2^16 differences from
+    one of the seven spec predictors, Huffman-coded with the DC alphabet
+    widened to category 16 (the special no-extend-bits diff 32768).
+    ``px`` is ``(h, w)`` or ``(h, w, ncomp)`` with every component
+    1x1-sampled; ``precision`` (2..16) defaults to the tightest depth that
+    holds ``px``.  Bit-exact round trip with :func:`decode_jpeg` for every
+    input — there is no quantizer."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ncomp = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if ncomp > 4:
+        raise ValueError(f"too many components ({ncomp})")
+    vmax = int(px.max(initial=0))
+    if precision is None:
+        precision = max(2, vmax.bit_length())
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2..16, got {precision}")
+    if vmax >= (1 << precision):
+        raise ValueError(f"sample exceeds {precision}-bit range")
+    planes = px.astype(np.int64)
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, Tq=0 (unused)
+    out += _seg(0xC3, sof)
+    # flat 8-bit canonical DC table over categories 0..16 (17 symbols)
+    vals = list(range(17))
+    out += _seg(0xC4, b"\x00" + _enc_bits_vals(vals)[0] + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, AhAl=0
+    out += _seg(0xDA, sos)
+
+    bw = _JpegBitWriter()
+    default = 1 << (precision - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                p = planes[:, :, ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _jpeg_predict(
+                        predictor,
+                        int(p[y, x - 1]),
+                        int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                diff = (int(p[y, x]) - pred) & 0xFFFF
+                v = diff - 65536 if diff > 32768 else diff
+                if v == 32768:
+                    bw.write(16, 8)  # category 16: no extend bits
+                    continue
+                t = _jpeg_category(v)
+                bw.write(t, 8)
+                if t:
+                    bw.write(_jpeg_value_bits(v, t), t)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_predict(pred_sel: int, ra: int, rb: int, rc: int) -> int:
+    """T.81 H.1.2 predictor (arithmetic >>1, mod-2^16 result)."""
+    if pred_sel == 1:
+        v = ra
+    elif pred_sel == 2:
+        v = rb
+    elif pred_sel == 3:
+        v = rc
+    elif pred_sel == 4:
+        v = ra + rb - rc
+    elif pred_sel == 5:
+        v = ra + ((rb - rc) >> 1)
+    elif pred_sel == 6:
+        v = rb + ((ra - rc) >> 1)
+    else:  # 7
+        v = (ra + rb) >> 1
+    return v & 0xFFFF
+
+
+def _jpeg_scan_lossless(br, sof, scan, sidx, dri, dc_tabs, pred_sel):
+    """Lossless (SOF3) scan: one Huffman-coded mod-2^16 DIFFERENCE per
+    sample, row-major, one sample per component per MCU (all components
+    1x1-sampled — the only layout this decoder supports).  First sample of
+    the scan predicts ``2^(P-1)``; the rest of the first line predicts Ra
+    (left); the first sample of later lines predicts Rb (above); interior
+    samples use the scan's predictor selector.  Category 16 conveys the
+    bit-pattern diff 32768 with no extend bits (T.81 H.2)."""
+    fh, fw, prec = sof["h"], sof["w"], sof["prec"]
+    ncomp = len(scan)
+    planes = [np.zeros((fh, fw), dtype=np.int64) for _ in scan]
+    default = 1 << (prec - 1)
+    for y in range(fh):
+        for x in range(fw):
+            for si in range(ncomp):
+                tab = dc_tabs.get(scan[si]["dc"])
+                if tab is None:
+                    raise ValueError(f"missing DC table {scan[si]['dc']}")
+                t = br.read_huff(tab)
+                if t > 16:
+                    raise ValueError(f"bad lossless diff category {t}")
+                diff = 32768 if t == 16 else br.receive_extend(t)
+                p = planes[si]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _jpeg_predict(
+                        pred_sel,
+                        int(p[y, x - 1]),
+                        int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                p[y, x] = (pred + diff) & 0xFFFF
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    if ncomp == 1:
+        return planes[0].astype(dtype)
+    return np.stack(planes, axis=-1).astype(dtype)
 
 
 def _jpeg_scan_sequential(br, sof, scan, sidx, coefs, dri, dc_tabs, ac_tabs):

@@ -413,8 +413,10 @@ _PLT_A = f"(CASE WHEN {_PLT_J} < 4 THEN (doc_id + 11*{_PLT_J}) % 256 ELSE 255 EN
     "(d+y)%5 on the INDEX bytes; odd docs add a 4-entry tRNS so both the "
     "PLTE→RGB and PLTE+tRNS→RGBA expansions are exercised.  Features of "
     "the decoded result hash-match DuckDB replaying palette lookup + alpha "
-    "table symbolically.  Map-only.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down).",
+    "table symbolically.  Map-only.  Driver-visible since the r13 rotation (VERDICT r12 ask #1: never-driver-verified residual burn-down)."
+    "  Evicted from the driver window in the r14 second wave (driver-green r13; the PNG family keeps multimodal_png_decode + multimodal_png_variants + streaming_media_decode visible, and the PLTE/tRNS expansion stays golden-anchored in pytest) to seat multimodal_jpeg_lossless_decode, NEW r14 and driver-visible from birth; still oracle-gated at sf0.01.",
     tags=("multimodal", "pandas-udf", "codec"),
+    driver_visible=False,
 )
 def multimodal_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
@@ -752,6 +754,117 @@ def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "jpeg_type", "width", "height", "n_samples",
         quantize6(F.col("mean_c0")).alias("mean_c0"),
         quantize6(F.col("mean_luma")).alias("mean_luma"),
+    )
+
+
+# Lossless JPEG (SOF3, r14): no quantizer, so decode is the IDENTITY on any
+# pixel formula — the oracle replays the raw samples directly.  j below is
+# the flattened sample index (((y*w+x)*ch + c)); i = j // ch, c = j % ch.
+_JL_M = "(CASE doc_id % 3 WHEN 0 THEN 256 WHEN 1 THEN 4096 ELSE 65536 END)"
+_JL_V = f"((doc_id + 7*(j // ch) + 1000*(j % ch)) % {_JL_M})"
+
+
+@register(
+    "multimodal_jpeg_lossless_decode",
+    oracle=f"""
+        WITH canvas AS (
+            SELECT doc_id,
+                   3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+                   1 + 2 * (doc_id % 2) AS ch,
+                   1 + doc_id % 7 AS predictor,
+                   CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 12
+                        ELSE 16 END AS prec
+            FROM documents
+        ), s AS (
+            SELECT doc_id, w, h, ch, predictor, prec,
+                   (3 + doc_id % 4) * (2 + doc_id % 3) * ch AS n,
+                   list_sum(list_transform(
+                       range((3 + doc_id % 4) * (2 + doc_id % 3) * ch),
+                       j -> {_JL_V})) AS vsum,
+                   list_sum(list_transform(
+                       range((3 + doc_id % 4) * (2 + doc_id % 3) * ch),
+                       j -> {_JL_V} * (1 + j))) AS wsum
+            FROM canvas
+        )
+        SELECT doc_id,
+               CAST(predictor AS BIGINT) AS predictor,
+               CAST(prec AS BIGINT) AS precision,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(ch AS BIGINT) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(vsum AS BIGINT) AS sample_sum,
+               CAST(wsum AS BIGINT) AS weighted_sum
+        FROM s
+    """,
+    doc="LOSSLESS JPEG decode (operators/multimodal.py::"
+    "encode_jpeg_lossless/decode_jpeg, SOF3, T.81 Annex H — NEW r14, the "
+    "DICOM/medical-imaging flavor): per-sample predictive Huffman coding "
+    "over mod-2^16 differences, DC alphabet widened to the category-16 "
+    "no-extend-bits symbol.  doc_id cycles ALL SEVEN spec predictors "
+    "(1+d%7), precisions 8/12/16, and grey/3-component layouts; decode "
+    "has no quantizer so raw-sample sums and position-weighted sums "
+    "hash-match DuckDB replaying the pixel formula directly — any "
+    "single-bit decode error moves the weighted sum.  Arrow-batched, "
+    "map-only.  Driver-visible from birth (the standing rule for new "
+    "codec paths; multimodal_palette_decode, driver-green r13, cedes the "
+    "seat).  Bit-exact fuzz across predictors/precisions in "
+    "tests/test_codec_properties.py::test_jpeg_lossless_roundtrip_identity.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 3 + did % 4, 2 + did % 3
+                ch = 1 + 2 * (did % 2)
+                pred = 1 + did % 7
+                prec = (8, 12, 16)[did % 3]
+                m = 1 << prec
+                i = np.arange(w * h, dtype=np.int64)
+                planes = [
+                    ((did + 7 * i + 1000 * c) % m).reshape(h, w)
+                    for c in range(ch)
+                ]
+                px = np.stack(planes, axis=-1).astype(
+                    np.uint8 if prec <= 8 else np.uint16
+                )
+                if ch == 1:
+                    px = px[:, :, 0]
+                dec = decode_jpeg(
+                    encode_jpeg_lossless(px, predictor=pred, precision=prec)
+                ).astype(np.int64)
+                flat = dec.reshape(-1)
+                out.append(
+                    {
+                        "doc_id": doc_id, "predictor": pred, "precision": prec,
+                        "width": w, "height": h, "n_channels": ch,
+                        "n_samples": int(flat.size),
+                        "sample_sum": int(flat.sum()),
+                        "weighted_sum": int(
+                            (flat * (1 + np.arange(flat.size))).sum()
+                        ),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, predictor long, precision long, width long, "
+        "height long, n_channels long, n_samples long, sample_sum long, "
+        "weighted_sum long",
     )
 
 

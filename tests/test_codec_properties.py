@@ -391,3 +391,33 @@ def test_jpeg_fill_bytes_before_markers_decode_identically(img, data):
     cut = data.draw(st.integers(min_value=2, max_value=len(filled) - len(b) + pos + 1))
     with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg(filled[:cut])
+
+
+@st.composite
+def lossless_images(draw):
+    prec = draw(st.sampled_from([2, 4, 8, 12, 16]))
+    w = draw(st.integers(min_value=1, max_value=9))
+    h = draw(st.integers(min_value=1, max_value=7))
+    ch = draw(st.sampled_from([1, 3]))
+    n = w * h * ch
+    vals = draw(st.lists(st.integers(0, (1 << prec) - 1), min_size=n, max_size=n))
+    px = np.array(vals, dtype=np.uint16 if prec > 8 else np.uint8)
+    px = px.reshape((h, w) if ch == 1 else (h, w, ch))
+    return px, prec, draw(st.integers(1, 7))
+
+
+@settings(max_examples=100, deadline=None)
+@given(lossless_images())
+def test_jpeg_lossless_roundtrip_identity(img):
+    """SOF3 has no quantizer: decode(encode(px)) must be px bit-for-bit
+    for EVERY input, precision, predictor, and channel count — including
+    extreme values whose mod-2^16 diffs exercise the category-16 symbol."""
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    px, prec, pred = img
+    out = decode_jpeg(encode_jpeg_lossless(px, predictor=pred, precision=prec))
+    assert out.shape == px.shape
+    assert np.array_equal(out.astype(np.uint32), px.astype(np.uint32))

@@ -68,9 +68,9 @@ def test_novel_operator_families_are_driver_visible():
         "multimodal_adpcm_decode",
         "multimodal_mp3_headers",
         "multimodal_jpeg12_decode",
+        "multimodal_jpeg_lossless_decode",
         "streaming_media_decode",
         # r13 rotation survivors (each holds a green r13 row)
-        "multimodal_palette_decode",
         "multimodal_gif_frames",
         "multimodal_jpeg_decode",
         "ds_window_running",
@@ -224,8 +224,10 @@ def test_novel_operator_families_are_driver_visible():
         "hybrid_search_rrf",           # ⊂ search (ds_atlas_search visible)
         "phrase_search_docs",          # ⊂ search (ds_atlas_search visible)
         "train_split_assign",          # ⊂ split (stratified + dsir in)
-        # r14 second wave: seat for multimodal_jpeg12_decode (NEW)
+        # r14 second wave: seats for multimodal_jpeg12_decode and
+        # multimodal_jpeg_lossless_decode (both NEW)
         "multimodal_wav_g711",         # ⊂ WAV (adpcm + wav_resample visible)
+        "multimodal_palette_decode",   # ⊂ PNG (png_decode + variants visible)
     ):
         assert not QUERIES[hidden].driver_visible, hidden
 
@@ -394,6 +396,7 @@ def test_rotated_in_families_gain_rows_next_artifact():
         "geo_within_box_events", "multimodal_bmp_resize",
         "multimodal_wav_resample", "multimodal_png_variants",
         "multimodal_adpcm_decode", "multimodal_mp3_headers",
-        "multimodal_jpeg12_decode", "streaming_media_decode",
+        "multimodal_jpeg12_decode", "multimodal_jpeg_lossless_decode",
+        "streaming_media_decode",
     ):
         assert name in dc and QUERIES[name].oracle is not None, name

@@ -1049,10 +1049,17 @@ class TestJpeg:
         b[at + 1] = 0xC2
         with pytest.raises(ValueError, match="DC progressive scan"):
             decode_jpeg(bytes(b))
-        # lossless SOF stays an honest gap
+        # lossless SOF3 decodes for real since r14 — relabeling a
+        # SEQUENTIAL stream makes its DCT-style scan header (Ss=0, Se=63)
+        # invalid for the lossless scan rules, a framing ValueError
         b = bytearray(good)
         b[at + 1] = 0xC3
-        with pytest.raises(NotImplementedError, match="lossless"):
+        with pytest.raises(ValueError, match="lossless scan header"):
+            decode_jpeg(bytes(b))
+        # arithmetic-coded SOF stays an honest gap
+        b = bytearray(good)
+        b[at + 1] = 0xC9
+        with pytest.raises(NotImplementedError, match="non-baseline"):
             decode_jpeg(bytes(b))
         # pq=1 (16-bit) DQT parses for real since r14 — flipping the nibble
         # WITHOUT doubling the payload is now a framing truncation
@@ -1703,3 +1710,70 @@ class TestJpeg12:
         # DQT pq nibble = 1 (16-bit elements): segment payload starts 0x10
         at = b.index(b"\xff\xdb")
         assert b[at + 4] == 0x10
+
+
+class TestJpegLossless:
+    """Lossless JPEG (SOF3, T.81 Annex H, r14): per-sample predictive
+    Huffman coding, mod-2^16 differences, category 16 = diff 32768.  No
+    quantizer — every round trip must be bit-exact."""
+
+    def test_all_predictors_all_precisions_exact(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(11)
+        for prec in (2, 8, 12, 16):
+            for pred in range(1, 8):
+                for shape in [(7, 9), (5, 6, 3), (1, 1), (1, 8), (8, 1)]:
+                    px = rng.integers(0, 1 << prec, shape, dtype=np.uint32).astype(
+                        np.uint16 if prec > 8 else np.uint8
+                    )
+                    out = decode_jpeg(encode_jpeg_lossless(px, predictor=pred,
+                                                           precision=prec))
+                    assert out.shape == px.shape, (prec, pred, shape)
+                    assert np.array_equal(
+                        out.astype(np.uint32), px.astype(np.uint32)
+                    ), (prec, pred, shape)
+
+    def test_category16_wraparound_diff(self):
+        """pred 32768 (the 16-bit default) to sample 0 is diff -32768 ≡
+        32768 mod 2^16 — the category-16 symbol with no extend bits."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg_lossless,
+        )
+
+        px = np.array([[0, 32768], [65535, 1]], dtype=np.uint16)
+        out = decode_jpeg(encode_jpeg_lossless(px, precision=16))
+        assert out.tolist() == px.tolist()
+
+    def test_error_paths(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg_lossless,
+        )
+
+        px = np.zeros((4, 4), dtype=np.uint8)
+        with pytest.raises(ValueError, match="predictor"):
+            encode_jpeg_lossless(px, predictor=8)
+        with pytest.raises(ValueError, match="exceeds"):
+            encode_jpeg_lossless(np.full((2, 2), 9, dtype=np.uint8), precision=3)
+        good = encode_jpeg_lossless(np.arange(16, dtype=np.uint8).reshape(4, 4))
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(good[:-8])
+        # truncation anywhere raises cleanly, never IndexError
+        for cut in range(2, len(good) - 2, 3):
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_jpeg(good[:cut])
+
+    def test_inferred_precision_default(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg_lossless,
+        )
+
+        px = np.array([[5, 200]], dtype=np.uint8)  # needs 8 bits
+        b = encode_jpeg_lossless(px)
+        assert np.array_equal(decode_jpeg(b), px)
