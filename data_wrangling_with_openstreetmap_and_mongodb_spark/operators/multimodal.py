@@ -2573,7 +2573,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     in interleaved scans, block-counted in non-interleaved); byte
     unstuffing.  Extended sequential (SOF1) decodes too, at 8- OR 12-bit
     precision (r14: pq=1 16-bit DQTs, 2048 level shift, 4095 clamp, uint16
-    out).  Lossless/arithmetic SOFs, 12-bit PROGRESSIVE, and
+    out), and LOSSLESS (SOF3, r14) decodes the predictive Huffman process
+    at precisions 2..16 (returns raw component samples — no color
+    conversion; see :func:`encode_jpeg_lossless`).  Arithmetic-coded SOFs
+    (the QM-coder — the one remaining JPEG gap), 12-bit PROGRESSIVE, and
     non-interleaved multi-scan SEQUENTIAL files raise
     ``NotImplementedError``; malformed or truncated framing raises
     ``ValueError``."""
