@@ -99,25 +99,47 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 
 
 def decode_bmp(b: bytes) -> np.ndarray:
-    """Decode a 24-bit uncompressed BMP to an ``(h, w, 3)`` uint8 top-down
-    RGB array.  Handles both bottom-up (positive height) and top-down
-    (negative height) files and per-row 4-byte padding; anything but
-    24-bit BI_RGB raises ``NotImplementedError`` (palette/RLE/bitfield
-    BMPs are out of scope, not silently mis-decoded)."""
+    """Decode an uncompressed BI_RGB BMP to an ``(h, w, 3)`` uint8 top-down
+    RGB array.  24-bit (BGR), 32-bit (BGRX — the reserved 4th byte drops,
+    r14), and 8-bit PALETTE files (BGRX color table, r14) are supported;
+    both bottom-up (positive height) and top-down (negative height) row
+    orders and per-row 4-byte padding are handled.  RLE/bitfield
+    compression and other depths raise ``NotImplementedError`` — explicit
+    gaps, never a silent mis-decode."""
     if b[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic)")
     off = struct.unpack_from("<I", b, 10)[0]
     hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
-    if hdr_size < 40 or bpp != 24 or comp != 0:
+    if hdr_size < 40 or comp != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(
-            f"only 24-bit BI_RGB BMP supported (got bpp={bpp}, compression={comp})"
+            f"only 8/24/32-bit BI_RGB BMP supported "
+            f"(got bpp={bpp}, compression={comp})"
         )
     top_down = h < 0
     h = abs(h)
-    row_raw = w * 3
+    nbytes = bpp // 8
+    row_raw = w * nbytes
     row_size = (row_raw + 3) // 4 * 4
+    if off + row_size * h > len(b):
+        raise ValueError("truncated BMP pixel data")
     arr = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=off)
-    px = arr.reshape(h, row_size)[:, :row_raw].reshape(h, w, 3)[:, :, ::-1]
+    rows = arr.reshape(h, row_size)[:, :row_raw]
+    if bpp == 8:
+        # color table: BGRX entries right after the info header
+        (clr_used,) = struct.unpack_from("<I", b, 46)
+        n_colors = clr_used or 256
+        tab_off = 14 + hdr_size
+        if tab_off + 4 * n_colors > len(b):
+            raise ValueError("truncated BMP color table")
+        table = np.frombuffer(
+            b, dtype=np.uint8, count=4 * n_colors, offset=tab_off
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = rows.reshape(h, w)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        px = table[idx]
+    else:
+        px = rows.reshape(h, w, nbytes)[:, :, :3][:, :, ::-1]  # BGR(X) -> RGB
     if not top_down:
         px = px[::-1]
     return np.ascontiguousarray(px)
@@ -331,11 +353,15 @@ def encode_wav_adpcm(
 
 def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a WAV: walk the RIFF chunk list (word-aligned, so junk/LIST
-    chunks skip correctly), read ``fmt `` and ``data``, return
-    ``(sample_rate, n_channels, interleaved int16 samples)``.  Supports
-    16-bit PCM (format 1) and 8-bit G.711 μ-law/A-law (formats 7/6 —
-    expanded to linear int16 via the standard segment tables).  Anything
-    else raises ``NotImplementedError``."""
+    chunks skip correctly), read ``fmt ``/``fact``/``data``, return
+    ``(sample_rate, n_channels, interleaved samples)``.  Supports PCM
+    format 1 at 8 (unsigned, offset-128 → int16), 16 (int16) and 24 bits
+    (→ int32 in the native range, r14), IEEE float32 (format 3, returned
+    unscaled, r14), 8-bit G.711 μ-law/A-law (formats 7/6 — expanded to
+    linear int16 via the standard segment tables), 4-bit IMA ADPCM
+    (format 0x11, fact-truncated), and the WAVE_FORMAT_EXTENSIBLE wrapper
+    (0xFFFE — re-dispatched on the SubFormat tag, r14).  Anything else
+    raises ``NotImplementedError``."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt_chunk = data = None
@@ -358,16 +384,33 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     audio_fmt, ch, rate, _brate, _align, bits = struct.unpack_from(
         "<HHIIHH", fmt_chunk, 0
     )
+    if audio_fmt == 0xFFFE and len(fmt_chunk) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE (r14): the real format tag is the first
+        # two bytes of the SubFormat GUID at fmt offset 24
+        audio_fmt = struct.unpack_from("<H", fmt_chunk, 24)[0]
     if audio_fmt == 1 and bits == 16:
         return rate, ch, np.frombuffer(data, dtype="<i2")
+    if audio_fmt == 1 and bits == 8:
+        # legacy unsigned 8-bit PCM: offset-128, scaled to int16 (r14)
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+        return rate, ch, ((u - 128) << 8).astype(np.int16)
+    if audio_fmt == 1 and bits == 24:
+        # 24-bit little-endian PCM -> int32 in the native 24-bit range (r14)
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.int32)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        return rate, ch, np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
+    if audio_fmt == 3 and bits == 32:
+        # IEEE float PCM (r14): returned as float32, no scaling applied
+        return rate, ch, np.frombuffer(data, dtype="<f4")
     if audio_fmt in _G711_TABLES and bits == 8:
         table = _G711_TABLES[audio_fmt]
         return rate, ch, table[np.frombuffer(data, dtype=np.uint8)]
     if audio_fmt == 0x11 and bits == 4:  # IMA/DVI ADPCM (r13)
         return rate, ch, _ima_adpcm_decode(data, ch, _align, fact_samples)
     raise NotImplementedError(
-        f"only 16-bit PCM, 8-bit G.711 mu/A-law, and 4-bit IMA ADPCM WAV "
-        f"supported (got format={audio_fmt}, bits={bits})"
+        f"only 8/16/24-bit PCM, float32, 8-bit G.711 mu/A-law, and 4-bit "
+        f"IMA ADPCM WAV supported (got format={audio_fmt}, bits={bits})"
     )
 
 

@@ -65,11 +65,17 @@ class TestBmp:
 
     def test_unsupported_bmp_raises(self):
         b = bytearray(encode_bmp(GOLDEN_2X2))
-        struct.pack_into("<H", b, 28, 8)  # bpp=8 (palette)
-        with pytest.raises(NotImplementedError, match="24-bit"):
+        struct.pack_into("<H", b, 28, 16)  # bpp=16 (bitfield territory)
+        with pytest.raises(NotImplementedError, match="8/24/32-bit"):
             decode_bmp(bytes(b))
         with pytest.raises(ValueError, match="magic"):
             decode_bmp(b"XX" + bytes(b)[2:])
+        # 8-bit decodes for real since r14 — a file relabeled 8-bit
+        # WITHOUT a palette is a framing error, not a gap
+        b2 = bytearray(encode_bmp(GOLDEN_2X2))
+        struct.pack_into("<H", b2, 28, 8)
+        with pytest.raises(ValueError, match="color table|palette index|truncated"):
+            decode_bmp(bytes(b2))
 
 
 class TestWav:
@@ -1777,3 +1783,112 @@ class TestJpegLossless:
         px = np.array([[5, 200]], dtype=np.uint8)  # needs 8 bits
         b = encode_jpeg_lossless(px)
         assert np.array_equal(decode_jpeg(b), px)
+
+
+class TestThirdPartyFlavors:
+    """r14 third-party container flavors: the decoders accept the formats
+    real files actually ship — 8/24-bit + float WAV, extensible wrapper,
+    32-bit and palette BMP — with hand-built golden containers (never this
+    repo's own encoders, which don't emit these shapes)."""
+
+    @staticmethod
+    def _wav(fmt, ch, rate, bits, data, align=None, ext_tag=None):
+        if ext_tag is not None:
+            body_fmt = struct.pack(
+                "<HHIIHHH", 0xFFFE, ch, rate, rate * ch * bits // 8,
+                align or ch * bits // 8, bits, 22,
+            ) + struct.pack("<HI", bits, 1) + struct.pack("<H", ext_tag) + bytes(14)
+        else:
+            body_fmt = struct.pack(
+                "<HHIIHH", fmt, ch, rate, rate * ch * bits // 8,
+                align or ch * bits // 8, bits,
+            )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(body_fmt)) + body_fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_wav_8bit_unsigned_pcm(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        rate, ch, s = decode_wav(self._wav(1, 1, 8000, 8, bytes([0, 128, 255])))
+        assert s.dtype == np.int16
+        assert s.tolist() == [(0 - 128) << 8, 0, (255 - 128) << 8]
+
+    def test_wav_24bit_pcm(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        # samples: 0x000001=1, 0xFFFFFF=-1, 0x800000=-2^23, 0x7FFFFF=2^23-1
+        data = (b"\x01\x00\x00" + b"\xff\xff\xff"
+                + b"\x00\x00\x80" + b"\xff\xff\x7f")
+        rate, ch, s = decode_wav(self._wav(1, 1, 48000, 24, data))
+        assert s.dtype == np.int32
+        assert s.tolist() == [1, -1, -(1 << 23), (1 << 23) - 1]
+
+    def test_wav_float32(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        vals = np.array([0.0, 0.5, -1.0, 0.25], dtype="<f4")
+        rate, ch, s = decode_wav(self._wav(3, 2, 44100, 32, vals.tobytes()))
+        assert s.dtype == np.float32 and ch == 2
+        assert s.tolist() == vals.tolist()
+
+    def test_wav_extensible_wrapper_redispatches(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        samples = np.array([5, -7, 32767], dtype="<i2")
+        rate, ch, s = decode_wav(
+            self._wav(None, 1, 16000, 16, samples.tobytes(), ext_tag=1)
+        )
+        assert s.tolist() == samples.tolist()
+
+    def test_bmp_32bit_drops_reserved_byte(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        # 2x2 bottom-up 32-bit: rows are 4-aligned already; BGRX order
+        rows = [
+            bytes([10, 20, 30, 0]) + bytes([40, 50, 60, 0]),   # file row 0 = image row 1
+            bytes([70, 80, 90, 0]) + bytes([100, 110, 120, 0]),
+        ]
+        hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + 16, 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, 16, 0, 0, 0, 0)
+        px = decode_bmp(hdr + info + rows[0] + rows[1])
+        assert px.shape == (2, 2, 3)
+        assert px[1, 0].tolist() == [30, 20, 10]  # bottom row, RGB order
+        assert px[0, 1].tolist() == [120, 110, 100]
+
+    def test_bmp_8bit_palette(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        import pytest
+
+        # 3-color table, 3x2 image, rows padded to 4 bytes
+        table = bytes([1, 2, 3, 0]) + bytes([4, 5, 6, 0]) + bytes([7, 8, 9, 0])
+        rows = bytes([0, 1, 2, 0]) + bytes([2, 2, 0, 0])
+        off = 14 + 40 + len(table)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+        info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(rows), 0, 0, 3, 0)
+        px = decode_bmp(hdr + info + table + rows)
+        assert px.shape == (2, 3, 3)
+        # bottom-up: file row 0 is image row 1; BGRX table -> RGB
+        assert px[1].tolist() == [[3, 2, 1], [6, 5, 4], [9, 8, 7]]
+        assert px[0].tolist() == [[9, 8, 7], [9, 8, 7], [3, 2, 1]]
+        # out-of-range palette index is a ValueError, never a wrap
+        bad = bytes([0, 1, 5, 0]) + bytes([2, 2, 0, 0])
+        with pytest.raises(ValueError, match="palette index"):
+            decode_bmp(hdr + info + table + bad)
