@@ -1648,13 +1648,16 @@ def encode_gif(
     delays_cs: list[int] | None = None,
     interlace: bool = False,
     local_palettes: list[np.ndarray | None] | None = None,
+    transparent_idx: list[int | None] | None = None,
 ) -> bytes:
     """Encode ``(h, w)`` uint8 index frames as a GIF89a: global color table
     from ``plte`` (padded to the next power of two, max 256 entries), one
     image block per frame (optional per-frame local color table overriding
     the global one), literal-only LZW (valid stream, no dict reuse),
     optional interlaced row order, per-frame delay in centiseconds via a
-    Graphic Control Extension."""
+    Graphic Control Extension.  ``transparent_idx`` (r14) sets each
+    frame's GCE transparency flag + index (None = opaque; forces a GCE
+    even without delays)."""
     plte = np.asarray(plte, dtype=np.uint8)
     if plte.ndim != 2 or plte.shape[1] != 3 or not 1 <= len(plte) <= 256:
         raise ValueError(f"palette must be (n<=256, 3) uint8, got {plte.shape}")
@@ -1679,8 +1682,14 @@ def encode_gif(
         active = plte if lct is None else np.asarray(lct, dtype=np.uint8)
         if int(fr.max(initial=0)) >= len(active):
             raise ValueError("index out of color-table range")
-        if delays_cs is not None:
-            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delays_cs[fi], 0, 0)
+        tr = transparent_idx[fi] if transparent_idx is not None else None
+        if delays_cs is not None or tr is not None:
+            out += struct.pack(
+                "<BBBBHBB", 0x21, 0xF9, 4,
+                0x01 if tr is not None else 0,
+                delays_cs[fi] if delays_cs is not None else 0,
+                tr if tr is not None else 0, 0,
+            )
         flags = 0
         lbits = 0
         if lct is not None:
@@ -1771,9 +1780,12 @@ def decode_gif(b: bytes) -> tuple[list[np.ndarray], list[int | None]]:
     """Decode a GIF87a/89a to ``(frames, delays)``: one ``(h, w, 3)`` uint8
     RGB array per image block (local color table wins over the global one;
     interlaced frames are deinterlaced), and the preceding Graphic Control
-    Extension's delay in centiseconds (None when absent).  Malformed
-    framing, missing color tables, and out-of-range indices raise
-    ``ValueError``."""
+    Extension's delay in centiseconds (None when absent).  When ANY frame's
+    GCE sets the transparency flag, EVERY frame returns ``(h, w, 4)`` RGBA
+    instead (alpha 0 at that frame's transparent index, 255 elsewhere —
+    r14; previously the flag was silently ignored and transparent pixels
+    rendered as their palette color).  Malformed framing, missing color
+    tables, and out-of-range indices raise ``ValueError``."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (bad signature)")
     if len(b) < 13:
@@ -1787,7 +1799,9 @@ def decode_gif(b: bytes) -> tuple[list[np.ndarray], list[int | None]]:
         pos += n * 3
     frames: list[np.ndarray] = []
     delays: list[int | None] = []
+    transparent: list[int | None] = []  # per-frame GCE transparent index
     pending_delay: int | None = None
+    pending_transparent: int | None = None
 
     def _byte_at(p: int, what: str) -> int:
         # keep the documented contract: malformed framing is ValueError,
@@ -1800,6 +1814,15 @@ def decode_gif(b: bytes) -> tuple[list[np.ndarray], list[int | None]]:
         block = b[pos]
         pos += 1
         if block == 0x3B:  # trailer
+            if any(t is not None for t in transparent):
+                # one shape per GIF: frames without a transparency GCE
+                # gain a fully-opaque alpha channel
+                frames = [
+                    f if f.shape[-1] == 4 else np.dstack(
+                        [f, np.full(f.shape[:2], 255, dtype=np.uint8)]
+                    )
+                    for f in frames
+                ]
             return frames, delays
         if block == 0x21:  # extension: label + sub-blocks
             label = _byte_at(pos, "extension label")
@@ -1815,7 +1838,11 @@ def decode_gif(b: bytes) -> tuple[list[np.ndarray], list[int | None]]:
                         f"at byte {pos} of {len(b)})"
                     )
                 if label == 0xF9 and size == 4:
+                    gce_flags = b[pos]
                     pending_delay = struct.unpack_from("<H", b, pos + 1)[0]
+                    pending_transparent = (
+                        b[pos + 3] if gce_flags & 0x01 else None
+                    )
                 pos += size
             continue
         if block != 0x2C:
@@ -1866,9 +1893,22 @@ def decode_gif(b: bytes) -> tuple[list[np.ndarray], list[int | None]]:
             raise ValueError(
                 f"GIF index {int(idx.max())} out of color-table range ({len(table)})"
             )
+        if pending_transparent is not None and pending_transparent >= len(table):
+            raise ValueError(
+                f"GIF transparent index {pending_transparent} out of "
+                f"color-table range ({len(table)})"
+            )
         frames.append(np.ascontiguousarray(table[idx].astype(np.uint8)))
         delays.append(pending_delay)
+        transparent.append(pending_transparent)
+        if pending_transparent is not None:
+            # remember the index map so the RGBA pass can rebuild alpha
+            frames[-1] = np.dstack(
+                [frames[-1],
+                 np.where(idx == pending_transparent, 0, 255).astype(np.uint8)]
+            )
         pending_delay = None
+        pending_transparent = None
     raise ValueError("truncated GIF (no trailer)")
 
 

@@ -1892,3 +1892,67 @@ class TestThirdPartyFlavors:
         bad = bytes([0, 1, 5, 0]) + bytes([2, 2, 0, 0])
         with pytest.raises(ValueError, match="palette index"):
             decode_bmp(hdr + info + table + bad)
+
+
+class TestGifTransparency:
+    """r14: the GCE transparency flag decodes to an alpha channel instead
+    of being silently ignored (a transparent GIF used to render its
+    transparent pixels as opaque palette colors)."""
+
+    PLTE = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90]], dtype=np.uint8)
+
+    def test_alpha_channel_and_shape_harmony(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        f0 = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+        f1 = np.array([[2, 2], [1, 0]], dtype=np.uint8)
+        frames, delays = decode_gif(
+            encode_gif([f0, f1], self.PLTE, delays_cs=[3, 4],
+                       transparent_idx=[1, None])
+        )
+        # ONE shape per GIF: the opaque frame gains a 255 alpha plane
+        assert frames[0].shape == (2, 2, 4) and frames[1].shape == (2, 2, 4)
+        assert frames[0][0, 1].tolist() == [40, 50, 60, 0]
+        assert frames[0][0, 0].tolist() == [10, 20, 30, 255]
+        assert bool((frames[1][:, :, 3] == 255).all())
+        assert delays == [3, 4]
+
+    def test_opaque_gif_keeps_rgb_shape(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        f0 = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+        frames, _ = decode_gif(encode_gif([f0], self.PLTE))
+        assert frames[0].shape == (2, 2, 3)
+
+    def test_transparency_without_delay_gce(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        f0 = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+        frames, delays = decode_gif(
+            encode_gif([f0], self.PLTE, transparent_idx=[2])
+        )
+        assert frames[0].shape == (2, 2, 4)
+        assert frames[0][1, 0, 3] == 0 and delays == [0]
+
+    def test_out_of_range_transparent_index_raises(self):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        f0 = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+        g = bytearray(encode_gif([f0], self.PLTE, transparent_idx=[1]))
+        # GCE layout: 0x21 0xF9 0x04 flags delay(2) transparent_idx 0x00
+        at = bytes(g).index(b"\x21\xf9\x04")
+        g[at + 6] = 200  # beyond the 4-entry padded table
+        with pytest.raises(ValueError, match="transparent index"):
+            decode_gif(bytes(g))
