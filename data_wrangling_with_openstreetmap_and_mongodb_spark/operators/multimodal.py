@@ -3282,6 +3282,43 @@ def synthesize_jpeg_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)
 
 
+MP3_FEATURE_SCHEMA = (
+    "doc_id long, version string, layer long, sample_rate long, "
+    "n_channels long, n_frames long, n_samples long, duration_s double, "
+    "avg_bitrate_kbps double, is_vbr boolean, n_bytes long"
+)
+
+
+def extract_mp3_features(with_payload: DataFrame) -> DataFrame:
+    """Walk MP3 frame headers in each payload (:func:`decode_mp3_headers` —
+    framing metadata only, no PCM) and emit the routing features a corpus
+    landing zone filters on: frame counts, exact duration, average
+    bitrate, VBR flag.  Arrow-batched, map-only — the streaming media
+    runner dispatches ``audio/mpeg`` here (r14)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_mp3_headers(bytes(payload))
+                out.append(
+                    {
+                        "doc_id": doc_id, "version": m["version"],
+                        "layer": m["layer"], "sample_rate": m["sample_rate"],
+                        "n_channels": m["n_channels"],
+                        "n_frames": m["n_frames"], "n_samples": m["n_samples"],
+                        "duration_s": m["duration_s"],
+                        "avg_bitrate_kbps": m["avg_bitrate_kbps"],
+                        "is_vbr": m["is_vbr"], "n_bytes": m["n_bytes"],
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=MP3_FEATURE_SCHEMA)
+
+
 def extract_jpeg_features(with_payload: DataFrame) -> DataFrame:
     """Decode real baseline JPEGs and emit typed features as exact integer
     sums divided once — the bit-reproducible contract shared with the other

@@ -28,6 +28,7 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal im
     extract_gif_frames,
     extract_jpeg_features,
     extract_media_features,
+    extract_mp3_features,
     extract_png_features,
 )
 
@@ -39,6 +40,8 @@ _EXTRACTORS = {
     # IMA ADPCM incl. fact truncation) — the audio landing-zone shape (r14)
     "image/bmp": extract_media_features,
     "audio/wav": extract_media_features,
+    # MP3 framing metadata (header walk, no PCM) for routing/validation
+    "audio/mpeg": extract_mp3_features,
 }
 
 

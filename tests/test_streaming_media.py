@@ -94,3 +94,50 @@ def test_streaming_wav_decode_equals_batch(spark, sf_dir, tmp_path):
     cols = [c for c in want.columns]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() == 40
+
+
+def test_streaming_mp3_headers_equals_batch(spark, sf_dir, tmp_path):
+    """r14: MP3 framing metadata through the stream — header-walk features
+    equal the batch extractor's rows exactly, whatever the chunking."""
+    import pandas as pd
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        PAYLOAD_SCHEMA,
+        encode_mp3_frames,
+        extract_mp3_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                version = ("MPEG1", "MPEG2", "MPEG2.5")[d % 3]
+                sr = {"MPEG1": 44100, "MPEG2": 24000, "MPEG2.5": 8000}[version]
+                payload = encode_mp3_frames(
+                    version, 3, sr,
+                    [(32 if version != "MPEG1" else 128, (d + j) % 2)
+                     for j in range(2 + d % 3)],
+                    channels=1 + d % 2,
+                )
+                out.append({"doc_id": doc_id, "payload": payload,
+                            "meta": {"format": "audio/mpeg",
+                                     "n_bytes": len(payload)}})
+            if out:
+                yield pd.DataFrame(out)
+
+    payloads = docs.select("doc_id").mapInPandas(synth, schema=PAYLOAD_SCHEMA)
+    pdir = str(tmp_path / "payloads")
+    payloads.filter("doc_id % 2 = 0").write.mode("append").parquet(pdir)
+    payloads.filter("doc_id % 2 = 1").write.mode("append").parquet(pdir)
+    run_streaming_media_decode(
+        spark, pdir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        fmt="audio/mpeg", max_files_per_trigger=1,
+    )
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = extract_mp3_features(spark.read.parquet(pdir))
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() == 30
