@@ -37,3 +37,10 @@ def duck(sf_dir):
         )
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "soak: budgeted seeded codec fuzz slice (tools/codec_soak.py tiers)",
+    )

@@ -17,6 +17,11 @@ version x layer x sample-rate x bitrate matrix:
     python tools/codec_soak.py [n_scale]
 
 n_scale multiplies the default trial counts (default 1).  Exit 0 = clean.
+
+Since r15 the tiers are parameterized functions so the suite runs a
+budgeted seeded slice every round (tests/test_codec_soak.py, VERDICT r14
+ask #4) — the soak evidence regenerates at HEAD instead of living in a
+one-off COVERAGE.md record; this CLI remains the full-scale form.
 """
 
 from __future__ import annotations
@@ -26,7 +31,8 @@ import struct
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+if REPO not in sys.path:  # pragma: no cover - import side effect
+    sys.path.insert(0, REPO)
 
 import numpy as np  # noqa: E402
 
@@ -44,13 +50,13 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal im
     encode_wav_adpcm,
 )
 
+DEFAULT_SEED = 2024
 
-def main() -> int:
-    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    rng = np.random.default_rng(2024)
+
+def soak_lossless_jpeg(n: int, rng: np.random.Generator) -> list[tuple]:
+    """decode(encode(px)) bit-exact: random precision/predictor/channels."""
     fails: list[tuple] = []
-
-    for trial in range(2000 * scale):
+    for trial in range(n):
         prec = int(rng.choice([2, 4, 8, 12, 16]))
         w, h = int(rng.integers(1, 12)), int(rng.integers(1, 10))
         ch = int(rng.choice([1, 2, 3, 4]))
@@ -62,9 +68,13 @@ def main() -> int:
         if not np.array_equal(out.astype(np.uint32), px.astype(np.uint32)):
             fails.append(("lossless", trial, prec, pred, ch))
             break
-    print(f"lossless soak ({2000 * scale}): {'OK' if not fails else fails[-1]}")
+    return fails
 
-    for trial in range(40 * scale):
+
+def soak_jpeg12_subsampled(n: int, rng: np.random.Generator) -> list[tuple]:
+    """12-bit DCT at 4:2:0 and 4:2:2: shape-preserving, loss bounded."""
+    fails: list[tuple] = []
+    for trial in range(n):
         w, h = int(rng.integers(4, 30)), int(rng.integers(4, 30))
         px = rng.integers(0, 4096, (h, w, 3)).astype(np.uint16)
         for sub in (True, "422"):
@@ -73,9 +83,15 @@ def main() -> int:
             if out.shape != px.shape or err > 4096:
                 fails.append(("j12sub", trial, sub, err))
                 break
-    print(f"12-bit subsampled ({40 * scale}): {'OK' if not fails else fails[-1]}")
+        if fails:
+            break
+    return fails
 
-    for trial in range(800 * scale):
+
+def soak_png_depths(n: int, rng: np.random.Generator) -> list[tuple]:
+    """PNG 1/2/4/8/16-bit x channel-count x plain/Adam7: exact."""
+    fails: list[tuple] = []
+    for trial in range(n):
         depth = int(rng.choice([1, 2, 4, 8, 16]))
         ch = 1 if depth < 8 else int(rng.choice([1, 2, 3, 4]))
         w, h = int(rng.integers(1, 20)), int(rng.integers(1, 16))
@@ -89,9 +105,13 @@ def main() -> int:
         if not np.array_equal(out.astype(np.uint32).reshape(px.shape), want):
             fails.append(("png", trial, depth, ch, il, w, h))
             break
-    print(f"png depth soak ({800 * scale}): {'OK' if not fails else fails[-1]}")
+    return fails
 
-    for trial in range(400 * scale):
+
+def soak_adpcm_fact(n: int, rng: np.random.Generator) -> list[tuple]:
+    """IMA ADPCM: the fact-cut decode is a prefix of the full decode."""
+    fails: list[tuple] = []
+    for trial in range(n):
         chn = int(rng.choice([1, 2]))
         groups = int(rng.integers(1, 5))
         align = 4 * chn + 4 * chn * groups
@@ -113,8 +133,13 @@ def main() -> int:
         if len(full) != total * chn or cut.tolist() != full[: ns * chn].tolist():
             fails.append(("adpcm", trial))
             break
-    print(f"adpcm fact soak ({400 * scale}): {'OK' if not fails else fails[-1]}")
+    return fails
 
+
+def soak_mp3_matrix() -> list[tuple]:
+    """EXHAUSTIVE version x layer x sample-rate x bitrate header round-trip
+    (the full public tables — deterministic, no rng, ~1000 cells)."""
+    fails: list[tuple] = []
     for version, vbits in (("MPEG1", 3), ("MPEG2", 2), ("MPEG2.5", 0)):
         vg = 1 if version == "MPEG1" else 2
         for layer in (1, 2, 3):
@@ -126,8 +151,37 @@ def main() -> int:
                     )
                     if m["n_frames"] != 2 or m["avg_bitrate_kbps"] != br:
                         fails.append(("mp3", version, layer, sr, br))
-    print(f"mp3 exhaustive matrix: {'OK' if not fails else fails[-1]}")
+    return fails
 
+
+def run_soak(
+    scale: float = 1.0, seed: int = DEFAULT_SEED, verbose: bool = True
+) -> list[tuple]:
+    """Run every tier at ``scale`` x the full-soak trial counts with one
+    shared seeded rng (scale=1 reproduces the committed r14 soak)."""
+    rng = np.random.default_rng(seed)
+    fails: list[tuple] = []
+    for label, run in (
+        (f"lossless soak ({int(2000 * scale)})",
+         lambda: soak_lossless_jpeg(int(2000 * scale), rng)),
+        (f"12-bit subsampled ({int(40 * scale)})",
+         lambda: soak_jpeg12_subsampled(int(40 * scale), rng)),
+        (f"png depth soak ({int(800 * scale)})",
+         lambda: soak_png_depths(int(800 * scale), rng)),
+        (f"adpcm fact soak ({int(400 * scale)})",
+         lambda: soak_adpcm_fact(int(400 * scale), rng)),
+        ("mp3 exhaustive matrix", soak_mp3_matrix),
+    ):
+        tier_fails = run()
+        fails.extend(tier_fails)
+        if verbose:
+            print(f"{label}: {'OK' if not tier_fails else tier_fails[-1]}")
+    return fails
+
+
+def main() -> int:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    fails = run_soak(scale=scale, seed=DEFAULT_SEED)
     print(f"\nTOTAL FAILS: {len(fails)}")
     return 1 if fails else 0
 
