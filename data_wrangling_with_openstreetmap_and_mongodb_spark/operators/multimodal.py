@@ -101,45 +101,60 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 def decode_bmp(b: bytes) -> np.ndarray:
     """Decode an uncompressed BI_RGB BMP to an ``(h, w, 3)`` uint8 top-down
     RGB array.  24-bit (BGR), 32-bit (BGRX — the reserved 4th byte drops,
-    r14), and 8-bit PALETTE files (BGRX color table, r14) are supported;
-    both bottom-up (positive height) and top-down (negative height) row
-    orders and per-row 4-byte padding are handled.  RLE/bitfield
-    compression and other depths raise ``NotImplementedError`` — explicit
-    gaps, never a silent mis-decode."""
+    r14), and PALETTE files at 1/4/8 bits per pixel (BGRX color table;
+    sub-8 depths added r15 after a FOREIGN fixture exposed the gap —
+    OpenJDK's BMP writer emits 4-bit files for ≤16-color images, which the
+    8-bit-only path rejected) are supported; both bottom-up (positive
+    height) and top-down (negative height) row orders and per-row 4-byte
+    padding are handled.  RLE/bitfield compression and other depths raise
+    ``NotImplementedError`` — explicit gaps, never a silent mis-decode."""
     if b[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic)")
     off = struct.unpack_from("<I", b, 10)[0]
     hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
-    if hdr_size < 40 or comp != 0 or bpp not in (8, 24, 32):
+    if hdr_size < 40 or comp != 0 or bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(
-            f"only 8/24/32-bit BI_RGB BMP supported "
+            f"only 1/4/8/24/32-bit BI_RGB BMP supported "
             f"(got bpp={bpp}, compression={comp})"
         )
     top_down = h < 0
     h = abs(h)
-    nbytes = bpp // 8
-    row_raw = w * nbytes
+    # rows are padded to 4-byte boundaries at every depth (bit-packed
+    # depths round the BIT width up to whole bytes first)
+    row_raw = (w * bpp + 7) // 8
     row_size = (row_raw + 3) // 4 * 4
     if off + row_size * h > len(b):
         raise ValueError("truncated BMP pixel data")
     arr = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=off)
     rows = arr.reshape(h, row_size)[:, :row_raw]
-    if bpp == 8:
+    if bpp in (1, 4, 8):
         # color table: BGRX entries right after the info header
         (clr_used,) = struct.unpack_from("<I", b, 46)
-        n_colors = clr_used or 256
+        n_colors = clr_used or (1 << bpp)
         tab_off = 14 + hdr_size
         if tab_off + 4 * n_colors > len(b):
             raise ValueError("truncated BMP color table")
         table = np.frombuffer(
             b, dtype=np.uint8, count=4 * n_colors, offset=tab_off
         ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
-        idx = rows.reshape(h, w)
+        if bpp == 8:
+            idx = rows.reshape(h, w)
+        else:
+            # MSB-first bit packing within each byte (the BMP spec order)
+            bits = np.unpackbits(rows, axis=1)
+            if bpp == 1:
+                idx = bits[:, :w]
+            else:  # 4-bit: each nibble is one index
+                nib = bits.reshape(h, -1, 4)
+                idx = (
+                    nib[:, :, 0] * 8 + nib[:, :, 1] * 4
+                    + nib[:, :, 2] * 2 + nib[:, :, 3]
+                )[:, :w]
         if int(idx.max(initial=0)) >= n_colors:
             raise ValueError("BMP palette index out of range")
         px = table[idx]
     else:
-        px = rows.reshape(h, w, nbytes)[:, :, :3][:, :, ::-1]  # BGR(X) -> RGB
+        px = rows.reshape(h, w, bpp // 8)[:, :, :3][:, :, ::-1]  # BGR(X) -> RGB
     if not top_down:
         px = px[::-1]
     return np.ascontiguousarray(px)
@@ -1231,6 +1246,44 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                         "doc_id": doc_id,
                         "payload": m["payload"],
                         "meta": {"format": m["fmt"], "n_bytes": len(m["payload"])},
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+def _g711_plan(doc_id: int) -> bytes:
+    """Closed-form G.711 WAV per doc (the `multimodal_wav_g711` formula):
+    companded byte ``b_i = (7d + 13i) % 256``, even docs μ-law / odd A-law,
+    ``1 + d%2`` channels, ``(30 + d%7) * ch`` interleaved samples, 8 kHz,
+    wrapped in a real fmt-7/6 RIFF container."""
+    d = int(doc_id)
+    ch = 1 + d % 2
+    n = (30 + d % 7) * ch
+    i = np.arange(n, dtype=np.int64)
+    raw = ((d * 7 + i * 13) % 256).astype(np.uint8).tobytes()
+    return encode_wav_g711(8000, ch, raw, "mulaw" if d % 2 == 0 else "alaw")
+
+
+def synthesize_g711_payloads(docs: DataFrame) -> DataFrame:
+    """Attach a REAL G.711 WAV payload (per :func:`_g711_plan`) to each
+    document — Arrow-batched, map-only, partition-preserving.  Format tag
+    ``audio/wav`` so the payload routes through :func:`decode_wav` in both
+    the batch extractor and the streaming media-decode runner."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = _g711_plan(doc_id)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "meta": {"format": "audio/wav", "n_bytes": len(payload)},
                     }
                 )
             if out:

@@ -4,6 +4,7 @@ oracle SQL string (or ``None`` for non-SQL-expressible operators)."""
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import (
     QUERIES,
     Query,
+    apply_rotation_policy,
     driver_catalog,
     register,
 )
@@ -18,4 +19,9 @@ from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import (  # noq
     trainingdata_queries,
 )
 
-__all__ = ["QUERIES", "Query", "driver_catalog", "register"]
+# Provenance-freshness rotation (r15): the driver window follows the
+# committed CORRECTNESS artifacts — oldest latest-green first, new queries
+# (no row yet) first of all — instead of per-query visibility flags.
+apply_rotation_policy()
+
+__all__ = ["QUERIES", "Query", "apply_rotation_policy", "driver_catalog", "register"]

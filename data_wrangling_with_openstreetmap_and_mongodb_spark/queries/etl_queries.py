@@ -517,9 +517,10 @@ _AL_T = (
 _AL_S = f"(CASE WHEN ({_AL_A} & 128) != 0 THEN {_AL_T} ELSE -{_AL_T} END)"
 
 
-@register(
-    "multimodal_wav_g711",
-    oracle=f"""
+# shared by multimodal_wav_g711 (batch) and streaming_wav_decode (the same
+# payloads replayed through readStream): one oracle, two execution models —
+# the audio twin of the _PNG_DECODE_ORACLE pattern
+_WAV_G711_ORACLE = f"""
         WITH aud AS (
             SELECT doc_id, doc_id % 2 AS odd, 1 + doc_id % 2 AS ch,
                    (30 + doc_id % 7) * (1 + doc_id % 2) AS n
@@ -544,7 +545,12 @@ _AL_S = f"(CASE WHEN ({_AL_A} & 128) != 0 THEN {_AL_T} ELSE -{_AL_T} END)"
                {quantize6_sql("sqrt(CAST(ss AS DOUBLE) / n)")} AS rms,
                CAST(pk AS BIGINT) AS peak
         FROM s
-    """,
+    """
+
+
+@register(
+    "multimodal_wav_g711",
+    oracle=_WAV_G711_ORACLE,
     doc="G.711 mu-law/A-law WAV decode (operators/multimodal.py::"
     "encode_wav_g711/decode_wav, r12): per-doc closed-form companded bytes "
     "(b_i = (7d+13i)%256, even docs mu-law / odd A-law, mono/stereo) wrap "
@@ -1428,6 +1434,61 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize6(F.col("mean_c0")).alias("mean_c0"),
         quantize6(F.col("mean_luma")).alias("mean_luma"),
         quantize6(F.col("mean_alpha")).alias("mean_alpha"),
+    )
+
+
+@register(
+    "streaming_wav_decode",
+    oracle=_WAV_G711_ORACLE,
+    doc="STREAMING audio decode (streaming/media_decode.py, r15 — VERDICT "
+    "r14 ask #7 driver-pins the AUDIO landing-zone path: the _EXTRACTORS "
+    "map routes six formats but only PNG was driver-checked through the "
+    "stream): the SAME closed-form G.711 μ/A-law WAV payloads as "
+    "multimodal_wav_g711 (b_i=(7d+13i)%256, fmt-7/6 RIFF containers), "
+    "written as multiple parquet files and replayed through readStream "
+    "with maxFilesPerTrigger=1 (a constant FOUR micro-batches — file "
+    "count pinned by repartition exactly as the PNG row, so batch count "
+    "does not scale with input partitions) into the stateless "
+    "scan→mapInPandas→sink decode; the oracle is the BATCH row's G.711 "
+    "SQL, so a hash match proves RIFF walking, segment-table expansion "
+    "and rms/peak accumulation are micro-batch-invariant end to end.  "
+    "At 100 TB the payload directory is the landing zone and "
+    "maxFilesPerTrigger bounds batch bytes; binary payloads never "
+    "shuffle.  Driver-visible from birth (the r9 standing rule for novel "
+    "streaming families).",
+    tags=("streaming", "multimodal", "codec"),
+)
+def streaming_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
+        synthesize_g711_payloads,
+    )
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.streaming.media_decode import (
+        run_streaming_media_decode,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = synthesize_g711_payloads(d)
+    root = tempfile.mkdtemp(prefix="stream_wav_row_")
+    pdir, out, ckpt = f"{root}/payloads", f"{root}/out", f"{root}/ckpt"
+    # constant file count (2 writes x 2 files) -> exactly 4 micro-batches at
+    # maxFilesPerTrigger=1, invariant across input partitioning (the PNG
+    # row's batch-count scaling fix applies here from birth)
+    payloads.filter("doc_id % 2 = 0").repartition(2).write.mode("append").parquet(pdir)
+    payloads.filter("doc_id % 2 = 1").repartition(2).write.mode("append").parquet(pdir)
+    run_streaming_media_decode(
+        spark, pdir, out, ckpt, fmt="audio/wav", max_files_per_trigger=1
+    )
+    feats = spark.read.parquet(out)
+    return feats.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("mulaw"))
+        .otherwise(F.lit("alaw"))
+        .alias("law"),
+        "n_channels", "sample_rate", "n_samples",
+        quantize6(F.col("rms")).alias("rms"),
+        "peak",
     )
 
 

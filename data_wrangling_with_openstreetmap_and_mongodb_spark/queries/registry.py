@@ -120,6 +120,52 @@ def annotate_verified_rounds(root: str | None = None) -> None:
         q.verified_rounds = tuple(rounds.get(q.name, ()))
 
 
+# ---------------------------------------------------------------------------
+# Post-residual rotation policy: PROVENANCE FRESHNESS (r15, VERDICT r14
+# ask #2).  Through r14 rotation burned down the never-driver-verified
+# residual (51 → 33 → 17 → 0); with every catalog query now carrying at
+# least one green external-driver row, the scheduling rule becomes
+# oldest-green-round-first: each round the DRIVER_WINDOW slots go to the
+# queries whose LATEST green driver row is oldest.  Never-verified queries
+# (new this round) have latest=0, so they sort first — the standing
+# "novel operator families are driver-visible from birth" rule is a
+# corollary of the ordering, not a separate pin.  Ties break by name for
+# determinism.
+#
+# ROTATION_HORIZON freezes which artifacts the selection may read: the
+# driver writes CORRECTNESS_r{N}.json for the CURRENT round into the repo
+# root before round close, and an unhorizoned selection would rotate the
+# window mid-round the moment that file lands (the just-verified 50 become
+# freshest and self-evict).  Bump it by one at the start of each round —
+# the only manual step left in rotation.
+# ---------------------------------------------------------------------------
+ROTATION_HORIZON = 14
+
+
+def latest_green_round(name: str, rounds: dict[str, list[int]]) -> int:
+    """Latest green external-driver round ≤ ROTATION_HORIZON (0 = never)."""
+    return max((r for r in rounds.get(name, ()) if r <= ROTATION_HORIZON), default=0)
+
+
+def rotation_order(root: str | None = None) -> list[str]:
+    """All catalog queries, oldest provenance first (the window is a prefix)."""
+    rounds = driver_verified_rounds(root)
+    return sorted(QUERIES, key=lambda n: (latest_green_round(n, rounds), n))
+
+
+def apply_rotation_policy(root: str | None = None) -> set[str]:
+    """Stamp ``Query.driver_visible`` from the committed driver artifacts:
+    the DRIVER_WINDOW oldest-provenance queries are visible, everything
+    else is hidden (but stays in the local sf0.01 oracle-parity gate).
+    Called at package import (queries/__init__.py), so the window follows
+    the artifacts with no per-query flag edits; the ``driver_visible``
+    argument to :func:`register` is only the pre-policy default."""
+    selected = set(rotation_order(root)[:DRIVER_WINDOW])
+    for q in QUERIES.values():
+        q.driver_visible = q.name in selected
+    return selected
+
+
 def driver_catalog() -> dict[str, Query]:
     """The ≤DRIVER_WINDOW queries exposed to the external driver, oracle-bearing
     first so every hash-checkable query lands inside the correctness window.

@@ -12,7 +12,10 @@ import re
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
 from data_wrangling_with_openstreetmap_and_mongodb_spark.queries.registry import (
     DRIVER_WINDOW,
+    ROTATION_HORIZON,
     driver_catalog,
+    driver_verified_rounds,
+    latest_green_round,
 )
 
 
@@ -28,208 +31,52 @@ def test_driver_catalog_fits_window_oracles_first():
     assert visible == set(dc), visible.symmetric_difference(dc)
 
 
-def test_novel_operator_families_are_driver_visible():
-    # r2 verdict principle: every distinct operator family holds a driver
-    # slot; near-duplicate shapes are hidden (each covered by a visible
-    # oracle of the same family).  Round 3's second rotation gave the three
-    # most novel new families hard rows; the IVF family keeps its row via
-    # the kmeans-trained variant (probe path + full training trajectory),
-    # the multimodal family via payload_features, explode+topk via
-    # ds_unwind_token_counts.
-    dc = driver_catalog()
-    for novel in (
-        # r14 rotation (VERDICT r13 ask #4): the FINAL sixteen
-        # never-driver-verified shapes gain rows — residual hits 0 —
-        # plus the repaired ds_minmax_topn (the r13 red row, arrays now
-        # joined to strings)
-        "ds_minmax_topn",
-        "ds_date_format_tz",
-        "ds_densify_hourly",
-        "ds_lookup_proj_sort",
-        "ds_lookup_uncorrelated",
-        "ds_merge_insert_pipeline",
-        "ds_sort_by_count",
-        "ds_split_backslash_e",
-        "ds_text_find",
-        "ds_union_with",
-        "ds_week_zip_replace",
-        "ds_window_month_range",
-        "dsir_importance_weights",
-        "geo_radius_join_pairs",
-        "geo_within_box_events",
-        "multimodal_bmp_resize",
-        "multimodal_wav_resample",
-        # r14 NEW rows, driver-visible from birth (VERDICT r13 asks #5-#7):
-        # the r13 codec paths born row-less, the streaming decode runner,
-        # the MP3 header walk, and 12-bit extended-sequential JPEG (the
-        # r14 second wave — multimodal_wav_g711, driver-green r13, ceded
-        # its seat)
-        "multimodal_png_variants",
-        "multimodal_adpcm_decode",
-        "multimodal_mp3_headers",
-        "multimodal_jpeg12_decode",
-        "multimodal_jpeg_lossless_decode",
-        "streaming_media_decode",
-        # r13 rotation survivors (each holds a green r13 row)
-        "multimodal_gif_frames",
-        "multimodal_jpeg_decode",
-        "ds_window_running",
-        "ds_lookup_topn",
-        "ds_atlas_search",
-        "ds_update_many",
-        "ds_regex_extract",
-        "events_ohlc_15min",
-        "scd2_user_event_state",
-        "geo_polygon_customers",
-        "shipping_priority_top10",
-        "ann_ivf_topk",
-        "ann_pq_topk",
-        "diversity_sampled_embeddings",
-        "doc_unigram_logprob",
-        "orders_integrity_audit",
-        "vocab_encode_stats",
-        "approx_distinct_users",
-        # r12 rotation survivors (green r12+r13 rows)
-        "multimodal_png_decode",
-        "dedup_simhash_k2",
-        "ds_bucket_auto_exact",
-        "semantic_dedup_embeddings",
-        "dedup_keep_best_docs",
-        "nb_lang_confusion",
-        "text_repetition_metrics",
-        "stratified_sample_documents",
-        "events_trailing_avg_1h",
-    ):
-        assert novel in dc, novel
-    for hidden in (
-        "doc_fingerprints",
-        "ds_sort_skip_limit",
-        "top_tokens",
-        "multimodal_frame_index",
-        # r7 second-session rotations (each still oracle-gated at sf0.01):
-        "ann_ivf_kmeans_topk",  # near-dup of ann_ivfpq_topk's probe shape
-        "span_dedup_documents",  # subsumed by dedup_exact_substring
-        # r9 evictions (each shape-covered by a visible family row and
-        # still oracle-gated at sf0.01):
-        "profile_orders",
-        "ds_find_machinery_customers",
-        "cube_order_counts",
-        "pivot_segment_counts",
-        "nest_unnest_roundtrip",
-        "sql_revenue_by_nation",
-        "dedup_ngram_jaccard",
-        "extreme_value_events",
-        # r10 evictions (VERDICT r9 ask #1's candidates; every one is
-        # shape-covered by a still-visible family row and keeps its sf0.01
-        # oracle gate):
-        "ann_bruteforce_topk",      # ⊂ ANN family (ann_ivfpq_topk visible)
-        "dedup_exact_groups",       # ⊂ md5 hash-agg (dedup_exact_substring)
-        "statuses_per_priority",    # ⊂ group-count (pricing_summary)
-        "lc_distinct_users",        # ⊂ sketch family (cms_token_counts)
-        "events_time_weighted_avg", # ⊂ window/rate (ds_window_time_range in)
-        "chunk_training_windows",   # ⊂ chunk/pack (pack_training_sequences)
-        "value_percentiles",        # ⊂ quantiles (ds_window_topn_median in)
-        "nation_order_ranking",     # ⊂ sort/rank (events_with_large_k)
-        # r11 evictions (VERDICT r10 ask #1; every one is driver-green
-        # through r10, shape-covered by a still-visible family row, and
-        # keeps its sf0.01 oracle gate):
-        "clean_enum_part_types",       # ⊂ cleaning (type_audit_events)
-        "ds_elem_match",               # ⊂ filter (events_with_large_k)
-        "distinct_customers_with_orders",  # ⊂ agg (pricing_summary)
-        "lang_id_confusion",           # ⊂ text-agg (was text_quality_by_source)
-        "events_asof_last_order",      # ⊂ asof (streaming_asof_enrich_status)
-        "dedup_embedding_cosine",      # ⊂ dedup/similarity (minhash + vector_search)
-        "dedup_simhash",               # ⊂ dedup/lsh (dedup_minhash_lsh)
-        "bpe_first_merge_pairs",       # ⊂ explode+agg (visible agg rows)
-        "winnowing_fingerprints",      # ⊂ fingerprint (dedup_exact_substring)
-        "sessionize_events",           # ⊂ window (topn_median/time_range)
-        # r11 second-wave evictions (driver-green through r10,
-        # shape-covered, catalog-gated):
-        "ds_value_stats_by_type",      # ⊂ agg (pricing_summary, ds_facet_summary)
-        "ds_unwind_token_counts",      # ⊂ explode+topk (pipeline fuzz + gate)
-        "upsert_supplier_acctbal",     # ⊂ upsert (ds_merge_pipeline_apply, scd2)
-        "lineitem_measure_stats",      # ⊂ hash-agg (pricing_summary)
-        "orders_of_top_customers",     # ⊂ join+topk (ds_lookup_group, bm25)
-        "text_quality_by_source",      # ⊂ text/quality (pii_redaction, dsir)
-        "events_gap_filled_locf",      # ⊂ spine+fill (ds_fill_linear)
-        # r12 evictions (VERDICT r11 ask #1's rotation; every one carries
-        # 3-11 rounds of green driver provenance, is shape-covered by a
-        # still-visible or newly-rotated family row, and keeps its sf0.01
-        # oracle gate):
-        "type_audit_events",           # ⊂ cleaning/audit (r1-r11 provenance)
-        "pricing_summary",             # ⊂ hash-agg; stays entry()'s flagship
-        "events_with_large_k",         # ⊂ filter (r1-r11 provenance)
-        "streaming_hourly_rollup",     # ⊂ streaming (4 rows still visible)
-        "dedup_minhash_lsh",           # ⊂ lsh (dedup_simhash_k2 + incremental in)
-        "ann_ivfpq_topk",              # ⊂ ivf/pq (ann_recall_at_k, semantic_dedup in)
-        "decontaminate_ngrams",        # ⊂ decontamination (bloom variant in)
-        "dedup_near_clusters",         # ⊂ graph/iterative (dedup_keep_best_docs in)
-        "pii_redaction_audit",         # ⊂ privacy/text-agg (r3-r11 provenance)
-        "bm25_keyword_topk",           # ⊂ search (hybrid_search_rrf + phrase in)
-        "pack_training_sequences",     # ⊂ chunking (chunk_token_id_windows in)
-        "cms_token_counts",            # ⊂ sketch (decontaminate_bloom in)
-        "ds_graph_reachable_orders",   # ⊂ graph (supplier_customer_pagerank)
-        "multimodal_media_decode",     # ⊂ codec (multimodal_png_decode in)
-        "dedup_exact_substring",       # ⊂ dedup/curation (r7-r11 provenance)
-        "etl_avro_roundtrip",          # ⊂ source/avro (r7-r11 provenance)
-        "geo_near_customers",          # ⊂ geo (geohash in + radius/intersects)
-        "shuffled_shard_manifest",     # ⊂ sampling (stratified + split in)
-        # r13 evictions (VERDICT r12 ask #1's rotation; every one carries
-        # 2-4 rounds of green driver provenance, is shape-covered by a
-        # still-visible or newly-rotated family row, and keeps its sf0.01
-        # oracle gate — per-query rationale in each doc's eviction note):
-        "ds_window_time_range",        # ⊂ window (ds_window_running in)
-        "ds_window_topn_median",       # ⊂ ranked-pick (ds_minmax_topn in)
-        "ds_facet_summary",            # ⊂ bucket (ds_bucket_auto_exact visible)
-        "ds_merge_pipeline_apply",     # ⊂ mutation (ds_update_many in)
-        "ds_fill_linear",              # ⊂ spine+fill (events_gap_interpolated)
-        "ds_vector_search",            # ⊂ Atlas facade (ds_atlas_search in)
-        "ds_lookup_group",             # ⊂ $lookup (ds_lookup_topn in)
-        "ds_bucket_balances",          # ⊂ bucket (ds_bucket_auto_exact visible)
-        "ds_expr_embedding_stats",     # ⊂ expr/HOF (ds_regex_extract in)
-        "ds_densify_monthly",          # ⊂ spine (events_gap_interpolated)
-        "ds_window_integral",          # ⊂ range-frame (events_trailing_avg_1h)
-        "ds_redact_nested",            # r11-r12 provenance + property tier
-        "ds_date_parts",               # ⊂ date-expr (events_ohlc_15min in)
-        "streaming_asof_enrich_status",  # ⊂ streaming/asof (scd2_user_event_state in)
-        "scd2_incremental_state",      # ⊂ scd2 (scd2_user_event_state in)
-        "geo_radius_join_wrap",        # ⊂ geo (geo_polygon_customers in)
-        "geo_intersects_events",       # ⊂ ray-cast (geo_polygon_customers in)
-        "ann_recall_at_k",             # ⊂ ANN (ann_ivf_topk + ann_pq_topk in)
-        "supplier_customer_pagerank",  # ⊂ iterative graph (dedup_keep_best_docs)
-        "embedding_int8_stats",        # ⊂ embedding-expr (diversity_sampled in)
-        "streaming_nb_score_confusion",  # oracle shared with nb_lang_confusion
-        # r14 evictions (VERDICT r13 ask #4's final residual rotation;
-        # every one carries 2-4 rounds of green driver provenance, is
-        # shape-covered by a still-visible or newly-rotated family row,
-        # and keeps its sf0.01 oracle gate — rationale in each doc's
-        # eviction note):
-        "corpus_pipeline_audit",       # ⊂ pipeline (visible agg/window rows)
-        "dedup_incremental_minhash",   # ⊂ minhash (dedup_simhash_k2 visible)
-        "event_pairs_within_30min",    # ⊂ banded join (geo_radius_join_pairs in)
-        "funnel_view_click_purchase",  # ⊂ sequence-agg (events_ohlc/scd2 rows)
-        "mixture_sampled_counts",      # ⊂ sampling (stratified visible)
-        "orders_snapshot_diff",        # ⊂ diff (ds_merge_insert_pipeline in)
-        "streaming_pair_events",       # ⊂ streaming (streaming_media_decode NEW)
-        "unicode_normalization_audit", # ⊂ normalize (ds_text_find in)
-        "weekly_retention_cohorts",    # ⊂ cohort re-agg (ds_week_zip_replace in)
-        "streaming_ohlc_15min",        # ⊂ streaming (batch twin stays visible)
-        "c4_rule_audit",               # ⊂ rule-audit (text_repetition visible)
-        "chunk_token_id_windows",      # ⊂ chunking (vocab_encode_stats visible)
-        "decontaminate_bloom",         # ⊂ sketch (approx_distinct_users visible)
-        "doc_bigram_logprob",          # ⊂ LM (doc_unigram_logprob visible)
-        "ds_window_ema",               # ⊂ window (ds_window_running visible)
-        "events_gap_interpolated",     # ⊂ spine+fill (ds_densify_hourly in)
-        "geo_geohash_cells",           # ⊂ geo (radius_join + within_box in)
-        "hybrid_search_rrf",           # ⊂ search (ds_atlas_search visible)
-        "phrase_search_docs",          # ⊂ search (ds_atlas_search visible)
-        "train_split_assign",          # ⊂ split (stratified + dsir in)
-        # r14 second wave: seats for multimodal_jpeg12_decode and
-        # multimodal_jpeg_lossless_decode (both NEW)
-        "multimodal_wav_g711",         # ⊂ WAV (adpcm + wav_resample visible)
-        "multimodal_palette_decode",   # ⊂ PNG (png_decode + variants visible)
-    ):
-        assert not QUERIES[hidden].driver_visible, hidden
+def _expected_window() -> set[str]:
+    """The rotation policy, re-derived independently of registry code: read
+    the committed CORRECTNESS artifacts, take each query's latest green
+    round <= ROTATION_HORIZON (0 = never verified), sort by (latest, name),
+    select the first DRIVER_WINDOW."""
+    rounds = driver_verified_rounds()
+    order = sorted(
+        QUERIES, key=lambda n: (latest_green_round(n, rounds), n)
+    )
+    return set(order[:DRIVER_WINDOW])
+
+
+def test_rotation_policy_selects_oldest_provenance():
+    """r15 provenance-freshness policy (VERDICT r14 ask #2): with the
+    never-driver-verified residual at 0, the window re-seats the queries
+    whose latest green driver row is OLDEST — recomputed here from the
+    artifacts, so the test follows the policy, not a name list."""
+    assert set(driver_catalog()) == _expected_window()
+
+
+def test_new_queries_are_driver_visible_from_birth():
+    """Queries with no green row at all sort before every verified one
+    (latest=0), so the standing born-visible rule for novel operator
+    families is a corollary of the ordering — provided new-query count
+    stays under the window, which this pins."""
+    rounds = driver_verified_rounds()
+    never = {
+        n for n in QUERIES if latest_green_round(n, rounds) == 0
+    }
+    assert len(never) <= DRIVER_WINDOW, (
+        f"{len(never)} unverified queries exceed the {DRIVER_WINDOW}-slot "
+        f"window — some would be born invisible"
+    )
+    dc = set(driver_catalog())
+    assert never <= dc, never - dc
+
+
+def test_rotation_horizon_tracks_artifacts():
+    """ROTATION_HORIZON must cover every committed artifact round except,
+    at most, the in-flight round (the driver drops the current round's
+    CORRECTNESS file before close; an unhorizoned selection would
+    self-evict the window mid-round).  Lagging further means someone
+    forgot the per-round bump."""
+    committed = {r for rs in driver_verified_rounds().values() for r in rs}
+    assert committed, "no CORRECTNESS artifacts found at repo root"
+    assert max(committed) - 1 <= ROTATION_HORIZON <= max(committed)
 
 
 def test_every_registered_query_is_verified_somewhere():
@@ -379,24 +226,17 @@ def test_every_tag_family_has_driver_provenance():
     assert not ghost, f"GATE_ONLY_TAGS entries for nonexistent tags: {ghost}"
 
 
-def test_rotated_in_families_gain_rows_next_artifact():
-    """The r14 rotation names are pinned driver-visible; once the round-14
-    artifact lands, annotate_verified_rounds picks them up automatically
-    (this test just guards the schedule, the invariant test above guards
-    the outcome).  This is the FINAL residual wave: with these 21 and the
-    artifact they produce, every catalog query has held a driver row."""
-    dc = driver_catalog()
-    for name in (
-        "ds_minmax_topn", "ds_date_format_tz", "ds_densify_hourly",
-        "ds_lookup_proj_sort", "ds_lookup_uncorrelated",
-        "ds_merge_insert_pipeline", "ds_sort_by_count",
-        "ds_split_backslash_e", "ds_text_find", "ds_union_with",
-        "ds_week_zip_replace", "ds_window_month_range",
-        "dsir_importance_weights", "geo_radius_join_pairs",
-        "geo_within_box_events", "multimodal_bmp_resize",
-        "multimodal_wav_resample", "multimodal_png_variants",
-        "multimodal_adpcm_decode", "multimodal_mp3_headers",
-        "multimodal_jpeg12_decode", "multimodal_jpeg_lossless_decode",
-        "streaming_media_decode",
-    ):
-        assert name in dc and QUERIES[name].oracle is not None, name
+def test_full_catalog_has_driver_provenance_modulo_new():
+    """The r14 milestone, kept as an invariant: every query has held a green
+    external-driver row, except queries born after the horizon (which the
+    policy seats in the current window).  A query that is BOTH unverified
+    and outside the window would regress to round-1's silent-residual
+    failure mode."""
+    rounds = driver_verified_rounds()
+    dc = set(driver_catalog())
+    orphans = [
+        n
+        for n in QUERIES
+        if latest_green_round(n, rounds) == 0 and n not in dc
+    ]
+    assert not orphans, orphans
