@@ -158,6 +158,54 @@ public class GenForeignFixtures {
             "  \"palette_gif_java_decode\": {\"width\": %d, \"height\": %d, \"rgb_sha256\": \"%s\"},\n",
             gBack.getWidth(), gBack.getHeight(), sha256(gDec)));
 
+        // --- progressive JPEG: same smooth ramp through the writer's
+        // progressive mode -- a foreign SOF2 bitstream (spectral selection +
+        // successive approximation emitted by libjpeg's standard scan script)
+        javax.imageio.ImageWriter jw =
+            ImageIO.getImageWritersByFormatName("jpg").next();
+        javax.imageio.ImageWriteParam jp = jw.getDefaultWriteParam();
+        jp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT);
+        File progFile = new File(outDir, "smooth_progressive.jpg");
+        try (javax.imageio.stream.ImageOutputStream ios =
+                ImageIO.createImageOutputStream(progFile)) {
+            jw.setOutput(ios);
+            jw.write(null, new javax.imageio.IIOImage(imgS, null, null), jp);
+        }
+        jw.dispose();
+        BufferedImage pBack = ImageIO.read(progFile);
+        byte[] pDec = rgbBytes(pBack);
+        Files.write(new File(outDir, "smooth_progressive.jpg.decoded.bin").toPath(), pDec);
+        js.append(String.format(
+            "  \"smooth_progressive_jpg_java_decode\": {\"width\": %d, \"height\": %d, \"rgb_sha256\": \"%s\"},\n",
+            pBack.getWidth(), pBack.getHeight(), sha256(pDec)));
+
+        // --- 16-bit greyscale PNG: g16[y][x] = (257*x*y + 41*x + 97*y) % 65536 ---
+        BufferedImage img16 =
+            new BufferedImage(W, H, BufferedImage.TYPE_USHORT_GRAY);
+        WritableRaster r16 = img16.getRaster();
+        for (int y = 0; y < H; y++)
+            for (int x = 0; x < W; x++)
+                r16.setSample(x, y, 0, (257 * x * y + 41 * x + 97 * y) % 65536);
+        ImageIO.write(img16, "png", new File(outDir, "grey16.png"));
+        js.append("  \"grey16_png\": {\"width\": " + W + ", \"height\": " + H + "},\n");
+
+        // --- 4-bit palette BMP.  NOTE: OpenJDK's BMPImageWriter has a
+        // sub-8-bit bug -- it emits ONE palette index per byte while sizing
+        // rows for 4bpp, so the file's pixel payload is truncated/garbled
+        // relative to the source image.  Java's OWN reader then applies the
+        // spec's MSB-first nibble rule to those bytes and gets pixels that
+        // differ from the source.  The fixture is still useful as a
+        // READER-vs-READER check (what do these bytes mean per spec?), so we
+        // dump Java's read-back as the oracle and never compare to the
+        // source formula.
+        ImageIO.write(imgG, "bmp", new File(outDir, "palette.bmp"));
+        BufferedImage bBack = ImageIO.read(new File(outDir, "palette.bmp"));
+        byte[] bDec = rgbBytes(bBack);
+        Files.write(new File(outDir, "palette.bmp.decoded.bin").toPath(), bDec);
+        js.append(String.format(
+            "  \"palette_bmp_java_decode\": {\"width\": %d, \"height\": %d, \"rgb_sha256\": \"%s\"},\n",
+            bBack.getWidth(), bBack.getHeight(), sha256(bDec)));
+
         // --- WAV ramp: s[i] = ((i*2057) % 20001) - 10000, 16-bit LE mono 8 kHz ---
         int N = 4000;
         byte[] pcm = new byte[N * 2];
@@ -173,6 +221,25 @@ public class GenForeignFixtures {
         js.append(String.format(
             "  \"ramp_wav\": {\"rate\": 8000, \"channels\": 1, \"n_samples\": %d, \"pcm_sha256\": \"%s\"},\n",
             N, sha256(pcm)));
+
+        // --- stereo WAV: L[i]=((i*2057)%20001)-10000, R[i]=((i*3023)%18001)-9000 ---
+        int NS = 2000;
+        byte[] pcm2 = new byte[NS * 4];
+        for (int i = 0; i < NS; i++) {
+            int l = ((i * 2057) % 20001) - 10000;
+            int r = ((i * 3023) % 18001) - 9000;
+            pcm2[4 * i] = (byte) (l & 0xff);
+            pcm2[4 * i + 1] = (byte) ((l >> 8) & 0xff);
+            pcm2[4 * i + 2] = (byte) (r & 0xff);
+            pcm2[4 * i + 3] = (byte) ((r >> 8) & 0xff);
+        }
+        AudioFormat stFmt = new AudioFormat(8000f, 16, 2, true, false);
+        AudioSystem.write(
+            new AudioInputStream(new ByteArrayInputStream(pcm2), stFmt, NS),
+            AudioFileFormat.Type.WAVE, new File(outDir, "ramp_stereo.wav"));
+        js.append(String.format(
+            "  \"ramp_stereo_wav\": {\"rate\": 8000, \"channels\": 2, \"n_frames\": %d},\n",
+            NS));
 
         // --- G.711 variants: Java's own PCM->law converters, WAVE container ---
         for (String law : new String[] {"ULAW", "ALAW"}) {
