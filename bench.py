@@ -65,16 +65,18 @@ queries = one JVM accumulating heap/GC/codegen-cache pressure over a
   captured at every timed sample's start (``loads``, parallel to
   ``samples``) and once per chunk BEFORE its JVM boots (``ambient_load`` —
   the clean ambient signal; mid-run loadavg includes the bench's own work).
-  Flag rule (VERDICT r10 ask #4, ambient-relative for later chunks):
-  chunk 0 flags any sample above the absolute
-  ``SPARK_GRAFT_BENCH_LOAD_FLAG`` (default 0.2x cpus — its ambient is
-  measured pre-JVM so the average is genuinely ambient); chunks >= 1 flag
-  only samples exceeding their own chunk's ``ambient_load`` by
-  ``SPARK_GRAFT_BENCH_LOAD_MARGIN`` (default 0.4x cpus), because
-  later-chunk loadavg carries decay from the bench's own preceding chunks
-  and the absolute rule buried real contention under 27 self-load flags in
-  r10.  Flagged, never dropped, so judges can attribute outliers to machine
-  contention instead of relitigating the environment;
+  Flag rule (VERDICT r10 ask #4 introduced ambient-relative flagging; r15
+  extended it to EVERY chunk and recalibrated the margin): each chunk
+  flags samples exceeding its own pre-boot ``ambient_load`` by
+  ``SPARK_GRAFT_BENCH_LOAD_MARGIN`` (default 1.2x cpus since r15 — the
+  scan-rebalanced engine legitimately saturates local[N], driving 1-min
+  loads near N on an idle box, where the r14 mostly-serial engine peaked
+  at +9.6 over ambient; the old absolute chunk-0 rule and 0.4x margin
+  produced 41 false flags + retries on a zero-co-tenant r15 run).  The
+  absolute ``SPARK_GRAFT_BENCH_LOAD_FLAG`` survives as the fallback when
+  no ambient reading exists.  Flagged, never dropped, so judges can
+  attribute outliers to machine contention instead of relitigating the
+  environment;
 - **flag-and-retry for EVERY chunk** (r14 — VERDICT r13 ask #3): any chunk
   with a flagged sample (absolute rule for chunk 0, ambient-relative for
   the rest) is replayed once in a fresh JVM in the same order; the attempt
@@ -156,22 +158,25 @@ def _env_conf() -> dict:
                 str(0.2 * int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))),
             )
         ),
-        # Flag margin for chunks >= 1 (VERDICT r10 ask #4): later-chunk
-        # loadavg includes decay from the bench's OWN preceding work (r10:
-        # 27 of 27 later-chunk flags were self-load — chunk ambients
-        # 7.54/4.65 sat above the absolute 6.4 threshold on an idle box), so
-        # the absolute rule buries genuine contention signals there.  Rule:
-        # a later-chunk sample is flagged only when its load exceeds that
-        # chunk's pre-boot ambient_load by this margin.  Default 0.4x cpus
-        # (12.8 on the 32-cpu box): the bench's own within-chunk self-load
-        # measured at most +9.6 over chunk-start ambient on the idle r10 box
-        # (chunk 1: ambient 2.11 -> peak 11.68), so 0.4x cpus clears
-        # self-load with headroom while still tripping on a real co-tenant
-        # (which adds runnable threads on top of the bench's).
+        # Flag margin over each chunk's pre-boot ambient load (VERDICT r10
+        # ask #4 established the ambient-relative rule; r15 recalibrated
+        # the margin): loadavg during a chunk includes the bench's OWN
+        # work, and the r15 scan-rebalance made the engine genuinely
+        # parallel — an idle-box run now drives 1-min loads of 16-25+
+        # (measured, BENCH_DETAIL of the first r15 run: 41 false flags and
+        # chunk retries with zero co-tenants, where the r14 mostly-serial
+        # engine peaked at +9.6 over ambient).  A saturating local[N]
+        # bench can legitimately sit near N runnable threads, so the
+        # margin defaults to 1.2x cpus: self-saturation clears, while a
+        # co-tenant of comparable size (which stacks ON TOP of ours) still
+        # trips.  The old 0.4x value is one env var away for serial-era
+        # comparisons.  Known tradeoff, documented in OPTIMIZATION_r15.md:
+        # loadavg alone cannot distinguish a small co-tenant from our own
+        # saturation on a parallel engine.
         "load_margin": float(
             os.environ.get(
                 "SPARK_GRAFT_BENCH_LOAD_MARGIN",
-                str(0.4 * int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))),
+                str(1.2 * int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))),
             )
         ),
         # One full re-run of ANY chunk whose samples landed above its flag
@@ -397,9 +402,15 @@ def main() -> None:
                 # order (protocol-preserving); keep whichever attempt
                 # carried fewer flagged samples — the discarded attempt
                 # stays in BENCH_DETAIL for audit.
+                # r15: chunk 0 joins the ambient-relative rule — its
+                # pre-boot ambient is genuinely pre-bench, and the
+                # parallel engine's own load now exceeds any absolute
+                # threshold an idle box would satisfy (the absolute rule
+                # retried chunk 0 on every r15 run).  Absolute only as the
+                # no-ambient fallback.
                 thr = (
                     conf["load_flag"]
-                    if ci == 0 or amb is None
+                    if amb is None
                     else amb + conf["load_margin"]
                 )
                 first_flagged = _flagged(got, thr)
@@ -410,7 +421,7 @@ def main() -> None:
                     retry = _run_worker(names, script, label)
                     thr2 = (
                         conf["load_flag"]
-                        if ci == 0 or amb2 is None
+                        if amb2 is None
                         else amb2 + conf["load_margin"]
                     )
                     retry_flagged = _flagged(retry, thr2)
@@ -461,12 +472,11 @@ def main() -> None:
         mins[name] = round(min(samples), 4) if samples else None
 
     def _flag_threshold_for(name: str) -> float:
-        """Per-sample flag threshold (see module docstring): chunk 0 uses
-        the absolute rule (pre-JVM ambient), later chunks are
-        ambient-relative so the bench's own decayed load doesn't flag."""
+        """Per-sample flag threshold (see module docstring): every chunk is
+        ambient-relative since r15 (the parallel engine's own load exceeds
+        any idle-box absolute threshold); absolute rule only when no
+        ambient reading exists."""
         ci = details.get(name, {}).get("chunk", 0)
-        if ci == 0:
-            return conf["load_flag"]
         amb = ambient_load.get(str(ci))
         if amb is None:  # no ambient reading: fall back to the absolute rule
             return conf["load_flag"]

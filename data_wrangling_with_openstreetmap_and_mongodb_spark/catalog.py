@@ -39,11 +39,126 @@ NANOS_PER_HOUR = 3_600_000_000_000
 MICROS_PER_HOUR = 3_600_000_000
 MICROS_PER_DAY = 86_400_000_000
 
+# --- scan-parallelism floor (r15, guide §2.5 "input skew: one huge
+# unsplittable file") -------------------------------------------------------
+# A parquet SCAN cannot parallelize beyond its row groups: Spark's
+# size-based splits assign each row group wholly to the split containing its
+# midpoint, so a file with one row group yields ONE non-empty partition no
+# matter what maxPartitionBytes / minPartitionNum say.  The driver's testdata
+# is exactly that shape (every sf0.x table = one file, one row group), which
+# serialized every downstream stage — worst for the Arrow-batched Python
+# codec stages, which ran on 1 of N cores.
+#
+# Remedy (measured, OPTIMIZATION_r15.md): OPT-IN per call site.  When the
+# consumer's per-row cost is high (the Python codec/synthesize stages:
+# ~1-40 ms/row), ``load_table(..., spread=True)`` rebalances the scan with
+# a round-robin repartition once the footer gate agrees (row_groups <
+# cores, bytes above dimension-size).  Catalyst pushes filters and prunes
+# columns through the Repartition node, so the exchange carries only the
+# columns the Python stage needs (doc_id alone for the synthesize paths).
+# The A/B measurement that made this opt-in rather than blanket: for
+# JVM-cheap consumers (aggregations/joins, whole-stage codegen at ~10M
+# rows/s/core) shuffling the table costs MORE than the single-partition
+# scan it parallelizes — hourly_event_rollup 0.74→1.11 s, profile_orders
+# 0.62→1.25 s, approx_distinct_users 1.02→2.55 s with a blanket spread,
+# while the Python-bound codec family wins 2-4× (multimodal_jpeg_decode
+# 6.42→1.53 s).  Guide §8's rule in miniature: rebalance the lightweight
+# proxy ahead of expensive per-row work; never shuffle bytes that codegen
+# would chew through in place.
+#
+# At 100 TB the gate self-disables: real tables have thousands of row
+# groups (>= cores), so no shuffle is added — the rebalance fires precisely
+# on unsplittable inputs, where it is the documented fix.  Both knobs are
+# env-parameterised; the byte floor keeps dimension tables exchange-free.
+_rg_cache: dict[str, tuple[int, int]] = {}  # path -> (row_groups, bytes); footer metadata only
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one named table from an ``sf*`` directory."""
+
+def _spread_min_bytes() -> int:
+    """Dimension-size floor for the scan rebalance (read per call so the
+    test suite can force the spread on at tiny SFs — the parity gate must
+    exercise the same plan shape the driver's larger SFs produce)."""
+    return int(os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(256 * 1024)))
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(total row groups, total bytes) for a parquet file or directory —
+    footer metadata only, cached (the testdata is immutable)."""
+    hit = _rg_cache.get(path)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    files = (
+        [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(path)
+        else [path]
+    )
+    groups = 0
+    nbytes = 0
+    for f in files:
+        try:
+            groups += pq.ParquetFile(f).metadata.num_row_groups
+            nbytes += os.path.getsize(f)
+        except Exception:  # non-local / unreadable: let Spark's scan decide
+            return (1 << 30, 1 << 60)
+    _rg_cache[path] = (groups, nbytes)
+    return groups, nbytes
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of one table from parquet footer metadata only (cached) —
+    for scale-adaptive operator knobs (e.g. materialize-vs-rederive
+    crossovers) that must not run a Spark job to decide."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = f"rows::{path}"
+    hit = _rg_cache.get(key)
+    if hit is not None:
+        return hit[0]
+    files = (
+        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    try:
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:  # unreadable footer: assume big (the at-scale default)
+        rows = 1 << 60
+    _rg_cache[key] = (rows, 0)
+    return rows
+
+
+def scan_parallelism(spark: SparkSession) -> int:
+    """Target scan parallelism: env override, else the scheduler's."""
+    v = os.environ.get("SPARK_GRAFT_SCAN_PARALLELISM")
+    return int(v) if v else spark.sparkContext.defaultParallelism
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
+    """Load one named table from an ``sf*`` directory.
+
+    Plain ``spark.read.parquet``; with ``spread=True`` (opt-in for
+    Python-heavy consumers — see the scan-parallelism note above) an
+    unsplittable (row_groups < cores), non-dimension-sized table is
+    round-robin rebalanced so the expensive downstream stage uses the
+    whole machine.
+    """
     ensure_runtime_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if spread:
+        target = scan_parallelism(spark)
+        groups, nbytes = _parquet_layout(path)
+        if groups < target and nbytes >= _spread_min_bytes():
+            df = df.repartition(target)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

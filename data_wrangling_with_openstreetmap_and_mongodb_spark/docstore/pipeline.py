@@ -2201,11 +2201,13 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     raises (the key comes from the join and cannot be modified).  Compiles
     to CASE expressions on the source-only side of the same join.
 
-    One full-outer join on the key, then a staged rewrite (write to a
-    sibling ``__merge_tmp`` dir, read back, overwrite the target) because
-    parquet cannot be read and overwritten in one job.  Like ``$out`` this
-    is the action-bearing stage by definition; everything before it stays
-    one lazy plan.
+    One full-outer join on the key, then an eager ``localCheckpoint`` and
+    a single overwrite of the target (parquet cannot be read and
+    overwritten in one job; the checkpoint truncates the lineage off the
+    target, which replaced the pre-r15 staged-sibling rewrite that wrote
+    and re-read the whole table twice).  Like ``$out`` this is the
+    action-bearing stage by definition; everything before it stays one
+    lazy plan.
     """
     _check_options(
         "$merge", spec, {"into", "on", "whenMatched", "whenNotMatched", "let"}
@@ -2370,12 +2372,17 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         "fail",
     ):
         raise ValueError(f"unsupported whenNotMatched: {when_not_matched!r}")
-    staged = into.rstrip("/") + "__merge_tmp"
-    result.write.mode("overwrite").parquet(staged)
-    spark.read.parquet(staged).write.mode("overwrite").parquet(into)
-    import shutil
-
-    shutil.rmtree(staged, ignore_errors=True)  # best-effort local cleanup
+    # The merged result reads `into`, so it cannot overwrite `into` in one
+    # job.  r15 (guide §6): materialize the result via an eager
+    # localCheckpoint — lineage off the target is truncated, the overwrite
+    # becomes legal, and the old staged-sibling path (a SECOND full parquet
+    # write + read of the whole table) disappears.  Any raise_error guard
+    # above fires during the checkpoint job, before the target is touched.
+    materialized = result.localCheckpoint(eager=True)
+    try:
+        materialized.write.mode("overwrite").parquet(into)
+    finally:
+        materialized.unpersist()
     return spark.read.parquet(into)
 
 

@@ -2493,6 +2493,10 @@ def encode_jpeg(
     # 12-bit widens the alphabets: DC categories 0..15, AC sizes 1..14
     enc_dc_vals = _ENC_DC_VALS if precision == 8 else _ENC_DC_VALS12
     enc_ac_vals = _ENC_AC_VALS if precision == 8 else _ENC_AC_VALS12
+    # symbol -> flat-code index as dicts: .index() is a linear scan per
+    # emitted symbol and the scan loop below runs per coefficient (r15)
+    dc_idx = {v: i for i, v in enumerate(enc_dc_vals)}
+    ac_idx = {v: i for i, v in enumerate(enc_ac_vals)}
     dc_bits, dc_vals = _enc_bits_vals(enc_dc_vals)
     ac_bits, ac_vals = _enc_bits_vals(enc_ac_vals)
     out += _seg(0xC4, b"\x00" + dc_bits + dc_vals)  # DC table 0
@@ -2540,7 +2544,7 @@ def encode_jpeg(
                         diff = dc - pred[ci]
                         pred[ci] = dc
                         t = _jpeg_category(diff)
-                        dc_sym = enc_dc_vals.index(t)
+                        dc_sym = dc_idx[t]
                         bw.write(dc_sym, 8)
                         if t:
                             bw.write(_jpeg_value_bits(diff, t), t)
@@ -2551,14 +2555,14 @@ def encode_jpeg(
                                 run += 1
                                 k += 1
                             if k == 64:
-                                bw.write(enc_ac_vals.index(0x00), 8)  # EOB
+                                bw.write(ac_idx[0x00], 8)  # EOB
                                 break
                             while run > 15:
-                                bw.write(enc_ac_vals.index(0xF0), 8)  # ZRL
+                                bw.write(ac_idx[0xF0], 8)  # ZRL
                                 run -= 16
                             v = int(zz[k])
                             s = _jpeg_category(v)
-                            bw.write(enc_ac_vals.index((run << 4) | s), 8)
+                            bw.write(ac_idx[(run << 4) | s], 8)
                             bw.write(_jpeg_value_bits(v, s), s)
                             k += 1
             mcu_count += 1

@@ -356,7 +356,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png_payloads,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     feats = extract_png_features(synthesize_png_payloads(d))
     return feats.select(
         "doc_id", "png_type", "width", "height", "n_channels", "n_samples",
@@ -424,7 +424,7 @@ def multimodal_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_palette_png_payloads,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     feats = extract_png_features(synthesize_palette_png_payloads(d))
     return feats.select(
         "doc_id", "png_type", "width", "height", "n_channels", "n_samples",
@@ -490,7 +490,7 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_gif_payloads,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     frames = extract_gif_frames(synthesize_gif_payloads(d))
     return frames.select(
         "doc_id", "frame_id", "delay_cs", "width", "height", "n_samples",
@@ -681,7 +681,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpeg_payloads,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     feats = extract_jpeg_features(synthesize_jpeg_payloads(d))
     return feats.select(
         "doc_id", "jpeg_type", "width", "height", "n_samples",
@@ -754,7 +754,7 @@ def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpeg12_payloads,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     feats = extract_jpeg_features(synthesize_jpeg12_payloads(d))
     return feats.select(
         "doc_id", "jpeg_type", "width", "height", "n_samples",
@@ -826,7 +826,7 @@ def multimodal_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFra
         encode_jpeg_lossless,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def run(batches):
         for pdf in batches:
@@ -1104,7 +1104,7 @@ def multimodal_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png_variant_payloads,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     feats = extract_png_features(synthesize_png_variant_payloads(d))
     return feats.select(
         "doc_id", "png_type", "width", "height", "n_channels", "n_samples",
@@ -1208,7 +1208,7 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_adpcm,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def run(batches):
         for pdf in batches:
@@ -1332,7 +1332,7 @@ def multimodal_mp3_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_mp3_frames,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def run(batches):
         for pdf in batches:
@@ -1392,9 +1392,10 @@ def multimodal_mp3_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="STREAMING multimodal decode (streaming/media_decode.py, r13 runner "
     "— VERDICT r13 ask #6 gives it the catalog row the other nine "
     "streaming families already hold): the SAME closed-form PNG payloads "
-    "as multimodal_png_decode, written as multiple parquet files and "
-    "replayed through readStream with maxFilesPerTrigger=1 (forcing "
-    "multiple micro-batches) into the stateless scan→mapInPandas→sink "
+    "as multimodal_png_decode, written as 32 parquet files and "
+    "replayed through readStream with maxFilesPerTrigger=8 (forcing a "
+    "pinned 4 micro-batches, 8-way-parallel decode within each — r15) "
+    "into the stateless scan→mapInPandas→sink "
     "decode; the oracle is the BATCH row's SQL, so a hash match proves "
     "chunk framing, CRC verification, inflate and unfilter are "
     "micro-batch-invariant end to end.  At 100 TB the payload directory "
@@ -1413,20 +1414,22 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_media_decode,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     payloads = synthesize_png_payloads(d)
     root = tempfile.mkdtemp(prefix="stream_media_row_")
     pdir, out, ckpt = f"{root}/payloads", f"{root}/out", f"{root}/ckpt"
-    # two writes of two files each -> exactly 4 files, so
-    # maxFilesPerTrigger=1 forces 4 micro-batches and chunking-invariance
-    # is actually exercised — while the batch COUNT stays constant across
-    # scale (without the repartition, files ∝ input partitions and the
-    # per-file trigger made the 10x probe 3.4x on trigger overhead alone;
-    # a real landing zone sizes maxFilesPerTrigger for bytes, not 1)
-    payloads.filter("doc_id % 2 = 0").repartition(2).write.mode("append").parquet(pdir)
-    payloads.filter("doc_id % 2 = 1").repartition(2).write.mode("append").parquet(pdir)
+    # ONE write of exactly 32 files; maxFilesPerTrigger=8 keeps the SAME
+    # pinned 4 micro-batches (chunking-invariance is still exercised, batch
+    # count still constant across scale — the 10x-probe lesson) while each
+    # micro-batch now decodes 8 files in parallel instead of serially off
+    # one file (r15, guide §2.5: the decode stage inherits the micro-batch's
+    # file-split parallelism; a real landing zone sizes maxFilesPerTrigger
+    # for bytes, not 1).  The pre-r15 shape was TWO doc_id%2-filtered
+    # writes — the filter cannot push below the opaque synthesize stage, so
+    # every payload was encoded twice and half of each pass thrown away.
+    payloads.repartition(32).write.mode("append").parquet(pdir)
     run_streaming_media_decode(
-        spark, pdir, out, ckpt, fmt="image/png", max_files_per_trigger=1
+        spark, pdir, out, ckpt, fmt="image/png", max_files_per_trigger=8
     )
     feats = spark.read.parquet(out)
     return feats.select(
@@ -1445,10 +1448,11 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map routes six formats but only PNG was driver-checked through the "
     "stream): the SAME closed-form G.711 μ/A-law WAV payloads as "
     "multimodal_wav_g711 (b_i=(7d+13i)%256, fmt-7/6 RIFF containers), "
-    "written as multiple parquet files and replayed through readStream "
-    "with maxFilesPerTrigger=1 (a constant FOUR micro-batches — file "
+    "written as 32 parquet files and replayed through readStream "
+    "with maxFilesPerTrigger=8 (a constant FOUR micro-batches — file "
     "count pinned by repartition exactly as the PNG row, so batch count "
-    "does not scale with input partitions) into the stateless "
+    "does not scale with input partitions; 8-way-parallel decode within "
+    "each batch, r15) into the stateless "
     "scan→mapInPandas→sink decode; the oracle is the BATCH row's G.711 "
     "SQL, so a hash match proves RIFF walking, segment-table expansion "
     "and rms/peak accumulation are micro-batch-invariant end to end.  "
@@ -1472,13 +1476,14 @@ def streaming_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = synthesize_g711_payloads(d)
     root = tempfile.mkdtemp(prefix="stream_wav_row_")
     pdir, out, ckpt = f"{root}/payloads", f"{root}/out", f"{root}/ckpt"
-    # constant file count (2 writes x 2 files) -> exactly 4 micro-batches at
-    # maxFilesPerTrigger=1, invariant across input partitioning (the PNG
-    # row's batch-count scaling fix applies here from birth)
-    payloads.filter("doc_id % 2 = 0").repartition(2).write.mode("append").parquet(pdir)
-    payloads.filter("doc_id % 2 = 1").repartition(2).write.mode("append").parquet(pdir)
+    # constant file count (ONE write of exactly 32 files) -> exactly 4
+    # micro-batches at maxFilesPerTrigger=8, invariant across input
+    # partitioning (the PNG row's batch-count pin), with 8-way parallel
+    # decode inside each micro-batch and payloads encoded ONCE (r15 — same
+    # single-write + rebalance rationale as the PNG row)
+    payloads.repartition(32).write.mode("append").parquet(pdir)
     run_streaming_media_decode(
-        spark, pdir, out, ckpt, fmt="audio/wav", max_files_per_trigger=1
+        spark, pdir, out, ckpt, fmt="audio/wav", max_files_per_trigger=8
     )
     feats = spark.read.parquet(out)
     return feats.select(
@@ -1895,8 +1900,18 @@ def etl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     # the sink writes one container per partition; spread the Python-side
-    # encode across cores (the parquet source is a single file at gate SFs)
-    write_avro(orders.repartition(8), base, codec="deflate", block_rows=1024)
+    # deflate encode across the scheduler's parallelism (r15: was a fixed
+    # .repartition(8) — the cap serialized 3/4 of the encode on local[32]
+    # and under-splits on a bigger cluster; scan_parallelism is the same
+    # env-overridable, core-count-adaptive target the codec spread uses)
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import (
+        scan_parallelism,
+    )
+
+    write_avro(
+        orders.repartition(scan_parallelism(spark)),
+        base, codec="deflate", block_rows=1024,
+    )
     back = read_avro(spark, base, split_bytes=64 << 10)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),

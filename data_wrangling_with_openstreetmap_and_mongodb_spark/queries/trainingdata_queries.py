@@ -1682,6 +1682,9 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
     driver_visible=False,
 )
 def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import table_rows
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -1690,7 +1693,20 @@ def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
         F.col("o_custkey").alias("dst"),
     )
-    return pagerank(edges, "src", "dst", iters=3, damping=0.85)
+    # r15: apply the operator's own measured recipe (PLANS.md
+    # §pagerank-edge-materialization) scale-adaptively — checkpoint the
+    # derived edge table once when it is big enough that re-deriving the
+    # lineitem⋈orders join 3× costs more than one barrier (probe: 1.44×
+    # at 600k edge rows, INVERTED at 60k; crossover between).  Edge rows
+    # == lineitem rows pre-distinct, read from the parquet footer.
+    min_edges = int(
+        os.environ.get("SPARK_GRAFT_PAGERANK_MATERIALIZE_MIN_EDGES", "300000")
+    )
+    pre = table_rows(sf_dir, "lineitem") >= min_edges
+    return pagerank(
+        edges, "src", "dst", iters=3, damping=0.85,
+        pre_materialized=pre, checkpoint_mode="local",
+    )
 
 
 _IVFPQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}

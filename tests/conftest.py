@@ -6,6 +6,16 @@ import pytest
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Force the r15 scan-parallelism rebalance's byte gate OPEN for the whole
+# suite: at the driver's SFs the opted-in codec queries cross the
+# dimension-size floor and their plans carry the rebalance exchange, so the
+# oracle-parity gate must run the SAME shape (at sf0.001 the byte gate
+# would otherwise never fire and the spread would be unverified).  Which
+# call sites opt in stays the production choice (load_table(...,
+# spread=True)); gating itself (dimension exemption, splittable-input
+# no-op, opt-out default) is covered in tests/test_scan_spread.py.
+os.environ.setdefault("SPARK_GRAFT_SPREAD_MIN_BYTES", "1")
+
 
 @pytest.fixture(scope="session")
 def spark():

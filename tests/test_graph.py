@@ -287,3 +287,19 @@ class TestCheckpointModes:
             F.sum(F.col("is_canonical").cast("int")).alias("n_canon")
         )
         assert {r["n_canon"] for r in per.collect()} == {1}
+
+
+class TestPagerankAdaptiveMaterialization:
+    def test_catalog_query_gate_is_value_neutral(self, spark, sf_dir, monkeypatch):
+        """The r15 scale-adaptive pre_materialized gate in
+        supplier_customer_pagerank (footer-row crossover, PLANS.md
+        §pagerank-edge-materialization) must not change a single value:
+        force BOTH branches on the same data and compare exactly."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.queries import QUERIES
+
+        fn = QUERIES["supplier_customer_pagerank"].fn
+        monkeypatch.setenv("SPARK_GRAFT_PAGERANK_MATERIALIZE_MIN_EDGES", str(1 << 60))
+        base = {(r["id"], r["pr"]) for r in fn(spark, sf_dir).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_PAGERANK_MATERIALIZE_MIN_EDGES", "0")
+        mat = {(r["id"], r["pr"]) for r in fn(spark, sf_dir).collect()}
+        assert mat == base
