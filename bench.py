@@ -7,6 +7,20 @@ the output always retains the totals):
    "n": runs, "r2_subset_total": N, "queries": {<driver-visible only>}}
 
 Protocol notes (round-over-round comparability):
+
+THE ROTATION-ERA PERF CONTRACT (r16 — VERDICT r15 ask #8).  Since r15 the
+50-slot driver window re-seats every round by provenance freshness, so the
+driver's emitted per-query map can have ZERO overlap between consecutive
+rounds and per-query round-over-round speedups cannot be computed from the
+one-line JSON.  The official cross-round signals are therefore:
+1. ``r2_subset_total`` — the ONLY cross-round scalar (frozen query set,
+   frozen order, dedicated fresh JVM: chunk 0);
+2. the committed per-round ``BENCH_DETAIL.json`` — the per-query record
+   over the FULL catalog (every query, all samples, loads + CPU split),
+   diffable round-over-round regardless of window rotation;
+3. ``BENCH_r{N}.json`` / ``CORRECTNESS_r{N}.json`` artifacts committed at
+   round close.
+
 - ``r2_subset_total`` is the sum of medians over the FIXED round-2 query set
   (the 59 names benched in BENCH_r02), giving a directly comparable
   cross-round number immune to catalog growth;
@@ -61,6 +75,23 @@ queries = one JVM accumulating heap/GC/codegen-cache pressure over a
   warm-ups counted) plus the session-relative start offset in seconds
   (``start_offset``) and its chunk index (``chunk_of``), so
   position-correlated inflation is visible instead of inferred;
+- **CPU-split-tagged samples** (r16 — VERDICT r15 ask #1: loadavg alone
+  cannot distinguish a co-tenant from the engine's own local[N] saturation,
+  so the r15 margin of 1.2x cpus left moderate co-tenants unflagged and
+  every cross-round comparison unattributable).  Every timed sample now
+  also records, from ``/proc``:
+  ``cpu_self_cores``  — CPU-seconds consumed by the bench's own process
+  tree (this worker + its JVM + Python workers, via /proc/<pid>/stat
+  utime+stime walked over the descendant tree, plus reaped-child cutime/
+  cstime) divided by the sample's wall-clock;
+  ``cpu_other_cores`` — machine-wide busy CPU (/proc/stat, idle+iowait
+  excluded) minus the self tree, divided by wall-clock: the number of
+  cores OTHER processes burned during the sample.  This is a direct
+  co-tenant measure at ANY self-load, so the flag threshold can be tight:
+  samples with ``cpu_other_cores > SPARK_GRAFT_BENCH_OTHER_CORES_FLAG``
+  (default 2.0) are flagged and trigger the same chunk-retry protocol as
+  the loadavg rule.  Loadavg fields are retained unchanged for
+  cross-round auditability;
 - **load-tagged samples** (VERDICT r8 ask #5): the 1-minute load average is
   captured at every timed sample's start (``loads``, parallel to
   ``samples``) and once per chunk BEFORE its JVM boots (``ambient_load`` —
@@ -196,6 +227,14 @@ def _env_conf() -> dict:
         # mode's r2_subset_total is already documented as non-comparable.
         "retry_flagged": os.environ.get("SPARK_GRAFT_BENCH_RETRY_FLAGGED", "1")
         not in ("0", "", "false"),
+        # Per-sample OTHER-process CPU flag (r16 — VERDICT r15 ask #1): cores
+        # of machine CPU burned by processes OUTSIDE the bench's own tree
+        # during a timed sample.  Unlike loadavg this signal is insensitive
+        # to the bench's own local[N] saturation, so the default threshold
+        # is tight (2.0 cores; idle-box daemons measure <0.2).
+        "other_cores_flag": float(
+            os.environ.get("SPARK_GRAFT_BENCH_OTHER_CORES_FLAG", "2.0")
+        ),
     }
 
 
@@ -205,6 +244,120 @@ def _loadavg() -> float | None:
         return round(os.getloadavg()[0], 2)
     except OSError:
         return None
+
+
+try:
+    _CLK_TCK = os.sysconf("SC_CLK_TCK") or 100
+except (AttributeError, ValueError, OSError):  # pragma: no cover - non-POSIX
+    _CLK_TCK = 100
+
+
+# PIDs ever observed inside this process's descendant tree.  Sticky on
+# purpose: pyspark daemons/workers can be REPARENTED out of the tree
+# (double-fork/orphaning), and a naive tree walk would then flip their whole
+# accumulated CPU from "self" to "other" between two snapshots (measured:
+# phantom cpu_other_cores of 100+ on an idle 32-core box).  Once ours,
+# always ours.
+_OURS: set[int] = set()
+
+
+def _cpu_snapshot() -> tuple[float, dict[int, int]] | None:
+    """(machine_busy_cpu_seconds, {pid: cpu_jiffies}) since boot, plus a
+    side effect: every pid currently reachable from this process's tree is
+    added to the sticky ``_OURS`` set.
+
+    machine busy = /proc/stat cpu line minus idle+iowait.  Per-pid CPU =
+    utime+stime+cutime+cstime (reaped-child time folds into the reaping
+    parent, so a short-lived worker's CPU survives its exit as long as its
+    parent is ours).  The caller computes per-window deltas per pid and
+    attributes each pid via ``_OURS`` — see ``_cpu_window_split``.  None
+    where /proc is unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        # user nice system idle iowait irq softirq steal [guest guest_nice];
+        # guest time is already folded into user on Linux
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        busy = sum(vals[:8]) - idle
+        me = os.getpid()
+        cpu: dict[int, int] = {}
+        ppids: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    st = f.read()
+            except OSError:  # raced a process exit
+                continue
+            # comm may contain spaces/parens: fields resume after the LAST ')'
+            fields = st[st.rindex(")") + 2 :].split()
+            # fields: [0]=state [1]=ppid ... [11]=utime [12]=stime
+            #         [13]=cutime [14]=cstime
+            pid = int(d)
+            ppid = int(fields[1])
+            if pid == 2 or ppid == 2:
+                # kernel threads (kthreadd's children): their CPU (writeback,
+                # kworkers servicing OUR I/O) is in /proc/stat busy but in no
+                # user process — counting them as "other" false-flags heavy
+                # shuffle/write phases.  Excluded from both sides.
+                continue
+            ppids[pid] = ppid
+            cpu[pid] = (
+                int(fields[11]) + int(fields[12]) + int(fields[13]) + int(fields[14])
+            )
+        children: dict[int, list[int]] = {}
+        for pid, ppid in ppids.items():
+            children.setdefault(ppid, []).append(pid)
+        stack = [me]
+        while stack:
+            pid = stack.pop()
+            if pid in cpu:
+                _OURS.add(pid)
+                stack.extend(children.get(pid, ()))
+        # a child of an ever-ours pid is ours even if the tree root link
+        # broke (reparent happens above us, never between daemon+worker)
+        for pid, ppid in ppids.items():
+            if ppid in _OURS:
+                _OURS.add(pid)
+        return busy / _CLK_TCK, cpu
+    except Exception:
+        return None
+
+
+def _cpu_window_split(
+    snap0: tuple[float, dict[int, int]] | None,
+    snap1: tuple[float, dict[int, int]] | None,
+    wall: float,
+) -> tuple[float | None, float | None]:
+    """(self_cores, other_cores) for one timed window.
+
+    self = Σ per-pid CPU deltas over pids in the sticky ``_OURS`` set
+    (pids seen in both snapshots diff normally; pids born in-window count
+    their full CPU; pids that exited are covered by their reaper's cutime
+    delta when the reaper is ours).  other = machine busy delta − self,
+    clamped ≥ 0.  Misattribution is bounded to the rare orphan reaped by
+    init — a few jiffies, far under the flag threshold."""
+    if snap0 is None or snap1 is None or wall <= 0:
+        return None, None
+    _busy0, cpu0 = snap0
+    _busy1, cpu1 = snap1
+    ours_jiffies = 0
+    other_jiffies = 0
+    for pid, c1 in cpu1.items():
+        delta = c1 - cpu0.get(pid, 0)
+        if pid in _OURS:
+            ours_jiffies += delta
+        else:
+            # direct per-pid sum over non-ours USER processes: immune to the
+            # kernel-thread noise a busy-minus-self residual picks up (our
+            # own I/O drives kworker CPU), and a real co-tenant is a
+            # long-running user process, exactly what this sums
+            other_jiffies += max(0, delta)
+    self_cores = max(0.0, ours_jiffies / _CLK_TCK / wall)
+    other_cores = other_jiffies / _CLK_TCK / wall
+    return round(self_cores, 2), round(other_cores, 2)
 
 
 def _run_chunk(names: list[str], conf: dict) -> dict[str, dict]:
@@ -258,6 +411,8 @@ def _run_chunk(names: list[str], conf: dict) -> dict[str, dict]:
             "samples": [],
             "positions": [],
             "loads": [],
+            "cpu_self_cores": [],
+            "cpu_other_cores": [],
             "warmup_samples": [],
             "start_offset": round(time.perf_counter() - session_t0, 2),
         }
@@ -270,8 +425,14 @@ def _run_chunk(names: list[str], conf: dict) -> dict[str, dict]:
 
         def timed_sample() -> None:
             rec["loads"].append(_loadavg())
-            rec["samples"].append(round(timed_exec(), 4))
+            snap0 = _cpu_snapshot()
+            dt = timed_exec()
+            snap1 = _cpu_snapshot()
+            rec["samples"].append(round(dt, 4))
             rec["positions"].append(position)
+            self_c, other_c = _cpu_window_split(snap0, snap1, dt)
+            rec["cpu_self_cores"].append(self_c)
+            rec["cpu_other_cores"].append(other_c)
 
         try:
             for _ in range(conf["warmup"]):
@@ -338,13 +499,22 @@ def main() -> None:
     )
 
     def _flagged(recs: dict[str, dict], threshold: float | None = None) -> list[str]:
+        """Queries with any contended sample: loadavg over the chunk's
+        threshold, OR other-process CPU over the (self-load-insensitive)
+        other-cores threshold — the r16 signal that restores co-tenant
+        detection on a self-saturating engine (VERDICT r15 ask #1)."""
         thr = conf["load_flag"] if threshold is None else threshold
+        other_thr = conf["other_cores_flag"]
         return sorted(
             n
             for n, rec in recs.items()
             if any(
                 ld is not None and ld > thr
                 for ld in (rec.get("loads") or [])
+            )
+            or any(
+                oc is not None and oc > other_thr
+                for oc in (rec.get("cpu_other_cores") or [])
             )
         )
 
@@ -442,6 +612,7 @@ def main() -> None:
                             n: {
                                 "samples": r.get("samples") or [],
                                 "loads": r.get("loads") or [],
+                                "cpu_other_cores": r.get("cpu_other_cores") or [],
                                 **({"err": r["err"]} if r.get("err") else {}),
                             }
                             for n, r in (got if use_retry else retry).items()
@@ -519,6 +690,22 @@ def main() -> None:
         },
         "chunk_of": {n: details[n].get("chunk", 0) for n in all_names if n in details},
         "loads": {n: (details[n].get("loads") or []) for n in all_names if n in details},
+        "cpu_self_cores": {
+            n: (details[n].get("cpu_self_cores") or []) for n in all_names if n in details
+        },
+        "cpu_other_cores": {
+            n: (details[n].get("cpu_other_cores") or []) for n in all_names if n in details
+        },
+        "other_cores_flag": conf["other_cores_flag"],
+        "cpu_flagged": sorted(
+            n
+            for n in all_names
+            if n in details
+            and any(
+                oc is not None and oc > conf["other_cores_flag"]
+                for oc in (details[n].get("cpu_other_cores") or [])
+            )
+        ),
         "ambient_load": ambient_load,
         "load_threshold": conf["load_flag"],
         "load_margin": conf["load_margin"],

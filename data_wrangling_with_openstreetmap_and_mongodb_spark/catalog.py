@@ -73,6 +73,18 @@ MICROS_PER_DAY = 86_400_000_000
 _rg_cache: dict[str, tuple[int, int]] = {}  # path -> (row_groups, bytes); footer metadata only
 
 
+def invalidate_table_meta(path: str) -> None:
+    """Drop cached footer metadata for ``path`` (and its ``rows::`` key).
+
+    The testdata-is-immutable assumption behind ``_rg_cache`` does not hold
+    for docstore write targets: ``$merge``/``$out`` overwrite parquet paths
+    in-place, so a later ``load_table(spread=True)`` or ``table_rows`` on a
+    rewritten path would gate on stale row-group/byte counts (ADVICE r15).
+    The write paths call this after every overwrite."""
+    _rg_cache.pop(path, None)
+    _rg_cache.pop(f"rows::{path}", None)
+
+
 def _spread_min_bytes() -> int:
     """Dimension-size floor for the scan rebalance (read per call so the
     test suite can force the spread on at tiny SFs — the parity gate must
@@ -131,6 +143,14 @@ def table_rows(sf_dir: str, name: str) -> int:
         rows = 1 << 60
     _rg_cache[key] = (rows, 0)
     return rows
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one table from footer/stat metadata only (cached) —
+    for scale-adaptive operator knobs (e.g. broadcast-vs-shuffle gates)
+    that must not run a Spark job to decide."""
+    _, nbytes = _parquet_layout(os.path.join(sf_dir, f"{name}.parquet"))
+    return nbytes
 
 
 def scan_parallelism(spark: SparkSession) -> int:

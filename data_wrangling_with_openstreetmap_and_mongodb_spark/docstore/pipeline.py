@@ -21,6 +21,9 @@ from pyspark.sql import types as T
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.expressions import (
     ExpressionCompiler,
 )
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import (
+    invalidate_table_meta as _invalidate_table_meta,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import davg, dsum
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.find import (
     FindCompiler,
@@ -2373,16 +2376,56 @@ def _apply_merge(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ):
         raise ValueError(f"unsupported whenNotMatched: {when_not_matched!r}")
     # The merged result reads `into`, so it cannot overwrite `into` in one
-    # job.  r15 (guide §6): materialize the result via an eager
-    # localCheckpoint — lineage off the target is truncated, the overwrite
-    # becomes legal, and the old staged-sibling path (a SECOND full parquet
-    # write + read of the whole table) disappears.  Any raise_error guard
-    # above fires during the checkpoint job, before the target is touched.
-    materialized = result.localCheckpoint(eager=True)
-    try:
-        materialized.write.mode("overwrite").parquet(into)
-    finally:
-        materialized.unpersist()
+    # job.  r15 (guide §6) replaced the staged-sibling rewrite (a SECOND
+    # full parquet write + read of the whole table) with an eager
+    # checkpoint; r16 (ADVICE r15) makes the materialization DURABILITY-
+    # AWARE, because between checkpoint and overwrite the checkpoint blocks
+    # are the ONLY copy of the merged table while mode('overwrite')
+    # truncates the target:
+    #
+    # - a configured checkpoint dir → reliable ``checkpoint()`` (DFS-backed
+    #   blocks survive executor loss — the cluster-safe fast path);
+    # - ``local[*]`` master → ``localCheckpoint()`` (executor-local blocks;
+    #   driver==executor here, so a "lost executor" is a lost job anyway);
+    # - otherwise (a real cluster without a checkpoint dir) → the staged
+    #   sibling write: slower (one extra full write+read) but the sibling
+    #   parquet is durable, so a failed overwrite cannot destroy the only
+    #   copy.  Override with SPARK_GRAFT_MERGE_MATERIALIZE=local|reliable|
+    #   staged.
+    # Any raise_error guard above fires during the materialization job,
+    # before the target is touched, in every mode.
+    import os as _os
+
+    mode = _os.environ.get("SPARK_GRAFT_MERGE_MATERIALIZE", "auto")
+    if mode == "auto":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is not None:
+            mode = "reliable"
+        elif sc.master.startswith("local"):
+            mode = "local"
+        else:
+            mode = "staged"
+    if mode == "staged":
+        staged_path = into.rstrip("/") + "__merge_tmp"
+        result.write.mode("overwrite").parquet(staged_path)
+        spark.read.parquet(staged_path).write.mode("overwrite").parquet(into)
+        import shutil
+
+        shutil.rmtree(staged_path, ignore_errors=True)  # best-effort cleanup
+    else:
+        if mode == "reliable":
+            materialized = result.checkpoint(eager=True)
+        elif mode == "local":
+            materialized = result.localCheckpoint(eager=True)
+        else:
+            raise ValueError(
+                f"unknown SPARK_GRAFT_MERGE_MATERIALIZE mode: {mode!r}"
+            )
+        try:
+            materialized.write.mode("overwrite").parquet(into)
+        finally:
+            materialized.unpersist()
+    _invalidate_table_meta(into)
     return spark.read.parquet(into)
 
 
@@ -2769,6 +2812,7 @@ def aggregate(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
             # this writes and returns the materialized table — the one
             # action-bearing stage, by definition
             out.write.mode("overwrite").parquet(str(spec))
+            _invalidate_table_meta(str(spec))
             out = out.sparkSession.read.parquet(str(spec))
         elif op == "$setWindowFields":
             out = _apply_set_window_fields(out, spec)

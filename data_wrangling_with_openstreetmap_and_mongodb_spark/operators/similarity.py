@@ -1019,9 +1019,16 @@ def ivfpq_topk(
     k: int = 10,
     nprobe: int = 3,
     m: int = 8,
+    residuals: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ADC top-k: ``(id, approx_dist)`` ascending (approximate
     squared L2 in the residual domain), id tiebreak.
+
+    ``residuals``: optionally the precomputed :func:`ivfpq_residuals`
+    frame for ``(df, coarse)`` — callers that already derived it (e.g. to
+    train the codebooks) pass it back in so the coarse assignment pass is
+    not re-planned from scratch (r16; the function is deterministic, so
+    the value is identical either way).
 
     The full production ANN read path: the query picks its ``nprobe``
     nearest coarse cells driver-side (k tiny centroid vectors, no Spark
@@ -1058,7 +1065,11 @@ def ivfpq_topk(
     tdf = df.sparkSession.createDataFrame(
         tab, "cluster bigint, sub int, code bigint, qd double"
     )
-    resid = ivfpq_residuals(df, vec_col, id_col, coarse)
+    resid = (
+        residuals
+        if residuals is not None
+        else ivfpq_residuals(df, vec_col, id_col, coarse)
+    )
     codes = pq_encode(resid, "rv", "id", pq_codebooks, dim, m).join(
         resid.select("id", "cluster"), "id"
     )

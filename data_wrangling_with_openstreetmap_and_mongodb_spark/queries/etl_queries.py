@@ -7,7 +7,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table, ts_micros
+from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import (
+    load_table,
+    table_rows,
+    ts_micros,
+)
 from data_wrangling_with_openstreetmap_and_mongodb_spark.functions.detagg import (
     davg,
     davg_sql,
@@ -1427,9 +1431,18 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for bytes, not 1).  The pre-r15 shape was TWO doc_id%2-filtered
     # writes — the filter cannot push below the opaque synthesize stage, so
     # every payload was encoded twice and half of each pass thrown away.
-    payloads.repartition(32).write.mode("append").parquet(pdir)
+    # file count pinned to min(32, n_docs): an empty round-robin partition
+    # writes NO parquet file, so at doc counts < 32 a flat repartition(32)
+    # would silently produce fewer files and fewer micro-batches than the
+    # pinned 4 (ADVICE r15).  Deriving the trigger size from the actual
+    # file count keeps ~4 micro-batches whenever >= 4 files exist; at the
+    # driver SFs (>= 500 docs) this is byte-identical to the r15 shape
+    # (32 files, maxFilesPerTrigger=8).
+    n_files = max(1, min(32, table_rows(sf_dir, "documents")))
+    payloads.repartition(n_files).write.mode("append").parquet(pdir)
     run_streaming_media_decode(
-        spark, pdir, out, ckpt, fmt="image/png", max_files_per_trigger=8
+        spark, pdir, out, ckpt, fmt="image/png",
+        max_files_per_trigger=max(1, n_files // 4),
     )
     feats = spark.read.parquet(out)
     return feats.select(
@@ -1481,9 +1494,13 @@ def streaming_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning (the PNG row's batch-count pin), with 8-way parallel
     # decode inside each micro-batch and payloads encoded ONCE (r15 — same
     # single-write + rebalance rationale as the PNG row)
-    payloads.repartition(32).write.mode("append").parquet(pdir)
+    # same doc-count-derived file pin as the PNG row (ADVICE r15: empty
+    # partitions write no file, so a flat 32 under-produces below 32 docs)
+    n_files = max(1, min(32, table_rows(sf_dir, "documents")))
+    payloads.repartition(n_files).write.mode("append").parquet(pdir)
     run_streaming_media_decode(
-        spark, pdir, out, ckpt, fmt="audio/wav", max_files_per_trigger=8
+        spark, pdir, out, ckpt, fmt="audio/wav",
+        max_files_per_trigger=max(1, n_files // 4),
     )
     feats = spark.read.parquet(out)
     return feats.select(

@@ -139,7 +139,7 @@ def annotate_verified_rounds(root: str | None = None) -> None:
 # freshest and self-evict).  Bump it by one at the start of each round —
 # the only manual step left in rotation.
 # ---------------------------------------------------------------------------
-ROTATION_HORIZON = 14
+ROTATION_HORIZON = 15
 
 
 def latest_green_round(name: str, rounds: dict[str, list[int]]) -> int:

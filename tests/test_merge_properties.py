@@ -309,6 +309,45 @@ def test_merge_null_on_key_matches_null_target(spark, tmp_path_factory):
     assert null_rows[0][cols.index("s_only")] == 7000
 
 
+def test_merge_staged_mode_matches_local(spark, tmp_path_factory, monkeypatch):
+    """r16 (ADVICE r15): the durability-aware materialization — staged
+    sibling write vs localCheckpoint — must be value-identical; only the
+    write path differs.  Also pins that the staged sibling dir is cleaned
+    up and that the footer-metadata cache is invalidated on overwrite."""
+    import os as _os
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import _rg_cache
+
+    monkeypatch.setenv("SPARK_GRAFT_MERGE_MATERIALIZE", "local")
+    _, cols_a, got_a = _run_merge(spark, tmp_path_factory, {"whenMatched": "replace"})
+    monkeypatch.setenv("SPARK_GRAFT_MERGE_MATERIALIZE", "staged")
+    # footer cache invalidation (ADVICE r15): stale pre-merge metadata for
+    # the target path must not survive the overwrite
+    seeded = {}
+
+    def _spy_run(tail):
+        base = tmp_path_factory.mktemp("merge_fuzz")
+        path = _os.path.join(str(base), "t")
+        _rg_cache[path] = (999, 999)  # stale entry a pre-merge read left
+        seeded["path"] = path
+        spec = {"into": path, "on": "k", **tail}
+        spark.createDataFrame(
+            [tuple(d[c] for c in TARGET_COLS) for d in TARGET], TARGET_SCHEMA
+        ).write.parquet(path)
+        src = spark.createDataFrame(
+            [tuple(d[c] for c in SOURCE_COLS) for d in SOURCE], SOURCE_SCHEMA
+        )
+        out = aggregate(src, [{"$merge": spec}])
+        rows = [r.asDict() for r in out.collect()]
+        cols = out.columns
+        return cols, sorted((tuple(r[c] for c in cols) for r in rows), key=repr)
+
+    cols_b, got_b = _spy_run({"whenMatched": "replace"})
+    assert cols_a == cols_b and got_a == got_b
+    assert not _os.path.exists(seeded["path"].rstrip("/") + "__merge_tmp")
+    assert seeded["path"] not in _rg_cache
+
+
 def test_merge_fail_modes_reference_agrees(spark, tmp_path_factory):
     """fail modes raise at execution time exactly when the reference says a
     matched/unmatched row exists."""

@@ -27,7 +27,9 @@ def assert_only_subscan_roundrobin(plan: str, name: str = "") -> None:
     (``executedPlan().toString()`` prints parents before children, so a
     deeper operator has a larger string offset).  Payload/key shuffles
     (hash/range exchanges, or any exchange above a map stage) still fail."""
-    n_ex = plan.count("Exchange")
+    # "ReusedExchange" contains the substring "Exchange" but reuses the
+    # already-counted round-robin exchange — exclude it (ADVICE r15).
+    n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_ex == plan.count("Exchange RoundRobinPartitioning"), (name, plan[:1500])
     assert n_ex <= 1, (name, plan[:1500])
     if n_ex and "MapInPandas" in plan:
@@ -553,6 +555,98 @@ class TestRound10Plans:
         # one user exchange feeds every window stage: the dedup groupBy and
         # the integral windows all hash on the same key
         assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+
+
+class TestRound16Plans:
+    """r16 pins: scan-rebalance opt-in containment and the dedup-family
+    broadcast gates."""
+
+    # The complete opt-in set: queries whose plan may carry the r15
+    # round-robin scan rebalance or an explicit keyless repartition
+    # (etl_avro_roundtrip's encode rebalance).  Everything else must plan
+    # ZERO RoundRobinPartitioning exchanges (VERDICT r15 ask #2 — the r15
+    # evidence regression was 14 committed dumps carrying exchanges the
+    # shipped tree cannot produce).
+    ROUNDROBIN_OPT_IN = {
+        "multimodal_png_decode",
+        "multimodal_palette_decode",
+        "multimodal_gif_frames",
+        "multimodal_jpeg_decode",
+        "multimodal_jpeg12_decode",
+        "multimodal_jpeg_lossless_decode",
+        "multimodal_png_variants",
+        "multimodal_adpcm_decode",
+        "multimodal_mp3_headers",
+        "streaming_media_decode",
+        "streaming_wav_decode",
+        "etl_avro_roundtrip",
+    }
+
+    def test_non_opted_queries_plan_no_roundrobin(self, spark, sf_dir):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+
+        for name, entry in QUERIES.items():
+            if name in self.ROUNDROBIN_OPT_IN or "streaming" in entry.tags:
+                continue
+            plan = executed_plan(entry.fn(spark, sf_dir))
+            assert "RoundRobinPartitioning" not in plan, name
+
+    def test_ngram_df_broadcast_gate(self, spark, sf_dir, monkeypatch):
+        """The footer-gated df-rank broadcast: ON at gate-passing sizes
+        (freq table broadcasts into the rank join), OFF when the env knob
+        zeroes the budget (shuffle plan, no broadcast of freq)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            shingle_df_rank_auto,
+        )
+
+        assert shingle_df_rank_auto(1024) == "broadcast"
+        assert shingle_df_rank_auto(None) == "shuffle"
+        assert shingle_df_rank_auto(1 << 40) == "shuffle"
+        monkeypatch.setenv("SPARK_GRAFT_SHINGLE_DF_BROADCAST_MAX_BYTES", "0")
+        assert shingle_df_rank_auto(1024) == "shuffle"
+
+    def test_band_broadcast_gate(self, monkeypatch):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            band_join_broadcast_ok,
+        )
+
+        assert band_join_broadcast_ok(5000)
+        assert not band_join_broadcast_ok(None)
+        assert not band_join_broadcast_ok(10_000_000)
+        monkeypatch.setenv("SPARK_GRAFT_BAND_BROADCAST_MAX_ROWS", "0")
+        assert not band_join_broadcast_ok(5000)
+
+    def test_minhash_band_broadcast_is_output_identical(self, spark, sf_dir):
+        """Both band_join strategies must emit the same pair set (the gate
+        only changes the join strategy, never the candidates)."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        rows = lambda bj: sorted(  # noqa: E731
+            tuple(r)
+            for r in minhash_lsh_pairs(
+                d, "text", "doc_id", band_join=bj
+            ).collect()
+        )
+        assert rows("broadcast") == rows("shuffle")
+
+    def test_simhash_block_broadcast_is_output_identical(self, spark, sf_dir):
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import load_table
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
+            simhash_near_pairs,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        rows = lambda bj: sorted(  # noqa: E731
+            tuple(r)
+            for r in simhash_near_pairs(
+                d, "text", "doc_id", max_hamming=3, block_join=bj
+            ).collect()
+        )
+        assert rows("broadcast") == rows("shuffle")
 
 
 class TestRound13Plans:
