@@ -206,6 +206,44 @@ def _assign_to_centroids(
 _ASSIGN_PACKED_MIN_K = 16
 
 
+def _nearest_cosine_pick(
+    mat: "np.ndarray",
+    ids: "np.ndarray",
+    cmat: "np.ndarray",
+    c_ids: "np.ndarray",
+) -> "np.ndarray":
+    """Per-row nearest-centroid ids by quantized cosine, lowest ``c_id`` on
+    ties — the shared numpy core of :func:`_assign_packed` and
+    :func:`_residuals_packed`.  Bit contract documented in
+    :func:`_assign_packed` (dims-sequential accumulation, integer quantize
+    compare, NaN-as-+inf, zero-norm raises like the expression path)."""
+    acc = np.zeros((mat.shape[0], cmat.shape[0]))
+    na = np.zeros(mat.shape[0])
+    nc = np.zeros(cmat.shape[0])
+    for d_ in range(mat.shape[1]):
+        acc = acc + np.multiply.outer(mat[:, d_], cmat[:, d_])
+        na = na + mat[:, d_] * mat[:, d_]
+        nc = nc + cmat[:, d_] * cmat[:, d_]
+    if (na == 0).any():
+        bad = ids[na == 0][:3].tolist()
+        raise ValueError(
+            f"assign_to_centroids: zero-norm vector(s), ids {bad} "
+            "(cosine undefined; the expression path raises "
+            "DIVIDE_BY_ZERO on these)"
+        )
+    if (nc == 0).any():
+        raise ValueError(
+            "assign_to_centroids: zero-norm centroid "
+            f"c_id={c_ids[nc == 0][:3].tolist()} (cosine undefined)"
+        )
+    cos = acc / np.multiply.outer(np.sqrt(na), np.sqrt(nc))
+    qi = np.floor(cos * 1e6 + 0.5)  # int compare == quantize6 compare
+    qcmp = np.where(np.isnan(qi), np.inf, qi)
+    best = qcmp.max(axis=1, keepdims=True)
+    sentinel = int(c_ids.max()) + 1
+    return np.where(qcmp == best, c_ids[None, :], sentinel).min(axis=1)
+
+
 def _assign_packed(
     df: DataFrame, vec_col: str, id_col: str, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -227,14 +265,7 @@ def _assign_packed(
             mat = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            # dims-sequential accumulation == the HOF scalar left fold
-            acc = np.zeros((mat.shape[0], cmat.shape[0]))
-            na = np.zeros(mat.shape[0])
-            nc = np.zeros(cmat.shape[0])
-            for d_ in range(mat.shape[1]):
-                acc = acc + np.multiply.outer(mat[:, d_], cmat[:, d_])
-                na = na + mat[:, d_] * mat[:, d_]
-                nc = nc + cmat[:, d_] * cmat[:, d_]
+            # dims-sequential accumulation == the HOF scalar left fold.
             # Degenerate-vector semantics must match the HOF expression path
             # under the repo's calling convention (Spark 4 ANSI on):
             #   * a ZERO-NORM row or centroid makes the cosine divisor 0 —
@@ -247,24 +278,10 @@ def _assign_packed(
             # Without either, `qi == best` was false everywhere for an
             # all-NaN row and the row landed on a nonexistent sentinel
             # cluster that downstream c_id inner joins silently dropped.
-            if (na == 0).any():
-                bad = pdf[id_col].to_numpy()[na == 0][:3].tolist()
-                raise ValueError(
-                    f"assign_to_centroids: zero-norm vector(s), ids {bad} "
-                    "(cosine undefined; the expression path raises "
-                    "DIVIDE_BY_ZERO on these)"
-                )
-            if (nc == 0).any():
-                raise ValueError(
-                    "assign_to_centroids: zero-norm centroid "
-                    f"c_id={c_ids[nc == 0][:3].tolist()} (cosine undefined)"
-                )
-            cos = acc / np.multiply.outer(np.sqrt(na), np.sqrt(nc))
-            qi = np.floor(cos * 1e6 + 0.5)  # int compare == quantize6 compare
-            qcmp = np.where(np.isnan(qi), np.inf, qi)
-            best = qcmp.max(axis=1, keepdims=True)
-            sentinel = int(c_ids.max()) + 1
-            pick = np.where(qcmp == best, c_ids[None, :], sentinel).min(axis=1)
+            # (Shared core: _nearest_cosine_pick.)
+            pick = _nearest_cosine_pick(
+                mat, pdf[id_col].to_numpy(), cmat, c_ids
+            )
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),
@@ -381,7 +398,15 @@ def kmeans_centroids(
     ]
     dim = len(cents[0][1])
     for _ in range(iters):
-        assigned = assign_to_centroids(base, "v", "id", cents)
+        # Training iterations always use the packed Arrow kernel (r16,
+        # guide §1.2/§4.2): each iteration embeds NEW centroid values, so
+        # the expression path pays full Catalyst analysis + codegen per
+        # iteration (~1.5 s/iter measured at any data size — driver-side,
+        # data-independent); the packed kernel's tiny mapInPandas plan
+        # re-plans in ~0.1 s and is bit-identical (equivalence-tested).
+        # Query-facing assignment keeps the k-dispatched expression path
+        # (assign_to_centroids) so final plan shapes are unchanged.
+        assigned = _assign_packed(base, "v", "id", cents)
         comp = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -655,6 +680,95 @@ def _pq_assign(subr: DataFrame, cdf: DataFrame, dsub: int) -> DataFrame:
     )
 
 
+def _pq_assign_packed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[tuple[int, int, list[float]]],
+    dim: int,
+    m: int,
+) -> DataFrame:
+    """Arrow-batched per-subspace nearest-codeword assignment:
+    ``(id, sub, cluster, sv)`` rows with the exact :func:`_pq_assign`
+    semantics (quantized L2, lowest ``c_id`` on ties) computed from FULL
+    vectors in one mapInPandas — no subvector explode, no join, no
+    aggregate.
+
+    Why it exists (r16, guide §1.2/§4.2): PQ training re-plans the
+    assignment with fresh codebook values every iteration, so the
+    expression path pays Catalyst analysis + codegen per iteration —
+    driver-side, data-size-independent cost that dominated the honest
+    (memo-free) training rows.  The packed plan is three nodes and
+    re-plans in ~0.1 s.
+
+    Bit parity with :func:`_pq_assign`: the squared-L2 accumulates
+    dims-sequentially (numpy per-dimension adds == the unrolled
+    left-associated expression chain == the driver-side Python fold), the
+    comparison key is the integer ``floor(acc·1e6 + 0.5)`` (identical
+    ordering to the quantized double), NaN distances rank ABOVE every
+    float (Spark's total order) via a +inf substitution, and ties pick the
+    lowest ``c_id`` — the same contract :func:`_assign_packed` pins for
+    the cosine kernel, equivalence-tested in tests/test_dedup_similarity.py.
+    """
+    import pandas as pd
+
+    dsub = dim // m
+    # group codewords per subspace, sorted by c_id so argmin tie-break is
+    # deterministic
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for sub, cid, vec in codebooks:
+        by_sub.setdefault(sub, []).append((cid, vec))
+    sub_ids = sorted(by_sub)
+    cid_arrays = {
+        s: np.array([c for c, _ in sorted(by_sub[s])], dtype=np.int64)
+        for s in sub_ids
+    }
+    cmat = {
+        s: np.array([v for _, v in sorted(by_sub[s])], dtype=np.float64)
+        for s in sub_ids
+    }
+    vtype = df.schema[vec_col].dataType.simpleString()
+    # element type of one subvector slice, e.g. array<double>
+    sv_type = vtype
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy()
+            out_id, out_sub, out_cluster, out_sv = [], [], [], []
+            for s in sub_ids:
+                svs = mat[:, s * dsub : (s + 1) * dsub]
+                cm = cmat[s]
+                acc = np.zeros((svs.shape[0], cm.shape[0]))
+                for d_ in range(dsub):
+                    diff = np.subtract.outer(svs[:, d_], cm[:, d_])
+                    acc = acc + diff * diff
+                qi = np.floor(acc * 1e6 + 0.5)  # int compare == quantized cmp
+                qcmp = np.where(np.isnan(qi), np.inf, qi)
+                best = qcmp.min(axis=1, keepdims=True)
+                cids = cid_arrays[s]
+                sentinel = int(cids.max()) + 1
+                pick = np.where(qcmp == best, cids[None, :], sentinel).min(axis=1)
+                out_id.append(ids)
+                out_sub.append(np.full(len(ids), s, dtype=np.int32))
+                out_cluster.append(pick)
+                out_sv.extend([list(row) for row in svs])
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(out_id),
+                    "sub": np.concatenate(out_sub),
+                    "cluster": np.concatenate(out_cluster),
+                    "sv": out_sv,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"id long, sub int, cluster bigint, sv {sv_type}"
+    )
+
+
 def pq_train_codebooks(
     df: DataFrame,
     vec_col: str,
@@ -698,29 +812,28 @@ def pq_train_codebooks(
         for sub in range(m)
         for r in seeds
     ]
-    subr = _subvector_rows(df, vec_col, id_col, dim, m).persist()
-    try:
-        for _ in range(iters):
-            cdf = spark.createDataFrame(
-                cents, "sub int, c_id bigint, c_vec array<double>"
-            )
-            assigned = _pq_assign(subr, cdf, dsub)
-            comp = (
-                assigned.select("sub", "cluster", F.posexplode("sv").alias("pos", "val"))
-                .groupBy("sub", "cluster", "pos")
-                .agg(davg("val").alias("comp"))
-            )
-            upd: dict[tuple[int, int], dict[int, float]] = {}
-            for r in comp.collect():  # dim·n_codes tiny rows — the only driver data
-                upd.setdefault((r["sub"], r["cluster"]), {})[r["pos"]] = r["comp"]
-            cents = [
-                (sub, cid, [upd[(sub, cid)][p] for p in range(dsub)])
-                if (sub, cid) in upd
-                else (sub, cid, old)
-                for sub, cid, old in cents
-            ]
-    finally:
-        subr.unpersist()
+    # r16: training iterations run the packed Arrow kernel over FULL
+    # vectors (no subvector explode table, no broadcast join, no plan
+    # rebuild cost per iteration) — bit-identical to the _pq_assign
+    # expression path (see _pq_assign_packed; equivalence-tested), ~15x
+    # cheaper per iteration on the driver since each iteration's fresh
+    # codebook values ride the task closure instead of a new plan.
+    for _ in range(iters):
+        assigned = _pq_assign_packed(df, vec_col, id_col, cents, dim, m)
+        comp = (
+            assigned.select("sub", "cluster", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(davg("val").alias("comp"))
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in comp.collect():  # dim·n_codes tiny rows — the only driver data
+            upd.setdefault((r["sub"], r["cluster"]), {})[r["pos"]] = r["comp"]
+        cents = [
+            (sub, cid, [upd[(sub, cid)][p] for p in range(dsub)])
+            if (sub, cid) in upd
+            else (sub, cid, old)
+            for sub, cid, old in cents
+        ]
     return cents
 
 
@@ -733,13 +846,13 @@ def pq_encode(
     m: int = 8,
 ) -> DataFrame:
     """``(id, sub, code)``: each vector's per-subspace nearest codeword —
-    the compressed representation (m small ints instead of dim floats)."""
-    dsub = dim // m
-    cdf = df.sparkSession.createDataFrame(
-        codebooks, "sub int, c_id bigint, c_vec array<double>"
-    )
-    subr = _subvector_rows(df, vec_col, id_col, dim, m)
-    return _pq_assign(subr, cdf, dsub).select(
+    the compressed representation (m small ints instead of dim floats).
+
+    r16: one packed Arrow pass over full vectors (see
+    :func:`_pq_assign_packed`) — the subvector explode + broadcast join +
+    min_by aggregate collapse into a single map stage with identical
+    output."""
+    return _pq_assign_packed(df, vec_col, id_col, codebooks, dim, m).select(
         "id", "sub", F.col("cluster").alias("code")
     )
 
@@ -994,18 +1107,40 @@ def ivfpq_residuals(
     """``(id, cluster, rv)``: each vector's coarse-cell assignment and its
     residual ``v − centroid`` — the quantity IVF-PQ encodes (residuals are
     far more compressible than raw vectors because the coarse quantizer has
-    already removed the cell mean).  Plain elementwise IEEE subtraction, so
-    the SQL twin is exact."""
-    cdf = df.sparkSession.createDataFrame(coarse, "c_id bigint, c_vec array<double>")
-    assigned = assign_to_centroids(df, vec_col, id_col, coarse)
-    return assigned.join(
-        F.broadcast(cdf), assigned["cluster"] == cdf["c_id"]
-    ).select(
-        "id",
-        "cluster",
-        F.zip_with(
-            "v", "c_vec", lambda a, b: a.cast("double") - b
-        ).alias("rv"),
+    already removed the cell mean).
+
+    r16: one packed Arrow stage (assignment by the shared
+    :func:`_nearest_cosine_pick` contract + elementwise IEEE subtraction —
+    ``v[i] − c[i]`` is the same correctly-rounded op as the old ``zip_with``
+    lambda, so the SQL twin stays exact).  The one-node lineage matters
+    beyond speed: downstream consumers (PQ training iterations, the encode
+    pass, the ADC rank) each re-analyze this subtree per derived plan, and
+    the old assignment-expression lineage cost ~0.7 s of driver time per
+    re-analysis (measured; guide §7.3 "very large plans")."""
+    import pandas as pd
+
+    c_ids = np.array([c for c, _ in coarse], dtype=np.int64)
+    cmat = np.array([v for _, v in coarse], dtype=np.float64)
+    cvec_by_id = {int(c): cmat[i] for i, c in enumerate(c_ids)}
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy()
+            pick = _nearest_cosine_pick(mat, ids, cmat, c_ids)
+            rv = mat - np.array([cvec_by_id[int(c)] for c in pick])
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "cluster": pick,
+                    "rv": [list(row) for row in rv],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema="id long, cluster bigint, rv array<double>"
     )
 
 

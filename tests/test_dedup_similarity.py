@@ -245,6 +245,72 @@ class TestIvfTrained:
         }
         assert all(vec != init[cid] for cid, vec in c1)
 
+    def test_pq_assign_packed_equals_expression_path(self, spark, emb):
+        """r16: the packed Arrow PQ assignment (one map stage over full
+        vectors) must pick the exact same (id, sub, cluster) as the
+        expression path (_pq_assign over exploded subvectors) — quantized
+        L2, lowest-c_id ties."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            _pq_assign,
+            _pq_assign_packed,
+            _subvector_rows,
+        )
+
+        import pyspark.sql.functions as F
+
+        seeds = (
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+            .orderBy(F.asc("id"))
+            .limit(16)
+            .collect()
+        )
+        books = [
+            (sub, r["id"], [x * (1.0 + 0.001 * sub) for x in r["v"][sub * 8 : (sub + 1) * 8]])
+            for sub in range(8)
+            for r in seeds
+        ]
+        base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+        packed = {
+            (r["id"], r["sub"]): r["cluster"]
+            for r in _pq_assign_packed(base, "v", "id", books, 64, 8).collect()
+        }
+        cdf = spark.createDataFrame(books, "sub int, c_id bigint, c_vec array<double>")
+        expr = {
+            (r["id"], r["sub"]): r["cluster"]
+            for r in _pq_assign(_subvector_rows(base, "v", "id", 64, 8), cdf, 8).collect()
+        }
+        assert packed == expr and len(packed) > 0
+
+    def test_residuals_packed_equals_expression_subtract(self, spark, emb):
+        """r16: the packed residual kernel (assign + subtract in one Arrow
+        stage) must equal assignment followed by zip_with subtraction."""
+        from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
+            assign_to_centroids,
+            ivfpq_residuals,
+            kmeans_centroids,
+        )
+
+        import pyspark.sql.functions as F
+
+        coarse = kmeans_centroids(emb, "embedding", "vec_id", n_centroids=4, iters=1)
+        got = {
+            r["id"]: (r["cluster"], tuple(r["rv"]))
+            for r in ivfpq_residuals(emb, "embedding", "vec_id", coarse).collect()
+        }
+        cdf = spark.createDataFrame(coarse, "c_id bigint, c_vec array<double>")
+        assigned = assign_to_centroids(emb, "embedding", "vec_id", coarse)
+        want = {
+            r["id"]: (r["cluster"], tuple(r["rv"]))
+            for r in assigned.join(F.broadcast(cdf), assigned["cluster"] == cdf["c_id"])
+            .select(
+                "id",
+                "cluster",
+                F.zip_with("v", "c_vec", lambda a, b: a.cast("double") - b).alias("rv"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
     def test_ivf_trained_recall_vs_bruteforce(self, spark, emb):
         from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.similarity import (
             ivf_flat_topk_trained,
