@@ -287,6 +287,7 @@ def pagerank(
     checkpoint_every: int = 0,
     checkpoint_mode: str = "reliable",
     pre_materialized: bool = False,
+    rank_broadcast: bool = False,
 ) -> DataFrame:
     """Damped PageRank by a fixed number of power iterations — ``(id, pr)``.
 
@@ -359,6 +360,11 @@ def pagerank(
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # NOT truncated: materializing the node set too was built and measured
+    # (r16) — it cuts the per-iteration exchanges 14 → 6 but adds a
+    # checkpoint barrier that costs more than the tiny exchanges it saves
+    # (3.3-3.9 s → 3.9-4.6 s at sf0.1); the unrolled re-derivation off the
+    # materialized edges is the cheaper shape at every tested scale.
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     od = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
@@ -370,16 +376,29 @@ def pagerank(
     # 0.15000000000000002 — injecting the IEEE value keeps both engines
     # bit-identical
     one_minus_d = F.lit(1.0 - damping)
+    # rank_broadcast (r16, guide §3.1): the rank, out-degree and
+    # contribution frames are all NODE-sized; without size statistics
+    # (checkpointed edges scan as an RDD with unknown stats) Catalyst
+    # plans every per-iteration join as a SortMergeJoin — measured 9 SMJs
+    # / 17 hash exchanges for 3 iterations at sf0.1.  Broadcasting the
+    # node-sized sides removes the per-iteration shuffles+sorts of the
+    # EDGE table entirely (edges are only ever map-side joined — the
+    # bucketed-edge layout's effect, without the rewrite).  Values are
+    # bit-identical: dsum is order-independent by construction, which is
+    # exactly what makes the partial-aggregation order change safe.  Only
+    # enable when the node set fits the broadcast budget (caller gates on
+    # footer row counts); default off — the at-scale-safe shuffle.
+    maybe_b = F.broadcast if rank_broadcast else (lambda df_: df_)
     for i in range(iters):
         contrib = (
-            e.join(r, e["src"] == r["id"])
-            .join(od, "src")
+            e.join(maybe_b(r), e["src"] == r["id"])
+            .join(maybe_b(od), "src")
             .groupBy("dst")
             .agg(dsum(F.col("pr") / F.col("deg")).alias("c"))
         )
         r = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, nodes["id"] == contrib["dst"], "left")
+            .join(maybe_b(contrib), nodes["id"] == contrib["dst"], "left")
             .select(
                 "id",
                 (

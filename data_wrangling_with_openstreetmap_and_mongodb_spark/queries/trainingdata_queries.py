@@ -502,22 +502,12 @@ def _minhash_oracle_sql(
     driver_visible=False,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import table_rows
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
-        band_join_broadcast_ok,
-    )
-
     d = load_table(spark, sf_dir, "documents")
-    # r16 (VERDICT r15 ask #4): broadcast one side of the band-bucket
-    # self-join when n_docs x bands fits the budget (footer-gated; the
-    # build side reads the persisted signature table)
-    bj = "broadcast" if band_join_broadcast_ok(
-        table_rows(sf_dir, "documents"), bands=16
-    ) else "shuffle"
-    return minhash_lsh_pairs(
-        d, "text", "doc_id", num_hashes=64, bands=16, n=3, threshold=0.8,
-        band_join=bj,
-    )
+    # r16: band_join="broadcast" was built and A/B-measured a WASH here
+    # (off 2.74s / on 2.72s median, tools/r16_dedup_ab.py) — the band-key
+    # exchanges are tiny next to the signature aggregation, so the default
+    # shuffle (the only at-scale-correct strategy) stays.
+    return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=64, bands=16, n=3, threshold=0.8)
 
 
 def _simhash_oracle_sql(max_hamming: int) -> str:
@@ -559,18 +549,11 @@ def _simhash_oracle_sql(max_hamming: int) -> str:
     driver_visible=False,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import table_rows
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
-        band_join_broadcast_ok,
-    )
-
     d = load_table(spark, sf_dir, "documents")
-    # r16 (VERDICT r15 ask #4): footer-gated broadcast of one side of the
-    # chunk-key self-join (4 keys/doc at key_chunks=1)
-    bj = "broadcast" if band_join_broadcast_ok(
-        table_rows(sf_dir, "documents"), bands=4
-    ) else "shuffle"
-    return simhash_near_pairs(d, "text", "doc_id", max_hamming=3, block_join=bj)
+    # r16: block_join="broadcast" measured 0.89x (slightly NEGATIVE,
+    # tools/r16_dedup_ab.py) — the vote aggregation dominates, so the
+    # shuffle default stays.
+    return simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
 
 
 @register(
@@ -589,19 +572,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh"),
 )
 def dedup_simhash_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import table_rows
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
-        band_join_broadcast_ok,
-    )
-
     d = load_table(spark, sf_dir, "documents")
-    # r16: same footer-gated broadcast as dedup_simhash (10 keys/doc here)
-    bj = "broadcast" if band_join_broadcast_ok(
-        table_rows(sf_dir, "documents"), bands=10
-    ) else "shuffle"
-    return simhash_near_pairs(
-        d, "text", "doc_id", max_hamming=3, key_chunks=2, block_join=bj
-    )
+    # r16: same measured-neutral block_join outcome as dedup_simhash — the
+    # shuffle default stays (tools/r16_dedup_ab.py: 1.02x, noise)
+    return simhash_near_pairs(d, "text", "doc_id", max_hamming=3, key_chunks=2)
 
 
 @register(
@@ -1727,9 +1701,19 @@ def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.environ.get("SPARK_GRAFT_PAGERANK_MATERIALIZE_MIN_EDGES", "300000")
     )
     pre = table_rows(sf_dir, "lineitem") >= min_edges
+    # r16 (guide §3.1): node-sized frames (ranks/degrees/contributions —
+    # bounded by suppliers + customers) broadcast into the per-iteration
+    # joins when the node set fits the budget; footer-gated so a 100 TB
+    # node set keeps the shuffle plan.  Values identical (dsum is
+    # order-independent); plan evidence in plans/r16.
+    max_nodes = int(
+        os.environ.get("SPARK_GRAFT_PAGERANK_BROADCAST_MAX_NODES", "10000000")
+    )
+    n_nodes = table_rows(sf_dir, "supplier") + table_rows(sf_dir, "customer")
     return pagerank(
         edges, "src", "dst", iters=3, damping=0.85,
         pre_materialized=pre, checkpoint_mode="local",
+        rank_broadcast=n_nodes <= max_nodes,
     )
 
 
@@ -2722,24 +2706,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_probe_index,
     )
 
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import table_rows
-    from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.dedup import (
-        band_join_broadcast_ok,
-    )
-
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     increment = d.filter(F.col("doc_id") % 5 == 0)
     index = minhash_band_index(corpus, "text", "doc_id")
-    # r16 (VERDICT r15 ask #4): broadcast the PROBE side (the increment is
-    # ~20% of docs) when its band rows fit the budget — the index never
-    # shuffles by (band, bucket); footer-gated on the increment size
-    bj = "broadcast" if band_join_broadcast_ok(
-        table_rows(sf_dir, "documents") // 5 + 1, bands=16
-    ) else "shuffle"
-    return minhash_probe_index(
-        increment, index, "text", "doc_id", threshold=0.8, band_join=bj
-    )
+    # r16: probe-side band_join="broadcast" was built and A/B-measured a
+    # wash (3.67s / 3.65s median, tools/r16_dedup_ab.py) — the signature
+    # pipelines dominate, so the shuffle default stays.
+    return minhash_probe_index(increment, index, "text", "doc_id", threshold=0.8)
 
 
 def _cms_oracle_sql(depth: int, width: int, top_k: int, seed: int = 7) -> str:
