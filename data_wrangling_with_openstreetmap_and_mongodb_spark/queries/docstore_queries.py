@@ -1349,6 +1349,19 @@ def ds_graph_reachable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.rn") == F.col("a.rn") + 1),
     ).select(F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst"))
     local = edges.select(F.col("src").alias("o_orderkey")).distinct()
+    # r16 (guide §3.1): the doubling closure over this 2%-of-customers
+    # chain graph is bounded (≤ chain-length² pairs per customer), so one
+    # side of each compose self-join broadcasts when the orders table is
+    # small enough (footer-gated; shuffle at 100 TB) — the checkpointed
+    # closure has no stats, so Catalyst otherwise plans SortMergeJoins.
+    import os as _os
+
+    from data_wrangling_with_openstreetmap_and_mongodb_spark.catalog import table_rows
+
+    max_rows = int(
+        _os.environ.get("SPARK_GRAFT_GRAPHLOOKUP_BROADCAST_MAX_ROWS", "10000000")
+    )
+    cj = "broadcast" if table_rows(sf_dir, "orders") <= max_rows else "shuffle"
     out = DocumentCollection(local, "starts").aggregate(
         [
             {
@@ -1361,6 +1374,7 @@ def ds_graph_reachable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "depthField": "lvl",
                     "maxDepth": 6,
                     "method": "doubling",
+                    "closureJoin": cj,
                 }
             }
         ]

@@ -59,8 +59,12 @@ def main() -> None:
     for name in names:
         results[name] = {"off": [], "on": []}
         timed(name)  # warm-up, discarded
-        for _ in range(runs):
-            for mode in ("off", "on"):
+        for rep in range(runs):
+            # alternate which arm goes first: a fixed off-then-on order
+            # biases "off" toward colder JIT/caches (measured: phantom
+            # 1.8x "wins" on plan-identical arms)
+            order = ("off", "on") if rep % 2 == 0 else ("on", "off")
+            for mode in order:
                 if mode == "off":
                     os.environ.update(OFF)
                 else:

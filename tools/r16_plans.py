@@ -56,6 +56,7 @@ PICKS = [
     "ann_ivf_kmeans_topk",
     "hybrid_search_rrf",
     "supplier_customer_pagerank",
+    "ds_graph_reachable_orders",
 ]
 
 # env knobs that gate r16 optimizations: name -> value that turns the
@@ -63,6 +64,8 @@ PICKS = [
 R16_OFF_SWITCHES = {
     "SPARK_GRAFT_SHINGLE_DF_BROADCAST_MAX_BYTES": "0",
     "SPARK_GRAFT_BAND_BROADCAST_MAX_ROWS": "0",
+    "SPARK_GRAFT_PAGERANK_BROADCAST_MAX_NODES": "0",
+    "SPARK_GRAFT_GRAPHLOOKUP_BROADCAST_MAX_ROWS": "0",
 }
 
 
