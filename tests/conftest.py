@@ -6,6 +6,20 @@ import pytest
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Hypothesis example budget (r16 — VERDICT r15 ask #3: fit the default
+# suite inside the driver's pytest window).  Property tests declare their
+# FULL example counts and scale them through this factor; the default 0.35
+# keeps every property exercised every run at ~1/3 depth, and
+# SPARK_GRAFT_FUZZ_BUDGET=1.0 restores the full tiers.
+FUZZ_BUDGET = float(os.environ.get("SPARK_GRAFT_FUZZ_BUDGET", "0.35"))
+
+
+def fuzz_examples(full: int) -> int:
+    """Budgeted hypothesis ``max_examples``: ``full`` scaled by
+    ``SPARK_GRAFT_FUZZ_BUDGET``, floored at 5 so shrunk tiers still
+    explore."""
+    return max(5, int(full * FUZZ_BUDGET))
+
 # Force the r15 scan-parallelism rebalance's byte gate OPEN for the whole
 # suite: at the driver's SFs the opted-in codec queries cross the
 # dimension-size floor and their plans carry the rebalance exchange, so the

@@ -121,6 +121,8 @@ class TestAvroRoundTrip:
         assert back.schema == df.schema
         assert _sorted_dicts(back, "i") == _sorted_dicts(df, "i")
 
+    @pytest.mark.slow  # 31 s many-split sweep; the 2-block roundtrip above
+    # keeps block/split identity covered at default budget
     def test_multiblock_multisplit_identity(self, spark, tmp_path):
         """A multi-block file read through many tiny byte-range splits yields
         exactly the rows of a whole-file read: every block is decoded exactly

@@ -6,6 +6,7 @@ values whose little-endian bytes spell RIFF chunk ids), and every row-pad
 width.  Pure Python/numpy — no SparkSession needed."""
 
 from __future__ import annotations
+from conftest import fuzz_examples
 
 import numpy as np
 from hypothesis import given, settings
@@ -31,13 +32,13 @@ def images(draw):
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(images())
 def test_bmp_roundtrip_identity(px):
     assert np.array_equal(decode_bmp(encode_bmp(px)), px)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(
     st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64),
     st.integers(min_value=1, max_value=2),
@@ -53,7 +54,7 @@ def test_wav_roundtrip_identity(vals, ch, rate):
     assert np.array_equal(out, samples)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=fuzz_examples(40), deadline=None)
 @given(images(), st.integers(min_value=1, max_value=12), st.integers(min_value=1, max_value=12))
 def test_resize_matches_index_map(px, out_w, out_h):
     """The resize output pixel (x, y) must equal the source pixel at the
@@ -66,7 +67,7 @@ def test_resize_matches_index_map(px, out_w, out_h):
             assert np.array_equal(out[y, x], px[(y * h) // out_h, (x * w) // out_w])
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=fuzz_examples(40), deadline=None)
 @given(
     st.lists(st.integers(min_value=-1024, max_value=1024), min_size=2, max_size=48),
     st.integers(min_value=1, max_value=2),
@@ -102,7 +103,7 @@ def png_images(draw):
     return px, filters
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=fuzz_examples(120), deadline=None)
 @given(png_images())
 def test_png_roundtrip_identity(img):
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
@@ -133,7 +134,7 @@ def gifs(draw):
     return frames, plte, interlace
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=fuzz_examples(80), deadline=None)
 @given(gifs())
 def test_gif_roundtrip_identity(g):
     from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.multimodal import (
@@ -160,7 +161,7 @@ def jpeg_images(draw):
     )
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(jpeg_images(), st.booleans(), st.booleans())
 def test_jpeg_roundtrip_bounded_and_mode_equivalent(img, progressive, subsample):
     """Random images, every mode pairing: (1) q=1 roundtrip loss is bounded
@@ -186,7 +187,7 @@ def test_jpeg_roundtrip_bounded_and_mode_equivalent(img, progressive, subsample)
     assert np.array_equal(prog, seq)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=fuzz_examples(40), deadline=None)
 @given(jpeg_images(), st.data())
 def test_jpeg_truncation_always_raises_cleanly(img, data):
     """Any prefix cut of a valid JPEG (either coding) raises ValueError or
@@ -230,7 +231,7 @@ def png_depth_images(draw):
     return px, depth, draw(st.booleans())
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=fuzz_examples(120), deadline=None)
 @given(png_depth_images())
 def test_png_depth_roundtrip_identity(img):
     """r14 depth/grey-alpha support: decode(encode(px, depth)) equals px
@@ -279,7 +280,7 @@ def mp3_streams(draw):
     ) * 37
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=fuzz_examples(120), deadline=None)
 @given(mp3_streams())
 def test_mp3_header_walk_roundtrip(s):
     """The walker must recover frame count, sample totals, exact average
@@ -332,7 +333,7 @@ def adpcm_streams(draw):
     return ch, align, b"".join(blocks), n_samples, total_frames
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=fuzz_examples(100), deadline=None)
 @given(adpcm_streams())
 def test_adpcm_fact_truncation_is_prefix(s):
     """For ANY block data and ANY fact length <= decodable frames, the
@@ -351,7 +352,7 @@ def test_adpcm_fact_truncation_is_prefix(s):
     assert cut.tolist() == full[: n_samples * ch].tolist()
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=fuzz_examples(40), deadline=None)
 @given(jpeg_images(), st.data())
 def test_jpeg_fill_bytes_before_markers_decode_identically(img, data):
     """The spec allows any number of 0xFF fill bytes before a marker;
@@ -406,7 +407,7 @@ def lossless_images(draw):
     return px, prec, draw(st.integers(1, 7))
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=fuzz_examples(100), deadline=None)
 @given(lossless_images())
 def test_jpeg_lossless_roundtrip_identity(img):
     """SOF3 has no quantizer: decode(encode(px)) must be px bit-for-bit

@@ -23,6 +23,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+from conftest import fuzz_examples
 
 # (p, v, tag): on-grid collision candidates, off-grid max in A (7),
 # negative min in B, singleton partition C
@@ -84,7 +85,7 @@ def _got(spark, step, bounds, parts):
 
 
 @settings(
-    max_examples=30,
+    max_examples=fuzz_examples(30),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

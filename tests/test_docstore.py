@@ -854,6 +854,8 @@ class TestBucketAutoAndOut:
             for r in out.collect()
         }
 
+    @pytest.mark.slow  # 74 s scaled-up twin; test_graph doubling tiers +
+    # the ds_graph_reachable_orders parity row keep the equivalence covered
     def test_graph_lookup_doubling_equals_frontier(self, spark):
         """Pointer-doubling traversal (method: doubling) must produce the
         exact frontier-loop result — docs, shallowest depths, empty arrays —

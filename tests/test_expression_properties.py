@@ -7,6 +7,7 @@ as false, $ifNull coalescing.
 """
 
 from __future__ import annotations
+from conftest import fuzz_examples
 
 import math
 
@@ -308,7 +309,7 @@ def _close(a, b) -> bool:
 
 
 @settings(
-    max_examples=120,
+    max_examples=fuzz_examples(120),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

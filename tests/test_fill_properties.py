@@ -26,6 +26,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+from conftest import fuzz_examples
 
 # (g, k, x, y): group A normal holes; B all-null x; C single row; D leading
 # + trailing nulls and a consecutive null run; duplicate values (not keys)
@@ -133,7 +134,7 @@ _HOW = st.sampled_from([
 
 
 @settings(
-    max_examples=40,
+    max_examples=fuzz_examples(40),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

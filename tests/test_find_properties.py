@@ -13,6 +13,7 @@ containing a null element (ADVICE r6).
 """
 
 from __future__ import annotations
+from conftest import fuzz_examples
 
 import re
 
@@ -238,7 +239,7 @@ def _corpus(spark):
 
 
 @settings(
-    max_examples=120,
+    max_examples=fuzz_examples(120),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -18,6 +18,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.operators.events import funnel_stages
+from conftest import fuzz_examples
 
 STAGES = ["view", "click", "buy"]
 
@@ -52,7 +53,7 @@ def _ref_counts(events):
 
 
 @settings(
-    max_examples=40,
+    max_examples=fuzz_examples(40),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

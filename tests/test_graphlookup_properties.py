@@ -13,6 +13,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+from conftest import fuzz_examples
 
 # local docs: duplicate pair, a null start, a start outside the graph
 LOCAL = [
@@ -63,7 +64,7 @@ _MAXDEPTH = st.sampled_from([None, 0, 1, 2, 5])
 
 
 @settings(
-    max_examples=35,
+    max_examples=fuzz_examples(35),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

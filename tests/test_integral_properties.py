@@ -20,6 +20,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+from conftest import fuzz_examples
 
 
 def _reference_integral(rows, lo, hi):
@@ -66,7 +67,7 @@ _FRAME = st.sampled_from([
 
 
 @settings(
-    max_examples=40,
+    max_examples=fuzz_examples(40),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -28,6 +28,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+from conftest import fuzz_examples
 
 # exact duplicate first two rows; null key; key matching nothing (9)
 LOCAL = [
@@ -189,7 +190,7 @@ _ACCS = st.sampled_from(
 
 
 @settings(
-    max_examples=40,
+    max_examples=fuzz_examples(40),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -218,7 +219,7 @@ def test_doc_form_matches_reference(spark, tail):
 
 
 @settings(
-    max_examples=30,
+    max_examples=fuzz_examples(30),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -304,7 +305,7 @@ def test_doc_form_project_exclusion_mode(spark):
 
 
 @settings(
-    max_examples=25,
+    max_examples=fuzz_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

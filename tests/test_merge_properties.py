@@ -40,6 +40,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+from conftest import fuzz_examples
 
 # target: k=null row, value-null rows, a key (9) the source never touches
 TARGET = [
@@ -281,7 +282,7 @@ _LET = st.sampled_from([None, {"new": "$$ROOT"}, {"new": "$$ROOT", "va": "$a"}])
 
 
 @settings(
-    max_examples=100,
+    max_examples=fuzz_examples(100),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

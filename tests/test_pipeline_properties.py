@@ -28,6 +28,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+from conftest import fuzz_examples
 
 # -- the corpus: every field nullable; g groups collide; one group ("zz")
 # whose v is ALWAYS null so all-null-group accumulators actually fire
@@ -341,7 +342,7 @@ def _corpus(spark):
 
 
 @settings(
-    max_examples=120,
+    max_examples=fuzz_examples(120),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -461,7 +462,7 @@ _PROJECTS = [
 
 
 @settings(
-    max_examples=80,
+    max_examples=fuzz_examples(80),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

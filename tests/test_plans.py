@@ -138,38 +138,38 @@ class TestTrainingDataPlans:
 
 
 class TestScanShapes:
-    def test_full_catalog_plans_are_not_rdd_backed(self, spark, sf_dir):
-        """Every catalog query is pure DataFrame algebra (or declared
-        pandas/streaming): no query silently degenerates to RDD scans."""
+    def test_full_catalog_plan_invariants(self, spark, sf_dir):
+        """ONE plan pass over the whole catalog asserting every global
+        invariant (r16: three separate sweeps each rebuilt all ~170 plans —
+        consolidated for the driver's pytest budget, identical coverage):
+
+        - no CartesianProduct anywhere (the one join Catalyst can't save
+          at 100 TB);
+        - no RDD-backed scans outside the declared exceptions
+          (streaming/pandas-udf/lsh/similarity/iterative localCheckpoint
+          loops);
+        - zero RoundRobinPartitioning exchanges outside the explicit
+          scan-rebalance opt-in set (VERDICT r15 ask #2 — committed plan
+          evidence must be reproducible from HEAD)."""
         from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
 
-        for name, entry in QUERIES.items():
-            # "iterative" = label-propagation loops whose localCheckpoint
-            # (lineage truncation, the documented exception) surfaces as an
-            # RDD-backed scan by construction
-            if {"streaming", "pandas-udf", "lsh", "similarity", "iterative"} & set(
-                entry.tags
-            ):
-                continue
-            plan = executed_plan(entry.fn(spark, sf_dir))
-            assert "Scan ExistingRDD" not in plan, name
-
-    def test_events_json_extraction_prunes(self, spark, sf_dir):
-        df = q("events_with_large_k", spark, sf_dir)
-        assert read_schema_columns(df) == {"event_type", "props"}
-
-    def test_no_cartesian_products_anywhere(self, spark, sf_dir):
-        """No catalog query may plan an unconstrained CartesianProduct — the
-        all-pairs shapes must go through broadcast/bucketed joins or blocked
-        mapInPandas (a cartesian over two big sides is the one join Catalyst
-        can't save at 100 TB)."""
-        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
+        opt_in = TestRound16Plans.ROUNDROBIN_OPT_IN  # defined below
 
         for name, entry in QUERIES.items():
             if "streaming" in entry.tags:
                 continue
             plan = executed_plan(entry.fn(spark, sf_dir))
             assert "CartesianProduct" not in plan, name
+            if not (
+                {"pandas-udf", "lsh", "similarity", "iterative"} & set(entry.tags)
+            ):
+                assert "Scan ExistingRDD" not in plan, name
+            if name not in opt_in:
+                assert "RoundRobinPartitioning" not in plan, name
+
+    def test_events_json_extraction_prunes(self, spark, sf_dir):
+        df = q("events_with_large_k", spark, sf_dir)
+        assert read_schema_columns(df) == {"event_type", "props"}
 
 
 class TestPromotedQueryPruning:
@@ -582,14 +582,9 @@ class TestRound16Plans:
         "etl_avro_roundtrip",
     }
 
-    def test_non_opted_queries_plan_no_roundrobin(self, spark, sf_dir):
-        from data_wrangling_with_openstreetmap_and_mongodb_spark.plans import executed_plan
-
-        for name, entry in QUERIES.items():
-            if name in self.ROUNDROBIN_OPT_IN or "streaming" in entry.tags:
-                continue
-            plan = executed_plan(entry.fn(spark, sf_dir))
-            assert "RoundRobinPartitioning" not in plan, name
+    # the non-opted zero-RoundRobin sweep lives in
+    # TestScanShapes::test_full_catalog_plan_invariants (one plan pass for
+    # all catalog-wide invariants — pytest-budget consolidation)
 
     def test_ngram_df_broadcast_gate(self, spark, sf_dir, monkeypatch):
         """The footer-gated df-rank broadcast: ON at gate-passing sizes

@@ -92,6 +92,8 @@ def osm_shaped(osm_raw):
 
 
 class TestOsmSource:
+    @pytest.mark.slow  # 52 s big-file sweep; the per-split parse tests below
+    # cover the same alignment logic at default budget
     def test_byte_split_parse_identical(self, spark, tmp_path):
         # One big file parsed whole (binaryFile, 1 task) vs byte-range-split
         # (element-aligned fragments) must produce identical element rows —

@@ -17,6 +17,7 @@ class this tier exists for.
 """
 
 from __future__ import annotations
+from conftest import fuzz_examples
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -238,7 +239,7 @@ def _norm(v):
 
 @given(docs=_docs, query=_query, update=_update)
 @settings(
-    max_examples=100,
+    max_examples=fuzz_examples(100),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -34,6 +34,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_wrangling_with_openstreetmap_and_mongodb_spark.docstore.pipeline import aggregate
+from conftest import fuzz_examples
 
 # seq: unique ASCENDING ints per partition (not globally contiguous, so
 # range frames have gaps to skip); v: exact quarters with nulls and TIES
@@ -372,7 +373,7 @@ def _run_and_compare(spark, sort_by, outputs):
 
 
 @settings(
-    max_examples=140,
+    max_examples=fuzz_examples(140),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
